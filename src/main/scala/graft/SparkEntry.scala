@@ -1,13 +1,518 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.dims.CoalesceMerge
+import graft.enrich.EmbedStage
+import graft.parse.Parsers
+import graft.serve.Serving
+import graft.text.TextFunctions
+import graft.vector.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB oracle for every SQL-expressible one.
+  *
+  * Determinism rules (oracle parity):
+  *  - never `current_date()`/`now()` — "today" is always a pinned literal;
+  *  - every query ends in a total-order `orderBy` mirrored in the SQL;
+  *  - doubles rounded (2-4 dp) on both sides;
+  *  - timestamps compared as `unix_micros` (Spark) == `epoch_us` (DuckDB)
+  *    so ns-vs-us parquet resolution can't skew ordering or values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Serving.eventsByDate(Tables.events(spark, "/root/testdata/sf0.001"),
+      date = "2024-01-05", today = "2024-01-01")
+
+  // pinned "today" for all TTL/date math
+  private val Today = "2024-01-01"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY §2.4, §2.5) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_top_customers" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "q03_region_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q04_inactive_customers" -> ((s, d) => {
+      // anti-join: customers with no high-value order (A4/J3 existence
+      // check shape — left_anti replaces the reference's per-row
+      // SELECT-then-INSERT exists test)
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_inactive"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q05_parts_in_lineitem" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_size") > 30)
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 2).as("avg_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- dedup by natural key (D3) ----
+    "q06_dedup_natural_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("kept_event_id"),
+          unix_micros(col("ts")).as("kept_us"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- windows (O1) ----
+    "q07_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("running_value",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q08_sessionize" -> ((s, d) =>
+      Serving.sessionize(Tables.events(s, d), gapMinutes = 30)),
+
+    // ---- aggregations (A-agg3) ----
+    "q09_per_date_counts" -> ((s, d) => Serving.perDateCounts(Tables.events(s, d))),
+
+    // ---- TTL tiers (C5) ----
+    "q10_ttl_tiers" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("ttl_s", Parsers.ttlSeconds(to_date(col("ts")), to_date(lit(Today))))
+        .groupBy(col("ttl_s")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("ttl_s"))
+    }),
+
+    // ---- bucketing (P8) ----
+    "q11_price_bucket" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("bucket", Parsers.capacityBucket(col("o_totalprice") / 1000.0))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- upsert merge with COALESCE rules (A2/A1, D3) ----
+    "q12_merge_coalesce" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val target = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+      val source = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name").as("name"),
+          when(col("c_custkey") % 4 === 0, lit(null).cast("double"))
+            .otherwise(round(col("c_acctbal") + 100, 2)).as("acctbal"),
+          lit(null).cast("string").as("mktsegment"))
+      CoalesceMerge.upsert(target, source, Seq("c_custkey"))
+        .withColumn("acctbal", round(col("acctbal"), 2))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- distinct via explode (D2) ----
+    "q13_distinct_tokens" -> ((s, d) => {
+      t(s, d, "part")
+        .select(explode(split(col("p_type"), " ")).as("word"))
+        .distinct().orderBy(col("word"))
+    }),
+
+    // ---- S3-key date-extract regex cascade (P9) ----
+    "q14_key_date_extract" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val key = when(col("o_orderkey") % 3 === 0,
+          concat(lit("raw_events/"), date_format(col("o_orderdate"), "yyyy/MM/dd"),
+            lit("/event_data_x.json")))
+        .when(col("o_orderkey") % 3 === 1,
+          concat(lit("other/path/event_data_"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("_20250101_000000.json")))
+        .otherwise(concat(lit("p/file_"), date_format(col("o_orderdate"), "yyyyMMdd"),
+          lit("_120000.json")))
+      o.withColumn("s3_key", key)
+        .withColumn("extracted_date", Parsers.extractDateFromKey(col("s3_key")))
+        .select(col("o_orderkey"), col("s3_key"), col("extracted_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- embedding-text composition (M2/M3 + P8) ----
+    "q15_embed_text_compose" -> ((s, d) => {
+      t(s, d, "part")
+        .withColumn("embed_text", Parsers.composeEmbedText(Seq(
+          "" -> col("p_name"),
+          "Type" -> col("p_type"),
+          "Brand" -> col("p_brand"),
+          "Size" -> Parsers.capacityBucket(col("p_size") * 10))))
+        .select(col("p_partkey"), col("embed_text"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- serving queries (J4/J6/O1/A-agg4/C5) ----
+    "q16_serve_events_by_date" -> ((s, d) =>
+      Serving.eventsByDate(Tables.events(s, d), date = "2024-01-05", today = Today)),
+
+    "q17_user_day_digest" -> ((s, d) =>
+      Serving.userDayDigest(Tables.events(s, d), date = "2024-01-10")),
+
+    // ---- vector search (M6/O3) ----
+    "q18_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      VectorFunctions.topK(emb, "embedding", "vec_id", q, 20)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
+    // ---- text analysis ----
+    "q19_text_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"),
+          TextFunctions.punctCount(col("text")).cast("bigint").as("n_punct"),
+          TextFunctions.stopwordCount(col("text")).cast("bigint").as("n_stop"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q20_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("predicted", TextFunctions.langId(col("text")))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // ---- dedup suite ----
+    "q21_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("survivor_id"))
+    }),
+
+    "q22_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.2, maxShingleFreq = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- rows-only checks (non-SQL-expressible; no oracle entry) ----
+    "q23_minhash_clusters" -> ((s, d) => {
+      Dedup.minhashClusters(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("id"))
+    }),
+
+    "q24_simhash" -> ((s, d) => {
+      Dedup.simhash(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("id"))
+    }),
+
+    "q25_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q26_embed_documents" -> ((s, d) => {
+      val emb = EmbedStage.embedColumn(t(s, d, "documents"), "text", "emb")
+      emb.select(col("doc_id"), size(col("emb")).as("dim"),
+          round(element_at(col("emb"), 1).cast("double"), 4).as("c0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q27_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      VectorFunctions.annTopK(emb, "embedding", "vec_id", q, 20, dim = q.length,
+        nPlanes = 6)
+        .withColumn("score", round(col("score"), 4))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q03_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_inactive_customers" ->
+      """SELECT n_name, count(*) AS n_inactive
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q05_parts_in_lineitem" ->
+      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part WHERE p_size > 30
+        | AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q06_dedup_natural_key" ->
+      """SELECT user_id, event_type, event_id AS kept_event_id, epoch_us(ts) AS kept_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts), event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q07_window_running" ->
+      """SELECT event_id, user_id,
+        | row_number() OVER w AS rn,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q08_sessionize" ->
+      """WITH marked AS (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        | SELECT user_id, event_id, value, us,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(us) AS start_us, max(us) AS end_us, round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q09_per_date_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+
+    "q10_ttl_tiers" ->
+      """SELECT CAST(CASE WHEN dd < 0 THEN 604800 WHEN dd = 0 THEN 3600
+        |  WHEN dd <= 7 THEN 43200 ELSE 86400 END AS BIGINT) AS ttl_s,
+        | count(*) AS n_events
+        |FROM (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd
+        |      FROM events)
+        |GROUP BY ttl_s ORDER BY ttl_s""".stripMargin,
+
+    "q11_price_bucket" ->
+      """SELECT CASE WHEN o_totalprice / 1000.0 < 100 THEN 'intimate'
+        |  WHEN o_totalprice / 1000.0 < 500 THEN 'medium' ELSE 'large' END AS bucket,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q12_merge_coalesce" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_name AS name, c_acctbal AS acctbal,
+        |         c_mktsegment AS mktsegment
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |s AS (
+        |  SELECT c_custkey, c_name AS name,
+        |         CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |              ELSE round(c_acctbal + 100, 2) END AS acctbal,
+        |         CAST(NULL AS VARCHAR) AS mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        | coalesce(s.name, t.name) AS name,
+        | round(coalesce(s.acctbal, t.acctbal), 2) AS acctbal,
+        | coalesce(s.mktsegment, t.mktsegment) AS mktsegment,
+        | CASE WHEN t.c_custkey IS NULL THEN 'insert'
+        |      WHEN s.c_custkey IS NOT NULL THEN 'update'
+        |      ELSE 'keep' END AS _action
+        |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_distinct_tokens" ->
+      """SELECT word FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q14_key_date_extract" ->
+      """WITH k AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |        THEN 'raw_events/' || strftime(o_orderdate, '%Y/%m/%d') || '/event_data_x.json'
+        |       WHEN o_orderkey % 3 = 1
+        |        THEN 'other/path/event_data_' || strftime(o_orderdate, '%Y-%m-%d') || '_20250101_000000.json'
+        |       ELSE 'p/file_' || strftime(o_orderdate, '%Y%m%d') || '_120000.json'
+        |  END AS s3_key
+        | FROM orders)
+        |SELECT o_orderkey, s3_key,
+        | coalesce(
+        |  CASE WHEN regexp_extract(s3_key, 'raw_events/(\d{4})/(\d{2})/(\d{2})/', 1) <> ''
+        |       THEN regexp_extract(s3_key, 'raw_events/(\d{4})/(\d{2})/(\d{2})/', 1) || '-' ||
+        |            regexp_extract(s3_key, 'raw_events/(\d{4})/(\d{2})/(\d{2})/', 2) || '-' ||
+        |            regexp_extract(s3_key, 'raw_events/(\d{4})/(\d{2})/(\d{2})/', 3) END,
+        |  CASE WHEN regexp_extract(s3_key, 'event_data_(\d{4}-\d{2}-\d{2})_', 1) <> ''
+        |       THEN regexp_extract(s3_key, 'event_data_(\d{4}-\d{2}-\d{2})_', 1) END,
+        |  CASE WHEN regexp_extract(s3_key, '_(\d{8})_', 1) <> ''
+        |       THEN substr(regexp_extract(s3_key, '_(\d{8})_', 1), 1, 4) || '-' ||
+        |            substr(regexp_extract(s3_key, '_(\d{8})_', 1), 5, 2) || '-' ||
+        |            substr(regexp_extract(s3_key, '_(\d{8})_', 1), 7, 2) END
+        | ) AS extracted_date
+        |FROM k ORDER BY o_orderkey""".stripMargin,
+
+    "q15_embed_text_compose" ->
+      """SELECT p_partkey,
+        | concat_ws('. ', p_name, 'Type: ' || p_type, 'Brand: ' || p_brand,
+        |   'Size: ' || CASE WHEN p_size * 10 < 100 THEN 'intimate'
+        |     WHEN p_size * 10 < 500 THEN 'medium' ELSE 'large' END) AS embed_text
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q16_serve_events_by_date" ->
+      """SELECT event_id, epoch_us(ts) AS perf_us, user_id, event_type,
+        | round(value, 2) AS value,
+        | count(*) OVER (PARTITION BY user_id) AS user_day_events,
+        | round(sum(value) OVER (PARTITION BY user_id), 2) AS user_day_value,
+        | CAST(CASE WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') < 0 THEN 604800
+        |   WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') = 0 THEN 3600
+        |   WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') <= 7 THEN 43200
+        |   ELSE 86400 END AS BIGINT) AS ttl_s
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |ORDER BY perf_us, event_id""".stripMargin,
+
+    "q17_user_day_digest" ->
+      """SELECT user_id, count(*) AS n_events,
+        | array_to_string(list_sort(list(event_type)), ',') AS event_types,
+        | round(sum(value), 2) AS total_value,
+        | min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q18_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM embeddings e CROSS JOIN q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
+
+    "q19_text_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+        | length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        | length(regexp_extract_all(lower(text),
+        |   '\b(the|a|an|and|of|to|in|is|it|that)\b')) AS n_stop,
+        | CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |  ELSE round(length(regexp_extract_all(lower(text),
+        |    '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |    array_length(regexp_split_to_array(trim(text), '\s+')), 4) END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_lang_id" ->
+      """WITH scored AS (
+        | SELECT lang,
+        |  length(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS s_en,
+        |  length(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        |  length(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+        |  length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+        |  length(regexp_extract_all(lower(text), '\b(de|le|shi|wo|ni)\b')) AS s_zh
+        | FROM documents),
+        |pred AS (
+        | SELECT lang,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |   WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+        |   WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+        |   WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+        |   WHEN s_es > s_en THEN 'es'
+        |   ELSE 'en' END AS predicted
+        | FROM scored)
+        |SELECT lang, predicted, count(*) AS n_docs FROM pred
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS survivor_id,
+        | count(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+
+    "q22_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        |  WHERE array_length(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs
+        | JOIN sizes sa ON sa.doc_id = id_a
+        | JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
 }

@@ -1,0 +1,170 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each designed as
+  * a shuffle-on-key plan that survives 100 TB:
+  *
+  *  - exact: content-hash groupBy (one shuffle on the 128-bit hash, never
+  *    on the text itself — keys are fixed-width, skew-free);
+  *  - n-gram Jaccard: shingle-explode + candidate-pair join + pair-level
+  *    agg (shuffles on shingle then pair; frequent-shingle cap bounds
+  *    the quadratic blowup);
+  *  - MinHash+LSH: signature per doc (map-side), band-bucket explode,
+  *    groupBy bucket (shuffle on 32-bit bucket ids only);
+  *  - SimHash: 64-bit signature per doc, map-side only;
+  *  - embedding near-dup: cosine over LSH-bucketed candidates.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: md5 of the (trimmed, lowercased) text.
+    * Survivor = min id per hash (deterministic). md5 (not xxhash) so the
+    * oracle can reproduce it in ANSI SQL. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy(col(idCol))
+    df.withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact-dup groups: hash → survivor id + group size (diagnostics). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
+
+  /** N-gram Jaccard near-dup pairs.
+    *
+    * Candidate generation: explode distinct n-word shingles, self-join on
+    * shingle, count shared shingles per (a,b) pair; Jaccard from the
+    * per-doc distinct-shingle counts. `maxShingleFreq` drops shingles
+    * shared by too many docs (stopword-shingle skew guard — at scale this
+    * is the difference between a bounded join and a quadratic one).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
+    val filtered = sh.withColumn("_freq", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("_freq") <= maxShingleFreq).drop("_freq")
+    val docSizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val pairs = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    pairs
+      .join(docSizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(docSizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- MinHash + LSH ---
+
+  private val Prime = 2038074743L // large 31-bit prime for affine permutations
+
+  /** Per-doc MinHash signature over word-shingle hashes.
+    * numHashes affine permutations h_i(x) = (a_i·x + b_i) mod P of a
+    * 64-bit base hash (xxhash64) — all map-side, no shuffle. */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(1 + rng.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    val shingleHashes =
+      transform(array_distinct(TextFunctions.shingles(col(textCol), n)),
+        s => pmod(xxhash64(s), lit(Prime)))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i => {
+      val a = element_at(lit(as), i + 1)
+      val b = element_at(lit(bs), i + 1)
+      array_min(transform(col("_sh"), h => pmod(a * h + b, lit(Prime))))
+    })
+    df.withColumn("_sh", shingleHashes)
+      .withColumn("minhash_sig",
+        when(size(col("_sh")) === 0, lit(null)).otherwise(sig))
+      .drop("_sh")
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`, hash
+    * each band → (band, bucket). Docs sharing any (band, bucket) are
+    * candidates. Returns (id, band, bucket) — the exploded index. */
+  def lshBuckets(sigDf: DataFrame, idCol: String,
+                 numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = transform(sequence(lit(0), lit(numBands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
+    sigDf.filter(col("minhash_sig").isNotNull)
+      .select(col(idCol).as("id"), explode(bands).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** MinHash-LSH clustering (single-pass union approximation): each doc's
+    * cluster = min doc-id over every bucket it lands in. Not a full
+    * transitive closure (that needs iterative label propagation — see
+    * `clusterize` callers at larger rounds); deterministic. */
+  def minhashClusters(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, n, numHashes, seed)
+    val buckets = lshBuckets(sig, idCol, numHashes, rowsPerBand)
+    val bucketMin = buckets
+      .withColumn("bucket_min",
+        min(col("id")).over(Window.partitionBy("band", "bucket")))
+    val clusters = bucketMin.groupBy(col("id"))
+      .agg(min(col("bucket_min")).as("cluster_id"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+  }
+
+  /** SimHash: 64-bit signature — sum per-bit ±1 votes of token hashes,
+    * sign → bit. Near-dups = small Hamming distance. Map-side only;
+    * built from builtins (explode-free via aggregate over token array). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    // votes: for each of 64 bits, sum(+1 if bit set else -1) over tokens
+    val bitCols = (0 until 64).map { b =>
+      val bit = shiftright(xxhash64(col("_tok")), b).bitwiseAND(1)
+      (bit * 2 - 1).cast("long")
+    }
+    // aggregate over exploded tokens, grouped back per doc
+    val exploded = df
+      .select(col(idCol).as("id"), explode(toks).as("_tok"))
+    val aggCols = bitCols.zipWithIndex.map { case (c, i) => sum(c).as(s"v$i") }
+    val votes = exploded.groupBy("id")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold, candidates
+    * restricted by a blocking column (label or LSH bucket) to keep the
+    * pair space linear-ish at scale. */
+  def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                            blockCol: Column, threshold: Double): DataFrame = {
+    import graft.vector.VectorFunctions.cosine_sim
+    val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"), blockCol.as("blk"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"), blockCol.as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine_sim(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

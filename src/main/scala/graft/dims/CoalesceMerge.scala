@@ -1,0 +1,88 @@
+package graft.dims
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference loader's upsert semantics (SURVEY.md §2.10), re-expressed
+  * set-oriented: instead of row-at-a-time `INSERT ... ON CONFLICT`, one
+  * full-outer join of target vs. deduplicated source with per-column
+  * assignment rules.
+  *
+  * Three rule families coexist in the reference:
+  *  - insert-only (genres, A1 — loader/service.py:277-285): matched rows
+  *    keep every target value;
+  *  - COALESCE-per-column (artists, A2 — loader/service.py:342-361): new
+  *    non-null values win, nulls never clobber;
+  *  - last-write-wins (subset of venue columns, A3 —
+  *    loader/service.py:577-623): source always wins when matched.
+  *
+  * At scale this is a single shuffle on the natural key (or zero shuffles
+  * when both sides are bucketed by it); the source is `dropDuplicates`'d
+  * on the key first because Spark has no unique constraints (D3).
+  */
+object CoalesceMerge {
+
+  sealed trait Rule
+  /** target value kept when matched; source used only for inserts. */
+  case object InsertOnly extends Rule
+  /** coalesce(source, target): non-null source wins. */
+  case object CoalesceNewWins extends Rule
+  /** source always wins when matched (last-write-wins). */
+  case object Overwrite extends Rule
+
+  /** Upsert `source` into `target` on `keys`.
+    *
+    * @param rules per-column rule for every non-key column present in
+    *              both frames; columns absent from the map default to
+    *              CoalesceNewWins (the reference's artist rule).
+    * @return merged frame with target's column order plus an `_action`
+    *         column ("insert" | "update" | "keep") for A-agg1 counters.
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+             rules: Map[String, Rule] = Map.empty): DataFrame = {
+    val src = source.dropDuplicates(keys)
+    val t = target.alias("t")
+    val s = src.alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+
+    val matched = keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _) &&
+      keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val insertOnlyRow = keys.map(k => col(s"t.$k").isNull).reduce(_ && _)
+
+    val keyCols = keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
+    val valueCols = target.columns.filterNot(keys.contains).map { c =>
+      val tc = col(s"t.$c")
+      val hasSrc = src.columns.contains(c)
+      if (!hasSrc) tc.as(c)
+      else {
+        val sc = col(s"s.$c")
+        val whenMatched = rules.getOrElse(c, CoalesceNewWins) match {
+          case InsertOnly      => tc
+          case CoalesceNewWins => coalesce(sc, tc)
+          case Overwrite       => sc
+        }
+        when(matched, whenMatched)
+          .when(insertOnlyRow, sc)   // pure insert
+          .otherwise(tc)             // target-only row: keep
+          .as(c)
+      }
+    }
+    val action = when(insertOnlyRow, "insert")
+      .when(matched, "update").otherwise("keep")
+    joined.select(keyCols ++ valueCols :+ action.as("_action"): _*)
+  }
+
+  /** A1 — insert-if-absent (get-or-create): anti-join then union; no
+    * matched-row updates at all. Cheaper than full-outer when the rule
+    * set is pure InsertOnly. */
+  def insertIfAbsent(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val fresh = source.dropDuplicates(keys)
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
+    target.unionByName(fresh, allowMissingColumns = true)
+  }
+
+  /** A-agg1 — operation summary counters over the merge's `_action`. */
+  def operationSummary(merged: DataFrame): DataFrame =
+    merged.groupBy(col("_action")).agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  "),   // case/trim dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"),   // near-dup
+    (5L, "completely different words entirely here now ok"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor per normalized content hash") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 4L, 5L)))
+  }
+
+  test("exactGroups reports group sizes") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("survivor_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    assert(g.toSeq == Seq(1L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("ngram jaccard: identical docs 1.0, near-dups high, distinct absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.3, maxShingleFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 4L)) > 0.3 && pairs((1L, 4L)) < 1.0)
+    assert(!pairs.contains((1L, 5L)))
+  }
+
+  test("minhash LSH clusters identical docs together, singletons alone") {
+    val clusters = Dedup.minhashClusters(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == clusters(2L))
+    assert(clusters(5L) != clusters(1L))
+  }
+
+  test("simhash: identical docs same signature, near-dups close in Hamming") {
+    val sig = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val hamming14 = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    val hamming15 = java.lang.Long.bitCount(sig(1L) ^ sig(5L))
+    assert(hamming14 < hamming15)
+  }
+
+  test("embedding near-dup pairs via cosine over blocked candidates") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(0.999f, 0.04f, 0.0f), "a"),
+      (3L, Array(0.0f, 1.0f, 0.0f), "a"),
+      (4L, Array(1.0f, 0.0f, 0.0f), "b"), // same vector, different block
+    ).toDF("id", "emb", "blk")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "emb", "id", col("blk"), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L))) // 3 dissimilar; 4 blocked away
+  }
+}

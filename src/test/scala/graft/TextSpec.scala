@@ -1,0 +1,56 @@
+package graft
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace, BPE-ish, empty text") {
+    val df = Seq("the quick brown fox", "a,b c!", "", "   ").toDF("t")
+    val got = df.select(
+      TextFunctions.tokenCount($"t"),
+      TextFunctions.bpeTokenCount($"t"),
+      TextFunctions.punctCount($"t")).collect()
+    assert(got(0).getInt(0) == 4 && got(0).getInt(1) == 4 && got(0).getInt(2) == 0)
+    assert(got(1).getInt(0) == 2)       // "a,b" "c!"
+    assert(got(1).getInt(1) == 5)       // a , b c !
+    assert(got(1).getInt(2) == 2)       // , !
+    assert(got(2).getInt(0) == 0 && got(3).getInt(0) == 0)
+  }
+
+  test("quality score = stopword ratio") {
+    val got = Seq("the cat is on a mat").toDF("t")
+      .select(TextFunctions.qualityScore($"t")).as[Double].head()
+    assert(got == 0.5) // the, is, a -> 3 stopwords of 6 tokens
+  }
+
+  test("language id picks profile with most stopword hits, und on none") {
+    val df = Seq(
+      "the cat and the dog is of note",
+      "el gato y la casa de que",
+      "der hund und die katze ist das",
+      "xyzzy qwerty",
+    ).toDF("t")
+    val got = df.select(TextFunctions.langId($"t")).as[String].collect()
+    assert(got(0) == "en")
+    assert(got(1) == "es")
+    assert(got(2) == "de")
+    assert(got(3) == "und")
+  }
+
+  test("shingles: sliding n-grams, short text empty") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("fingerprint: deterministic, order-sensitive, distinct for distinct docs") {
+    val df = Seq("a b c", "a b c", "c b a", "totally different").toDF("t")
+    val fp = df.select(TextFunctions.fingerprint($"t")).as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2)) // rolling hash is order-sensitive
+    assert(fp(0) != fp(3))
+  }
+}
