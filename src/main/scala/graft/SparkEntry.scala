@@ -2,9 +2,13 @@ package graft
 
 import graft.dedup.Dedup
 import graft.dims.CoalesceMerge
-import graft.enrich.EmbedStage
+import graft.enrich.{EmbedStage, Geocode}
+import graft.multimodal.Multimodal
 import graft.parse.Parsers
+import graft.pipeline.{Pipeline, SyntheticStaging}
+import graft.plans.AsOfJoin
 import graft.serve.Serving
+import graft.streaming.StreamingIngest
 import graft.text.TextFunctions
 import graft.vector.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -272,6 +276,120 @@ object SparkEntry {
         nPlanes = 6)
         .withColumn("score", round(col("score"), 4))
     }),
+
+    // ---- full loader pipeline end-to-end (§3.3: P10→A1→A2→A3→J2/J3→A4) ----
+    "q28_pipeline_e2e" -> ((s, d) => {
+      val staged = SyntheticStaging.fromOrders(s, d)
+      val w = Pipeline.run(s, staged, Pipeline.emptyWarehouse(s), today = Today)
+      w.events.select(col("wwoz_event_href"), col("artist_name"),
+          col("venue_name"), col("description"),
+          unix_micros(col("performance_time")).as("perf_us"))
+        .orderBy(col("wwoz_event_href"))
+    }),
+
+    // ---- rollup (free from Spark SQL; §2.5 note) ----
+    "q29_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_revenue"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // ---- set operations (§2.7) ----
+    "q30_setops" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def users(tpe: String, date: String) =
+        e.filter(col("event_type") === tpe &&
+          to_date(col("ts")) === to_date(lit(date)))
+          .select(col("user_id")).distinct()
+      users("purchase", "2024-01-05").except(users("error", "2024-01-05"))
+        .union(users("purchase", "2024-01-05")
+          .intersect(users("signup", "2024-01-06")))
+        .distinct().orderBy(col("user_id"))
+    }),
+
+    // ---- as-of join (point-in-time enrichment) ----
+    "q31_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_us"))
+      AsOfJoin.join(purchases, views, "user_id", "p_us", "v_us", "v_id")
+        .select(col("p_id"), col("p_us"), col("v_id"), col("v_us"))
+        .orderBy(col("p_id"))
+    }),
+
+    // ---- self-join pairs (J3 graph shape) ----
+    "q32_customer_pairs" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.select(col("c_custkey").as("a_key"),
+        col("c_nationkey").as("nk"))
+      val b = c.select(col("c_custkey").as("b_key"),
+        col("c_nationkey").as("nk"))
+      a.join(b, Seq("nk")).filter(col("a_key") < col("b_key"))
+        .join(broadcast(t(s, d, "nation")), col("nk") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- tumbling-window aggregation (streaming-shape, batch-run) ----
+    "q33_hourly_windows" -> ((s, d) => {
+      StreamingIngest.windowedCounts(Tables.events(s, d))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    // ---- geocode enrichment (J5) ----
+    "q34_geocode" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val addr = when(pmod(col("s_suppkey"), lit(10)) === 0, lit(""))
+        .when(pmod(col("s_suppkey"), lit(10)) === 1,
+          concat(col("s_name"), lit(".Streaming")))
+        .otherwise(concat(col("s_name"), lit(" St")))
+      val base = sup.select(col("s_suppkey"), addr.as("full_address"))
+        .withColumn("latitude", lit(null).cast("double"))
+        .withColumn("longitude", lit(null).cast("double"))
+        .withColumn("last_geocoded", lit(null).cast("timestamp"))
+      val cache = sup.select(concat(col("s_name"), lit(" St")).as("address"),
+        round(lit(29.9511) + col("s_suppkey") * 0.0001, 6).as("lat"),
+        round(lit(-90.0715) - col("s_suppkey") * 0.0001, 6).as("lon"))
+      Geocode.enrich(base, cache, "full_address", to_date(lit(Today)))
+        .select(col("s_suppkey"), col("full_address"),
+          col("latitude"), col("longitude"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- validation quarantine split (P10/A7) ----
+    "q35_quarantine" -> ((s, d) => {
+      val staged = t(s, d, "part").select(
+        struct(when(col("p_size") < 5, lit("")).otherwise(col("p_name"))
+          .as("name")).as("artist_data"),
+        struct(lit("V").as("name")).as("venue_data"),
+        struct(lit("2024-01-01").as("event_date")).as("event_data"))
+      val (ok, bad) = graft.ingest.StagingReader.validateSplit(staged)
+      ok.agg(count(lit(1)).as("n")).withColumn("status", lit("valid"))
+        .unionByName(
+          bad.agg(count(lit(1)).as("n")).withColumn("status", lit("quarantined")))
+        .select(col("status"), col("n")).orderBy(col("status"))
+    }),
+
+    // ---- multimodal columns (rows-only: stubbed decode) ----
+    "q36_multimodal" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
+      val feat = Multimodal.extractFeatures(Multimodal.resize(media, 512))
+      feat.select(col("doc_id"), col("media_type"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          length(col("content")).as("n_bytes"),
+          size(col("features")).as("feat_dim"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -514,5 +632,95 @@ object SparkEntry {
         | JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_pipeline_e2e" ->
+      """WITH staged AS (
+        | SELECT o_orderkey, o_orderdate, o_orderstatus,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN '' ELSE c_name END AS artist_name,
+        |  n_name AS venue_name,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |       ELSE 'Order ' || o_orderstatus END AS description
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | WHERE o_orderkey % 10 = 0)
+        |SELECT '/events/' || CAST(o_orderkey AS VARCHAR) AS wwoz_event_href,
+        | trim(artist_name) AS artist_name, trim(venue_name) AS venue_name,
+        | description,
+        | epoch_us((strftime(o_orderdate, '%Y-%m-%d') || 'T20:00:00+00:00')::TIMESTAMPTZ) AS perf_us
+        |FROM staged WHERE trim(artist_name) <> ''
+        |ORDER BY wwoz_event_href""".stripMargin,
+
+    "q29_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q30_setops" ->
+      """SELECT user_id FROM (
+        | (SELECT DISTINCT user_id FROM events
+        |   WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-05'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events
+        |   WHERE event_type = 'error' AND CAST(ts AS DATE) = DATE '2024-01-05')
+        | UNION
+        | (SELECT DISTINCT user_id FROM events
+        |   WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-05'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events
+        |   WHERE event_type = 'signup' AND CAST(ts AS DATE) = DATE '2024-01-06'))
+        |ORDER BY user_id""".stripMargin,
+
+    "q31_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |views0 AS (
+        |  SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |views AS (
+        |  SELECT user_id, v_id, v_us FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, v_us
+        |      ORDER BY v_id DESC) AS rn FROM views0) WHERE rn = 1)
+        |SELECT p.p_id, p.p_us, v.v_id, v.v_us
+        |FROM purchases p ASOF JOIN views v
+        |  ON p.user_id = v.user_id AND v.v_us <= p.p_us
+        |ORDER BY p.p_id""".stripMargin,
+
+    "q32_customer_pairs" ->
+      """SELECT n_name, count(*) AS n_pairs
+        |FROM customer a
+        | JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        | JOIN nation ON a.c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q33_hourly_windows" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q34_geocode" ->
+      """SELECT s_suppkey,
+        | CASE WHEN s_suppkey % 10 = 0 THEN ''
+        |      WHEN s_suppkey % 10 = 1 THEN s_name || '.Streaming'
+        |      ELSE s_name || ' St' END AS full_address,
+        | CASE WHEN s_suppkey % 10 IN (0, 1) THEN 29.9511
+        |      ELSE round(29.9511 + s_suppkey * 0.0001, 6) END AS latitude,
+        | CASE WHEN s_suppkey % 10 IN (0, 1) THEN -90.0715
+        |      ELSE round(-90.0715 - s_suppkey * 0.0001, 6) END AS longitude
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q35_quarantine" ->
+      """SELECT 'quarantined' AS status, count(*) AS n FROM part WHERE p_size < 5
+        |UNION ALL
+        |SELECT 'valid' AS status, count(*) AS n FROM part WHERE p_size >= 5
+        |ORDER BY status""".stripMargin,
   )
 }

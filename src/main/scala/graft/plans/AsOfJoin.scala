@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row with
+  * `rightTime <= leftTime` within the same key (the classic
+  * point-in-time enrichment the reference's Postgres would express with
+  * a LATERAL subquery).
+  *
+  * Implemented by composition — union + one window pass — instead of a
+  * custom SparkPlan: both sides shuffle ONCE on the key, the union sorts
+  * within partitions, and `last(ignoreNulls)` carries the most recent
+  * right row forward. O(n log n) per partition, no per-left-row probe,
+  * no range-join explosion; survives 100 TB because it is exactly one
+  * shuffle + one sort, both on the join key.
+  *
+  * Right rows are deduplicated to one per (key, time) — keep max id —
+  * so ties are deterministic on both engines.
+  */
+object AsOfJoin {
+
+  /** @param left  (key, leftTimeCol, left payload cols)
+    * @param right (key, rightTimeCol, right payload cols)
+    * @return left payload + matched right payload (inner: unmatched left
+    *         rows dropped), like DuckDB's `ASOF JOIN`. */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String, rightId: String): DataFrame = {
+    val rightDedup = {
+      val w = Window.partitionBy(col(key), col(rightTime))
+        .orderBy(col(rightId).desc)
+      right.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+    val rightCols = rightDedup.columns.filterNot(_ == key)
+    val leftCols = left.columns.filterNot(_ == key)
+
+    val taggedRight = rightDedup
+      .withColumn("_t", col(rightTime)).withColumn("_tag", lit(0))
+      .select(Seq(col(key), col("_t"), col("_tag")) ++
+        rightCols.map(col) ++ leftCols.map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left
+      .withColumn("_t", col(leftTime)).withColumn("_tag", lit(1))
+      .select(Seq(col(key), col("_t"), col("_tag")) ++
+        rightCols.map(c => lit(null).cast(
+          rightDedup.schema(c).dataType).as(c)) ++ leftCols.map(col): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = taggedRight.unionByName(taggedLeft)
+      .select(Seq(col(key), col("_t"), col("_tag")) ++
+        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
+        leftCols.map(col): _*)
+
+    carried.filter(col("_tag") === 1 && col(rightId).isNotNull)
+      .drop("_t", "_tag")
+  }
+}

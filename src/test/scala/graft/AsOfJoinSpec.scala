@@ -1,0 +1,36 @@
+package graft
+
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks latest right <= left, inner semantics") {
+    val left = Seq( // (user, p_id, p_us)
+      (1L, 101L, 1000L),
+      (1L, 102L, 2500L),
+      (1L, 103L, 500L),  // before any right row -> dropped
+      (2L, 201L, 9999L), // user with no right rows -> dropped
+    ).toDF("user_id", "p_id", "p_us")
+    val right = Seq( // (user, v_id, v_us)
+      (1L, 11L, 900L),
+      (1L, 12L, 2000L),
+      (1L, 13L, 3000L), // after every left row
+    ).toDF("user_id", "v_id", "v_us")
+
+    val out = AsOfJoin.join(left, right, "user_id", "p_us", "v_us", "v_id")
+      .orderBy("p_id")
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("v_id")))
+    assert(out.toSeq == Seq((101L, 11L), (102L, 12L)))
+  }
+
+  test("equal timestamps match (<=) and ties dedup to max right id") {
+    val left = Seq((1L, 101L, 1000L)).toDF("user_id", "p_id", "p_us")
+    val right = Seq((1L, 11L, 1000L), (1L, 12L, 1000L))
+      .toDF("user_id", "v_id", "v_us")
+    val out = AsOfJoin.join(left, right, "user_id", "p_us", "v_us", "v_id")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("v_id") == 12L) // max id wins the tie
+  }
+}
