@@ -199,10 +199,12 @@ object SparkEntry {
 
     // ---- serving queries (J4/J6/O1/A-agg4/C5) ----
     "q16_serve_events_by_date" -> ((s, d) =>
-      Serving.eventsByDate(Tables.events(s, d), date = "2024-01-05", today = Today)),
+      Serving.eventsByDate(Tables.eventsBetween(s, d, "2024-01-05", "2024-01-06"),
+        date = "2024-01-05", today = Today)),
 
     "q17_user_day_digest" -> ((s, d) =>
-      Serving.userDayDigest(Tables.events(s, d), date = "2024-01-10")),
+      Serving.userDayDigest(Tables.eventsBetween(s, d, "2024-01-10", "2024-01-11"),
+        date = "2024-01-10")),
 
     // ---- vector search (M6/O3) ----
     "q18_cosine_topk" -> ((s, d) => {
@@ -239,8 +241,10 @@ object SparkEntry {
     }),
 
     "q22_ngram_jaccard" -> ((s, d) => {
+      // maxShingleFreq caps the per-shingle fan-out (skew guard); the
+      // oracle SQL applies the identical cap
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.2, maxShingleFreq = Int.MaxValue)
+        n = 3, threshold = 0.2, maxShingleFreq = 1000)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -301,14 +305,15 @@ object SparkEntry {
 
     // ---- set operations (§2.7) ----
     "q30_setops" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      def users(tpe: String, date: String) =
-        e.filter(col("event_type") === tpe &&
-          to_date(col("ts")) === to_date(lit(date)))
+      // each leg is a raw-range-pruned scan (predicate reaches parquet)
+      def users(tpe: String, date: String, next: String) =
+        Tables.eventsBetween(s, d, date, next)
+          .filter(col("event_type") === tpe)
           .select(col("user_id")).distinct()
-      users("purchase", "2024-01-05").except(users("error", "2024-01-05"))
-        .union(users("purchase", "2024-01-05")
-          .intersect(users("signup", "2024-01-06")))
+      users("purchase", "2024-01-05", "2024-01-06")
+        .except(users("error", "2024-01-05", "2024-01-06"))
+        .union(users("purchase", "2024-01-05", "2024-01-06")
+          .intersect(users("signup", "2024-01-06", "2024-01-07")))
         .distinct().orderBy(col("user_id"))
     }),
 
@@ -377,6 +382,21 @@ object SparkEntry {
         .unionByName(
           bad.agg(count(lit(1)).as("n")).withColumn("status", lit("quarantined")))
         .select(col("status"), col("n")).orderBy(col("status"))
+    }),
+
+    // ---- date fan-out + TTL + per-date counts (C1/C5/A-agg3 join) ----
+    "q37_date_fanout" -> ((s, d) => {
+      val dates = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")),
+        date_add(to_date(lit("2024-01-01")), 30))).as("date"))
+      val counts = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n_events"))
+      dates.join(counts, Seq("date"), "left")
+        .select(date_format(col("date"), "yyyy-MM-dd").as("event_date"),
+          Parsers.ttlSeconds(col("date"), to_date(lit(Today))).as("ttl_s"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("event_date"))
     }),
 
     // ---- multimodal columns (rows-only: stubbed decode) ----
@@ -621,9 +641,14 @@ object SparkEntry {
         |  FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
         |  WHERE array_length(t) >= 3),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shc AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS freq
+        |    FROM sh)
+        |  WHERE freq <= 1000),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         | round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
@@ -722,5 +747,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'valid' AS status, count(*) AS n FROM part WHERE p_size >= 5
         |ORDER BY status""".stripMargin,
+
+    "q37_date_fanout" ->
+      """WITH dates AS (
+        |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+        |    INTERVAL 1 DAY))::DATE AS date),
+        |counts AS (
+        |  SELECT CAST(ts AS DATE) AS date, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(d.date, '%Y-%m-%d') AS event_date,
+        | CAST(CASE WHEN date_diff('day', DATE '2024-01-01', d.date) < 0 THEN 604800
+        |   WHEN date_diff('day', DATE '2024-01-01', d.date) = 0 THEN 3600
+        |   WHEN date_diff('day', DATE '2024-01-01', d.date) <= 7 THEN 43200
+        |   ELSE 86400 END AS BIGINT) AS ttl_s,
+        | coalesce(c.n_events, 0) AS n_events
+        |FROM dates d LEFT JOIN counts c ON d.date = c.date
+        |ORDER BY event_date""".stripMargin,
   )
 }

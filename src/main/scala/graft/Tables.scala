@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
 import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
@@ -35,6 +35,29 @@ object Tables {
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** Date-bounded events scan with the range predicate applied to the RAW
+    * nanos column, BEFORE the timestamp conversion — so it reaches the
+    * parquet reader as an int64 min/max filter (row-group pruning /
+    * partition pruning at scale). A filter on the converted timestamp
+    * cannot be pushed past the conversion expression; this one can.
+    * Semantically identical to `to_date(ts) ∈ [start, end]` because nanos
+    * in-range ⇔ truncated micros in-range. */
+  def eventsBetween(spark: SparkSession, d: String,
+                    startDate: String, endDateExclusive: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, d, "events")
+    def nanosOf(date: String): Long =
+      java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.getEpochSecond * 1000000000L
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") >= nanosOf(startDate) &&
+          col("ts") < nanosOf(endDateExclusive))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") >= lit(startDate).cast("timestamp") &&
+        col("ts") < lit(endDateExclusive).cast("timestamp"))
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

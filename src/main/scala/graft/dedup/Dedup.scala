@@ -48,17 +48,29 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Int = 1000): DataFrame = {
+    // tokens bound in their own projection so the shingle lambda reads an
+    // attribute, not a re-evaluated split (see shinglesFromTokens)
     val sh = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
-    val filtered = sh.withColumn("_freq", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("_freq") <= maxShingleFreq).drop("_freq")
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("_toks"))
+      .select(col("id"),
+        explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("_toks"), n))).as("shingle"))
+      .cache()
     val docSizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
 
-    val a = filtered.as("a")
-    val b = filtered.as("b")
-    val pairs = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // candidate pairs: ONE shuffle on shingle (groupBy + collect sorted
+    // doc list), then map-side pair generation — instead of a self-join,
+    // which would shuffle the exploded frame twice more. The size cap is
+    // the same doc-frequency cut a window-count filter would apply, and
+    // doubles as the skew guard for stopword-like shingles.
+    val docLists = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleFreq))
+    val pairComb = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val pairs = docLists.select(explode(pairComb).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
 
     pairs
@@ -83,18 +95,20 @@ object Dedup {
     val rng = new scala.util.Random(seed)
     val as = Array.fill(numHashes)(1 + rng.nextInt(Int.MaxValue - 1).toLong)
     val bs = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
-    val shingleHashes =
-      transform(array_distinct(TextFunctions.shingles(col(textCol), n)),
-        s => pmod(xxhash64(s), lit(Prime)))
     val sig = transform(sequence(lit(0), lit(numHashes - 1)), i => {
       val a = element_at(lit(as), i + 1)
       val b = element_at(lit(bs), i + 1)
       array_min(transform(col("_sh"), h => pmod(a * h + b, lit(Prime))))
     })
-    df.withColumn("_sh", shingleHashes)
+    // tokens and shingle hashes each bound in their own projection so the
+    // per-hash lambdas read attributes, not re-evaluated subtrees
+    df.withColumn("_toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("_sh",
+        transform(array_distinct(TextFunctions.shinglesFromTokens(col("_toks"), n)),
+          s => pmod(xxhash64(s), lit(Prime))))
       .withColumn("minhash_sig",
         when(size(col("_sh")) === 0, lit(null)).otherwise(sig))
-      .drop("_sh")
+      .drop("_sh", "_toks")
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand`, hash

@@ -48,6 +48,20 @@ final class HashingEmbedder(val dim: Int = 64) extends Embedder {
 
 object EmbedStage {
 
+  /** Fast path for cheap embedders: a plain Scala UDF column, which stays
+    * inside the surrounding projection (no RDD round-trip, no full-row
+    * re-encode). Use this when the embedder has no expensive per-partition
+    * init; use [[embedColumn]] when a real model must be loaded once per
+    * partition. Same null/empty semantics. */
+  def embedColumnFast(df: DataFrame, textCol: String, outCol: String,
+                      embedder: Embedder = new HashingEmbedder()): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val embedUdf = udf { (t: String) =>
+      if (t == null || t.trim.isEmpty) null else embedder.embed(t)
+    }
+    df.withColumn(outCol, embedUdf(col(textCol)))
+  }
+
   /** Append `outCol: array<float>` = embedding of `textCol`. Null/empty
     * text → null embedding (M1 failure semantics,
     * loader/service.py:75-83). */

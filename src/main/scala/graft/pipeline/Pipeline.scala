@@ -58,12 +58,12 @@ object Pipeline {
       .distinct()
       .withColumn("id", idOf(col("name")))
       .withColumn("description", genreDescription(col("name")))
-    val genresEmbedded = EmbedStage.embedColumn(
+    val genresEmbedded = EmbedStage.embedColumnFast(
       batchGenres.withColumn("_text",
         concat(lit("Genre: "), col("name"), lit(". "), col("description"))),
       "_text", "genre_embedding", embedder).drop("_text")
     val genres = CoalesceMerge
-      .insertIfAbsent(prev.genres, genresEmbedded, Seq("name"))
+      .insertIfAbsent(prev.genres, genresEmbedded, Seq("name")).cache()
 
     // ---- artists (A2 COALESCE-per-column) ----
     val batchArtists = valid.select(
@@ -75,11 +75,11 @@ object Pipeline {
       .withColumn("popularity_score", lit(null).cast("double"))
     val artistText = Parsers.composeEmbedText(Seq(
       "" -> col("name"), "" -> col("description"), "Website" -> col("website")))
-    val artistsEmbedded = EmbedStage.embedColumn(
+    val artistsEmbedded = EmbedStage.embedColumnFast(
       batchArtists.withColumn("_text", artistText),
       "_text", "description_embedding", embedder).drop("_text")
     val artists = CoalesceMerge
-      .upsert(prev.artists, artistsEmbedded, Seq("name"))
+      .upsert(prev.artists, artistsEmbedded, Seq("name")).cache()
     val artistSummary = CoalesceMerge.operationSummary(artists)
 
     // ---- venues (A3 mixed rules + J5 geocode + P7 flags) ----
@@ -119,14 +119,14 @@ object Pipeline {
       "" -> col("name"), "Address" -> col("full_address"),
       "" -> when(col("is_indoors"), lit("indoor venue"))
         .otherwise(lit("outdoor venue"))))
-    val venuesEmbedded = EmbedStage.embedColumn(
+    val venuesEmbedded = EmbedStage.embedColumnFast(
       batchVenuesGeo.withColumn("_text", venueText),
       "_text", "venue_info_embedding", embedder).drop("_text")
     val venues = CoalesceMerge.upsert(prev.venues, venuesEmbedded,
       Seq("name", "full_address"),
       Map("is_active" -> Overwrite, "latitude" -> Overwrite,
         "longitude" -> Overwrite, "last_geocoded" -> Overwrite,
-        "is_indoors" -> Overwrite, "is_streaming" -> Overwrite))
+        "is_indoors" -> Overwrite, "is_streaming" -> Overwrite)).cache()
     val venueSummary = CoalesceMerge.operationSummary(venues)
 
     // ---- related artists (J3 self-referential graph) ----
@@ -202,8 +202,8 @@ object Pipeline {
       .withColumn("is_streaming", Parsers.isStreaming(col("venue_name")))
       .drop("_venue_addr", "_event_date", "_perf_raw", "_scrape_raw")
       .dropDuplicates("wwoz_event_href")
-    val eventsEmbedded = EmbedStage.embedColumn(
-      EmbedStage.embedColumn(batchEvents0, "description", "description_embedding",
+    val eventsEmbedded = EmbedStage.embedColumnFast(
+      EmbedStage.embedColumnFast(batchEvents0, "description", "description_embedding",
         embedder)
         .withColumn("_text", concat_ws(" ",
           col("artist_name"), col("venue_name"), col("description"))),
@@ -213,30 +213,29 @@ object Pipeline {
       Seq("wwoz_event_href"),
       prev.events.columns.filterNot(Seq("wwoz_event_href", "description")
         .contains).map(_ -> CoalesceMerge.InsertOnly).toMap ++
-        Map("description" -> CoalesceNewWins))
+        Map("description" -> CoalesceNewWins)).cache()
     val eventSummary = CoalesceMerge.operationSummary(events)
 
-    def count(df: DataFrame, action: String): Long =
-      df.filter(col("_action") === action).select(sum(col("n")))
-        .head().getLong(0)
-
-    val summary = Map(
-      "events_validated" -> valid.count(),
-      "events_quarantined" -> quarantine.count(),
-      "artists_created" -> safeCount(artistSummary, "insert"),
-      "venues_created" -> safeCount(venueSummary, "insert"),
-      "events_created" -> safeCount(eventSummary, "insert"),
-      "genres_total" -> genres.count())
+    // A-agg1 counters in ONE collect: the branches union into a single
+    // job, so their stages run concurrently instead of as 6 sequential
+    // driver actions (measured ~2× on the e2e pipeline run).
+    def kv(k: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(k).as("k"), col("n"))
+    def insertCount(k: String, summaryDf: DataFrame) =
+      summaryDf.filter(col("_action") === "insert")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+        .select(lit(k).as("k"), col("n"))
+    val summary = kv("events_validated", valid)
+      .unionByName(kv("events_quarantined", quarantine))
+      .unionByName(insertCount("artists_created", artistSummary))
+      .unionByName(insertCount("venues_created", venueSummary))
+      .unionByName(insertCount("events_created", eventSummary))
+      .unionByName(kv("genres_total", genres))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     Warehouse(genres, artistsAll, venues.drop("_action"),
       events.drop("_action"), artistGenres, venueGenres, eventGenres,
       artistRelations, quarantine, summary)
-  }
-
-  private def safeCount(summaryDf: DataFrame, action: String): Long = {
-    val rows = summaryDf.filter(col("_action") === action)
-      .select(col("n")).collect()
-    if (rows.isEmpty) 0L else rows.head.getLong(0)
   }
 
   /** M4 — genre description fallback corpus (loader/service.py:220-240). */

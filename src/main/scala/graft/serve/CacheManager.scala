@@ -2,7 +2,7 @@ package graft.serve
 
 import graft.parse.Parsers
 import graft.pipeline.Warehouse
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The cache-manager stage (SURVEY.md §3.4, cache_manager/service.py):
@@ -88,4 +88,22 @@ object CacheManager {
   /** A-agg3 — warm the cache for a date range; per-date counts. */
   def warmRange(w: Warehouse, dates: Seq[String], today: String): DataFrame =
     dates.map(d => cachePayload(w, d, today)).reduce(_ unionByName _)
+
+  /** S8 — cache read-back: lookup by key on the cache output table. */
+  def cacheGet(cacheTable: DataFrame, date: String): DataFrame =
+    cacheTable.filter(col("cache_key") === s"events:$date")
+
+  /** S8 — cache invalidation: delete-by-key (returns the surviving
+    * table; at scale a partition-overwrite on the key column). */
+  def cacheDelete(cacheTable: DataFrame, dates: Seq[String]): DataFrame =
+    cacheTable.filter(!col("cache_key").isin(dates.map("events:" + _): _*))
+
+  /** The reference's double-encoding quirk (SURVEY §2.1,
+    * redis_cache.py:121-124,207): the JSON payload string is itself
+    * JSON-encoded once more before storage, so the stored value is a
+    * JSON string whose content is JSON. Reproduced byte-exact. */
+  def doubleEncodedPayload(payload: Column): Column =
+    concat(lit("\""),
+      regexp_replace(regexp_replace(payload, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      lit("\""))
 }

@@ -69,6 +69,24 @@ class CacheManagerSpec extends SparkSpec {
     assert(payload.indexOf("Early set") < payload.indexOf("Late set")) // time order
   }
 
+  test("S8 cache get/delete + the double-encoding quirk") {
+    val cache = CacheManager.warmRange(warehouse,
+      Seq("2025-03-21", "2025-03-22"), "2025-03-20")
+    assert(CacheManager.cacheGet(cache, "2025-03-21").count() == 1)
+    val afterDelete = CacheManager.cacheDelete(cache, Seq("2025-03-21"))
+    assert(CacheManager.cacheGet(afterDelete, "2025-03-21").count() == 0)
+    assert(afterDelete.count() == 1)
+
+    // double-encoded payload: decoding ONE json layer yields the original
+    val row = cache.withColumn("dbl",
+      CacheManager.doubleEncodedPayload(col("payload_json")))
+      .filter(col("cache_key") === "events:2025-03-21").head()
+    val original = row.getAs[String]("payload_json")
+    val doubled = row.getAs[String]("dbl")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readValue(doubled, classOf[String]) == original)
+  }
+
   test("empty day still produces a cache row with n_events=0") {
     val p = CacheManager.cachePayload(warehouse, "2030-01-01", "2025-03-20").head()
     assert(p.getAs[Long]("n_events") == 0L)

@@ -1,0 +1,92 @@
+package graft
+
+import graft.parse.Parsers
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+
+/** Property tests for the pure scalar transforms (SURVEY §5 implication:
+  * ScalaCheck for P5, P9, P16, C5). Cases are generated with ScalaCheck
+  * Gens under a fixed seed, evaluated in ONE DataFrame pass per property
+  * (per-case Spark jobs would be prohibitively slow), and compared
+  * against an independent Scala model. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 300
+  private def cases[A](g: Gen[A]): Seq[A] =
+    (0 until N).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("P9 property: path form wins, all three forms parse, garbage -> null") {
+    val datePart = for {
+      y <- Gen.choose(1990, 2030); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield (y, m, d)
+    val keyGen = for {
+      (y, m, d) <- datePart
+      (y2, m2, d2) <- datePart
+      form <- Gen.choose(0, 3)
+    } yield {
+      val path = f"raw_events/$y%04d/$m%02d/$d%02d/"
+      val fname = f"event_data_$y2%04d-$m2%02d-$d2%02d_20250101_000000.json"
+      form match {
+        case 0 => (path + fname, Some(f"$y%04d-$m%02d-$d%02d")) // path wins
+        case 1 => ("x/" + fname, Some(f"$y2%04d-$m2%02d-$d2%02d"))
+        case 2 => (f"a/b_$y%04d$m%02d$d%02d" + "_120000.json",
+          Some(f"$y%04d-$m%02d-$d%02d"))
+        case _ => ("no/digits/here.json", None)
+      }
+    }
+    val cs = cases(keyGen)
+    val got = cs.map(_._1).toDF("key")
+      .select(Parsers.extractDateFromKey($"key")).as[Option[String]].collect()
+    cs.zip(got).foreach { case ((key, want), g) =>
+      assert(g == want, s"key=$key")
+    }
+  }
+
+  test("C5 property: TTL matches the tier model for any date distance") {
+    val gen = Gen.choose(-400, 400)
+    val cs = cases(gen)
+    def model(diff: Int): Long =
+      if (diff < 0) 604800L else if (diff == 0) 3600L
+      else if (diff <= 7) 43200L else 86400L
+    val today = java.time.LocalDate.of(2024, 6, 15)
+    val got = cs.map(d => today.plusDays(d.toLong).toString).toDF("d")
+      .select(Parsers.ttlSeconds(to_date($"d"), to_date(lit(today.toString))))
+      .as[Long].collect()
+    cs.zip(got).foreach { case (diff, g) => assert(g == model(diff), s"diff=$diff") }
+  }
+
+  test("P16 property: sanitized filenames contain only safe chars") {
+    val gen = Gen.listOfN(12, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+      '/', '.', '!', ' ', '$', '\\', '-', '_'))).map(_.mkString)
+    val cs = cases(gen).map(s => "../" + s)
+    val got = cs.toDF("f").select(Parsers.sanitizeFilename($"f")).as[String].collect()
+    got.foreach { s =>
+      assert(s.matches("[a-zA-Z0-9\\-_.]*"), s"got=$s")
+      assert(!s.contains("../"))
+    }
+  }
+
+  test("P5 property: any h:mm am/pm round-trips; garbage defaults to 12:00am") {
+    val timeGen = for {
+      h <- Gen.choose(1, 12); m <- Gen.choose(0, 59)
+      ap <- Gen.oneOf("am", "pm"); pad <- Gen.oneOf("", " ", "  ")
+    } yield (f"$pad$h:$m%02d$ap$pad", h, m, ap)
+    val cs = cases(timeGen)
+    val got = cs.map(_._1).toDF("t")
+      .select(date_format(
+        Parsers.parsePerformanceTime(lit("2024-06-15"), $"t", "UTC"),
+        "H:mm").as("r")).as[String].collect()
+    cs.zip(got).foreach { case ((s, h, m, ap), g) =>
+      val h24 = (h % 12) + (if (ap == "pm") 12 else 0)
+      assert(g == f"$h24:$m%02d", s"in=$s")
+    }
+    val garbage = Seq("tonight", "25:99", "", "late").toDF("t")
+      .select(date_format(
+        Parsers.parsePerformanceTime(lit("2024-06-15"), $"t", "UTC"),
+        "H:mm")).as[String].collect()
+    garbage.foreach(g => assert(g == "0:00"))
+  }
+}
