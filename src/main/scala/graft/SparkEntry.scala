@@ -384,6 +384,21 @@ object SparkEntry {
         .select(col("status"), col("n")).orderBy(col("status"))
     }),
 
+    // ---- per-group top-k via custom TypedImperativeAggregate ----
+    "q38_topk_per_group" -> ((s, d) => {
+      import graft.vector.TopKAggregate.topk_by_score
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      emb.withColumn("s", VectorFunctions.cosine_sim(col("embedding"), lit(q)))
+        .groupBy(col("label"))
+        .agg(topk_by_score(col("s"), col("vec_id"), 5).as("top"))
+        .select(col("label"), posexplode(col("top")))
+        .select(col("label"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col.id").as("vec_id"), round(col("col.score"), 4).as("score"))
+        .orderBy(col("label"), col("rank"))
+    }),
+
     // ---- date fan-out + TTL + per-date counts (C1/C5/A-agg3 join) ----
     "q37_date_fanout" -> ((s, d) => {
       val dates = s.range(1).select(explode(sequence(
@@ -747,6 +762,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'valid' AS status, count(*) AS n FROM part WHERE p_size >= 5
         |ORDER BY status""".stripMargin,
+
+    "q38_topk_per_group" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT label, vec_id,
+        |   list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                          CAST(qe AS DOUBLE[])) AS s
+        |  FROM embeddings CROSS JOIN q)
+        |SELECT label, rn AS rank, vec_id, round(s, 4) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY s DESC, vec_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY label, rank""".stripMargin,
 
     "q37_date_fanout" ->
       """WITH dates AS (
