@@ -384,6 +384,18 @@ object SparkEntry {
         .select(col("status"), col("n")).orderBy(col("status"))
     }),
 
+    // ---- IVF ANN (rows-only: centroid assignment not SQL-expressible) ----
+    "q39_ivf_ann" -> ((s, d) => {
+      import graft.vector.IvfIndex
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cs = IvfIndex.centroids(emb, "embedding", "vec_id", 16)
+      val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
+      IvfIndex.search(index, "embedding", "vec_id", cs, q, k = 20, nProbe = 4)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // ---- per-group top-k via custom TypedImperativeAggregate ----
     "q38_topk_per_group" -> ((s, d) => {
       import graft.vector.TopKAggregate.topk_by_score

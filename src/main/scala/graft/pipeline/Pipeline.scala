@@ -46,7 +46,7 @@ object Pipeline {
 
   def run(spark: SparkSession, staging: DataFrame, prev: Warehouse,
           today: String, embedder: Embedder = new HashingEmbedder()): Warehouse = {
-    val (valid0, quarantine) = StagingReader.validateSplit(staging)
+    val (valid0, quarantine) = StagingReader.validateSplit(staging.cache())
     val valid = valid0.cache()
 
     // ---- genres (D2 distinct + A1 insert-only) ----

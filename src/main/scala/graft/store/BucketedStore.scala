@@ -1,0 +1,47 @@
+package graft.store
+
+import graft.dims.CoalesceMerge
+import graft.dims.CoalesceMerge.Rule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed warehouse storage (SURVEY §4 physical notes): dims and fact
+  * saved as parquet tables hash-bucketed (and sorted) by their natural
+  * merge key. When both sides of a merge share the bucketing, the
+  * full-outer upsert plans as a sort-merge join with ZERO Exchange —
+  * the shuffle that normally dominates a 100 TB merge disappears, and
+  * only changed buckets rewrite.
+  *
+  * Uses the session catalog's `saveAsTable` (bucketing metadata lives in
+  * the catalog; plain `parquet(path)` writes cannot carry it).
+  */
+object BucketedStore {
+
+  /** Save bucketed+sorted by `keys` (the merge key). */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String],
+                   buckets: Int = 16): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Upsert `source` into the bucketed `table` and rewrite it.
+    * Bucketing `source` identically first makes the merge join
+    * co-located: no Exchange on either side. */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+                keys: Seq[String], rules: Map[String, Rule] = Map.empty,
+                buckets: Int = 16): DataFrame = {
+    val sourceTable = s"${table}__incoming"
+    saveBucketed(source, sourceTable, keys, buckets)
+    val merged = CoalesceMerge.upsert(
+      spark.table(table), spark.table(sourceTable), keys, rules)
+      .drop("_action")
+    // rewrite via a staging table (can't overwrite a table being read)
+    val stagingTable = s"${table}__staged"
+    saveBucketed(merged, stagingTable, keys, buckets)
+    saveBucketed(spark.table(stagingTable), table, keys, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS $sourceTable")
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    spark.table(table)
+  }
+}

@@ -1,10 +1,18 @@
 package graft.streaming
 
 import graft.dims.CoalesceMerge
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** Event row for stateful ops. */
+case class SessionEvent(user_id: Long, us: Long, value: Double)
+/** Per-user open-session state carried across micro-batches. */
+case class SessionState(sessionId: Long, lastUs: Long, n: Long, v: Double)
+/** A CLOSED session (emitted once, append-mode safe). */
+case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
+    session_value: Double, start_gap_us: Long)
 
 /** Structured-Streaming mode of the engine (SURVEY.md §7.5): the
   * reference's daily Map-over-dates fan-out becomes a file-source stream;
@@ -45,6 +53,42 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stateful sessionization with custom state
+    * (`flatMapGroupsWithState`): per-user open-session state survives
+    * across micro-batches; a session CLOSES (and is emitted — append
+    * mode) when a later event arrives more than `gapMinutes` after it.
+    * The batch `Serving.sessionize` window plan can't do this across an
+    * unbounded stream — this is the KeyValueGroupedDataset custom-state
+    * form. State per user is O(1) (one open session), so 10⁹ users fit
+    * comfortably in the state store. */
+  def statefulSessionize(events: DataFrame, gapMinutes: Int): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val evs = it.toSeq.sortBy(e => (e.us, e.value))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          val closed = Seq.newBuilder[ClosedSession]
+          evs.foreach { e =>
+            if (st.n == 0L) {
+              st = SessionState(st.sessionId + 1, e.us, 1L, e.value)
+            } else if (e.us - st.lastUs > gapUs) {
+              closed += ClosedSession(uid, st.sessionId, st.n, st.v, e.us - st.lastUs)
+              st = SessionState(st.sessionId + 1, e.us, 1L, e.value)
+            } else {
+              st = SessionState(st.sessionId, e.us, st.n + 1, st.v + e.value)
+            }
+          }
+          state.update(st)
+          closed.result().iterator
+      }
+  }
 
   /** foreachBatch insert-if-absent merge into an accumulating in-memory
     * view — the streaming form of the A4 event merge. Each micro-batch

@@ -1,0 +1,68 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: vectors assigned to their nearest
+  * centroid; a query scores only the vectors in the `nProbe` closest
+  * centroid cells.
+  *
+  * This is the partition-pruning scale path SURVEY §4 declares for the
+  * reference's HNSW indexes: at 100 TB the index table is WRITTEN
+  * PARTITIONED BY `centroid_id`, so a query's cell filter becomes
+  * partition pruning and reads `nProbe/nCentroids` of the data instead
+  * of scanning everything. Centroid selection is a deterministic
+  * hash-spread sample (k-means would improve recall but adds iterative
+  * jobs; the index/search plumbing is identical).
+  */
+object IvfIndex {
+
+  /** Pick `nCentroids` deterministic representatives: the lowest ids
+    * after hash-reordering (spreads picks across the id space). */
+  def centroids(df: DataFrame, embCol: String, idCol: String,
+                nCentroids: Int): Array[(Int, Array[Float])] =
+    df.select(col(idCol), col(embCol))
+      .withColumn("_h", xxhash64(col(idCol)))
+      .orderBy(col("_h"))
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+  private def nearestCentroidUdf(cs: Array[(Int, Array[Float])]) = udf {
+    (v: Seq[Float]) =>
+      var best = -1; var bestScore = Double.MinValue
+      cs.foreach { case (cid, c) =>
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1 }
+        val s = if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+        if (s > bestScore || (s == bestScore && cid < best)) { best = cid; bestScore = s }
+      }
+      best
+  }
+
+  /** Index table: (centroid_id, id, embedding). Write with
+    * `.partitionBy("centroid_id")` for pruned reads at scale. */
+  def build(df: DataFrame, embCol: String, idCol: String,
+            cs: Array[(Int, Array[Float])]): DataFrame =
+    df.withColumn("centroid_id", nearestCentroidUdf(cs)(col(embCol)))
+
+  /** Search: probe the `nProbe` best cells, exact top-k within them. */
+  def search(index: DataFrame, embCol: String, idCol: String,
+             cs: Array[(Int, Array[Float])], query: Array[Float],
+             k: Int, nProbe: Int): DataFrame = {
+    val probeCells = cs.map { case (cid, c) =>
+      var dot = 0.0; var nq = 0.0; var nc = 0.0
+      var i = 0
+      val n = math.min(query.length, c.length)
+      while (i < n) { dot += query(i) * c(i); nq += query(i) * query(i); nc += c(i) * c(i); i += 1 }
+      (cid, if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc))
+    }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+    // cell filter = partition pruning on a partitionBy("centroid_id") table
+    VectorFunctions.topK(
+      index.filter(col("centroid_id").isin(probeCells.map(Integer.valueOf): _*)),
+      embCol, idCol, query, k)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.plans.SaltedJoin
+import graft.store.BucketedStore
+import org.apache.spark.sql.functions._
+
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-by-key join plans with no shuffle Exchange") {
+    val a = (1 to 2000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
+    val b = (1 to 2000).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+    BucketedStore.saveBucketed(a, "bk_a", Seq("id"), buckets = 8)
+    BucketedStore.saveBucketed(b, "bk_b", Seq("id"), buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected co-located join, plan was:\n$plan")
+      assert(joined.count() == 2000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed mergeInto: upsert without shuffling the target") {
+    val target = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
+    BucketedStore.saveBucketed(target, "bk_t", Seq("id"), buckets = 4)
+    val source = Seq((1L, "new"), (3L, "ins")).toDF("id", "v")
+    val merged = BucketedStore.mergeInto(spark, "bk_t", source, Seq("id"),
+      buckets = 4)
+    val got = merged.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+    spark.sql("DROP TABLE IF EXISTS bk_t")
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val big = (1 to 5000).map(i =>
+      (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "cold"), (7L, "x")).toDF("k", "dim")
+    val plain = big.join(small, "k")
+    val salted = SaltedJoin.join(big, small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0)
+    assert(plain.except(salted).count() == 0)
+  }
+
+  test("two-phase salted aggregation equals direct groupBy") {
+    val df = (1 to 5000).map(i => (if (i % 3 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"))
+    val salted = SaltedJoin.twoPhaseCount(df, Seq("k"))
+    assert(salted.except(direct).count() == 0)
+    assert(direct.except(salted).count() == 0)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.vector.{IvfIndex, VectorFunctions}
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF search achieves high recall on clustered data at a fraction of the scan") {
+    val rng = new scala.util.Random(11)
+    // 4 well-separated clusters of 100 points in 16-d
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian().toFloat * 5))
+    val data = (0 until 400).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("id", "emb")
+    val query = centers(0)
+
+    val cs = IvfIndex.centroids(data, "emb", "id", 8)
+    val index = IvfIndex.build(data, "emb", "id", cs)
+
+    // every vector lands in exactly one cell; cells cover the data
+    assert(index.count() == 400)
+    assert(index.select("centroid_id").distinct().count() <= 8)
+
+    val ann = IvfIndex.search(index, "emb", "id", cs, query, k = 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val exact = VectorFunctions.topK(data, "emb", "id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((ann intersect exact).size >= 9, s"recall too low: $ann vs $exact")
+  }
+
+  test("centroid pick is deterministic") {
+    val data = (0 until 50).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("id", "emb")
+    val c1 = IvfIndex.centroids(data, "emb", "id", 4).map(_._1).toSeq
+    val c2 = IvfIndex.centroids(data, "emb", "id", 4).map(_._1).toSeq
+    assert(c1 == c2)
+  }
+}

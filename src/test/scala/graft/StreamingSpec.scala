@@ -28,6 +28,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.zip(want).forall { case (a, b) => a == b })
   }
 
+  test("flatMapGroupsWithState: sessions close across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sess-src")
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: user 7 has an open session
+    Seq((7L, ts("2024-01-05 10:00:00"), 1.0), (7L, ts("2024-01-05 10:10:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+
+    val collected = scala.collection.mutable.ArrayBuffer[graft.streaming.ClosedSession]()
+    def runOnce(): Unit = {
+      val stream = StreamingIngest.readStream(spark, dir.toString, schema)
+      val q = StreamingIngest.statefulSessionize(stream, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.ClosedSession], _: Long) =>
+            collected.synchronized { collected ++= b.collect() }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(collected.isEmpty) // session still open
+
+    // batch 2: an event past the gap closes session 1 (state survived
+    // the restart via the checkpointed state store)
+    Seq((7L, ts("2024-01-05 12:00:00"), 5.0)).toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+    assert(collected.length == 1)
+    val r = collected.head
+    assert(r.user_id == 7L && r.session_id == 1L)
+    assert(r.n_events == 2L && r.session_value == 3.0)
+  }
+
   test("foreachBatch merge stream is insert-if-absent and idempotent") {
     val dir = Files.createTempDirectory("graft-stream-src")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
