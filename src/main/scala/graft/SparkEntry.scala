@@ -384,6 +384,24 @@ object SparkEntry {
         .select(col("status"), col("n")).orderBy(col("status"))
     }),
 
+    // ---- SQL surface: spark.sql over registered views (TPC-H Q3 shape) ----
+    "q40_sql_surface" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem").foreach(n =>
+        t(s, d, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT o_orderkey,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          | date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+          |FROM customer
+          | JOIN orders ON c_custkey = o_custkey
+          | JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          | AND o_orderdate < timestamp '1998-03-15'
+          | AND l_shipdate > timestamp '1998-03-15'
+          |GROUP BY o_orderkey, o_orderdate
+          |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+    }),
+
     // ---- IVF ANN (rows-only: centroid assignment not SQL-expressible) ----
     "q39_ivf_ann" -> ((s, d) => {
       import graft.vector.IvfIndex
@@ -774,6 +792,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'valid' AS status, count(*) AS n FROM part WHERE p_size >= 5
         |ORDER BY status""".stripMargin,
+
+    "q40_sql_surface" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q38_topk_per_group" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
