@@ -19,8 +19,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup (not timed): spin codegen/JIT and touch every table's footer
+    // warmup (not timed): run every query once at the smallest scale
+    // factor so codegen compilation and JIT are paid before timing — the
+    // timed numbers then measure data-proportional work at the target sf
     spark.range(2000000L).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()

@@ -384,6 +384,17 @@ object SparkEntry {
         .select(col("status"), col("n")).orderBy(col("status"))
     }),
 
+    // ---- exact percentiles per group (free from Spark SQL) ----
+    "q41_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 2).as("p50"),
+          round(expr("percentile(value, 0.95)"), 2).as("p95"),
+          round(avg(col("value")), 2).as("avg_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- SQL surface: spark.sql over registered views (TPC-H Q3 shape) ----
     "q40_sql_surface" -> ((s, d) => {
       Seq("customer", "orders", "lineitem").foreach(n =>
@@ -792,6 +803,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'valid' AS status, count(*) AS n FROM part WHERE p_size >= 5
         |ORDER BY status""".stripMargin,
+
+    "q41_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 2) AS p50,
+        | round(quantile_cont(value, 0.95), 2) AS p95,
+        | round(avg(value), 2) AS avg_value,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q40_sql_surface" ->
       """SELECT o_orderkey,

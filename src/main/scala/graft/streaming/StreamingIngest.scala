@@ -54,6 +54,14 @@ object StreamingIngest {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: duplicates dropped within the watermark
+    * horizon (state per key is evicted once the watermark passes — the
+    * bounded-state form of D3 for unbounded streams). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stateful sessionization with custom state
     * (`flatMapGroupsWithState`): per-user open-session state survives
     * across micro-batches; a session CLOSES (and is emitted — append

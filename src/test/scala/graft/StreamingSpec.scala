@@ -66,6 +66,31 @@ class StreamingSpec extends SparkSpec {
     assert(r.n_events == 2L && r.session_value == 3.0)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup-src")
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-05 10:00:00"), "a"),
+        (1L, ts("2024-01-05 10:00:05"), "a-dup"),
+        (2L, ts("2024-01-05 10:01:00"), "b"))
+      .toDF("event_id", "ts", "v")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = StreamingIngest.dedupStream(
+        StreamingIngest.readStream(spark, dir.toString, schema), Seq("event_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(r => (r.getLong(0), r.getString(2)))
+        }: Unit
+      }.start()
+    q.awaitTermination()
+    assert(collected.map(_._1).sorted == Seq(1L, 2L)) // duplicate dropped
+  }
+
   test("foreachBatch merge stream is insert-if-absent and idempotent") {
     val dir = Files.createTempDirectory("graft-stream-src")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
