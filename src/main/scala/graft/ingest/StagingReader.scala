@@ -51,6 +51,23 @@ object StagingReader {
         .withField("related_artists_lifted",
           liftRelatedArtists(col("event_data.related_artists"))))
 
+  /** Typed form of [[readStaged]]: `Dataset[EventDto]` with the
+    * polymorphic `related_artists` already lifted to structs. */
+  def readStagedTyped(spark: SparkSession,
+                      path: String): org.apache.spark.sql.Dataset[graft.schema.EventDto] = {
+    import spark.implicits._
+    val df = readStaged(spark, path)
+    df.select(
+        col("artist_data").withField("related_artists",
+          col("artist_data.related_artists_lifted"))
+          .dropFields("related_artists_lifted").as("artist_data"),
+        col("event_data").withField("related_artists",
+          col("event_data.related_artists_lifted"))
+          .dropFields("related_artists_lifted").as("event_data"),
+        col("venue_data"), col("performance_time"), col("scrape_time"))
+      .as[graft.schema.EventDto]
+  }
+
   /** P10 — validation split (loader/service.py:808-834): artist name,
     * venue name and event_date are required; rejects go to a quarantine
     * frame instead of being dropped silently (A7 continue-on-failure). */
