@@ -384,6 +384,13 @@ object SparkEntry {
         .select(col("status"), col("n")).orderBy(col("status"))
     }),
 
+    // ---- embedding-cosine near-dup pairs, label-blocked ----
+    "q42_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        col("label"), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- exact percentiles per group (free from Spark SQL) ----
     "q41_percentiles" -> ((s, d) => {
       Tables.events(s, d)
@@ -803,6 +810,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'valid' AS status, count(*) AS n FROM part WHERE p_size >= 5
         |ORDER BY status""".stripMargin,
+
+    "q42_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a
+        | JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q41_percentiles" ->
       """SELECT event_type,
