@@ -50,13 +50,16 @@ object Dedup {
                         maxShingleFreq: Int = 1000): DataFrame = {
     // tokens bound in their own projection so the shingle lambda reads an
     // attribute, not a re-evaluated split (see shinglesFromTokens)
-    val sh = df
+    val shArr = df
       .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("_toks"))
       .select(col("id"),
-        explode(array_distinct(
-          TextFunctions.shinglesFromTokens(col("_toks"), n))).as("shingle"))
+        array_distinct(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("sh_arr"))
       .cache()
-    val docSizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    // per-doc sizes come from the array length MAP-SIDE — no groupBy over
+    // the exploded shingles needed
+    val docSizes = shArr.select(col("id"),
+      size(col("sh_arr")).cast("long").as("n_shingles"))
+    val sh = shArr.select(col("id"), explode(col("sh_arr")).as("shingle"))
 
     // candidate pairs: ONE shuffle on shingle (groupBy + collect sorted
     // doc list), then map-side pair generation — instead of a self-join,
