@@ -250,7 +250,7 @@ object SparkEntry {
 
     // ---- rows-only checks (non-SQL-expressible; no oracle entry) ----
     "q23_minhash_clusters" -> ((s, d) => {
-      Dedup.minhashClusters(t(s, d, "documents"), "text", "doc_id")
+      Dedup.minhashClustersTransitive(t(s, d, "documents"), "text", "doc_id")
         .orderBy(col("id"))
     }),
 

@@ -43,6 +43,30 @@ class DedupSpec extends SparkSpec {
     assert(clusters(5L) != clusters(1L))
   }
 
+  test("label propagation closes chains the single-pass clustering misses") {
+    // chain: 1-2, 2-3, 3-4 — transitive closure must put all in cluster 1
+    val assignments = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+      .withColumn("cluster_id", col("id"))
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.propagateClusters(assignments, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L && out(4L) == 1L)
+    assert(out(9L) == 9L) // isolated node untouched
+  }
+
+  test("transitive minhash clustering groups chained near-dups") {
+    val chain = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk zz"),  // near 1
+      (3L, "xx bb cc dd ee ff gg hh ii jj kk zz"),  // near 2, far from 1
+      (4L, "totally different words in this one here now"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashClustersTransitive(chain, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L)) // chain fully merged
+    assert(out(4L) != out(1L))
+  }
+
   test("simhash: identical docs same signature, near-dups close in Hamming") {
     val sig = Dedup.simhash(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
