@@ -384,6 +384,16 @@ object SparkEntry {
         .select(col("status"), col("n")).orderBy(col("status"))
     }),
 
+    // ---- CUBE over order status × priority ----
+    "q43_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
     // ---- embedding-cosine near-dup pairs, label-blocked ----
     "q42_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -820,6 +830,13 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q43_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q41_percentiles" ->
       """SELECT event_type,

@@ -40,7 +40,7 @@ object CoalesceMerge {
     */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
              rules: Map[String, Rule] = Map.empty): DataFrame = {
-    val src = source.dropDuplicates(keys)
+    val src = dedupDeterministic(source, keys)
     val t = target.alias("t")
     val s = src.alias("s")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
@@ -73,11 +73,28 @@ object CoalesceMerge {
     joined.select(keyCols ++ valueCols :+ action.as("_action"): _*)
   }
 
+  /** D3 with a DETERMINISTIC winner: `dropDuplicates` keeps an arbitrary
+    * row among key-duplicates, so a retried/re-planned merge could pick a
+    * different payload. Rank duplicates by their full value tuple and
+    * keep the smallest — stable across runs, partitionings and retries
+    * (all engine column types here are orderable; no map columns). */
+  def dedupDeterministic(source: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = source.columns.filterNot(keys.contains)
+    if (valueCols.isEmpty) source.dropDuplicates(keys)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(valueCols.map(col): _*)
+      source.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
   /** A1 — insert-if-absent (get-or-create): anti-join then union; no
     * matched-row updates at all. Cheaper than full-outer when the rule
     * set is pure InsertOnly. */
   def insertIfAbsent(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
-    val fresh = source.dropDuplicates(keys)
+    val fresh = dedupDeterministic(source, keys)
       .join(target.select(keys.map(col): _*), keys, "left_anti")
     target.unionByName(fresh, allowMissingColumns = true)
   }

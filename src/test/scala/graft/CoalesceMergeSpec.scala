@@ -58,6 +58,20 @@ class CoalesceMergeSpec extends SparkSpec {
     assert(out.filter($"id" === 5L).count() == 1)
   }
 
+  test("D3 conflicting duplicates resolve deterministically") {
+    // same key, DIFFERENT payloads: winner must be stable, not arbitrary
+    val source = Seq(
+      (5L, Option("zzz"), Option("w2"), Option(2.0)),
+      (5L, Option("aaa"), Option("w1"), Option(1.0)),
+    ).toDF("id", "name", "website", "score")
+    (1 to 3).foreach { _ =>
+      val out = CoalesceMerge.upsert(target, source.repartition(7), Seq("id"))
+        .filter($"id" === 5L).collect()
+      assert(out.length == 1)
+      assert(out(0).getString(1) == "aaa") // smallest value tuple wins
+    }
+  }
+
   test("insertIfAbsent is get-or-create (A1 shape)") {
     val source = Seq(
       (1L, Option("x"), Option.empty[String], Option(0.0)),
