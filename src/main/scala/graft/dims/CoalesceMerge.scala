@@ -41,14 +41,18 @@ object CoalesceMerge {
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
              rules: Map[String, Rule] = Map.empty): DataFrame = {
     val src = dedupDeterministic(source, keys)
-    val t = target.alias("t")
-    val s = src.alias("s")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // Presence markers, not key-nullness: a null-key target row must read
+    // as "target present, unmatched" (keep), not as an insert.
+    val t = target.withColumn("_tp", lit(1)).alias("t")
+    val s = src.withColumn("_sp", lit(1)).alias("s")
+    // Plain equality (not <=>): null keys never match, consistent with the
+    // SQL-oracle FULL OUTER JOIN — a null-key source row becomes an insert
+    // without silently discarding a null-key target row's values.
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
 
-    val matched = keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _) &&
-      keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
-    val insertOnlyRow = keys.map(k => col(s"t.$k").isNull).reduce(_ && _)
+    val matched = col("t._tp").isNotNull && col("s._sp").isNotNull
+    val insertOnlyRow = col("t._tp").isNull
 
     val keyCols = keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
     val valueCols = target.columns.filterNot(keys.contains).map { c =>

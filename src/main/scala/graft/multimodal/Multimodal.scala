@@ -66,15 +66,18 @@ object Multimodal {
     * payload; the stub scales the metadata and truncates the payload
     * proportionally, keeping the plumbing honest). */
   def resize(df: DataFrame, maxSide: Int): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxSide) / greatest(col("meta.width"), col("meta.height")).cast("double"))
-    df.withColumn("meta", struct(
-        floor(col("meta.width") * scale).cast("int").as("width"),
-        floor(col("meta.height") * scale).cast("int").as("height"),
+    // Compute the scale from the ORIGINAL meta once, and use it for both
+    // the meta rewrite and the payload truncation (recomputing it after
+    // the meta swap would always yield ~1.0 and never truncate).
+    df.withColumn("_scale", least(lit(1.0),
+        lit(maxSide) / greatest(col("meta.width"), col("meta.height")).cast("double")))
+      .withColumn("meta", struct(
+        floor(col("meta.width") * col("_scale")).cast("int").as("width"),
+        floor(col("meta.height") * col("_scale")).cast("int").as("height"),
         col("meta.duration_ms").as("duration_ms")))
       .withColumn("content",
-        expr("substring(content, 1, greatest(1, cast(length(content) * " +
-          s"least(1.0, $maxSide / cast(greatest(meta.width, meta.height) as double)) as int)))"))
+        expr("substring(content, 1, greatest(1, cast(length(content) * _scale as int)))"))
+      .drop("_scale")
   }
 
   /** Frame-sample a "video": emit every `stride`-th byte-window as a

@@ -44,6 +44,19 @@ object Pipeline {
 
   private def idOf(c: org.apache.spark.sql.Column) = abs(xxhash64(c))
 
+  /** The venue natural-key address, COALESCEd exactly once: raw
+    * `venue_data.full_address` else the computed P6 concat. Every id that
+    * references a venue (dim id, venue_genres FK, event fact FK) derives
+    * from THIS expression, so a null raw full_address can never make an
+    * FK dangle against the dim row. */
+  private def venueFullAddress = coalesce(col("venue_data.full_address"),
+    Parsers.fullAddress(col("venue_data.thoroughfare"),
+      col("venue_data.locality"), col("venue_data.state"),
+      col("venue_data.postal_code")))
+
+  private def venueIdExpr =
+    abs(xxhash64(concat_ws("|", trim(col("venue_data.name")), venueFullAddress)))
+
   def run(spark: SparkSession, staging: DataFrame, prev: Warehouse,
           today: String, embedder: Embedder = new HashingEmbedder()): Warehouse = {
     val (valid0, quarantine) = StagingReader.validateSplit(staging.cache())
@@ -90,10 +103,7 @@ object Pipeline {
         col("venue_data.locality").as("locality"),
         col("venue_data.state").as("state"),
         col("venue_data.postal_code").as("postal_code"),
-        coalesce(col("venue_data.full_address"),
-          Parsers.fullAddress(col("venue_data.thoroughfare"),
-            col("venue_data.locality"), col("venue_data.state"),
-            col("venue_data.postal_code"))).as("full_address"),
+        venueFullAddress.as("full_address"),
         col("venue_data.wwoz_venue_href").as("wwoz_venue_href"),
         col("venue_data.website").as("website"),
         coalesce(col("venue_data.is_active"), lit(true)).as("is_active"))
@@ -164,9 +174,7 @@ object Pipeline {
         .select(col("artist_id"), idOf(col("g")).as("genre_id")).distinct(),
       Seq("artist_id", "genre_id"))
     val venueGenres = CoalesceMerge.insertIfAbsent(prev.venueGenres,
-      valid.select(
-          idOf(concat_ws("|", trim(col("venue_data.name")),
-            col("venue_data.full_address"))).as("venue_id"),
+      valid.select(venueIdExpr.as("venue_id"),
           explode(coalesce(col("event_data.genres"), array())).as("g"))
         .filter(length(trim(col("g"))) > 0)
         .select(col("venue_id"), idOf(col("g")).as("genre_id")).distinct(),
@@ -184,7 +192,7 @@ object Pipeline {
         col("event_data.description").as("description"),
         trim(col("artist_data.name")).as("artist_name"),
         trim(col("venue_data.name")).as("venue_name"),
-        col("venue_data.full_address").as("_venue_addr"),
+        venueFullAddress.as("_venue_addr"),
         col("event_data.event_date").as("_event_date"),
         col("performance_time").as("_perf_raw"),
         col("scrape_time").as("_scrape_raw"))

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Right rows are deduplicated to one per (key, time) — keep max id —
   * so ties are deterministic on both engines.
+  *
+  * The matched right row is carried ATOMICALLY as one struct (not
+  * per-column), so a NULL in one payload column of the most-recent right
+  * row stays NULL instead of being back-filled from an older row —
+  * matching DuckDB ASOF JOIN, which returns the matched row's values,
+  * nulls included.
   */
 object AsOfJoin {
 
@@ -35,27 +41,29 @@ object AsOfJoin {
     }
     val rightCols = rightDedup.columns.filterNot(_ == key)
     val leftCols = left.columns.filterNot(_ == key)
+    val rightStruct = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => rightDedup.schema(c)))
 
     val taggedRight = rightDedup
       .withColumn("_t", col(rightTime)).withColumn("_tag", lit(0))
-      .select(Seq(col(key), col("_t"), col("_tag")) ++
-        rightCols.map(col) ++ leftCols.map(c => lit(null).cast(
+      .select(Seq(col(key), col("_t"), col("_tag"),
+        struct(rightCols.map(col): _*).as("_r")) ++
+        leftCols.map(c => lit(null).cast(
           left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left
       .withColumn("_t", col(leftTime)).withColumn("_tag", lit(1))
-      .select(Seq(col(key), col("_t"), col("_tag")) ++
-        rightCols.map(c => lit(null).cast(
-          rightDedup.schema(c).dataType).as(c)) ++ leftCols.map(col): _*)
+      .select(Seq(col(key), col("_t"), col("_tag"),
+        lit(null).cast(rightStruct).as("_r")) ++ leftCols.map(col): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = taggedRight.unionByName(taggedLeft)
-      .select(Seq(col(key), col("_t"), col("_tag")) ++
-        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
-        leftCols.map(col): _*)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
 
-    carried.filter(col("_tag") === 1 && col(rightId).isNotNull)
-      .drop("_t", "_tag")
+    carried.filter(col("_tag") === 1 && col("_r").isNotNull)
+      .select(Seq(col(key)) ++
+        rightCols.map(c => col("_r").getField(c).as(c)) ++
+        leftCols.map(col): _*)
   }
 }

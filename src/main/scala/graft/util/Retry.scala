@@ -1,5 +1,7 @@
 package graft.util
 
+import scala.util.control.NonFatal
+
 /** A6 — retry with backoff for EXTERNAL sinks only
   * (loader/service.py:862-902: 3 attempts, 0.1/0.25/0.55 s + jitter on
   * transient-classified errors).
@@ -32,7 +34,9 @@ object Retry {
     while (attempt < maxAttempts) {
       try return f
       catch {
-        case e: Throwable if classify(e) && attempt < maxAttempts - 1 =>
+        // Fatal errors (OutOfMemoryError, InterruptedException, ...)
+        // propagate immediately even if their message looks transient.
+        case NonFatal(e) if classify(e) && attempt < maxAttempts - 1 =>
           last = e
           sleep(delaysMs.lift(attempt).getOrElse(delaysMs.last) + jitter(jitterMs))
           attempt += 1

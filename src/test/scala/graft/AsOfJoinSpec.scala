@@ -24,6 +24,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((101L, 11L), (102L, 12L)))
   }
 
+  test("matched right row is carried atomically: its nulls stay null") {
+    // The most-recent right row has a NULL payload column; per DuckDB
+    // ASOF semantics that null must NOT be back-filled from an older row.
+    val left = Seq((1L, 101L, 3000L)).toDF("user_id", "p_id", "p_us")
+    val right = Seq(
+      (1L, 11L, 1000L, Option("old-note")),
+      (1L, 12L, 2000L, Option.empty[String]), // the match; note is null
+    ).toDF("user_id", "v_id", "v_us", "note")
+    val out = AsOfJoin.join(left, right, "user_id", "p_us", "v_us", "v_id")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("v_id") == 12L)
+    assert(out(0).getAs[String]("note") == null) // not "old-note"
+  }
+
   test("equal timestamps match (<=) and ties dedup to max right id") {
     val left = Seq((1L, 101L, 1000L)).toDF("user_id", "p_id", "p_us")
     val right = Seq((1L, 11L, 1000L), (1L, 12L, 1000L))

@@ -72,6 +72,20 @@ class CoalesceMergeSpec extends SparkSpec {
     }
   }
 
+  test("null keys never match: both null-key rows survive the upsert") {
+    // SQL equality semantics: a null-key source row is an insert; it must
+    // not silently absorb (and discard) a null-key target row.
+    val t = Seq((Option.empty[String], Option("tval")),
+      (Option("k1"), Option("t1"))).toDF("name", "v")
+    val s = Seq((Option.empty[String], Option("sval"))).toDF("name", "v")
+    val out = CoalesceMerge.upsert(t, s, Seq("name"),
+      Map("v" -> InsertOnly)).collect()
+    assert(out.length == 3)
+    val nullKey = out.filter(_.isNullAt(0)).map(r =>
+      (r.getString(1), r.getString(2))).toSet
+    assert(nullKey == Set(("tval", "keep"), ("sval", "insert")))
+  }
+
   test("insertIfAbsent is get-or-create (A1 shape)") {
     val source = Seq(
       (1L, Option("x"), Option.empty[String], Option(0.0)),

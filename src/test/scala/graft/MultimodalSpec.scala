@@ -39,6 +39,23 @@ class MultimodalSpec extends SparkSpec {
     assert(math.max(meta.getInt(0), meta.getInt(1)) <= 8)
   }
 
+  test("resize truncates content by the ORIGINAL scale, not the new meta") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    val before = m.orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Array[Byte]]("content").length,
+          r.getAs[org.apache.spark.sql.Row]("meta")))
+      .toMap
+    Multimodal.resize(m, 8).orderBy("doc_id").collect().foreach { r =>
+      val (origLen, origMeta) = before(r.getAs[Long]("doc_id"))
+      val scale = math.min(1.0,
+        8.0 / math.max(origMeta.getInt(0), origMeta.getInt(1)))
+      val expected = math.max(1, (origLen * scale).toInt)
+      assert(r.getAs[Array[Byte]]("content").length == expected)
+      assert(scale < 1.0) // fixture dims exceed 8, so truncation is real
+    }
+  }
+
   test("frame sampling explodes video rows only") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, stride = 1, frameBytes = 8)

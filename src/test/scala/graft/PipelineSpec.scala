@@ -140,6 +140,41 @@ class PipelineSpec extends SparkSpec {
     assert(w.eventGenres.count() == 2) // 456->Jazz, 457->Funk
   }
 
+  test("null full_address: venue FKs still resolve against the dim") {
+    // A VALID row whose venue_data.full_address is null: the dim id uses
+    // the COALESCEd (computed P6) address, so the event fact and
+    // venue_genres FKs must hash the same expression or they dangle.
+    val json =
+      """[{
+        |  "artist_data": {"name": "Trombone Shorty", "description": null,
+        |    "genres": ["Funk"], "related_artists": [],
+        |    "wwoz_artist_href": "/artists/1", "website": null},
+        |  "venue_data": {"name": "Tipitina's", "thoroughfare": "501 Napoleon Ave",
+        |    "phone_number": null, "locality": "New Orleans", "state": "LA",
+        |    "postal_code": "70115", "full_address": null, "is_active": true,
+        |    "website": null, "wwoz_venue_href": "/venues/9", "event_artist": null},
+        |  "event_data": {"event_date": "2025-03-23", "wwoz_event_href": "/events/888",
+        |    "event_artist": "Trombone Shorty", "wwoz_artist_href": "/artists/1",
+        |    "description": null, "related_artists": [], "genres": ["Funk"]},
+        |  "performance_time": "2025-03-23T21:00:00-05:00",
+        |  "scrape_time": "2025-03-22T03:00:00-05:00"
+        |}]""".stripMargin
+    val dir = Files.createTempDirectory("graft-staging-nulladdr")
+    Files.writeString(dir.resolve("event_data_2025-03-22_x.json"), json)
+    val w = Pipeline.run(spark, StagingReader.readStaged(spark, dir.toString),
+      Pipeline.emptyWarehouse(spark), today = "2025-03-22")
+    assert(w.summary("events_validated") == 1)
+    val venueIds = w.venues.select("id").collect().map(_.getLong(0)).toSet
+    val evVenueId = w.events.filter(col("wwoz_event_href") === "/events/888")
+      .head().getAs[Long]("venue_id")
+    assert(venueIds.contains(evVenueId)) // fact FK resolves
+    val vgIds = w.venueGenres.select("venue_id").collect().map(_.getLong(0))
+    assert(vgIds.nonEmpty && vgIds.forall(venueIds.contains)) // edge FK resolves
+    // and the dim row carries the computed, not-null address
+    assert(w.venues.filter(col("id") === evVenueId).head()
+      .getAs[String]("full_address") == "501 Napoleon Ave, New Orleans, LA 70115")
+  }
+
   test("idempotent re-run: second pass inserts nothing, fills description (A4)") {
     val w1 = Pipeline.run(spark, staged, Pipeline.emptyWarehouse(spark),
       today = "2025-03-20")

@@ -32,6 +32,21 @@ class RetrySpec extends AnyFunSuite {
     }
   }
 
+  test("A6: fatal errors propagate even when the message looks transient") {
+    var calls = 0
+    intercept[InterruptedException] { // fatal per NonFatal()
+      Retry.withBackoff(sleep = _ => ()) {
+        calls += 1; throw new InterruptedException("timeout waiting for lock")
+      }
+    }
+    assert(calls == 1) // no retry, no swallowing
+    intercept[OutOfMemoryError] {
+      Retry.withBackoff(sleep = _ => ()) {
+        throw new OutOfMemoryError("connection reset buffer")
+      }
+    }
+  }
+
   test("P15: response envelope shapes") {
     assert(JobResult.ok("{}").statusCode == 200)
     assert(JobResult.error(500, "boom").body.contains("boom"))
