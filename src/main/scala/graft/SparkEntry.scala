@@ -248,7 +248,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- rows-only checks (non-SQL-expressible; no oracle entry) ----
+    // ---- dedup sketches (hash primitives chosen SQL-replayable) ----
     "q23_minhash_clusters" -> ((s, d) => {
       Dedup.minhashClustersTransitive(t(s, d, "documents"), "text", "doc_id")
         .orderBy(col("id"))
@@ -267,7 +267,7 @@ object SparkEntry {
 
     "q26_embed_documents" -> ((s, d) => {
       val emb = EmbedStage.embedColumn(t(s, d, "documents"), "text", "emb")
-      emb.select(col("doc_id"), size(col("emb")).as("dim"),
+      emb.select(col("doc_id"), size(col("emb")).cast("bigint").as("dim"),
           round(element_at(col("emb"), 1).cast("double"), 4).as("c0"))
         .orderBy(col("doc_id"))
     }),
@@ -430,7 +430,7 @@ object SparkEntry {
           |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
     }),
 
-    // ---- IVF ANN (rows-only: centroid assignment not SQL-expressible) ----
+    // ---- IVF ANN (closed-form centroid pick → SQL-replayable) ----
     "q39_ivf_ann" -> ((s, d) => {
       import graft.vector.IvfIndex
       val emb = t(s, d, "embeddings")
@@ -472,18 +472,41 @@ object SparkEntry {
         .orderBy(col("event_date"))
     }),
 
-    // ---- multimodal columns (rows-only: stubbed decode) ----
+    // ---- multimodal columns (deterministic stub decode → SQL oracle) ----
     "q36_multimodal" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
       val feat = Multimodal.extractFeatures(Multimodal.resize(media, 512))
       feat.select(col("doc_id"), col("media_type"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          length(col("content")).as("n_bytes"),
-          size(col("features")).as("feat_dim"),
+          length(col("content")).cast("bigint").as("n_bytes"),
+          size(col("features")).cast("bigint").as("feat_dim"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("doc_id"))
     }),
   )
+
+  /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
+    * unsigned-64 arithmetic emulated with HUGEINT — byte-for-byte the
+    * same as [[graft.text.RollingHash.hashToken]]. `p` prefixes the
+    * lambda variable names so nested uses don't collide. */
+  private def fnvSql(e: String, p: String): String =
+    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      s"list_transform(range(1, length($e) + 1), ${p}i -> unicode(substr($e, ${p}i, 1)))), " +
+      s"(${p}h, ${p}c) -> ((${p}h - (${p}h % 256) + xor((${p}h % 256)::BIGINT, ${p}c)::HUGEINT) * " +
+      s"1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+
+  /** unsigned-64 (HUGEINT) → signed two's-complement value. */
+  private def toSignedSql(e: String): String =
+    s"(CASE WHEN $e >= 9223372036854775808::HUGEINT " +
+      s"THEN $e - 18446744073709551616::HUGEINT ELSE $e END)"
+
+  /** Sequential left-fold dot product of an embedding (FLOAT[]) against a
+    * ±1 plane list — same accumulation order as the Scala loop. */
+  private def dotSql(emb: String, sv: String, p: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, array_length($emb) + 1), " +
+      s"${p}i -> CAST($emb[${p}i] AS DOUBLE) * $sv[${p}i])), (${p}a, ${p}b) -> ${p}a + ${p}b)"
+
+  private val MinhashP = 2038074743L
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -730,6 +753,164 @@ object SparkEntry {
         | JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // MinHash+LSH with transitive closure: FNV shingle hash → 64 affine
+    // permutations (closed-form constants) → 16 string-keyed band buckets
+    // → candidate pairs → exact component-min via recursive reachability.
+    "q23_minhash_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(0, array_length(ts) - 2),
+        |   si -> array_to_string(ts[(si + 1):(si + 3)], ' '))) AS shingles
+        | FROM toks WHERE array_length(ts) >= 3),
+        |hu AS (SELECT doc_id, list_transform(shingles, sg -> ${fnvSql("sg", "f")}) AS us FROM sh),
+        |hm AS (SELECT doc_id, list_transform(us, u ->
+        |   ((${toSignedSql("u")} % $MinhashP) + $MinhashP) % $MinhashP) AS hs FROM hu),
+        |sigs AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |   list_min(list_transform(hs, h ->
+        |     ((1 + ((j + 1) * 2654435761) % ${MinhashP - 1}) * h +
+        |      ((j + 1) * 1099511628211) % $MinhashP) % $MinhashP))) AS sg
+        | FROM hm),
+        |bkt AS (SELECT doc_id, b,
+        |   array_to_string(sg[(CAST(b AS INT) * 4 + 1):(CAST(b AS INT) * 4 + 4)], ',') AS bucket
+        | FROM sigs, range(0, 16) r(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        | FROM bkt a JOIN bkt b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (SELECT doc_id AS id, doc_id AS c FROM documents
+        | UNION
+        | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst)
+        |SELECT id, CAST(min(c) AS BIGINT) AS cluster_id FROM lbl GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    "q24_simhash" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes)
+        |SELECT doc_id AS id, CAST(${toSignedSql("u")} AS BIGINT) AS simhash
+        |FROM sig ORDER BY id""".stripMargin,
+
+    "q25_fingerprint" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> ${fnvSql("t", "f")}) AS hs FROM toks),
+        |fp AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, hs),
+        |   (acc, h) -> (acc * 1099511628211::HUGEINT + h) % 18446744073709551616::HUGEINT) AS u
+        | FROM th)
+        |SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // Feature-hashing embedder: FNV token hash → bucket h mod 64, sign =
+    // sign bit, L2-normalized in float32 — replayed bit-exactly (FLOAT
+    // casts mimic the float32 accumulate/normalize).
+    "q26_embed_documents" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |   t -> t <> '') AS ts
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |hs AS (SELECT doc_id, ${fnvSql("t", "f")} AS u FROM tok),
+        |bins AS (SELECT doc_id, CAST(u % 64 AS BIGINT) AS idx,
+        |   CAST(sum(CASE WHEN u >= 9223372036854775808::HUGEINT THEN -1 ELSE 1 END) AS DOUBLE) AS s
+        | FROM hs GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(s * s) AS n2,
+        |   coalesce(sum(CASE WHEN idx = 0 THEN s END), 0.0) AS v0 FROM bins GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(CASE WHEN a.doc_id IS NULL THEN NULL ELSE 64 END AS BIGINT) AS dim,
+        | CASE WHEN a.doc_id IS NULL THEN NULL
+        |      ELSE round(CAST(CAST(a.v0 AS FLOAT) * CAST(1.0 / sqrt(a.n2) AS FLOAT) AS DOUBLE), 4)
+        | END AS c0
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Sign-random-projection ANN: ±1 planes from FNV("p:i") parity, 6-bit
+    // bucket, multi-probe at Hamming distance 1, exact cosine top-k over
+    // the candidates.
+    "q27_ann_topk" ->
+      s"""WITH planes AS (
+        | SELECT p, i, CASE WHEN
+        |   (${fnvSql("(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))", "f")} % 2) = 0::HUGEINT
+        |   THEN 1.0 ELSE -1.0 END AS s
+        | FROM range(0, 6) rp(p), range(0, 64) ri(i)),
+        |pl AS (SELECT p, list(s ORDER BY i) AS sv FROM planes GROUP BY p),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dots AS (SELECT e.vec_id, e.embedding, pl.p, ${dotSql("e.embedding", "sv", "d")} AS dot
+        | FROM embeddings e, pl),
+        |vb AS (SELECT vec_id, embedding,
+        |   sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS bucket
+        | FROM dots GROUP BY vec_id, embedding),
+        |qdots AS (SELECT pl.p, ${dotSql("q.qe", "sv", "d")} AS dot FROM q, pl),
+        |qb AS (SELECT sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS b
+        | FROM qdots),
+        |probe AS (SELECT b AS pb FROM qb
+        | UNION ALL SELECT xor(b, CAST(1 AS BIGINT) << CAST(p AS INT)) FROM qb, range(0, 6) r(p))
+        |SELECT v.vec_id,
+        | round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM vb v, q WHERE v.bucket IN (SELECT pb FROM probe)
+        |ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
+        | v.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // IVF: 16 centroids by multiplicative-hash spread, cells by cosine
+    // argmax, probe the 4 best cells, exact top-k within them.
+    "q39_ivf_ann" ->
+      s"""WITH cents AS (
+        | SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+        |   - 1 AS cid, embedding AS ce
+        | FROM embeddings
+        | QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id) <= 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.cid,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) DESC,
+        |     c.cid) AS rn
+        | FROM embeddings e, cents c),
+        |cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+        |probe AS (SELECT c.cid FROM cents c, q
+        | ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, c.cid
+        | LIMIT 4)
+        |SELECT cl.vec_id,
+        | round(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM cells cl, q WHERE cl.cid IN (SELECT cid FROM probe)
+        |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
+        | cl.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // Multimodal stub pipeline: meta from doc_id arithmetic, resize by
+    // the original scale, byte-histogram feature f0 in float32.
+    "q36_multimodal" ->
+      s"""WITH m AS (
+        | SELECT doc_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  text, length(text) AS olen,
+        |  CAST(doc_id % 1024 + 16 AS INT) AS w0,
+        |  CAST((doc_id * 7) % 768 + 16 AS INT) AS h0
+        | FROM documents),
+        |r AS (SELECT *, least(1.0, 512.0 / greatest(w0, h0)) AS scale FROM m),
+        |rr AS (SELECT doc_id, media_type,
+        |  CAST(floor(w0 * scale) AS INTEGER) AS width,
+        |  CAST(floor(h0 * scale) AS INTEGER) AS height,
+        |  substr(text, 1, CAST(greatest(1, trunc(olen * scale)) AS BIGINT)) AS ctext
+        | FROM r),
+        |f AS (SELECT doc_id, media_type, width, height,
+        |  length(ctext) AS n_bytes,
+        |  length(list_filter(range(1, length(ctext) + 1),
+        |    fi -> unicode(substr(ctext, fi, 1)) % 16 = 0)) AS cnt0
+        | FROM rr)
+        |SELECT doc_id, media_type, width, height, CAST(n_bytes AS BIGINT) AS n_bytes,
+        | CAST(16 AS BIGINT) AS feat_dim,
+        | round(CAST(CAST(cnt0 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 4) AS f0
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q28_pipeline_e2e" ->
       """WITH staged AS (

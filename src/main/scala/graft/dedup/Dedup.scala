@@ -94,16 +94,21 @@ object Dedup {
     * numHashes affine permutations h_i(x) = (a_i·x + b_i) mod P of a
     * 64-bit FNV-1a base hash — all map-side, no shuffle.
     *
+    * The permutation constants are CLOSED-FORM (multiplicative spreads of
+    * the permutation index), not RNG-drawn, so the whole signature is
+    * reproducible in plain SQL for the DuckDB oracle.
+    *
     * Implemented as a single primitive-loop UDF rather than nested
     * `transform`/`array_min` lambdas: higher-order functions are
     * interpreted (CodegenFallback), and the 64×|shingles| inner loop in
     * boxed expression space measured ~10× slower than this one JVM call
     * per document. */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
-                       n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(1 + rng.nextInt(Int.MaxValue - 1).toLong)
-    val bs = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+                       n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val as = Array.tabulate(numHashes)(j =>
+      1L + java.lang.Math.floorMod((j + 1) * 2654435761L, Prime - 1))
+    val bs = Array.tabulate(numHashes)(j =>
+      java.lang.Math.floorMod((j + 1) * 1099511628211L, Prime))
     val p = Prime
     val sigUdf = udf { (toks: Seq[String]) =>
       if (toks == null || toks.length < n) null
@@ -136,16 +141,23 @@ object Dedup {
       sigUdf(split(trim(col(textCol)), "\\s+")))
   }
 
-  /** LSH banding: split the signature into bands of `rowsPerBand`, hash
-    * each band → (band, bucket). Docs sharing any (band, bucket) are
-    * candidates. Returns (id, band, bucket) — the exploded index. */
+  /** LSH banding: split the signature into bands of `rowsPerBand`; the
+    * band's value-tuple (joined as a string) is the bucket key. Docs
+    * sharing any (band, bucket) are candidates. Returns
+    * (id, band, bucket) — the exploded index.
+    *
+    * The bucket key is the exact tuple string, not a 64-bit hash of it:
+    * zero false bucket collisions and byte-identical to the SQL oracle's
+    * `array_to_string`. The key is ~40 bytes instead of 8 — at 100 TB one
+    * would wrap it in xxhash64 before the shuffle (collisions only cost
+    * extra candidate pairs, never correctness). */
   def lshBuckets(sigDf: DataFrame, idCol: String,
                  numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = transform(sequence(lit(0), lit(numBands - 1)), b =>
       struct(b.as("band"),
-        xxhash64(concat_ws(",",
-          slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
+        concat_ws(",",
+          slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
     sigDf.filter(col("minhash_sig").isNotNull)
       .select(col(idCol).as("id"), explode(bands).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
@@ -156,9 +168,9 @@ object Dedup {
     * transitive closure (that needs iterative label propagation — see
     * `clusterize` callers at larger rounds); deterministic. */
   def minhashClusters(df: DataFrame, textCol: String, idCol: String,
-                      n: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
-                      seed: Long = 42L): DataFrame = {
-    val sig = minhashSignature(df, textCol, idCol, n, numHashes, seed)
+                      n: Int = 3, numHashes: Int = 64,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, n, numHashes)
     val buckets = lshBuckets(sig, idCol, numHashes, rowsPerBand)
     val bucketMin = buckets
       .withColumn("bucket_min",
@@ -238,9 +250,9 @@ object Dedup {
     * shared buckets, then exact union-find on the (small) edge set. */
   def minhashClustersTransitive(df: DataFrame, textCol: String, idCol: String,
                                 n: Int = 3, numHashes: Int = 64,
-                                rowsPerBand: Int = 4, seed: Long = 42L,
+                                rowsPerBand: Int = 4,
                                 maxIter: Int = 5): DataFrame = {
-    val sig = minhashSignature(df, textCol, idCol, n, numHashes, seed)
+    val sig = minhashSignature(df, textCol, idCol, n, numHashes)
     // cache the bucket index: the self-join would otherwise recompute the
     // signature expression (an interpreted higher-order-function tree —
     // the most expensive part of the whole plan) once per join side
@@ -254,26 +266,31 @@ object Dedup {
     unionFindClusters(ids, pairs)
   }
 
-  /** SimHash: 64-bit signature — sum per-bit ±1 votes of token hashes,
-    * sign → bit. Near-dups = small Hamming distance. Map-side only;
-    * built from builtins (explode-free via aggregate over token array). */
+  /** SimHash: 64-bit signature — sum per-bit ±1 votes of token hashes
+    * (FNV-1a 64, same primitive as [[graft.text.RollingHash]], so the
+    * oracle can replay it in SQL), sign → bit. Near-dups = small Hamming
+    * distance. One primitive-loop UDF per document: entirely map-side, no
+    * explode/shuffle — at 100 TB this is a single narrow pass. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    // votes: for each of 64 bits, sum(+1 if bit set else -1) over tokens
-    val bitCols = (0 until 64).map { b =>
-      val bit = shiftright(xxhash64(col("_tok")), b).bitwiseAND(1)
-      (bit * 2 - 1).cast("long")
+    val simUdf = udf { (toks: Seq[String]) =>
+      val votes = new Array[Int](64)
+      if (toks != null) toks.foreach { t =>
+        val h = graft.text.RollingHash.hashToken(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (t == null) "" else t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
     }
-    // aggregate over exploded tokens, grouped back per doc
-    val exploded = df
-      .select(col(idCol).as("id"), explode(toks).as("_tok"))
-    val aggCols = bitCols.zipWithIndex.map { case (c, i) => sum(c).as(s"v$i") }
-    val votes = exploded.groupBy("id")
-      .agg(aggCols.head, aggCols.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    votes.select(col("id"), sig.as("simhash"))
+    df.select(col(idCol).as("id"),
+      simUdf(split(trim(col(textCol)), "\\s+")).as("simhash"))
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates

@@ -20,7 +20,10 @@ trait Embedder extends Serializable {
   def embed(text: String): Array[Float]
 }
 
-/** Deterministic hashing embedder (the offline default). */
+/** Deterministic hashing embedder (the offline default). Token hash is
+  * FNV-1a 64 (the same primitive as [[graft.text.RollingHash]]) so the
+  * projection is replayable in plain SQL by the DuckDB oracle: bucket =
+  * floorMod(h, dim), sign = sign bit of h. */
 final class HashingEmbedder(val dim: Int = 64) extends Embedder {
   override def embed(text: String): Array[Float] = {
     val v = new Array[Float](dim)
@@ -28,9 +31,10 @@ final class HashingEmbedder(val dim: Int = 64) extends Embedder {
     val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     var i = 0
     while (i < toks.length) {
-      val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), 42)
-      val idx = math.floorMod(h, dim)
-      val sign = if (((h >>> 31) & 1) == 0) 1.0f else -1.0f
+      val h = graft.text.RollingHash.hashToken(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+      val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
+      val sign = if (h >= 0L) 1.0f else -1.0f
       v(idx) += sign
       i += 1
     }

@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Pick `nCentroids` deterministic representatives: the lowest ids
-    * after hash-reordering (spreads picks across the id space). */
+    * after a multiplicative-hash reorder (spreads picks across the id
+    * space; closed-form arithmetic so the oracle can replay it in SQL). */
   def centroids(df: DataFrame, embCol: String, idCol: String,
                 nCentroids: Int): Array[(Int, Array[Float])] =
     df.select(col(idCol), col(embCol))
-      .withColumn("_h", xxhash64(col(idCol)))
-      .orderBy(col("_h"))
+      .withColumn("_h",
+        pmod(pmod(col(idCol), lit(1000003L)) * 2654435761L, lit(1000003L)))
+      .orderBy(col("_h"), col(idCol))
       .limit(nCentroids)
       .collect()
       .zipWithIndex

@@ -93,14 +93,16 @@ object VectorFunctions {
   }
 
   /** Sign-random-projection LSH bucketing (Charikar SimHash family) for
-    * approximate nearest neighbors: `nPlanes` deterministic hyperplanes
-    * (seeded RNG), each vector → sign-bit bucket. Candidates = same
-    * bucket; at scale the bucket-join replaces the O(n) scan with a
-    * shuffle on bucket id, pruning ~ (1/2^nPlanes) of the data per query.
-    */
+    * approximate nearest neighbors: `nPlanes` deterministic ±1
+    * hyperplanes (Rademacher entries derived from FNV-1a of the
+    * plane:dim index, so the oracle can rebuild them in SQL — same
+    * family as gaussian planes for angular LSH), each vector → sign-bit
+    * bucket. Candidates = same bucket; at scale the bucket-join replaces
+    * the O(n) scan with a shuffle on bucket id, pruning ~
+    * (1/2^nPlanes) of the data per query. */
   def lshBucket(df: DataFrame, embCol: String, dim: Int,
-                nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes, seed)
+                nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
     val bucketUdf = udf { (v: Seq[Float]) =>
       var b = 0
       var p = 0
@@ -122,8 +124,8 @@ object VectorFunctions {
     * neighboring buckets at Hamming distance 1 for recall). */
   def annTopK(df: DataFrame, embCol: String, idCol: String,
               query: Array[Float], k: Int, dim: Int,
-              nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes, seed)
+              nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
     var qb = 0
     for (p <- 0 until nPlanes) {
       var dot = 0.0
@@ -132,12 +134,13 @@ object VectorFunctions {
       if (dot >= 0) qb |= (1 << p)
     }
     val probe = qb +: (0 until nPlanes).map(p => qb ^ (1 << p)) // multi-probe
-    val bucketed = lshBucket(df, embCol, dim, nPlanes, seed)
+    val bucketed = lshBucket(df, embCol, dim, nPlanes)
     topK(bucketed.filter(col("lsh_bucket").isin(probe: _*)), embCol, idCol, query, k)
   }
 
-  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-  }
+  private def hyperplanes(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i =>
+      if ((graft.text.RollingHash.hashToken(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$p:$i")) & 1L) == 0L)
+        1.0 else -1.0))
 }
