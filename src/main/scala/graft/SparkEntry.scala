@@ -30,6 +30,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Scan feeding a CPU-dense narrow stage (regex, shingle/minhash
+    * hashing, embedding): the bench files are single-row-group parquet,
+    * so the scan — and every map-side operator fused above the first
+    * shuffle — would otherwise run as ONE task on one core. An explicit
+    * round-robin repartition to the session's parallelism restores the
+    * cluster-shaped plan (at production scale inputs arrive as thousands
+    * of splits and the same repartition is a cheap rebalance). */
+  private def tSpread(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Serving.eventsByDate(Tables.events(spark, "/root/testdata/sf0.001"),
@@ -208,7 +218,7 @@ object SparkEntry {
 
     // ---- vector search (M6/O3) ----
     "q18_cosine_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = tSpread(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       VectorFunctions.topK(emb, "embedding", "vec_id", q, 20)
@@ -217,7 +227,7 @@ object SparkEntry {
 
     // ---- text analysis ----
     "q19_text_stats" -> ((s, d) => {
-      t(s, d, "documents")
+      tSpread(s, d, "documents")
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
           TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"),
@@ -228,7 +238,7 @@ object SparkEntry {
     }),
 
     "q20_lang_id" -> ((s, d) => {
-      t(s, d, "documents")
+      tSpread(s, d, "documents")
         .withColumn("predicted", TextFunctions.langId(col("text")))
         .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("predicted"))
@@ -236,44 +246,44 @@ object SparkEntry {
 
     // ---- dedup suite ----
     "q21_dedup_exact" -> ((s, d) => {
-      Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id")
+      Dedup.exactGroups(tSpread(s, d, "documents"), "text", "doc_id")
         .orderBy(col("survivor_id"))
     }),
 
     "q22_ngram_jaccard" -> ((s, d) => {
       // maxShingleFreq caps the per-shingle fan-out (skew guard); the
       // oracle SQL applies the identical cap
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+      Dedup.ngramJaccardPairs(tSpread(s, d, "documents"), "text", "doc_id",
         n = 3, threshold = 0.2, maxShingleFreq = 1000)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- dedup sketches (hash primitives chosen SQL-replayable) ----
     "q23_minhash_clusters" -> ((s, d) => {
-      Dedup.minhashClustersTransitive(t(s, d, "documents"), "text", "doc_id")
+      Dedup.minhashClustersTransitive(tSpread(s, d, "documents"), "text", "doc_id")
         .orderBy(col("id"))
     }),
 
     "q24_simhash" -> ((s, d) => {
-      Dedup.simhash(t(s, d, "documents"), "text", "doc_id")
+      Dedup.simhash(tSpread(s, d, "documents"), "text", "doc_id")
         .orderBy(col("id"))
     }),
 
     "q25_fingerprint" -> ((s, d) => {
-      t(s, d, "documents")
+      tSpread(s, d, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
     }),
 
     "q26_embed_documents" -> ((s, d) => {
-      val emb = EmbedStage.embedColumn(t(s, d, "documents"), "text", "emb")
+      val emb = EmbedStage.embedColumn(tSpread(s, d, "documents"), "text", "emb")
       emb.select(col("doc_id"), size(col("emb")).cast("bigint").as("dim"),
           round(element_at(col("emb"), 1).cast("double"), 4).as("c0"))
         .orderBy(col("doc_id"))
     }),
 
     "q27_ann_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = tSpread(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       VectorFunctions.annTopK(emb, "embedding", "vec_id", q, 20, dim = q.length,
@@ -396,7 +406,7 @@ object SparkEntry {
 
     // ---- embedding-cosine near-dup pairs, label-blocked ----
     "q42_embedding_neardup" -> ((s, d) => {
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+      Dedup.embeddingNearDupPairs(tSpread(s, d, "embeddings"), "embedding", "vec_id",
         col("label"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -433,7 +443,7 @@ object SparkEntry {
     // ---- IVF ANN (closed-form centroid pick → SQL-replayable) ----
     "q39_ivf_ann" -> ((s, d) => {
       import graft.vector.IvfIndex
-      val emb = t(s, d, "embeddings")
+      val emb = tSpread(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val cs = IvfIndex.centroids(emb, "embedding", "vec_id", 16)
@@ -445,7 +455,7 @@ object SparkEntry {
     // ---- per-group top-k via custom TypedImperativeAggregate ----
     "q38_topk_per_group" -> ((s, d) => {
       import graft.vector.TopKAggregate.topk_by_score
-      val emb = t(s, d, "embeddings")
+      val emb = tSpread(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       emb.withColumn("s", VectorFunctions.cosine_sim(col("embedding"), lit(q)))
@@ -474,7 +484,7 @@ object SparkEntry {
 
     // ---- multimodal columns (deterministic stub decode → SQL oracle) ----
     "q36_multimodal" -> ((s, d) => {
-      val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
+      val media = Multimodal.mediaFromDocuments(tSpread(s, d, "documents"))
       val feat = Multimodal.extractFeatures(Multimodal.resize(media, 512))
       feat.select(col("doc_id"), col("media_type"),
           col("meta.width").as("width"), col("meta.height").as("height"),

@@ -1,6 +1,5 @@
 package graft.dedup
 
-import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,15 +44,48 @@ object Dedup {
     * shared by too many docs (stopword-shingle skew guard — at scale this
     * is the difference between a bounded join and a quadratic one).
     */
+  /** Distinct 64-bit FNV-1a shingle hashes per document in ONE primitive
+    * JVM pass (tokenize → slide → hash → dedup). Replaces the
+    * `array_distinct(transform(...))` expression tree, whose higher-order
+    * functions are interpreted (CodegenFallback) — measured ~3× slower —
+    * and shrinks the downstream shuffle key from a ~n-word string to 8
+    * bytes. Hash collisions could only merge two distinct shingles
+    * (2^-64-scale probability; cost = one spurious candidate pair, never
+    * a crash), the standard shingle-hashing trade every MinHash paper
+    * makes. */
+  private def shingleHashesUdf(n: Int) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.trim.split("\\s+")
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          val h = graft.text.RollingHash.hashToken(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+          if (seen.add(h)) out += h
+          i += 1
+        }
+        out.toArray
+      }
+    }
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Int = 1000): DataFrame = {
-    // tokens bound in their own projection so the shingle lambda reads an
-    // attribute, not a re-evaluated split (see shinglesFromTokens)
     val shArr = df
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("_toks"))
-      .select(col("id"),
-        array_distinct(TextFunctions.shinglesFromTokens(col("_toks"), n)).as("sh_arr"))
+      .select(col(idCol).as("id"),
+        shingleHashesUdf(n)(col(textCol)).as("sh_arr"))
       .cache()
     // per-doc sizes come from the array length MAP-SIDE — no groupBy over
     // the exploded shingles needed
@@ -69,21 +101,40 @@ object Dedup {
     val docLists = sh.groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleFreq))
-    val pairComb = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-        y => struct(x.as("a"), y.as("b")))))
-    val pairs = docLists.select(explode(pairComb).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val pairs = docLists.select(explode(pairCombinations(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .agg(count(lit(1)).as("inter"))
 
     pairs
-      .join(docSizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(docSizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .join(broadcast(docSizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a")), "id_a")
+      .join(broadcast(docSizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b")), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** All ordered (a,b) pairs, a<b, from a SORTED id-array column — the
+    * map-side pair generator shared by the shingle-join and LSH-bucket
+    * candidate paths. Generating pairs from one grouped list costs ONE
+    * shuffle (the groupBy); a self-join on the exploded frame would
+    * shuffle it twice more. A primitive UDF (one JVM call per group)
+    * rather than nested `transform`/`slice` lambdas: higher-order
+    * functions are interpreted (CodegenFallback), and expanding ~1M pairs
+    * through them measured ~1 s at sf0.1 vs ~0.1 s here. */
+  private val pairCombinations = udf { (ids: Seq[Long]) =>
+    val n = ids.size
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      math.max(n * (n - 1) / 2, 1))
+    var i = 0
+    while (i < n) {
+      val a = ids(i)
+      var j = i + 1
+      while (j < n) { out += ((a, ids(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
   }
 
   // --- MinHash + LSH ---
@@ -110,35 +161,41 @@ object Dedup {
     val bs = Array.tabulate(numHashes)(j =>
       java.lang.Math.floorMod((j + 1) * 1099511628211L, Prime))
     val p = Prime
-    val sigUdf = udf { (toks: Seq[String]) =>
-      if (toks == null || toks.length < n) null
+    // Raw-text input (tokenize in the same JVM pass) and NO distinct-set:
+    // a duplicate shingle re-minimizes to the same values, so dedup work
+    // is pure overhead for a min-aggregate.
+    val sigUdf = udf { (text: String) =>
+      if (text == null) null
       else {
-        val shingles = new scala.collection.mutable.HashSet[String]()
-        var i = 0
-        while (i <= toks.length - n) {
-          shingles += toks.slice(i, i + n).mkString(" ")
-          i += 1
-        }
-        if (shingles.isEmpty) null
+        val toks = text.trim.split("\\s+")
+        if (toks.length < n) null
         else {
           val sig = Array.fill(numHashes)(Long.MaxValue)
-          shingles.foreach { s =>
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i <= toks.length - n) {
+            sb.setLength(0)
+            var k = 0
+            while (k < n) {
+              if (k > 0) sb.append(' ')
+              sb.append(toks(i + k)); k += 1
+            }
             val h = java.lang.Math.floorMod(
               graft.text.RollingHash.hashToken(
-                org.apache.spark.unsafe.types.UTF8String.fromString(s)), p)
+                org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)), p)
             var j = 0
             while (j < numHashes) {
               val v = java.lang.Math.floorMod(as(j) * h + bs(j), p)
               if (v < sig(j)) sig(j) = v
               j += 1
             }
+            i += 1
           }
           sig
         }
       }
     }
-    df.withColumn("minhash_sig",
-      sigUdf(split(trim(col(textCol)), "\\s+")))
+    df.withColumn("minhash_sig", sigUdf(col(textCol)))
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand`; the
@@ -253,15 +310,15 @@ object Dedup {
                                 rowsPerBand: Int = 4,
                                 maxIter: Int = 5): DataFrame = {
     val sig = minhashSignature(df, textCol, idCol, n, numHashes)
-    // cache the bucket index: the self-join would otherwise recompute the
-    // signature expression (an interpreted higher-order-function tree —
-    // the most expensive part of the whole plan) once per join side
-    val buckets = lshBuckets(sig, idCol, numHashes, rowsPerBand).cache()
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val buckets = lshBuckets(sig, idCol, numHashes, rowsPerBand)
+    // candidate pairs map-side from each bucket's sorted doc list: ONE
+    // shuffle on (band, bucket) — a bucket self-join would shuffle the
+    // exploded index twice more and recompute the signature per side
+    val docLists = buckets.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairs = docLists.select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b")).distinct()
     val ids = df.select(col(idCol).as("id")).distinct()
     unionFindClusters(ids, pairs)
   }

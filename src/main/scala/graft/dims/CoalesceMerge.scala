@@ -38,9 +38,42 @@ object CoalesceMerge {
     * @return merged frame with target's column order plus an `_action`
     *         column ("insert" | "update" | "keep") for A-agg1 counters.
     */
+  /** Statically-empty check (no job, no IO): true only when the plan is a
+    * provably empty LocalRelation / zero-partition RDD — the
+    * `emptyWarehouse` bootstrap shape. Parquet-backed targets always
+    * return false (a file listing would not be free). */
+  private def knownEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _: org.apache.spark.sql.execution.LogicalRDD =>
+        df.rdd.getNumPartitions == 0
+      case _ => false
+    }
+
+  /** Bootstrap fast path: merging into a known-empty target is a pure
+    * insert of the deduplicated source — no outer join, no shuffle of the
+    * (empty) target side. Column set/order matches the general path. */
+  private def insertAll(target: DataFrame, src: DataFrame, keys: Seq[String]): DataFrame = {
+    // same column order as the general path: keys, then remaining target
+    // columns, then _action
+    val ordered = keys ++ target.columns.filterNot(keys.contains)
+    val aligned = ordered.map { c =>
+      if (src.columns.contains(c)) col(c)
+      else lit(null).cast(target.schema(c).dataType).as(c)
+    }
+    src.select(aligned :+ lit("insert").as("_action"): _*)
+  }
+
+  /** @param dedupSource set false ONLY when the caller guarantees the
+    *        source is already unique per key (e.g. an upstream
+    *        `distinct()` on exactly the key columns) — skips one
+    *        window shuffle. */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
-             rules: Map[String, Rule] = Map.empty): DataFrame = {
-    val src = dedupDeterministic(source, keys)
+             rules: Map[String, Rule] = Map.empty,
+             dedupSource: Boolean = true): DataFrame = {
+    val src = if (dedupSource) dedupDeterministic(source, keys) else source
+    if (knownEmpty(target)) return insertAll(target, src, keys)
     // Presence markers, not key-nullness: a null-key target row must read
     // as "target present, unmatched" (keep), not as an insert.
     val t = target.withColumn("_tp", lit(1)).alias("t")
@@ -97,9 +130,12 @@ object CoalesceMerge {
   /** A1 — insert-if-absent (get-or-create): anti-join then union; no
     * matched-row updates at all. Cheaper than full-outer when the rule
     * set is pure InsertOnly. */
-  def insertIfAbsent(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
-    val fresh = dedupDeterministic(source, keys)
-      .join(target.select(keys.map(col): _*), keys, "left_anti")
+  def insertIfAbsent(target: DataFrame, source: DataFrame, keys: Seq[String],
+                     dedupSource: Boolean = true): DataFrame = {
+    val src = if (dedupSource) dedupDeterministic(source, keys) else source
+    if (knownEmpty(target))
+      return target.unionByName(src, allowMissingColumns = true)
+    val fresh = src.join(target.select(keys.map(col): _*), keys, "left_anti")
     target.unionByName(fresh, allowMissingColumns = true)
   }
 

@@ -75,8 +75,10 @@ object Pipeline {
       batchGenres.withColumn("_text",
         concat(lit("Genre: "), col("name"), lit(". "), col("description"))),
       "_text", "genre_embedding", embedder).drop("_text")
+    // batchGenres is distinct-per-name upstream → skip the merge's dedup
     val genres = CoalesceMerge
-      .insertIfAbsent(prev.genres, genresEmbedded, Seq("name")).cache()
+      .insertIfAbsent(prev.genres, genresEmbedded, Seq("name"),
+        dedupSource = false).cache()
 
     // ---- artists (A2 COALESCE-per-column) ----
     val batchArtists = valid.select(
@@ -172,19 +174,19 @@ object Pipeline {
           explode(coalesce(col("artist_data.genres"), array())).as("g"))
         .filter(length(trim(col("g"))) > 0)
         .select(col("artist_id"), idOf(col("g")).as("genre_id")).distinct(),
-      Seq("artist_id", "genre_id"))
+      Seq("artist_id", "genre_id"), dedupSource = false)
     val venueGenres = CoalesceMerge.insertIfAbsent(prev.venueGenres,
       valid.select(venueIdExpr.as("venue_id"),
           explode(coalesce(col("event_data.genres"), array())).as("g"))
         .filter(length(trim(col("g"))) > 0)
         .select(col("venue_id"), idOf(col("g")).as("genre_id")).distinct(),
-      Seq("venue_id", "genre_id"))
+      Seq("venue_id", "genre_id"), dedupSource = false)
     val eventGenres = CoalesceMerge.insertIfAbsent(prev.eventGenres,
       valid.select(idOf(col("event_data.wwoz_event_href")).as("event_id"),
           explode(coalesce(col("event_data.genres"), array())).as("g"))
         .filter(length(trim(col("g"))) > 0)
         .select(col("event_id"), idOf(col("g")).as("genre_id")).distinct(),
-      Seq("event_id", "genre_id"))
+      Seq("event_id", "genre_id"), dedupSource = false)
 
     // ---- event fact (A4 insert-if-absent + fill-missing-description) ----
     val batchEvents0 = valid.select(
@@ -209,7 +211,6 @@ object Pipeline {
       .withColumn("is_indoors", Parsers.isIndoors(col("venue_name")))
       .withColumn("is_streaming", Parsers.isStreaming(col("venue_name")))
       .drop("_venue_addr", "_event_date", "_perf_raw", "_scrape_raw")
-      .dropDuplicates("wwoz_event_href")
     val eventsEmbedded = EmbedStage.embedColumnFast(
       EmbedStage.embedColumnFast(batchEvents0, "description", "description_embedding",
         embedder)
