@@ -6,7 +6,7 @@ import graft.enrich.{EmbedStage, Geocode}
 import graft.multimodal.Multimodal
 import graft.parse.Parsers
 import graft.pipeline.{Pipeline, SyntheticStaging}
-import graft.plans.AsOfJoin
+import graft.plans.{AsOfJoin, RangeJoin}
 import graft.serve.Serving
 import graft.streaming.StreamingIngest
 import graft.text.TextFunctions
@@ -492,6 +492,68 @@ object SparkEntry {
           size(col("features")).cast("bigint").as("feat_dim"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- interval join (J6 generalized to pairwise range form) ----
+    "q44_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val l = e.select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+      val r = e.select(col("user_id"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      RangeJoin.within(l, r, "user_id", "l_ts", "r_ts", windowSec = 300)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- deterministic stratified sampling (per-class rates) ----
+    "q45_stratified_sample" -> ((s, d) => {
+      // md5-derived bucket (not rand()): reproducible across runs/
+      // engines, and at 100 TB the sample is recomputable from the key
+      // alone — no sample-membership table to persist
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("bigint") % 100).as("bucket")
+      val rate = when(col("lang") === "en", lit(10)).otherwise(lit(50))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), col("lang"), bucket, rate.as("_rate"))
+        .filter(col("bucket") < col("_rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- C4/Gopher-style quality gate with reject reasons ----
+    "q46_quality_gate" -> ((s, d) => {
+      val toks = TextFunctions.tokenCount(col("text"))
+      val punct = TextFunctions.punctCount(col("text"))
+      tSpread(s, d, "documents")
+        .withColumn("n_tokens", toks.cast("bigint"))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("punct_ratio", when(toks === 0, lit(1.0))
+          .otherwise(round(punct.cast("double") / toks.cast("double"), 4)))
+        .withColumn("reason", concat_ws(",",
+          when(col("n_tokens") < 10, lit("too_short")),
+          when(col("n_tokens") > 2000, lit("too_long")),
+          when(col("quality") < 0.05, lit("low_stopword")),
+          when(col("punct_ratio") > 0.2, lit("punct_heavy"))))
+        .withColumn("keep", (col("reason") === "").cast("boolean"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"),
+          col("punct_ratio"), col("reason"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- forward as-of join (next purchase at-or-after each click) ----
+    "q47_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      AsOfJoin.join(clicks, purchases, "user_id", "c_us", "p_us", "p_id",
+        direction = "forward")
+        .select(col("c_id"), col("c_us"), col("p_id"), col("p_us"))
+        .orderBy(col("c_id"))
     }),
   )
 
@@ -980,6 +1042,70 @@ object SparkEntry {
         |FROM purchases p ASOF JOIN views v
         |  ON p.user_id = v.user_id AND v.v_us <= p.p_us
         |ORDER BY p.p_id""".stripMargin,
+
+    "q44_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q45_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q46_quality_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |     AS n_tokens,
+        |   CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE round(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |      array_length(regexp_split_to_array(trim(text), '\s+')), 4) END
+        |     AS quality,
+        |   length(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |   CASE WHEN n_tokens = 0 THEN 1.0
+        |        ELSE round(n_punct::DOUBLE / n_tokens, 4) END AS punct_ratio
+        |  FROM m)
+        |SELECT doc_id, n_tokens, quality, punct_ratio,
+        | concat_ws(',',
+        |   CASE WHEN n_tokens < 10 THEN 'too_short' END,
+        |   CASE WHEN n_tokens > 2000 THEN 'too_long' END,
+        |   CASE WHEN quality < 0.05 THEN 'low_stopword' END,
+        |   CASE WHEN punct_ratio > 0.2 THEN 'punct_heavy' END) AS reason,
+        | (concat_ws(',',
+        |   CASE WHEN n_tokens < 10 THEN 'too_short' END,
+        |   CASE WHEN n_tokens > 2000 THEN 'too_long' END,
+        |   CASE WHEN quality < 0.05 THEN 'low_stopword' END,
+        |   CASE WHEN punct_ratio > 0.2 THEN 'punct_heavy' END) = '') AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q47_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |purchases0 AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |purchases AS (
+        |  SELECT user_id, p_id, p_us FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, p_us
+        |      ORDER BY p_id DESC) AS rn FROM purchases0) WHERE rn = 1)
+        |SELECT c.c_id, c.c_us, p.p_id, p.p_us
+        |FROM clicks c ASOF JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.c_us <= p.p_us
+        |ORDER BY c.c_id""".stripMargin,
 
     "q32_customer_pairs" ->
       """SELECT n_name, count(*) AS n_pairs

@@ -29,10 +29,18 @@ object AsOfJoin {
 
   /** @param left  (key, leftTimeCol, left payload cols)
     * @param right (key, rightTimeCol, right payload cols)
+    * @param direction "backward" (latest right with rightTime <=
+    *        leftTime, the default/classic) or "forward" (earliest right
+    *        with rightTime >= leftTime — e.g. "next purchase after each
+    *        click"). Same one-shuffle one-sort plan either way: forward
+    *        just flips the sort order the carry runs over.
     * @return left payload + matched right payload (inner: unmatched left
     *         rows dropped), like DuckDB's `ASOF JOIN`. */
   def join(left: DataFrame, right: DataFrame, key: String,
-           leftTime: String, rightTime: String, rightId: String): DataFrame = {
+           leftTime: String, rightTime: String, rightId: String,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rightDedup = {
       val w = Window.partitionBy(col(key), col(rightTime))
         .orderBy(col(rightId).desc)
@@ -55,8 +63,13 @@ object AsOfJoin {
       .select(Seq(col(key), col("_t"), col("_tag"),
         lit(null).cast(rightStruct).as("_r")) ++ leftCols.map(col): _*)
 
+    // backward: ascending time → "last right seen so far" = latest <=.
+    // forward: descending time → "last right seen so far" = earliest >=.
+    // Right rows sort before left rows at equal time either way (tag 0 <
+    // tag 1), so the boundary is inclusive in both directions.
+    val tOrd = if (direction == "backward") col("_t").asc else col("_t").desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t"), col("_tag"))
+      .orderBy(tOrd, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))

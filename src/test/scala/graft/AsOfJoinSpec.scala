@@ -48,4 +48,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getAs[Long]("v_id") == 12L) // max id wins the tie
   }
+
+  test("forward direction picks earliest right >= left (inclusive)") {
+    val left = Seq(
+      (1L, 101L, 1000L), // next right at 1000 (equal, inclusive)
+      (1L, 102L, 1500L), // next right at 2000
+      (1L, 103L, 2500L), // nothing after -> dropped
+    ).toDF("user_id", "p_id", "p_us")
+    val right = Seq(
+      (1L, 11L, 500L),
+      (1L, 12L, 1000L),
+      (1L, 13L, 2000L),
+    ).toDF("user_id", "v_id", "v_us")
+    val out = AsOfJoin.join(left, right, "user_id", "p_us", "v_us", "v_id",
+        direction = "forward")
+      .orderBy("p_id")
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("v_id")))
+    assert(out.toSeq == Seq((101L, 12L), (102L, 13L)))
+  }
 }
