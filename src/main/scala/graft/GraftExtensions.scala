@@ -26,24 +26,62 @@ object GraftFunctions {
     TopKByScore(exprs(0), exprs(1), k).toAggregateExpression()
   }
 
+  // Column-composition functions (built from codegen'd builtins) exposed
+  // to SQL by round-tripping through the Column bridge: the builder
+  // receives child Expressions, wraps them as Columns, applies the same
+  // composition the DataFrame API uses, and unwraps the result — so SQL
+  // and DataFrame callers share ONE definition.
+  private def columnFn(f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { exprs =>
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // resolvedExpression (not expression): a registry builder's output
+    // skips the Dataset analysis path that would unwrap a lazy
+    // ColumnNodeExpression, so the conversion must happen eagerly here
+    ColumnBridge.resolvedExpression(f(exprs.map(ColumnBridge.column)))
+  }
+
+  val langIdBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.text.TextFunctions.langId(cs(0)))
+  val tokenCountBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.text.TextFunctions.tokenCount(cs(0)))
+  val bpeTokenCountBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.text.TextFunctions.bpeTokenCount(cs(0)))
+  val qualityScoreBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.text.TextFunctions.qualityScore(cs(0)))
+  val fingerprintBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.text.TextFunctions.fingerprint(cs(0)))
+  val ttlSecondsBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.parse.Parsers.ttlSeconds(cs(0), cs(1)))
+
+  /** Every (name, builder) the engine exposes to SQL. */
+  val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
+    ("cosine_sim", cosineBuilder, classOf[CosineSimilarity]),
+    ("topk_by_score", topkBuilder, classOf[TopKByScore]),
+    ("lang_id", langIdBuilder, classOf[Expression]),
+    ("token_count", tokenCountBuilder, classOf[Expression]),
+    ("bpe_token_count", bpeTokenCountBuilder, classOf[Expression]),
+    ("quality_score", qualityScoreBuilder, classOf[Expression]),
+    ("doc_fingerprint", fingerprintBuilder, classOf[graft.text.RollingHash]),
+    ("ttl_seconds", ttlSecondsBuilder, classOf[Expression]),
+  )
+
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "scala_udf")
-    reg.createOrReplaceTempFunction("topk_by_score", topkBuilder, "scala_udf")
+    all.foreach { case (name, builder, _) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
 
 /** Session-build-time injection of the same functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      GraftFunctions.cosineBuilder))
-    e.injectFunction((
-      FunctionIdentifier("topk_by_score"),
-      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
-      GraftFunctions.topkBuilder))
+    GraftFunctions.all.foreach { case (name, builder, cls) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
   }
 }

@@ -555,6 +555,20 @@ object SparkEntry {
         .select(col("c_id"), col("c_us"), col("p_id"), col("p_us"))
         .orderBy(col("c_id"))
     }),
+
+    // ---- pure-SQL text analysis via the engine's registered functions ----
+    "q48_sql_text_surface" -> ((s, d) => {
+      GraftFunctions.register(s)
+      tSpread(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT lang, lang_id(text) AS predicted,
+          | count(*) AS n_docs,
+          | sum(token_count(text)) AS total_tokens,
+          | round(avg(quality_score(text)), 4) AS avg_quality
+          |FROM documents
+          |GROUP BY lang, lang_id(text)
+          |ORDER BY lang, predicted""".stripMargin)
+    }),
   )
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
@@ -1090,6 +1104,38 @@ object SparkEntry {
         |   CASE WHEN quality < 0.05 THEN 'low_stopword' END,
         |   CASE WHEN punct_ratio > 0.2 THEN 'punct_heavy' END) = '') AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q48_sql_text_surface" ->
+      """WITH m AS (
+        | SELECT lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |   ELSE round(length(regexp_extract_all(lower(text),
+        |     '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |     array_length(regexp_split_to_array(trim(text), '\s+')), 4) END
+        |    AS quality,
+        |  length(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS s_en,
+        |  length(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        |  length(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+        |  length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+        |  length(regexp_extract_all(lower(text), '\b(de|le|shi|wo|ni)\b')) AS s_zh
+        | FROM documents),
+        |pred AS (
+        | SELECT lang, n_tokens, quality,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |   WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+        |   WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+        |   WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+        |   WHEN s_es > s_en THEN 'es'
+        |   ELSE 'en' END AS predicted
+        | FROM m)
+        |SELECT lang, predicted, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(quality), 4) AS avg_quality
+        |FROM pred GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin,
 
     "q47_asof_forward" ->
       """WITH clicks AS (

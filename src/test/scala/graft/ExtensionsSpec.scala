@@ -32,4 +32,36 @@ class ExtensionsSpec extends SparkSpec {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // builder-injection path wires up
   }
+
+  test("text/ttl functions usable from pure SQL, same results as Column API") {
+    GraftFunctions.register(spark)
+    Seq(
+      (1L, "the cat and the dog, it is fine"),
+      (2L, "el perro de la casa que ladra y"),
+      (3L, ""),
+    ).toDF("id", "text").createOrReplaceTempView("docs_sql")
+    val rows = spark.sql(
+      """SELECT id, lang_id(text) AS lang, token_count(text) AS toks,
+        |  bpe_token_count(text) AS bpe, quality_score(text) AS q,
+        |  doc_fingerprint(text) AS fp
+        |FROM docs_sql ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getString(1) == "en")
+    assert(rows(1).getString(1) == "es")
+    assert(rows(2).getString(1) == "und")
+    assert(rows(0).getInt(2) == 8)
+    // Column-API parity on the same data
+    import org.apache.spark.sql.functions.col
+    val viaColumns = spark.table("docs_sql")
+      .select(col("id"), graft.text.TextFunctions.langId(col("text")),
+        graft.text.TextFunctions.fingerprint(col("text")))
+      .orderBy("id").collect()
+    rows.zip(viaColumns).foreach { case (a, b) =>
+      assert(a.getString(1) == b.getString(1))
+      assert(a.getLong(5) == b.getLong(2))
+    }
+    val ttl = spark.sql(
+      "SELECT ttl_seconds(DATE'2024-01-03', DATE'2024-01-01') AS t").collect()
+    assert(ttl(0).getLong(0) == 43200L) // <=7 days ahead tier
+    spark.catalog.dropTempView("docs_sql")
+  }
 }
