@@ -53,8 +53,19 @@ object GraftFunctions {
   val ttlSecondsBuilder: Seq[Expression] => Expression =
     columnFn(cs => graft.parse.Parsers.ttlSeconds(cs(0), cs(1)))
 
+  val hllBuilder: Seq[Expression] => Expression = exprs => {
+    val p = if (exprs.length < 2) 9 else exprs(1).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"hll_distinct precision must be an integer literal, got $other")
+    }
+    graft.sketch.HllDistinct(exprs(0), p).toAggregateExpression()
+  }
+
   /** Every (name, builder) the engine exposes to SQL. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
+    ("hll_distinct", hllBuilder, classOf[graft.sketch.HllDistinct]),
     ("cosine_sim", cosineBuilder, classOf[CosineSimilarity]),
     ("topk_by_score", topkBuilder, classOf[TopKByScore]),
     ("lang_id", langIdBuilder, classOf[Expression]),

@@ -569,6 +569,19 @@ object SparkEntry {
           |GROUP BY lang, lang_id(text)
           |ORDER BY lang, predicted""".stripMargin)
     }),
+
+    // ---- HLL distinct sketch vs exact, per language ----
+    "q49_hll_distinct" -> ((s, d) => {
+      import graft.sketch.HllSketch.hll_distinct
+      val toks = tSpread(s, d, "documents")
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      toks.groupBy(col("lang"))
+        .agg(hll_distinct(col("token"), 9).as("est_tokens"),
+          countDistinct(col("token")).as("exact_tokens"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
@@ -1136,6 +1149,45 @@ object SparkEntry {
         | round(avg(quality), 4) AS avg_quality
         |FROM pred GROUP BY lang, predicted
         |ORDER BY lang, predicted""".stripMargin,
+
+    // HLL replay: same FNV hash, bucket = u mod 512, rho from the binary
+    // length of u div 512, registers max-merged per (lang, bucket), then
+    // the exact-integer indicator sum S = Σ 2^(56 - rho) so the estimate
+    // is one deterministic double divide on both engines.
+    "q49_hll_distinct" ->
+      s"""WITH toks AS (
+        |  SELECT lang, t AS token FROM (
+        |    SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |dt AS (SELECT DISTINCT lang, token FROM toks),
+        |h AS (SELECT lang, ${fnvSql("token", "f")} AS u FROM dt),
+        |r AS (
+        |  SELECT lang, CAST(u % 512 AS INT) AS bucket,
+        |   max(CASE WHEN u // 512 = 0 THEN 56
+        |        ELSE 56 - length(printf('%b', CAST(u // 512 AS BIGINT))) END)
+        |     AS rho
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang,
+        |   sum(CAST(power(2, 56 - rho) AS HUGEINT))
+        |     + (512 - count(*)) * CAST(power(2, 56) AS HUGEINT) AS s,
+        |   512 - count(*) AS zeros
+        |  FROM r GROUP BY 1),
+        |est AS (
+        |  SELECT lang,
+        |   (0.7213 / (1 + 1.079 / 512)) * 262144.0 * power(2, 56)
+        |     / CAST(s AS DOUBLE) AS raw, zeros
+        |  FROM agg),
+        |ex AS (SELECT lang, count(DISTINCT token) AS exact_tokens FROM toks
+        |       GROUP BY 1)
+        |SELECT e.lang,
+        | CAST(round(CASE WHEN e.raw <= 1280.0 AND e.zeros > 0
+        |   THEN 512 * ln(512.0 / e.zeros) ELSE e.raw END) AS BIGINT)
+        |   AS est_tokens,
+        | x.exact_tokens
+        |FROM est e JOIN ex x ON e.lang = x.lang
+        |ORDER BY e.lang""".stripMargin,
 
     "q47_asof_forward" ->
       """WITH clicks AS (

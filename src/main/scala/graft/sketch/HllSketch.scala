@@ -1,0 +1,135 @@
+package graft.sketch
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog register file: 2^p byte registers, max-merged.
+  *
+  * Hash is FNV-1a 64 ([[graft.text.RollingHash.hashToken]]) — closed
+  * form, so the ENTIRE sketch (registers and estimate) is replayable in
+  * plain SQL by the DuckDB oracle; not just "approximately right", but
+  * bit-identical. bucket = low p bits; rho = leading-zero rank of the
+  * remaining 64-p bits (≥1).
+  */
+final class HllBuffer(val p: Int) {
+  val m: Int = 1 << p
+  var registers: Array[Byte] = new Array[Byte](m)
+
+  def update(h: Long): Unit = {
+    val bucket = (h & (m - 1)).toInt
+    val w = h >>> p
+    val rho =
+      if (w == 0L) 64 - p + 1
+      else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+    if (rho > registers(bucket)) registers(bucket) = rho.toByte
+  }
+
+  def mergeFrom(o: HllBuffer): Unit = {
+    var i = 0
+    while (i < m) {
+      if (o.registers(i) > registers(i)) registers(i) = o.registers(i)
+      i += 1
+    }
+  }
+
+  /** Flajolet-et-al estimate with the small-range linear-counting
+    * correction. The indicator sum is computed EXACTLY as the integer
+    * S = Σ 2^(R - rho_j) (R = 64 - p + 1), so the only floating-point
+    * steps are one multiply chain and one divide — giving the oracle a
+    * deterministic value to reproduce (a naive Σ 2^-rho double sum would
+    * depend on register visit order). */
+  def estimate: Long = {
+    val bigR = 64 - p + 1
+    var s = BigInt(0)
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      s += BigInt(1) << (bigR - registers(i))
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val raw = alpha * (m.toDouble * m.toDouble) * math.pow(2.0, bigR) / s.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+}
+
+/** `hll_distinct(col, p)` — approximate COUNT(DISTINCT col) as a custom
+  * catalyst aggregate (SURVEY §2.12 extension point; the at-scale
+  * distinct for the training-data pipeline).
+  *
+  * Versus exact `count(distinct x)`: exact distinct must shuffle every
+  * distinct value (an Expand + two aggregate passes); this sketch is a
+  * fixed 2^p bytes per group, combines map-side, and its merge is a
+  * register-wise max — at 100 TB the shuffle carries kilobytes per
+  * group instead of the value universe.
+  */
+case class HllDistinct(
+    child: Expression, p: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+
+  override def update(b: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      b.update(graft.text.RollingHash.hashToken(v.asInstanceOf[UTF8String]))
+    b
+  }
+
+  override def merge(b: HllBuffer, o: HllBuffer): HllBuffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: HllBuffer): Any = b.estimate
+
+  override def serialize(b: HllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.p)
+    out.write(b.registers)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new HllBuffer(in.readInt())
+    in.readFully(b.registers)
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HllDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
+object HllSketch {
+  /** `hll_distinct($"col", p)` aggregate Column (m = 2^p registers). */
+  def hll_distinct(col: Column, p: Int = 9): Column =
+    ColumnBridge.column(
+      HllDistinct(ColumnBridge.expression(col), p).toAggregateExpression())
+}

@@ -64,4 +64,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(ttl(0).getLong(0) == 43200L) // <=7 days ahead tier
     spark.catalog.dropTempView("docs_sql")
   }
+
+  test("hll_distinct usable from pure SQL") {
+    GraftFunctions.register(spark)
+    spark.range(3).selectExpr("concat('v', id % 3) AS t")
+      .createOrReplaceTempView("hll_sql")
+    val est = spark.sql("SELECT hll_distinct(t, 9) AS e FROM hll_sql")
+      .head().getLong(0)
+    assert(est == 3L)
+    spark.catalog.dropTempView("hll_sql")
+  }
 }
