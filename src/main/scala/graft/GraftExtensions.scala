@@ -85,7 +85,8 @@ object GraftFunctions {
   }
 }
 
-/** Session-build-time injection of the same functions. */
+/** Session-build-time injection of the same functions, plus the
+  * range-join optimizer rewrite ([[graft.plans.RangeJoinRule]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, cls) =>
@@ -94,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(cls.getName, name),
         builder))
     }
+    e.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
   }
 }

@@ -582,6 +582,26 @@ object SparkEntry {
           countDistinct(col("token")).as("exact_tokens"))
         .orderBy(col("lang"))
     }),
+
+    // ---- optimizer-rewritten interval join: the user writes the NATURAL
+    // theta predicate; RangeJoinRule plans the bucketed equi-join ----
+    "q50_range_join_rule" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[
+          graft.plans.RangeJoinRule]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.RangeJoinRule
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val l = e.select(col("user_id").as("k"), col("event_id").as("l_id"),
+        col("us").as("l_us"))
+      val r = e.select(col("user_id").as("k"), col("event_id").as("r_id"),
+        col("us").as("r_us"))
+      l.join(r, l("k") === r("k") &&
+          r("r_us") > l("l_us") && r("r_us") <= l("l_us") + 300000000L)
+        .groupBy(l("k").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
@@ -1071,6 +1091,13 @@ object SparkEntry {
         |ORDER BY p.p_id""".stripMargin,
 
     "q44_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q50_range_join_rule" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b ON a.user_id = b.user_id
         | AND epoch_us(b.ts) > epoch_us(a.ts)
