@@ -602,6 +602,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     }),
+
+    // ---- boilerplate detector: n-grams shared across many documents ----
+    "q51_boilerplate_ngrams" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_toks"))
+      docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextFunctions.shinglesFromTokens(col("_toks"), 5))).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("ngram"))
+        .limit(20)
+    }),
+
+    // ---- per-label embedding centroids (long format: one row per dim) ----
+    "q52_label_centroids" -> ((s, d) => {
+      tSpread(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("dim"))
+        .agg(round(avg(col("col")), 4).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("dim"))
+    }),
   )
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
@@ -1096,6 +1119,25 @@ object SparkEntry {
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q51_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+        |  FROM toks, unnest(range(1, array_length(t) - 3)) AS r(i)
+        |  WHERE array_length(t) >= 5)
+        |SELECT ngram, count(*) AS n_docs FROM sh
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+
+    "q52_label_centroids" ->
+      """SELECT label, i AS dim,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
+        | count(*) AS n_vecs
+        |FROM embeddings, unnest(range(1, array_length(embedding) + 1)) AS r(i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
     "q50_range_join_rule" ->
       """SELECT a.user_id, count(*) AS n_pairs
