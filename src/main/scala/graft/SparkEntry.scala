@@ -616,6 +616,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- skew-salted join (manual AQE-skew-join form, row-identical) ----
+    "q53_salted_join" -> ((s, d) => {
+      import graft.plans.SaltedJoin
+      val o = t(s, d, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      SaltedJoin.join(o, c, Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- per-label embedding centroids (long format: one row per dim) ----
     "q52_label_centroids" -> ((s, d) => {
       tSpread(s, d, "embeddings")
@@ -1131,6 +1144,12 @@ object SparkEntry {
         |SELECT ngram, count(*) AS n_docs FROM sh
         |GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+
+    "q53_salted_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "q52_label_centroids" ->
       """SELECT label, i AS dim,

@@ -25,6 +25,26 @@ object BucketedStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Hive-style date-partitioned layout (the staging/fact layout at
+    * scale, SURVEY S3's `raw_events/YYYY/MM/DD` restated): one
+    * directory per date, so a date predicate becomes PARTITION pruning —
+    * the scan lists only matching directories, no data file of any other
+    * date is opened. This is the layout under `Tables.eventsBetween`'s
+    * design note, made writable. */
+  def saveDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    df.withColumn("p_date", to_date(col(dateCol)))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+  }
+
+  /** Partition-pruned single-date read of a [[saveDatePartitioned]]
+    * layout. The filter compares the PARTITION column, so it resolves
+    * during file listing (PartitionFilters in the scan), not per row. */
+  def readDate(spark: SparkSession, path: String, date: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    spark.read.parquet(path).filter(col("p_date") === to_date(lit(date)))
+  }
+
   /** Upsert `source` into the bucketed `table` and rewrite it.
     * Bucketing `source` identically first makes the merge join
     * co-located: no Exchange on either side. */

@@ -55,4 +55,33 @@ class BucketedStoreSpec extends SparkSpec {
     assert(salted.except(direct).count() == 0)
     assert(direct.except(salted).count() == 0)
   }
+
+  test("date-partitioned layout: a date filter is PARTITION pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-02 11:00:00", "b"),
+      (3L, "2024-01-02 12:00:00", "c"),
+      (4L, "2024-01-03 13:00:00", "d"),
+    ).toDF("id", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    BucketedStore.saveDatePartitioned(df, dir, "ts")
+    val one = BucketedStore.readDate(spark, dir, "2024-01-02")
+    // execute THIS plan so its scan metrics populate
+    assert(one.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
+    // the predicate must land in PartitionFilters (file-listing time),
+    // not PushedFilters (row time)
+    val scan = one.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("p_date"), s"no partition filter in:\n$scan")
+    // only the matching date directory's files are read (numFiles metric
+    // of the executed scan; inputFiles would show the unpruned listing)
+    val numFiles = one.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }
+    assert(numFiles.contains(2L), s"numFiles=$numFiles")
+  }
 }

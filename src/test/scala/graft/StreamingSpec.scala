@@ -91,6 +91,30 @@ class StreamingSpec extends SparkSpec {
     assert(collected.map(_._1).sorted == Seq(1L, 2L)) // duplicate dropped
   }
 
+  test("custom sketch aggregates work in streaming: hll_distinct per group") {
+    import graft.sketch.HllSketch.hll_distinct
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest.eventStream(spark, sf)
+    val agg = streamed.groupBy(col("event_type"))
+      .agg(hll_distinct(col("user_id").cast("string"), 9).as("est_users"))
+    val ckpt = Files.createTempDirectory("graft-ckpt-hll").toString
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val streamedEst = spark.table("hll_stream")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // identical to the batch sketch: register max-merge is incremental-
+    // execution-proof, the property that makes it a streaming aggregate
+    val batchEst = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(hll_distinct(col("user_id").cast("string"), 9).as("est_users"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamedEst == batchEst)
+    assert(streamedEst.forall(_._2 > 0))
+  }
+
   test("foreachBatch merge stream is insert-if-absent and idempotent") {
     val dir = Files.createTempDirectory("graft-stream-src")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
