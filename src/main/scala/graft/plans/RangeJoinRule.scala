@@ -71,12 +71,12 @@ class RangeJoinRule extends Rule[LogicalPlan] {
         lower = Some((rt, lt))
       case LessThanOrEqual(rt: AttributeReference, Add(lt: AttributeReference, w, _))
           if rt.dataType == LongType && fromSide(rt, right) &&
-            fromSide(lt, left) && w.foldable && w.dataType == LongType =>
-        upper = Some((rt, lt, w.eval().asInstanceOf[Long]))
+            fromSide(lt, left) && windowOf(w).isDefined =>
+        upper = Some((rt, lt, windowOf(w).get))
       case GreaterThanOrEqual(Add(lt: AttributeReference, w, _), rt: AttributeReference)
           if rt.dataType == LongType && fromSide(rt, right) &&
-            fromSide(lt, left) && w.foldable && w.dataType == LongType =>
-        upper = Some((rt, lt, w.eval().asInstanceOf[Long]))
+            fromSide(lt, left) && windowOf(w).isDefined =>
+        upper = Some((rt, lt, windowOf(w).get))
       case other => rest ::= other
     }
 
@@ -88,6 +88,17 @@ class RangeJoinRule extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+
+  /** The window width, only when it is a foldable NON-NULL positive
+    * long — a null literal must not NPE inside the optimizer (a thrown
+    * rule would fail every query in the session). */
+  private def windowOf(w: Expression): Option[Long] =
+    if (w.foldable && w.dataType == LongType)
+      w.eval() match {
+        case l: java.lang.Long if l > 0 => Some(l)
+        case _ => None
+      }
+    else None
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)

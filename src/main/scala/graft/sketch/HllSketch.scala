@@ -93,8 +93,16 @@ case class HllDistinct(
 
   override def update(b: HllBuffer, input: InternalRow): HllBuffer = {
     val v = child.eval(input)
-    if (v != null)
-      b.update(graft.text.RollingHash.hashToken(v.asInstanceOf[UTF8String]))
+    if (v != null) {
+      // non-string inputs hash their canonical string rendering (the
+      // same bytes `CAST(x AS VARCHAR)` gives the SQL oracle) instead of
+      // throwing a runtime ClassCastException
+      val s = v match {
+        case u: UTF8String => u
+        case other => UTF8String.fromString(other.toString)
+      }
+      b.update(graft.text.RollingHash.hashToken(s))
+    }
     b
   }
 
