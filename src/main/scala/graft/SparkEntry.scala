@@ -629,6 +629,19 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- bloom-pruned semi-join (explicit runtime-filter pattern) ----
+    "q54_bloom_semijoin" -> ((s, d) => {
+      import graft.sketch.BloomPrune
+      val small = t(s, d, "part").filter(col("p_size") === 1)
+      val big = t(s, d, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+      BloomPrune.semiJoin(big, small.select(col("p_partkey")), "p_partkey")
+        .groupBy(col("p_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- per-label embedding centroids (long format: one row per dim) ----
     "q52_label_centroids" -> ((s, d) => {
       tSpread(s, d, "embeddings")
@@ -1144,6 +1157,13 @@ object SparkEntry {
         |SELECT ngram, count(*) AS n_docs FROM sh
         |GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+
+    "q54_bloom_semijoin" ->
+      """SELECT l_partkey AS p_partkey,
+        | round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+        |GROUP BY 1 ORDER BY p_partkey""".stripMargin,
 
     "q53_salted_join" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,

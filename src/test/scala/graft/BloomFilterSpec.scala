@@ -1,0 +1,43 @@
+package graft
+
+import graft.sketch.{BloomBits, BloomPrune}
+import org.apache.spark.sql.functions._
+
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives; false-positive rate near theory") {
+    val b = new BloomBits(1 << 16, 5)
+    (1L to 2000L).foreach(b.add)
+    assert((1L to 2000L).forall(b.mightContain))
+    val fps = (100000L to 120000L).count(b.mightContain)
+    // m/n = 32.8 bits/key, k=5 -> theoretical fp ~ 0.1%; allow 10x slack
+    assert(fps < 200, s"false positives: $fps / 20000")
+  }
+
+  test("distributed bloom_agg equals a locally-built filter") {
+    val keys = (1L to 5000L).map(k => k * 7)
+    val bytes = keys.toDF("k").repartition(7)
+      .agg(BloomPrune.bloom_agg(col("k"), 1 << 16, 5))
+      .head().getAs[Array[Byte]](0)
+    val dist = BloomBits.deserialize(bytes)
+    val local = new BloomBits(1 << 16, 5)
+    keys.foreach(local.add)
+    assert(dist.words.toSeq == local.words.toSeq) // OR-merge is exact
+  }
+
+  test("bloom semi-join equals plain semi-join; pre-filter prunes") {
+    val big = (1L to 50000L).map(i => (i, s"row$i")).toDF("k", "v")
+    val small = (1L to 500L).map(i => (i * 100, s"dim$i")).toDF("k", "d")
+    val plain = big.join(small.select("k").distinct(), Seq("k"), "left_semi")
+    val bloom = BloomPrune.semiJoin(big, small, "k")
+    assert(bloom.count() == plain.count())
+    assert(bloom.except(plain).count() == 0 && plain.except(bloom).count() == 0)
+    // the map-side pre-filter alone keeps all matches and prunes most rest
+    val bytes = small.agg(BloomPrune.bloom_agg(col("k")))
+      .head().getAs[Array[Byte]](0)
+    val prunedCount = BloomPrune.prune(big, "k", bytes).count()
+    assert(prunedCount >= 500 && prunedCount < 2000,
+      s"pruned to $prunedCount of 50000")
+  }
+}
