@@ -651,6 +651,122 @@ object SparkEntry {
           count(lit(1)).as("n_vecs"))
         .orderBy(col("label"), col("dim"))
     }),
+
+    // ---- PII scrub: detect + mask emails/phones/IPs (synthetic contact
+    // strings derived deterministically from the customer table) ----
+    "q55_pii_redact" -> ((s, d) => {
+      import graft.text.Pii
+      val contact = concat_ws(" ", col("c_name"), lit("email"),
+        concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+          lit("@example.com")),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("phone 504-555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit("ip 10."), (col("c_custkey") % 256).cast("string"),
+            lit("."), (floor(col("c_custkey") / 256) % 256).cast("string"),
+            lit(".1"))))
+      t(s, d, "customer")
+        .select(col("c_custkey"), contact.as("contact"))
+        .select(col("c_custkey"),
+          Pii.emailCount(col("contact")).cast("bigint").as("n_email"),
+          Pii.phoneCount(col("contact")).cast("bigint").as("n_phone"),
+          Pii.ipCount(col("contact")).cast("bigint").as("n_ip"),
+          Pii.redact(col("contact")).as("redacted"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- Gopher-style within-document repetition stats ----
+    "q56_doc_repetition" -> ((s, d) => {
+      val toks = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      val tok = toks.select(col("doc_id"), explode(col("ts")).as("t"))
+      val tstat = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("n"))
+      val bi = toks.select(col("doc_id"),
+          TextFunctions.shinglesFromTokens(col("ts"), 2).as("bs"))
+        .filter(size(col("bs")) > 0)
+        .select(col("doc_id"), size(array_distinct(col("bs"))).as("dbi"),
+          size(col("bs")).as("tbi"))
+      tstat.join(bi, Seq("doc_id"))
+        .select(col("doc_id"), col("n").cast("bigint").as("n_tokens"),
+          round(col("mx").cast("double") / col("n"), 4).as("top_token_frac"),
+          round(lit(1.0) - col("dbi").cast("double") / col("tbi"), 4)
+            .as("dup_bigram_frac"))
+        .withColumn("flagged",
+          col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- sequence packing: concat docs into 2048-token training bins,
+    // per source partition (parallel, deterministic — no global sort) ----
+    "q57_sequence_pack" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .withColumn("pack_id",
+          floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(2048L)))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .orderBy(col("source"), col("pack_id"))
+    }),
+
+    // ---- train/eval contamination: train docs sharing a 4-gram with the
+    // held-out split (doc_id % 20 == 0) ----
+    "q58_contamination" -> ((s, d) => {
+      val grams = tSpread(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("ts"), 4))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(evalGrams, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- global vocabulary: top terms by collection frequency ----
+    "q59_vocab_topk" -> ((s, d) => {
+      tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(100)
+    }),
+
+    // ---- per-doc top TF-IDF terms (rank by tf desc, df asc, term) ----
+    "q60_tfidf_terms" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(broadcast(df), "term").crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // ---- simhash near-dup pairs via pigeonhole band blocking ----
+    "q61_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashHammingPairs(tSpread(s, d, "documents"), "text", "doc_id",
+        maxHamming = 3, nBands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
@@ -1409,5 +1525,130 @@ object SparkEntry {
         | coalesce(c.n_events, 0) AS n_events
         |FROM dates d LEFT JOIN counts c ON d.date = c.date
         |ORDER BY event_date""".stripMargin,
+
+    "q55_pii_redact" ->
+      """WITH base AS (
+        | SELECT c_custkey, concat_ws(' ', c_name, 'email',
+        |   lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com',
+        |   CASE WHEN c_custkey % 3 = 0 THEN 'phone 504-555-' ||
+        |     lpad((c_custkey % 10000)::VARCHAR, 4, '0') END,
+        |   CASE WHEN c_custkey % 5 = 0 THEN 'ip 10.' ||
+        |     (c_custkey % 256)::VARCHAR || '.' ||
+        |     (CAST(floor(c_custkey / 256) AS BIGINT) % 256)::VARCHAR || '.1' END
+        |  ) AS contact
+        | FROM customer)
+        |SELECT c_custkey,
+        | length(regexp_extract_all(contact,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        | length(regexp_extract_all(contact, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        | length(regexp_extract_all(contact,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        | regexp_replace(regexp_replace(regexp_replace(contact,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM base ORDER BY c_custkey""".stripMargin,
+
+    "q56_doc_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n
+        | FROM tc GROUP BY 1),
+        |bi AS (SELECT doc_id,
+        |  list_transform(range(0, array_length(ts) - 1),
+        |    i -> ts[i + 1] || ' ' || ts[i + 2]) AS bs
+        | FROM toks WHERE array_length(ts) >= 2),
+        |bstat AS (SELECT doc_id,
+        |  array_length(list_distinct(bs)) AS dbi, array_length(bs) AS tbi
+        | FROM bi)
+        |SELECT t.doc_id, t.n AS n_tokens,
+        | round(t.mx::DOUBLE / t.n, 4) AS top_token_frac,
+        | round(1.0 - b.dbi::DOUBLE / b.tbi, 4) AS dup_bigram_frac,
+        | (round(t.mx::DOUBLE / t.n, 4) > 0.2 OR
+        |  round(1.0 - b.dbi::DOUBLE / b.tbi, 4) > 0.4) AS flagged
+        |FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q57_sequence_pack" ->
+      """WITH tokd AS (
+        | SELECT source, doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS n_tokens
+        | FROM documents),
+        |p AS (
+        | SELECT source, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |    - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        | FROM tokd)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    "q58_contamination" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   list_transform(range(0, array_length(ts) - 3),
+        |     i -> array_to_string(ts[(i + 1):(i + 4)], ' ')))) AS g
+        | FROM toks WHERE array_length(ts) >= 4),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_shared_ngrams
+        |FROM grams JOIN ev USING (g)
+        |WHERE doc_id % 20 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q59_vocab_topk" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+        | FROM documents WHERE length(trim(text)) > 0)
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM tok GROUP BY term
+        |ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+
+    "q60_tfidf_terms" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        | SELECT doc_id, term, tf, df,
+        |  round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, df ASC, term) AS rk
+        | FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, tfidf FROM sc
+        |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    // replays q24's simhash signature, then exact popcount(xor) pairs —
+    // the oracle does the O(n²) cross check the engine's band blocking
+    // provably equals for hamming <= nBands-1
+    "q61_simhash_pairs" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes),
+        |s2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM sig)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

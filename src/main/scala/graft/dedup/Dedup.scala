@@ -350,6 +350,66 @@ object Dedup {
       simUdf(split(trim(col(textCol)), "\\s+")).as("simhash"))
   }
 
+  /** SimHash near-dup pairs within `maxHamming` bit flips, found WITHOUT a
+    * cross product: split each 64-bit signature into `nBands` contiguous
+    * chunks; by pigeonhole, any pair within distance `nBands - 1` agrees
+    * on at least one whole chunk, so candidates come from an equi-group on
+    * (band, chunk). One shuffle on the chunk key, map-side pair expansion
+    * from each bucket's sorted member list (same single-shuffle shape as
+    * the LSH path), then an exact popcount(xor) filter over the — tiny —
+    * candidate set. At 100 TB the bucket lists are bounded by true
+    * near-dup density, not corpus size.
+    *
+    * Exactness: blocked result == brute-force O(n²) result for
+    * maxHamming ≤ nBands - 1 (enforced). */
+  def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming < nBands ($maxHamming >= $nBands)")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = simhash(df, textCol, idCol)
+    val bands = sig.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * width)
+            .bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)).as("bc"))
+      .select(struct(col("id"), col("simhash")).as("m"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val buckets = bands.groupBy("band", "chunk")
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val cand = buckets
+      .select(explode(sigPairCombinations(col("ms"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("sig_a"), col("p._4").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Pair generator over (id, sig) members sorted by id — carries both
+    * signatures through so no join back is needed. Primitive loop for the
+    * same codegen reasons as [[pairCombinations]]. */
+  private val sigPairCombinations = udf { (ms: Seq[org.apache.spark.sql.Row]) =>
+    val n = ms.size
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](
+      math.max(n * (n - 1) / 2, 1))
+    var i = 0
+    while (i < n) {
+      val (ia, sa) = (ms(i).getLong(0), ms(i).getLong(1))
+      var j = i + 1
+      while (j < n) { out += ((ia, ms(j).getLong(0), sa, ms(j).getLong(1))); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates
     * restricted by a blocking column (label or LSH bucket) to keep the
     * pair space linear-ish at scale. */

@@ -76,6 +76,35 @@ class DedupSpec extends SparkSpec {
     assert(hamming14 < hamming15)
   }
 
+  test("simhash banded pairs == brute-force pairs for hamming <= nBands-1") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),     // h = 0
+      (3L, "the quick brown fox jumps over the sleepy dog"),   // small h
+      (4L, "completely different words entirely here now ok"),
+      (5L, "another unrelated document about spark and scala"),
+      (6L, "the quick brown fox leaps over the lazy dog"),     // small h
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = Dedup.simhashHammingPairs(corpus, "text", "doc_id",
+        maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(banded.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+  }
+
+  test("simhashHammingPairs rejects a threshold the banding cannot prove") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashHammingPairs(docs, "text", "doc_id",
+        maxHamming = 4, nBands = 4)
+    }
+  }
+
   test("embedding near-dup pairs via cosine over blocked candidates") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), "a"),
