@@ -767,6 +767,29 @@ object SparkEntry {
         maxHamming = 3, nBands = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // ---- as-of join through the CUSTOM PHYSICAL OPERATOR (logical node
+    // + strategy + merge exec) — same semantics as q31's compositional
+    // window form, planned as one shuffle+sort per side ----
+    "q62_asof_physical" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val views = {
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"),
+            unix_micros(col("ts")).as("v_us"))
+        val w = Window.partitionBy(col("user_id"), col("v_us"))
+          .orderBy(col("v_id").desc)
+        v.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+      graft.plans.AsOfJoinPhysical.join(purchases, views,
+          "user_id", "p_us", "v_us")
+        .select(col("p_id"), col("p_us"), col("v_id"), col("v_us"))
+        .orderBy(col("p_id"))
+    }),
   )
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
@@ -1650,5 +1673,21 @@ object SparkEntry {
         |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q62_asof_physical" ->
+      """WITH purchases AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |views0 AS (
+        |  SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |views AS (
+        |  SELECT user_id, v_id, v_us FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, v_us
+        |      ORDER BY v_id DESC) AS rn FROM views0) WHERE rn = 1)
+        |SELECT p.p_id, p.p_us, v.v_id, v.v_us
+        |FROM purchases p ASOF JOIN views v
+        |  ON p.user_id = v.user_id AND v.v_us <= p.p_us
+        |ORDER BY p.p_id""".stripMargin,
   )
 }
