@@ -63,9 +63,30 @@ object GraftFunctions {
     graft.sketch.HllDistinct(exprs(0), p).toAggregateExpression()
   }
 
+  val histQuantileBuilder: Seq[Expression] => Expression = exprs => {
+    def dbl(e: Expression, what: String): Double = e.eval(null) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"hist_quantile $what must be a numeric literal, got $other")
+    }
+    val bins = if (exprs.length < 5) 256 else exprs(4).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"hist_quantile bins must be an integer literal, got $other")
+    }
+    graft.sketch.HistQuantileAgg(exprs(0), dbl(exprs(1), "q"),
+      dbl(exprs(2), "lo"), dbl(exprs(3), "hi"), bins).toAggregateExpression()
+  }
+
   /** Every (name, builder) the engine exposes to SQL. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("hll_distinct", hllBuilder, classOf[graft.sketch.HllDistinct]),
+    ("hist_quantile", histQuantileBuilder, classOf[graft.sketch.HistQuantileAgg]),
     ("cosine_sim", cosineBuilder, classOf[CosineSimilarity]),
     ("topk_by_score", topkBuilder, classOf[TopKByScore]),
     ("lang_id", langIdBuilder, classOf[Expression]),

@@ -790,6 +790,44 @@ object SparkEntry {
         .select(col("p_id"), col("p_us"), col("v_id"), col("v_us"))
         .orderBy(col("p_id"))
     }),
+
+    // ---- mergeable histogram-quantile sketch (fixed 256-bin state per
+    // group; the 100 TB alternative to q41's exact sort-based percentile)
+    "q63_hist_quantile" -> ((s, d) => {
+      import graft.sketch.HistQuantile.hist_quantile
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(hist_quantile(col("value"), 0.5, 0.0, 500.0, 256), 4)
+            .as("p50_est"),
+          round(hist_quantile(col("value"), 0.95, 0.0, 500.0, 256), 4)
+            .as("p95_est"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- source mixing: deterministic token-budget downsampling per
+    // source (the data-mixture stage of a training pipeline) ----
+    "q64_source_mixing" -> ((s, d) => {
+      val tokd = tSpread(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      val rates = tokd.groupBy("source")
+        .agg(sum("n_tokens").as("total_tokens"))
+        .withColumn("rate_bps",
+          least(lit(10000L),
+            floor(lit(5000L * 10000L) / col("total_tokens")).cast("long")))
+      // md5-derived bucket (not rand()): reproducible across engines and
+      // recomputable from the key alone at 100 TB
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("bigint") % 10000).as("bucket")
+      tokd.withColumn("bucket", bucket)
+        .join(broadcast(rates), "source")
+        .filter(col("bucket") < col("rate_bps"))
+        .groupBy(col("source"), col("rate_bps"))
+        .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("tokens_kept"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
@@ -1689,5 +1727,64 @@ object SparkEntry {
         |FROM purchases p ASOF JOIN views v
         |  ON p.user_id = v.user_id AND v.v_us <= p.p_us
         |ORDER BY p.p_id""".stripMargin,
+
+    // bit-for-bit histogram-sketch replay: identical IEEE binning
+    // ((v-lo)/w floor, clamp), identical rank math in DOUBLE (the ::DOUBLE
+    // on the quantile literals matters — DECIMAL×BIGINT would round
+    // differently from the engine's double multiply at rank edges), and
+    // identical interpolation expression shape.
+    "q63_hist_quantile" ->
+      """WITH params AS (SELECT 0.0 AS lo, 500.0 AS hi, 256 AS bins),
+        |binned AS (
+        | SELECT event_type,
+        |  CAST(CASE WHEN floor((value - lo) / ((hi - lo) / bins)) < 0 THEN 0
+        |   WHEN floor((value - lo) / ((hi - lo) / bins)) >= bins THEN bins - 1
+        |   ELSE floor((value - lo) / ((hi - lo) / bins)) END AS INT) AS bin
+        | FROM events, params),
+        |b AS (SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+        |cum AS (SELECT event_type, bin, c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc FROM b),
+        |ranked AS (
+        | SELECT c2.event_type, q.q, c2.bin, c2.c, c2.cumc, t.n,
+        |  greatest(1, CAST(ceil(q.q * t.n) AS BIGINT)) AS rank
+        | FROM cum c2 JOIN tot t USING (event_type), qs q),
+        |hit AS (
+        | SELECT event_type, q, bin, c, cumc, rank,
+        |  row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+        | FROM ranked WHERE cumc >= rank),
+        |est AS (
+        | SELECT h.event_type, h.q,
+        |  round(lo + ((hi - lo) / bins) *
+        |    (h.bin + (h.rank - (h.cumc - h.c))::DOUBLE / h.c), 4) AS e
+        | FROM hit h, params WHERE rn = 1)
+        |SELECT e1.event_type, e1.e AS p50_est, e2.e AS p95_est, t.n AS n_events
+        |FROM est e1
+        | JOIN est e2 ON e1.event_type = e2.event_type
+        |   AND e1.q = 0.5 AND e2.q = 0.95
+        | JOIN tot t ON t.event_type = e1.event_type
+        |ORDER BY e1.event_type""".stripMargin,
+
+    "q64_source_mixing" ->
+      """WITH tokd AS (
+        | SELECT source, doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS n_tokens
+        | FROM documents),
+        |rates AS (
+        | SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  least(10000, CAST(floor(50000000.0 / sum(n_tokens)) AS BIGINT))
+        |    AS rate_bps
+        | FROM tokd GROUP BY 1),
+        |kept AS (
+        | SELECT t.source, r.rate_bps, t.n_tokens
+        | FROM tokd t JOIN rates r USING (source)
+        | WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |   % 10000 < r.rate_bps)
+        |SELECT source, rate_bps, count(*) AS n_docs_kept,
+        | CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        |FROM kept GROUP BY 1, 2 ORDER BY source""".stripMargin,
   )
 }

@@ -74,4 +74,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(est == 3L)
     spark.catalog.dropTempView("hll_sql")
   }
+
+  test("hist_quantile usable from pure SQL, matches Column API") {
+    GraftFunctions.register(spark)
+    spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("hq_sql")
+    val viaSql = spark.sql(
+      "SELECT hist_quantile(v, 0.5, 0.0, 1000.0, 100) AS e FROM hq_sql")
+      .head().getDouble(0)
+    val viaCol = spark.table("hq_sql")
+      .agg(graft.sketch.HistQuantile.hist_quantile(
+        org.apache.spark.sql.functions.col("v"), 0.5, 0.0, 1000.0, 100))
+      .head().getDouble(0)
+    assert(viaSql == viaCol)
+    assert(math.abs(viaSql - 500.0) <= 10.0)
+    spark.catalog.dropTempView("hq_sql")
+  }
 }
