@@ -678,20 +678,29 @@ object SparkEntry {
 
     // ---- Gopher-style within-document repetition stats ----
     "q56_doc_repetition" -> ((s, d) => {
-      val toks = tSpread(s, d, "documents")
+      // ONE exploded lineage, bigrams via lead() and per-token counts via
+      // a count window — array-lambda shingling (transform+slice+
+      // array_distinct) is interpreted (CodegenFallback) and O(tokens²)
+      // per doc: measured 4 s vs 0.4 s at sf0.1 for the same output
+      val tok = tSpread(s, d, "documents")
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
-      val tok = toks.select(col("doc_id"), explode(col("ts")).as("t"))
-      val tstat = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("n"))
-      val bi = toks.select(col("doc_id"),
-          TextFunctions.shinglesFromTokens(col("ts"), 2).as("bs"))
-        .filter(size(col("bs")) > 0)
-        .select(col("doc_id"), size(array_distinct(col("bs"))).as("dbi"),
-          size(col("bs")).as("tbi"))
-      tstat.join(bi, Seq("doc_id"))
-        .select(col("doc_id"), col("n").cast("bigint").as("n_tokens"),
-          round(col("mx").cast("double") / col("n"), 4).as("top_token_frac"),
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "t")))
+      val wSeq = Window.partitionBy("doc_id").orderBy("p")
+      val wTok = Window.partitionBy("doc_id", "t")
+      tok
+        .withColumn("bigram", when(lead(col("t"), 1).over(wSeq).isNotNull,
+          concat_ws(" ", col("t"), lead(col("t"), 1).over(wSeq))))
+        .withColumn("c", count(lit(1)).over(wTok))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          max(col("c")).as("mx"),
+          count(col("bigram")).as("tbi"),
+          countDistinct(col("bigram")).as("dbi"))
+        .filter(col("tbi") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mx").cast("double") / col("n_tokens"), 4)
+            .as("top_token_frac"),
           round(lit(1.0) - col("dbi").cast("double") / col("tbi"), 4)
             .as("dup_bigram_frac"))
         .withColumn("flagged",
@@ -716,15 +725,20 @@ object SparkEntry {
     // ---- train/eval contamination: train docs sharing a 4-gram with the
     // held-out split (doc_id % 20 == 0) ----
     "q58_contamination" -> ((s, d) => {
+      // single-lineage: ONE shingle pass, one shuffle on the gram (which
+      // both splits group under), one on doc_id — a two-sided join would
+      // recompute the explode per side and shuffle it twice
       val grams = tSpread(s, d, "documents")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
         .filter(size(col("ts")) >= 4)
         .select(col("doc_id"), explode(array_distinct(
           TextFunctions.shinglesFromTokens(col("ts"), 4))).as("g"))
-      val evalGrams = grams.filter(col("doc_id") % 20 === 0)
-        .select(col("g")).distinct()
-      grams.filter(col("doc_id") % 20 =!= 0)
-        .join(evalGrams, "g")
+      grams.groupBy("g")
+        .agg(max(when(col("doc_id") % 20 === 0, 1).otherwise(0)).as("in_eval"),
+          collect_list(when(col("doc_id") % 20 =!= 0, col("doc_id")))
+            .as("train_ids"))
+        .filter(col("in_eval") === 1)
+        .select(explode(col("train_ids")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
         .orderBy(col("doc_id"))
     }),
@@ -749,11 +763,14 @@ object SparkEntry {
           explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df as a window over tf — ONE lineage (a tf⋈df join would
+      // recompute the whole explode+agg subtree for the df side)
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
       val total = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(broadcast(df), "term").crossJoin(broadcast(total))
+      withDf.crossJoin(broadcast(total))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
@@ -827,6 +844,17 @@ object SparkEntry {
         .groupBy(col("source"), col("rate_bps"))
         .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("tokens_kept"))
         .orderBy(col("source"))
+    }),
+
+    // ---- incremental dedup: new batch probed against the corpus's
+    // MinHash-LSH index (the per-crawl stage; q23 is the one-off global
+    // clustering) ----
+    "q65_incremental_dedup" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      Dedup.minhashIncrementalCandidates(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "text", "doc_id")
+        .orderBy(col("id_new"), col("id_old"))
     }),
   )
 
@@ -1786,5 +1814,31 @@ object SparkEntry {
         |SELECT source, rate_bps, count(*) AS n_docs_kept,
         | CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
         |FROM kept GROUP BY 1, 2 ORDER BY source""".stripMargin,
+
+    // same signature/band replay as q23 (no transitive closure), split
+    // corpus (< 400) vs batch (>= 400), count shared bands per pair
+    "q65_incremental_dedup" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(0, array_length(ts) - 2),
+        |   si -> array_to_string(ts[(si + 1):(si + 3)], ' '))) AS shingles
+        | FROM toks WHERE array_length(ts) >= 3),
+        |hu AS (SELECT doc_id, list_transform(shingles, sg -> ${fnvSql("sg", "f")}) AS us FROM sh),
+        |hm AS (SELECT doc_id, list_transform(us, u ->
+        |   ((${toSignedSql("u")} % $MinhashP) + $MinhashP) % $MinhashP) AS hs FROM hu),
+        |sigs AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        |   list_min(list_transform(hs, h ->
+        |     ((1 + ((j + 1) * 2654435761) % ${MinhashP - 1}) * h +
+        |      ((j + 1) * 1099511628211) % $MinhashP) % $MinhashP))) AS sg
+        | FROM hm),
+        |bkt AS (SELECT doc_id, b,
+        |   array_to_string(sg[(CAST(b AS INT) * 4 + 1):(CAST(b AS INT) * 4 + 4)], ',') AS bucket
+        | FROM sigs, range(0, 16) r(b))
+        |SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+        | count(*) AS n_bands_shared
+        |FROM bkt n JOIN bkt o ON n.b = o.b AND n.bucket = o.bucket
+        | AND n.doc_id >= 400 AND o.doc_id < 400
+        |GROUP BY 1, 2 ORDER BY id_new, id_old""".stripMargin,
   )
 }

@@ -350,6 +350,32 @@ object Dedup {
       simUdf(split(trim(col(textCol)), "\\s+")).as("simhash"))
   }
 
+  /** Incremental dedup: candidate near-dup pairs of a NEW batch against
+    * an EXISTING corpus via shared MinHash-LSH buckets — the per-crawl
+    * shape of a production dedup stage (the global q23 clustering runs
+    * once; every subsequent ingest only probes the index). Both sides
+    * shuffle once on (band, bucket); the output count of shared bands is
+    * a Jaccard-monotone integer score (b/16 bands agreeing ≈ s^4 ≥ ...),
+    * so downstream can threshold without floats.
+    *
+    * At 100 TB the corpus-side signatures/buckets are PRECOMPUTED and
+    * stored (8 ints per doc per band); only the new batch pays the
+    * signature pass. */
+  def minhashIncrementalCandidates(corpus: DataFrame, batch: DataFrame,
+                                   textCol: String, idCol: String,
+                                   n: Int = 3, numHashes: Int = 64,
+                                   rowsPerBand: Int = 4): DataFrame = {
+    val bktOld = lshBuckets(minhashSignature(corpus, textCol, idCol, n, numHashes),
+      idCol, numHashes, rowsPerBand)
+      .withColumnRenamed("id", "id_old")
+    val bktNew = lshBuckets(minhashSignature(batch, textCol, idCol, n, numHashes),
+      idCol, numHashes, rowsPerBand)
+      .withColumnRenamed("id", "id_new")
+    bktNew.join(bktOld, Seq("band", "bucket"))
+      .groupBy("id_new", "id_old")
+      .agg(count(lit(1)).as("n_bands_shared"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bit flips, found WITHOUT a
     * cross product: split each 64-bit signature into `nBands` contiguous
     * chunks; by pigeonhole, any pair within distance `nBands - 1` agrees

@@ -76,6 +76,18 @@ class DedupSpec extends SparkSpec {
     assert(hamming14 < hamming15)
   }
 
+  test("incremental LSH candidates: batch probes the corpus index only") {
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") >= 4)
+    val cand = Dedup.minhashIncrementalCandidates(corpus, batch,
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // near-dup doc 4 hits its corpus twins 1 and 2; distinct doc 5 hits none
+    assert(cand.map(c => (c._1, c._2)).toSet == Set((4L, 1L), (4L, 2L)))
+    assert(cand.forall(_._3 >= 1L))
+    assert(!cand.exists(_._1 == 5L))
+  }
+
   test("simhash banded pairs == brute-force pairs for hamming <= nBands-1") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

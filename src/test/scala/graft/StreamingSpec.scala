@@ -115,6 +115,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamedEst.forall(_._2 > 0))
   }
 
+  test("hist_quantile sketch streams: complete-mode agg == batch") {
+    import graft.sketch.HistQuantile.hist_quantile
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest.eventStream(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(hist_quantile(col("value"), 0.9, 0.0, 500.0, 128).as("p90"))
+    val ckpt = Files.createTempDirectory("graft-ckpt-hq").toString
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("hq_stream")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hq_stream").orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val batch = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(hist_quantile(col("value"), 0.9, 0.0, 500.0, 128).as("p90"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == batch) // vector-add merge is incremental-execution-proof
+  }
+
   test("foreachBatch merge stream is insert-if-absent and idempotent") {
     val dir = Files.createTempDirectory("graft-stream-src")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
