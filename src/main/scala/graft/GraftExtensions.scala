@@ -83,9 +83,41 @@ object GraftFunctions {
       dbl(exprs(2), "lo"), dbl(exprs(3), "hi"), bins).toAggregateExpression()
   }
 
+  private def intLit(exprs: Seq[Expression], idx: Int, default: Int,
+      what: String): Int =
+    if (exprs.length <= idx) default
+    else exprs(idx).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+  val cmsAggBuilder: Seq[Expression] => Expression = exprs =>
+    graft.sketch.CmsAgg(exprs(0),
+      intLit(exprs, 1, 4, "cms_agg depth"),
+      intLit(exprs, 2, 32, "cms_agg width")).toAggregateExpression()
+  val cmsMergeBuilder: Seq[Expression] => Expression = exprs =>
+    graft.sketch.CmsMerge(exprs(0)).toAggregateExpression()
+  val cmsQueryBuilder: Seq[Expression] => Expression = exprs =>
+    graft.sketch.CmsQuery(exprs(0), exprs(1))
+  val hllSketchBuilder: Seq[Expression] => Expression = exprs =>
+    graft.sketch.HllSketchAgg(exprs(0),
+      intLit(exprs, 1, 9, "hll_sketch precision")).toAggregateExpression()
+  val hllMergeEstBuilder: Seq[Expression] => Expression = exprs =>
+    graft.sketch.HllMergeAgg(exprs(0), asEstimate = true).toAggregateExpression()
+  val hllMergeSketchBuilder: Seq[Expression] => Expression = exprs =>
+    graft.sketch.HllMergeAgg(exprs(0), asEstimate = false).toAggregateExpression()
+
   /** Every (name, builder) the engine exposes to SQL. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("hll_distinct", hllBuilder, classOf[graft.sketch.HllDistinct]),
+    ("hll_sketch", hllSketchBuilder, classOf[graft.sketch.HllSketchAgg]),
+    ("hll_merge_est", hllMergeEstBuilder, classOf[graft.sketch.HllMergeAgg]),
+    ("hll_merge_sketch", hllMergeSketchBuilder, classOf[graft.sketch.HllMergeAgg]),
+    ("cms_agg", cmsAggBuilder, classOf[graft.sketch.CmsAgg]),
+    ("cms_merge", cmsMergeBuilder, classOf[graft.sketch.CmsMerge]),
+    ("cms_query", cmsQueryBuilder, classOf[graft.sketch.CmsQuery]),
     ("hist_quantile", histQuantileBuilder, classOf[graft.sketch.HistQuantileAgg]),
     ("cosine_sim", cosineBuilder, classOf[CosineSimilarity]),
     ("topk_by_score", topkBuilder, classOf[TopKByScore]),

@@ -856,7 +856,58 @@ object SparkEntry {
           "text", "doc_id")
         .orderBy(col("id_new"), col("id_old"))
     }),
+
+    // ---- Count-Min frequency sketch: per-source heavy-hitter estimates
+    // from a fixed 4×32-counter state (est ≥ exact always; both shown) ----
+    "q66_cms_heavy_hitters" -> ((s, d) => {
+      import graft.sketch.CountMin.{cms_agg, cms_query}
+      val toks = tSpread(s, d, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val sk = toks.groupBy("source").agg(cms_agg(col("term"), 4, 32).as("sk"))
+      val probes = CmsProbeTerms
+      import s.implicits._
+      val probeDf = probes.toDF("term")
+      val exact = toks.filter(col("term").isin(probes: _*))
+        .groupBy("source", "term").agg(count(lit(1)).as("exact_tf"))
+      sk.crossJoin(broadcast(probeDf))
+        .select(col("source"), col("term"),
+          cms_query(col("sk"), col("term")).as("est_tf"))
+        .join(exact, Seq("source", "term"), "left")
+        .na.fill(0L, Seq("exact_tf"))
+        .orderBy(col("source"), col("term"))
+    }),
+
+    // ---- two-level distinct rollup over STORED sketches: fine
+    // (source, lang) HLL sketches merged per source — the 100 TB
+    // pre-aggregation pattern (daily sketch tables → monthly rollup
+    // without rescanning; register-max is associative, so the merged
+    // estimate is bit-identical to a direct per-source sketch) ----
+    "q67_sketch_rollup" -> ((s, d) => {
+      import graft.sketch.HllSketch.{hll_merge_est, hll_sketch}
+      val toks = tSpread(s, d, "documents")
+        .select(col("source"), col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val fine = toks.groupBy("source", "lang")
+        .agg(hll_sketch(col("token"), 9).as("sk"))
+      val coarse = fine.groupBy("source")
+        .agg(hll_merge_est(col("sk")).as("est_tokens"),
+          count(lit(1)).as("n_langs"))
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("token")).as("exact_tokens"))
+      coarse.join(exact, "source")
+        .select(col("source"), col("est_tokens"), col("n_langs"),
+          col("exact_tokens"))
+        .orderBy(col("source"))
+    }),
   )
+
+  /** Probe terms for the CMS point-query demos (sorted; present in the
+    * synthetic documents vocabulary plus one absent term). */
+  private val CmsProbeTerms: Seq[String] =
+    Seq("agg", "data", "join", "scan", "spark", "table", "value", "zzz_absent")
 
   /** DuckDB SQL for FNV-1a 64 of a VARCHAR expression (ASCII inputs), in
     * unsigned-64 arithmetic emulated with HUGEINT — byte-for-byte the
@@ -1840,5 +1891,81 @@ object SparkEntry {
         |FROM bkt n JOIN bkt o ON n.b = o.b AND n.bucket = o.bucket
         | AND n.doc_id >= 400 AND o.doc_id < 400
         |GROUP BY 1, 2 ORDER BY id_new, id_old""".stripMargin,
+
+    // full CMS replay: every (term, row) counter update re-derived in
+    // HUGEINT arithmetic; estimate = min over the 4 row counters (grid
+    // left-join so an empty bucket reads 0, exactly like the sketch)
+    "q66_cms_heavy_hitters" ->
+      s"""WITH toks AS (
+        |  SELECT source, t AS term FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |tf AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['agg','data','join','scan','spark','table',
+        |  'value','zzz_absent']) AS term),
+        |vk AS (SELECT source, term, c, r,
+        |    CAST(r AS VARCHAR) || '|' || term AS key
+        |  FROM tf, range(0, 4) rr(r)),
+        |vb AS (SELECT source, term, c, r,
+        |    CAST(${fnvSql("key", "f")} % 32 AS INT) AS bucket FROM vk),
+        |pk AS (SELECT term, r, CAST(r AS VARCHAR) || '|' || term AS key
+        |  FROM probes, range(0, 4) rr(r)),
+        |pb AS (SELECT term, r,
+        |    CAST(${fnvSql("key", "g")} % 32 AS INT) AS bucket FROM pk),
+        |grid AS (SELECT s.source, p.term, p.r, p.bucket
+        |  FROM (SELECT DISTINCT source FROM tf) s, pb p),
+        |rowsum AS (
+        |  SELECT g.source, g.term, g.r, coalesce(sum(v.c), 0) AS s
+        |  FROM grid g LEFT JOIN vb v
+        |    ON v.source = g.source AND v.r = g.r AND v.bucket = g.bucket
+        |  GROUP BY 1, 2, 3),
+        |est AS (SELECT source, term, min(s) AS est_tf FROM rowsum GROUP BY 1, 2)
+        |SELECT e.source, e.term, CAST(e.est_tf AS BIGINT) AS est_tf,
+        | CAST(coalesce(x.c, 0) AS BIGINT) AS exact_tf
+        |FROM est e LEFT JOIN tf x ON x.source = e.source AND x.term = e.term
+        |ORDER BY e.source, e.term""".stripMargin,
+
+    // the rollup oracle replays registers PER SOURCE directly — valid
+    // because register-wise max is associative, so merging (source, lang)
+    // sub-sketches gives bit-identical registers (the property under test)
+    "q67_sketch_rollup" ->
+      s"""WITH toks AS (
+        |  SELECT source, lang, t AS token FROM (
+        |    SELECT source, lang,
+        |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |nl AS (SELECT source, count(DISTINCT lang) AS n_langs FROM toks
+        |       GROUP BY 1),
+        |dt AS (SELECT DISTINCT source, token FROM toks),
+        |h AS (SELECT source, ${fnvSql("token", "f")} AS u FROM dt),
+        |r AS (
+        |  SELECT source, CAST(u % 512 AS INT) AS bucket,
+        |   max(CASE WHEN u // 512 = 0 THEN 56
+        |        ELSE 56 - length(printf('%b', CAST(u // 512 AS BIGINT))) END)
+        |     AS rho
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source,
+        |   sum(CAST(power(2, 56 - rho) AS HUGEINT))
+        |     + (512 - count(*)) * CAST(power(2, 56) AS HUGEINT) AS s,
+        |   512 - count(*) AS zeros
+        |  FROM r GROUP BY 1),
+        |est AS (
+        |  SELECT source,
+        |   (0.7213 / (1 + 1.079 / 512)) * 262144.0 * power(2, 56)
+        |     / CAST(s AS DOUBLE) AS raw, zeros
+        |  FROM agg),
+        |ex AS (SELECT source, count(DISTINCT token) AS exact_tokens FROM toks
+        |       GROUP BY 1)
+        |SELECT e.source,
+        | CAST(round(CASE WHEN e.raw <= 1280.0 AND e.zeros > 0
+        |   THEN 512 * ln(512.0 / e.zeros) ELSE e.raw END) AS BIGINT)
+        |   AS est_tokens,
+        | nl.n_langs, x.exact_tokens
+        |FROM est e JOIN ex x ON e.source = x.source
+        | JOIN nl ON nl.source = e.source
+        |ORDER BY e.source""".stripMargin,
   )
 }

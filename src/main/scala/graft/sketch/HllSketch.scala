@@ -135,9 +135,142 @@ case class HllDistinct(
       c: IndexedSeq[Expression]): Expression = copy(child = c(0))
 }
 
+/** Aggregate: build the register file and return it as BINARY (p header +
+  * 2^p registers) instead of the estimate — the storable sketch form.
+  * Persist per-fine-group sketches to parquet, then roll them up later
+  * with [[HllMergeEst]]/[[HllMergeSketch]] WITHOUT rescanning the source:
+  * the pre-aggregation pattern that makes distinct-counts tractable at
+  * 100 TB (register-wise max is associative and commutative, so any
+  * merge tree gives bit-identical registers). */
+case class HllSketchAgg(
+    child: Expression, p: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+
+  override def update(b: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v match {
+        case u: UTF8String => u
+        case other => UTF8String.fromString(other.toString)
+      }
+      b.update(graft.text.RollingHash.hashToken(s))
+    }
+    b
+  }
+
+  override def merge(b: HllBuffer, o: HllBuffer): HllBuffer = { b.mergeFrom(o); b }
+  override def eval(b: HllBuffer): Any = serialize(b)
+
+  override def serialize(b: HllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.p)
+    out.write(b.registers)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllSketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
+/** Aggregate over BINARY sketch columns: register-wise max-merge. With
+  * `asEstimate = true` evaluates to the merged estimate (BIGINT); with
+  * `false` to the merged sketch (BINARY) for a further rollup level. */
+case class HllMergeAgg(
+    child: Expression, asEstimate: Boolean,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    if (asEstimate) LongType else org.apache.spark.sql.types.BinaryType
+
+  // p=0 sentinel until the first real sketch arrives
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(0)
+
+  private def absorb(b: HllBuffer, o: HllBuffer): HllBuffer =
+    if (b.p == 0) o
+    else {
+      require(o.p == b.p, s"cannot merge HLL(p=${b.p}) with HLL(p=${o.p})")
+      b.mergeFrom(o); b
+    }
+
+  override def update(b: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v == null) b
+    else absorb(b, HllSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(b: HllBuffer, o: HllBuffer): HllBuffer =
+    if (o.p == 0) b else absorb(b, o)
+
+  override def eval(b: HllBuffer): Any =
+    if (b.p == 0) null
+    else if (asEstimate) b.estimate
+    else serialize(b)
+
+  override def serialize(b: HllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.p)
+    out.write(b.registers)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllSketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
 object HllSketch {
   /** `hll_distinct($"col", p)` aggregate Column (m = 2^p registers). */
   def hll_distinct(col: Column, p: Int = 9): Column =
     ColumnBridge.column(
       HllDistinct(ColumnBridge.expression(col), p).toAggregateExpression())
+
+  /** `hll_sketch($"col", p)` → BINARY register file (storable sketch). */
+  def hll_sketch(col: Column, p: Int = 9): Column =
+    ColumnBridge.column(
+      HllSketchAgg(ColumnBridge.expression(col), p).toAggregateExpression())
+
+  /** `hll_merge_est($"sketch")` → merged distinct estimate (BIGINT). */
+  def hll_merge_est(col: Column): Column =
+    ColumnBridge.column(
+      HllMergeAgg(ColumnBridge.expression(col), asEstimate = true)
+        .toAggregateExpression())
+
+  /** `hll_merge_sketch($"sketch")` → merged sketch (BINARY), for another
+    * rollup level. */
+  def hll_merge_sketch(col: Column): Column =
+    ColumnBridge.column(
+      HllMergeAgg(ColumnBridge.expression(col), asEstimate = false)
+        .toAggregateExpression())
+
+  private[sketch] def fromBytes(bytes: Array[Byte]): HllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new HllBuffer(in.readInt())
+    in.readFully(b.registers)
+    b
+  }
 }

@@ -36,15 +36,19 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // fresh names: fixed locals collide when two RollingHash instances
+      // share a codegen function (→ silent interpreter fallback)
+      val acc = ctx.freshName("acc"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val tok = ctx.freshName("tok")
       s"""
-         |long acc = ${RollingHash.Seed}L;
-         |int n = $c.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  UTF8String tok = $c.getUTF8String(i);
-         |  acc = acc * ${RollingHash.Mult}L +
-         |    (tok == null ? 0L : graft.text.RollingHash.hashToken(tok));
+         |long $acc = ${RollingHash.Seed}L;
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  UTF8String $tok = $c.getUTF8String($i);
+         |  $acc = $acc * ${RollingHash.Mult}L +
+         |    ($tok == null ? 0L : graft.text.RollingHash.hashToken($tok));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
