@@ -40,6 +40,14 @@ object SparkEntry {
   private def tSpread(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** Driver-side fetch of the demo query vector (vec_id=0). Reads the RAW
+    * table so the `vec_id = 0` predicate is pushed to the parquet scan —
+    * fetching one row must not pay the `tSpread` repartition shuffle the
+    * scoring pass wants. */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Serving.eventsByDate(Tables.events(spark, "/root/testdata/sf0.001"),
@@ -219,8 +227,7 @@ object SparkEntry {
     // ---- vector search (M6/O3) ----
     "q18_cosine_topk" -> ((s, d) => {
       val emb = tSpread(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val q = queryVec(s, d)
       VectorFunctions.topK(emb, "embedding", "vec_id", q, 20)
         .withColumn("score", round(col("score"), 4))
     }),
@@ -284,8 +291,7 @@ object SparkEntry {
 
     "q27_ann_topk" -> ((s, d) => {
       val emb = tSpread(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val q = queryVec(s, d)
       VectorFunctions.annTopK(emb, "embedding", "vec_id", q, 20, dim = q.length,
         nPlanes = 6)
         .withColumn("score", round(col("score"), 4))
@@ -444,9 +450,10 @@ object SparkEntry {
     "q39_ivf_ann" -> ((s, d) => {
       import graft.vector.IvfIndex
       val emb = tSpread(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      val cs = IvfIndex.centroids(emb, "embedding", "vec_id", 16)
+      val q = queryVec(s, d)
+      // centroid pick sorts the RAW scan (its orderBy plans its own
+      // exchange; prepending a repartition would just double-shuffle)
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding", "vec_id", 16)
       val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
       IvfIndex.search(index, "embedding", "vec_id", cs, q, k = 20, nProbe = 4)
         .withColumn("score", round(col("score"), 4))
@@ -456,8 +463,7 @@ object SparkEntry {
     "q38_topk_per_group" -> ((s, d) => {
       import graft.vector.TopKAggregate.topk_by_score
       val emb = tSpread(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val q = queryVec(s, d)
       emb.withColumn("s", VectorFunctions.cosine_sim(col("embedding"), lit(q)))
         .groupBy(col("label"))
         .agg(topk_by_score(col("s"), col("vec_id"), 5).as("top"))
@@ -901,6 +907,72 @@ object SparkEntry {
         .select(col("source"), col("est_tokens"), col("n_langs"),
           col("exact_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // ---- deterministic weighted reservoir sample (Efraimidis-Spirakis
+    // priority sampling): md5-derived uniform u, priority ln(u)/w with
+    // w = token count, top-5 per source. Through the k-bounded
+    // TopKByScore aggregate, NOT a window — the shuffle carries ≤k rows
+    // per group per partition instead of a full per-group sort ----
+    "q68_reservoir_sample" -> ((s, d) => {
+      import graft.vector.TopKAggregate.topk_by_score
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+        16, 10).cast("double") + 1.0) / lit(281474976710656.0)
+      val w = greatest(TextFunctions.tokenCount(col("text")).cast("double"),
+        lit(1.0))
+      tSpread(s, d, "documents")
+        .select(col("source"), col("doc_id"), (log(u) / w).as("key"))
+        .groupBy("source")
+        .agg(topk_by_score(col("key"), col("doc_id"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col.id").as("doc_id"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // ---- domain frequency cap + training-shard assignment: at most 15
+    // docs per source (deterministic md5 order — the anti-spam cap of a
+    // crawl pipeline), survivors dealt to 8 shards by an independent
+    // salted hash (the deterministic "global shuffle" of a training run:
+    // shard membership is recomputable from the key alone) ----
+    "q69_domain_cap_shards" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      tSpread(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 15)
+        .withColumn("shard",
+          conv(substring(md5(concat(lit("shard|"),
+            col("doc_id").cast("string"))), 1, 6), 16, 10)
+            .cast("bigint") % 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .orderBy(col("shard"))
+    }),
+
+    // ---- Z-order (Morton) multi-dimensional clustering: a 2D box query
+    // prefiltered by the z-range [z(lo corner), z(hi corner)] — sound
+    // because the interleave is monotone per dimension (ZOrderSpec
+    // proves the bound and the file-skipping effect of z-clustered
+    // layout; here the oracle proves the prefilter never drops a row) ----
+    "q70_zorder" -> ((s, d) => {
+      import graft.store.ZOrder
+      val e = Tables.events(s, d)
+      val vb = ZOrder.bucketize(col("value"), 0.0, 640.0, 8)
+      val ub = ZOrder.bucketize(col("user_id").cast("double"), 0.0, 2048.0, 8)
+      // box: value ∈ [100,200], user_id ∈ [40,90] → bucket corners
+      // (40,5)-(80,11) in closed form (floor(100/640·256) etc.)
+      val zLo = ZOrder.zvalueLong(8, Seq(40L, 5L))
+      val zHi = ZOrder.zvalueLong(8, Seq(80L, 11L))
+      e.withColumn("_zv", ZOrder.zvalue(8, vb, ub))
+        .filter(col("_zv").between(zLo, zHi))
+        .filter(col("value").between(100.0, 200.0) &&
+          col("user_id").between(40, 90))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
     }),
   )
 
@@ -1967,5 +2039,56 @@ object SparkEntry {
         |FROM est e JOIN ex x ON e.source = x.source
         | JOIN nl ON nl.source = e.source
         |ORDER BY e.source""".stripMargin,
+
+    // rank-only output: the ES priority ln(u)/w is compared, never
+    // emitted, so 1-ulp ln/pow differences between engines cannot skew
+    // the hash (ranks flip only on near-exact key collisions)
+    "q68_reservoir_sample" ->
+      """WITH tokd AS (
+        | SELECT source, doc_id,
+        |  greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS DOUBLE), 1.0) AS w
+        | FROM documents),
+        |keyd AS (
+        | SELECT source, doc_id,
+        |  ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |      + 1.0) / 281474976710656.0) / w AS key
+        | FROM tokd),
+        |rk AS (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id)
+        |    AS rank
+        | FROM keyd)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM rk WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+
+    "q69_domain_cap_shards" ->
+      """WITH rk AS (
+        | SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents),
+        |kept AS (SELECT * FROM rk WHERE rk <= 15),
+        |sh AS (
+        | SELECT ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+        |     1, 6))::BIGINT % 8 AS shard,
+        |  source, n_chars
+        | FROM kept)
+        |SELECT shard, count(*) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // the z prefilter is a strict superset of the box, so the oracle is
+    // the PLAIN box query — any row the z-range wrongly excluded would
+    // hash-mismatch
+    "q70_zorder" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE value BETWEEN 100.0 AND 200.0 AND user_id BETWEEN 40 AND 90
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }
