@@ -108,6 +108,8 @@ object GraftFunctions {
     graft.sketch.HllMergeAgg(exprs(0), asEstimate = true).toAggregateExpression()
   val hllMergeSketchBuilder: Seq[Expression] => Expression = exprs =>
     graft.sketch.HllMergeAgg(exprs(0), asEstimate = false).toAggregateExpression()
+  val hllUnionEstBuilder: Seq[Expression] => Expression = exprs =>
+    graft.sketch.HllUnionEst(exprs(0), exprs(1))
 
   /** Every (name, builder) the engine exposes to SQL. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
@@ -115,6 +117,7 @@ object GraftFunctions {
     ("hll_sketch", hllSketchBuilder, classOf[graft.sketch.HllSketchAgg]),
     ("hll_merge_est", hllMergeEstBuilder, classOf[graft.sketch.HllMergeAgg]),
     ("hll_merge_sketch", hllMergeSketchBuilder, classOf[graft.sketch.HllMergeAgg]),
+    ("hll_union_est", hllUnionEstBuilder, classOf[graft.sketch.HllUnionEst]),
     ("cms_agg", cmsAggBuilder, classOf[graft.sketch.CmsAgg]),
     ("cms_merge", cmsMergeBuilder, classOf[graft.sketch.CmsMerge]),
     ("cms_query", cmsQueryBuilder, classOf[graft.sketch.CmsQuery]),

@@ -974,6 +974,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("event_type"))
     }),
+
+    // ---- distinct-set overlap from SKETCHES ONLY (inclusion-exclusion
+    // over stored HLL bytes): pairwise union/intersection estimates of
+    // per-source token vocabularies without re-touching raw text — the
+    // audience-overlap / cross-source-contamination screen at 100 TB ----
+    "q71_hll_overlap" -> ((s, d) => {
+      import graft.sketch.HllSketch.{hll_sketch, hll_union_est}
+      val toks = tSpread(s, d, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val sk = toks.groupBy("source").agg(hll_sketch(col("token"), 9).as("sk"))
+      val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+      a.join(broadcast(b), col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          // est(X) = unionEst(X, X): one scalar covers both shapes
+          hll_union_est(col("sk_a"), col("sk_a")).as("est_a"),
+          hll_union_est(col("sk_b"), col("sk_b")).as("est_b"),
+          hll_union_est(col("sk_a"), col("sk_b")).as("est_union"))
+        .withColumn("est_intersect",
+          col("est_a") + col("est_b") - col("est_union"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2090,5 +2115,64 @@ object SparkEntry {
         |FROM events
         |WHERE value BETWEEN 100.0 AND 200.0 AND user_id BETWEEN 40 AND 90
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // register replay per source, then PAIRWISE register max in SQL —
+    // the same bytes the scalar HllUnionEst merges; estimates replay the
+    // identical closed-form (exact integer indicator sum)
+    "q71_hll_overlap" ->
+      s"""WITH toks AS (
+        |  SELECT source, t AS token FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        |    FROM documents WHERE source IN ('src0','src1','src2','src3'))
+        |  WHERE length(t) > 0),
+        |dt AS (SELECT DISTINCT source, token FROM toks),
+        |h AS (SELECT source, ${fnvSql("token", "f")} AS u FROM dt),
+        |r AS (
+        |  SELECT source, CAST(u % 512 AS INT) AS bucket,
+        |   max(CASE WHEN u // 512 = 0 THEN 56
+        |        ELSE 56 - length(printf('%b', CAST(u // 512 AS BIGINT))) END)
+        |     AS rho
+        |  FROM h GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM toks),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a, srcs b WHERE a.source < b.source),
+        |-- single-source estimates
+        |sagg AS (
+        |  SELECT source,
+        |   sum(CAST(power(2, 56 - rho) AS HUGEINT))
+        |     + (512 - count(*)) * CAST(power(2, 56) AS HUGEINT) AS s,
+        |   512 - count(*) AS zeros
+        |  FROM r GROUP BY 1),
+        |sest AS (
+        |  SELECT source, CAST(round(
+        |    CASE WHEN raw <= 1280.0 AND zeros > 0
+        |      THEN 512 * ln(512.0 / zeros) ELSE raw END) AS BIGINT) AS est
+        |  FROM (SELECT source, zeros,
+        |    (0.7213 / (1 + 1.079 / 512)) * 262144.0 * power(2, 56)
+        |      / CAST(s AS DOUBLE) AS raw FROM sagg)),
+        |-- pairwise union registers (max over the two sources per bucket)
+        |ru AS (
+        |  SELECT p.src_a, p.src_b, r.bucket, max(r.rho) AS rho
+        |  FROM pairs p JOIN r ON r.source = p.src_a OR r.source = p.src_b
+        |  GROUP BY 1, 2, 3),
+        |uagg AS (
+        |  SELECT src_a, src_b,
+        |   sum(CAST(power(2, 56 - rho) AS HUGEINT))
+        |     + (512 - count(*)) * CAST(power(2, 56) AS HUGEINT) AS s,
+        |   512 - count(*) AS zeros
+        |  FROM ru GROUP BY 1, 2),
+        |uest AS (
+        |  SELECT src_a, src_b, CAST(round(
+        |    CASE WHEN raw <= 1280.0 AND zeros > 0
+        |      THEN 512 * ln(512.0 / zeros) ELSE raw END) AS BIGINT) AS est_union
+        |  FROM (SELECT src_a, src_b, zeros,
+        |    (0.7213 / (1 + 1.079 / 512)) * 262144.0 * power(2, 56)
+        |      / CAST(s AS DOUBLE) AS raw FROM uagg))
+        |SELECT u.src_a, u.src_b, ea.est AS est_a, eb.est AS est_b,
+        | u.est_union, ea.est + eb.est - u.est_union AS est_intersect
+        |FROM uest u
+        | JOIN sest ea ON ea.source = u.src_a
+        | JOIN sest eb ON eb.source = u.src_b
+        |ORDER BY u.src_a, u.src_b""".stripMargin,
   )
 }

@@ -243,6 +243,32 @@ case class HllMergeAgg(
       c: IndexedSeq[Expression]): Expression = copy(child = c(0))
 }
 
+/** Scalar union-estimate of two serialized sketches: register-wise max,
+  * then the standard estimate. With per-group sketches materialized, the
+  * inclusion-exclusion identity `|A∩B| ≈ est(A) + est(B) − est(A∪B)`
+  * gives distinct-set overlap WITHOUT touching raw data — the audience-
+  * overlap / contamination-screen primitive at 100 TB. CodegenFallback:
+  * runs on group-count rows, never in the scan path. */
+case class HllUnionEst(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = HllSketch.fromBytes(a.asInstanceOf[Array[Byte]])
+    val bb = HllSketch.fromBytes(b.asInstanceOf[Array[Byte]])
+    require(ba.p == bb.p, s"cannot union HLL(p=${ba.p}) with HLL(p=${bb.p})")
+    ba.mergeFrom(bb)
+    ba.estimate
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HllSketch {
   /** `hll_distinct($"col", p)` aggregate Column (m = 2^p registers). */
   def hll_distinct(col: Column, p: Int = 9): Column =
@@ -266,6 +292,11 @@ object HllSketch {
     ColumnBridge.column(
       HllMergeAgg(ColumnBridge.expression(col), asEstimate = false)
         .toAggregateExpression())
+
+  /** `hll_union_est($"sk_a", $"sk_b")` → scalar union-distinct estimate. */
+  def hll_union_est(a: Column, b: Column): Column =
+    ColumnBridge.column(HllUnionEst(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   private[sketch] def fromBytes(bytes: Array[Byte]): HllBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))

@@ -52,4 +52,27 @@ class HllSketchSpec extends SparkSpec {
     val est = df.agg(HllSketch.hll_distinct(col("t"), 9)).head().getLong(0)
     assert(est == 2L)
   }
+
+  test("hll_union_est: self-union is identity; disjoint union adds; " +
+       "inclusion-exclusion recovers the overlap") {
+    val left = (1 to 3000).map(i => ("a", s"common_$i"))
+    val right = (1 to 3000).map(i => ("b", s"common_$i")) ++
+      (1 to 1000).map(i => ("b", s"only_b_$i"))
+    val df = (left ++ right).toDF("g", "t")
+    val sk = df.groupBy("g").agg(HllSketch.hll_sketch(col("t"), 11).as("sk"))
+    val a = sk.filter(col("g") === "a").select(col("sk").as("sk_a"))
+    val b = sk.filter(col("g") === "b").select(col("sk").as("sk_b"))
+    val r = a.crossJoin(b).select(
+      HllSketch.hll_union_est(col("sk_a"), col("sk_a")).as("ea"),
+      HllSketch.hll_union_est(col("sk_b"), col("sk_b")).as("eb"),
+      HllSketch.hll_union_est(col("sk_a"), col("sk_b")).as("eu")).head()
+    val (ea, eb, eu) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val directA = df.filter(col("g") === "a")
+      .agg(HllSketch.hll_distinct(col("t"), 11)).head().getLong(0)
+    assert(ea == directA) // self-union = plain estimate, bit-identical
+    val inter = ea + eb - eu
+    // true overlap 3000, union 4000; p=11 keeps rel-err ~2.3%
+    assert(math.abs(eu - 4000).toDouble / 4000 < 0.1, s"eu=$eu")
+    assert(math.abs(inter - 3000).toDouble / 3000 < 0.2, s"inter=$inter")
+  }
 }
