@@ -999,6 +999,46 @@ object SparkEntry {
           col("est_a") + col("est_b") - col("est_union"))
         .orderBy(col("src_a"), col("src_b"))
     }),
+
+    // ---- sliding-window token chunking (64-token window, stride 48):
+    // the context-window / RAG chunker. ONE lineage: tokenize once,
+    // explode a closed-form start list, slice — no self-join, no UDF ----
+    "q72_chunk_windows" -> ((s, d) => {
+      val W = 64; val S = 48
+      val docs = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      val n = size(col("ts"))
+      val nStarts = when(n <= W, lit(1)).otherwise(
+        lit(1) + ceil((n - W).cast("double") / S).cast("int"))
+      docs.withColumn("idx", explode(sequence(lit(0), nStarts - 1)))
+        .withColumn("start", col("idx") * S)
+        .withColumn("chunk", slice(col("ts"), col("start") + 1, lit(W)))
+        .select(col("doc_id"), col("idx").cast("bigint").as("chunk_idx"),
+          col("start").cast("bigint").as("start_tok"),
+          size(col("chunk")).cast("bigint").as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- curriculum binning: global quality deciles (ntile). A global
+    // rank IS a global sort — at 100 TB swap the exact ntile for
+    // hist_quantile cut-points (q63's sketch) and a bucket join; the
+    // exact form here pins the semantics the sketch approximates ----
+    "q73_curriculum_bins" -> ((s, d) => {
+      val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .withColumn("decile", ntile(10).over(w).cast("bigint"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("quality")), 4).as("min_q"),
+          round(max(col("quality")), 4).as("max_q"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("decile"))
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2174,5 +2214,49 @@ object SparkEntry {
         | JOIN sest ea ON ea.source = u.src_a
         | JOIN sest eb ON eb.source = u.src_b
         |ORDER BY u.src_a, u.src_b""".stripMargin,
+
+    "q72_chunk_windows" ->
+      """WITH docs AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        | FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, ts, array_length(ts) AS n FROM docs),
+        |st AS (
+        | SELECT doc_id, ts, n,
+        |  CASE WHEN n <= 64 THEN 1
+        |       ELSE 1 + CAST(ceil((n - 64)::DOUBLE / 48) AS INT) END
+        |    AS n_starts
+        | FROM n),
+        |ch0 AS (
+        | SELECT doc_id, ts, unnest(range(0, n_starts)) AS i FROM st),
+        |ch AS (
+        | SELECT doc_id, i AS chunk_idx, i * 48 AS start_tok,
+        |  ts[(CAST(i AS INT) * 48 + 1):(CAST(i AS INT) * 48 + 64)] AS chunk
+        | FROM ch0)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(start_tok AS BIGINT) AS start_tok,
+        | CAST(array_length(chunk) AS BIGINT) AS chunk_len,
+        | md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q73_curriculum_bins" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |   ELSE round(length(regexp_extract_all(lower(text),
+        |     '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |     array_length(regexp_split_to_array(trim(text), '\s+')), 4) END
+        |    AS quality,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS n_tokens
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, quality, n_tokens,
+        |  ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+        | FROM m)
+        |SELECT decile, count(*) AS n_docs,
+        | round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
   )
 }
