@@ -962,14 +962,15 @@ object SparkEntry {
       val e = Tables.events(s, d)
       val vb = ZOrder.bucketize(col("value"), 0.0, 640.0, 8)
       val ub = ZOrder.bucketize(col("user_id").cast("double"), 0.0, 2048.0, 8)
-      // box: value ∈ [100,200], user_id ∈ [40,90] → bucket corners
-      // (40,5)-(80,11) in closed form (floor(100/640·256) etc.)
-      val zLo = ZOrder.zvalueLong(8, Seq(40L, 5L))
-      val zHi = ZOrder.zvalueLong(8, Seq(80L, 11L))
+      // box: value ∈ [50,300], user_id ∈ [2,90] → bucket corners
+      // (20,0)-(120,11) in closed form (floor(50/640·256) etc.); bounds
+      // chosen non-empty at every sf (sf0.001 has user_id 0-14)
+      val zLo = ZOrder.zvalueLong(8, Seq(20L, 0L))
+      val zHi = ZOrder.zvalueLong(8, Seq(120L, 11L))
       e.withColumn("_zv", ZOrder.zvalue(8, vb, ub))
         .filter(col("_zv").between(zLo, zHi))
-        .filter(col("value").between(100.0, 200.0) &&
-          col("user_id").between(40, 90))
+        .filter(col("value").between(50.0, 300.0) &&
+          col("user_id").between(2, 90))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("event_type"))
@@ -1038,6 +1039,29 @@ object SparkEntry {
           round(max(col("quality")), 4).as("max_q"),
           sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("decile"))
+    }),
+
+    // ---- KV cache sink round-trip THROUGH the DataSourceV2 connector
+    // (S7 write w/ two-phase commit, S6/S8 read back): per-date payloads
+    // flushed to the cache table, then served FROM it — the oracle sees
+    // only the read-back, so a lost/duplicated task file would mismatch ----
+    "q74_kv_sink_roundtrip" -> ((s, d) => {
+      val payload = Tables.events(s, d)
+        .select(to_date(col("ts")).as("date"))
+        .groupBy(col("date")).agg(count(lit(1)).as("n_events"))
+        .select(
+          concat(lit("events:"), col("date").cast("string")).as("cache_key"),
+          to_json(struct(col("date").cast("string").as("date"),
+            col("n_events"))).as("payload_json"),
+          Parsers.ttlSeconds(col("date"), lit(Today)).as("ttl_s"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-kv-q74").toString
+      payload.write.format("graft.sources.KvCacheSink")
+        .option("path", dir).mode("overwrite").save()
+      s.read.format("graft.sources.KvCacheSink").option("path", dir).load()
+        .select(col("cache_key"), col("ttl_s"),
+          get_json_object(col("payload_json"), "$.n_events").cast("bigint")
+            .as("n_events"))
+        .orderBy(col("cache_key"))
     }),
   )
 
@@ -2153,7 +2177,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 2) AS sum_value
         |FROM events
-        |WHERE value BETWEEN 100.0 AND 200.0 AND user_id BETWEEN 40 AND 90
+        |WHERE value BETWEEN 50.0 AND 300.0 AND user_id BETWEEN 2 AND 90
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // register replay per source, then PAIRWISE register max in SQL —
@@ -2258,5 +2282,17 @@ object SparkEntry {
         | round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q74_kv_sink_roundtrip" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS date, count(*) AS n_events
+        | FROM events GROUP BY 1)
+        |SELECT 'events:' || strftime(date, '%Y-%m-%d') AS cache_key,
+        | CAST(CASE WHEN date_diff('day', DATE '2024-01-01', date) < 0 THEN 604800
+        |   WHEN date_diff('day', DATE '2024-01-01', date) = 0 THEN 3600
+        |   WHEN date_diff('day', DATE '2024-01-01', date) <= 7 THEN 43200
+        |   ELSE 86400 END AS BIGINT) AS ttl_s,
+        | n_events
+        |FROM d ORDER BY cache_key""".stripMargin,
   )
 }
