@@ -1063,6 +1063,62 @@ object SparkEntry {
             .as("n_events"))
         .orderBy(col("cache_key"))
     }),
+
+    // ---- NATIVE session_window operator (vs q08's compositional
+    // lag/sum form): one aggregation, no window-function pass; in
+    // streaming the same expression runs over the session state store.
+    // Spark semantics: window = [first, last+gap), so an event at
+    // exactly last+gap opens a NEW session (oracle replays with >=) ----
+    "q75_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // ---- pivot (conditional aggregation with explicit value list —
+    // implicit pivot would need an extra distinct pass to discover
+    // columns; at 100 TB the list is part of the job contract) ----
+    "q76_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(to_date(col("ts")).cast("string").as("event_date"),
+          col("event_type"))
+        .groupBy(col("event_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("event_date"))
+    }),
+
+    // ---- vector math in PURE expression space (zip_with + aggregate
+    // higher-order functions): the "builtins before UDFs" ladder's first
+    // rung, checked against the codegen CosineSimilarity expression ----
+    "q77_hof_vector" -> ((s, d) => {
+      val emb = tSpread(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val dot = aggregate(
+        zip_with(col("embedding"), lit(q), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+      val na = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x)
+      val nq = lit(q.map(v => v.toDouble * v).sum)
+      emb
+        .withColumn("cos_hof",
+          when(na === 0.0 || nq === 0.0, 0.0)
+            .otherwise(dot / sqrt(na * nq)))
+        .withColumn("cos_native",
+          VectorFunctions.cosine_sim(col("embedding"), lit(q)))
+        .orderBy(col("cos_native").desc, col("vec_id"))
+        .limit(50)
+        .select(col("vec_id"), round(col("cos_hof"), 4).as("cos_hof"),
+          round(col("cos_native"), 4).as("cos_native"))
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2294,5 +2350,62 @@ object SparkEntry {
         |   ELSE 86400 END AS BIGINT) AS ttl_s,
         | n_events
         |FROM d ORDER BY cache_key""".stripMargin,
+
+    // >= gap (not >) opens a new session: Spark's window is [first,
+    // last+gap), so an event AT last+gap falls outside it
+    "q75_session_window" ->
+      """WITH marked AS (
+        | SELECT user_id, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |sess AS (
+        | SELECT user_id, value, us,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS sid
+        | FROM marked)
+        |SELECT user_id, min(us) AS start_us,
+        | max(us) + 1800000000 AS end_us,
+        | count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q76_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+
+    // same left-fold accumulation order as Spark's aggregate() lambda
+    // and the codegen loop, so 4-dp rounding is cross-engine stable
+    "q77_hof_vector" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |base AS (SELECT e.vec_id, e.embedding AS emb, q.qe
+        |         FROM embeddings e, q),
+        |m AS (
+        | SELECT vec_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(emb) + 1),
+        |      i -> emb[i]::DOUBLE * qe[i])), (a, b) -> a + b) AS dot,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(emb) + 1),
+        |      i -> emb[i]::DOUBLE * emb[i])), (a, b) -> a + b) AS na,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(qe) + 1),
+        |      i -> qe[i]::DOUBLE * qe[i])), (a, b) -> a + b) AS nq
+        | FROM base),
+        |c AS (
+        | SELECT vec_id,
+        |  CASE WHEN na = 0 OR nq = 0 THEN 0.0 ELSE dot / sqrt(na * nq) END
+        |    AS cos
+        | FROM m)
+        |SELECT vec_id, round(cos, 4) AS cos_hof, round(cos, 4) AS cos_native
+        |FROM c ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
   )
 }
