@@ -51,6 +51,44 @@ object IvfIndex {
             cs: Array[(Int, Array[Float])]): DataFrame =
     df.withColumn("centroid_id", nearestCentroidUdf(cs)(col(embCol)))
 
+  /** Lloyd k-means refinement of the deterministic seed centroids
+    * (cosine assignment, per-dimension mean update). Fully distributed:
+    * assignment is the same map-side UDF the index build uses; the
+    * update collects only `k × dim` partial means to the driver (the
+    * classic Spark k-means shape — driver state is O(k·dim), data never
+    * leaves the cluster). Deterministic: hash-spread init, fixed
+    * iteration count, tie-break by lowest centroid id.
+    *
+    * Raises IVF recall over raw hash-picked centroids (IvfIndexSpec
+    * measures both) at the cost of `iters` extra passes — the standard
+    * train/serve trade of an ANN index build. */
+  def kmeansCentroids(df: DataFrame, embCol: String, idCol: String,
+                      k: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
+    var cs = centroids(df, embCol, idCol, k)
+    var it = 0
+    while (it < iters) {
+      val assigned = build(df, embCol, idCol, cs)
+      // per-(cluster, dim) means: k·dim rows to the driver, data stays put
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(embCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cs = cs.map { case (cid, old) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            val c = new Array[Float](old.length)
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+            (cid, c)
+          case None => (cid, old) // empty cluster keeps its seed
+        }
+      }
+      it += 1
+    }
+    cs
+  }
+
   /** Search: probe the `nProbe` best cells, exact top-k within them. */
   def search(index: DataFrame, embCol: String, idCol: String,
              cs: Array[(Int, Array[Float])], query: Array[Float],

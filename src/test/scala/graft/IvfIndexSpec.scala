@@ -35,4 +35,36 @@ class IvfIndexSpec extends SparkSpec {
     val c2 = IvfIndex.centroids(data, "emb", "id", 4).map(_._1).toSeq
     assert(c1 == c2)
   }
+
+  test("k-means refinement: deterministic, and recall >= hash-seed recall") {
+    val rng = new scala.util.Random(23)
+    // 8 clusters, mildly overlapping — where seed choice actually matters
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat * 3))
+    val data = (0 until 800).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.5).toFloat))
+    }.toDF("id", "emb").cache()
+
+    val seed = IvfIndex.centroids(data, "emb", "id", 8)
+    val trained = IvfIndex.kmeansCentroids(data, "emb", "id", 8, iters = 3)
+    val trained2 = IvfIndex.kmeansCentroids(data, "emb", "id", 8, iters = 3)
+    assert(trained.map(_._2.toSeq).toSeq == trained2.map(_._2.toSeq).toSeq,
+      "k-means must be deterministic")
+
+    def recall(cs: Array[(Int, Array[Float])]): Double = {
+      val index = IvfIndex.build(data, "emb", "id", cs)
+      val queries = centers.take(4)
+      queries.map { q =>
+        val ann = IvfIndex.search(index, "emb", "id", cs, q, k = 10, nProbe = 2)
+          .collect().map(_.getLong(0)).toSet
+        val exact = VectorFunctions.topK(data, "emb", "id", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        (ann intersect exact).size.toDouble / exact.size
+      }.sum / queries.length
+    }
+    val rTrained = recall(trained)
+    val rSeed = recall(seed)
+    assert(rTrained >= rSeed, s"kmeans=$rTrained < seed=$rSeed")
+    assert(rTrained >= 0.8, s"kmeans recall too low: $rTrained")
+  }
 }
