@@ -110,6 +110,9 @@ object GraftFunctions {
     graft.sketch.HllMergeAgg(exprs(0), asEstimate = false).toAggregateExpression()
   val hllUnionEstBuilder: Seq[Expression] => Expression = exprs =>
     graft.sketch.HllUnionEst(exprs(0), exprs(1))
+  val zvalueBuilder: Seq[Expression] => Expression = exprs =>
+    graft.store.InterleaveBits(exprs.tail,
+      intLit(exprs, 0, 8, "zvalue bits"))
 
   /** Every (name, builder) the engine exposes to SQL. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
@@ -118,6 +121,7 @@ object GraftFunctions {
     ("hll_merge_est", hllMergeEstBuilder, classOf[graft.sketch.HllMergeAgg]),
     ("hll_merge_sketch", hllMergeSketchBuilder, classOf[graft.sketch.HllMergeAgg]),
     ("hll_union_est", hllUnionEstBuilder, classOf[graft.sketch.HllUnionEst]),
+    ("zvalue", zvalueBuilder, classOf[graft.store.InterleaveBits]),
     ("cms_agg", cmsAggBuilder, classOf[graft.sketch.CmsAgg]),
     ("cms_merge", cmsMergeBuilder, classOf[graft.sketch.CmsMerge]),
     ("cms_query", cmsQueryBuilder, classOf[graft.sketch.CmsQuery]),

@@ -158,4 +158,34 @@ class StreamingSpec extends SparkSpec {
     assert(state.length == 3)
     assert(state(1).getString(1) == "b") // original kept, DUP ignored
   }
+
+  test("streaming flush to the DSv2 KV sink via foreachBatch (S7 streaming mode)") {
+    val src = Files.createTempDirectory("graft-kv-stream-src").toString
+    val out = Files.createTempDirectory("graft-kv-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-kv-stream-ckpt").toString
+    Seq(("events:2024-01-01", """[1]""", 3600L),
+        ("events:2024-01-02", """[2]""", 43200L))
+      .toDF("cache_key", "payload_json", "ttl_s")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val q = StreamingIngest.readStream(spark, src, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // append per micro-batch; the connector's 2-phase commit makes
+        // each batch's flush atomic even mid-stream
+        batch.write.format("graft.sources.KvCacheSink")
+          .option("path", out).mode("append").save()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val back = spark.read.format("graft.sources.KvCacheSink")
+      .option("path", out).load()
+    assert(back.count() == 2)
+    assert(back.orderBy("cache_key").collect().map(_.getString(0)).toSeq ==
+      Seq("events:2024-01-01", "events:2024-01-02"))
+  }
 }

@@ -41,6 +41,16 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: zvalue(bits, dims...) matches the Column API") {
+    GraftFunctions.register(spark)
+    (0L to 50L).map(i => (i % 7, i % 11)).toDF("x", "y")
+      .createOrReplaceTempView("zv_pts")
+    val viaSql = spark.sql("SELECT zvalue(8, x, y) FROM zv_pts")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = (0L to 50L).map(i => ZOrder.zvalueLong(8, Seq(i % 7, i % 11)))
+    assert(viaSql == viaApi)
+  }
+
   test("null dim -> null z") {
     val df = Seq((Some(1L), Option.empty[Long]), (Some(2L), Some(3L)))
       .toDF("x", "y")
