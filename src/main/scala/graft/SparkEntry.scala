@@ -1119,6 +1119,30 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos_hof"), 4).as("cos_hof"),
           round(col("cos_native"), 4).as("cos_native"))
     }),
+
+    // ---- hard-negative mining for contrastive training: per anchor,
+    // top-3 nearest SAME-label (positives) and top-3 nearest OTHER-label
+    // (hard negatives). Broadcast anchors × corpus scan stays map-side;
+    // the k-bounded TopKByScore shuffles ≤k rows per (anchor, side) ----
+    "q78_hard_negatives" -> ((s, d) => {
+      import graft.vector.TopKAggregate.topk_by_score
+      val emb = tSpread(s, d, "embeddings")
+      val anchors = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("label").as("a_label"))
+      emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("a_id"))
+        .withColumn("s",
+          VectorFunctions.cosine_sim(col("embedding"), col("a_emb")))
+        .withColumn("is_pos", (col("label") === col("a_label")).cast("int"))
+        .groupBy(col("a_id"), col("is_pos"))
+        .agg(topk_by_score(col("s"), col("vec_id"), 3).as("top"))
+        .select(col("a_id"), col("is_pos"), posexplode(col("top")))
+        .select(col("a_id"), col("is_pos").cast("bigint").as("is_pos"),
+          (col("pos") + 1).cast("bigint").as("rank"),
+          col("col.id").as("vec_id"), round(col("col.score"), 4).as("score"))
+        .orderBy(col("a_id"), col("is_pos").desc, col("rank"))
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2407,5 +2431,40 @@ object SparkEntry {
         | FROM m)
         |SELECT vec_id, round(cos, 4) AS cos_hof, round(cos, 4) AS cos_native
         |FROM c ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
+
+    "q78_hard_negatives" ->
+      """WITH a AS (
+        | SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label
+        | FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        | SELECT e.vec_id, e.label, a.a_id, a.a_label,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * a.a_emb[i])), (x, y) -> x + y)
+        |    AS dot,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i])), (x, y) -> x + y)
+        |    AS na,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(a.a_emb) + 1),
+        |      i -> a.a_emb[i]::DOUBLE * a.a_emb[i])), (x, y) -> x + y)
+        |    AS nq
+        | FROM embeddings e, a WHERE e.vec_id <> a.a_id),
+        |c AS (
+        | SELECT a_id, vec_id,
+        |  CASE WHEN label = a_label THEN 1 ELSE 0 END AS is_pos,
+        |  CASE WHEN na = 0 OR nq = 0 THEN 0.0 ELSE dot / sqrt(na * nq) END
+        |    AS s
+        | FROM p),
+        |r AS (
+        | SELECT a_id, is_pos, vec_id, s,
+        |  row_number() OVER (PARTITION BY a_id, is_pos
+        |    ORDER BY s DESC, vec_id) AS rank
+        | FROM c)
+        |SELECT a_id, CAST(is_pos AS BIGINT) AS is_pos,
+        | CAST(rank AS BIGINT) AS rank, vec_id, round(s, 4) AS score
+        |FROM r WHERE rank <= 3
+        |ORDER BY a_id, is_pos DESC, rank""".stripMargin,
   )
 }
