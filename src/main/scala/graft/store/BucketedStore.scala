@@ -45,6 +45,30 @@ object BucketedStore {
     spark.read.parquet(path).filter(col("p_date") === to_date(lit(date)))
   }
 
+  /** Compact a parquet directory's small files into `targetFiles` —
+    * the daily maintenance op of any 100 TB ingest (each streaming
+    * micro-batch / per-date append leaves files far below the ideal
+    * 128 MB-1 GB scan unit; thousands of tiny files turn scan planning
+    * and footer reads into the bottleneck). Rewrites to a staging dir,
+    * then swaps atomically-enough for a single-writer maintenance window
+    * (write staged → move live aside → move staged in → drop old).
+    * Round-robin repartition: compaction must not shuffle by key or
+    * sort — it only re-buckets bytes. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val staged = path + ".compact-staging"
+    val old = path + ".compact-old"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(staged)
+    val fs = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(fs, java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged), fs)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+      p.delete()
+    }
+    rm(new java.io.File(old))
+  }
+
   /** Upsert `source` into the bucketed `table` and rewrite it.
     * Bucketing `source` identically first makes the merge join
     * co-located: no Exchange on either side. */

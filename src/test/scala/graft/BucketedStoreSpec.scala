@@ -84,4 +84,23 @@ class BucketedStoreSpec extends SparkSpec {
       }
     assert(numFiles.contains(2L), s"numFiles=$numFiles")
   }
+
+  test("compact rewrites many small files into targetFiles, content intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(64).write.mode("overwrite").parquet(dir)
+    def parquetFiles = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    graft.store.BucketedStore.compact(spark, dir, targetFiles = 4)
+    assert(parquetFiles == 4, s"files after compact: $parquetFiles")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == (1 to 5000).map(_.toLong).sum)
+    // no staging/old leftovers
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.contains("compact-staging") || n.contains("compact-old")))
+  }
 }

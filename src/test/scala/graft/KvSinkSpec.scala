@@ -66,4 +66,36 @@ class KvSinkSpec extends SparkSpec {
     val lit = KvCacheSink.decode(KvCacheSink.encode("k", "\\0", 1L))._2
     assert(lit == "\\0")
   }
+
+  test("2-phase commit: an aborted task's file never reaches the live dir, " +
+       "and an unreported staged file is discarded at commit") {
+    import graft.sources.{KvCommit, KvWrite, KvWriterFactory}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("kv-abort").toString
+    val write = new KvWrite(dir, "q-test", truncate = false)
+    val factory = write.toBatch
+      .createBatchWriterFactory(null).asInstanceOf[KvWriterFactory]
+
+    def row(k: String, ttl: Long) = {
+      val r = new GenericInternalRow(3)
+      r.update(0, UTF8String.fromString(k)); r.update(1, null)
+      r.update(2, ttl); r
+    }
+    // task 0 commits; task 1 aborts mid-write; task 2 writes but its
+    // message is lost (speculative duplicate) — never reported
+    val w0 = factory.createWriter(0, 100L)
+    w0.write(row("committed", 1L))
+    val m0 = w0.commit()
+    val w1 = factory.createWriter(1, 101L)
+    w1.write(row("aborted", 2L)); w1.abort()
+    val w2 = factory.createWriter(2, 102L)
+    w2.write(row("unreported", 3L)); w2.commit() // message dropped below
+    write.commit(Array(m0))
+
+    val keys = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("committed"))
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
+  }
 }
