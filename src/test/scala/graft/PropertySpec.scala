@@ -89,4 +89,65 @@ class PropertySpec extends SparkSpec {
         "H:mm")).as[String].collect()
     garbage.foreach(g => assert(g == "0:00"))
   }
+
+  test("ZOrder property: monotone per dimension for any dims/bits") {
+    val gen = for {
+      nd <- Gen.choose(2, 4)
+      bits <- Gen.choose(1, 62 / nd)
+      lo <- Gen.listOfN(nd, Gen.choose(0L, (1L << bits) - 1))
+      hi <- lo.foldRight(Gen.const(List.empty[Long])) { (l, acc) =>
+        for (t <- acc; v <- Gen.choose(l, (1L << bits) - 1)) yield v :: t
+      }
+    } yield (bits, lo, hi)
+    cases(gen).foreach { case (bits, lo, hi) =>
+      val zLo = graft.store.ZOrder.zvalueLong(bits, lo)
+      val zHi = graft.store.ZOrder.zvalueLong(bits, hi)
+      assert(zLo <= zHi, s"bits=$bits lo=$lo hi=$hi")
+      assert(zLo >= 0 && zHi >= 0)
+    }
+  }
+
+  test("CountMin property: estimate >= exact for any input multiset") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      ws <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"t$i"))
+      depth <- Gen.choose(1, 6)
+      width <- Gen.choose(2, 64)
+    } yield (ws, depth, width)
+    cases(gen).foreach { case (ws, depth, width) =>
+      val b = new graft.sketch.CmsBuffer(depth, width)
+      ws.foreach(w => b.update(UTF8String.fromString(w), 1L))
+      ws.groupBy(identity).foreach { case (w, occ) =>
+        val est = b.query(UTF8String.fromString(w))
+        assert(est >= occ.size, s"$w est=$est exact=${occ.size} d=$depth w=$width")
+      }
+    }
+  }
+
+  test("HLL union property: est(A∪B) via merge >= max(est side) and " +
+       "self-union is identity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sk(vals: Seq[String]): graft.sketch.HllBuffer = {
+      val b = new graft.sketch.HllBuffer(9)
+      vals.foreach(v => b.update(
+        graft.text.RollingHash.hashToken(UTF8String.fromString(v))))
+      b
+    }
+    val gen = for {
+      a <- Gen.listOfN(100, Gen.choose(0, 5000).map(i => s"a$i"))
+      b <- Gen.listOfN(100, Gen.choose(0, 5000).map(i => s"b$i"))
+    } yield (a, b)
+    cases(gen).take(50).foreach { case (as, bs) =>
+      val (sa, sb) = (sk(as), sk(bs))
+      val (ea, eb) = (sa.estimate, sb.estimate)
+      val su = sk(as); su.mergeFrom(sb)
+      assert(su.estimate >= math.max(ea, eb) ||
+        // estimates are not strictly monotone at correction boundaries;
+        // allow the documented ~5% band
+        su.estimate >= (math.max(ea, eb) * 0.95).toLong)
+      val self = sk(as); self.mergeFrom(sk(as))
+      assert(self.estimate == ea)
+    }
+  }
 }
