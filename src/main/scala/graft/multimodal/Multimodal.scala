@@ -93,6 +93,29 @@ object Multimodal {
         expr(s"substring(content, frame_idx * $stride * $frameBytes + 1, $frameBytes)"))
       .select(col("doc_id"), col("frame_idx"), col("frame"),
         length(col("frame")).as("frame_len"))
+
+  /** Chunk an "audio" payload into fixed-duration windows: each chunk
+    * covers `windowMs` of the clip, with the byte span derived from the
+    * metadata duration (bytes-per-ms of THIS clip — variable bitrate
+    * across rows, constant within one). The ASR/audio-embedding
+    * front-end shape: contiguous windows, last one ragged. */
+  def chunkAudio(df: DataFrame, windowMs: Long): DataFrame = {
+    val nChunks = greatest(lit(1L),
+      ceil(col("meta.duration_ms").cast("double") / windowMs).cast("long"))
+    val bytesPerChunk = greatest(lit(1L),
+      ceil(length(col("content")).cast("double") / nChunks).cast("long"))
+    df.filter(col("media_type") === "audio")
+      .withColumn("_n", nChunks)
+      .withColumn("_bpc", bytesPerChunk)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * windowMs).as("start_ms"),
+        least(lit(windowMs), col("meta.duration_ms") - col("chunk_idx") * windowMs)
+          .as("chunk_ms"),
+        expr("substring(content, cast(chunk_idx * _bpc + 1 as int), cast(_bpc as int))")
+          .as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+  }
 }
 
 /** Stand-in for a per-partition codec handle (libjpeg/ffmpeg-like). */

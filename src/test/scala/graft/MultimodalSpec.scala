@@ -64,4 +64,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() >= 1)
     assert(frames.agg(max(col("frame_len"))).head().getInt(0) <= 8)
   }
+
+  test("audio chunking: contiguous windows cover the clip, last ragged") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    val chunks = Multimodal.chunkAudio(m, windowMs = 1000L).collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // starts are contiguous multiples of the window
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i.toLong)
+        assert(r.getLong(2) == i * 1000L)
+        assert(r.getLong(3) <= 1000L && r.getLong(3) > 0L)
+      }
+      // every chunk before the last is full-length
+      sorted.init.foreach(r => assert(r.getLong(3) == 1000L))
+      // reassembling the chunks recovers the full payload length
+      val total = sorted.map(_.getInt(5)).sum
+      val original = Multimodal.mediaFromDocuments(docs)
+        .filter(col("doc_id") === sorted.head.getLong(0))
+        .select(length(col("content"))).head().getInt(0)
+      assert(total == original, s"chunks=$total original=$original")
+    }
+  }
 }
