@@ -123,4 +123,32 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** Stream-stream inner join with event-time bounds: each purchase
+    * picks up the views of the same user within the preceding
+    * `windowMinutes` (the attribution join). Both sides carry
+    * watermarks AND the join condition bounds both times, so the state
+    * store can evict: a buffered view is dropped once the purchase
+    * watermark passes `v_ts + windowMinutes` — without the time bound
+    * the state would grow forever (the canonical stream-join pitfall).
+    * Same plan shape in batch: Spark plans the identical join for
+    * static frames, which is what StreamingSpec equates against. */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+                      windowMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$windowMinutes minutes")
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", s"${windowMinutes * 2} minutes")
+    p.join(v, expr(
+      s"""p_user = v_user AND
+         |v_ts >= p_ts - interval $windowMinutes minutes AND
+         |v_ts <= p_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("p_id"), col("v_id"),
+        col("p_ts"), col("v_ts"))
+  }
 }

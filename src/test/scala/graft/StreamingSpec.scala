@@ -159,6 +159,30 @@ class StreamingSpec extends SparkSpec {
     assert(state(1).getString(1) == "b") // original kept, DUP ignored
   }
 
+  test("stream-stream attribution join equals the batch join") {
+    val sf = "/root/testdata/sf0.001"
+    def split(df: org.apache.spark.sql.DataFrame, tpe: String) =
+      df.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"), col("ts"))
+    val sp = split(StreamingIngest.eventStream(spark, sf), "purchase")
+    val sv = split(StreamingIngest.eventStream(spark, sf), "view")
+    val joined = StreamingIngest.attributionJoin(sp, sv, windowMinutes = 60)
+    val ckpt = Files.createTempDirectory("graft-ssj-ckpt").toString
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+
+    val batch = Tables.events(spark, sf)
+    val want = StreamingIngest.attributionJoin(
+      split(batch, "purchase"), split(batch, "view"), windowMinutes = 60)
+      .orderBy("p_id", "v_id").collect()
+    val got = spark.table("attrib").orderBy("p_id", "v_id").collect()
+    assert(want.nonEmpty, "join must produce rows for the proof to mean anything")
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    assert(got.zip(want).forall { case (a, b) => a == b })
+  }
+
   test("streaming flush to the DSv2 KV sink via foreachBatch (S7 streaming mode)") {
     val src = Files.createTempDirectory("graft-kv-stream-src").toString
     val out = Files.createTempDirectory("graft-kv-stream-out").toString
