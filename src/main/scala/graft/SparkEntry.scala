@@ -1143,6 +1143,23 @@ object SparkEntry {
           col("col.id").as("vec_id"), round(col("col.score"), 4).as("score"))
         .orderBy(col("a_id"), col("is_pos").desc, col("rank"))
     }),
+
+    // ---- MapType end-to-end: per-source language histogram built as a
+    // MAP column (map_from_entries), pruned with map_filter, consumed
+    // via explode back to rows ----
+    "q79_map_ops" -> ((s, d) => {
+      val hist = tSpread(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("lang"), col("n"))))).as("lang_map"))
+      hist.select(col("source"),
+          size(col("lang_map")).cast("bigint").as("n_langs"),
+          explode(map_filter(col("lang_map"), (_, v) => v >= 2)))
+        .select(col("source"), col("n_langs"), col("key").as("lang"),
+          col("value").as("n_docs"))
+        .orderBy(col("source"), col("lang"))
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2466,5 +2483,14 @@ object SparkEntry {
         | CAST(rank AS BIGINT) AS rank, vec_id, round(s, 4) AS score
         |FROM r WHERE rank <= 3
         |ORDER BY a_id, is_pos DESC, rank""".stripMargin,
+
+    "q79_map_ops" ->
+      """WITH h AS (
+        | SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |nl AS (SELECT source, count(*) AS n_langs FROM h GROUP BY 1)
+        |SELECT h.source, nl.n_langs, h.lang, CAST(h.n AS BIGINT) AS n_docs
+        |FROM h JOIN nl ON nl.source = h.source
+        |WHERE h.n >= 2
+        |ORDER BY h.source, h.lang""".stripMargin,
   )
 }
