@@ -1160,6 +1160,42 @@ object SparkEntry {
           col("value").as("n_docs"))
         .orderBy(col("source"), col("lang"))
     }),
+
+    // ---- explicit GROUPING SETS + grouping_id (the general form of
+    // q29's ROLLUP / q43's CUBE) through the SQL surface ----
+    "q80_grouping_sets" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(to_date(col("ts")).cast("string").as("event_date"),
+          col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_gs")
+      s.sql(
+        """SELECT event_date, event_type, count(*) AS n,
+          | round(sum(value), 2) AS sum_value,
+          | CAST(grouping_id(event_date, event_type) AS BIGINT) AS gid
+          |FROM ev_gs
+          |GROUP BY GROUPING SETS ((event_date, event_type), (event_type), ())
+          |ORDER BY gid, event_date ASC NULLS FIRST,
+          | event_type ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- event-time RANGE window frame (sliding trailing hour) +
+    // lead/lag neighbors: the frame is defined in VALUE space (micros),
+    // so ties and gaps behave identically across engines ----
+    "q81_range_window" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val hour = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      val seq_ = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      e.withColumn("hour_sum", round(sum(col("value")).over(hour), 2))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(seq_))
+        .withColumn("next_id", lead(col("event_id"), 1).over(seq_))
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("hour_sum"), col("prev_id"), col("next_id"))
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2492,5 +2528,27 @@ object SparkEntry {
         |FROM h JOIN nl ON nl.source = h.source
         |WHERE h.n >= 2
         |ORDER BY h.source, h.lang""".stripMargin,
+
+    "q80_grouping_sets" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | CAST(GROUPING(strftime(ts, '%Y-%m-%d')) * 2
+        |   + GROUPING(event_type) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d'), event_type),
+        |  (event_type), ())
+        |ORDER BY gid, event_date ASC NULLS FIRST,
+        | event_type ASC NULLS FIRST""".stripMargin,
+
+    "q81_range_window" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+        |   AS hour_sum,
+        | lag(event_id, 1) OVER w AS prev_id,
+        | lead(event_id, 1) OVER w AS next_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, us, event_id""".stripMargin,
   )
 }
