@@ -1196,6 +1196,35 @@ object SparkEntry {
           col("hour_sum"), col("prev_id"), col("next_id"))
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
+
+    // ---- unpivot: melt q76's wide per-type counts back to long form
+    // (pivot and its inverse round-trip through the engine) ----
+    "q82_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .select(to_date(col("ts")).cast("string").as("event_date"),
+          col("event_type"))
+        .groupBy(col("event_date"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array(col("event_date")),
+          types.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("event_date"), col("event_type"))
+    }),
+
+    // ---- ordered string aggregation (listagg): deterministic because
+    // the list is sorted before joining — the only form that is stable
+    // under distributed aggregation ----
+    "q83_string_agg" -> ((s, d) => {
+      tSpread(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("lang")))).as("langs"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2550,5 +2579,18 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, us, event_id""".stripMargin,
+
+    "q82_unpivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_date, event_type""".stripMargin,
+
+    "q83_string_agg" ->
+      """SELECT source,
+        | string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }
