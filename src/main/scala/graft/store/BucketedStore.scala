@@ -45,6 +45,25 @@ object BucketedStore {
     spark.read.parquet(path).filter(col("p_date") === to_date(lit(date)))
   }
 
+  /** Re-write ONLY the date partitions present in `df`, leaving every
+    * other date's directory untouched (dynamic partition overwrite) —
+    * the idempotent daily re-ingest: re-running one scrape date replaces
+    * exactly that date, no matter how many years of history share the
+    * table. Static overwrite (the default) would drop ALL partitions
+    * first; at 100 TB that difference is the whole job. */
+  def overwriteDatePartitions(df: DataFrame, path: String, dateCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.withColumn("p_date", to_date(col(dateCol)))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Compact a parquet directory's small files into `targetFiles` —
     * the daily maintenance op of any 100 TB ingest (each streaming
     * micro-batch / per-date append leaves files far below the ideal

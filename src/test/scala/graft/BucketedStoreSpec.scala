@@ -85,6 +85,25 @@ class BucketedStoreSpec extends SparkSpec {
     assert(numFiles.contains(2L), s"numFiles=$numFiles")
   }
 
+  test("dynamic partition overwrite replaces only the re-run date") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dyn").toString + "/t"
+    val day1 = Seq(("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 2L))
+    val day2 = Seq(("2024-01-02 10:00:00", 3L))
+    graft.store.BucketedStore.overwriteDatePartitions(
+      (day1 ++ day2).toDF("ts", "v"), dir, "ts")
+    assert(spark.read.parquet(dir).count() == 3)
+
+    // re-run ONLY day 1 with corrected rows
+    val rerun = Seq(("2024-01-01 10:00:00", 10L)).toDF("ts", "v")
+    graft.store.BucketedStore.overwriteDatePartitions(rerun, dir, "ts")
+    val after = spark.read.parquet(dir)
+      .select(col("v"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // day 1 fully replaced (both old rows gone), day 2 untouched
+    assert(after == Set((10L, "2024-01-01"), (3L, "2024-01-02")), after.toString)
+  }
+
   test("compact rewrites many small files into targetFiles, content intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
