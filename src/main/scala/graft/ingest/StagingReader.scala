@@ -21,6 +21,30 @@ object StagingReader {
     normalize(spark.read.schema(Schemas.eventDto)
       .option("multiLine", true).json(path))
 
+  /** S4 with explicit corrupt capture: a malformed staging file becomes
+    * a `_corrupt_record` row (with multiLine JSON the whole file is the
+    * record) routed to the returned quarantine frame — A7's
+    * continue-on-failure applied to the INGEST boundary, instead of the
+    * default PERMISSIVE silence (all-null rows that would flow into the
+    * validation split looking like empty events). */
+  def readStagedSafe(spark: SparkSession,
+                     path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      Schemas.eventDto.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // required: corrupt-record queries must not re-trigger parse
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    val good = normalize(
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"))
+    (good, bad)
+  }
+
   /** S3 — stage a DTO frame, date-partitioned (y/m/d from scrape_time,
     * mirroring the reference's key layout). */
   def writeStaged(df: DataFrame, path: String): Unit =

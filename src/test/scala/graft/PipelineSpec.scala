@@ -101,6 +101,21 @@ class PipelineSpec extends SparkSpec {
     assert(eventLifted.isNullAt(1))
   }
 
+  test("S4/A7 corrupt staging file quarantines instead of nulling out") {
+    val dir = Files.createTempDirectory("graft-staging-corrupt")
+    Files.writeString(dir.resolve("event_data_2025-03-20_x.json"), fixtureJson)
+    Files.writeString(dir.resolve("event_data_2025-03-21_x.json"),
+      """[{"artist_data": {"name": "Trunc""") // truncated upload
+    val (good, bad) = StagingReader.readStagedSafe(spark, dir.toString)
+    assert(good.count() == 3) // the intact file parses fully
+    assert(bad.count() == 1)  // the whole malformed file = one corrupt row
+    assert(bad.head().getString(0).contains("Trunc"))
+    // and the plain reader would have produced silent null rows instead
+    val naive = StagingReader.readStaged(spark, dir.toString)
+    assert(naive.count() == 4)
+    assert(naive.filter(col("artist_data").isNull).count() == 1)
+  }
+
   test("typed Dataset[EventDto] ingest surface") {
     val ds = StagingReader.readStagedTyped(spark, stagingDir)
     val dtos = ds.collect()
