@@ -1225,6 +1225,42 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy(col("source"))
     }),
+
+    // ---- correlated subqueries through the SQL surface: EXISTS with a
+    // nested uncorrelated scalar + a correlated scalar in the SELECT —
+    // Catalyst decorrelates both into joins (no per-row re-execution) ----
+    "q84_correlated_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_q84")
+      t(s, d, "orders").createOrReplaceTempView("orders_q84")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name,
+          | round((SELECT sum(o.o_totalprice) FROM orders_q84 o
+          |        WHERE o.o_custkey = c.c_custkey), 2) AS total
+          |FROM customer_q84 c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM orders_q84 o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
+          |    (SELECT avg(o2.o_totalprice) FROM orders_q84 o2))
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    // ---- recursive CTE (Spark 4.1): ancestor walk over the implicit
+    // binary-tree hierarchy parent(k) = k DIV 2 — the same iterative
+    // fixpoint Dedup.propagateClusters runs as DataFrame loops, here as
+    // the declarative SQL form ----
+    "q85_recursive_cte" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_q85")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT c_custkey AS start, c_custkey AS node,
+          |         CAST(0 AS BIGINT) AS depth
+          |  FROM customer_q85 WHERE c_custkey < 32
+          |  UNION ALL
+          |  SELECT start, node DIV 2 AS node, depth + 1 AS depth
+          |  FROM anc WHERE node > 0)
+          |SELECT start, node, depth FROM anc
+          |ORDER BY start, depth""".stripMargin)
+    }),
   )
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
@@ -2592,5 +2628,27 @@ object SparkEntry {
         | string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
         | count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q84_correlated_subquery" ->
+      """SELECT c.c_custkey, c.c_name,
+        | round((SELECT sum(o.o_totalprice) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey), 2) AS total
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
+        |    (SELECT avg(o2.o_totalprice) FROM orders o2))
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q85_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS start, c_custkey AS node,
+        |         CAST(0 AS BIGINT) AS depth
+        |  FROM customer WHERE c_custkey < 32
+        |  UNION ALL
+        |  SELECT start, node // 2 AS node, depth + 1 AS depth
+        |  FROM anc WHERE node > 0)
+        |SELECT start, node, depth FROM anc
+        |ORDER BY start, depth""".stripMargin,
   )
 }
