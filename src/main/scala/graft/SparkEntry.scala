@@ -1244,6 +1244,29 @@ object SparkEntry {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // ---- one Lloyd k-means iteration, oracle-checked end to end:
+    // cosine-argmax assignment to 4 fixed seed vectors (mutually
+    // near-orthogonal, so the argmax is numerically stable), then
+    // per-(cluster, dim) means — the distributed E/M step behind
+    // IvfIndex.kmeansCentroids, replayed exactly in SQL ----
+    "q86_kmeans_step" -> ((s, d) => {
+      import graft.vector.IvfIndex
+      val emb = tSpread(s, d, "embeddings")
+      val cs = t(s, d, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      IvfIndex.build(emb, "embedding", "vec_id", cs)
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .filter(col("pos") < 8)
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(round(avg(col("col")), 4).as("mean_val"),
+          count(lit(1)).as("n"))
+        .select(col("centroid_id").cast("bigint").as("centroid_id"),
+          col("pos").cast("bigint").as("dim"), col("mean_val"), col("n"))
+        .orderBy(col("centroid_id"), col("dim"))
+    }),
+
     // ---- recursive CTE (Spark 4.1): ancestor walk over the implicit
     // binary-tree hierarchy parent(k) = k DIV 2 — the same iterative
     // fixpoint Dedup.propagateClusters runs as DataFrame loops, here as
@@ -2639,6 +2662,41 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q86_kmeans_step" ->
+      """WITH c AS (
+        | SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        | WHERE vec_id < 4),
+        |p AS (
+        | SELECT e.vec_id, e.embedding AS emb, c.cid,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS dot,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i])), (x, y) -> x + y)
+        |    AS na,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(c.ce) + 1),
+        |      i -> c.ce[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS nc
+        | FROM embeddings e, c),
+        |sc AS (
+        | SELECT vec_id, emb, cid,
+        |  CASE WHEN na = 0 OR nc = 0 THEN 0.0 ELSE dot / sqrt(na * nc) END
+        |    AS s
+        | FROM p),
+        |asg AS (
+        | SELECT vec_id, emb, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        | FROM sc),
+        |a AS (SELECT vec_id, emb, cid FROM asg WHERE rk = 1),
+        |x AS (
+        | SELECT cid, i - 1 AS dim, emb[CAST(i AS INT)]::DOUBLE AS v
+        | FROM a, range(1, 9) r(i))
+        |SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(dim AS BIGINT) AS dim,
+        | round(avg(v), 4) AS mean_val, count(*) AS n
+        |FROM x GROUP BY 1, 2
+        |ORDER BY centroid_id, dim""".stripMargin,
 
     "q85_recursive_cte" ->
       """WITH RECURSIVE anc AS (
