@@ -1267,6 +1267,34 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("dim"))
     }),
 
+    // ---- ordered funnel (view → click → purchase): each stage's first
+    // qualifying time is a windowed conditional min over the PREVIOUS
+    // stage's — three Window nodes over ONE user-partitioned exchange
+    // (Spark reuses the shuffle across same-partitioning windows) ----
+    "q87_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("us") > col("fv"),
+            col("us"))).over(w))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("us") > col("fc"),
+            col("us"))).over(w))
+      e.groupBy(lit(1).as("funnel"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("fv").isNotNull, col("user_id")))
+            .as("n_viewed"),
+          countDistinct(when(col("fc").isNotNull, col("user_id")))
+            .as("n_clicked_after_view"),
+          countDistinct(when(col("fp").isNotNull, col("user_id")))
+            .as("n_purchased_after_click"))
+        .drop("funnel")
+    }),
+
     // ---- recursive CTE (Spark 4.1): ancestor walk over the implicit
     // binary-tree hierarchy parent(k) = k DIV 2 — the same iterative
     // fixpoint Dedup.propagateClusters runs as DataFrame loops, here as
@@ -2662,6 +2690,29 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q87_funnel" ->
+      """WITH staged AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id) AS fv
+        | FROM events),
+        |staged2 AS (
+        | SELECT *, min(CASE WHEN event_type = 'click' AND us > fv
+        |    THEN us END) OVER (PARTITION BY user_id) AS fc
+        | FROM staged),
+        |staged3 AS (
+        | SELECT *, min(CASE WHEN event_type = 'purchase' AND us > fc
+        |    THEN us END) OVER (PARTITION BY user_id) AS fp
+        | FROM staged2)
+        |SELECT count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT CASE WHEN fv IS NOT NULL THEN user_id END)
+        |   AS n_viewed,
+        | count(DISTINCT CASE WHEN fc IS NOT NULL THEN user_id END)
+        |   AS n_clicked_after_view,
+        | count(DISTINCT CASE WHEN fp IS NOT NULL THEN user_id END)
+        |   AS n_purchased_after_click
+        |FROM staged3""".stripMargin,
 
     "q86_kmeans_step" ->
       """WITH c AS (
