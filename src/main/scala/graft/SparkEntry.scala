@@ -1267,6 +1267,35 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("dim"))
     }),
 
+    // ---- LM-perplexity quality filter (KenLM-family): a bigram model
+    // trained ON the corpus scores each doc; P(w2|w1) = (c(w1,w2)+1) /
+    // (c(w1)+V) with add-one smoothing. ONE token lineage feeds both the
+    // model counts and the per-doc scoring; count frames are broadcast
+    // (vocab-sized, tiny next to the corpus at 100 TB) ----
+    "q88_lm_perplexity" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"), posexplode(
+          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+      val biCounts = big.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      big.join(broadcast(biCounts), Seq("w", "w2"))
+        .join(broadcast(uniCounts), Seq("w"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(col("logp")), 4).as("ppl_bits"))
+        .withColumn("keep", col("ppl_bits") < 7.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- ordered funnel (view → click → purchase): each stage's first
     // qualifying time is a windowed conditional min over the PREVIOUS
     // stage's — three Window nodes over ONE user-partitioned exchange
@@ -2690,6 +2719,33 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q88_lm_perplexity" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS w
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |big AS (
+        | SELECT doc_id, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM tok
+        | QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        | round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4) AS ppl_bits,
+        | round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4) < 7.0 AS keep
+        |FROM big b
+        | JOIN bi ON bi.w = b.w AND bi.w2 = b.w2
+        | JOIN uni ON uni.w = b.w
+        | CROSS JOIN v
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q87_funnel" ->
       """WITH staged AS (
