@@ -1296,6 +1296,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- one BPE-training iteration: adjacent-symbol pair frequencies
+    // over the word vocabulary (weighted by word frequency), the argmax
+    // pair being the merge a tokenizer trainer would apply. Counting
+    // runs on the VOCABULARY (words × chars), not the corpus — the
+    // standard trick that makes BPE training corpus-size-independent ----
+    "q89_bpe_merge_step" -> ((s, d) => {
+      val words = tSpread(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      val seqW = Window.partitionBy(col("w")).orderBy(col("i"))
+      val pairs = words
+        .withColumn("i", explode(sequence(lit(1), length(col("w")))))
+        .select(col("w"), col("wf"), col("i"),
+          expr("substring(w, i, 1)").as("s1"))
+        .withColumn("s2", lead(col("s1"), 1).over(seqW))
+        .filter(col("s2").isNotNull)
+      val counted = pairs.groupBy(col("s1"), col("s2"))
+        .agg(sum(col("wf")).as("pair_freq"))
+      val rk = Window.orderBy(col("pair_freq").desc, col("s1"), col("s2"))
+      counted.withColumn("rank", row_number().over(rk))
+        .withColumn("is_merge", col("rank") === 1)
+        .filter(col("rank") <= 20)
+        .select(col("rank").cast("bigint").as("rank"), col("s1"), col("s2"),
+          col("pair_freq"), col("is_merge"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- ordered funnel (view → click → purchase): each stage's first
     // qualifying time is a windowed conditional min over the PREVIOUS
     // stage's — three Window nodes over ONE user-partitioned exchange
@@ -2719,6 +2747,32 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q89_bpe_merge_step" ->
+      """WITH words AS (
+        | SELECT w, count(*) AS wf FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents)
+        | WHERE length(w) > 0 GROUP BY 1),
+        |chars AS (
+        | SELECT w, wf, unnest(range(1, length(w) + 1)) AS i FROM words),
+        |sym AS (
+        | SELECT w, wf, i, substr(w, CAST(i AS INT), 1) AS s1 FROM chars),
+        |pairs AS (
+        | SELECT w, wf, s1,
+        |  lead(s1, 1) OVER (PARTITION BY w ORDER BY i) AS s2
+        | FROM sym QUALIFY s2 IS NOT NULL),
+        |counted AS (
+        | SELECT s1, s2, CAST(sum(wf) AS BIGINT) AS pair_freq
+        | FROM pairs GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT s1, s2, pair_freq,
+        |  row_number() OVER (ORDER BY pair_freq DESC, s1, s2) AS rank
+        | FROM counted)
+        |SELECT CAST(rank AS BIGINT) AS rank, s1, s2, pair_freq,
+        | rank = 1 AS is_merge
+        |FROM ranked WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
 
     "q88_lm_perplexity" ->
       """WITH tok0 AS (
