@@ -1267,6 +1267,31 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("dim"))
     }),
 
+    // ---- content-defined chunking (rsync/LBFS family): a chunk ends
+    // AFTER any token whose hash falls in 1/16 of the space, so chunk
+    // boundaries depend only on content — an insertion reshuffles
+    // boundaries locally, not globally, which is what makes chunk-level
+    // dedup robust under edits at 100 TB (vs q72's fixed windows, where
+    // one inserted token shifts every downstream chunk) ----
+    "q90_cdc_chunks" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"), posexplode(
+          split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("is_b",
+          (substring(md5(col("w")), 1, 1) === "0").cast("int"))
+      val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tok.withColumn("chunk_id",
+          coalesce(sum(col("is_b")).over(before), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ",
+            transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ---- LM-perplexity quality filter (KenLM-family): a bigram model
     // trained ON the corpus scores each doc; P(w2|w1) = (c(w1,w2)+1) /
     // (c(w1)+V) with add-one smoothing. ONE token lineage feeds both the
@@ -2747,6 +2772,27 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q90_cdc_chunks" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS w,
+        |  CASE WHEN substr(md5(ts[CAST(i AS INT)]), 1, 1) = '0'
+        |   THEN 1 ELSE 0 END AS is_b
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |ch AS (
+        | SELECT doc_id, pos, w,
+        |  CAST(coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS chunk_id
+        | FROM tok)
+        |SELECT doc_id, chunk_id, count(*) AS n_tokens,
+        | md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM ch GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q89_bpe_merge_step" ->
       """WITH words AS (
