@@ -1292,6 +1292,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
+    // near-dup/containment candidates. One shuffle on the chunk hash,
+    // map-side pair expansion, doc-frequency cap as the boilerplate
+    // guard (Dedup.sharedKeyPairs — the same harness the shingle and
+    // LSH paths use) ----
+    "q91_chunk_dedup_pairs" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"), posexplode(
+          split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("is_b",
+          (substring(md5(col("w")), 1, 1) === "0").cast("int"))
+      val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = tok.withColumn("chunk_id",
+          coalesce(sum(col("is_b")).over(before), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")))).as("chunk_md5"))
+      Dedup.sharedKeyPairs(chunks, "chunk_md5", "doc_id", maxIdsPerKey = 20)
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- LM-perplexity quality filter (KenLM-family): a bigram model
     // trained ON the corpus scores each doc; P(w2|w1) = (c(w1,w2)+1) /
     // (c(w1)+V) with add-one smoothing. ONE token lineage feeds both the
@@ -2772,6 +2797,38 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q91_chunk_dedup_pairs" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS w,
+        |  CASE WHEN substr(md5(ts[CAST(i AS INT)]), 1, 1) = '0'
+        |   THEN 1 ELSE 0 END AS is_b
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |ch AS (
+        | SELECT doc_id, pos, w,
+        |  CAST(coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS chunk_id
+        | FROM tok),
+        |chunks AS (
+        | SELECT DISTINCT doc_id,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+        | FROM ch GROUP BY doc_id, chunk_id),
+        |freq AS (
+        | SELECT chunk_md5 FROM chunks GROUP BY 1
+        | HAVING count(*) BETWEEN 2 AND 20)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | count(*) AS n_shared
+        |FROM chunks a
+        | JOIN chunks b ON a.chunk_md5 = b.chunk_md5
+        |  AND a.doc_id < b.doc_id
+        | JOIN freq f ON f.chunk_md5 = a.chunk_md5
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q90_cdc_chunks" ->
       """WITH tok0 AS (

@@ -137,6 +137,24 @@ object Dedup {
     out.toSeq
   }
 
+  /** Candidate pairs from any (key, id) co-occurrence frame: group by
+    * key (ONE shuffle), map-side pair expansion, count shared keys per
+    * pair. `maxIdsPerKey` is the boilerplate/skew guard — a key shared
+    * by half the corpus is an n² bomb and carries no dedup signal.
+    * Duplicate (key, id) rows are collapsed first, so each shared key
+    * counts once per pair. */
+  def sharedKeyPairs(df: DataFrame, keyCol: String, idCol: String,
+                     maxIdsPerKey: Int): DataFrame = {
+    val lists = df.select(col(keyCol).as("k"), col(idCol).as("id"))
+      .distinct()
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxIdsPerKey))
+    lists.select(explode(pairCombinations(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // --- MinHash + LSH ---
 
   private val Prime = 2038074743L // large 31-bit prime for affine permutations
