@@ -1292,6 +1292,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // ---- ingest data-profiling pass: per-source fill rates and length
+    // distribution — the first query any 100 TB onboarding runs (one
+    // scan, all metrics as conditional aggregates) ----
+    "q92_profile_sources" -> ((s, d) => {
+      tSpread(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((length(trim(col("text"))) === 0).cast("long")).as("n_empty"),
+          sum((col("lang").isNull || col("lang") === "").cast("long"))
+            .as("n_no_lang"),
+          round(avg(length(col("text"))), 2).as("avg_chars"),
+          min(length(col("text"))).cast("bigint").as("min_chars"),
+          max(length(col("text"))).cast("bigint").as("max_chars"),
+          round(avg((col("n_chars") =!= length(col("text"))).cast("double")),
+            4).as("meta_mismatch_rate"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- argmax aggregates (max_by/min_by): per user, WHICH event had
+    // the extreme value — without a self-join back to the fact. Ordering
+    // keys are zero-padded sortable strings (value ties broken by
+    // event_id) so both engines compare the identical scalar ----
+    "q93_argmax" -> ((s, d) => {
+      val valueKey = format_string("%015d|%010d",
+        round(col("value") * 100).cast("bigint"), col("event_id"))
+      val timeKey = format_string("%020d|%010d",
+        unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_id"), valueKey).as("top_value_event"),
+          min_by(col("event_id"), timeKey).as("first_event"),
+          max_by(col("event_type"), timeKey).as("last_type"),
+          round(max(col("value")), 2).as("top_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -2797,6 +2834,31 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q92_profile_sources" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_empty,
+        | CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_no_lang,
+        | round(avg(length(text)), 2) AS avg_chars,
+        | CAST(min(length(text)) AS BIGINT) AS min_chars,
+        | CAST(max(length(text)) AS BIGINT) AS max_chars,
+        | round(avg(CASE WHEN n_chars <> length(text) THEN 1.0 ELSE 0.0 END),
+        |   4) AS meta_mismatch_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q93_argmax" ->
+      """SELECT user_id,
+        | arg_max(event_id, printf('%015d|%010d',
+        |   CAST(round(value * 100) AS BIGINT), event_id))
+        |   AS top_value_event,
+        | arg_min(event_id, printf('%020d|%010d', epoch_us(ts), event_id))
+        |   AS first_event,
+        | arg_max(event_type, printf('%020d|%010d', epoch_us(ts), event_id))
+        |   AS last_type,
+        | round(max(value), 2) AS top_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q91_chunk_dedup_pairs" ->
       """WITH tok0 AS (
