@@ -1329,6 +1329,52 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- CSV sink/source round-trip with explicit schema (no
+    // inference pass — at 100 TB schema inference is a full extra scan):
+    // quoting/escaping handled by the format, oracle sees only the
+    // read-back aggregate ----
+    "q94_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-csv-q94").toString
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").option("escape", "\"").csv(dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "bigint").add("lang", "string")
+        .add("source", "string").add("text", "string")
+      s.read.schema(schema).option("header", "true")
+        .option("escape", "\"").csv(dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // ---- schema evolution: two parquet batches with different columns
+    // (a new `quality` column appears mid-stream) read as ONE table via
+    // mergeSchema; old rows surface NULL for the new column — the
+    // rolling-upgrade contract of a long-lived ingest ----
+    "q95_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-evo-q95").toString
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$dir/batch=old")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .write.mode("overwrite").parquet(s"$dir/batch=new")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("quality").isNull.cast("long")).as("n_pre_schema"),
+          round(avg(col("quality")), 4).as("avg_quality_new"))
+        .orderBy(col("source"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -2834,6 +2880,29 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q94_csv_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_doc
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "q95_schema_evolution" ->
+      """WITH q AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 1 THEN
+        |   CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE round(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |      array_length(regexp_split_to_array(trim(text), '\s+')), 4) END
+        |  END AS quality
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_pre_schema,
+        | round(avg(quality), 4) AS avg_quality_new
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "q92_profile_sources" ->
       """SELECT source, count(*) AS n_docs,
