@@ -1375,6 +1375,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- DayTimeInterval arithmetic (the reference's `Interval`
+    // typical_set_length type, SURVEY §1.3): activity within
+    // signup_ts + 2h via interval addition. Per-user equi-join first;
+    // at fact×fact scale the same predicate routes through
+    // plans.RangeJoin (q44/q50) ----
+    "q96_interval_arithmetic" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_id"),
+          col("ts").as("s_ts"))
+      val acts = e.filter(col("event_type") =!= "signup")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("ts").as("a_ts"))
+      signups.join(acts, Seq("user_id"))
+        .filter(col("a_ts") >= col("s_ts") &&
+          col("a_ts") < col("s_ts") +
+            make_dt_interval(lit(0), lit(2), lit(0), lit(0)))
+        .groupBy(col("user_id"), col("s_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("user_id"), col("s_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -2880,6 +2902,18 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q96_interval_arithmetic" ->
+      """WITH s AS (
+        | SELECT user_id, event_id AS s_id, ts AS s_ts FROM events
+        | WHERE event_type = 'signup'),
+        |a AS (
+        | SELECT user_id, event_id AS a_id, ts AS a_ts FROM events
+        | WHERE event_type <> 'signup')
+        |SELECT s.user_id, s.s_id, count(*) AS n_follow
+        |FROM s JOIN a ON a.user_id = s.user_id
+        | AND a.a_ts >= s.s_ts AND a.a_ts < s.s_ts + INTERVAL 2 HOUR
+        |GROUP BY 1, 2 ORDER BY s.user_id, s.s_id""".stripMargin,
 
     "q94_csv_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
