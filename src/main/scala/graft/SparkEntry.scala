@@ -1397,6 +1397,91 @@ object SparkEntry {
         .orderBy(col("user_id"), col("s_id"))
     }),
 
+    // ---- semi-structured ELT: rows carry a JSON payload (built here
+    // from the relational base), parsed back with an EXPLICIT schema
+    // (from_json — no inference scan) and exploded; the schema-on-read
+    // half of the S4 boundary generalized to nested arrays ----
+    "q97_json_elt" -> ((s, d) => {
+      val js = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(to_json(struct(col("o_custkey").as("cust"),
+          sort_array(collect_list(round(col("o_totalprice"), 2)))
+            .as("totals"))).as("payload"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cust",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("totals",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      js.select(from_json(col("payload"), schema).as("p"))
+        .select(col("p.cust").as("cust"), explode(col("p.totals")).as("t"))
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("t")), 2).as("sum_t"))
+        .orderBy(col("cust"))
+    }),
+
+    // ---- aggregate variants: FILTER clause + boolean aggregates
+    // through the SQL surface ----
+    "q98_filtered_aggs" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ev_q98")
+      s.sql(
+        """SELECT event_type,
+          | count(*) FILTER (WHERE value > 250) AS n_high,
+          | bool_or(value > 400) AS any_gt400,
+          | bool_and(value >= 0) AS all_nonneg,
+          | round(avg(value) FILTER (WHERE user_id % 2 = 0), 2)
+          |   AS avg_even_users
+          |FROM ev_q98 GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    }),
+
+    // ---- relative-rank window trio: percent_rank / cume_dist / ntile
+    // over a deterministic (value, event_id) order ----
+    "q99_relative_ranks" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).filter(col("user_id") < 5)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .select(col("event_type"), col("event_id"), col("pr"), col("cd"),
+          col("quartile"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ---- capstone: one end-to-end training-data run — quality gate →
+    // exact dedup → per-source token-budget mixing → shard deal — each
+    // stage the oracle-checked operator from its standalone query
+    // (q46/q21/q64/q69), composed in a single lineage ----
+    "q100_training_run" -> ((s, d) => {
+      val gated = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(col("n_tokens") >= 10 && col("quality") >= 0.05)
+      val dupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = gated.withColumn("rk", row_number().over(dupW))
+        .filter(col("rk") === 1)
+      val rates = deduped.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tt"))
+        .withColumn("rate_bps", least(lit(10000L),
+          floor(lit(3000L * 10000L) / col("tt")).cast("long")))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("bigint") % 10000
+      deduped.withColumn("bucket", bucket)
+        .join(broadcast(rates), "source")
+        .filter(col("bucket") < col("rate_bps"))
+        .withColumn("shard",
+          conv(substring(md5(concat(lit("shard|"),
+            col("doc_id").cast("string"))), 1, 6), 16, 10)
+            .cast("bigint") % 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("shard"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -2902,6 +2987,69 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q100_training_run" ->
+      """WITH m AS (
+        | SELECT doc_id, source, text,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |   ELSE round(length(regexp_extract_all(lower(text),
+        |     '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |     array_length(regexp_split_to_array(trim(text), '\s+')), 4) END
+        |    AS quality
+        | FROM documents),
+        |gated AS (
+        | SELECT * FROM m WHERE n_tokens >= 10 AND quality >= 0.05),
+        |dd AS (
+        | SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |   ORDER BY doc_id) AS rk
+        | FROM gated),
+        |deduped AS (SELECT * FROM dd WHERE rk = 1),
+        |rates AS (
+        | SELECT source, sum(n_tokens) AS tt,
+        |  least(10000, CAST(floor(30000000.0 / sum(n_tokens)) AS BIGINT))
+        |    AS rate_bps
+        | FROM deduped GROUP BY 1),
+        |mixed AS (
+        | SELECT d.*, r.rate_bps
+        | FROM deduped d JOIN rates r USING (source)
+        | WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |   % 10000 < r.rate_bps),
+        |sh AS (
+        | SELECT ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+        |     1, 6))::BIGINT % 4 AS shard,
+        |  n_tokens, source
+        | FROM mixed)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        | count(DISTINCT source) AS n_sources
+        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q97_json_elt" ->
+      """SELECT o_custkey AS cust, count(*) AS n_orders,
+        | round(sum(round(o_totalprice, 2)), 2) AS sum_t
+        |FROM orders GROUP BY 1 ORDER BY cust""".stripMargin,
+
+    "q98_filtered_aggs" ->
+      """SELECT event_type,
+        | count(*) FILTER (WHERE value > 250) AS n_high,
+        | bool_or(value > 400) AS any_gt400,
+        | bool_and(value >= 0) AS all_nonneg,
+        | round(avg(value) FILTER (WHERE user_id % 2 = 0), 2)
+        |   AS avg_even_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q99_relative_ranks" ->
+      """SELECT event_type, event_id,
+        | round(percent_rank() OVER w, 4) AS pr,
+        | round(cume_dist() OVER w, 4) AS cd,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q96_interval_arithmetic" ->
       """WITH s AS (
