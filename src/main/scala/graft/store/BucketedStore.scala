@@ -72,7 +72,12 @@ object BucketedStore {
     * then swaps atomically-enough for a single-writer maintenance window
     * (write staged → move live aside → move staged in → drop old).
     * Round-robin repartition: compaction must not shuffle by key or
-    * sort — it only re-buckets bytes. */
+    * sort — it only re-buckets bytes.
+    *
+    * For a FLAT parquet directory. A partitioned layout
+    * ([[saveDatePartitioned]]) must be compacted per partition
+    * directory — compacting its root would flatten the partition
+    * column back into the data files. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val staged = path + ".compact-staging"
     val old = path + ".compact-old"
