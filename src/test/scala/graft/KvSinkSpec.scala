@@ -67,6 +67,23 @@ class KvSinkSpec extends SparkSpec {
     assert(lit == "\\0")
   }
 
+  test("codec round-trips arbitrary strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      (8, Gen.asciiPrintableChar),
+      (2, Gen.oneOf('\t', '\n', '\\', '"', 'é', '中')))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    (0 until 300).foreach { i =>
+      val params = Gen.Parameters.default
+      val k = strGen.apply(params, Seed(i.toLong)).getOrElse("k")
+      val v = strGen.apply(params, Seed(1000L + i)).getOrElse("v")
+      val (dk, dv, dt) = KvCacheSink.decode(KvCacheSink.encode(k, v, i.toLong))
+      assert(dk == k && dv == v && dt == i.toLong,
+        s"k=${k.take(40)} v=${v.take(40)}")
+    }
+  }
+
   test("2-phase commit: an aborted task's file never reaches the live dir, " +
        "and an unreported staged file is discarded at commit") {
     import graft.sources.{KvCommit, KvWrite, KvWriterFactory}

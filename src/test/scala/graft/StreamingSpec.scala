@@ -159,6 +159,24 @@ class StreamingSpec extends SparkSpec {
     assert(state(1).getString(1) == "b") // original kept, DUP ignored
   }
 
+  test("update output mode emits per-batch changed groups") {
+    val sf = "/root/testdata/sf0.001"
+    val agg = StreamingIngest.windowedCounts(
+      StreamingIngest.eventStream(spark, sf))
+    val ckpt = Files.createTempDirectory("graft-upd-ckpt").toString
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("upd_counts")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    // single batch -> the update stream carries every group exactly once,
+    // equal to the batch aggregation
+    val got = spark.table("upd_counts")
+      .orderBy("window_start_us", "event_type").collect()
+    val want = StreamingIngest.windowedCounts(Tables.events(spark, sf))
+      .orderBy("window_start_us", "event_type").collect()
+    assert(got.length == want.length && got.zip(want).forall(p => p._1 == p._2))
+  }
+
   test("stream-stream attribution join equals the batch join") {
     val sf = "/root/testdata/sf0.001"
     def split(df: org.apache.spark.sql.DataFrame, tpe: String) =
