@@ -1482,6 +1482,44 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // ---- error-tolerant casting under ANSI mode: try_cast turns
+    // malformed values into NULL instead of failing the job — the
+    // production contract for parsing untrusted staging fields (ANSI is
+    // Spark 4's default, so a bare CAST here would throw) ----
+    "q101_try_cast" -> ((s, d) => {
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("try_cast(split(trim(text), '\\\\s+')[0] AS DOUBLE)")
+            .as("lead_num"),
+          expr("try_cast(lang AS DOUBLE)").as("lang_num"),
+          expr("try_divide(n_chars, doc_id % 3)").as("ratio"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lead_num").isNotNull.cast("long")).as("n_numeric_lead"),
+          sum(col("lang_num").isNotNull.cast("long")).as("n_numeric_lang"),
+          sum(col("ratio").isNull.cast("long")).as("n_div_by_zero"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- fuzzy entity matching (Levenshtein): the J3 related-artist /
+    // A2 artist-name resolution generalized to near-matches. Blocked by
+    // nation BEFORE the pairwise pass — an unblocked n² over names is
+    // the classic entity-resolution scale mistake ----
+    "q102_fuzzy_names" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val a = c.select(col("c_nationkey"),
+        col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_nationkey"),
+        col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, Seq("c_nationkey"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -2987,6 +3025,25 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q101_try_cast" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN TRY_CAST(
+        |    regexp_split_to_array(trim(text), '\s+')[1] AS DOUBLE)
+        |   IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_lead,
+        | CAST(sum(CASE WHEN TRY_CAST(lang AS DOUBLE) IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_lang,
+        | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_div_by_zero
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q102_fuzzy_names" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q100_training_run" ->
       """WITH m AS (
