@@ -1520,6 +1520,48 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- unionByName with missing columns: the API-side schema
+    // evolution (q95 is the storage side) — position-blind, null-filled ----
+    "q103_union_by_name" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val old_ = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"))
+      val neu = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("source"), col("doc_id"),   // different column ORDER
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      old_.unionByName(neu, allowMissingColumns = true)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").isNull.cast("long")).as("n_missing"),
+          sum(coalesce(col("n_tokens"), lit(0L))).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- date_trunc weekly rollup (Monday-start ISO weeks in both
+    // engines) ----
+    "q104_weekly_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("WEEK", col("ts")).cast("date").cast("string")
+          .as("week_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("week_start"), col("event_type"))
+    }),
+
+    // ---- exact decimal money arithmetic: DECIMAL(14,2) sums compare
+    // bit-for-bit with NO rounding step — the correctness contract
+    // floating-point revenue aggregation cannot give ----
+    "q105_decimal_money" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(14,2)").as("price"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("price")).cast("decimal(18,2)").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("revenue") > new java.math.BigDecimal("500000.00"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3025,6 +3067,38 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q103_union_by_name" ->
+      """WITH u AS (
+        | SELECT doc_id, source, NULL::BIGINT AS n_tokens
+        | FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL
+        | SELECT doc_id, source,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS BIGINT) AS n_tokens
+        | FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN n_tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_missing,
+        | CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS sum_tokens
+        |FROM u GROUP BY source ORDER BY source""".stripMargin,
+
+    "q104_weekly_rollup" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY week_start, event_type""".stripMargin,
+
+    "q105_decimal_money" ->
+      """SELECT o_custkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2))
+        |   AS revenue,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+        |   AS DECIMAL(18,2)) > 500000.00
+        |ORDER BY o_custkey""".stripMargin,
 
     "q101_try_cast" ->
       """SELECT source, count(*) AS n_docs,
