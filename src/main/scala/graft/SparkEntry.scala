@@ -1562,6 +1562,52 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // ---- bit aggregates over per-event capability flags ----
+    "q106_bit_aggs" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ev_q106")
+      s.sql(
+        """SELECT user_id,
+          | bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |   WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END)
+          |   AS type_mask,
+          | bit_and(CAST(event_id % 4 AS INT) + 4) AS and_mask,
+          | bit_xor(CAST(event_id AS INT)) AS xor_ids
+          |FROM ev_q106 WHERE user_id < 20
+          |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
+    // ---- array set algebra: per-source language sets intersected /
+    // unioned / subtracted against a reference set ----
+    "q107_array_setops" -> ((s, d) => {
+      val ref = array(lit("en"), lit("es"), lit("fr"))
+      tSpread(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(array_sort(collect_set(col("lang"))).as("langs"))
+        .select(col("source"),
+          array_sort(array_intersect(col("langs"), ref)).as("common"),
+          array_sort(array_except(col("langs"), ref)).as("extra"),
+          array_sort(array_union(col("langs"), ref)).as("all_langs"))
+        .select(col("source"),
+          concat_ws(",", col("common")).as("common"),
+          concat_ws(",", col("extra")).as("extra"),
+          concat_ws(",", col("all_langs")).as("all_langs"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- statistical aggregates: correlation / covariance / stddev
+    // (sample forms — identical definitions in both engines) ----
+    "q108_stats_aggs" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), col("user_id").cast("double")), 4)
+            .as("corr_vu"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 2)
+            .as("covar_vu"),
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(var_samp(col("value")), 2).as("var_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3067,6 +3113,37 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q106_bit_aggs" ->
+      """SELECT user_id,
+        | CAST(bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |   WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END)
+        |   AS INT) AS type_mask,
+        | CAST(bit_and(CAST(event_id % 4 AS INT) + 4) AS INT) AS and_mask,
+        | CAST(bit_xor(CAST(event_id AS INT)) AS INT) AS xor_ids
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q107_array_setops" ->
+      """WITH langs AS (
+        | SELECT source, list_sort(list_distinct(list(lang))) AS ls
+        | FROM documents GROUP BY source)
+        |SELECT source,
+        | array_to_string(list_sort(list_intersect(ls,
+        |   ['en','es','fr'])), ',') AS common,
+        | array_to_string(list_sort(list_filter(ls,
+        |   x -> NOT list_contains(['en','es','fr'], x))), ',') AS extra,
+        | array_to_string(list_sort(list_distinct(list_concat(ls,
+        |   ['en','es','fr']))), ',') AS all_langs
+        |FROM langs ORDER BY source""".stripMargin,
+
+    "q108_stats_aggs" ->
+      """SELECT event_type,
+        | round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+        | round(covar_samp(value, CAST(user_id AS DOUBLE)), 2) AS covar_vu,
+        | round(stddev_samp(value), 4) AS sd_value,
+        | round(var_samp(value), 2) AS var_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q103_union_by_name" ->
       """WITH u AS (
