@@ -1608,6 +1608,53 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- text normalization (the cleanup stage before any dedup/hash
+    // pass): whitespace collapse + casefold, fingerprinted before/after
+    // so the oracle checks the exact normal form ----
+    "q109_normalize_text" -> ((s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("raw_len"),
+          length(norm).cast("bigint").as("norm_len"),
+          md5(norm).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- typed Dataset surface (SURVEY §1.1: Dataset[T] where type
+    // safety helps): case-class encoder, typed filter/map lambdas. The
+    // lambdas are OPAQUE to Catalyst (no pushdown through them) — kept
+    // to one narrow stage, with the relational tail back in DataFrame
+    // space; the library's typed boundary is ingest.readStagedTyped ----
+    "q110_typed_dataset" -> ((s, d) => {
+      import s.implicits._
+      val ds = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .as[DocRow]
+      ds.filter((r: DocRow) => r.n_chars >= 200L)
+        .map((r: DocRow) => (r.source, r.n_chars))
+        .toDF("source", "n_chars")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- explode vs explode_outer: the outer form keeps zero-element
+    // parents as null rows (a dropped-silently bug class in fan-outs) ----
+    "q111_explode_outer" -> ((s, d) => {
+      val toks = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"), explode_outer(toks).as("w"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+          sum(col("w").isNull.cast("long")).as("n_empty_docs"),
+          count(col("w")).as("n_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -1736,6 +1783,9 @@ object SparkEntry {
           |ORDER BY start, depth""".stripMargin)
     }),
   )
+
+  /** Typed row for the q110 Dataset-API demonstration. */
+  final case class DocRow(doc_id: Long, source: String, n_chars: Long)
 
   /** Probe terms for the CMS point-query demos (sorted; present in the
     * synthetic documents vocabulary plus one absent term). */
@@ -3113,6 +3163,33 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q109_normalize_text" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS raw_len,
+        | CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |   AS BIGINT) AS norm_len,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q110_typed_dataset" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q111_explode_outer" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS nt
+        | FROM documents)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs_kept,
+        | CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_empty_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q106_bit_aggs" ->
       """SELECT user_id,
