@@ -155,6 +155,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Edit-distance-1 candidate pairs via the symmetric-delete
+    * (SymSpell) neighborhood: every string shares a member of
+    * `{s} ∪ deletes1(s)` with each string at edit distance ≤ 1 — an
+    * EXACT blocking (substitution deletes the same position from both;
+    * an indel's longer side deletes the inserted char), with false
+    * positives removed by one bounded `levenshtein(a, b, 1)` per
+    * candidate. Replaces the blocked n² scan: n·(len+1) variant rows,
+    * one shuffle on (block, variant), candidate pairs ≪ n².
+    * `maxIdsPerKey` guards degenerate variants (single-char names). */
+  def editNeighborPairs(df: DataFrame, nameCol: String, idCol: String,
+                        blockCol: String,
+                        maxIdsPerKey: Int = 1000): DataFrame = {
+    val names = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(nameCol).as("nm"))
+    val variants = names
+      .withColumn("del_pos",
+        explode(sequence(lit(0), length(col("nm")))))
+      .withColumn("variant",
+        when(col("del_pos") === 0, col("nm"))
+          .otherwise(concat(
+            expr("substring(nm, 1, del_pos - 1)"),
+            expr("substring(nm, del_pos + 1, 2147483647)"))))
+      .select(concat_ws("\u0001", col("blk"), col("variant")).as("k"),
+        col("id"))
+    val cands = sharedKeyPairs(variants, "k", "id", maxIdsPerKey)
+      .select("id_a", "id_b")
+    cands
+      .join(names.select(col("id").as("id_a"), col("nm").as("nm_a")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("nm").as("nm_b")), "id_b")
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   // --- MinHash + LSH ---
 
   private val Prime = 2038074743L // large 31-bit prime for affine permutations

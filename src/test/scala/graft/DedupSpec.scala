@@ -117,6 +117,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editNeighborPairs equals brute-force levenshtein<=1 within blocks") {
+    val names = Seq(
+      (1L, "smith", 0), (2L, "smyth", 0), (3L, "smiths", 0),  // sub / insert
+      (4L, "mith", 0),                                        // delete
+      (5L, "jones", 0), (6L, "smith", 1),                     // other block
+      (7L, "smith", 0),                                       // exact dup
+      (8L, "sximth", 0), (9L, "bob", 0), (10L, "rob", 0)
+    ).toDF("id", "nm", "blk")
+    val got = Dedup.editNeighborPairs(names, "nm", "id", "blk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force within block
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+      if ia < ib && ba == bb && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb).toLong)).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("embedding near-dup pairs via cosine over blocked candidates") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), "a"),
