@@ -1650,6 +1650,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- sketch-derived bucketing: q63's mergeable hist_quantile
+    // cut-points (p50/p95 per type) broadcast back over the fact to
+    // label rows low/mid/high — the promised 100 TB replacement for
+    // q73's global-ntile sort: two scans + a broadcast, NO global
+    // ordering anywhere ----
+    "q112_sketch_bucketing" -> ((s, d) => {
+      import graft.sketch.HistQuantile.hist_quantile
+      val cuts = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(round(hist_quantile(col("value"), 0.5, 0.0, 500.0, 256), 4)
+            .as("p50"),
+          round(hist_quantile(col("value"), 0.95, 0.0, 500.0, 256), 4)
+            .as("p95"))
+      Tables.events(s, d).join(broadcast(cuts), "event_type")
+        .withColumn("bucket",
+          when(col("value") < col("p50"), "low")
+            .when(col("value") < col("p95"), "mid")
+            .otherwise("high"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3158,6 +3180,45 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    // the same register replay as q63, with the rounded estimates used
+    // as bucket cut-points over the fact
+    "q112_sketch_bucketing" ->
+      """WITH params AS (SELECT 0.0 AS lo, 500.0 AS hi, 256 AS bins),
+        |binned AS (
+        | SELECT event_type,
+        |  CAST(CASE WHEN floor((value - lo) / ((hi - lo) / bins)) < 0 THEN 0
+        |   WHEN floor((value - lo) / ((hi - lo) / bins)) >= bins THEN bins - 1
+        |   ELSE floor((value - lo) / ((hi - lo) / bins)) END AS INT) AS bin
+        | FROM events, params),
+        |b AS (SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+        |cum AS (SELECT event_type, bin, c,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc FROM b),
+        |ranked AS (
+        | SELECT c2.event_type, q.q, c2.bin, c2.c, c2.cumc, t.n,
+        |  greatest(1, CAST(ceil(q.q * t.n) AS BIGINT)) AS rank
+        | FROM cum c2 JOIN tot t USING (event_type), qs q),
+        |hit AS (
+        | SELECT event_type, q, bin, c, cumc, rank,
+        |  row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+        | FROM ranked WHERE cumc >= rank),
+        |est AS (
+        | SELECT h.event_type, h.q,
+        |  round(lo + ((hi - lo) / bins) *
+        |    (h.bin + (h.rank - (h.cumc - h.c))::DOUBLE / h.c), 4) AS e
+        | FROM hit h, params WHERE rn = 1),
+        |cuts AS (
+        | SELECT e1.event_type, e1.e AS p50, e2.e AS p95
+        | FROM est e1 JOIN est e2 ON e1.event_type = e2.event_type
+        |  AND e1.q = 0.5 AND e2.q = 0.95)
+        |SELECT ev.event_type,
+        | CASE WHEN ev.value < c.p50 THEN 'low'
+        |      WHEN ev.value < c.p95 THEN 'mid' ELSE 'high' END AS bucket,
+        | count(*) AS n, round(sum(ev.value), 2) AS sum_value
+        |FROM events ev JOIN cuts c ON c.event_type = ev.event_type
+        |GROUP BY 1, 2 ORDER BY ev.event_type, bucket""".stripMargin,
 
     "q109_normalize_text" ->
       """SELECT doc_id,
