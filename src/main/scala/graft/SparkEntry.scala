@@ -1672,6 +1672,38 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ---- as-of join with TOLERANCE (pandas merge_asof semantics): the
+    // matched view counts only when it lies within 30 minutes before
+    // the purchase — q31's single-shuffle carry with the gap test
+    // applied after the match ----
+    "q113_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_us"))
+      AsOfJoin.join(purchases, views, "user_id", "p_us", "v_us", "v_id")
+        .filter(col("p_us") - col("v_us") <= 1800000000L)
+        .select(col("p_id"), col("p_us"), col("v_id"), col("v_us"))
+        .orderBy(col("p_id"))
+    }),
+
+    // ---- first_value / last_value / nth_value over explicit frames ----
+    "q114_value_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("first_ev", first(col("event_id")).over(w))
+        .withColumn("last_ev", last(col("event_id")).over(w))
+        .withColumn("third_ev", nth_value(col("event_id"), 3).over(w))
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3180,6 +3212,35 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q113_asof_tolerance" ->
+      """WITH purchases AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |views0 AS (
+        |  SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |views AS (
+        |  SELECT user_id, v_id, v_us FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, v_us
+        |      ORDER BY v_id DESC) AS rn FROM views0)
+        |  WHERE rn = 1)
+        |SELECT p.p_id, p.p_us, v.v_id, v.v_us
+        |FROM purchases p ASOF JOIN views v
+        |  ON p.user_id = v.user_id AND v.v_us <= p.p_us
+        |WHERE p.p_us - v.v_us <= 1800000000
+        |ORDER BY p.p_id""".stripMargin,
+
+    "q114_value_windows" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        | first_value(event_id) OVER w AS first_ev,
+        | last_value(event_id) OVER w AS last_ev,
+        | nth_value(event_id, 3) OVER w AS third_ev
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, us, event_id""".stripMargin,
 
     // the same register replay as q63, with the rounded estimates used
     // as bucket cut-points over the fact
