@@ -1704,6 +1704,45 @@ object SparkEntry {
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
+    // ---- rolling 3-day distinct actives (the WAU/DAU family): windowed
+    // COUNT(DISTINCT) is unsupported in both engines' window frames, so
+    // the rolling set is a day×day range join over the PRE-DISTINCTED
+    // (day, user) frame — at 100 TB that frame is tiny next to the fact ----
+    "q115_rolling_actives" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val du = e.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+        .withColumnRenamed("day", "d")
+      days.join(du,
+          col("day").between(date_sub(col("d"), 2), col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("active_3d"))
+        .select(col("d").cast("string").as("day"), col("active_3d"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- retention cohorts: users grouped by first-seen day; D1/D7
+    // retention as conditional distinct counts over one (user, day)
+    // activity frame ----
+    "q116_retention_cohorts" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val first = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      val act = e.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      first.join(act, "user_id")
+        .groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("day") === date_add(col("cohort"), 1),
+            col("user_id"))).as("d1_retained"),
+          countDistinct(when(col("day") === date_add(col("cohort"), 7),
+            col("user_id"))).as("d7_retained"))
+        .select(col("cohort").cast("string").as("cohort"), col("n_users"),
+          col("d1_retained"), col("d7_retained"))
+        .orderBy(col("cohort"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3212,6 +3251,31 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q115_rolling_actives" ->
+      """WITH du AS (
+        | SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT strftime(d.d, '%Y-%m-%d') AS day,
+        | count(DISTINCT du.user_id) AS active_3d
+        |FROM days d JOIN du
+        |  ON du.day BETWEEN d.d - 2 AND d.d
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q116_retention_cohorts" ->
+      """WITH f AS (
+        | SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        | FROM events GROUP BY 1),
+        |act AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        | count(DISTINCT f.user_id) AS n_users,
+        | count(DISTINCT CASE WHEN a.day = f.cohort + 1
+        |   THEN f.user_id END) AS d1_retained,
+        | count(DISTINCT CASE WHEN a.day = f.cohort + 7
+        |   THEN f.user_id END) AS d7_retained
+        |FROM f JOIN act a USING (user_id)
+        |GROUP BY f.cohort ORDER BY cohort""".stripMargin,
 
     "q113_asof_tolerance" ->
       """WITH purchases AS (
