@@ -1743,6 +1743,38 @@ object SparkEntry {
         .orderBy(col("cohort"))
     }),
 
+    // ---- behavior transition matrix: per-user consecutive event-type
+    // pairs (first-order Markov counts) from one lag pass ----
+    "q117_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // ---- robust statistics: median absolute deviation per type (two
+    // exact percentile passes — outlier-resistant spread, the robust
+    // complement to q108's stddev) ----
+    "q118_mad" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val medians = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      e.join(broadcast(medians), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+        .groupBy(col("event_type"))
+        .agg(round(first(col("med")), 4).as("median"),
+          round(expr("percentile(adev, 0.5)"), 4).as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3251,6 +3283,27 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q117_transitions" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS next_type
+        | FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        | count(*) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "q118_mad" ->
+      """WITH med AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY 1)
+        |SELECT e.event_type, round(any_value(m.med), 4) AS median,
+        | round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+        | count(*) AS n
+        |FROM events e JOIN med m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q115_rolling_actives" ->
       """WITH du AS (
