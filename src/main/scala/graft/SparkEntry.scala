@@ -1775,6 +1775,38 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- activity-gap profiling: per user, span days vs active days
+    // (the freshness/completeness check of an event feed) ----
+    "q119_activity_gaps" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg((datediff(max(col("day")), min(col("day"))) + 1)
+            .cast("bigint").as("span_days"),
+          countDistinct(col("day")).as("active_days"))
+        .withColumn("gap_days", col("span_days") - col("active_days"))
+        .filter(col("user_id") < 50)
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Benford leading-digit profile of the value column (the
+    // classic data-forensics scan); digit extracted from the string
+    // form so both engines agree on every rendering ----
+    "q120_benford" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("value") > 0)
+        .withColumn("digit",
+          regexp_extract(col("value").cast("string"), "[1-9]", 0))
+        .filter(col("digit") =!= "")
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac",
+          round(col("n") / sum(col("n")).over(
+            Window.partitionBy(lit(1))), 4))
+        .select(col("digit"), col("n"), col("frac"))
+        .orderBy(col("digit"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3283,6 +3315,29 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >
         |    (SELECT avg(o2.o_totalprice) FROM orders o2))
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q119_activity_gaps" ->
+      """WITH days AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT user_id,
+        | CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+        |   AS span_days,
+        | count(DISTINCT day) AS active_days,
+        | CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+        |   - count(DISTINCT day) AS gap_days
+        |FROM days WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q120_benford" ->
+      """WITH digits AS (
+        | SELECT regexp_extract(CAST(value AS VARCHAR), '[1-9]', 0) AS digit
+        | FROM events WHERE value > 0),
+        |counts AS (
+        | SELECT digit, count(*) AS n FROM digits
+        | WHERE digit <> '' GROUP BY 1)
+        |SELECT digit, n,
+        | round(n / (SELECT sum(n) FROM counts), 4) AS frac
+        |FROM counts ORDER BY digit""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
