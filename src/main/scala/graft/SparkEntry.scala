@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.dims.CoalesceMerge
+import graft.dims.{CoalesceMerge, Scd2}
 import graft.enrich.{EmbedStage, Geocode}
 import graft.multimodal.Multimodal
 import graft.parse.Parsers
@@ -1807,6 +1807,81 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // ---- SCD Type-2 history build (dims.Scd2): per-user event_type
+    // version intervals from the change stream — one shuffle on the
+    // entity key shared by the change-collapse lag and the interval
+    // lead (same partitioning + sort ⇒ one exchange, one sort) ----
+    "q121_scd2_history" -> ((s, d) => {
+      Scd2.fromChanges(Tables.events(s, d), Seq("user_id"), "ts",
+          "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("from_us"))
+    }),
+
+    // ---- gap-fill / forward-fill: dense per-user daily spine (span
+    // derived from the data, 1-row agg cross join — broadcast nested
+    // loop, never a shuffle), left join of the real daily totals, then
+    // last(ignoreNulls) carries the latest observation forward. The
+    // standard time-series densification before any rolling metric ----
+    "q122_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(round(sum(col("value")), 2).as("day_value"))
+      val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled",
+          last(col("day_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("filled"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ---- point-in-time (PIT) join: each purchase fact joined to the
+    // SCD2 version of the user's activity state that was current AT the
+    // purchase timestamp — the feature-store correctness pattern (no
+    // future leakage). The interval probe is the as-of merge operator
+    // (AsOfJoinExec): one shuffle+sort per side, constant-state merge;
+    // never an interval cross product ----
+    "q123_pit_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // dim: SCD2 history of the last NON-purchase activity state; equal
+      // timestamps deduped (max event_id wins) so valid_from is unique
+      // per user and the interval form matches the as-of form exactly
+      val wTs = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val dimSrc = ev.filter(col("event_type") =!= "purchase")
+        .withColumn("_rn", row_number().over(wTs))
+        .filter(col("_rn") === 1).drop("_rn")
+      val hist = Scd2.fromChanges(dimSrc, Seq("user_id"), "ts",
+          "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("valid_from")).as("from_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      // the exec outputs left ++ right columns, so the key appears twice;
+      // rename positionally and keep the left copy
+      graft.plans.AsOfJoinPhysical.join(purchases, hist,
+          "user_id", "p_us", "from_us")
+        .toDF("user_id", "p_id", "p_us", "_rk", "state", "from_us")
+        .filter(col("from_us").isNotNull) // inner PIT semantics
+        .select(col("user_id"), col("p_id"), col("p_us"),
+          col("state"), col("from_us"))
+        .orderBy(col("p_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3338,6 +3413,70 @@ object SparkEntry {
         |SELECT digit, n,
         | round(n / (SELECT sum(n) FROM counts), 4) AS frac
         |FROM counts ORDER BY digit""".stripMargin,
+
+    "q121_scd2_history" ->
+      """WITH c AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS prev
+        | FROM events),
+        |ch AS (
+        | SELECT user_id, event_type, us, event_id FROM c
+        | WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, us AS from_us,
+        | lead(us) OVER w AS to_us,
+        | lead(us) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, from_us""".stripMargin,
+
+    "q122_gap_fill" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS d,
+        |  round(sum(value), 2) AS day_value
+        | FROM events GROUP BY 1, 2),
+        |span AS (
+        | SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        | FROM events),
+        |spine AS (
+        | SELECT u.user_id, g.d
+        | FROM (SELECT DISTINCT user_id FROM events) u
+        | CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+        |   INTERVAL 1 DAY))::DATE AS d FROM span) g),
+        |j AS (
+        | SELECT s.user_id, s.d, daily.day_value
+        | FROM spine s LEFT JOIN daily
+        |   ON s.user_id = daily.user_id AND s.d = daily.d)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        | last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "q123_pit_join" ->
+      """WITH nodup AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) AS rn
+        | FROM events WHERE event_type <> 'purchase'),
+        |src AS (
+        | SELECT user_id, event_id, event_type, us FROM nodup WHERE rn = 1),
+        |c AS (
+        | SELECT user_id, event_id, event_type, us,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev
+        | FROM src),
+        |hist AS (
+        | SELECT user_id, event_type AS state, us AS from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_us
+        | FROM c WHERE prev IS NULL OR prev <> event_type),
+        |p AS (
+        | SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.p_id, p.p_us, h.state, h.from_us
+        |FROM p JOIN hist h ON p.user_id = h.user_id
+        | AND h.from_us <= p.p_us AND (h.to_us IS NULL OR p.p_us < h.to_us)
+        |ORDER BY p_id""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
