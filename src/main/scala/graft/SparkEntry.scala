@@ -2,6 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import graft.dims.{CoalesceMerge, Scd2}
+import graft.graph.Graph
 import graft.enrich.{EmbedStage, Geocode}
 import graft.multimodal.Multimodal
 import graft.parse.Parsers
@@ -1882,6 +1883,35 @@ object SparkEntry {
         .orderBy(col("p_id"))
     }),
 
+    // ---- distributed connected components (graph.Graph): min-label
+    // propagation over the simhash near-dup pair graph — the cluster-
+    // scale replacement for driver-side union-find (one join+groupBy
+    // shuffle per superstep, localCheckpoint truncates lineage) ----
+    "q124_cc_labelprop" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val pairs = Dedup.simhashHammingPairs(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      Graph.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .orderBy(col("id"))
+    }),
+
+    // ---- PageRank in integer fixed-point (graph.Graph): exact bigint
+    // arithmetic makes the iterative rank bit-reproducible across
+    // engines and partitionings (double addition isn't associative;
+    // long addition is). Customer→supplier bipartite graph from
+    // orders⋈lineitem; 3 supersteps ----
+    "q125_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.pageRankFixedPoint(edges, iterations = 3)
+        .select(col("id"), col("rank").as("pr"))
+        .orderBy(col("id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3477,6 +3507,68 @@ object SparkEntry {
         |FROM p JOIN hist h ON p.user_id = h.user_id
         | AND h.from_us <= p.p_us AND (h.to_us IS NULL OR p.p_us < h.to_us)
         |ORDER BY p_id""".stripMargin,
+
+    // simhash signature (q61's replay) → near-dup pair graph → recursive
+    // min-label closure (q23's replay tail): component = min reachable id
+    "q124_cc_labelprop" ->
+      s"""WITH RECURSIVE toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes),
+        |s2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM sig),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (SELECT doc_id AS id, doc_id AS c FROM documents
+        | UNION
+        | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst)
+        |SELECT id, CAST(min(c) AS BIGINT) AS cluster_id FROM lbl GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    // 3 unrolled fixed-point iterations: integer div + long sums make
+    // the replay exact (no float-addition-order divergence)
+    "q125_pagerank" ->
+      """WITH edges AS (
+        | SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS pr
+        | FROM nodes),
+        |tp AS (SELECT CAST(((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |   AS BIGINT) AS t),
+        |r1 AS (
+        | SELECT nodes.id, CAST((SELECT t FROM tp)
+        |   + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        | FROM nodes LEFT JOIN (
+        |   SELECT e.dst AS id, sum(r.pr // o.deg) AS m
+        |   FROM edges e JOIN r0 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+        |   GROUP BY e.dst) s ON nodes.id = s.id),
+        |r2 AS (
+        | SELECT nodes.id, CAST((SELECT t FROM tp)
+        |   + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        | FROM nodes LEFT JOIN (
+        |   SELECT e.dst AS id, sum(r.pr // o.deg) AS m
+        |   FROM edges e JOIN r1 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+        |   GROUP BY e.dst) s ON nodes.id = s.id),
+        |r3 AS (
+        | SELECT nodes.id, CAST((SELECT t FROM tp)
+        |   + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        | FROM nodes LEFT JOIN (
+        |   SELECT e.dst AS id, sum(r.pr // o.deg) AS m
+        |   FROM edges e JOIN r2 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+        |   GROUP BY e.dst) s ON nodes.id = s.id)
+        |SELECT id, pr FROM r3 ORDER BY id""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (

@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge DataFrames.
+  *
+  * `dedup.Dedup.unionFindClusters` collects the edge set to the driver —
+  * right for LSH candidate graphs (edges ≪ nodes), wrong once the edge
+  * set itself is cluster-scale. These are the distributed counterparts:
+  * plain DataFrame joins + aggregations, one shuffle per superstep, no
+  * driver state beyond loop control.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Per superstep each node's label becomes the min of its own and its
+    * neighbors' labels — after convergence every node carries the
+    * minimum id reachable from it (the recursive-CTE closure answer).
+    * Supersteps are plain shuffles (join on src + groupBy dst), so the
+    * step cost is O(|E|) shuffled bytes regardless of component count;
+    * iterations needed = graph diameter (near-dup graphs: single
+    * digits). `localCheckpoint` after each step truncates the logical
+    * plan so iteration N doesn't replan (or re-execute) steps 1..N-1 —
+    * THE standard Spark iterative-algorithm guard.
+    *
+    * @param ids   one row per node: column `id` (long)
+    * @param edges undirected candidate pairs: columns `id_a`, `id_b`
+    */
+  def connectedComponents(ids: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = und.join(labels, und("src") === labels("id"))
+        .select(und("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** PageRank in integer fixed-point arithmetic.
+    *
+    * Ranks are maintained as `bigint` units of `scale` (mass 1.0 ≡
+    * `scale`), every step being integer division and long sums — so the
+    * result is EXACTLY reproducible anywhere (a float PageRank differs
+    * in the last ulps across engines/partitionings because double
+    * addition isn't associative; long addition is). Dangling-node mass
+    * is dropped (not redistributed), matching the replay SQL.
+    *
+    * rank₀ = scale div N;
+    * rankₖ₊₁(v) = teleport + (Σ_{u→v} rankₖ(u) div outdeg(u)) * dampNum div dampDen
+    * where teleport = (scale div N) * (dampDen − dampNum) div dampDen.
+    *
+    * Each iteration: one join of edges to current ranks (both sides
+    * hash-partitioned on src — a co-partitioned shuffle reused across
+    * iterations at scale via bucketing) + one groupBy dst. Driver holds
+    * only N.
+    *
+    * @param edges directed distinct edges: columns `src`, `dst` (long)
+    */
+  def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
+                         dampNum: Long = 85, dampDen: Long = 100,
+                         scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count()
+    val init = scale / n
+    val teleport = init * (dampDen - dampNum) / dampDen
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    var ranks = nodes.select(col("id"), lit(init).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"(coalesce(m, 0L) * $dampNum) div $dampDen")).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    e.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    ranks
+  }
+}
