@@ -3,6 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.dims.{CoalesceMerge, Scd2}
 import graft.graph.Graph
+import graft.operators.Skyline
 import graft.enrich.{EmbedStage, Geocode}
 import graft.multimodal.Multimodal
 import graft.parse.Parsers
@@ -1912,6 +1913,82 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- skyline / Pareto frontier (operators.Skyline): best-price-
+    // per-capacity parts. Two-phase distributive form — per-y min-x
+    // aggregate collapses the input, then a tiny running-min sweep;
+    // never the O(n²) NOT-EXISTS self-join the oracle runs ----
+    "q126_skyline" -> ((s, d) => {
+      Skyline.pareto2d(t(s, d, "part"), "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- inverted index build (search-engine posting lists): token →
+    // df/cf + position-resolved postings, zero-padded so the string
+    // sort equals the numeric (doc_id, pos) order; lists truncated to
+    // 50 entries (skip-list head) to bound row width ----
+    "q127_inverted_index" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      tok.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"),
+          concat_ws(";", slice(sort_array(collect_list(
+            format_string("%08d:%06d", col("doc_id"), col("pos")))),
+            1, 50)).as("postings"))
+        .filter(col("df") >= 100)
+        .select(col("w").as("token"), col("df"), col("cf"), col("postings"))
+        .orderBy(col("token"))
+    }),
+
+    // ---- OHLC bars (time-series candle rollup): open/close via
+    // min_by/max_by on a sortable (us, event_id) string key — one hash
+    // aggregate, no window sort; the argmax tie rule is engine-identical
+    // by construction ----
+    "q128_ohlc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value"),
+          format_string("%020d:%012d", unix_micros(col("ts")),
+            col("event_id")).as("k"))
+        .filter(col("user_id") < 30)
+      ev.groupBy(col("user_id"), col("day"))
+        .agg(round(min_by(col("value"), col("k")), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(max_by(col("value"), col("k")), 2).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ---- incremental aggregate maintenance: a delta batch's partial
+    // states (sum/count per month×priority) merge with the STORED
+    // partials — the merge step touches only partial-state rows, never
+    // the raw history; the final report re-aggregates from partials.
+    // The decomposition every 100 TB daily pipeline relies on ----
+    "q129_incr_agg" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("tp"),
+        to_date(col("o_orderdate")).as("day"))
+      def partials(df: DataFrame) = df.groupBy(col("month"), col("prio"))
+        .agg(sum(col("tp")).as("s"), count(lit(1)).as("n"))
+      val stored = partials(o.filter(col("day") < lit("2001-06-01").cast("date")))
+      val delta = partials(o.filter(col("day") >= lit("2001-06-01").cast("date")))
+      stored.union(delta)
+        .groupBy(col("month"), col("prio"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .groupBy(col("prio"))
+        .agg(round(sum(col("s")), 2).as("revenue"),
+          sum(col("n")).as("n_orders"),
+          countDistinct(col("month")).as("n_months"))
+        .orderBy(col("prio"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3569,6 +3646,57 @@ object SparkEntry {
         |   FROM edges e JOIN r2 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
         |   GROUP BY e.dst) s ON nodes.id = s.id)
         |SELECT id, pr FROM r3 ORDER BY id""".stripMargin,
+
+    "q126_skyline" ->
+      """SELECT p_partkey, p_size, round(p_retailprice, 2) AS price
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        | WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |   AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q127_inverted_index" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS w
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0)
+        |SELECT w AS token, count(DISTINCT doc_id) AS df, count(*) AS cf,
+        | array_to_string(list_sort(list(printf('%08d:%06d', doc_id, pos)))[1:50],
+        |   ';') AS postings
+        |FROM tok GROUP BY w HAVING count(DISTINCT doc_id) >= 100
+        |ORDER BY token""".stripMargin,
+
+    "q128_ohlc" ->
+      """WITH ev AS (
+        | SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
+        |  printf('%020d:%012d', epoch_us(ts), event_id) AS k
+        | FROM events)
+        |SELECT user_id, day,
+        | round(min_by(value, k), 2) AS open, round(max(value), 2) AS high,
+        | round(min(value), 2) AS low, round(max_by(value, k), 2) AS close,
+        | count(*) AS n
+        |FROM ev WHERE user_id < 30
+        |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+
+    "q129_incr_agg" ->
+      """WITH base AS (
+        | SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  o_orderpriority AS prio, o_totalprice AS tp,
+        |  CAST(o_orderdate AS DATE) AS day
+        | FROM orders),
+        |stored AS (SELECT month, prio, sum(tp) AS s, count(*) AS n FROM base
+        | WHERE day < DATE '2001-06-01' GROUP BY 1, 2),
+        |delta AS (SELECT month, prio, sum(tp) AS s, count(*) AS n FROM base
+        | WHERE day >= DATE '2001-06-01' GROUP BY 1, 2),
+        |merged AS (SELECT month, prio, sum(s) AS s, sum(n) AS n FROM
+        | (SELECT * FROM stored UNION ALL SELECT * FROM delta) GROUP BY 1, 2)
+        |SELECT prio, round(sum(s), 2) AS revenue,
+        | CAST(sum(n) AS BIGINT) AS n_orders,
+        | count(DISTINCT month) AS n_months
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
