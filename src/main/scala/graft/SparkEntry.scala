@@ -1989,6 +1989,20 @@ object SparkEntry {
         .orderBy(col("prio"))
     }),
 
+    // ---- typed Aggregator (functions.Aggregators.WeightedMean): the
+    // Dataset-native custom aggregate through udaf() — Encoder-managed
+    // two-double buffer, map-side combine, shuffle carries partials
+    // only. Weight derived from the key so the oracle replays it ----
+    "q130_typed_aggregator" -> ((s, d) => {
+      val wm = udaf(graft.functions.Aggregators.WeightedMean)
+      Tables.events(s, d)
+        .withColumn("w", (col("user_id") % 5 + 1).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(round(wm(col("value"), col("w")), 4).as("wmean"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3697,6 +3711,13 @@ object SparkEntry {
         | CAST(sum(n) AS BIGINT) AS n_orders,
         | count(DISTINCT month) AS n_months
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q130_typed_aggregator" ->
+      """SELECT event_type,
+        | round(sum(value * (user_id % 5 + 1)) / sum(user_id % 5 + 1), 4)
+        |   AS wmean,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
