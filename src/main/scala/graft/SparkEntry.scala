@@ -8,7 +8,7 @@ import graft.enrich.{EmbedStage, Geocode}
 import graft.multimodal.Multimodal
 import graft.parse.Parsers
 import graft.pipeline.{Pipeline, SyntheticStaging}
-import graft.plans.{AsOfJoin, RangeJoin}
+import graft.plans.{AsOfJoin, RangeJoin, SpatialJoin}
 import graft.serve.Serving
 import graft.streaming.StreamingIngest
 import graft.text.TextFunctions
@@ -2003,6 +2003,42 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- spatial radius join (plans.SpatialJoin): grid-cell bucketed
+    // equi-join + exact distance filter — the 2D RangeJoin; never the
+    // BroadcastNestedLoopJoin a naive distance theta-join plans.
+    // Coordinates derived deterministically from the keys so the oracle
+    // replays them exactly (integer-modulo lattice) ----
+    "q131_spatial_join" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 7919 % 1800) / 10.0 - 90.0).as("c_lat"),
+        ((col("c_custkey") * 104729 % 3600) / 10.0 - 180.0).as("c_lon"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 7919 % 1800) / 10.0 - 90.0).as("s_lat"),
+        ((col("s_suppkey") * 104729 % 3600) / 10.0 - 180.0).as("s_lon"))
+      SpatialJoin.radius2d(cust, supp, "c_lat", "c_lon",
+          "s_lat", "s_lon", 5.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round((col("c_lat") - col("s_lat")) * (col("c_lat") - col("s_lat")) +
+            (col("c_lon") - col("s_lon")) * (col("c_lon") - col("s_lon")),
+            4).as("d2"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // ---- lag-1 autocorrelation of per-type daily totals (time-series
+    // diagnostic): one shuffle to daily grain, one window lag sharing
+    // that partitioning, one corr aggregate ----
+    "q132_autocorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.withColumn("pv", lag(col("v"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("v"), col("pv")), 4).as("lag1_corr"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3718,6 +3754,35 @@ object SparkEntry {
         |   AS wmean,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q131_spatial_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |  (c_custkey * 7919 % 1800) / 10.0 - 90.0 AS c_lat,
+        |  (c_custkey * 104729 % 3600) / 10.0 - 180.0 AS c_lon
+        | FROM customer),
+        |s AS (SELECT s_suppkey,
+        |  (s_suppkey * 7919 % 1800) / 10.0 - 90.0 AS s_lat,
+        |  (s_suppkey * 104729 % 3600) / 10.0 - 180.0 AS s_lon
+        | FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        | round((c_lat - s_lat) * (c_lat - s_lat)
+        |   + (c_lon - s_lon) * (c_lon - s_lon), 4) AS d2
+        |FROM c JOIN s
+        | ON (c_lat - s_lat) * (c_lat - s_lat)
+        |    + (c_lon - s_lon) * (c_lon - s_lon) <= 25.0
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q132_autocorr" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        | FROM events GROUP BY 1, 2),
+        |lagged AS (
+        | SELECT event_type, v,
+        |  lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS pv
+        | FROM daily)
+        |SELECT event_type, round(corr(v, pv), 4) AS lag1_corr,
+        | count(*) AS n_days
+        |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (

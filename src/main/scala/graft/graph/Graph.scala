@@ -75,15 +75,21 @@ object Graph {
     */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
                          dampNum: Long = 85, dampDen: Long = 100,
-                         scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
+                         scale: Long = 1000000000000L,
+                         checkpointInterval: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.count()
-    val init = scale / n
-    val teleport = init * (dampDen - dampNum) / dampDen
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    var ranks = nodes.select(col("id"), lit(init).as("rank"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // N enters as a broadcast 1-row aggregate, not a driver-side count:
+    // the whole operator stays LAZY (zero actions), so a short run plans
+    // as ONE job in which Spark's ReuseExchange dedupes the shared
+    // edge/node/outdeg subplans instead of recomputing them per action
+    val nN = nodes.agg(count(lit(1)).as("_n"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val teleportExpr =
+      expr(s"(($scale div _n) * ${dampDen - dampNum}) div $dampDen")
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("id"), expr(s"$scale div _n").as("rank"))
     var i = 0
     while (i < iterations) {
       val contrib = e.join(ranks, e("src") === ranks("id"))
@@ -91,13 +97,16 @@ object Graph {
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("m"))
       ranks = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(nN))
         .select(col("id"),
-          (lit(teleport) +
+          (teleportExpr +
             expr(s"(coalesce(m, 0L) * $dampNum) div $dampDen")).as("rank"))
-        .localCheckpoint()
+      // short runs keep pure lineage; long runs cut it every
+      // `checkpointInterval` steps so planning cost and recompute depth
+      // stay bounded
+      if ((i + 1) % checkpointInterval == 0) ranks = ranks.localCheckpoint()
       i += 1
     }
-    e.unpersist(); outdeg.unpersist(); nodes.unpersist()
     ranks
   }
 }
