@@ -2039,6 +2039,64 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- label-distribution entropy per source (training-data
+    // diagnostics): two-level aggregate, all map-side-combinable ----
+    "q133_entropy" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("tot"))
+      counts.join(totals, "source")
+        .withColumn("p", col("c") / col("tot"))
+        .groupBy(col("source"))
+        .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- Gini concentration of value per event_type: rank-formula
+    // form G = (2·Σ(i·xᵢ) − (n+1)·Σxᵢ) / (n·Σxᵢ) over a deterministic
+    // (value, event_id) total order — one window pass, one aggregate,
+    // no pairwise |xᵢ−xⱼ| cross product ----
+    "q134_gini" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(round(
+          (lit(2) * sum(col("i") * col("value")) -
+            (count(lit(1)) + 1) * sum(col("value"))) /
+            (count(lit(1)) * sum(col("value"))), 4).as("gini"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- A/B comparison (Welch's t): deterministic assignment from
+    // the key (user parity), group moments from one aggregate pass ----
+    "q135_ab_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("grp", (col("user_id") % 2 === 0).cast("int"))
+      val m = ev.groupBy(col("event_type"), col("grp"))
+        .agg(avg(col("value")).as("m"), var_samp(col("value")).as("v"),
+          count(lit(1)).as("n"))
+      val a = m.filter(col("grp") === 1)
+        .select(col("event_type"), col("m").as("m1"), col("v").as("v1"),
+          col("n").as("n1"))
+      val b = m.filter(col("grp") === 0)
+        .select(col("event_type"), col("m").as("m2"), col("v").as("v2"),
+          col("n").as("n2"))
+      a.join(b, "event_type")
+        .select(col("event_type"),
+          round(col("m1") - col("m2"), 4).as("mean_diff"),
+          round((col("m1") - col("m2")) /
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4)
+            .as("t_stat"),
+          col("n1"), col("n2"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3783,6 +3841,40 @@ object SparkEntry {
         |SELECT event_type, round(corr(v, pv), 4) AS lag1_corr,
         | count(*) AS n_days
         |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q133_entropy" ->
+      """WITH counts AS (
+        | SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS tot FROM counts GROUP BY 1)
+        |SELECT counts.source,
+        | round(-sum((c / tot) * ln(c / tot)), 4) AS entropy,
+        | count(DISTINCT lang) AS n_langs
+        |FROM counts JOIN tot ON counts.source = tot.source
+        |GROUP BY counts.source ORDER BY counts.source""".stripMargin,
+
+    "q134_gini" ->
+      """WITH r AS (
+        | SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS i
+        | FROM events)
+        |SELECT event_type,
+        | round((2 * sum(i * value) - (count(*) + 1) * sum(value))
+        |   / (count(*) * sum(value)), 4) AS gini,
+        | count(*) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q135_ab_test" ->
+      """WITH m AS (
+        | SELECT event_type, CAST(user_id % 2 = 0 AS INT) AS grp,
+        |  avg(value) AS m, var_samp(value) AS v, count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, round(a.m - b.m, 4) AS mean_diff,
+        | round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+        | a.n AS n1, b.n AS n2
+        |FROM m a JOIN m b
+        | ON a.event_type = b.event_type AND a.grp = 1 AND b.grp = 0
+        |ORDER BY a.event_type""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (

@@ -2,7 +2,8 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -64,10 +65,13 @@ class PagesTable(path: String) extends Table with SupportsRead {
 }
 
 class PagesScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = PagesSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var hadResidual = false
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -76,6 +80,7 @@ class PagesScanBuilder(path: String) extends ScanBuilder
       case _ => false
     }
     pushed = supported
+    hadResidual = rest.nonEmpty
     rest // residual filters Spark must still evaluate
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -84,8 +89,96 @@ class PagesScanBuilder(path: String) extends ScanBuilder
     requiredSchema = required
   }
 
-  override def build(): Scan =
-    new PagesScan(path, requiredSchema, pushed)
+  /** Aggregate pushdown ([[SupportsPushDownAggregates]]): ungrouped
+    * COUNT(*) / MIN(fetched_at) / MAX(fetched_at) are answerable from
+    * file METADATA alone — the connector returns the final one-row
+    * answer from the driver-side listing, and the query never launches
+    * a per-file scan at all (the "how many pages / what's the crawl
+    * horizon" audit over a 100 TB archive becomes a listing operation).
+    * Refused when a residual (non-pushed) filter exists — Spark must
+    * post-filter rows, so a metadata answer would overcount. */
+  private def canAnswer(agg: Aggregation): Boolean = {
+    def isFetchedAt(refs: Array[NamedReference]): Boolean =
+      refs.length == 1 && refs(0).fieldNames.sameElements(Array("fetched_at"))
+    !hadResidual && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isFetchedAt(m.references())
+        case m: Max => isFetchedAt(m.references())
+        case _ => false
+      }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canAnswer(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canAnswer(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new PagesAggScan(path, pushed, agg)
+    case None => new PagesScan(path, requiredSchema, pushed)
+  }
+}
+
+/** Metadata-only scan for a completely-pushed aggregation: one input
+  * partition carrying the already-final values (count of matching files,
+  * min/max mtime). No file contents are ever opened. */
+class PagesAggScan(path: String, pushed: Array[Filter], agg: Aggregation)
+    extends Scan with Batch {
+
+  private def fns: Array[AggregateFunc] = agg.aggregateExpressions
+
+  override def readSchema(): StructType = StructType(fns.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case _: Min => StructField("min(fetched_at)", TimestampType, nullable = true)
+    case _: Max => StructField("max(fetched_at)", TimestampType, nullable = true)
+    case other => throw new IllegalStateException(s"unexpected agg $other")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-pages-agg path=$path, pushedAggregates=[${fns.mkString(",")}], " +
+      s"pushedFilters=[${pushed.mkString(",")}]"
+
+  private def keep(url: String): Boolean = pushed.forall {
+    case EqualTo("url", v: String) => url == v
+    case StringStartsWith("url", p) => url.startsWith(p)
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".html"))
+      .filter(f => keep(PagesSource.urlOf(f)))
+    val mtimes = files.map(_.lastModified())
+    val values: Array[Any] = fns.map {
+      case _: CountStar => files.length.toLong
+      case _: Min => if (mtimes.isEmpty) null else mtimes.min * 1000L
+      case _: Max => if (mtimes.isEmpty) null else mtimes.max * 1000L
+      case other => throw new IllegalStateException(s"unexpected agg $other")
+    }
+    Array(AggResultPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AggResultReaderFactory
+}
+
+case class AggResultPartition(values: Array[Any]) extends InputPartition
+
+class AggResultReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vs = partition.asInstanceOf[AggResultPartition].values
+    new PartitionReader[InternalRow] {
+      private var consumed = false
+      override def next(): Boolean = !consumed && { consumed = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vs.clone())
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class PagesScan(path: String, requiredSchema: StructType,

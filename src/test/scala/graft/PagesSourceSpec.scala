@@ -71,4 +71,39 @@ class PagesSourceSpec extends SparkSpec {
     assert(events.count() == 1)
     assert(events.select("venue_href").head().getString(0) == "/venues-v1")
   }
+
+  test("aggregate pushdown: COUNT(*)/MIN/MAX answered from metadata") {
+    val dir = writeFixtures()
+    val df = read(dir).agg(
+      count(lit(1)).as("n"),
+      min(col("fetched_at")).as("lo"), max(col("fetched_at")).as("hi"))
+    val row = df.head()
+    assert(row.getLong(0) == 3L)
+    assert(!row.isNullAt(1) && !row.isNullAt(2))
+    assert(!row.getTimestamp(1).after(row.getTimestamp(2)))
+    // complete pushdown: the scan IS the aggregate answer (agg schema,
+    // single partition), no per-file partitions planned
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates"), plan)
+  }
+
+  test("aggregate pushdown composes with a pushed url filter") {
+    val df = read(writeFixtures())
+      .filter(col("url").startsWith("/venues-"))
+      .agg(count(lit(1)))
+    assert(df.head().getLong(0) == 2L)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("pushedAggregates"))
+  }
+
+  test("aggregate pushdown refused when a residual filter remains") {
+    // html filter is NOT pushable: the source must refuse the aggregate
+    // (a metadata count would ignore the post-filter and overcount)
+    val df = read(writeFixtures())
+      .filter(col("html").contains("Venue"))
+      .agg(count(lit(1)))
+    assert(df.head().getLong(0) == 2L)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("pushedAggregates"))
+  }
 }
