@@ -2097,6 +2097,57 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- gaps-and-islands: contiguous active-day runs per user via
+    // the day − row_number() grouping constant — one shuffle on user,
+    // window + re-aggregate share it ----
+    "q136_gaps_islands" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", datediff(col("day"), lit("2024-01-01").cast("date"))
+          - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(date_format(min(col("day")), "yyyy-MM-dd").as("run_start"),
+          date_format(max(col("day")), "yyyy-MM-dd").as("run_end"),
+          count(lit(1)).as("run_days"))
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("run_start"), col("run_end"),
+          col("run_days"))
+        .orderBy(col("user_id"), col("run_start"))
+    }),
+
+    // ---- period-over-period growth: monthly revenue + MoM delta and
+    // ratio from one lag over the month rollup ----
+    "q137_mom_growth" -> ((s, d) => {
+      val monthly = t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("month"))
+      monthly.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("month"), round(col("rev"), 2).as("revenue"),
+          round(col("rev") - col("prev"), 2).as("mom_delta"),
+          round(col("rev") / col("prev"), 4).as("mom_ratio"))
+        .orderBy(col("month"))
+    }),
+
+    // ---- cumulative distinct users (growth curve): first-seen day per
+    // user, then a running count over the day spine — the sort-free
+    // cumulative-distinct decomposition ----
+    "q138_cumulative_users" -> ((s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstSeen.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy(col("day"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3875,6 +3926,40 @@ object SparkEntry {
         |FROM m a JOIN m b
         | ON a.event_type = b.event_type AND a.grp = 1 AND b.grp = 0
         |ORDER BY a.event_type""".stripMargin,
+
+    "q136_gaps_islands" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        | SELECT user_id, day,
+        |  datediff('day', DATE '2024-01-01', day)
+        |    - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        | FROM days)
+        |SELECT user_id, strftime(min(day), '%Y-%m-%d') AS run_start,
+        | strftime(max(day), '%Y-%m-%d') AS run_end, count(*) AS run_days
+        |FROM g WHERE user_id < 40
+        |GROUP BY user_id, grp ORDER BY user_id, run_start""".stripMargin,
+
+    "q137_mom_growth" ->
+      """WITH m AS (
+        | SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  sum(o_totalprice) AS rev
+        | FROM orders GROUP BY 1)
+        |SELECT month, round(rev, 2) AS revenue,
+        | round(rev - lag(rev) OVER (ORDER BY month), 2) AS mom_delta,
+        | round(rev / lag(rev) OVER (ORDER BY month), 4) AS mom_ratio
+        |FROM m ORDER BY month""".stripMargin,
+
+    "q138_cumulative_users" ->
+      """WITH fs AS (
+        | SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        | FROM events GROUP BY 1),
+        |nd AS (SELECT first_day AS day, count(*) AS new_users
+        | FROM fs GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        | CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM nd ORDER BY day""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
