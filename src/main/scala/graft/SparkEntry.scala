@@ -2148,6 +2148,85 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ---- market-basket association (support/confidence/lift): brand
+    // pairs co-occurring in an order. Pair generation is MAP-SIDE from
+    // each order's sorted brand list (one shuffle on the order key,
+    // higher-order transform — no self-join of the exploded frame);
+    // frequency tables broadcast back ----
+    "q139_basket_lift" -> ((s, d) => {
+      val ob = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val nOrders = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      val bf = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val pairs = ob.groupBy("ok")
+        .agg(sort_array(collect_list(col("b"))).as("bs"))
+        .select(explode(expr(
+          "flatten(transform(bs, (x, i) -> transform(" +
+            "slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"))
+          .as("p"))
+        .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 20)
+      pairs
+        .join(broadcast(bf.select(col("b").as("b1"), col("nb").as("nb1"))), "b1")
+        .join(broadcast(bf.select(col("b").as("b2"), col("nb").as("nb2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("b1"), col("b2"), col("nab"),
+          round(col("nab") / col("n_orders"), 4).as("support"),
+          round(col("nab") / col("nb1"), 4).as("confidence"),
+          round(col("nab") * col("n_orders") / (col("nb1") * col("nb2")), 4)
+            .as("lift"))
+        .orderBy(col("b1"), col("b2"))
+    }),
+
+    // ---- RFM segmentation: one customer-grain aggregate, then ntile
+    // quartiles over the COLLAPSED frame (1 row per customer — the
+    // single-partition window sits above the aggregate, never the raw
+    // orders); deterministic tie order by customer key ----
+    "q140_rfm" -> ((s, d) => {
+      val agg = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(datediff(lit("2001-08-02").cast("date"),
+          max(to_date(col("o_orderdate")))).as("rec_days"),
+          count(lit(1)).as("freq"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+      val r = ntile(4).over(Window.orderBy(col("rec_days"), col("o_custkey")))
+      val f = ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+      val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+      agg.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("rec_days").cast("bigint").as("rec_days"),
+          col("freq"), col("monetary"), col("r"), col("f"), col("m"),
+          concat_ws("-", col("r"), col("f"), col("m")).as("segment"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- CUSUM change-point detection: per-type cumulative deviation
+    // from the type mean, peak |cusum| day = the change point. One
+    // shuffle on type shared by the mean window, the running sum, and
+    // the argmax row_number ----
+    "q141_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val mu = avg(col("v")).over(Window.partitionBy(col("event_type")))
+      val run = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = daily.withColumn("mu", mu)
+        .withColumn("cusum", sum(col("v") - col("mu")).over(run))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      cs.withColumn("rn", row_number().over(rk))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+          round(col("cusum"), 4).as("peak_cusum"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -3960,6 +4039,63 @@ object SparkEntry {
         | CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
         |   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM nd ORDER BY day""".stripMargin,
+
+    "q139_basket_lift" ->
+      """WITH ob AS (
+        | SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+        |bf AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+        |pairs AS (
+        | SELECT a.b AS b1, c.b AS b2, count(*) AS nab
+        | FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+        | GROUP BY 1, 2)
+        |SELECT b1, b2, nab,
+        | round(nab / (SELECT n_orders FROM n), 4) AS support,
+        | round(nab / f1.nb, 4) AS confidence,
+        | round((nab * (SELECT n_orders FROM n))::DOUBLE / (f1.nb * f2.nb), 4)
+        |   AS lift
+        |FROM pairs JOIN bf f1 ON pairs.b1 = f1.b JOIN bf f2 ON pairs.b2 = f2.b
+        |WHERE nab >= 20
+        |ORDER BY b1, b2""".stripMargin,
+
+    "q140_rfm" ->
+      """WITH agg AS (
+        | SELECT o_custkey, datediff('day', max(CAST(o_orderdate AS DATE)),
+        |   DATE '2001-08-02') AS rec_days,
+        |  count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+        | FROM orders GROUP BY 1),
+        |sc AS (
+        | SELECT o_custkey, rec_days, freq, monetary,
+        |  ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r,
+        |  ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        | FROM agg)
+        |SELECT o_custkey, rec_days, freq, monetary, r, f, m,
+        | r || '-' || f || '-' || m AS segment
+        |FROM sc WHERE o_custkey < 200 ORDER BY o_custkey""".stripMargin,
+
+    "q141_cusum" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        | FROM events GROUP BY 1, 2),
+        |wm AS (
+        | SELECT event_type, day, v,
+        |  avg(v) OVER (PARTITION BY event_type) AS mu
+        | FROM daily),
+        |cs AS (
+        | SELECT event_type, day,
+        |  sum(v - mu) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        | FROM wm),
+        |rk AS (
+        | SELECT event_type, day, cusum,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS rn
+        | FROM cs)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+        | round(cusum, 4) AS peak_cusum
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
