@@ -2227,6 +2227,80 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- daily percentile bands (P10/P50/P90 time series): exact
+    // per-group percentiles in one aggregate pass ----
+    "q142_percentile_bands" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(round(percentile(col("value"), lit(0.1)), 4).as("p10"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- mutual information between event type and a user cohort
+    // (feature-signal screening): joint/marginal counts from one
+    // aggregate, MI from the broadcast-joined contingency table ----
+    "q143_mutual_info" -> ((s, d) => {
+      val joint = Tables.events(s, d)
+        .groupBy(col("event_type").as("x"),
+          (col("user_id") % 2 === 0).cast("int").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val tot = joint.agg(sum(col("c")).as("n"))
+      val mx = joint.groupBy("x").agg(sum(col("c")).as("cx"))
+      val my = joint.groupBy("y").agg(sum(col("c")).as("cy"))
+      joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+        .crossJoin(broadcast(tot))
+        .agg(round(sum((col("c") / col("n")) *
+            log((col("c") * col("n")) / (col("cx") * col("cy")))), 6)
+          .as("mi_nats"),
+          max(col("n")).as("n"))
+    }),
+
+    // ---- Pareto 80/20 concentration: customers covering 80% of
+    // revenue. Running share over the COLLAPSED customer grain (the
+    // single-partition window sits above the aggregate); the float
+    // cumulative sum is order-identical in both engines, so the >=
+    // threshold cliff is consistent ----
+    "q144_pareto_8020" -> ((s, d) => {
+      val cr = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val tot = cr.agg(sum(col("rev")).as("t"),
+        count(lit(1)).as("nc"))
+      val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
+      cr.withColumn("cum", sum(col("rev")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(ord))
+        .crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") >= lit(0.8) * col("t"), col("rn")))
+            .cast("bigint").as("customers_for_80pct"),
+          max(col("nc")).as("n_customers"),
+          round(min(when(col("cum") >= lit(0.8) * col("t"), col("rn"))) /
+            max(col("nc")), 4).as("frac"))
+    }),
+
+    // ---- rolling z-score anomaly flags: trailing-week mean/stddev per
+    // type (frame excludes the current day), flag |z| > 1.5 — the ops
+    // monitoring sweep; one shuffle on type for both window stats ----
+    "q145_rolling_zscore" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, -1)
+      daily
+        .withColumn("mu", avg(col("v")).over(w))
+        .withColumn("sd", stddev_samp(col("v")).over(w))
+        .filter(col("sd").isNotNull &&
+          abs((col("v") - col("mu")) / col("sd")) > 1.5)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round((col("v") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4096,6 +4170,60 @@ object SparkEntry {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
         | round(cusum, 4) AS peak_cusum
         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q142_percentile_bands" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        | round(quantile_cont(value, 0.1), 4) AS p10,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q143_mutual_info" ->
+      """WITH joint AS (
+        | SELECT event_type AS x, CAST(user_id % 2 = 0 AS INT) AS y,
+        |  count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT sum(c) AS n FROM joint),
+        |mx AS (SELECT x, sum(c) AS cx FROM joint GROUP BY 1),
+        |my AS (SELECT y, sum(c) AS cy FROM joint GROUP BY 1)
+        |SELECT round(sum((c / n) * ln((c * n)::DOUBLE / (cx * cy))), 6)
+        |   AS mi_nats,
+        | CAST(max(n) AS BIGINT) AS n
+        |FROM joint JOIN tot ON true JOIN mx ON joint.x = mx.x
+        | JOIN my ON joint.y = my.y""".stripMargin,
+
+    "q144_pareto_8020" ->
+      """WITH cr AS (
+        | SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS t, count(*) AS nc FROM cr),
+        |rk AS (
+        | SELECT o_custkey, rev,
+        |  sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn
+        | FROM cr)
+        |SELECT CAST(min(CASE WHEN cum >= 0.8 * (SELECT t FROM tot)
+        |   THEN rn END) AS BIGINT) AS customers_for_80pct,
+        | (SELECT CAST(nc AS BIGINT) FROM tot) AS n_customers,
+        | round(min(CASE WHEN cum >= 0.8 * (SELECT t FROM tot) THEN rn END)
+        |   / (SELECT nc FROM tot), 4) AS frac
+        |FROM rk""".stripMargin,
+
+    "q145_rolling_zscore" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        | FROM events GROUP BY 1, 2),
+        |roll AS (
+        | SELECT event_type, day, v,
+        |  avg(v) OVER w AS mu, stddev_samp(v) OVER w AS sd
+        | FROM daily
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        | round((v - mu) / sd, 4) AS z
+        |FROM roll WHERE sd IS NOT NULL AND abs((v - mu) / sd) > 1.5
+        |ORDER BY event_type, day""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
