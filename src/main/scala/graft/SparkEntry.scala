@@ -2301,6 +2301,96 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ---- order→ship latency histogram (supply-chain distribution):
+    // explicit floor() bucketing (floor semantics match the oracle's
+    // // on negatives; integer div truncation would not) ----
+    "q146_latency_histogram" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("bucket", floor(datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))) / 10.0).cast("bigint"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          // sum, not avg: the inputs are 2-decimal values, so the true
+          // sum is exactly 2-decimal and round(·, 2) can never sit on a
+          // half-cent boundary (an avg can, and then HALF_UP vs
+          // half-even rounding diverges between engines)
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- top brands per nation with TIES (dense_rank ≤ 3 — the
+    // ties-kept complement of q38's row_number top-k) ----
+    "q147_dense_rank_ties" -> ((s, d) => {
+      val bc = t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("n_parts").desc)
+      bc.withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= 3)
+        .orderBy(col("n_name"), col("dr"), col("p_brand"))
+    }),
+
+    // ---- LTV-by-order-number curve: avg order value at the customer's
+    // nth order — one shuffle on customer for the sequence window, then
+    // a tiny re-aggregate on order_no ----
+    "q148_clv_curve" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(to_date(col("o_orderdate")), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("order_no", row_number().over(w))
+        .filter(col("order_no") <= 10)
+        .groupBy(col("order_no"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("o_totalprice")), 2).as("avg_order_value"))
+        .orderBy(col("order_no"))
+    }),
+
+    // ---- share-of-wallet: top-3 customers per nation with their
+    // revenue share — ratio-to-report window over the collapsed
+    // customer grain ----
+    "q149_share_of_wallet" -> ((s, d) => {
+      val cr = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val p = Window.partitionBy(col("n_name"))
+      val rk = Window.partitionBy(col("n_name"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+      cr.withColumn("share", col("rev") / sum(col("rev")).over(p))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 3)
+        .select(col("n_name"), col("c_custkey"),
+          round(col("rev"), 2).as("revenue"),
+          round(col("share"), 4).as("share"))
+        .orderBy(col("n_name"), col("rk"))
+    }),
+
+    // ---- weekday×hour activity heatmap (long form): ISO weekday so
+    // both engines agree on day numbering ----
+    "q150_activity_heatmap" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .select((weekday(col("ts")) + 1).as("isodow"),
+          hour(col("ts")).as("hr"))
+        .groupBy(col("isodow"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cell.agg(sum(col("n")).as("tot"))
+      cell.crossJoin(broadcast(tot))
+        .select(col("isodow"), col("hr"), col("n"),
+          round(col("n") / col("tot"), 4).as("share"))
+        .orderBy(col("isodow"), col("hr"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4224,6 +4314,63 @@ object SparkEntry {
         | round((v - mu) / sd, 4) AS z
         |FROM roll WHERE sd IS NOT NULL AND abs((v - mu) / sd) > 1.5
         |ORDER BY event_type, day""".stripMargin,
+
+    "q146_latency_histogram" ->
+      """SELECT CAST(floor(datediff('day', CAST(o_orderdate AS DATE),
+        |   CAST(l_shipdate AS DATE)) / 10.0) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q147_dense_rank_ties" ->
+      """WITH bc AS (
+        | SELECT n.n_name, p.p_brand, count(*) AS n_parts
+        | FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |rk AS (SELECT n_name, p_brand, n_parts,
+        | dense_rank() OVER (PARTITION BY n_name ORDER BY n_parts DESC) AS dr
+        | FROM bc)
+        |SELECT n_name, p_brand, n_parts, dr FROM rk WHERE dr <= 3
+        |ORDER BY n_name, dr, p_brand""".stripMargin,
+
+    "q148_clv_curve" ->
+      """WITH seq AS (
+        | SELECT o_custkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS order_no
+        | FROM orders)
+        |SELECT order_no, count(*) AS n_customers,
+        | round(avg(o_totalprice), 2) AS avg_order_value
+        |FROM seq WHERE order_no <= 10 GROUP BY 1 ORDER BY order_no""".stripMargin,
+
+    "q149_share_of_wallet" ->
+      """WITH cr AS (
+        | SELECT n.n_name, c.c_custkey, sum(o.o_totalprice) AS rev
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |sw AS (SELECT n_name, c_custkey, rev,
+        | rev / sum(rev) OVER (PARTITION BY n_name) AS share,
+        | row_number() OVER (PARTITION BY n_name
+        |   ORDER BY rev DESC, c_custkey) AS rk
+        | FROM cr)
+        |SELECT n_name, c_custkey, round(rev, 2) AS revenue,
+        | round(share, 4) AS share
+        |FROM sw WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+
+    "q150_activity_heatmap" ->
+      """WITH cell AS (
+        | SELECT isodow(ts) AS isodow, CAST(hour(ts) AS INT) AS hr,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS tot FROM cell)
+        |SELECT CAST(isodow AS INT) AS isodow, hr, n,
+        | round(n / (SELECT tot FROM tot), 4) AS share
+        |FROM cell ORDER BY isodow, hr""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
