@@ -122,4 +122,48 @@ class BucketedStoreSpec extends SparkSpec {
     val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(!parent.exists(n => n.contains("compact-staging") || n.contains("compact-old")))
   }
+
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val fact = Seq(
+      ("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0),
+      ("2024-01-03", 3L, 30.0), ("2024-01-04", 4L, 40.0),
+    ).toDF("day", "k", "v").withColumn("day", to_date(col("day")))
+    BucketedStore.saveDatePartitioned(fact, dir, "day")
+    // dim: only one qualifying date, discovered at RUNTIME through the
+    // join (the fact filter is not static — DPP must inject it)
+    // the dim must be a REAL scan: a filter over a local Seq is
+    // constant-folded away (ConvertToLocalRelation) and the pruning rule
+    // then sees no selective predicate on the build side
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("2024-01-02", "keep"), ("2024-01-03", "drop"))
+      .toDF("d", "tag").withColumn("d", to_date(col("d")))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    // KB-sized test tables fail DPP's benefit heuristic (benefit is
+    // proportional to the partitioned scan's bytes); raise the fallback
+    // ratio so the decision reflects the plan SHAPE, as it would at a
+    // production fact-table size
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+      "10000.0")
+    val joined = try {
+      val j = spark.read.parquet(dir).join(dim, col("p_date") === col("d"))
+      j.collect()
+      j
+    } finally {
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+    val rows = joined.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("k") == 2L)
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DynamicPruningExpression partition filter in:\n${plan.take(2000)}")
+  }
 }
