@@ -2391,6 +2391,23 @@ object SparkEntry {
         .orderBy(col("isodow"), col("hr"))
     }),
 
+    // ---- linear trend per type (regr_* aggregate family): slope /
+    // intercept / R² of daily totals against the day index — one
+    // aggregate pass, moments combined map-side ----
+    "q151_regr_slope" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("xi", datediff(col("day"),
+          lit("2024-01-01").cast("date")).cast("double"))
+      daily.groupBy(col("event_type"))
+        .agg(round(regr_slope(col("v"), col("xi")), 4).as("slope"),
+          round(regr_intercept(col("v"), col("xi")), 4).as("intercept"),
+          round(regr_r2(col("v"), col("xi")), 4).as("r2"),
+          regr_count(col("v"), col("xi")).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4371,6 +4388,21 @@ object SparkEntry {
         |SELECT CAST(isodow AS INT) AS isodow, hr, n,
         | round(n / (SELECT tot FROM tot), 4) AS share
         |FROM cell ORDER BY isodow, hr""".stripMargin,
+
+    "q151_regr_slope" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        | FROM events GROUP BY 1, 2),
+        |x AS (
+        | SELECT event_type,
+        |  CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE) AS xi, v
+        | FROM daily)
+        |SELECT event_type,
+        | round(regr_slope(v, xi), 4) AS slope,
+        | round(regr_intercept(v, xi), 4) AS intercept,
+        | round(regr_r2(v, xi), 4) AS r2,
+        | CAST(regr_count(v, xi) AS BIGINT) AS n
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (

@@ -23,7 +23,10 @@ object Graph {
     * iterations needed = graph diameter (near-dup graphs: single
     * digits). `localCheckpoint` after each step truncates the logical
     * plan so iteration N doesn't replan (or re-execute) steps 1..N-1 —
-    * THE standard Spark iterative-algorithm guard.
+    * THE standard Spark iterative-algorithm guard. If `maxIter` fires
+    * before convergence the labels of any still-unconverged component
+    * are an upper bound on its true minimum (deterministic, but not a
+    * fixed point) — size `maxIter` to the expected diameter.
     *
     * @param ids   one row per node: column `id` (long)
     * @param edges undirected candidate pairs: columns `id_a`, `id_b`

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * input sees one shuffle-free partial aggregate + one tiny exchange —
   * never a self-join. Final step re-joins the (broadcast) frontier to
   * recover every row achieving a frontier point (co-located ties are
-  * all skyline members: neither dominates the other).
+  * all skyline members: neither dominates the other). Rows with a null
+  * coordinate are excluded (null never joins back), matching the SQL
+  * NOT-EXISTS form where null comparisons are UNKNOWN.
   */
 object Skyline {
 

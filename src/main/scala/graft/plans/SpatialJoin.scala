@@ -26,6 +26,10 @@ object SpatialJoin {
   def radius2d(left: DataFrame, right: DataFrame,
                lLat: String, lLon: String, rLat: String, rLon: String,
                radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val overlap = left.columns.intersect(right.columns)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: ${overlap.mkString(",")}")
     val cells = (-1 to 1).flatMap(dx => (-1 to 1).map(dy => (dx, dy)))
     val l = left.withColumn("_cell",
       explode(array(cells.map { case (dx, dy) =>
