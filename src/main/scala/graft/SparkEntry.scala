@@ -1874,11 +1874,11 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("p_id"),
           unix_micros(col("ts")).as("p_us"))
       // the exec outputs left ++ right columns, so the key appears twice;
-      // rename positionally and keep the left copy
+      // rename positionally and keep the left copy. AsOfJoinExec is
+      // inner (unmatched purchases dropped), matching the oracle's JOIN
       graft.plans.AsOfJoinPhysical.join(purchases, hist,
           "user_id", "p_us", "from_us")
         .toDF("user_id", "p_id", "p_us", "_rk", "state", "from_us")
-        .filter(col("from_us").isNotNull) // inner PIT semantics
         .select(col("user_id"), col("p_id"), col("p_us"),
           col("state"), col("from_us"))
         .orderBy(col("p_id"))

@@ -301,29 +301,20 @@ object Dedup {
     * scale instead of looping unboundedly on a pathological chain. */
   def propagateClusters(assignments: DataFrame, edges: DataFrame,
                         maxIter: Int = 5): DataFrame = {
-    // assignments: (id, cluster_id); edges: (id_a, id_b) undirected
+    // assignments: (id, cluster_id); edges: (id_a, id_b) undirected,
+    // expected to reference assignment ids. Delegates to the engine's
+    // single superstep-loop implementation (graph.Graph.minLabelFixpoint
+    // — localCheckpoint lineage truncation, limit(1) convergence probe)
+    // so the two label-propagation call sites cannot drift.
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var current = assignments
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val neighborMin = sym
-        .join(current.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster_id")).as("neighbor_min"))
-      val next = current.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"),
-            col("cluster_id"))).as("cluster_id"))
-        .cache()
-      val changed = next.join(current.withColumnRenamed("cluster_id", "_old"), "id")
-        .filter(col("cluster_id") =!= col("_old")).limit(1).count()
-      converged = changed == 0
-      current = next
-      iter += 1
-    }
-    current
+      .persist()
+    val (labels, _) = graft.graph.Graph.minLabelFixpoint(
+      assignments.select(col("id"), col("cluster_id").as("label")),
+      sym, maxIter)
+    sym.unpersist()
+    assignments.select(col("id")).join(labels, "id")
+      .select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Exact connected components via driver-side union-find over a

@@ -35,6 +35,10 @@ object Scd2 {
     */
   def fromChanges(df: DataFrame, keyCols: Seq[String], tsCol: String,
                   tieCol: String, attrCols: Seq[String]): DataFrame = {
+    val reserved = Seq("_prev", "valid_from", "valid_to", "is_current")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with SCD2 output/temp names: ${reserved.mkString(",")}")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     val attrs = struct(attrCols.map(col): _*)

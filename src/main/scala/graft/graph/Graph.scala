@@ -36,24 +36,49 @@ object Graph {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = ids.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    // seed over ids ∪ edge endpoints: an edge mentioning a node missing
+    // from `ids` must still relay labels (and must not trip the
+    // convergence probe into a premature stop)
+    val nodes = ids.select(col("id"))
+      .union(und.select(col("src").as("id"))).distinct()
+    val (labels, converged) =
+      minLabelFixpoint(nodes.select(col("id"), col("id").as("label")),
+        und, maxIter)
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: maxIter=$maxIter " +
+        "reached before convergence — labels are an upper bound, not a fixpoint")
+    und.unpersist()
+    // output contract: one row per distinct input id
+    ids.select(col("id")).distinct().join(labels, "id")
+      .select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Shared min-label superstep loop (the engine's ONE implementation of
+    * distributed label propagation — `connectedComponents` and
+    * `dedup.Dedup.propagateClusters` both drive it). `seed` must cover
+    * every node that should relay labels; `sym` is the symmetrized edge
+    * list (`src`, `dst`). Each superstep is one join + one groupBy-min
+    * sharing the id partitioning; `localCheckpoint` truncates lineage so
+    * step N never replans steps 1..N-1; the convergence probe is a
+    * `limit(1)` existence check, not a full count. */
+  private[graft] def minLabelFixpoint(seed: DataFrame, sym: DataFrame,
+                                      maxIter: Int): (DataFrame, Boolean) = {
+    var labels = seed.localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val msgs = und.join(labels, und("src") === labels("id"))
-        .select(und("dst").as("id"), col("label"))
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("label"))
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+        .filter(col("label") =!= col("prev")).limit(1).count()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    und.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    (labels, converged)
   }
 
   /** PageRank in integer fixed-point arithmetic.

@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   def pareto2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val reserved = Seq("_minx", "_best", "_fy").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with Skyline temp names: ${reserved.mkString(",")}")
     val perY = df.groupBy(col(yCol)).agg(min(col(xCol)).as("_minx"))
     val sweep = Window.orderBy(col(yCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)

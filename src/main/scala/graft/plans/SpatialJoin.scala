@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * density skew (a hot city) is ordinary equi-join skew: AQE skew
   * splitting or upstream salting applies unchanged at 100 TB.
   *
-  * Column names (other than the coordinates) must be disjoint.
+  * Left/right column names must be fully disjoint (including the
+  * coordinate columns — shared names would make the final distance
+  * predicate ambiguous), and neither side may already have a `_cell`
+  * column.
   */
 object SpatialJoin {
 
@@ -30,6 +33,8 @@ object SpatialJoin {
     val overlap = left.columns.intersect(right.columns)
     require(overlap.isEmpty,
       s"left/right column names must be disjoint, both have: ${overlap.mkString(",")}")
+    val cellTaken = (left.columns ++ right.columns).contains("_cell")
+    require(!cellTaken, "input columns collide with SpatialJoin temp name _cell")
     val cells = (-1 to 1).flatMap(dx => (-1 to 1).map(dy => (dx, dy)))
     val l = left.withColumn("_cell",
       explode(array(cells.map { case (dx, dy) =>

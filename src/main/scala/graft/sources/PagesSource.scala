@@ -52,6 +52,29 @@ object PagesSource {
 
   private[sources] def urlOf(file: java.io.File): String =
     "/" + file.getName.stripSuffix(".html")
+
+  /** ONE shared implementation of the listing + pushed-filter predicate
+    * for both the row scan and the metadata-only aggregate scan — so a
+    * filter type accepted by `pushFilters` can never be evaluated by one
+    * path and silently ignored by the other. `strict = true` (the
+    * aggregate path, where an ignored filter means a WRONG answer, not
+    * just extra rows) throws on a filter this matcher doesn't know. */
+  private[sources] def listMatchingFiles(path: String, pushed: Array[Filter],
+                                         strict: Boolean): Array[java.io.File] = {
+    def keep(url: String): Boolean = pushed.forall {
+      case EqualTo("url", v: String) => url == v
+      case StringStartsWith("url", p) => url.startsWith(p)
+      case f if strict =>
+        throw new IllegalStateException(
+          s"pushed filter $f has no metadata evaluation — pushFilters and " +
+            "listMatchingFiles are out of sync")
+      case _ => true
+    }
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".html"))
+      .filter(f => keep(urlOf(f)))
+  }
 }
 
 class PagesTable(path: String) extends Table with SupportsRead {
@@ -142,17 +165,8 @@ class PagesAggScan(path: String, pushed: Array[Filter], agg: Aggregation)
     s"graft-pages-agg path=$path, pushedAggregates=[${fns.mkString(",")}], " +
       s"pushedFilters=[${pushed.mkString(",")}]"
 
-  private def keep(url: String): Boolean = pushed.forall {
-    case EqualTo("url", v: String) => url == v
-    case StringStartsWith("url", p) => url.startsWith(p)
-    case _ => true
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".html"))
-      .filter(f => keep(PagesSource.urlOf(f)))
+    val files = PagesSource.listMatchingFiles(path, pushed, strict = true)
     val mtimes = files.map(_.lastModified())
     val values: Array[Any] = fns.map {
       case _: CountStar => files.length.toLong
@@ -189,18 +203,9 @@ class PagesScan(path: String, requiredSchema: StructType,
     s"graft-pages path=$path, readSchema=[${requiredSchema.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${pushed.mkString(",")}]"
 
-  private def keep(url: String): Boolean = pushed.forall {
-    case EqualTo("url", v: String) => url == v
-    case StringStartsWith("url", p) => url.startsWith(p)
-    case _ => true
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".html"))
-      .filter(f => keep(PagesSource.urlOf(f))) // pruned BEFORE planning
-      .sortBy(_.getName)
+    val files = PagesSource.listMatchingFiles(path, pushed, strict = false)
+      .sortBy(_.getName) // pruned BEFORE planning
     files.map(f => PageInputPartition(f.getAbsolutePath, f.lastModified())
       : InputPartition)
   }

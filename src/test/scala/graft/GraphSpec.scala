@@ -30,6 +30,17 @@ class GraphSpec extends SparkSpec {
     assert(cc.filter(col("cluster_id") =!= 1L).count() == 0)
   }
 
+  test("edges may reference nodes missing from ids: labels still relay through them") {
+    // 5—2—1 chain where only node 5 is in `ids`: the true component min
+    // (1) must reach node 5 via the uncovered relay node 2, and the
+    // output stays one-row-per-input-id
+    val ids = Seq(5L).toDF("id")
+    val edges = Seq((5L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val cc = Graph.connectedComponents(ids, edges).collect()
+    assert(cc.length == 1)
+    assert(cc.head.getLong(0) == 5L && cc.head.getLong(1) == 1L)
+  }
+
   test("pagerank fixed point: exact hand-computed values after 2 iterations") {
     val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
       .toDF("src", "dst")
