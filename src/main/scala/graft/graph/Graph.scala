@@ -63,7 +63,11 @@ object Graph {
     * `limit(1)` existence check, not a full count. */
   private[graft] def minLabelFixpoint(seed: DataFrame, sym: DataFrame,
                                       maxIter: Int): (DataFrame, Boolean) = {
-    var labels = seed.localCheckpoint()
+    // the seed is cached, not checkpointed: iteration 1 consumes it
+    // twice (msgs join + convergence probe) so the cache avoids a
+    // double evaluation, while skipping an eager materialization job
+    val seedCached = seed.cache()
+    var labels = seedCached
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -78,6 +82,9 @@ object Graph {
       converged = changed == 0
       iter += 1
     }
+    // every later `labels` is an independent checkpoint, so the seed
+    // cache can be dropped without invalidating the result
+    if (!(labels eq seedCached)) seedCached.unpersist()
     (labels, converged)
   }
 
