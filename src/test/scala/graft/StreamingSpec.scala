@@ -230,4 +230,55 @@ class StreamingSpec extends SparkSpec {
     assert(back.orderBy("cache_key").collect().map(_.getString(0)).toSeq ==
       Seq("events:2024-01-01", "events:2024-01-02"))
   }
+
+  test("streaming SCD2: per-batch history rebuild converges to the batch answer") {
+    // incremental SCD2 via foreachBatch: each micro-batch appends its
+    // raw changes to an accumulator table and rebuilds the history from
+    // it (recompute-from-accumulated — exact, idempotent under replay;
+    // at scale the same loop merges only affected keys). The invariant:
+    // after all batches, the maintained history == one-shot batch Scd2.
+    import graft.dims.Scd2
+    val srcDir = Files.createTempDirectory("graft-scd2-src")
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((9L, 1L, ts("2024-02-01 10:00:00"), "new"),
+      (9L, 2L, ts("2024-02-01 11:00:00"), "active"))
+      .toDF("uid", "seq", "ts", "status")
+    b1.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+
+    var history: Array[org.apache.spark.sql.Row] = Array.empty
+    val accum = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    def runOnce(): Unit = {
+      val q = StreamingIngest.readStream(spark, srcDir.toString, schema)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          accum.synchronized { accum ++= b.collect() }
+          val all = spark.createDataFrame(
+            spark.sparkContext.parallelize(accum.toSeq), schema)
+          history = Scd2.fromChanges(all, Seq("uid"), "ts", "seq",
+            Seq("status")).orderBy("uid", "valid_from").collect()
+          (): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(history.length == 2) // new -> active, open-ended
+
+    // batch 2 arrives: a churn event closes the active version
+    Seq((9L, 3L, ts("2024-02-01 12:00:00"), "churned"))
+      .toDF("uid", "seq", "ts", "status")
+      .write.mode("append").parquet(srcDir.toString)
+    runOnce()
+
+    val want = Scd2.fromChanges(
+      spark.read.parquet(srcDir.toString), Seq("uid"), "ts", "seq",
+      Seq("status")).orderBy("uid", "valid_from").collect()
+    assert(history.length == 3 && want.length == 3)
+    assert(history.toSeq == want.toSeq)
+    assert(history.count(_.getAs[Boolean]("is_current")) == 1)
+  }
 }
