@@ -2408,6 +2408,58 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- winsorized mean (robust stats family, with q118's MAD): P5/P95
+    // clamps broadcast back over the fact — two aggregate passes, no
+    // sort of the raw data ----
+    "q152_winsorized_mean" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val q = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.05)).as("lo"),
+          percentile(col("value"), lit(0.95)).as("hi"))
+      ev.join(broadcast(q), "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 4)
+          .as("winsorized_mean"),
+          round(avg(col("value")), 4).as("raw_mean"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- nearest-in-time join: each purchase matched to its CLOSEST
+    // view in either direction — composed from the backward and forward
+    // as-of merges (two shuffle+sort passes), then a per-purchase pick;
+    // never the per-user cross product the oracle brute-forces. View
+    // ties at equal timestamp and equal-distance direction ties both
+    // resolve to the smaller view id, matching the oracle's rule ----
+    "q153_nearest_event" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val v = {
+        val raw = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"),
+            unix_micros(col("ts")).as("v_us"))
+        val w = Window.partitionBy(col("user_id"), col("v_us"))
+          .orderBy(col("v_id"))
+        raw.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+      def side(dir: String) =
+        graft.plans.AsOfJoinPhysical.join(p, v, "user_id", "p_us", "v_us", dir)
+          .toDF("user_id", "p_id", "p_us", "_u2", "v_id", "v_us")
+          .select(col("user_id"), col("p_id"), col("p_us"),
+            col("v_id"), col("v_us"))
+      val cand = side("backward").union(side("forward"))
+      val pick = Window.partitionBy(col("p_id"))
+        .orderBy(abs(col("p_us") - col("v_us")), col("v_id"))
+      cand.withColumn("_rn", row_number().over(pick))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("p_id"), col("v_id"),
+          abs(col("p_us") - col("v_us")).as("dist_us"))
+        .orderBy(col("p_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4403,6 +4455,32 @@ object SparkEntry {
         | round(regr_r2(v, xi), 4) AS r2,
         | CAST(regr_count(v, xi) AS BIGINT) AS n
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q152_winsorized_mean" ->
+      """WITH q AS (
+        | SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |  quantile_cont(value, 0.95) AS hi
+        | FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        | round(avg(least(greatest(e.value, q.lo), q.hi)), 4)
+        |   AS winsorized_mean,
+        | round(avg(e.value), 4) AS raw_mean, count(*) AS n
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q153_nearest_event" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+        | FROM events WHERE event_type = 'view'),
+        |cand AS (
+        | SELECT p.user_id, p.p_id, v.v_id,
+        |  abs(p.p_us - v.v_us) AS dist,
+        |  row_number() OVER (PARTITION BY p.p_id
+        |    ORDER BY abs(p.p_us - v.v_us), v.v_id) AS rn
+        | FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT user_id, p_id, v_id, CAST(dist AS BIGINT) AS dist_us
+        |FROM cand WHERE rn = 1 ORDER BY p_id""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
