@@ -2460,6 +2460,66 @@ object SparkEntry {
         .orderBy(col("p_id"))
     }),
 
+    // ---- marketing attribution, first-touch vs last-touch: last-touch
+    // is the as-of merge (AsOfJoinExec); first-touch is a per-user
+    // min-struct aggregate broadcast back — neither side builds the
+    // per-user (views × purchases) cross product the oracle brute-
+    // forces. Channel derived from the props JSON ----
+    "q154_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_us"),
+          (get_json_object(col("props"), "$.k").cast("int") % 5).as("ch"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      // last-touch: as-of backward; equal-timestamp views dedup to the
+      // LARGEST id (the oracle's DESC, DESC tie rule)
+      val vDedup = {
+        val w = Window.partitionBy(col("user_id"), col("v_us"))
+          .orderBy(col("v_id").desc)
+        v.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+      val last = graft.plans.AsOfJoinPhysical.join(p, vDedup,
+          "user_id", "p_us", "v_us")
+        .toDF("user_id", "p_id", "p_us", "_u2", "v_id", "v_us", "ch")
+        .select(col("ch"))
+        .groupBy(col("ch")).agg(count(lit(1)).as("n_last"))
+      // first-touch: the user's earliest view (min struct = (v_us, v_id)
+      // lexicographic → the oracle's ASC, ASC rule), attributed to every
+      // purchase at-or-after it
+      val firstView = v.groupBy(col("user_id"))
+        .agg(min(struct(col("v_us"), col("v_id"), col("ch"))).as("fv"))
+        .select(col("user_id"), col("fv.v_us").as("f_us"),
+          col("fv.ch").as("ch"))
+      val first = p.join(firstView, "user_id")
+        .filter(col("f_us") <= col("p_us"))
+        .groupBy(col("ch")).agg(count(lit(1)).as("n_first"))
+      first.join(last, Seq("ch"), "full_outer")
+        .select(col("ch").as("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"))
+        .orderBy(col("channel"))
+    }),
+
+    // ---- repeat-purchase latency distribution: per-user lag over
+    // purchases, day-bucketed gaps — the retention-curve input ----
+    "q155_repeat_latency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_days",
+          floor((col("us") - col("prev")) / 86400000000.0).cast("bigint"))
+        .groupBy(col("gap_days")).agg(count(lit(1)).as("n"))
+        .orderBy(col("gap_days"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4481,6 +4541,41 @@ object SparkEntry {
         | FROM p JOIN v ON p.user_id = v.user_id)
         |SELECT user_id, p_id, v_id, CAST(dist AS BIGINT) AS dist_us
         |FROM cand WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "q154_attribution" ->
+      """WITH v AS (
+        | SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us,
+        |  CAST(json_extract(props, '$.k') AS INT) % 5 AS ch
+        | FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        | FROM events WHERE event_type = 'purchase'),
+        |last_touch AS (
+        | SELECT p.p_id, v.ch,
+        |  row_number() OVER (PARTITION BY p.p_id
+        |    ORDER BY v.v_us DESC, v.v_id DESC) AS rn
+        | FROM p JOIN v ON p.user_id = v.user_id AND v.v_us <= p.p_us),
+        |first_touch AS (
+        | SELECT p.p_id, v.ch,
+        |  row_number() OVER (PARTITION BY p.p_id
+        |    ORDER BY v.v_us ASC, v.v_id ASC) AS rn
+        | FROM p JOIN v ON p.user_id = v.user_id AND v.v_us <= p.p_us),
+        |l AS (SELECT ch, count(*) AS n_last FROM last_touch
+        | WHERE rn = 1 GROUP BY ch),
+        |f AS (SELECT ch, count(*) AS n_first FROM first_touch
+        | WHERE rn = 1 GROUP BY ch)
+        |SELECT coalesce(l.ch, f.ch) AS channel,
+        | coalesce(n_first, 0) AS n_first, coalesce(n_last, 0) AS n_last
+        |FROM l FULL OUTER JOIN f ON l.ch = f.ch ORDER BY channel""".stripMargin,
+
+    "q155_repeat_latency" ->
+      """WITH p AS (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS prev
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(floor((us - prev) / 86400000000.0) AS BIGINT) AS gap_days,
+        | count(*) AS n
+        |FROM p WHERE prev IS NOT NULL GROUP BY 1 ORDER BY gap_days""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (

@@ -45,6 +45,21 @@ class Scd2Spec extends SparkSpec {
     assert(cur.count() == 0)
   }
 
+  test("equal timestamps: tiebreaker orders versions; earlier gets a zero-length interval") {
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("id", "seq", "status")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+    val hist = Scd2.fromChanges(df, Seq("id"), "ts", "seq", Seq("status"))
+      .orderBy("valid_from", "status").collect()
+    assert(hist.length == 2)
+    // seq orders the two same-instant changes: "a" closes at its own
+    // open instant ([t, t) zero-length), "b" is current
+    val a = hist.find(_.getString(1) == "a").get
+    val b = hist.find(_.getString(1) == "b").get
+    assert(a.getAs[java.sql.Timestamp]("valid_from") ==
+      a.getAs[java.sql.Timestamp]("valid_to"))
+    assert(b.getAs[Boolean]("is_current") && !a.getAs[Boolean]("is_current"))
+  }
+
   test("plan shape: one exchange, one sort for both window passes") {
     val hist = Scd2.fromChanges(changes, Seq("id"), "ts", "seq", Seq("status"))
     hist.collect()
