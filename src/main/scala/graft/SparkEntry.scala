@@ -2520,6 +2520,31 @@ object SparkEntry {
         .orderBy(col("gap_days"))
     }),
 
+    // ---- TF-IDF retrieval (the search-engine QUERY path over the
+    // q127-style index): query terms broadcast as a semi-filter, doc
+    // scores from one aggregate over the matched postings, global
+    // top-10 via sort+limit (TakeOrdered, no full sort) ----
+    "q156_tfidf_search" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val queryTerms = Seq("dup", "key", "vector")
+      tf.filter(col("w").isin(queryTerms: _*))
+        .join(broadcast(dfreq.filter(col("w").isin(queryTerms: _*))), "w")
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("tf") * log(col("n") / col("df"))), 4).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4576,6 +4601,24 @@ object SparkEntry {
         |SELECT CAST(floor((us - prev) / 86400000000.0) AS BIGINT) AS gap_days,
         | count(*) AS n
         |FROM p WHERE prev IS NOT NULL GROUP BY 1 ORDER BY gap_days""".stripMargin,
+
+    "q156_tfidf_search" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        | FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        | WHERE w <> '' GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |qt AS (SELECT unnest(['dup', 'key', 'vector']) AS w),
+        |scores AS (
+        | SELECT tf.doc_id,
+        |  sum(tf.tf * ln((SELECT n FROM n)::DOUBLE / df.df)) AS score,
+        |  count(*) AS n_terms
+        | FROM tf JOIN df ON tf.w = df.w JOIN qt ON tf.w = qt.w
+        | GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 4) AS score, n_terms
+        |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
