@@ -2545,6 +2545,34 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- clamped running balance (floor-at-zero cumulative sum): NOT
+    // window-expressible — the clamp makes each row depend on the full
+    // clamped prefix, so it runs as a per-key ORDERED stateful scan via
+    // flatMapSortedGroups (one shuffle on user, sorted iterator, O(1)
+    // state — the typed-Dataset analog of the as-of merge exec). The
+    // oracle replays it as a recursive CTE walk ----
+    "q157_clamped_balance" -> ((s, d) => {
+      import s.implicits._
+      val src = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(-col("value")).as("delta"))
+        .as[(Long, Long, Long, Double)]
+      src.groupByKey(_._1)
+        .flatMapSortedGroups(col("us"), col("event_id")) { (uid, it) =>
+          var bal = 0.0
+          it.map { case (_, _, eid, delta) =>
+            bal = math.max(0.0, bal + delta)
+            (uid, eid, bal)
+          }
+        }
+        .toDF("user_id", "event_id", "balance")
+        .withColumn("balance", round(col("balance"), 4))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4619,6 +4647,24 @@ object SparkEntry {
         | GROUP BY tf.doc_id)
         |SELECT doc_id, round(score, 4) AS score, n_terms
         |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q157_clamped_balance" ->
+      """WITH RECURSIVE src AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'purchase' THEN value ELSE -value END
+        |    AS delta,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS rn
+        | FROM events WHERE event_type IN ('purchase', 'error')),
+        |walk AS (
+        | SELECT user_id, event_id, rn, greatest(0, delta) AS bal
+        | FROM src WHERE rn = 1
+        | UNION ALL
+        | SELECT s.user_id, s.event_id, s.rn, greatest(0, w.bal + s.delta)
+        | FROM walk w JOIN src s
+        |   ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+        |SELECT user_id, event_id, round(bal, 4) AS balance
+        |FROM walk ORDER BY user_id, event_id""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
