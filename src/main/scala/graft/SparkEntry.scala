@@ -2573,6 +2573,47 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- sequential pattern mining: frequent 3-step behavior
+    // sequences with a support floor (q117's transition matrix extended
+    // to trigrams) — one user-shuffle for both leads, then a tiny
+    // support aggregate ----
+    "q158_trigram_mining" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .withColumn("c", lead(col("a"), 2).over(w))
+        .filter(col("c").isNotNull)
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 50)
+        .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+    }),
+
+    // ---- order backlog via sweep-line: +1 at open, −1 at close (last
+    // ship date), running sum over the ±1 event stream — the interval-
+    // stabbing count without any interval join; sampled at month
+    // starts ----
+    "q159_backlog_sweep" -> ((s, d) => {
+      val closes = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+      val opens = t(s, d, "orders")
+        .join(closes, col("o_orderkey") === col("ok"))
+        .select(to_date(col("o_orderdate")).as("d"), lit(1).as("delta"))
+      val deltas = opens.union(
+        closes.select(col("close_d").as("d"), lit(-1).as("delta")))
+      val daily = deltas.groupBy(col("d")).agg(sum(col("delta")).as("net"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("backlog", sum(col("net")).over(w).cast("bigint"))
+        .filter(dayofmonth(col("d")) === 1)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("backlog"))
+        .orderBy(col("day"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4665,6 +4706,34 @@ object SparkEntry {
         |   ON s.user_id = w.user_id AND s.rn = w.rn + 1)
         |SELECT user_id, event_id, round(bal, 4) AS balance
         |FROM walk ORDER BY user_id, event_id""".stripMargin,
+
+    "q158_trigram_mining" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type AS a,
+        |  lead(event_type, 1) OVER w AS b, lead(event_type, 2) OVER w AS c
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT a, b, c, count(*) AS support
+        |FROM seq WHERE c IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 50
+        |ORDER BY support DESC, a, b, c""".stripMargin,
+
+    "q159_backlog_sweep" ->
+      """WITH closes AS (
+        | SELECT l_orderkey AS ok, max(CAST(l_shipdate AS DATE)) AS close_d
+        | FROM lineitem GROUP BY 1),
+        |deltas AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+        | JOIN closes ON o_orderkey = ok
+        | UNION ALL
+        | SELECT close_d AS d, -1 AS delta FROM closes),
+        |daily AS (SELECT d, sum(delta) AS net FROM deltas GROUP BY d),
+        |run AS (
+        | SELECT d, CAST(sum(net) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |   PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        | FROM daily)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, backlog
+        |FROM run WHERE dayofmonth(d) = 1 ORDER BY day""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
