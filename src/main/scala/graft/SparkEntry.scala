@@ -2588,7 +2588,7 @@ object SparkEntry {
         .filter(col("c").isNotNull)
         .groupBy(col("a"), col("b"), col("c"))
         .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 50)
+        .filter(col("support") >= 5) // floor holds rows>0 down to sf0.001
         .orderBy(col("support").desc, col("a"), col("b"), col("c"))
     }),
 
@@ -4715,7 +4715,7 @@ object SparkEntry {
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
         |SELECT a, b, c, count(*) AS support
         |FROM seq WHERE c IS NOT NULL
-        |GROUP BY 1, 2, 3 HAVING count(*) >= 50
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 5
         |ORDER BY support DESC, a, b, c""".stripMargin,
 
     "q159_backlog_sweep" ->
