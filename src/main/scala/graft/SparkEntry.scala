@@ -1545,15 +1545,19 @@ object SparkEntry {
         .orderBy(col("week_start"), col("event_type"))
     }),
 
-    // ---- exact decimal money arithmetic: DECIMAL(14,2) sums compare
-    // bit-for-bit with NO rounding step — the correctness contract
-    // floating-point revenue aggregation cannot give ----
+    // ---- exact decimal money arithmetic: quantize the double price to
+    // integer cents with deterministic IEEE754 math (floor(x*100+0.5) is
+    // bit-identical across engines, unlike each engine's own
+    // double->decimal tie-rounding), sum exactly as BIGINT, then present
+    // as DECIMAL(18,2) via an exact *0.01 decimal multiply ----
     "q105_decimal_money" -> ((s, d) => {
       t(s, d, "orders")
         .select(col("o_custkey"),
-          col("o_totalprice").cast("decimal(14,2)").as("price"))
+          floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).as("cents"))
         .groupBy(col("o_custkey"))
-        .agg(sum(col("price")).cast("decimal(18,2)").as("revenue"),
+        .agg((sum(col("cents")).cast("decimal(18,2)")
+            * lit(new java.math.BigDecimal("0.01"))).cast("decimal(18,2)")
+            .as("revenue"),
           count(lit(1)).as("n_orders"))
         .filter(col("revenue") > new java.math.BigDecimal("500000.00"))
         .orderBy(col("o_custkey"))
@@ -4931,11 +4935,13 @@ object SparkEntry {
 
     "q105_decimal_money" ->
       """SELECT o_custkey,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2))
-        |   AS revenue,
+        | CAST(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |     AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(3,2))
+        |   AS DECIMAL(18,2)) AS revenue,
         | count(*) AS n_orders
         |FROM orders GROUP BY o_custkey
-        |HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+        |HAVING CAST(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+        |     AS BIGINT)) AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(3,2))
         |   AS DECIMAL(18,2)) > 500000.00
         |ORDER BY o_custkey""".stripMargin,
 
