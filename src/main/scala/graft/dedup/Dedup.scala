@@ -301,28 +301,38 @@ object Dedup {
     * scale instead of looping unboundedly on a pathological chain. */
   def propagateClusters(assignments: DataFrame, edges: DataFrame,
                         maxIter: Int = 5): DataFrame = {
-    // assignments: (id, cluster_id); edges: (id_a, id_b) undirected,
-    // expected to reference assignment ids. Delegates to the engine's
-    // single superstep-loop implementation (graph.Graph.minLabelFixpoint
-    // — localCheckpoint lineage truncation, limit(1) convergence probe)
-    // so the two label-propagation call sites cannot drift.
+    // assignments: (id, cluster_id); edges: (id_a, id_b) undirected.
+    // Delegates to the engine's single superstep-loop implementation
+    // (graph.Graph.minLabelFixpoint — localCheckpoint lineage
+    // truncation, limit(1) convergence probe) so the two
+    // label-propagation call sites cannot drift.
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    val (labels, _) = graft.graph.Graph.minLabelFixpoint(
-      assignments.select(col("id"), col("cluster_id").as("label")),
-      sym, maxIter)
-    sym.unpersist()
-    assignments.select(col("id")).join(labels, "id")
-      .select(col("id"), col("label").as("cluster_id"))
+    try {
+      // seed = assignments ∪ edge endpoints missing from assignments
+      // (seeded with their own id): an unseeded endpoint would otherwise
+      // sit outside the convergence probe and could stop the loop before
+      // labels relay through it
+      val extra = sym.select(col("src").as("id")).distinct()
+        .join(assignments.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label"))
+      val seed = assignments.select(col("id"), col("cluster_id").as("label"))
+        .unionByName(extra)
+      val (labels, _) = graft.graph.Graph.minLabelFixpoint(seed, sym, maxIter)
+      assignments.select(col("id")).join(labels, "id")
+        .select(col("id"), col("label").as("cluster_id"))
+    } finally sym.unpersist()
   }
 
   /** Exact connected components via driver-side union-find over a
     * COLLECTED edge list. The LSH candidate-edge set is orders of
     * magnitude smaller than the corpus (only near-dups produce edges), so
-    * even at 100 TB it usually fits on the driver; when it doesn't,
-    * [[propagateClusters]] is the fully-distributed fallback. Exact
-    * closure, no iteration cap, no per-iteration plan codegen. */
+    * even at 100 TB it usually fits on the driver; callers that cannot
+    * assume that must size-guard, as [[minhashClustersTransitive]] does
+    * (count first, route big edge sets through
+    * [[graft.graph.Graph.connectedComponents]]). Exact closure, no
+    * iteration cap, no per-iteration plan codegen. */
   def unionFindClusters(ids: DataFrame, edges: DataFrame): DataFrame = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
@@ -347,11 +357,23 @@ object Dedup {
   }
 
   /** MinHash-LSH dedup with FULL transitive closure: candidate pairs from
-    * shared buckets, then exact union-find on the (small) edge set. */
+    * shared buckets, then exact closure on the edge set.
+    *
+    * The closure is SIZE-GUARDED: the candidate-edge count is measured
+    * first (the edge set is persisted, so the probe costs one count over
+    * already-materialized partitions). At or below `maxDriverEdges` the
+    * exact driver-side union-find runs (edges ≪ corpus for typical LSH
+    * candidate graphs — no iteration cap, no superstep jobs); above it —
+    * a near-dup-heavy crawl corpus at 100 TB can emit billions of
+    * candidate edges — the closure routes through the fully-distributed
+    * pointer-jumping [[graft.graph.Graph.connectedComponents]] (strict:
+    * non-convergence throws rather than returning non-fixpoint labels).
+    * Both paths compute the same exact transitive closure. */
   def minhashClustersTransitive(df: DataFrame, textCol: String, idCol: String,
                                 n: Int = 3, numHashes: Int = 64,
                                 rowsPerBand: Int = 4,
-                                maxIter: Int = 5): DataFrame = {
+                                maxIter: Int = 5,
+                                maxDriverEdges: Long = 2000000L): DataFrame = {
     val sig = minhashSignature(df, textCol, idCol, n, numHashes)
     val buckets = lshBuckets(sig, idCol, numHashes, rowsPerBand)
     // candidate pairs map-side from each bucket's sorted doc list: ONE
@@ -362,8 +384,13 @@ object Dedup {
       .filter(size(col("ids")) >= 2)
     val pairs = docLists.select(explode(pairCombinations(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b")).distinct()
-    val ids = df.select(col(idCol).as("id")).distinct()
-    unionFindClusters(ids, pairs)
+      .persist()
+    try {
+      val ids = df.select(col(idCol).as("id")).distinct()
+      if (pairs.count() <= maxDriverEdges) unionFindClusters(ids, pairs)
+      else graft.graph.Graph.connectedComponents(ids, pairs,
+        maxIter = math.max(maxIter, 20), strict = true)
+    } finally pairs.unpersist()
   }
 
   /** SimHash: 64-bit signature — sum per-bit ±1 votes of token hashes

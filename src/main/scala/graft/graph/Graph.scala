@@ -23,34 +23,44 @@ object Graph {
     * iterations needed = graph diameter (near-dup graphs: single
     * digits). `localCheckpoint` after each step truncates the logical
     * plan so iteration N doesn't replan (or re-execute) steps 1..N-1 —
-    * THE standard Spark iterative-algorithm guard. If `maxIter` fires
-    * before convergence the labels of any still-unconverged component
-    * are an upper bound on its true minimum (deterministic, but not a
-    * fixed point) — size `maxIter` to the expected diameter.
+    * THE standard Spark iterative-algorithm guard. Labels here propagate
+    * with pointer-jumping (`shortcut = true`), so convergence needs
+    * O(log diameter) supersteps — maxIter 20 covers diameter ~2^20,
+    * effectively any real graph. If `maxIter` still fires before
+    * convergence the labels of any unconverged component are an upper
+    * bound on its true minimum (deterministic, but not a fixed point):
+    * `strict = true` turns that into an exception instead of a warning,
+    * for callers (e.g. the dedup transitive closure) whose contract is
+    * the exact recursive closure.
     *
     * @param ids   one row per node: column `id` (long)
     * @param edges undirected candidate pairs: columns `id_a`, `id_b`
     */
   def connectedComponents(ids: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          strict: Boolean = false): DataFrame = {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    // seed over ids ∪ edge endpoints: an edge mentioning a node missing
-    // from `ids` must still relay labels (and must not trip the
-    // convergence probe into a premature stop)
-    val nodes = ids.select(col("id"))
-      .union(und.select(col("src").as("id"))).distinct()
-    val (labels, converged) =
-      minLabelFixpoint(nodes.select(col("id"), col("id").as("label")),
-        und, maxIter)
-    if (!converged)
-      System.err.println(s"[graft] connectedComponents: maxIter=$maxIter " +
-        "reached before convergence — labels are an upper bound, not a fixpoint")
-    und.unpersist()
-    // output contract: one row per distinct input id
-    ids.select(col("id")).distinct().join(labels, "id")
-      .select(col("id"), col("label").as("cluster_id"))
+    try {
+      // seed over ids ∪ edge endpoints: an edge mentioning a node missing
+      // from `ids` must still relay labels (and must not trip the
+      // convergence probe into a premature stop)
+      val nodes = ids.select(col("id"))
+        .union(und.select(col("src").as("id"))).distinct()
+      val (labels, converged) =
+        minLabelFixpoint(nodes.select(col("id"), col("id").as("label")),
+          und, maxIter, shortcut = true)
+      if (!converged) {
+        val msg = s"[graft] connectedComponents: maxIter=$maxIter " +
+          "reached before convergence — labels are an upper bound, not a fixpoint"
+        if (strict) throw new IllegalStateException(msg)
+        System.err.println(msg)
+      }
+      // output contract: one row per distinct input id
+      ids.select(col("id")).distinct().join(labels, "id")
+        .select(col("id"), col("label").as("cluster_id"))
+    } finally und.unpersist()
   }
 
   /** Shared min-label superstep loop (the engine's ONE implementation of
@@ -60,9 +70,19 @@ object Graph {
     * list (`src`, `dst`). Each superstep is one join + one groupBy-min
     * sharing the id partitioning; `localCheckpoint` truncates lineage so
     * step N never replans steps 1..N-1; the convergence probe is a
-    * `limit(1)` existence check, not a full count. */
+    * `limit(1)` existence check, not a full count.
+    *
+    * `shortcut = true` adds pointer-jumping after each superstep:
+    * label'(v) = min(label(v), label(label(v))). A label is always the
+    * id of a node reachable from v, so the jump stays within v's
+    * component (exactness preserved) while doubling how far labels
+    * travel per superstep — convergence in O(log diameter) instead of
+    * O(diameter). One extra self-join shuffle per superstep; callers
+    * with bounded-hop semantics (propagateClusters) keep it off. */
   private[graft] def minLabelFixpoint(seed: DataFrame, sym: DataFrame,
-                                      maxIter: Int): (DataFrame, Boolean) = {
+                                      maxIter: Int,
+                                      shortcut: Boolean = false)
+      : (DataFrame, Boolean) = {
     // the seed is cached, not checkpointed: iteration 1 consumes it
     // twice (msgs join + convergence probe) so the cache avoids a
     // double evaluation, while skipping an eager materialization job
@@ -70,21 +90,40 @@ object Graph {
     var labels = seedCached
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+    var ok = false
+    try {
+      while (iter < maxIter && !converged) {
+        val msgs = sym.join(labels, sym("src") === labels("id"))
+          .select(sym("dst").as("id"), col("label"))
+        var next = labels.union(msgs)
+          .groupBy("id").agg(min("label").as("label"))
+        if (shortcut) {
+          // left join: a label that is not itself a seeded node id
+          // (possible for caller-provided cluster labels) just keeps its
+          // current value
+          val byId = next.select(col("id").as("_jid"),
+            col("label").as("_jlabel"))
+          next = next.join(byId, next("label") === byId("_jid"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("_jlabel"), col("label")))
+                .as("label"))
+        }
+        val checkpointed = next.localCheckpoint()
+        val changed = checkpointed
+          .join(labels.withColumnRenamed("label", "prev"), "id")
+          .filter(col("label") =!= col("prev")).limit(1).count()
+        labels = checkpointed
+        converged = changed == 0
+        iter += 1
+      }
+      ok = true
+    } finally {
+      // every later `labels` is an independent checkpoint, so the seed
+      // cache can be dropped without invalidating the result; on an
+      // exception mid-loop, drop it unconditionally so the session
+      // doesn't leak the cached seed
+      if (!ok || !(labels eq seedCached)) seedCached.unpersist()
     }
-    // every later `labels` is an independent checkpoint, so the seed
-    // cache can be dropped without invalidating the result
-    if (!(labels eq seedCached)) seedCached.unpersist()
     (labels, converged)
   }
 

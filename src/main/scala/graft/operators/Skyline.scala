@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * The sweep's single-partition window is over |distinct y| rows only
   * (the aggregate already collapsed the data), so at 100 TB the big
   * input sees one shuffle-free partial aggregate + one tiny exchange —
-  * never a self-join. Final step re-joins the (broadcast) frontier to
-  * recover every row achieving a frontier point (co-located ties are
-  * all skyline members: neither dominates the other). Rows with a null
-  * coordinate are excluded (null never joins back), matching the SQL
-  * NOT-EXISTS form where null comparisons are UNKNOWN.
+  * never a self-join. Final step re-joins the frontier to recover every
+  * row achieving a frontier point (co-located ties are all skyline
+  * members: neither dominates the other); the join strategy is left to
+  * the planner — the frontier is bounded by |distinct y|, which is
+  * usually broadcast-size but NOT guaranteed, and with AQE the runtime
+  * converts the join to broadcast whenever the frontier turns out
+  * small, without risking a driver-side OOM on a high-cardinality y.
+  * Rows with a null coordinate are excluded (null never joins back),
+  * matching the SQL NOT-EXISTS form where null comparisons are UNKNOWN.
   */
 object Skyline {
 
@@ -39,7 +43,7 @@ object Skyline {
       .withColumn("_best", min(col("_minx")).over(sweep))
       .filter(col("_best").isNull || col("_minx") < col("_best"))
       .select(col(yCol).as("_fy"), col("_minx"))
-    df.join(broadcast(frontier),
+    df.join(frontier,
         df(yCol) === frontier("_fy") && df(xCol) === frontier("_minx"))
       .select(df.columns.map(df(_)): _*)
   }

@@ -67,6 +67,45 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) != out(1L))
   }
 
+  test("size guard: distributed closure path equals driver union-find") {
+    // maxDriverEdges = 0 forces the Graph.connectedComponents route; the
+    // two paths must agree cluster-for-cluster on the same input
+    val chain = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk zz"),
+      (3L, "xx bb cc dd ee ff gg hh ii jj kk zz"),
+      (4L, "totally different words in this one here now"),
+    ).toDF("doc_id", "text")
+    val viaDriver = Dedup.minhashClustersTransitive(chain, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = Dedup.minhashClustersTransitive(chain, "text",
+        "doc_id", maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaDistributed)
+  }
+
+  test("distributed closure equals union-find on a large synthetic edge set") {
+    // 4 000 nodes, seeded-random edges plus a few long chains (deep
+    // components stress the pointer-jumping); exact same (id, cluster_id)
+    // map from both closure implementations
+    val rnd = new scala.util.Random(42)
+    val n = 4000L
+    val randomEdges = (1 to 6000).map { _ =>
+      (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1)
+    }
+    val chains = (0 until 4).flatMap { c =>
+      val base = c * 1000L + 1
+      (0L until 200L).map(i => (base + i, base + i + 1))
+    }
+    val edges = (randomEdges ++ chains).toDF("id_a", "id_b")
+    val ids = (1L to n).toDF("id")
+    val uf = Dedup.unionFindClusters(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = graft.graph.Graph.connectedComponents(ids, edges, strict = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == cc)
+  }
+
   test("simhash: identical docs same signature, near-dups close in Hamming") {
     val sig = Dedup.simhash(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

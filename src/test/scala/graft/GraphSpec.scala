@@ -30,6 +30,26 @@ class GraphSpec extends SparkSpec {
     assert(cc.filter(col("cluster_id") =!= 1L).count() == 0)
   }
 
+  test("pointer-jumping closes a chain far deeper than maxIter") {
+    // diameter 299 ≫ maxIter 20: without the shortcut self-join the label
+    // walks one hop per superstep and maxIter would fire; with it the
+    // reach doubles per superstep, so ~log2(300) ≈ 9 iterations suffice
+    val n = 300L
+    val ids = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Graph.connectedComponents(ids, edges, maxIter = 20, strict = true)
+    assert(cc.filter(col("cluster_id") =!= 1L).count() == 0)
+    assert(cc.count() == n)
+  }
+
+  test("strict mode throws when maxIter fires before convergence") {
+    val ids = (1L to 40L).toDF("id")
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(ids, edges, maxIter = 1, strict = true)
+    }
+  }
+
   test("edges may reference nodes missing from ids: labels still relay through them") {
     // 5—2—1 chain where only node 5 is in `ids`: the true component min
     // (1) must reach node 5 via the uncovered relay node 2, and the
