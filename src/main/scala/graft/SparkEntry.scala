@@ -1683,15 +1683,25 @@ object SparkEntry {
     // the purchase — q31's single-shuffle carry with the gap test
     // applied after the match ----
     "q113_asof_tolerance" -> ((s, d) => {
+      // tolerance runs INSIDE the physical merge operator (AsOfJoinExec):
+      // the plan keeps the 2-exchange shape of q62 — no post-join filter
+      // stage, no wide intermediate. Ties on (user_id, v_us) pre-deduped
+      // to max v_id, mirroring the oracle's views CTE.
       val e = Tables.events(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_id"),
           unix_micros(col("ts")).as("p_us"))
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("event_id").as("v_id"),
-          unix_micros(col("ts")).as("v_us"))
-      AsOfJoin.join(purchases, views, "user_id", "p_us", "v_us", "v_id")
-        .filter(col("p_us") - col("v_us") <= 1800000000L)
+      val views = {
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"),
+            unix_micros(col("ts")).as("v_us"))
+        val w = Window.partitionBy(col("user_id"), col("v_us"))
+          .orderBy(col("v_id").desc)
+        v.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+      graft.plans.AsOfJoinPhysical.join(purchases, views,
+          "user_id", "p_us", "v_us", tolerance = Some(1800000000L))
         .select(col("p_id"), col("p_us"), col("v_id"), col("v_us"))
         .orderBy(col("p_id"))
     }),

@@ -27,13 +27,24 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * single right row with the greatest `rightTime <= leftTime` (backward)
   * or smallest `rightTime >= leftTime` (forward) within the same key;
   * right rows tied on (key, time) are broken deterministically by
-  * keeping the last in the child's sort order.
+  * keeping the last in the child's sort order. `allowEqual = false`
+  * makes the comparison strict (`<` / `>`), matching DuckDB's four
+  * inequality forms. `tolerance` (same integral unit as the time
+  * columns — pass `unix_micros(ts)` for timestamps, `datediff` days for
+  * dates) invalidates a match farther than the bound from the left
+  * cursor, exactly pandas `merge_asof(tolerance=...)`: the nearest
+  * match is found first, then dropped if out of range — equivalent to a
+  * post-filter but evaluated inside the merge so no wide intermediate
+  * row ever materializes. Neither knob changes the physical shape: same
+  * one-shuffle-per-side, same single buffered right row.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    tolerance: Option[Long] = None,
+    allowEqual: Boolean = true) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -42,8 +53,9 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd, tol, eq) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, eq,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -52,7 +64,17 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     forward: Boolean,
+    tolerance: Option[Long],
+    allowEqual: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  tolerance.foreach { _ =>
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(leftTime.dataType),
+      s"as-of tolerance needs an integral time column (pass unix_micros " +
+        s"for timestamps); got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -85,6 +107,8 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val fwd = forward
+    val tol = tolerance
+    val eqOk = allowEqual
     val leftOut = left.output
     val rightOut = right.output
     val lKeys = leftKeys
@@ -102,6 +126,16 @@ case class AsOfJoinExec(
       val tOrd: Ordering[InternalRow] = if (fwd) tAsc.reverse else tAsc
       val outProj = UnsafeProjection.create(output, leftOut ++ rightOut)
       val joined = new JoinedRow
+      // primitive time extractor for the tolerance check (constructor
+      // require() guarantees an integral type whenever tol is set)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      def timeVal(r: InternalRow): Long = timeType match {
+        case LongType => r.getLong(0)
+        case IntegerType => r.getInt(0).toLong
+        case ShortType => r.getShort(0).toLong
+        case ByteType => r.getByte(0).toLong
+        case _ => 0L // unreachable when tol is set
+      }
 
       new Iterator[InternalRow] {
         private val rBuf = rIter.buffered
@@ -110,6 +144,7 @@ case class AsOfJoinExec(
         // projections reuse their output buffer)
         private var lastMatch: InternalRow = _
         private var matchKey: InternalRow = _
+        private var matchTime: Long = 0L
         private var pending: InternalRow = _
 
         private def advance(): Unit = {
@@ -122,17 +157,24 @@ case class AsOfJoinExec(
             while (cont && rBuf.hasNext) {
               val rKey = rKeyProj(rBuf.head)
               val c = keyOrd.compare(rKey, lKey)
+              val tc = if (c == 0) tOrd.compare(rTimeProj(rBuf.head), lT)
+                       else Int.MaxValue
               if (c < 0) {
                 rBuf.next() // right key already passed — drop
-              } else if (c == 0 && tOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
+              } else if (c == 0 && (tc < 0 || (tc == 0 && eqOk))) {
                 matchKey = rKey.copy()
+                if (tol.isDefined) matchTime = timeVal(rTimeProj(rBuf.head))
                 lastMatch = rBuf.next().copy()
               } else {
                 cont = false // right cursor is ahead of the left row
               }
             }
             if (lastMatch != null && matchKey != null &&
-                keyOrd.compare(matchKey, lKey) == 0) {
+                keyOrd.compare(matchKey, lKey) == 0 &&
+                tol.forall { t =>
+                  val lTv = timeVal(lT)
+                  (if (fwd) matchTime - lTv else lTv - matchTime) <= t
+                }) {
               pending = outProj(joined(lRow, lastMatch))
               numOutputRows += 1
             } // inner semantics: unmatched left rows dropped
@@ -160,14 +202,21 @@ object AsOfJoinPhysical {
 
   /** As-of join `left` to `right` on `key`, matching per left row the
     * latest right row with `rightTime <= leftTime` (or earliest `>=`
-    * when `direction = "forward"`). Requires [[AsOfJoinStrategy]] to be
-    * injected (session extensions) or falls back to registering it on
-    * the fly via `spark.experimental.extraStrategies`. */
+    * when `direction = "forward"`; `allowEqual = false` makes either
+    * comparison strict). `tolerance` drops a match farther than the
+    * given bound from the left time — units are the time columns' own
+    * integral units (pandas `merge_asof(tolerance=...)` semantics).
+    * Requires [[AsOfJoinStrategy]] to be injected (session extensions)
+    * or falls back to registering it on the fly via
+    * `spark.experimental.extraStrategies`. */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           tolerance: Option[Long] = None,
+           allowEqual: Boolean = true): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0L), "tolerance must be non-negative")
     val spark = SparkSession.active
     if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy) &&
         !spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
@@ -187,7 +236,8 @@ object AsOfJoinPhysical {
     val node = AsOfJoinNode(lPlan, rPlan,
       Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      forward = direction == "forward")
+      forward = direction == "forward",
+      tolerance = tolerance, allowEqual = allowEqual)
     PlanBridge.dataFrame(spark, node)
   }
 }

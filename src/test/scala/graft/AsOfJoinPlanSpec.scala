@@ -65,6 +65,72 @@ class AsOfJoinPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(viaExec.nonEmpty)
   }
 
+  test("tolerance drops matches farther than the bound (backward + forward)") {
+    val back = AsOfJoinPhysical.join(trades, quotes, "sym", "t_time",
+        "q_time", tolerance = Some(5L))
+      .select($"trade_id", $"px").as[(String, Double)].collect().toMap
+    // t1@10 -> q@8 (diff 2 ok); t2@20 -> q@20 (0); t3@35 -> q@30 (5, at
+    // the bound, kept); b2@50 -> q@40 (10 > 5, dropped)
+    assert(back == Map("t1" -> 100.0, "t2" -> 101.0, "t3" -> 102.0))
+    val fwd = AsOfJoinPhysical.join(trades, quotes, "sym", "t_time",
+        "q_time", direction = "forward", tolerance = Some(10L))
+      .select($"trade_id", $"px").as[(String, Double)].collect().toMap
+    // t1@10 -> q@20 (10 ok); t2@20 -> q@20 (0); b1@5 -> q@40 (35, dropped)
+    assert(fwd == Map("t1" -> 101.0, "t2" -> 101.0))
+  }
+
+  test("tolerance equals the compositional join + post-filter") {
+    val left = (1 to 400).map(i =>
+      ((i % 7).toLong, i.toLong * 3 % 101, s"L$i")).toDF("k", "lt", "lid")
+    val right = (1 to 300).map(i =>
+      ((i % 7).toLong, i.toLong * 5 % 97, i.toLong)).toDF("k", "rt", "rid")
+      .groupBy("k", "rt").agg(max("rid").as("rid"))
+    val viaExec = AsOfJoinPhysical.join(left, right, "k", "lt", "rt",
+        tolerance = Some(7L))
+      .select($"lid", $"rid", $"rt").as[(String, Long, Long)].collect().toSet
+    val viaFilter = AsOfJoin.join(left, right, "k", "lt", "rt", "rid")
+      .filter($"lt" - $"rt" <= 7L)
+      .select($"lid", $"rid", $"rt").as[(String, Long, Long)].collect().toSet
+    assert(viaExec == viaFilter)
+    assert(viaExec.nonEmpty)
+  }
+
+  test("tolerance keeps the 2-exchange no-window plan shape") {
+    val df = AsOfJoinPhysical.join(trades, quotes, "sym", "t_time", "q_time",
+      tolerance = Some(5L))
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: AsOfJoinExec => e }.size == 1)
+    assert(collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec => e }.size == 2)
+    assert(collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    // no Filter above the exec either: tolerance lives inside the merge
+    assert(collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.child.isInstanceOf[AsOfJoinExec] => f }.isEmpty)
+  }
+
+  test("strict comparison (allowEqual = false) excludes the equal instant") {
+    val out = AsOfJoinPhysical.join(trades, quotes, "sym", "t_time",
+        "q_time", allowEqual = false)
+      .select($"trade_id", $"px").as[(String, Double)].collect().toMap
+    // t2@20 now matches q@8? No: latest quote strictly before 20 is q@8
+    // (q@20 excluded) -> 100.0; others unchanged
+    assert(out == Map("t1" -> 100.0, "t2" -> 100.0, "t3" -> 102.0,
+      "b2" -> 200.0))
+  }
+
+  test("tolerance on a non-integral time column is rejected") {
+    val l = Seq(("A", 10.0, "t1")).toDF("sym", "t_time", "trade_id")
+    val r = Seq(("A", 8.0, 1.0)).toDF("sym", "q_time", "px")
+    val ex = intercept[Exception] {
+      AsOfJoinPhysical.join(l, r, "sym", "t_time", "q_time",
+        tolerance = Some(5L)).collect()
+    }
+    assert(ex.getMessage.contains("integral time column"))
+  }
+
   test("right rows tied on (key, time) resolve to the last in sort order") {
     // two quotes at the same instant: merge keeps the later-sorted one;
     // pre-deduped input keeps results engine-independent (as the queries
