@@ -140,7 +140,13 @@ object VectorFunctions {
       if (dot >= 0) qb |= (1 << p)
     }
     val probe = qb +: (0 until nPlanes).map(p => qb ^ (1 << p)) // multi-probe
-    val bucketed = lshBucket(df, embCol, dim, nPlanes)
+    // a prebuilt index (lshBucket output, persisted or written
+    // partitionBy("lsh_bucket")) is reused as-is: re-deriving the bucket
+    // column would re-run the projection UDF over the whole corpus on
+    // EVERY query — the build/serve split is the entire point of an index
+    val bucketed =
+      if (df.columns.contains("lsh_bucket")) df
+      else lshBucket(df, embCol, dim, nPlanes)
     topK(bucketed.filter(col("lsh_bucket").isin(probe: _*)), embCol, idCol, query, k)
   }
 
