@@ -652,10 +652,18 @@ object SparkEntry {
 
     // ---- per-label embedding centroids (long format: one row per dim) ----
     "q52_label_centroids" -> ((s, d) => {
+      // engine-agnostic quantization (same trick as q105): per-element
+      // fixed-point at 4dp via floor(x*1e4+0.5), then EXACT bigint sums —
+      // avg-then-round on raw floats puts near-tie centroids on opposite
+      // sides of the rounding boundary depending on accumulation order
+      // (caught by the sf0.001 gate; sf0.01 happened to pass)
+      val q = floor(col("col").cast("double") * lit(10000d) + lit(0.5d))
+        .cast("bigint")
       tSpread(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("dim"))
-        .agg(round(avg(col("col")), 4).as("centroid"),
+        .agg((floor(sum(q) / count(lit(1)) + lit(0.5d)) / lit(10000d))
+            .as("centroid"),
           count(lit(1)).as("n_vecs"))
         .orderBy(col("label"), col("dim"))
     }),
@@ -2399,9 +2407,15 @@ object SparkEntry {
         .groupBy(col("isodow"), col("hr"))
         .agg(count(lit(1)).as("n"))
       val tot = cell.agg(sum(col("n")).as("tot"))
+      // share is an EXACT integer ratio: round() ties on exact 4dp
+      // decimals (e.g. 565/100000) differ between engines (Spark rounds
+      // the decimal shortest-repr, DuckDB the binary double) — quantize
+      // with the floor idiom on identical doubles instead (both engines
+      // floor the same IEEE value; caught by the sf0.1 gate)
       cell.crossJoin(broadcast(tot))
         .select(col("isodow"), col("hr"), col("n"),
-          round(col("n") / col("tot"), 4).as("share"))
+          (floor(col("n") * lit(10000L) / col("tot") + lit(0.5d)) / lit(10000d))
+            .as("share"))
         .orderBy(col("isodow"), col("hr"))
     }),
 
@@ -3285,7 +3299,7 @@ object SparkEntry {
 
     "q52_label_centroids" ->
       """SELECT label, i AS dim,
-        | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
+        | floor(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 10000 AS centroid,
         | count(*) AS n_vecs
         |FROM embeddings, unnest(range(1, array_length(embedding) + 1)) AS r(i)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
@@ -4606,7 +4620,7 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2),
         |tot AS (SELECT sum(n) AS tot FROM cell)
         |SELECT CAST(isodow AS INT) AS isodow, hr, n,
-        | round(n / (SELECT tot FROM tot), 4) AS share
+        | floor(n * 10000 / (SELECT tot FROM tot) + 0.5) / 10000 AS share
         |FROM cell ORDER BY isodow, hr""".stripMargin,
 
     "q151_regr_slope" ->

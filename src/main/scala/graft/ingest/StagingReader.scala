@@ -21,6 +21,19 @@ object StagingReader {
     normalize(spark.read.schema(Schemas.eventDto)
       .option("multiLine", true).json(path))
 
+  /** S4 as a STREAM: the staging directory as a Structured Streaming
+    * file source — each newly staged JSON array file becomes (part of) a
+    * micro-batch, with the same explicit schema, multiLine array parse
+    * and related-artists lifting as the batch read. Combined with
+    * `foreachBatch` + [[graft.pipeline.Pipeline.run]] this is the
+    * reference's daily loader run (scheduler loop, C4) re-expressed as
+    * an always-on incremental job: the checkpointed file log replaces
+    * the cron trigger, and each day's staged file is exactly one
+    * incremental merge. */
+  def readStagedStream(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.readStream.schema(Schemas.eventDto)
+      .option("multiLine", true).json(path))
+
   /** S4 with explicit corrupt capture: a malformed staging file becomes
     * a `_corrupt_record` row (with multiLine JSON the whole file is the
     * record) routed to the returned quarantine frame — A7's

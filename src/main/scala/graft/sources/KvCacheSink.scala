@@ -98,7 +98,8 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path)
+    new KvScanBuilder(path,
+      Option(options.get("now")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val names = info.schema().fieldNames.toSeq
@@ -110,34 +111,51 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
 
 // ---------------------------------------------------------------- read
 
-class KvScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new KvScan(path)
+/** `now` (epoch seconds), when set, applies the Redis SETEX expiry at
+  * read time: a row is visible iff `write_time + ttl_s > now`, where the
+  * write time is the committed file's mtime (set by the task's staging
+  * write — commit's ATOMIC_MOVE preserves it). Expiry is evaluated
+  * per-row in the reader (TTLs are tiered per key, C5), so an expired
+  * key disappears exactly as it would from Redis without a compaction
+  * pass over the live files. */
+class KvScanBuilder(path: String, now: Option[Long]) extends ScanBuilder {
+  override def build(): Scan = new KvScan(path, now)
 }
 
-class KvScan(path: String) extends Scan with Batch {
+class KvScan(path: String, now: Option[Long]) extends Scan with Batch {
   override def readSchema(): StructType = KvCacheSink.schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-kv path=$path"
+  override def description(): String =
+    s"graft-kv path=$path" + now.map(n => s" now=$n").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     KvCacheSink.liveFiles(path)
-      .map(f => KvInputPartition(f.getAbsolutePath): InputPartition)
+      .map(f => KvInputPartition(f.getAbsolutePath,
+        f.lastModified() / 1000L): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory
+    new KvReaderFactory(now)
 }
 
-case class KvInputPartition(filePath: String) extends InputPartition
+case class KvInputPartition(filePath: String,
+                            writtenAtSec: Long) extends InputPartition
 
-class KvReaderFactory extends PartitionReaderFactory {
+class KvReaderFactory(now: Option[Long]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvInputPartition]
     new PartitionReader[InternalRow] {
       private val lines = Files.readAllLines(Paths.get(p.filePath), UTF_8)
         .asScala.iterator
       private var current: (String, String, Long) = _
-      override def next(): Boolean =
-        lines.hasNext && { current = KvCacheSink.decode(lines.next()); true }
+      private def live(row: (String, String, Long)): Boolean =
+        now.forall(n => p.writtenAtSec + row._3 > n)
+      override def next(): Boolean = {
+        while (lines.hasNext) {
+          current = KvCacheSink.decode(lines.next())
+          if (live(current)) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val row = new GenericInternalRow(3)
         row.update(0, UTF8String.fromString(current._1))

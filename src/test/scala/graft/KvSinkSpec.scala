@@ -115,4 +115,27 @@ class KvSinkSpec extends SparkSpec {
     assert(keys == Seq("committed"))
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
   }
+
+  test("SETEX expiry at read: option(now) hides rows past write+ttl, " +
+       "per-row by tier (C5/S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("kv").toString
+    sample.write.format(fmt).option("path", dir).mode("overwrite").save()
+    val writtenAt = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".kv")).map(_.lastModified() / 1000L).max
+
+    def liveAt(now: Long): Seq[String] =
+      spark.read.format(fmt).option("path", dir)
+        .option("now", now.toString).load()
+        .collect().map(_.getString(0)).toSeq.sorted
+
+    // before any ttl elapses: all three keys live (and no `now` = no expiry)
+    assert(liveAt(writtenAt) ==
+      Seq("events:2024-01-01", "events:2024-01-02", "events:2024-01-03"))
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 3)
+    // 1h tier expires first, 12h next, 24h last — per-row, same file
+    assert(liveAt(writtenAt + 3600) ==
+      Seq("events:2024-01-02", "events:2024-01-03"))
+    assert(liveAt(writtenAt + 43200) == Seq("events:2024-01-03"))
+    assert(liveAt(writtenAt + 86400).isEmpty)
+  }
 }

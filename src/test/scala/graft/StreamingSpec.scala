@@ -281,4 +281,109 @@ class StreamingSpec extends SparkSpec {
     assert(history.toSeq == want.toSeq)
     assert(history.count(_.getAs[Boolean]("is_current")) == 1)
   }
+
+  test("e2e daily loader as a stream: ingest→dims→fact→serve via " +
+       "foreachBatch + KV sink equals the sequential batch runs") {
+    import graft.pipeline.{Pipeline, SyntheticStaging, Warehouse}
+    import graft.serve.CacheManager
+    import graft.ingest.StagingReader
+    val sf = sys.env.getOrElse("SPARK_GRAFT_E2E_SF", "/root/testdata/sf0.001")
+    val srcDir = Files.createTempDirectory("graft-e2e-src")
+    val ckpt = Files.createTempDirectory("graft-e2e-ckpt").toString
+    val kvStreamDir = Files.createTempDirectory("graft-e2e-kv-s").toString
+    val kvBatchDir = Files.createTempDirectory("graft-e2e-kv-b").toString
+    val today = "2024-01-15"
+
+    // the reference's daily staged S3 arrays: the synthetic staging
+    // corpus split into two "scrape day" JSON array files
+    val staged = SyntheticStaging.fromOrders(spark, sf)
+    val split = pmod(xxhash64(col("event_data.wwoz_event_href")), lit(2))
+    def arrayJson(df: org.apache.spark.sql.DataFrame): String =
+      df.toJSON.collect().mkString("[\n", ",\n", "\n]")
+    val day1 = arrayJson(staged.filter(split === 0))
+    val day2 = arrayJson(staged.filter(split === 1))
+
+    // serve the two busiest event dates (deterministic pick)
+    val serveDates = staged
+      .groupBy(col("event_data.event_date").as("d")).count()
+      .orderBy(desc("count"), asc("d")).limit(2)
+      .collect().map(_.getString(0)).toSeq.sorted
+
+    def serve(w: Warehouse, dir: String): Unit =
+      CacheManager.warmRange(w, serveDates, today)
+        .select(col("cache_key"), col("payload_json"), col("ttl_s"))
+        .write.format("graft.sources.KvCacheSink")
+        .option("path", dir).mode("overwrite").save()
+
+    // day-over-day state: localCheckpoint pins each day's warehouse so
+    // batch N+1 neither re-reads batch N's (gone) micro-batch source nor
+    // replans the whole prefix — the iterative-Spark guard applied to
+    // the daily-merge loop
+    def pin(w: Warehouse): Warehouse = w.copy(
+      genres = w.genres.localCheckpoint(),
+      artists = w.artists.localCheckpoint(),
+      venues = w.venues.localCheckpoint(),
+      events = w.events.localCheckpoint(),
+      artistGenres = w.artistGenres.localCheckpoint(),
+      venueGenres = w.venueGenres.localCheckpoint(),
+      eventGenres = w.eventGenres.localCheckpoint(),
+      artistRelations = w.artistRelations.localCheckpoint(),
+      quarantine = w.quarantine.localCheckpoint())
+
+    var wh: Warehouse = Pipeline.emptyWarehouse(spark)
+    def runOnce(): Unit = {
+      val q = StagingReader.readStagedStream(spark, srcDir.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            wh = pin(Pipeline.run(spark, b, wh, today))
+            serve(wh, kvStreamDir)
+          }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    Files.writeString(srcDir.resolve("event_data_2024-01-13.json"), day1)
+    runOnce()
+    val eventsAfterDay1 = wh.events.count()
+    Files.writeString(srcDir.resolve("event_data_2024-01-14.json"), day2)
+    runOnce()
+
+    // batch reference: the same two files as sequential daily runs
+    val wb1 = Pipeline.run(spark,
+      StagingReader.readStaged(spark,
+        srcDir.resolve("event_data_2024-01-13.json").toString),
+      Pipeline.emptyWarehouse(spark), today)
+    val wb2 = Pipeline.run(spark,
+      StagingReader.readStaged(spark,
+        srcDir.resolve("event_data_2024-01-14.json").toString),
+      wb1, today)
+    serve(wb2, kvBatchDir)
+
+    assert(eventsAfterDay1 > 0)
+    assert(wh.events.count() > eventsAfterDay1) // day 2 merged new facts
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.toJSON.collect().toSeq.sorted
+    assert(rows(wh.events) == rows(wb2.events))
+    assert(rows(wh.artists) == rows(wb2.artists))
+    assert(rows(wh.venues) == rows(wb2.venues))
+    assert(rows(wh.genres) == rows(wb2.genres))
+    assert(rows(wh.artistGenres) == rows(wb2.artistGenres))
+    assert(rows(wh.eventGenres) == rows(wb2.eventGenres))
+    assert(rows(wh.artistRelations) == rows(wb2.artistRelations))
+    assert(wh.summary == wb2.summary)
+
+    // the serving cache written FROM the stream equals the batch one,
+    // read back THROUGH the connector
+    def kv(dir: String) = spark.read.format("graft.sources.KvCacheSink")
+      .option("path", dir).load()
+    assert(rows(kv(kvStreamDir)) == rows(kv(kvBatchDir)))
+    val served = kv(kvStreamDir).collect()
+    assert(served.length == serveDates.length)
+    assert(served.forall(r => r.getAs[String]("payload_json").startsWith("[")))
+  }
 }
