@@ -58,6 +58,35 @@ object SparkEntry {
   // pinned "today" for all TTL/date math
   private val Today = "2024-01-01"
 
+  /** Engine-agnostic k-decimal quantization of an EXACT integer ratio
+    * `num/den`: scale in exact bigint arithmetic, take ONE double
+    * division (identical IEEE result in both engines), then floor.
+    * `round()` is NOT engine-agnostic here: an exact ratio like
+    * 565/100000 is a true decimal tie at 4dp, and Spark (decimal
+    * shortest-repr, HALF_UP) and DuckDB (binary double) resolve ties in
+    * opposite directions — caught by the sf0.001/sf0.1 gates on
+    * q52/q150. SQL twin: `floor(num * 10^k / den + 0.5) / 10^k`. */
+  private def ratioQ(num: Column, den: Column, k: Int): Column = {
+    val scale = math.pow(10, k).toLong
+    floor(num * lit(scale) / den + lit(0.5d)) / lit(scale.toDouble)
+  }
+
+  /** Engine-agnostic quantization of an already-computed double that is
+    * IDENTICAL in both engines (same single IEEE expression, e.g.
+    * percent_rank): floor on the same bits agrees everywhere, while
+    * round() diverges on decimal-tie shortest-reprs. SQL twin:
+    * `floor(x * 10^k + 0.5) / 10^k`. */
+  private def floorQ(c: Column, k: Int): Column = {
+    val scale = math.pow(10, k).toLong
+    floor(c * lit(scale.toDouble) + lit(0.5d)) / lit(scale.toDouble)
+  }
+
+  /** Exact integer cents of a ~2dp money double (q105's idiom):
+    * `floor(x*100 + 0.5)` recovers the exact cents integer in both
+    * engines. Sums/averages over cents are then exact bigint math. */
+  private def cents(c: Column): Column =
+    floor(c * lit(100d) + lit(0.5d)).cast("bigint")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.4, §2.5) ----
     "q01_pricing_summary" -> ((s, d) => {
@@ -68,7 +97,10 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          // l_quantity is integer-valued: exact-ratio avg, so quantize
+          // via bigint sums (round() decimal-tie hazard)
+          ratioQ(sum(col("l_quantity").cast("bigint")), count(lit(1)), 4)
+            .as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -112,7 +144,11 @@ object SparkEntry {
         .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"),
-          round(avg(col("p_retailprice")), 2).as("avg_price"))
+          // money avg: exact integer cents, then one quantized division
+          // (a 10-part group with a cents-sum ending in 5 is a true
+          // 3rd-decimal tie that round() resolves differently per engine)
+          (ratioQ(sum(cents(col("p_retailprice"))), count(lit(1)), 0)
+            / lit(100d)).as("avg_price"))
         .orderBy(col("p_brand"))
     }),
 
@@ -537,7 +573,7 @@ object SparkEntry {
         .withColumn("n_tokens", toks.cast("bigint"))
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("punct_ratio", when(toks === 0, lit(1.0))
-          .otherwise(round(punct.cast("double") / toks.cast("double"), 4)))
+          .otherwise(ratioQ(punct.cast("bigint"), toks.cast("bigint"), 4)))
         .withColumn("reason", concat_ws(",",
           when(col("n_tokens") < 10, lit("too_short")),
           when(col("n_tokens") > 2000, lit("too_long")),
@@ -715,9 +751,9 @@ object SparkEntry {
           countDistinct(col("bigram")).as("dbi"))
         .filter(col("tbi") > 0)
         .select(col("doc_id"), col("n_tokens"),
-          round(col("mx").cast("double") / col("n_tokens"), 4)
-            .as("top_token_frac"),
-          round(lit(1.0) - col("dbi").cast("double") / col("tbi"), 4)
+          ratioQ(col("mx"), col("n_tokens"), 4).as("top_token_frac"),
+          // 1 - dbi/tbi = (tbi-dbi)/tbi, kept as one exact ratio
+          ratioQ(col("tbi") - col("dbi"), col("tbi"), 4)
             .as("dup_bigram_frac"))
         .withColumn("flagged",
           col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.4)
@@ -1270,7 +1306,12 @@ object SparkEntry {
         .select(col("centroid_id"), posexplode(col("embedding")))
         .filter(col("pos") < 8)
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(round(avg(col("col")), 4).as("mean_val"),
+        // q52's idiom: quantize elements to fixed-point, exact bigint
+        // sums — avg-then-round on floats is accumulation-order-dependent
+        .agg(ratioQ(
+            sum(floor(col("col").cast("double") * lit(10000d) + lit(0.5d))
+              .cast("bigint")),
+            count(lit(1)) * lit(10000L), 4).as("mean_val"),
           count(lit(1)).as("n"))
         .select(col("centroid_id").cast("bigint").as("centroid_id"),
           col("pos").cast("bigint").as("dim"), col("mean_val"), col("n"))
@@ -1312,11 +1353,14 @@ object SparkEntry {
           sum((length(trim(col("text"))) === 0).cast("long")).as("n_empty"),
           sum((col("lang").isNull || col("lang") === "").cast("long"))
             .as("n_no_lang"),
-          round(avg(length(col("text"))), 2).as("avg_chars"),
+          // exact-ratio avgs (ints / booleans): bigint sums + quantized
+          // division, not round() (decimal-tie hazard)
+          ratioQ(sum(length(col("text")).cast("bigint")), count(lit(1)), 2)
+            .as("avg_chars"),
           min(length(col("text"))).cast("bigint").as("min_chars"),
           max(length(col("text"))).cast("bigint").as("max_chars"),
-          round(avg((col("n_chars") =!= length(col("text"))).cast("double")),
-            4).as("meta_mismatch_rate"))
+          ratioQ(sum((col("n_chars") =!= length(col("text"))).cast("bigint")),
+            count(lit(1)), 4).as("meta_mismatch_rate"))
         .orderBy(col("source"))
     }),
 
@@ -1451,8 +1495,10 @@ object SparkEntry {
         .orderBy(col("value"), col("event_id"))
       Tables.events(s, d).filter(col("user_id") < 5)
         .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("pr", round(percent_rank().over(w), 4))
-        .withColumn("cd", round(cume_dist().over(w), 4))
+        // percent_rank/cume_dist are exact ratios (k/(n-1), k/n): floor
+        // quantization on the identical IEEE double, not round()
+        .withColumn("pr", floorQ(percent_rank().over(w), 4))
+        .withColumn("cd", floorQ(cume_dist().over(w), 4))
         .withColumn("quartile", ntile(4).over(w).cast("bigint"))
         .select(col("event_type"), col("event_id"), col("pr"), col("cd"),
           col("quartile"))
@@ -1825,7 +1871,7 @@ object SparkEntry {
         .groupBy(col("digit"))
         .agg(count(lit(1)).as("n"))
         .withColumn("frac",
-          round(col("n") / sum(col("n")).over(
+          ratioQ(col("n"), sum(col("n")).over(
             Window.partitionBy(lit(1))), 4))
         .select(col("digit"), col("n"), col("frac"))
         .orderBy(col("digit"))
@@ -2198,9 +2244,11 @@ object SparkEntry {
         .join(broadcast(bf.select(col("b").as("b2"), col("nb").as("nb2"))), "b2")
         .crossJoin(broadcast(nOrders))
         .select(col("b1"), col("b2"), col("nab"),
-          round(col("nab") / col("n_orders"), 4).as("support"),
-          round(col("nab") / col("nb1"), 4).as("confidence"),
-          round(col("nab") * col("n_orders") / (col("nb1") * col("nb2")), 4)
+          // all three are exact integer ratios — quantized division
+          // (scaled numerators stay well inside bigint: ≤ ~1e14)
+          ratioQ(col("nab"), col("n_orders"), 4).as("support"),
+          ratioQ(col("nab"), col("nb1"), 4).as("confidence"),
+          ratioQ(col("nab") * col("n_orders"), col("nb1") * col("nb2"), 4)
             .as("lift"))
         .orderBy(col("b1"), col("b2"))
     }),
@@ -2299,7 +2347,7 @@ object SparkEntry {
           min(when(col("cum") >= lit(0.8) * col("t"), col("rn")))
             .cast("bigint").as("customers_for_80pct"),
           max(col("nc")).as("n_customers"),
-          round(min(when(col("cum") >= lit(0.8) * col("t"), col("rn"))) /
+          ratioQ(min(when(col("cum") >= lit(0.8) * col("t"), col("rn"))),
             max(col("nc")), 4).as("frac"))
     }),
 
@@ -2371,7 +2419,9 @@ object SparkEntry {
         .filter(col("order_no") <= 10)
         .groupBy(col("order_no"))
         .agg(count(lit(1)).as("n_customers"),
-          round(avg(col("o_totalprice")), 2).as("avg_order_value"))
+          // money avg over tiny groups: exact cents, quantized division
+          (ratioQ(sum(cents(col("o_totalprice"))), count(lit(1)), 0)
+            / lit(100d)).as("avg_order_value"))
         .orderBy(col("order_no"))
     }),
 
@@ -2808,7 +2858,7 @@ object SparkEntry {
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
+        | floor(sum(CAST(l_quantity AS BIGINT)) * 10000 / count(*) + 0.5) / 10000 AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -2838,7 +2888,8 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q05_parts_in_lineitem" ->
-      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+      """SELECT p_brand, count(*) AS n_parts,
+        | floor(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) / count(*) + 0.5) / 100 AS avg_price
         |FROM part WHERE p_size > 30
         | AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -3041,11 +3092,11 @@ object SparkEntry {
         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        | round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+        | floor(inter * 10000 / (sa.n + sb.n - inter) + 0.5) / 10000 AS jaccard
         |FROM pairs
         | JOIN sizes sa ON sa.doc_id = id_a
         | JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2
+        |WHERE floor(inter * 10000 / (sa.n + sb.n - inter) + 0.5) / 10000 >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
     // MinHash+LSH with transitive closure: FNV shingle hash → 64 affine
@@ -3337,7 +3388,7 @@ object SparkEntry {
         |g AS (
         |  SELECT doc_id, n_tokens, quality,
         |   CASE WHEN n_tokens = 0 THEN 1.0
-        |        ELSE round(n_punct::DOUBLE / n_tokens, 4) END AS punct_ratio
+        |        ELSE floor(n_punct * 10000 / n_tokens + 0.5) / 10000 END AS punct_ratio
         |  FROM m)
         |SELECT doc_id, n_tokens, quality, punct_ratio,
         | concat_ws(',',
@@ -3575,10 +3626,10 @@ object SparkEntry {
         |  array_length(list_distinct(bs)) AS dbi, array_length(bs) AS tbi
         | FROM bi)
         |SELECT t.doc_id, t.n AS n_tokens,
-        | round(t.mx::DOUBLE / t.n, 4) AS top_token_frac,
-        | round(1.0 - b.dbi::DOUBLE / b.tbi, 4) AS dup_bigram_frac,
-        | (round(t.mx::DOUBLE / t.n, 4) > 0.2 OR
-        |  round(1.0 - b.dbi::DOUBLE / b.tbi, 4) > 0.4) AS flagged
+        | floor(t.mx * 10000 / t.n + 0.5) / 10000 AS top_token_frac,
+        | floor((b.tbi - b.dbi) * 10000 / b.tbi + 0.5) / 10000 AS dup_bigram_frac,
+        | (floor(t.mx * 10000 / t.n + 0.5) / 10000 > 0.2 OR
+        |  floor((b.tbi - b.dbi) * 10000 / b.tbi + 0.5) / 10000 > 0.4) AS flagged
         |FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
@@ -4171,7 +4222,7 @@ object SparkEntry {
         | SELECT digit, count(*) AS n FROM digits
         | WHERE digit <> '' GROUP BY 1)
         |SELECT digit, n,
-        | round(n / (SELECT sum(n) FROM counts), 4) AS frac
+        | floor(n * 10000 / (SELECT sum(n) FROM counts) + 0.5) / 10000 AS frac
         |FROM counts ORDER BY digit""".stripMargin,
 
     "q121_scd2_history" ->
@@ -4466,9 +4517,9 @@ object SparkEntry {
         | FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
         | GROUP BY 1, 2)
         |SELECT b1, b2, nab,
-        | round(nab / (SELECT n_orders FROM n), 4) AS support,
-        | round(nab / f1.nb, 4) AS confidence,
-        | round((nab * (SELECT n_orders FROM n))::DOUBLE / (f1.nb * f2.nb), 4)
+        | floor(nab * 10000 / (SELECT n_orders FROM n) + 0.5) / 10000 AS support,
+        | floor(nab * 10000 / f1.nb + 0.5) / 10000 AS confidence,
+        | floor(nab * (SELECT n_orders FROM n) * 10000 / (f1.nb * f2.nb) + 0.5) / 10000
         |   AS lift
         |FROM pairs JOIN bf f1 ON pairs.b1 = f1.b JOIN bf f2 ON pairs.b2 = f2.b
         |WHERE nab >= 20
@@ -4547,8 +4598,8 @@ object SparkEntry {
         |SELECT CAST(min(CASE WHEN cum >= 0.8 * (SELECT t FROM tot)
         |   THEN rn END) AS BIGINT) AS customers_for_80pct,
         | (SELECT CAST(nc AS BIGINT) FROM tot) AS n_customers,
-        | round(min(CASE WHEN cum >= 0.8 * (SELECT t FROM tot) THEN rn END)
-        |   / (SELECT nc FROM tot), 4) AS frac
+        | floor(min(CASE WHEN cum >= 0.8 * (SELECT t FROM tot) THEN rn END)
+        |   * 10000 / (SELECT nc FROM tot) + 0.5) / 10000 AS frac
         |FROM rk""".stripMargin,
 
     "q145_rolling_zscore" ->
@@ -4595,7 +4646,7 @@ object SparkEntry {
         |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS order_no
         | FROM orders)
         |SELECT order_no, count(*) AS n_customers,
-        | round(avg(o_totalprice), 2) AS avg_order_value
+        | floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / count(*) + 0.5) / 100 AS avg_order_value
         |FROM seq WHERE order_no <= 10 GROUP BY 1 ORDER BY order_no""".stripMargin,
 
     "q149_share_of_wallet" ->
@@ -5044,8 +5095,8 @@ object SparkEntry {
 
     "q99_relative_ranks" ->
       """SELECT event_type, event_id,
-        | round(percent_rank() OVER w, 4) AS pr,
-        | round(cume_dist() OVER w, 4) AS cd,
+        | floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pr,
+        | floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cd,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM events WHERE user_id < 5
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
@@ -5092,11 +5143,11 @@ object SparkEntry {
         |   AS BIGINT) AS n_empty,
         | CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_no_lang,
-        | round(avg(length(text)), 2) AS avg_chars,
+        | floor(sum(CAST(length(text) AS BIGINT)) * 100 / count(*) + 0.5) / 100 AS avg_chars,
         | CAST(min(length(text)) AS BIGINT) AS min_chars,
         | CAST(max(length(text)) AS BIGINT) AS max_chars,
-        | round(avg(CASE WHEN n_chars <> length(text) THEN 1.0 ELSE 0.0 END),
-        |   4) AS meta_mismatch_rate
+        | floor(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |   * 10000 / count(*) + 0.5) / 10000 AS meta_mismatch_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q93_argmax" ->
@@ -5271,7 +5322,7 @@ object SparkEntry {
         | SELECT cid, i - 1 AS dim, emb[CAST(i AS INT)]::DOUBLE AS v
         | FROM a, range(1, 9) r(i))
         |SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(dim AS BIGINT) AS dim,
-        | round(avg(v), 4) AS mean_val, count(*) AS n
+        | floor(sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 10000 AS mean_val, count(*) AS n
         |FROM x GROUP BY 1, 2
         |ORDER BY centroid_id, dim""".stripMargin,
 

@@ -108,9 +108,13 @@ object Dedup {
     pairs
       .join(broadcast(docSizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a")), "id_a")
       .join(broadcast(docSizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b")), "id_b")
+      // exact integer ratio: quantize via floor(num*1e4/den + 0.5)/1e4 —
+      // round() resolves true 4dp decimal ties differently per engine
+      // (Spark: decimal shortest-repr HALF_UP; DuckDB: binary double)
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"), 4))
+        floor(col("inter") * lit(10000L) /
+            (col("size_a") + col("size_b") - col("inter")) + lit(0.5d))
+          / lit(10000d))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
