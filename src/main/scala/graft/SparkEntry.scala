@@ -2692,6 +2692,69 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ---- leakage-safe train/val/test split: the UNIT of assignment is
+    // the near-dup CLUSTER (q23's MinHash-LSH closure), not the
+    // document — hashing documents independently puts near-duplicates
+    // of training docs into eval (contamination). Splitting on
+    // cluster_id makes cross-split leakage structurally impossible; the
+    // split stays stable under re-sharding/re-ingestion because the
+    // cluster id is content-derived ----
+    "q160_leakage_safe_split" -> ((s, d) => {
+      val split = when(pmod(col("cluster_id"), lit(10)) < 8, lit("train"))
+        .when(pmod(col("cluster_id"), lit(10)) === 8, lit("val"))
+        .otherwise(lit("test"))
+      Dedup.minhashClustersTransitive(
+          tSpread(s, d, "documents"), "text", "doc_id")
+        .withColumn("split", split)
+        .groupBy(col("split"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("split"))
+    }),
+
+    // ---- language-mix rebalancing: per-language keep fractions toward
+    // a uniform target (total/n_langs), capped at 1 — the "don't let
+    // English swamp the mix" pass. All ratios in exact basis points
+    // (bigint scaling) so the plan is engine-agnostic; the heavy input
+    // collapses to |langs| rows before the broadcast total joins in ----
+    "q161_lang_rebalance" -> ((s, d) => {
+      val byLang = tSpread(s, d, "documents")
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("n_langs"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang_pred"), col("n_docs"),
+          least(lit(10000L),
+            floor(col("total") * lit(10000L) /
+              (col("n_langs") * col("n_docs"))).cast("bigint"))
+            .as("keep_bp"))
+        .withColumn("n_kept",
+          floor(col("n_docs") * col("keep_bp") / lit(10000L)).cast("bigint"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // ---- dedup survivorship report: per dup group the canonical doc
+    // (min id), the dup count and the bytes dedup removes — the "what
+    // did dedup buy us" accounting every corpus pipeline ships. The
+    // group key is the opening-prefix fingerprint (first 5 tokens),
+    // the boilerplate-header dedup shape — full-content hashing only
+    // finds groups at the largest sf (this corpus has no exact dups
+    // below sf0.1, caught by EntrySmokeSpec). One hash-groupBy on the
+    // fingerprint; no pairwise work ----
+    "q162_dedup_survivorship" -> ((s, d) => {
+      val prefix = concat_ws(" ",
+        slice(split(trim(col("text")), "\\s+"), 1, 5))
+      tSpread(s, d, "documents")
+        .groupBy(md5(prefix).as("prefix_hash"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          (count(lit(1)) - 1).as("n_dups"),
+          (sum(length(col("text"))) -
+            min_by(length(col("text")), col("doc_id"))).as("bytes_saved"))
+        .filter(col("n_dups") > 0)
+        .orderBy(col("survivor_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -2851,6 +2914,37 @@ object SparkEntry {
       s"${p}i -> CAST($emb[${p}i] AS DOUBLE) * $sv[${p}i])), (${p}a, ${p}b) -> ${p}a + ${p}b)"
 
   private val MinhashP = 2038074743L
+
+  /** Shared DuckDB replay of the MinHash-LSH transitive clustering
+    * (shingle → minhash signature → banded buckets → candidate pairs →
+    * recursive min-label closure). Ends after the `lbl` CTE; callers
+    * append either a final SELECT over `lbl` (q23) or further CTEs
+    * (q160's cluster-aware split). */
+  private lazy val minhashClusterCteSql: String =
+    s"""WITH RECURSIVE toks AS (
+      | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+      |sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(0, array_length(ts) - 2),
+      |   si -> array_to_string(ts[(si + 1):(si + 3)], ' '))) AS shingles
+      | FROM toks WHERE array_length(ts) >= 3),
+      |hu AS (SELECT doc_id, list_transform(shingles, sg -> ${fnvSql("sg", "f")}) AS us FROM sh),
+      |hm AS (SELECT doc_id, list_transform(us, u ->
+      |   ((${toSignedSql("u")} % $MinhashP) + $MinhashP) % $MinhashP) AS hs FROM hu),
+      |sigs AS (SELECT doc_id, list_transform(range(0, 64), j ->
+      |   list_min(list_transform(hs, h ->
+      |     ((1 + ((j + 1) * 2654435761) % ${MinhashP - 1}) * h +
+      |      ((j + 1) * 1099511628211) % $MinhashP) % $MinhashP))) AS sg
+      | FROM hm),
+      |bkt AS (SELECT doc_id, b,
+      |   array_to_string(sg[(CAST(b AS INT) * 4 + 1):(CAST(b AS INT) * 4 + 4)], ',') AS bucket
+      | FROM sigs, range(0, 16) r(b)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      | FROM bkt a JOIN bkt b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      | UNION ALL SELECT id_b, id_a FROM pairs),
+      |lbl AS (SELECT doc_id AS id, doc_id AS c FROM documents
+      | UNION
+      | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3103,30 +3197,7 @@ object SparkEntry {
     // permutations (closed-form constants) → 16 string-keyed band buckets
     // → candidate pairs → exact component-min via recursive reachability.
     "q23_minhash_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(0, array_length(ts) - 2),
-        |   si -> array_to_string(ts[(si + 1):(si + 3)], ' '))) AS shingles
-        | FROM toks WHERE array_length(ts) >= 3),
-        |hu AS (SELECT doc_id, list_transform(shingles, sg -> ${fnvSql("sg", "f")}) AS us FROM sh),
-        |hm AS (SELECT doc_id, list_transform(us, u ->
-        |   ((${toSignedSql("u")} % $MinhashP) + $MinhashP) % $MinhashP) AS hs FROM hu),
-        |sigs AS (SELECT doc_id, list_transform(range(0, 64), j ->
-        |   list_min(list_transform(hs, h ->
-        |     ((1 + ((j + 1) * 2654435761) % ${MinhashP - 1}) * h +
-        |      ((j + 1) * 1099511628211) % $MinhashP) % $MinhashP))) AS sg
-        | FROM hm),
-        |bkt AS (SELECT doc_id, b,
-        |   array_to_string(sg[(CAST(b AS INT) * 4 + 1):(CAST(b AS INT) * 4 + 4)], ',') AS bucket
-        | FROM sigs, range(0, 16) r(b)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-        | FROM bkt a JOIN bkt b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        | UNION ALL SELECT id_b, id_a FROM pairs),
-        |lbl AS (SELECT doc_id AS id, doc_id AS c FROM documents
-        | UNION
-        | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst)
+      s"""$minhashClusterCteSql
         |SELECT id, CAST(min(c) AS BIGINT) AS cluster_id FROM lbl GROUP BY id
         |ORDER BY id""".stripMargin,
 
@@ -4813,6 +4884,56 @@ object SparkEntry {
         | FROM daily)
         |SELECT strftime(d, '%Y-%m-%d') AS day, backlog
         |FROM run WHERE dayofmonth(d) = 1 ORDER BY day""".stripMargin,
+
+    "q160_leakage_safe_split" ->
+      s"""$minhashClusterCteSql,
+        |clusters AS (
+        | SELECT id, CAST(min(c) AS BIGINT) AS cluster_id FROM lbl GROUP BY id),
+        |splits AS (
+        | SELECT id, cluster_id,
+        |  CASE WHEN cluster_id % 10 < 8 THEN 'train'
+        |       WHEN cluster_id % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM clusters)
+        |SELECT split, count(DISTINCT cluster_id) AS n_clusters,
+        | count(*) AS n_docs
+        |FROM splits GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q161_lang_rebalance" ->
+      """WITH scored AS (
+        | SELECT
+        |  length(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS s_en,
+        |  length(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        |  length(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+        |  length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+        |  length(regexp_extract_all(lower(text), '\b(de|le|shi|wo|ni)\b')) AS s_zh
+        | FROM documents),
+        |pred AS (
+        | SELECT CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |   WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+        |   WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+        |   WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+        |   WHEN s_es > s_en THEN 'es'
+        |   ELSE 'en' END AS lang_pred
+        | FROM scored),
+        |by_lang AS (SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS total, count(*) AS n_langs FROM by_lang)
+        |SELECT lang_pred, n_docs,
+        | CAST(least(10000, floor((SELECT total FROM tot) * 10000
+        |   / ((SELECT n_langs FROM tot) * n_docs))) AS BIGINT) AS keep_bp,
+        | CAST(floor(n_docs * least(10000, floor((SELECT total FROM tot) * 10000
+        |   / ((SELECT n_langs FROM tot) * n_docs))) / 10000) AS BIGINT) AS n_kept
+        |FROM by_lang ORDER BY lang_pred""".stripMargin,
+
+    "q162_dedup_survivorship" ->
+      """SELECT md5(array_to_string(
+        |   (regexp_split_to_array(trim(text), '\s+'))[1:5], ' ')) AS prefix_hash,
+        | min(doc_id) AS survivor_id,
+        | count(*) - 1 AS n_dups,
+        | CAST(sum(length(text)) - arg_min(length(text), doc_id) AS BIGINT)
+        |   AS bytes_saved
+        |FROM documents GROUP BY 1
+        |HAVING count(*) > 1 ORDER BY survivor_id""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
