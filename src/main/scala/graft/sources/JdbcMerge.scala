@@ -117,6 +117,15 @@ object JdbcMerge {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
+              // the routing below needs REAL per-row counts: a driver
+              // returning SUCCESS_NO_INFO (-2, e.g. Postgres with
+              // rewritten batches) would silently classify every row as
+              // "matched" and drop its insert — fail loudly instead
+              // (fix: disable batch rewriting for the merge connection)
+              require(!counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO),
+                "JdbcMerge needs per-row update counts from executeBatch; " +
+                  "this driver returned SUCCESS_NO_INFO — disable batch " +
+                  "rewriting on the merge connection")
               // phase 2: batched INSERT of the update-count-0 rows
               var anyInsert = false
               chunk.zip(counts).foreach { case (row, n) =>
