@@ -310,8 +310,11 @@ object Dedup {
     // (graph.Graph.minLabelFixpoint — localCheckpoint lineage
     // truncation, limit(1) convergence probe) so the two
     // label-propagation call sites cannot drift.
+    // cached pre-partitioned on src (see Graph.minLabelFixpoint): the
+    // edge rows shuffle once for the whole run, not once per superstep
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
       .persist()
     try {
       // seed = assignments ∪ edge endpoints missing from assignments

@@ -24,9 +24,9 @@ object Graph {
     * digits). `localCheckpoint` after each step truncates the logical
     * plan so iteration N doesn't replan (or re-execute) steps 1..N-1 —
     * THE standard Spark iterative-algorithm guard. Labels here propagate
-    * with pointer-jumping (`shortcut = true`), so convergence needs
-    * O(log diameter) supersteps — maxIter 20 covers diameter ~2^20,
-    * effectively any real graph. If `maxIter` still fires before
+    * with pointer-jumping (`shortcut = true`, active from superstep 2),
+    * so convergence needs O(log diameter) supersteps — maxIter 20 covers
+    * diameter ~2^18, effectively any real graph. If `maxIter` still fires before
     * convergence the labels of any unconverged component are an upper
     * bound on its true minimum (deterministic, but not a fixed point):
     * `strict = true` turns that into an exception instead of a warning,
@@ -39,8 +39,13 @@ object Graph {
   def connectedComponents(ids: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           strict: Boolean = false): DataFrame = {
+    // cached pre-partitioned on src: the cache's hashpartitioning(src)
+    // satisfies both the seed distinct below and every superstep's msgs
+    // join, so the |E| edge rows shuffle ONCE for the whole run instead
+    // of once per iteration
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
       .persist()
     try {
       // seed over ids ∪ edge endpoints: an edge mentioning a node missing
@@ -69,8 +74,14 @@ object Graph {
     * every node that should relay labels; `sym` is the symmetrized edge
     * list (`src`, `dst`). Each superstep is one join + one groupBy-min
     * sharing the id partitioning; `localCheckpoint` truncates lineage so
-    * step N never replans steps 1..N-1; the convergence probe is a
-    * `limit(1)` existence check, not a full count.
+    * step N never replans steps 1..N-1. Each node's previous label rides
+    * through the aggregation next to the new one, so the convergence
+    * probe is a `filter(label != prev).limit(1)` existence check on the
+    * just-checkpointed frame — no join of the full label set against the
+    * previous iteration (which would cost two more exchanges per
+    * superstep). Callers should pass `sym` hash-partitioned (cached) on
+    * `src`; then the only per-superstep shuffle is the groupBy that
+    * routes messages to their destination ids.
     *
     * `shortcut = true` adds pointer-jumping after each superstep:
     * label'(v) = min(label(v), label(label(v))). A label is always the
@@ -92,12 +103,26 @@ object Graph {
     var converged = false
     var ok = false
     try {
+      val labelType = seed.schema("label").dataType
       while (iter < maxIter && !converged) {
+        // message rows carry prev = null; each node's own row carries
+        // prev = its current label. After groupBy, max(prev) is exactly
+        // the node's previous label (one own-row per seeded node), so
+        // convergence reads off the aggregated frame directly.
         val msgs = sym.join(labels, sym("src") === labels("id"))
-          .select(sym("dst").as("id"), col("label"))
-        var next = labels.union(msgs)
-          .groupBy("id").agg(min("label").as("label"))
-        if (shortcut) {
+          .select(sym("dst").as("id"), col("label"),
+            lit(null).cast(labelType).as("prev"))
+        val own = labels.select(col("id"), col("label"),
+          col("label").as("prev"))
+        var next = own.unionByName(msgs)
+          .groupBy("id").agg(min("label").as("label"),
+            max("prev").as("prev"))
+        // pointer jumping costs one self-join exchange per superstep and
+        // only pays off once labels must travel multiple hops; starting
+        // it at iteration 2 means shallow graphs (near-dup chains,
+        // diameter ≤ 3 — the common case) never pay it, while deep
+        // graphs keep O(log diameter) convergence from step 2 onward
+        if (shortcut && iter >= 2) {
           // left join: a label that is not itself a seeded node id
           // (possible for caller-provided cluster labels) just keeps its
           // current value
@@ -106,13 +131,15 @@ object Graph {
           next = next.join(byId, next("label") === byId("_jid"), "left")
             .select(col("id"),
               least(col("label"), coalesce(col("_jlabel"), col("label")))
-                .as("label"))
+                .as("label"),
+              col("prev"))
         }
         val checkpointed = next.localCheckpoint()
+        // null-safe: a node reached by an edge but absent from the seed
+        // has prev = null and must count as changed, not converged
         val changed = checkpointed
-          .join(labels.withColumnRenamed("label", "prev"), "id")
-          .filter(col("label") =!= col("prev")).limit(1).count()
-        labels = checkpointed
+          .filter(!(col("label") <=> col("prev"))).limit(1).count()
+        labels = checkpointed.select(col("id"), col("label"))
         converged = changed == 0
         iter += 1
       }
