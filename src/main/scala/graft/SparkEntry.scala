@@ -2755,6 +2755,76 @@ object SparkEntry {
         .orderBy(col("survivor_id"))
     }),
 
+    // ---- SemDeDup-shape semantic dedup (cluster-blocked embedding
+    // near-dup pruning): assign every vector to its nearest seed
+    // centroid, pairwise-compare ONLY within a cell, keep the lowest id
+    // of each neighborhood. The cluster blocking is the 100 TB story:
+    // pairwise work is O(Σ|cell|²) instead of O(n²), cells shuffle to
+    // independent reducers (join key = centroid_id), and the index
+    // table written partitionBy(centroid_id) makes each cell a pruned
+    // partition read. Threshold compares the 4dp-rounded cosine (q42's
+    // engine-robust idiom). ----
+    "q163_semdedup" -> ((s, d) => {
+      import graft.vector.{IvfIndex, VectorFunctions}
+      val emb = tSpread(s, d, "embeddings")
+      // seed centroids = vec_id < 10 (k×dim driver state only)
+      val cs = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      val asg = IvfIndex.build(emb, "embedding", "vec_id", cs)
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val left = asg.select(col("centroid_id"),
+        col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val right = asg.select(col("centroid_id"),
+        col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val dropped = left.join(right, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(VectorFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4)
+          > lit(0.45))
+        .select(col("id_b").as("vec_id")).distinct()
+      asg.join(dropped.withColumn("_dropped", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          col("centroid_id").cast("bigint").as("centroid_id"),
+          when(col("_dropped").isNull, 1).otherwise(0).cast("int").as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- intra-document repeated-span detection (the within-doc half
+    // of exact-substring dedup, Lee et al. 2022 shape): a token window
+    // whose hash already occurred EARLIER in the same document marks a
+    // repeated span; adjacent repeated starts (gap ≤ W) merge into one
+    // span (gaps-and-islands, q136's idiom). Entirely per-doc window
+    // functions over one exploded lineage — partition key doc_id, no
+    // cross-doc shuffle, embarrassingly parallel at 100 TB. W = 3 fits
+    // this corpus's short word-soup docs (the paper uses ~50-token
+    // windows on real text). ----
+    "q164_repeated_spans" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "t")))
+      val wSeq = Window.partitionBy("doc_id").orderBy("p")
+      val grams = tok
+        .withColumn("t1", lead(col("t"), 1).over(wSeq))
+        .withColumn("t2", lead(col("t"), 2).over(wSeq))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("p"),
+          md5(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("g"))
+      val wG = Window.partitionBy("doc_id", "g")
+      val rep = grams.withColumn("minp", min(col("p")).over(wG))
+        .filter(col("p") > col("minp"))
+      val brk = rep
+        .withColumn("prevp", lag(col("p"), 1).over(wSeq))
+        .withColumn("b",
+          when(col("prevp").isNull || col("p") - col("prevp") > 3, 1L)
+            .otherwise(0L))
+      brk.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_repeated_windows"),
+          sum(col("b")).as("n_spans"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -4934,6 +5004,68 @@ object SparkEntry {
         |   AS bytes_saved
         |FROM documents GROUP BY 1
         |HAVING count(*) > 1 ORDER BY survivor_id""".stripMargin,
+
+    "q163_semdedup" ->
+      """WITH c AS (
+        | SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        | WHERE vec_id < 10),
+        |p AS (
+        | SELECT e.vec_id, e.embedding AS emb, c.cid,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS dot,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i])), (x, y) -> x + y)
+        |    AS na,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(c.ce) + 1),
+        |      i -> c.ce[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS nc
+        | FROM embeddings e, c),
+        |sc AS (
+        | SELECT vec_id, emb, cid,
+        |  CASE WHEN na = 0 OR nc = 0 THEN 0.0 ELSE dot / sqrt(na * nc) END
+        |    AS s
+        | FROM p),
+        |asg AS (
+        | SELECT vec_id, emb, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        | FROM sc),
+        |a AS (SELECT vec_id, emb, cid FROM asg WHERE rk = 1),
+        |drops AS (
+        | SELECT DISTINCT y.vec_id
+        | FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        | WHERE round(list_cosine_similarity(CAST(x.emb AS DOUBLE[]),
+        |                                    CAST(y.emb AS DOUBLE[])), 4) > 0.45)
+        |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+        | CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q164_repeated_spans" ->
+      """WITH tok AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS L
+        | FROM documents WHERE length(trim(text)) > 0),
+        |px AS (
+        | SELECT doc_id, L, unnest(generate_series(1, len(L) - 2)) AS p
+        | FROM tok),
+        |g AS (
+        | SELECT doc_id, p, md5(array_to_string(L[p:p+2], ' ')) AS g
+        | FROM px),
+        |m AS (
+        | SELECT doc_id, p, g,
+        |  min(p) OVER (PARTITION BY doc_id, g) AS minp
+        | FROM g),
+        |rep AS (SELECT doc_id, p FROM m WHERE p > minp),
+        |brk AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |        OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 3
+        |       THEN 1 ELSE 0 END AS b
+        | FROM rep)
+        |SELECT doc_id, count(*) AS n_repeated_windows,
+        | CAST(sum(b) AS BIGINT) AS n_spans
+        |FROM brk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
