@@ -2765,28 +2765,14 @@ object SparkEntry {
     // partition read. Threshold compares the 4dp-rounded cosine (q42's
     // engine-robust idiom). ----
     "q163_semdedup" -> ((s, d) => {
-      import graft.vector.{IvfIndex, VectorFunctions}
-      val emb = tSpread(s, d, "embeddings")
       // seed centroids = vec_id < 10 (k×dim driver state only)
       val cs = t(s, d, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      val asg = IvfIndex.build(emb, "embedding", "vec_id", cs)
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val left = asg.select(col("centroid_id"),
-        col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val right = asg.select(col("centroid_id"),
-        col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      val dropped = left.join(right, Seq("centroid_id"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(round(VectorFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4)
-          > lit(0.45))
-        .select(col("id_b").as("vec_id")).distinct()
-      asg.join(dropped.withColumn("_dropped", lit(1)), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          col("centroid_id").cast("bigint").as("centroid_id"),
-          when(col("_dropped").isNull, 1).otherwise(0).cast("int").as("kept"))
+      Dedup.semanticDedup(tSpread(s, d, "embeddings"), "embedding",
+          "vec_id", cs, threshold = 0.45)
+        .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))
     }),
 
@@ -2800,28 +2786,8 @@ object SparkEntry {
     // this corpus's short word-soup docs (the paper uses ~50-token
     // windows on real text). ----
     "q164_repeated_spans" -> ((s, d) => {
-      val tok = tSpread(s, d, "documents")
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "t")))
-      val wSeq = Window.partitionBy("doc_id").orderBy("p")
-      val grams = tok
-        .withColumn("t1", lead(col("t"), 1).over(wSeq))
-        .withColumn("t2", lead(col("t"), 2).over(wSeq))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), col("p"),
-          md5(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("g"))
-      val wG = Window.partitionBy("doc_id", "g")
-      val rep = grams.withColumn("minp", min(col("p")).over(wG))
-        .filter(col("p") > col("minp"))
-      val brk = rep
-        .withColumn("prevp", lag(col("p"), 1).over(wSeq))
-        .withColumn("b",
-          when(col("prevp").isNull || col("p") - col("prevp") > 3, 1L)
-            .otherwise(0L))
-      brk.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_repeated_windows"),
-          sum(col("b")).as("n_spans"))
+      TextFunctions.repeatedSpans(tSpread(s, d, "documents"),
+          "text", "doc_id", window = 3, gap = 3)
         .orderBy(col("doc_id"))
     }),
 

@@ -527,4 +527,43 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-shape semantic dedup (cluster-blocked embedding pruning):
+    * assign every vector to its nearest centroid cell, pairwise-compare
+    * ONLY within a cell, survivor = the lowest id of each near-dup
+    * neighborhood (a vector is dropped iff some lower-id vector in its
+    * cell has 4dp-rounded cosine above `threshold` — the rounding makes
+    * the comparison engine-agnostic, [[embeddingNearDupPairs]]'s idiom).
+    *
+    * The cell blocking is the 100 TB story: pairwise work is
+    * O(Σ|cell|²) instead of O(n²), the self-join's shuffle key is
+    * `centroid_id` so cells land on independent reducers, and an index
+    * table written `partitionBy(centroid_id)` turns each cell into a
+    * pruned partition read. The tradeoff (shared with the paper): a
+    * near-dup pair split across two cells is NOT compared — centroid
+    * count trades recall for tractability.
+    *
+    * @param cs centroids as (cellId, vector) — k×dim driver state only
+    * @return one row per input vector: (id, centroid_id, kept 1|0)
+    */
+  def semanticDedup(df: DataFrame, embCol: String, idCol: String,
+                    cs: Array[(Int, Array[Float])],
+                    threshold: Double): DataFrame = {
+    import graft.vector.{IvfIndex, VectorFunctions}
+    val asg = IvfIndex.build(df, embCol, idCol, cs)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("centroid_id"))
+    val left = asg.select(col("centroid_id"),
+      col("id").as("id_a"), col("emb").as("emb_a"))
+    val right = asg.select(col("centroid_id"),
+      col("id").as("id_b"), col("emb").as("emb_b"))
+    val dropped = left.join(right, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4)
+        > lit(threshold))
+      .select(col("id_b").as("id")).distinct()
+    asg.join(dropped.withColumn("_dropped", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        col("centroid_id").cast("bigint").as("centroid_id"),
+        when(col("_dropped").isNull, 1).otherwise(0).cast("int").as("kept"))
+  }
 }

@@ -99,4 +99,47 @@ object TextFunctions {
     val toks = split(trim(text), "\\s+")
     ColumnBridge.column(RollingHash(ColumnBridge.expression(toks)))
   }
+
+  /** Intra-document repeated-span detection — the within-doc half of
+    * exact-substring dedup (Lee et al. 2022 shape). A `window`-token
+    * window whose content already occurred EARLIER in the same document
+    * marks a repeated span; repeated starts within `gap` positions of
+    * each other merge into one span (gaps-and-islands).
+    *
+    * Entirely per-document window functions over one exploded lineage:
+    * the partition key is the document id at every stage, so there is
+    * no cross-document shuffle — embarrassingly parallel at 100 TB.
+    *
+    * @return docs with ≥1 repeat: (idCol, n_repeated_windows, n_spans)
+    */
+  def repeatedSpans(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, window: Int = 3,
+                    gap: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, "window must cover at least 2 tokens")
+    val tok = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("p", "t")))
+    val wSeq = Window.partitionBy(idCol).orderBy("p")
+    val withLeads = (1 until window).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"t$i", lead(col("t"), i).over(wSeq))
+    }
+    val gramCols = col("t") +: (1 until window).map(i => col(s"t$i"))
+    val grams = withLeads
+      .filter(col(s"t${window - 1}").isNotNull)
+      .select(col(idCol), col("p"),
+        md5(concat_ws(" ", gramCols: _*)).as("g"))
+    val wG = Window.partitionBy(col(idCol), col("g"))
+    val rep = grams.withColumn("minp", min(col("p")).over(wG))
+      .filter(col("p") > col("minp"))
+    rep
+      .withColumn("prevp", lag(col("p"), 1).over(wSeq))
+      .withColumn("b",
+        when(col("prevp").isNull || col("p") - col("prevp") > gap, 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_repeated_windows"),
+        sum(col("b")).as("n_spans"))
+  }
 }

@@ -194,4 +194,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L))) // 3 dissimilar; 4 blocked away
   }
+
+  test("semanticDedup: lowest id survives per cell neighborhood; cross-cell near-dups not compared") {
+    // two centroid cells on the x and y axes
+    val cs = Array(0 -> Array(1.0f, 0.0f, 0.0f), 1 -> Array(0.0f, 1.0f, 0.0f))
+    val emb = Seq(
+      (10L, Array(1.0f, 0.00f, 0.0f)),  // cell 0, survivor
+      (11L, Array(1.0f, 0.01f, 0.0f)),  // cell 0, near-dup of 10 → dropped
+      (12L, Array(0.9f, 0.60f, 0.0f)),  // cell 0 (x-leaning), far from 10/11 at τ=0.99
+      (20L, Array(0.0f, 1.0f, 0.0f)),   // cell 1, survivor
+      (21L, Array(0.01f, 1.0f, 0.0f)),  // cell 1, near-dup of 20 → dropped
+    ).toDF("id", "emb")
+    val out = Dedup.semanticDedup(emb, "emb", "id", cs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val kept = out.filter(_._3 == 1).map(_._1).toSet
+    val cells = out.map(t => t._1 -> t._2).toMap
+    assert(out.length == 5)
+    assert(kept == Set(10L, 12L, 20L))
+    assert(cells(12L) == 0L && cells(21L) == 1L)
+
+    // the blocking tradeoff, pinned: an identical pair split across two
+    // cells is never compared, so both survive
+    val split = Seq(
+      (30L, Array(1.0f, 1.0f, 0.0f)),
+      (31L, Array(1.0f, 1.0f, 0.0f))).toDF("id", "emb")
+    val cs2 = Array(0 -> Array(1.0f, 0.9f, 0.0f), 1 -> Array(0.9f, 1.0f, 0.0f))
+    // 30 and 31 are equidistant; with identical vectors both land in the
+    // SAME cell (deterministic lowest-cid tie-break) → one is dropped
+    val both = Dedup.semanticDedup(split, "emb", "id", cs2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(both == Map(30L -> 1, 31L -> 0))
+  }
 }

@@ -53,4 +53,26 @@ class TextSpec extends SparkSpec {
     assert(fp(0) != fp(2)) // rolling hash is order-sensitive
     assert(fp(0) != fp(3))
   }
+
+  test("repeatedSpans: detects windows repeating earlier in the same doc, merges adjacent repeats") {
+    val docs = Seq(
+      // every window from p=3 on repeats an earlier one (abc/bca/cab
+      // cycle): starts 3,4,5,6 are consecutive → 4 repeated windows in
+      // ONE merged span
+      (1L, "a b c a b c a b c"),
+      // "x y z" repeats at p=10 and p=20: starts 10 and 20 are > gap=3
+      // apart → 2 repeated windows, TWO spans
+      (2L, "x y z q w e r t u i x y z p a s d f g h x y z"),
+      // all seven 3-token windows distinct → no intra-doc repeats (the
+      // cross-DOC vocabulary overlap with doc 1 is irrelevant)
+      (3L, "c c b b a a c b a"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.repeatedSpans(docs, "text", "doc_id",
+        window = 3, gap = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((4L, 1L)))
+    assert(out(2L) == ((2L, 2L)))
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
 }
