@@ -2791,6 +2791,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- asymmetric containment detection: a doc whose shingle set is
+    // ≥80% covered by another doc's (quotes, boilerplate inclusion,
+    // near-subset crawls — pairs symmetric Jaccard UNDER-scores when
+    // sizes differ). Candidates ride the same freq-capped shared-key
+    // harness as q22/q91 (one shuffle on the shingle, map-side pair
+    // expansion, never n²); containment ratios in ratioQ quantized
+    // division so both engines agree at 4dp. ----
+    "q165_containment" -> ((s, d) => {
+      val toks = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val sh = toks.select(col("doc_id"),
+          explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      Dedup.sharedKeyPairs(sh, "sh", "doc_id", maxIdsPerKey = 1000)
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")),
+          "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")),
+          "id_b")
+        .withColumn("cont_a", ratioQ(col("n_shared"), col("n_a"), 4))
+        .withColumn("cont_b", ratioQ(col("n_shared"), col("n_b"), 4))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("cont_a"), col("cont_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -5032,6 +5060,36 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_repeated_windows,
         | CAST(sum(b) AS BIGINT) AS n_spans
         |FROM brk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q165_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS L
+        | FROM documents WHERE length(trim(text)) > 0),
+        |px AS (
+        | SELECT doc_id, L, unnest(generate_series(1, len(L) - 2)) AS p
+        | FROM toks),
+        |sh AS (
+        | SELECT DISTINCT doc_id, array_to_string(L[p:p+2], ' ') AS sh
+        | FROM px),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |freq AS (
+        | SELECT sh FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        | FROM sh a
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  JOIN freq f ON f.sh = a.sh
+        | GROUP BY 1, 2),
+        |sc AS (
+        | SELECT id_a, id_b, n_shared,
+        |  floor(n_shared * 10000 / sa.n_sh + 0.5) / 10000 AS cont_a,
+        |  floor(n_shared * 10000 / sb.n_sh + 0.5) / 10000 AS cont_b
+        | FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, n_shared, cont_a, cont_b
+        |FROM sc WHERE greatest(cont_a, cont_b) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (
