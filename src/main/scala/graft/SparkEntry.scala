@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.dims.{CoalesceMerge, Scd2}
 import graft.graph.Graph
-import graft.operators.Skyline
+import graft.operators.{GlobalOrder, Skyline}
 import graft.enrich.{EmbedStage, Geocode}
 import graft.multimodal.Multimodal
 import graft.parse.Parsers
@@ -1068,17 +1068,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
-    // ---- curriculum binning: global quality deciles (ntile). A global
-    // rank IS a global sort — at 100 TB swap the exact ntile for
-    // hist_quantile cut-points (q63's sketch) and a bucket join; the
-    // exact form here pins the semantics the sketch approximates ----
+    // ---- curriculum binning: global quality deciles. Exact ntile via
+    // GlobalOrder (range-partitioned sort + broadcast offsets — never a
+    // single-partition window); the approximate alternative at even
+    // larger scale is hist_quantile cut-points (q63) + a bucket join ----
     "q73_curriculum_bins" -> ((s, d) => {
-      val w = Window.orderBy(col("quality").desc, col("doc_id"))
-      tSpread(s, d, "documents")
+      val base = tSpread(s, d, "documents")
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"),
           TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
-        .withColumn("decile", ntile(10).over(w).cast("bigint"))
+      GlobalOrder.withNtile(base,
+          Seq(col("quality").desc, col("doc_id")), 10, "decile")
+        .withColumn("decile", col("decile").cast("bigint"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           round(min(col("quality")), 4).as("min_q"),
@@ -2263,10 +2264,14 @@ object SparkEntry {
           max(to_date(col("o_orderdate")))).as("rec_days"),
           count(lit(1)).as("freq"),
           round(sum(col("o_totalprice")), 2).as("monetary"))
-      val r = ntile(4).over(Window.orderBy(col("rec_days"), col("o_custkey")))
-      val f = ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey")))
-      val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
-      agg.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+      // three exact global quartiles, each a scalable range sort
+      // (GlobalOrder) instead of a single-partition ntile window
+      val withR = GlobalOrder.withNtile(agg,
+        Seq(col("rec_days"), col("o_custkey")), 4, "r")
+      val withF = GlobalOrder.withNtile(withR,
+        Seq(col("freq").desc, col("o_custkey")), 4, "f")
+      GlobalOrder.withNtile(withF,
+          Seq(col("monetary").desc, col("o_custkey")), 4, "m")
         .filter(col("o_custkey") < 200)
         .select(col("o_custkey"), col("rec_days").cast("bigint").as("rec_days"),
           col("freq"), col("monetary"), col("r"), col("f"), col("m"),
@@ -2334,20 +2339,25 @@ object SparkEntry {
     // cumulative sum is order-identical in both engines, so the >=
     // threshold cliff is consistent ----
     "q144_pareto_8020" -> ((s, d) => {
+      // revenue quantized to cents-bigint so the running total is pure
+      // long arithmetic: associative, so GlobalOrder's partition-split
+      // accumulation (one range shuffle, no single-partition window) is
+      // bit-identical to the sequential form on BOTH engines; the 80%
+      // threshold is the integer comparison 5*cum >= 4*total
       val cr = t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice")).as("rev"))
-      val tot = cr.agg(sum(col("rev")).as("t"),
+        .withColumn("rev_c", cents(col("rev")))
+      val tot = cr.agg(sum(col("rev_c")).as("t_c"),
         count(lit(1)).as("nc"))
-      val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
-      cr.withColumn("cum", sum(col("rev")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("rn", row_number().over(ord))
+      GlobalOrder.withRunningSumLong(cr,
+          Seq(col("rev").desc, col("o_custkey")), col("rev_c"), "cum_c",
+          rnOut = Some("rn"))
         .crossJoin(broadcast(tot))
         .agg(
-          min(when(col("cum") >= lit(0.8) * col("t"), col("rn")))
+          min(when(col("cum_c") * 5 >= col("t_c") * 4, col("rn")))
             .cast("bigint").as("customers_for_80pct"),
           max(col("nc")).as("n_customers"),
-          ratioQ(min(when(col("cum") >= lit(0.8) * col("t"), col("rn"))),
+          ratioQ(min(when(col("cum_c") * 5 >= col("t_c") * 4, col("rn"))),
             max(col("nc")), 4).as("frac"))
     }),
 
@@ -4722,18 +4732,20 @@ object SparkEntry {
 
     "q144_pareto_8020" ->
       """WITH cr AS (
-        | SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1),
-        |tot AS (SELECT sum(rev) AS t, count(*) AS nc FROM cr),
+        | SELECT o_custkey, sum(o_totalprice) AS rev,
+        |  CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_c
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(rev_c) AS t_c, count(*) AS nc FROM cr),
         |rk AS (
-        | SELECT o_custkey, rev,
-        |  sum(rev) OVER (ORDER BY rev DESC, o_custkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        | SELECT o_custkey, rev_c,
+        |  sum(rev_c) OVER (ORDER BY rev DESC, o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
         |  row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn
         | FROM cr)
-        |SELECT CAST(min(CASE WHEN cum >= 0.8 * (SELECT t FROM tot)
+        |SELECT CAST(min(CASE WHEN cum_c * 5 >= 4 * (SELECT t_c FROM tot)
         |   THEN rn END) AS BIGINT) AS customers_for_80pct,
         | (SELECT CAST(nc AS BIGINT) FROM tot) AS n_customers,
-        | floor(min(CASE WHEN cum >= 0.8 * (SELECT t FROM tot) THEN rn END)
+        | floor(min(CASE WHEN cum_c * 5 >= 4 * (SELECT t_c FROM tot) THEN rn END)
         |   * 10000 / (SELECT nc FROM tot) + 0.5) / 10000 AS frac
         |FROM rk""".stripMargin,
 
