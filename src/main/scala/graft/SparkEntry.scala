@@ -1603,18 +1603,18 @@ object SparkEntry {
     // ---- exact decimal money arithmetic: quantize the double price to
     // integer cents with deterministic IEEE754 math (floor(x*100+0.5) is
     // bit-identical across engines, unlike each engine's own
-    // double->decimal tie-rounding), sum exactly as BIGINT, then present
-    // as DECIMAL(18,2) via an exact *0.01 decimal multiply ----
+    // double->decimal tie-rounding) and sum exactly as BIGINT. The output
+    // is presented AS integer cents (BIGINT): exact decimal semantics with
+    // an engine-agnostic representation — a DECIMAL output column hashes
+    // differently per driver even when every value is identical. ----
     "q105_decimal_money" -> ((s, d) => {
       t(s, d, "orders")
         .select(col("o_custkey"),
           floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).as("cents"))
         .groupBy(col("o_custkey"))
-        .agg((sum(col("cents")).cast("decimal(18,2)")
-            * lit(new java.math.BigDecimal("0.01"))).cast("decimal(18,2)")
-            .as("revenue"),
+        .agg(sum(col("cents")).as("revenue_cents"),
           count(lit(1)).as("n_orders"))
-        .filter(col("revenue") > new java.math.BigDecimal("500000.00"))
+        .filter(col("revenue_cents") > lit(50000000L)) // 500000.00 in cents
         .orderBy(col("o_custkey"))
     }),
 
@@ -5299,14 +5299,12 @@ object SparkEntry {
 
     "q105_decimal_money" ->
       """SELECT o_custkey,
-        | CAST(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-        |     AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(3,2))
-        |   AS DECIMAL(18,2)) AS revenue,
+        | CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS revenue_cents,
         | count(*) AS n_orders
         |FROM orders GROUP BY o_custkey
-        |HAVING CAST(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
-        |     AS BIGINT)) AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(3,2))
-        |   AS DECIMAL(18,2)) > 500000.00
+        |HAVING sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |   > 50000000
         |ORDER BY o_custkey""".stripMargin,
 
     "q101_try_cast" ->
