@@ -58,7 +58,17 @@ object GlobalOrder {
       s"input columns collide with GlobalOrder temp names: ${clash.mkString(",")}")
   }
 
-  /** Range-sorted frame tagged with (partition id, 1-based local rank). */
+  /** Range-sorted frame tagged with (partition id, 1-based local rank).
+    *
+    * Materialized via an eager localCheckpoint: the ranked frame feeds BOTH
+    * the per-row side and the per-partition offsets aggregate of every
+    * public method, and the (pid, local-rank) pairing must be the SAME
+    * evaluation on both branches. Without materialization that pairing
+    * rests on Spark exchange reuse (`spark.sql.exchange.reuse`) plus the
+    * caller honoring the total-order precondition; checkpointing makes it
+    * unconditional, and as a bonus stacked calls (q140's three ntiles)
+    * stop re-executing the whole upstream lineage per call — each call
+    * reads the previous call's materialized output. */
   private def ranked(df: DataFrame, order: Seq[Column],
                      partitions: Int): DataFrame = {
     val n = if (partitions > 0) partitions
@@ -69,6 +79,7 @@ object GlobalOrder {
       .withColumn(Pid, shiftright(col(Mid), 33).cast("int"))
       .withColumn(Lrn, col(Mid).bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
       .drop(Mid)
+      .localCheckpoint(true)
   }
 
   /** Per-partition row counts (plus optional per-partition sums) with

