@@ -2706,9 +2706,12 @@ object SparkEntry {
     // the near-dup CLUSTER (q23's MinHash-LSH closure), not the
     // document — hashing documents independently puts near-duplicates
     // of training docs into eval (contamination). Splitting on
-    // cluster_id makes cross-split leakage structurally impossible; the
-    // split stays stable under re-sharding/re-ingestion because the
-    // cluster id is content-derived ----
+    // cluster_id makes cross-split leakage structurally impossible.
+    // NOTE the cluster id is the component's MINIMUM doc_id, so the
+    // assignment is stable only while doc ids are; a re-ingestion that
+    // reassigns ids can move whole clusters between splits (never split
+    // one). If re-shard stability is required, key the split on a
+    // content hash of the cluster's canonical text instead ----
     "q160_leakage_safe_split" -> ((s, d) => {
       val split = when(pmod(col("cluster_id"), lit(10)) < 8, lit("train"))
         .when(pmod(col("cluster_id"), lit(10)) === 8, lit("val"))

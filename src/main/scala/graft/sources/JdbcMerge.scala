@@ -120,12 +120,16 @@ object JdbcMerge {
               // the routing below needs REAL per-row counts: a driver
               // returning SUCCESS_NO_INFO (-2, e.g. Postgres with
               // rewritten batches) would silently classify every row as
-              // "matched" and drop its insert — fail loudly instead
-              // (fix: disable batch rewriting for the merge connection)
-              require(!counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO),
-                "JdbcMerge needs per-row update counts from executeBatch; " +
-                  "this driver returned SUCCESS_NO_INFO — disable batch " +
-                  "rewriting on the merge connection")
+              // "matched" and drop its insert, and one reporting
+              // EXECUTE_FAILED (-3) without throwing would silently drop
+              // the failed row from both paths — reject ANY negative
+              // count loudly instead (fix: disable batch rewriting for
+              // the merge connection / surface the row failure)
+              require(!counts.exists(_ < 0),
+                "JdbcMerge needs real per-row update counts from " +
+                  "executeBatch; this driver returned " +
+                  counts.filter(_ < 0).distinct.mkString(",") +
+                  " — disable batch rewriting on the merge connection")
               // phase 2: batched INSERT of the update-count-0 rows
               var anyInsert = false
               chunk.zip(counts).foreach { case (row, n) =>

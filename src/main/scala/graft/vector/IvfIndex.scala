@@ -38,7 +38,13 @@ object IvfIndex {
         var dot = 0.0; var nv = 0.0; var nc = 0.0
         var i = 0
         val n = math.min(v.length, c.length)
-        while (i < n) { dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1 }
+        // widen each operand to double BEFORE multiplying: float-rounded
+        // products can flip the argmax on a near-tie vector relative to
+        // the cosine_sim codegen and the oracle's ::DOUBLE arithmetic
+        while (i < n) {
+          dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i)
+          nc += c(i).toDouble * c(i); i += 1
+        }
         val s = if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
         if (s > bestScore || (s == bestScore && cid < best)) { best = cid; bestScore = s }
       }
