@@ -154,6 +154,101 @@ object JdbcMerge {
     }
   }
 
+  /** Postgres-dialect single-statement form of the SAME merge contract
+    * (reference: the loader's `INSERT ... ON CONFLICT (keys) DO UPDATE
+    * SET c = COALESCE(EXCLUDED.c, t.c)` upserts,
+    * src/loader/service.py:342-361,577-623): one round trip per row
+    * batch instead of the portable UPDATE-then-INSERT two phases. Rule
+    * encoding, proven equivalent to the ANSI form's in
+    * JdbcMergeSpec's dialect tests:
+    *  - InsertOnly: the column is omitted from DO UPDATE SET (matched
+    *    rows keep every target value); ALL value columns InsertOnly →
+    *    `DO NOTHING`;
+    *  - CoalesceNewWins: `c = COALESCE(EXCLUDED.c, t.c)`;
+    *  - Overwrite: `c = EXCLUDED.c`.
+    * Key columns are never assigned. The conflict target is the key
+    * tuple, so like the two-phase form a null key never conflicts (a
+    * unique index treats NULLs as distinct) and the row inserts. */
+  def pgOnConflictSql(table: String, columns: Seq[String],
+                      keys: Seq[String],
+                      rules: Map[String, Rule] = Map.empty): String = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(keys.forall(columns.contains),
+      s"key columns ${keys.filterNot(columns.contains).mkString(",")} " +
+        "missing from column list")
+    val valueCols = columns.filterNot(keys.contains)
+    val updatable = valueCols.filterNot(c =>
+      rules.getOrElse(c, CoalesceNewWins) == InsertOnly)
+    val action =
+      if (updatable.isEmpty) "DO NOTHING"
+      else "DO UPDATE SET " + updatable.map { c =>
+        rules.getOrElse(c, CoalesceNewWins) match {
+          case CoalesceNewWins =>
+            s"${q(c)} = COALESCE(EXCLUDED.${q(c)}, $table.${q(c)})"
+          case Overwrite  => s"${q(c)} = EXCLUDED.${q(c)}"
+          case InsertOnly => sys.error("unreachable")
+        }
+      }.mkString(", ")
+    s"INSERT INTO $table (${columns.map(q).mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keys.map(q).mkString(", ")}) $action"
+  }
+
+  /** Execute the Postgres-dialect upsert: same distribution shape as
+    * [[upsert]] (per-key dedup shuffle, then one connection per
+    * partition streaming JDBC batches), but each row is ONE
+    * `INSERT ... ON CONFLICT` statement — half the round trips and no
+    * reliance on per-row update counts. Requires a store that speaks
+    * the Postgres dialect; the offline test suite proves the generated
+    * SQL's rule encoding against the ANSI form instead of executing it
+    * (Derby has no ON CONFLICT). */
+  def pgUpsert(source: DataFrame, url: String, table: String,
+               keys: Seq[String],
+               rules: Map[String, Rule] = Map.empty,
+               props: Properties = new Properties,
+               batchSize: Int = 500,
+               dedupSource: Boolean = true): Unit = {
+    val src = if (dedupSource) CoalesceMerge.dedupDeterministic(source, keys)
+              else source
+    val schema = src.schema
+    val sql = pgOnConflictSql(table, schema.fieldNames.toSeq, keys, rules)
+    val cols = schema.fieldNames.toSeq
+    val propsMap = {
+      val it = props.stringPropertyNames().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val k = it.next(); b += k -> props.getProperty(k) }
+      b.result()
+    }
+    val bs = batchSize
+    src.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val p = new Properties()
+        propsMap.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = DriverManager.getConnection(url, p)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          try {
+            rows.grouped(bs).foreach { chunk =>
+              chunk.foreach { row =>
+                cols.zipWithIndex.foreach { case (c, j) =>
+                  bind(ps, j + 1, row, schema.fieldIndex(c), schema)
+                }
+                ps.addBatch()
+              }
+              ps.executeBatch()
+              conn.commit()
+            }
+          } finally ps.close()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
+        } finally conn.close()
+      }
+    }
+  }
+
   /** Structured-Streaming adapter: `stream.writeStream.foreachBatch(
     * JdbcMerge.foreachBatchUpsert(url, table, keys, rules))` gives the
     * reference's daily-run shape (micro-batch -> warehouse upsert) with

@@ -122,6 +122,111 @@ class JdbcMergeSpec extends SparkSpec {
     }
   }
 
+  // ---- Postgres-dialect ON CONFLICT template (reference loader's
+  // single-statement upsert). Derby cannot execute it offline, so these
+  // tests prove the generated text's rule encoding two ways: exact
+  // template assertions per rule, and a tiny interpreter that applies
+  // the generated DO UPDATE clause to the same scenarios the ANSI
+  // parity tests run, asserting the outcome equals CoalesceMerge.upsert.
+
+  test("pg dialect: exact statement for mixed rules") {
+    val sql = JdbcMerge.pgOnConflictSql("events",
+      Seq("k", "name", "score", "note"), Seq("k"),
+      Map("name" -> Overwrite, "score" -> InsertOnly))
+    assert(sql ==
+      """INSERT INTO events ("k", "name", "score", "note") """ +
+      """VALUES (?, ?, ?, ?) ON CONFLICT ("k") """ +
+      """DO UPDATE SET "name" = EXCLUDED."name", """ +
+      """"note" = COALESCE(EXCLUDED."note", events."note")""")
+  }
+
+  test("pg dialect: all-InsertOnly collapses to DO NOTHING; keys never set") {
+    val sql = JdbcMerge.pgOnConflictSql("t", Seq("k1", "k2", "v"),
+      Seq("k1", "k2"), Map("v" -> InsertOnly))
+    assert(sql.endsWith("""ON CONFLICT ("k1", "k2") DO NOTHING"""))
+    val sql2 = JdbcMerge.pgOnConflictSql("t", Seq("k1", "k2", "v"),
+      Seq("k1", "k2"))
+    assert(!sql2.contains(""""k1" ="""), "key column must never be assigned")
+    assert(!sql2.contains(""""k2" ="""), "key column must never be assigned")
+  }
+
+  /** Apply the generated ON CONFLICT statement's semantics to
+    * (target, source) exactly as Postgres would: per source row, no
+    * key match → insert; match → DO NOTHING keeps the target row, and
+    * DO UPDATE applies each SET assignment, where `EXCLUDED.c` is the
+    * source value and `table.c` the target value. Only the two
+    * assignment shapes the generator can emit are interpreted. */
+  private def runPgSemantics(sql: String, table: String,
+                             cols: Seq[String], keys: Seq[String],
+                             target: Seq[Map[String, Any]],
+                             source: Seq[Map[String, Any]]): Seq[Map[String, Any]] = {
+    val action = sql.substring(sql.indexOf(" DO ") + 1)
+    val assigns: Map[String, String] = // col -> "coalesce" | "overwrite"
+      if (action.startsWith("DO NOTHING")) Map.empty
+      else action.stripPrefix("DO UPDATE SET ")
+        .split(""", (?="[^"]+" = )""").map { a =>
+        val Array(lhs, rhs) = a.split(" = ", 2)
+        val c = lhs.stripPrefix("\"").stripSuffix("\"")
+        if (rhs == s"""COALESCE(EXCLUDED."$c", $table."$c")""") c -> "coalesce"
+        else if (rhs == s"""EXCLUDED."$c"""") c -> "overwrite"
+        else fail(s"unrecognized assignment: $a")
+      }.toMap
+    val state = scala.collection.mutable.LinkedHashMap[Seq[Any], Map[String, Any]]()
+    target.foreach { r => state(keys.map(r)) = r }
+    source.foreach { r =>
+      val k = keys.map(r)
+      // SQL null never equals: a null key can't conflict, always inserts
+      state.get(k).filter(_ => !k.contains(null)) match {
+        case None => state(Seq(new Object) ++ k) = r // unique slot for inserts
+        case Some(t0) =>
+          if (assigns.nonEmpty) state(k) = t0 ++ assigns.map {
+            case (c, "coalesce")  => c -> (if (r(c) != null) r(c) else t0(c))
+            case (c, _)           => c -> r(c)
+          }
+      }
+    }
+    state.values.toSeq
+  }
+
+  private def pgParity(target: DataFrame, source: DataFrame,
+                       keys: Seq[String], rules: Map[String, Rule]): Unit = {
+    val cols = target.columns.toSeq
+    val sql = JdbcMerge.pgOnConflictSql("t", cols, keys, rules)
+    def rows(df: DataFrame) = df.collect().toSeq
+      .map(r => cols.map(c => c -> r.getAs[Any](c)).toMap)
+    val got = runPgSemantics(sql, "t", cols, keys, rows(target),
+      rows(CoalesceMerge.dedupDeterministic(source, keys)))
+      .map(m => cols.sorted.map(c => s"$c=${m(c)}").mkString("|")).toSet
+    val want = CoalesceMerge.upsert(target, source, keys, rules)
+      .drop("_action")
+    assert(got == asSet(want), s"for generated SQL:\n$sql")
+  }
+
+  test("pg dialect semantics == CoalesceMerge, default rules + null keys") {
+    val target = Seq((Option(1L), "alice", Option(1.0)),
+      (Option(2L), "bob", Option(2.0))).toDF("k", "name", "score")
+    val source = Seq(
+      (Option(1L), Option.empty[String], Option(9.0)),
+      (Option.empty[Long], Option("ghost"), Option(0.0)),
+      (Option(3L), Option("carol"), Option(3.0)),
+    ).toDF("k", "name", "score")
+    pgParity(target, source, Seq("k"), Map.empty)
+  }
+
+  test("pg dialect semantics == CoalesceMerge, mixed + all-InsertOnly") {
+    val target = Seq((1L, "alice", 1.0), (2L, "bob", 2.0))
+      .toDF("k", "name", "score")
+    val source = Seq(
+      (1L, Option.empty[String], Option(9.0)),
+      (2L, Option("robert"), Option.empty[Double]),
+      (4L, Option("dave"), Option(4.0)),
+    ).toDF("k", "name", "score")
+    pgParity(target, source, Seq("k"),
+      Map("name" -> Overwrite, "score" -> InsertOnly))
+    pgParity(target, source, Seq("k"),
+      Map("name" -> InsertOnly, "score" -> InsertOnly))
+  }
+
   test("readPartitioned splits the scan into the requested partitions") {
     withTable("t_read", """"k" BIGINT NOT NULL, "name" VARCHAR(64), "score" DOUBLE""") { t =>
       val rows = (1L to 100L).map(i => (i, s"n$i", i * 0.5)).toDF("k", "name", "score")
