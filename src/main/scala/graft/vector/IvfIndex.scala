@@ -95,6 +95,20 @@ object IvfIndex {
     cs
   }
 
+  /** Persist the index AT REST partitioned by cell: one directory per
+    * `centroid_id`. A probe's cell filter then prunes at file-LISTING
+    * time (PartitionFilters, not PushedFilters) and a search reads
+    * ~`nProbe/nCentroids` of the stored bytes — the property that makes
+    * IVF the 100 TB serving shape (IvfIndexSpec asserts the plan and
+    * the scanned-bytes delta; PLANS.md records the measurement). */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Read an at-rest index written by [[writeIndex]]. Probing through
+    * [[search]] on this frame hits the partition-pruned path. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Search: probe the `nProbe` best cells, exact top-k within them. */
   def search(index: DataFrame, embCol: String, idCol: String,
              cs: Array[(Int, Array[Float])], query: Array[Float],

@@ -1,6 +1,7 @@
 package graft
 
 import graft.vector.{IvfIndex, VectorFunctions}
+import org.apache.spark.sql.functions.{count, lit}
 
 class IvfIndexSpec extends SparkSpec {
   import spark.implicits._
@@ -55,6 +56,64 @@ class IvfIndexSpec extends SparkSpec {
     val recall = recalls.sum / recalls.length
     index.unpersist(); data.unpersist()
     assert(recall >= 0.9, s"recall@20 at 10x fell to $recall (floor 0.9)")
+  }
+
+  test("at-rest index: probe is partition PRUNING and reads a fraction of the bytes") {
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat * 5))
+    val data = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.2).toFloat))
+    }.toDF("id", "emb")
+    val cs = IvfIndex.centroids(data, "emb", "id", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/index"
+    IvfIndex.writeIndex(IvfIndex.build(data, "emb", "id", cs), dir)
+
+    val atRest = IvfIndex.readIndex(spark, dir)
+    val query = centers(0)
+    val probed = IvfIndex.search(atRest, "emb", "id", cs, query, k = 10, nProbe = 2)
+    // same answer through the at-rest path as through the in-memory frame
+    val inMem = IvfIndex.search(IvfIndex.build(data, "emb", "id", cs),
+      "emb", "id", cs, query, k = 10, nProbe = 2)
+    assert(probed.collect().map(_.getLong(0)).toSeq ==
+      inMem.collect().map(_.getLong(0)).toSeq)
+
+    // the cell filter must land in PartitionFilters (file-listing time),
+    // not PushedFilters (row time)
+    // the probe has an exchange, so AQE wraps it: the file scan hides
+    // inside adaptive wrappers and materialized query stages, which
+    // collectLeaves treats as opaque — recurse through them explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      scans(df.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no file scan in probe plan"))
+    val probedScan = scanOf(probed)
+    val s = probedScan.toString
+    assert(s.contains("PartitionFilters") &&
+      s.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("centroid_id"), s"no centroid partition filter in:\n$s")
+
+    // executed-scan metrics: the probe reads only the 2 probed cells'
+    // files and a fraction of the stored bytes
+    val fullDf = atRest.agg(count(lit(1)))
+    fullDf.collect() // execute so the baseline scan's metrics populate
+    val fullScan = scanOf(fullDf)
+    val probedFiles = probedScan.metrics("numFiles").value
+    val probedBytes = probedScan.metrics("filesSize").value
+    val fullBytes = fullScan.metrics("filesSize").value
+    assert(probedBytes > 0 && fullBytes > 0)
+    assert(probedBytes * 2 < fullBytes,
+      s"probe read $probedBytes of $fullBytes bytes — not pruned")
+    info(s"pruned scan: $probedFiles files, $probedBytes of $fullBytes bytes " +
+      f"(${probedBytes.toDouble / fullBytes * 100}%.1f%%)")
   }
 
   test("centroid pick is deterministic") {
