@@ -28,10 +28,18 @@ import scala.jdk.CollectionConverters._
   *  - each task writes its partition to `.staging-<queryId>/part-…` and
   *    reports the file in its [[WriterCommitMessage]];
   *  - the DRIVER commits by moving exactly the reported files into the
-  *    live directory (truncating first under `mode("overwrite")` —
-  *    [[SupportsTruncate]], the cache-invalidation path S8);
+  *    live directory and then flipping visibility with ONE atomic
+  *    rename of a `MANIFEST` snapshot (the committed file list —
+  *    truncation under `mode("overwrite")` is just a manifest that
+  *    omits the old files, [[SupportsTruncate]], the cache-invalidation
+  *    path S8). Readers resolve the live set through the manifest, so a
+  *    driver crash ANYWHERE mid-commit leaves the previous snapshot
+  *    fully visible and the new one fully invisible — no partial
+  *    payloads, ever (KvSinkSpec injects the crash and proves it);
   *  - a failed/speculated task's file is never reported, and `abort`
   *    deletes the whole staging dir — half-written output is invisible.
+  *  - files a crashed commit moved but never published are unreferenced
+  *    garbage; the next `overwrite` commit deletes them.
   *
   * Line format: TSV with `\t`/`\n`/`\\` escaped, one row per line.
   */
@@ -83,10 +91,24 @@ object KvCacheSink {
       parts(2).toLong)
   }
 
-  private[sources] def liveFiles(path: String): Array[java.io.File] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".kv"))
-      .sortBy(_.getName)
+  private[sources] val ManifestName = "MANIFEST"
+
+  /** The committed snapshot: the manifest's file list when one exists
+    * (every commit publishes one), else the legacy directory listing
+    * (dirs written before the manifest protocol / hand-built fixtures).
+    * A manifest-referenced file that is missing surfaces as a read
+    * error — that is corruption, not something to paper over. */
+  private[sources] def liveFiles(path: String): Array[java.io.File] = {
+    val manifest = new java.io.File(path, ManifestName)
+    if (manifest.isFile)
+      Files.readAllLines(manifest.toPath, UTF_8).asScala
+        .filter(_.nonEmpty).map(n => new java.io.File(path, n))
+        .toArray.sortBy((f: java.io.File) => f.getName)
+    else
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".kv"))
+        .sortBy(_.getName)
+  }
 }
 
 class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -190,20 +212,39 @@ class KvWrite(path: String, queryId: String, truncate: Boolean)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stagingDir)
-    new KvWriterFactory(stagingDir.toString)
+    new KvWriterFactory(stagingDir.toString, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val live = Paths.get(path)
     Files.createDirectories(live)
-    if (truncate) KvCacheSink.liveFiles(path).foreach(_.delete())
-    // only files REPORTED by committed tasks move into the live dir;
-    // stragglers/speculative duplicates left in staging are discarded
-    messages.foreach { case KvCommit(staged) =>
+    // the files already published before this commit (manifest snapshot
+    // or legacy listing) — kept under append, dropped under truncate
+    val prior = KvCacheSink.liveFiles(path).map(_.getName)
+    // phase A: move only files REPORTED by committed tasks into the live
+    // dir; stragglers/speculative duplicates left in staging are
+    // discarded. Moved files stay INVISIBLE until the manifest flips.
+    val moved = messages.map { case KvCommit(staged) =>
       val src = Paths.get(staged)
       Files.move(src, live.resolve(src.getFileName),
         StandardCopyOption.ATOMIC_MOVE)
+      src.getFileName.toString
     }
+    // phase B: publish the new snapshot with ONE atomic rename. A crash
+    // before this point leaves the previous manifest — and therefore the
+    // previous fully-consistent state — in effect.
+    val entries = (if (truncate) moved.toSeq else prior.toSeq ++ moved)
+      .distinct.sorted
+    val tmp = live.resolve(s".manifest-$queryId.tmp")
+    Files.write(tmp, entries.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, live.resolve(KvCacheSink.ManifestName),
+      StandardCopyOption.ATOMIC_MOVE)
+    // phase C: garbage-collect files the new snapshot no longer
+    // references (truncated predecessors, orphans of crashed commits)
+    val keep = entries.toSet
+    Option(live.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".kv") && !keep(f.getName))
+      .foreach(_.delete())
     cleanupStaging()
   }
 
@@ -217,15 +258,19 @@ class KvWrite(path: String, queryId: String, truncate: Boolean)
   }
 }
 
-class KvWriterFactory(stagingDir: String) extends DataWriterFactory {
+class KvWriterFactory(stagingDir: String, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(stagingDir, partitionId, taskId)
+    new KvDataWriter(stagingDir, queryId, partitionId, taskId)
 }
 
-class KvDataWriter(stagingDir: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  // taskId in the name keeps concurrent attempts of one partition apart
-  private val file = Paths.get(stagingDir, f"part-$partitionId%05d-$taskId.kv")
+class KvDataWriter(stagingDir: String, queryId: String, partitionId: Int,
+                   taskId: Long) extends DataWriter[InternalRow] {
+  // taskId keeps concurrent attempts of one partition apart; queryId
+  // makes the name unique ACROSS sessions (task ids restart per
+  // SparkContext — an append from a fresh session must never collide
+  // with, and silently replace, a live file from an old one)
+  private val file =
+    Paths.get(stagingDir, f"part-$partitionId%05d-$taskId-$queryId.kv")
   private val out = Files.newBufferedWriter(file, UTF_8)
 
   override def write(row: InternalRow): Unit = {

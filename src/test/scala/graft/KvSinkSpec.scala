@@ -116,6 +116,69 @@ class KvSinkSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
   }
 
+  test("failure injection: a task crash mid-job leaves the previous " +
+       "snapshot fully visible and no staging residue") {
+    val dir = java.nio.file.Files.createTempDirectory("kv-fail").toString
+    sample.write.format(fmt).option("path", dir).mode("overwrite").save()
+    // a poisoned row: ANSI raise_error fires while TASKS are writing,
+    // failing the job after some partitions have staged their files
+    val poisoned = sample.repartition(3).withColumn("ttl_s",
+      when(col("cache_key") === "events:2024-01-02",
+        raise_error(lit("injected task failure")).cast("long"))
+        .otherwise(col("ttl_s")))
+    intercept[Exception] {
+      poisoned.write.format(fmt).option("path", dir).mode("overwrite").save()
+    }
+    // readers see snapshot A untouched — overwrite semantics must not
+    // leak from a failed job (truncation happens only at commit)
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.orderBy("cache_key").collect().toSeq ==
+      sample.orderBy("cache_key").collect().toSeq)
+    // and the aborted write's staging dir is gone
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".staging")))
+  }
+
+  test("failure injection: a driver crash MID-COMMIT (after a partial " +
+       "phase-A move) publishes nothing; the next commit GCs the orphan") {
+    import graft.sources.{KvCommit, KvWrite, KvWriterFactory}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("kv-crash").toString
+    sample.write.format(fmt).option("path", dir).mode("overwrite").save()
+
+    val write = new KvWrite(dir, "q-crash", truncate = true)
+    val factory = write.toBatch
+      .createBatchWriterFactory(null).asInstanceOf[KvWriterFactory]
+    val w0 = factory.createWriter(0, 500L)
+    val r = new GenericInternalRow(3)
+    r.update(0, UTF8String.fromString("half-committed")); r.update(1, null)
+    r.update(2, 9L)
+    w0.write(r)
+    val m0 = w0.commit()
+    // the commit moves m0's staged file into the live dir, then dies on
+    // the second (nonexistent) message — BEFORE the manifest flip
+    intercept[Exception] {
+      write.commit(Array(m0, KvCommit(s"$dir/.staging-q-crash/ghost.kv")))
+    }
+    // the moved file is physically present but REFERENCED BY NOTHING:
+    // readers still resolve snapshot A in full, no partial payload
+    val orphan = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.contains("q-crash"))
+    assert(orphan.length == 1, "phase-A move should have happened")
+    val keys = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == sample.collect().map(_.getString(0)).sorted.toSeq)
+    assert(!keys.contains("half-committed"))
+    // a subsequent successful overwrite garbage-collects the orphan file
+    // (the crashed query's staging DIR is inert residue — only its own
+    // writer would clean it, and it never references live data)
+    sample.write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.isFile && f.getName.contains("q-crash")))
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 3)
+  }
+
   test("SETEX expiry at read: option(now) hides rows past write+ttl, " +
        "per-row by tier (C5/S8)") {
     val dir = java.nio.file.Files.createTempDirectory("kv").toString
