@@ -2832,6 +2832,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- HNSW ANN: the reference's literal index structure
+    // (vector_cosine_ops HNSW, database.py:201-210) as per-partition
+    // sub-index graphs (Lucene-segment style) built in one narrow
+    // pass, probed in parallel, k-bounded merge. efSearch here covers
+    // every partition, which makes each local top-k provably EXACT
+    // (HnswIndexSpec asserts score-level equality with brute force),
+    // so the exact SQL top-k is a valid oracle; production tunes ef
+    // down as the recall/latency knob against the spec's 0.9 floor ----
+    "q166_hnsw_ann" -> ((s, d) => {
+      val emb = tSpread(s, d, "embeddings")
+      val q = queryVec(s, d)
+      graft.vector.HnswIndex.searchTopK(emb, "embedding", "vec_id", q, 20,
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128,
+          efSearch = 1 << 20))
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -5105,6 +5122,19 @@ object SparkEntry {
         |SELECT id_a, id_b, n_shared, cont_a, cont_b
         |FROM sc WHERE greatest(cont_a, cont_b) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-SQL oracle is valid because q166 runs HNSW with efSearch
+    // covering each partition — per-partition top-k is exact and the
+    // k-bounded merge of exact local top-ks is the exact global top-k
+    "q166_hnsw_ann" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM embeddings e CROSS JOIN q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
 
     "q117_transitions" ->
       """WITH seq AS (

@@ -1,0 +1,268 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** HNSW (Hierarchical Navigable Small World) ANN index — the literal
+  * index structure the reference serves pgvector cosine queries with
+  * (`vector_cosine_ops` HNSW, reference src/shared/db/database.py:201-210,
+  * migration add_vector_embeddings_to_core_tables.sql:9-27).
+  *
+  * Spark-idiomatic deployment is Lucene-segment style: one HNSW
+  * SUB-INDEX PER PARTITION, built inside `mapPartitions` (a single
+  * narrow pass, no shuffle), probed in parallel with the query
+  * broadcast in the closure; each partition emits its local top-k and
+  * the global answer is the k-bounded merge of ≤ k·numPartitions rows.
+  * At scale this is the right factoring for a graph index: the graph
+  * never needs cross-executor edges (those would shuffle per PROBE),
+  * per-partition recall composes (the true global top-k is contained in
+  * the union of per-partition top-k), and a skewed/burst corpus
+  * re-balances by ordinary repartitioning, not index surgery.
+  *
+  * Determinism (required by the oracle gate): layer assignment uses a
+  * splitmix-style hash of the vector id instead of an RNG, and every
+  * neighbor-set tie breaks on (distance, id). Same partitioning → same
+  * graphs → same answers.
+  *
+  * Complexities are the published ones (Malkov & Yashunin 2016):
+  * build O(n · log n · M), search O(ef · log n) distance evaluations.
+  */
+object HnswIndex {
+
+  /** `m`: max neighbors per node per layer (2m on layer 0);
+    * `efConstruction`: candidate-list width at insert;
+    * `efSearch`: candidate-list width at query (recall/latency knob). */
+  case class Params(m: Int = 8, efConstruction: Int = 64, efSearch: Int = 48)
+
+  // ------------------------------------------------------------ graph
+
+  /** One in-memory sub-index over a partition's vectors. */
+  final class Hnsw(dim: Int, params: Params) {
+    private val m = params.m
+    private val maxL0 = 2 * params.m
+    private val mult = 1.0 / math.log(m.toDouble)
+
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val norms = mutable.ArrayBuffer.empty[Double]
+    // neighbors(layer)(node) = ArrayBuffer[node]
+    private val neighbors = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var topLayer = -1
+
+    def size: Int = vecs.length
+
+    /** Cosine DISTANCE (1 - similarity); zero vectors sort last. */
+    private def dist(a: Int, q: Array[Float], qNorm: Double): Double = {
+      val v = vecs(a)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(v.length, q.length)
+      while (i < n) { dot += v(i).toDouble * q(i); i += 1 }
+      val d = norms(a) * qNorm
+      if (d == 0) 2.0 else 1.0 - dot / d
+    }
+
+    private def distNodes(a: Int, b: Int): Double = dist(a, vecs(b), norms(b))
+
+    /** SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin alg. 4): keep a
+      * candidate only if it is closer to the base point than to every
+      * neighbor already kept — on clustered data this preserves the
+      * inter-cluster "highway" edges that plain M-closest selection
+      * prunes away (the classic HNSW recall cliff). Remaining slots
+      * fill with the closest discarded candidates (keepPruned) so low-
+      * degree nodes stay connected. Deterministic: (dist, id) order. */
+    private def selectNeighbors(cands: Seq[(Int, Double)], cap: Int): Seq[(Int, Double)] = {
+      val sorted = cands.sortBy { case (n, d) => (d, ids(n)) }
+      val kept = mutable.ArrayBuffer.empty[(Int, Double)]
+      val discarded = mutable.ArrayBuffer.empty[(Int, Double)]
+      sorted.foreach { case (c, dc) =>
+        if (kept.length < cap) {
+          if (kept.forall { case (r, _) => distNodes(c, r) >= dc })
+            kept += ((c, dc))
+          else discarded += ((c, dc))
+        }
+      }
+      val fill = discarded.iterator
+      while (kept.length < cap && fill.hasNext) kept += fill.next()
+      kept.toSeq
+    }
+
+    /** Deterministic layer for an id: geometric(1/m) via a splitmix64
+      * hash mapped to (0,1] — the -ln(U)·mult draw with U a pure
+      * function of the id. */
+    private def layerOf(id: Long): Int = {
+      var z = id + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // 53 mantissa bits → u in (0, 1]
+      val u = ((z >>> 11) + 1).toDouble / (1L << 53).toDouble
+      math.min((-math.log(u) * mult).toInt, 31)
+    }
+
+    /** Greedy best-first search on one layer; returns the ef closest
+      * (node, dist), tie-broken by id for determinism. */
+    private def searchLayer(q: Array[Float], qNorm: Double, ep: Seq[(Int, Double)],
+                            ef: Int, layer: Int): mutable.ArrayBuffer[(Int, Double)] = {
+      implicit val ord: Ordering[(Int, Double)] =
+        Ordering.by { case (n, d) => (d, ids(n)) }
+      val visited = mutable.HashSet.empty[Int]
+      val candidates = mutable.PriorityQueue.empty[(Int, Double)](ord.reverse) // min-heap
+      val best = mutable.PriorityQueue.empty[(Int, Double)](ord)               // max-heap
+      ep.foreach { case (n, d) =>
+        if (visited.add(n)) { candidates.enqueue((n, d)); best.enqueue((n, d)) }
+      }
+      while (best.size > ef) best.dequeue()
+      while (candidates.nonEmpty) {
+        val (c, dc) = candidates.dequeue()
+        if (best.size >= ef && dc > best.head._2) { candidates.clear() }
+        else {
+          val ns = neighbors(layer)(c)
+          var i = 0
+          while (i < ns.length) {
+            val nb = ns(i)
+            if (visited.add(nb)) {
+              val d = dist(nb, q, qNorm)
+              if (best.size < ef || d < best.head._2 ||
+                  (d == best.head._2 && ids(nb) < ids(best.head._1))) {
+                candidates.enqueue((nb, d)); best.enqueue((nb, d))
+                if (best.size > ef) best.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Int, Double)]
+      while (best.nonEmpty) out.prepend(best.dequeue())
+      out
+    }
+
+    /** Insert one vector; standard HNSW insert with simple M-closest
+      * neighbor selection (deterministic). */
+    def add(id: Long, v: Array[Float]): Unit = {
+      val node = vecs.length
+      vecs += v; ids += id
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
+      norms += math.sqrt(nv)
+      val l = layerOf(id)
+      while (topLayer < l) {
+        neighbors += mutable.ArrayBuffer.empty
+        topLayer += 1
+      }
+      // every node gets an adjacency slot on layers 0..l
+      var lay = 0
+      while (lay <= topLayer) {
+        while (neighbors(lay).length <= node) neighbors(lay) += mutable.ArrayBuffer.empty[Int]
+        lay += 1
+      }
+      if (entry < 0) { entry = node; return }
+
+      val qNorm = norms(node)
+      var ep = Seq((entry, dist(entry, v, qNorm)))
+      // greedy descent through layers above l
+      var layer = topLayer
+      while (layer > l) {
+        ep = Seq(searchLayer(v, qNorm, ep, 1, layer).head)
+        layer -= 1
+      }
+      // connect on layers min(l, topLayer)..0
+      layer = math.min(l, topLayer)
+      while (layer >= 0) {
+        val found = searchLayer(v, qNorm, ep, params.efConstruction, layer)
+        val cap = if (layer == 0) maxL0 else m
+        val chosen = selectNeighbors(found.filter(_._1 != node).toSeq, cap)
+        chosen.foreach { case (nb, _) =>
+          neighbors(layer)(node) += nb
+          val back = neighbors(layer)(nb)
+          back += node
+          if (back.length > cap) {
+            // shrink with the same diversity heuristic, not plain
+            // closest-M (deterministic tie-break by id)
+            val pruned = selectNeighbors(
+              back.map(x => (x, distNodes(x, nb))).toSeq, cap).map(_._1)
+            back.clear(); back ++= pruned
+          }
+        }
+        ep = found.toSeq
+        layer -= 1
+      }
+      // the deepest node becomes the entry point
+      if (l >= topLayer) entry = node
+    }
+
+    /** Top-k (id, cosine SIMILARITY) for one query. */
+    def search(q: Array[Float], k: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      var nq = 0.0
+      var i = 0
+      while (i < q.length) { nq += q(i).toDouble * q(i); i += 1 }
+      val qNorm = math.sqrt(nq)
+      var ep = Seq((entry, dist(entry, q, qNorm)))
+      var layer = topLayer
+      while (layer > 0) {
+        ep = Seq(searchLayer(q, qNorm, ep, 1, layer).head)
+        layer -= 1
+      }
+      searchLayer(q, qNorm, ep, math.max(params.efSearch, k), 0)
+        .take(k).map { case (n, d) => (ids(n), 1.0 - d) }.toSeq
+    }
+  }
+
+  // ----------------------------------------------------- Spark facade
+
+  /** Global top-k for `query`: per-partition HNSW build + probe, then
+    * the k-bounded merge. Output: (idCol, score) ordered by
+    * (score desc, id) — the same contract as
+    * [[VectorFunctions.topK]], which is its exact oracle. */
+  def searchTopK(df: DataFrame, embCol: String, idCol: String,
+                 query: Array[Float], k: Int,
+                 params: Params = Params()): DataFrame =
+    searchTopKMany(df, embCol, idCol, Seq(0L -> query), k, params)
+      .drop("query_id")
+
+  /** Multi-query form: build each partition's sub-index ONCE, probe it
+    * with every query — the serve-time shape (index amortized across
+    * the query stream). Output: (query_id, idCol, score). */
+  def searchTopKMany(df: DataFrame, embCol: String, idCol: String,
+                     queries: Seq[(Long, Array[Float])], k: Int,
+                     params: Params = Params()): DataFrame = {
+    val spark = df.sparkSession
+    val qs = queries.toArray
+    val p = params
+    val slim = df.select(col(idCol).cast("long"), col(embCol))
+      // id-sorted insertion order makes the per-partition graph a pure
+      // function of partition CONTENT, not arrival order
+      .sortWithinPartitions(col(idCol).cast("long"))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val partial = slim.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val index = new Hnsw(0, p)
+        it.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            index.add(r.getLong(0), r.getSeq[Float](1).toArray)
+        }
+        qs.iterator.flatMap { case (qid, q) =>
+          index.search(q, k).iterator.map { case (id, s) => Row(qid, id, s) }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // global k-bounded merge: ≤ k·numPartitions rows reach the shuffle
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    partial.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+      .orderBy(col("query_id"), col("score").desc, col(idCol))
+  }
+}
