@@ -118,8 +118,13 @@ object GlobalOrder {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     guard(df)
     val t = ranked(df, order, partitions)
+    // the grand total rides in the same bounded offsets frame (an
+    // unbounded window over ≤ numShufflePartitions rows) — one broadcast
+    // join instead of offsets + a separate total cross-join
+    val wTot = Window.orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offs = offsets(t, None)
-    val total = offs.agg(sum(col(Cnt)).as(Tot))
+      .withColumn(Tot, sum(col(Cnt)).over(wTot))
     val rn = "_go_rn"
     // q = n div k rows per bucket, first r = n % k buckets get one more;
     // greatest(q, 1) keeps the (never-taken when q = 0) ELSE branch from
@@ -130,9 +135,8 @@ object GlobalOrder {
          |ELSE ($Tot % $k) +
          |  ($rn - ($Tot % $k) * (($Tot div $k) + 1) - 1)
          |    div greatest($Tot div $k, 1L) + 1 END""".stripMargin)
-    t.join(broadcast(offs.select(col(Pid), col(Off))), Seq(Pid))
+    t.join(broadcast(offs.select(col(Pid), col(Off), col(Tot))), Seq(Pid))
       .withColumn(rn, col(Off) + col(Lrn))
-      .crossJoin(broadcast(total))
       .withColumn(out, bucket.cast("int"))
       .drop(Pid, Lrn, Off, rn, Tot)
   }
