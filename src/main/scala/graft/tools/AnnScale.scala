@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.vector.{IvfIndex, VectorFunctions}
+import graft.vector.{HnswIndex, IvfIndex, VectorFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,26 @@ object AnnScale {
     ivf("ivf16h", seeds(16), 4)   // q39's exact shape: hash-seed, nProbe 4
     ivf("ivf16k", kmeans(16), 4)  // + Lloyd refinement
     ivf("ivf64k", kmeans(64), 8)  // cells scaled ~sqrt(N) with the corpus
+
+    // HNSW (q166's operator) at serve params: per-partition sub-index
+    // graphs, ONE build pass serving every query via searchTopKMany —
+    // report the all-queries wall time and the amortized per-query cost
+    val (hnswRows, hnswSec) = timed {
+      HnswIndex.searchTopKMany(corpus, "embedding", "vec_id",
+        queries, kNN, HnswIndex.Params(m = 8, efConstruction = 64,
+          efSearch = 48)).collect()
+    }
+    val byQ = hnswRows.groupBy(_.getLong(0))
+    var hit = 0
+    var tot = 0
+    queries.foreach { case (qid, _) =>
+      val got = byQ.getOrElse(qid, Array.empty).map(_.getLong(1)).toSet
+      hit += (got intersect truth(qid)).size
+      tot += truth(qid).size
+    }
+    println(f"[annscale] hnsw    recall@$kNN=${hit.toDouble / tot}%.3f  " +
+      f"total=${hnswSec}%.2fs (build+all probes)  " +
+      f"per-query=${hnswSec / nQueries}%.3fs amortized")
     spark.stop()
   }
 }
