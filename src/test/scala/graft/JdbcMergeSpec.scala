@@ -122,6 +122,35 @@ class JdbcMergeSpec extends SparkSpec {
     }
   }
 
+  test("failure injection: a mid-batch failure rolls back the open chunk " +
+       "atomically; prior chunks stay committed; a fixed re-run converges") {
+    withTable("t_rollback", ddl) { t =>
+      val target = Seq((1L, "alice", 1.0)).toDF("k", "name", "score")
+      seed(t, target, Seq("k"))
+      // batchSize=2 → two chunks; the oversized name violates
+      // VARCHAR(64) in the SECOND chunk, after chunk 1 committed
+      val rows = Seq(
+        (10L, "ok-a", 1.0), (11L, "ok-b", 2.0), // chunk 1: commits
+        (12L, "x" * 100, 3.0), (13L, "ok-d", 4.0), // chunk 2: fails
+      ).toDF("k", "name", "score").coalesce(1)
+      intercept[Exception] {
+        JdbcMerge.upsert(rows, url, t, Seq("k"), Map.empty, props,
+          batchSize = 2, dedupSource = false)
+      }
+      // per-chunk commit contract: chunk 1 durable, the failing chunk
+      // left NO partial state (13 rolled back together with 12)
+      assert(readBack(t).collect().map(_.getAs[Long]("k")).toSet ==
+        Set(1L, 10L, 11L))
+      // the upsert is idempotent, so the standard recovery — fix the
+      // bad row, re-run the WHOLE batch — converges without duplicates
+      val fixed = Seq((10L, "ok-a", 1.0), (11L, "ok-b", 2.0),
+        (12L, "ok-c", 3.0), (13L, "ok-d", 4.0)).toDF("k", "name", "score")
+      JdbcMerge.upsert(fixed, url, t, Seq("k"), Map.empty, props)
+      assert(readBack(t).collect().map(_.getAs[Long]("k")).toSet ==
+        Set(1L, 10L, 11L, 12L, 13L))
+    }
+  }
+
   // ---- Postgres-dialect ON CONFLICT template (reference loader's
   // single-statement upsert). Derby cannot execute it offline, so these
   // tests prove the generated text's rule encoding two ways: exact
