@@ -198,6 +198,81 @@ object HnswIndex {
       if (l >= topLayer) entry = node
     }
 
+    /** Binary form of this sub-index (big-endian): n, topLayer, entry;
+      * per node (id: long, len: int, len floats); per layer 0..topLayer
+      * (nodeCount, then per node neighborCount + neighbor ints). Norms
+      * recompute on load. Lets the per-partition graphs persist AT REST
+      * so the build cost amortizes across JOBS, not just across the
+      * queries of one probe pass. */
+    def serialize(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(vecs.length); o.writeInt(topLayer); o.writeInt(entry)
+      var i = 0
+      while (i < vecs.length) {
+        o.writeLong(ids(i))
+        val v = vecs(i)
+        o.writeInt(v.length)
+        var j = 0
+        while (j < v.length) { o.writeFloat(v(j)); j += 1 }
+        i += 1
+      }
+      var lay = 0
+      while (lay <= topLayer) {
+        val ln = neighbors(lay)
+        o.writeInt(ln.length)
+        var nd = 0
+        while (nd < ln.length) {
+          val ns = ln(nd)
+          o.writeInt(ns.length)
+          var e = 0
+          while (e < ns.length) { o.writeInt(ns(e)); e += 1 }
+          nd += 1
+        }
+        lay += 1
+      }
+      o.flush()
+      bos.toByteArray
+    }
+
+    private[vector] def loadFrom(bytes: Array[Byte]): Unit = {
+      require(vecs.isEmpty, "loadFrom on a non-empty index")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      topLayer = in.readInt(); entry = in.readInt()
+      var i = 0
+      while (i < n) {
+        ids += in.readLong()
+        val len = in.readInt()
+        val v = new Array[Float](len)
+        var j = 0
+        while (j < len) { v(j) = in.readFloat(); j += 1 }
+        vecs += v
+        var nv = 0.0
+        j = 0
+        while (j < len) { nv += v(j).toDouble * v(j); j += 1 }
+        norms += math.sqrt(nv)
+        i += 1
+      }
+      var lay = 0
+      while (lay <= topLayer) {
+        val cnt = in.readInt()
+        val ln = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+        var nd = 0
+        while (nd < cnt) {
+          val deg = in.readInt()
+          val ns = mutable.ArrayBuffer.empty[Int]
+          var e = 0
+          while (e < deg) { ns += in.readInt(); e += 1 }
+          ln += ns
+          nd += 1
+        }
+        neighbors += ln
+        lay += 1
+      }
+    }
+
     /** Top-k (id, cosine SIMILARITY) for one query. */
     def search(q: Array[Float], k: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
@@ -258,11 +333,77 @@ object HnswIndex {
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    // global k-bounded merge: ≤ k·numPartitions rows reach the shuffle
+    mergeTopK(partial, idCol, k)
+  }
+
+  /** Global k-bounded merge of per-partition top-k rows: ≤
+    * k·numPartitions rows reach the shuffle. */
+  private def mergeTopK(partial: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(idCol))
     partial.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k).drop("_rk")
       .orderBy(col("query_id"), col("score").desc, col(idCol))
+  }
+
+  // ------------------------------------------------------ at rest
+
+  /** Persist the per-partition sub-indexes AT REST: one parquet row per
+    * partition holding the serialized graph. Probing a stored index
+    * skips the build entirely — the amortization boundary moves from
+    * "queries within one job" (searchTopKMany) to "all future jobs".
+    * Partition the INPUT so each sub-graph stays index-sized (hundreds
+    * of MB of vectors per partition, not GB) — the blob is one parquet
+    * binary cell per partition. */
+  def writeGraphIndex(df: DataFrame, embCol: String, idCol: String,
+                      path: String, params: Params = Params()): Unit = {
+    val p = params
+    val slim = df.select(col(idCol).cast("long"), col(embCol))
+      .sortWithinPartitions(col(idCol).cast("long"))
+    val schema = StructType(Seq(
+      StructField("n_vectors", LongType, nullable = false),
+      StructField("graph", BinaryType, nullable = false)))
+    slim.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val index = new Hnsw(0, p)
+        var n = 0L
+        it.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            index.add(r.getLong(0), r.getSeq[Float](1).toArray)
+            n += 1
+          }
+        }
+        Iterator.single(Row(n, index.serialize()))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Probe a stored graph index: deserialize each partition's sub-graph
+    * (no rebuild) and answer every query from it, then the k-bounded
+    * merge. `params.efSearch` stays a probe-time knob; m/efConstruction
+    * are baked into the stored graphs. */
+  def searchGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String,
+                       queries: Seq[(Long, Array[Float])], k: Int,
+                       params: Params = Params()): DataFrame = {
+    val qs = queries.toArray
+    val p = params
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val partial = spark.read.parquet(path).select(col("graph"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val index = new Hnsw(0, p)
+          index.loadFrom(r.getAs[Array[Byte]](0))
+          qs.iterator.flatMap { case (qid, q) =>
+            index.search(q, k).iterator.map { case (id, s) => Row(qid, id, s) }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    mergeTopK(partial, idCol, k)
   }
 }

@@ -74,6 +74,37 @@ class HnswIndexSpec extends SparkSpec {
     data.unpersist()
   }
 
+  test("at-rest graph index: stored sub-graphs answer identically to " +
+       "the in-memory build, with efSearch still a probe-time knob") {
+    val (df, centers) = clustered(1200, 5, 12, seed = 29)
+    val data = df.repartition(4, col("id")).cache()
+    data.count()
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-idx").toString + "/graphs"
+    HnswIndex.writeGraphIndex(data, "emb", "id", dir)
+    val queries = centers.take(3).zipWithIndex.map { case (q, i) => (i.toLong, q) }.toSeq
+
+    // identical ranked answers: the stored graphs ARE the in-memory
+    // graphs (same content, same partitioning, deterministic build)
+    val stored = HnswIndex.searchGraphIndex(spark, dir, "id", queries, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val live = HnswIndex.searchTopKMany(data, "emb", "id", queries, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stored == live)
+
+    // a wider probe beam on the SAME stored graphs: still deterministic,
+    // recall can only stay or improve vs brute force
+    val wide = HnswIndex.searchGraphIndex(spark, dir, "id", queries, k = 12,
+      HnswIndex.Params(efSearch = 300))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = queries.map { case (qid, q) =>
+      VectorFunctions.topK(data, "emb", "id", q, 12)
+        .collect().map(r => (qid, r.getLong(0))).toSeq
+    }.reduce(_ ++ _)
+    assert(wide.toSet.intersect(exact.toSet).size >=
+      stored.toSet.intersect(exact.toSet).size)
+    data.unpersist()
+  }
+
   test("empty and sub-k partitions are handled") {
     val (df, centers) = clustered(7, 2, 4, seed = 21)
     // 16 partitions, most empty; k larger than the corpus
