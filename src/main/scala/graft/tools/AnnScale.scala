@@ -116,9 +116,13 @@ object AnnScale {
     // graphs, ONE build pass serving every query via searchTopKMany —
     // report the all-queries wall time and the amortized per-query cost
     val (hnswRows, hnswSec) = timed {
-      HnswIndex.searchTopKMany(corpus, "embedding", "vec_id",
-        queries, kNN, HnswIndex.Params(m = 8, efConstruction = 64,
-          efSearch = 48)).collect()
+      // partition the input so each sub-graph stays index-sized (the
+      // documented deployment shape): the parquet corpus is ~2 input
+      // splits, which would build two 10k-node graphs on 2 cores —
+      // the repartition cost is INCLUDED in the measured time
+      HnswIndex.searchTopKMany(corpus.repartition(32), "embedding",
+        "vec_id", queries, kNN, HnswIndex.Params(m = 8,
+          efConstruction = 64, efSearch = 48)).collect()
     }
     val byQ = hnswRows.groupBy(_.getLong(0))
     var hit = 0

@@ -111,11 +111,15 @@ object HnswIndex {
                             ef: Int, layer: Int): mutable.ArrayBuffer[(Int, Double)] = {
       implicit val ord: Ordering[(Int, Double)] =
         Ordering.by { case (n, d) => (d, ids(n)) }
-      val visited = mutable.HashSet.empty[Int]
+      // primitive bitset: the visited check is the single hottest
+      // operation in the walk; a boxed HashSet dominates build time
+      val visited = new java.util.BitSet(vecs.length)
       val candidates = mutable.PriorityQueue.empty[(Int, Double)](ord.reverse) // min-heap
       val best = mutable.PriorityQueue.empty[(Int, Double)](ord)               // max-heap
       ep.foreach { case (n, d) =>
-        if (visited.add(n)) { candidates.enqueue((n, d)); best.enqueue((n, d)) }
+        if (!visited.get(n)) {
+          visited.set(n); candidates.enqueue((n, d)); best.enqueue((n, d))
+        }
       }
       while (best.size > ef) best.dequeue()
       while (candidates.nonEmpty) {
@@ -126,7 +130,8 @@ object HnswIndex {
           var i = 0
           while (i < ns.length) {
             val nb = ns(i)
-            if (visited.add(nb)) {
+            if (!visited.get(nb)) {
+              visited.set(nb)
               val d = dist(nb, q, qNorm)
               if (best.size < ef || d < best.head._2 ||
                   (d == best.head._2 && ids(nb) < ids(best.head._1))) {
