@@ -2849,6 +2849,25 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // ---- HNSW THROUGH THE AT-REST INDEX (q74's round-trip pattern):
+    // build + persist the per-partition sub-graphs (writeGraphIndex),
+    // then answer the query FROM the stored graphs (searchGraphIndex)
+    // — the oracle sees only the read-back, so a sub-graph lost or
+    // corrupted in (de)serialization would mismatch. efSearch covers
+    // the partitions, so the exact SQL top-k is again a valid oracle ----
+    "q167_hnsw_at_rest" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-hnsw-q167").toString + "/graphs"
+      graft.vector.HnswIndex.writeGraphIndex(
+        tSpread(s, d, "embeddings"), "embedding", "vec_id", dir,
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      graft.vector.HnswIndex.searchGraphIndex(s, dir, "vec_id",
+          Seq(0L -> queryVec(s, d)), 20,
+          graft.vector.HnswIndex.Params(efSearch = 1 << 20))
+        .drop("query_id")
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -5122,6 +5141,18 @@ object SparkEntry {
         |SELECT id_a, id_b, n_shared, cont_a, cont_b
         |FROM sc WHERE greatest(cont_a, cont_b) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-SQL oracle valid for the same reason as q166: efSearch
+    // covers each stored sub-graph, so the read-back probe is exact
+    "q167_hnsw_at_rest" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM embeddings e CROSS JOIN q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
 
     // exact-SQL oracle is valid because q166 runs HNSW with efSearch
     // covering each partition — per-partition top-k is exact and the
