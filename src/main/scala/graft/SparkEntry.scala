@@ -2868,6 +2868,31 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // ---- multimodal fan-out ops under the oracle: frame-sample the
+    // "videos" (every stride-th byte window as a frame row) and chunk
+    // the "audio" into fixed-duration windows (byte span derived from
+    // THIS clip's bytes-per-ms — variable bitrate across rows), then
+    // per-doc part stats. The decode is the declared stub; the
+    // explode/substring/metadata plumbing is the real thing and the
+    // oracle replays its arithmetic exactly ----
+    "q168_media_parts" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(tSpread(s, d, "documents"))
+      val frames = Multimodal.sampleFrames(media, stride = 4, frameBytes = 32)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("frame_len")).cast("bigint").as("sum_part_bytes"))
+        .withColumn("media_type", lit("video"))
+      val chunks = Multimodal.chunkAudio(media, windowMs = 5000)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("chunk_len")).cast("bigint").as("sum_part_bytes"))
+        .withColumn("media_type", lit("audio"))
+      frames.unionByName(chunks)
+        .select(col("doc_id"), col("media_type"), col("n_parts"),
+          col("sum_part_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- chunk-level dedup join: docs sharing ≥2 CDC chunks are
     // near-dup/containment candidates. One shuffle on the chunk hash,
     // map-side pair expansion, doc-frequency cap as the boilerplate
@@ -5141,6 +5166,45 @@ object SparkEntry {
         |SELECT id_a, id_b, n_shared, cont_a, cont_b
         |FROM sc WHERE greatest(cont_a, cont_b) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // replays sampleFrames/chunkAudio arithmetic over byte lengths:
+    // frame f of a video covers [f·128, +32) of the payload; audio chunk
+    // i covers [i·bpc, +bpc) with bpc = ceil(L / nChunks)
+    "q168_media_parts" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  octet_length(encode(text)) AS L,
+        |  (doc_id * 13) % 60000 AS duration_ms
+        | FROM documents),
+        |v AS (
+        | SELECT doc_id, L,
+        |  unnest(generate_series(0,
+        |    greatest(CAST(floor(L / 128) AS BIGINT) - 1, 0))) AS f
+        | FROM m WHERE media_type = 'video'),
+        |vf AS (
+        | SELECT doc_id, 'video' AS media_type, count(*) AS n_parts,
+        |  CAST(sum(greatest(least(L - f * 128, 32), 0)) AS BIGINT)
+        |    AS sum_part_bytes
+        | FROM v GROUP BY 1, 2),
+        |a AS (
+        | SELECT doc_id, L,
+        |  greatest(CAST(ceil(duration_ms / 5000.0) AS BIGINT), 1) AS n_chunks
+        | FROM m WHERE media_type = 'audio'),
+        |a2 AS (
+        | SELECT doc_id, L,
+        |  greatest(CAST(ceil(L / CAST(n_chunks AS DOUBLE)) AS BIGINT), 1) AS bpc,
+        |  unnest(generate_series(0, n_chunks - 1)) AS i
+        | FROM a),
+        |af AS (
+        | SELECT doc_id, 'audio' AS media_type, count(*) AS n_parts,
+        |  CAST(sum(greatest(least(L - i * bpc, bpc), 0)) AS BIGINT)
+        |    AS sum_part_bytes
+        | FROM a2 GROUP BY 1, 2)
+        |SELECT doc_id, media_type, n_parts, sum_part_bytes FROM vf
+        |UNION ALL
+        |SELECT doc_id, media_type, n_parts, sum_part_bytes FROM af
+        |ORDER BY doc_id""".stripMargin,
 
     // exact-SQL oracle valid for the same reason as q166: efSearch
     // covers each stored sub-graph, so the read-back probe is exact
