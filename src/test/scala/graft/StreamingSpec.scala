@@ -91,6 +91,55 @@ class StreamingSpec extends SparkSpec {
     assert(collected.map(_._1).sorted == Seq(1L, 2L)) // duplicate dropped
   }
 
+  test("streaming incremental near-dup detection: arriving docs probe the " +
+       "corpus LSH index per micro-batch, equal to the batch run (q65 " +
+       "streaming mode)") {
+    import graft.dedup.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200).cache()
+    corpus.count()
+    // the "arriving" docs: copies of corpus docs (guaranteed near-dups)
+    // plus fresh ids, written as two json files = two micro-batches
+    val dir = Files.createTempDirectory("graft-stream-docs").toString
+    val batch1 = corpus.limit(5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val batch2 = corpus.filter(col("doc_id") >= 5).limit(5)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    batch1.coalesce(1).write.json(s"$dir/b1")
+    batch2.coalesce(1).write.json(s"$dir/b2")
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cands = Dedup.minhashIncrementalCandidates(
+          corpus, batch, "text", "doc_id")
+        results.synchronized {
+          results ++= cands.collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    // batch reference: the same probe over the union of both batches
+    val want = Dedup.minhashIncrementalCandidates(
+        corpus, batch1.unionByName(batch2), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(results.toSet == want, s"streaming=${results.toSet} batch=$want")
+    // every copied doc found its source in the corpus
+    assert(want.map(_._1).map(id => id % 100000L).toSet
+      .subsetOf(corpus.collect().map(_.getLong(0)).toSet))
+    assert(want.nonEmpty)
+    corpus.unpersist()
+  }
+
   test("custom sketch aggregates work in streaming: hll_distinct per group") {
     import graft.sketch.HllSketch.hll_distinct
     val sf = "/root/testdata/sf0.001"
