@@ -2274,7 +2274,9 @@ object SparkEntry {
           Seq(col("monetary").desc, col("o_custkey")), 4, "m")
         .filter(col("o_custkey") < 200)
         .select(col("o_custkey"), col("rec_days").cast("bigint").as("rec_days"),
-          col("freq"), col("monetary"), col("r"), col("f"), col("m"),
+          col("freq"), col("monetary"),
+          col("r").cast("bigint").as("r"), col("f").cast("bigint").as("f"),
+          col("m").cast("bigint").as("m"),
           concat_ws("-", col("r"), col("f"), col("m")).as("segment"))
         .orderBy(col("o_custkey"))
     }),
@@ -2413,7 +2415,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts"))
       val w = Window.partitionBy(col("n_name"))
         .orderBy(col("n_parts").desc)
-      bc.withColumn("dr", dense_rank().over(w))
+      bc.withColumn("dr", dense_rank().over(w).cast("bigint"))
         .filter(col("dr") <= 3)
         .orderBy(col("n_name"), col("dr"), col("p_brand"))
     }),
@@ -2425,7 +2427,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(to_date(col("o_orderdate")), col("o_orderkey"))
       t(s, d, "orders")
-        .withColumn("order_no", row_number().over(w))
+        .withColumn("order_no", row_number().over(w).cast("bigint"))
         .filter(col("order_no") <= 10)
         .groupBy(col("order_no"))
         .agg(count(lit(1)).as("n_customers"),
