@@ -156,6 +156,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
+    e.injectOptimizerRule(_ => new graft.plans.AnnIndexRule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

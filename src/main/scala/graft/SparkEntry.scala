@@ -2870,6 +2870,39 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // ---- TRANSPARENT ANN PLANNING (the reference planner's contract:
+    // `ORDER BY embedding <=> q LIMIT k` uses the HNSW index with NO
+    // query change, database.py:201-210). The query below is the plain
+    // brute-force topK shape; AnnIndexRule plans it into the stored IVF
+    // index probe because the table path is registered in AnnCatalog.
+    // The oracle is q39's IVF SQL (nProbe=4 of 16 cells) — it matches
+    // ONLY IF the rewrite fired: un-rewritten brute force returns the
+    // exact global top-20, which differs from the 4-cell probe. The
+    // CORRECTNESS row therefore gates the rewrite itself, not just the
+    // result. The table is COPIED to a private temp path first: the
+    // catalog key is the table path, and registering the shared
+    // testdata path would silently rewrite every other exact-top-k
+    // query in the session ----
+    "q169_ann_auto" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      import graft.vector.IvfIndex
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AnnIndexRule]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new AnnIndexRule
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-auto").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding", "vec_id", 16)
+      IvfIndex.writeIndex(
+        IvfIndex.build(tSpread(s, d, "embeddings"), "embedding", "vec_id", cs),
+        s"$tmp/ivf")
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.IvfEntry(s"$tmp/ivf", "embedding", "vec_id", cs, nProbe = 4))
+      VectorFunctions.topK(s.read.parquet(s"$tmp/base"),
+          "embedding", "vec_id", queryVec(s, d), 20)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // ---- multimodal fan-out ops under the oracle: frame-sample the
     // "videos" (every stride-th byte window as a frame row) and chunk
     // the "audio" into fixed-duration windows (byte span derived from
@@ -5207,6 +5240,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, media_type, n_parts, sum_part_bytes FROM af
         |ORDER BY doc_id""".stripMargin,
+
+    // same oracle as q39 (16 hash-spread centroids, nProbe 4): the
+    // Spark side is the UN-indexed brute-force query shape, so the hash
+    // matches only if AnnIndexRule planned it into the stored IVF probe
+    "q169_ann_auto" ->
+      s"""WITH cents AS (
+        | SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+        |   - 1 AS cid, embedding AS ce
+        | FROM embeddings
+        | QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id) <= 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.cid,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) DESC,
+        |     c.cid) AS rn
+        | FROM embeddings e, cents c),
+        |cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+        |probe AS (SELECT c.cid FROM cents c, q
+        | ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, c.cid
+        | LIMIT 4)
+        |SELECT cl.vec_id,
+        | round(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM cells cl, q WHERE cl.cid IN (SELECT cid FROM probe)
+        |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
+        | cl.vec_id
+        |LIMIT 20""".stripMargin,
 
     // exact-SQL oracle valid for the same reason as q166: efSearch
     // covers each stored sub-graph, so the read-back probe is exact

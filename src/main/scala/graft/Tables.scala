@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -24,17 +24,26 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** The `events` parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a proper
-    * microsecond TimestampType column — the same floor-division DuckDB
-    * applies, so oracle comparisons agree. */
+  /** The `events` parquet's `ts` physical type has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's reader
+    * rejects outright unless read as raw longs via
+    * `spark.sql.legacy.parquet.nanosAsLong`), and TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ).
+    * Normalize BOTH to a session-TZ TimestampType column carrying the
+    * same microsecond values DuckDB's `epoch_us` sees: nanos
+    * floor-divide to micros exactly like DuckDB; NTZ casts to LTZ,
+    * which under the engine's pinned UTC session zone is the identity
+    * on the stored micros. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Date-bounded events scan with the range predicate applied to the RAW
@@ -51,13 +60,22 @@ object Tables {
     def nanosOf(date: String): Long =
       java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
         .toInstant.getEpochSecond * 1000000000L
-    if (raw.schema("ts").dataType == LongType)
-      raw.filter(col("ts") >= nanosOf(startDate) &&
-          col("ts") < nanosOf(endDateExclusive))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      raw.filter(col("ts") >= lit(startDate).cast("timestamp") &&
-        col("ts") < lit(endDateExclusive).cast("timestamp"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= nanosOf(startDate) &&
+            col("ts") < nanosOf(endDateExclusive))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // range predicate on the RAW NTZ column with foldable NTZ
+        // literals — pushes to the parquet reader as an int64 min/max
+        // filter; the LTZ cast happens above the pruned scan
+        raw.filter(col("ts") >= lit(startDate).cast("timestamp_ntz") &&
+            col("ts") < lit(endDateExclusive).cast("timestamp_ntz"))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        raw.filter(col("ts") >= lit(startDate).cast("timestamp") &&
+          col("ts") < lit(endDateExclusive).cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

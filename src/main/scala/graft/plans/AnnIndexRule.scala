@@ -1,0 +1,221 @@
+package graft.plans
+
+import graft.vector.{CosineSimilarity, HnswIndex, IvfIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import scala.collection.concurrent.TrieMap
+
+/** Registry of stored ANN indexes keyed by the BASE TABLE's storage path.
+  *
+  * The reference attaches its HNSW index to the table itself: a plain
+  * `ORDER BY embedding <=> :q LIMIT k` query uses the index with no query
+  * change (reference src/shared/db/database.py:201-210 — the index is
+  * created once and the planner picks it up). This catalog plus
+  * [[AnnIndexRule]] reproduces that contract on Spark: register a stored
+  * index against the table path once, and every naturally-written
+  * brute-force top-k over that table plans into the index probe.
+  *
+  * Keys are scheme-normalized paths (`file:/x` == `/x`) so a catalog
+  * entry registered with the path a user wrote matches the root path the
+  * file index reports.
+  */
+object AnnCatalog {
+
+  sealed trait Entry {
+    def embCol: String
+    def idCol: String
+  }
+
+  /** A stored [[IvfIndex]] (`writeIndex` layout: parquet partitioned by
+    * `centroid_id`). Probes read ~nProbe/centroids of the stored bytes
+    * via partition pruning. */
+  final case class IvfEntry(indexPath: String, embCol: String, idCol: String,
+                            centroids: Array[(Int, Array[Float])],
+                            nProbe: Int) extends Entry
+
+  /** A stored [[HnswIndex]] graph index (`writeGraphIndex` layout: one
+    * serialized sub-graph per partition). Probes skip the O(n·log n)
+    * build entirely. */
+  final case class HnswEntry(indexPath: String, embCol: String, idCol: String,
+                             params: HnswIndex.Params) extends Entry
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def register(tablePath: String, entry: Entry): Unit =
+    entries.put(norm(tablePath), entry)
+
+  def unregister(tablePath: String): Unit = entries.remove(norm(tablePath))
+
+  def clear(): Unit = entries.clear()
+
+  def isEmpty: Boolean = entries.isEmpty
+
+  /** The entry for a scan, only when the scan reads exactly one root. */
+  def lookup(rootPaths: Seq[String]): Option[Entry] =
+    if (rootPaths.length != 1) None else entries.get(norm(rootPaths.head))
+}
+
+/** Optimizer rule: transparent ANN index selection.
+  *
+  * Rewrites the canonical brute-force vector top-k plan
+  *
+  * {{{
+  *   GlobalLimit k
+  *   +- LocalLimit k
+  *      +- Sort [score DESC (, id ASC)], global
+  *         +- Project [id, cosine_sim(emb, <literal query>) AS score]
+  *            +- Relation parquet  <registered table>
+  * }}}
+  *
+  * into a probe of the stored IVF or HNSW index registered for that
+  * table in [[AnnCatalog]] — the Spark analogue of Postgres planning
+  * `ORDER BY embedding <=> q LIMIT k` onto its HNSW index with no query
+  * change (reference database.py:201-210). Both the DataFrame form
+  * (`VectorFunctions.topK`) and the SQL form
+  * (`SELECT id, cosine_sim(emb, q) AS s FROM t ORDER BY s DESC LIMIT k`)
+  * produce this plan shape, so both are rewritten.
+  *
+  * Deliberately conservative — anything NOT matched falls back to the
+  * (always-correct) brute-force scan:
+  *  - the scan must be a bare single-root parquet relation, optionally
+  *    under column-pruning Projects; ANY Filter disables the rewrite
+  *    (the stored index covers the whole table, not a filtered subset);
+  *  - the query vector must be a literal `array<float>`;
+  *  - the projection must be exactly (id, score) for the registered
+  *    id/embedding columns — extra payload columns don't fit the index
+  *    row layout and would need a join-back;
+  *  - the sort must lead with score DESC; one optional id ASC tiebreak
+  *    is allowed (the convention `topK` emits).
+  *
+  * The replacement subtree is built with the public DataFrame API
+  * ([[IvfIndex.search]] / [[HnswIndex.searchGraphIndex]]) and spliced in
+  * under a Project that re-aliases its output to the original exprIds,
+  * so parent operators (e.g. a rounding Project) resolve unchanged.
+  * Output ordering (score DESC, id) is preserved by construction.
+  *
+  * Idempotent under fixed-point execution: the IVF probe contains a
+  * Filter over the index relation and the HNSW probe contains no
+  * cosine-sort-limit over a relation, so neither re-matches.
+  */
+class AnnIndexRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (AnnCatalog.isEmpty) plan
+    else plan.transformUp {
+      // PushProjectionThroughLimit may have moved a post-limit
+      // projection (e.g. score rounding) between the limit and the
+      // sort — accept one deterministic Project there and re-apply it
+      // on top of the probe
+      case gl @ GlobalLimit(IntegerLiteral(k),
+          LocalLimit(IntegerLiteral(k2), body)) if k == k2 && k > 0 =>
+        (body match {
+          case s @ Sort(_, true, _, _) => Some((None: Option[Project], s))
+          case p @ Project(pl, s @ Sort(_, true, _, _))
+              if pl.forall(_.deterministic) => Some((Some(p), s))
+          case _ => None
+        }).flatMap { case (post, sort) =>
+          rewrite(gl, k, sort.order, sort.child).map { probed =>
+            post.fold(probed: LogicalPlan)(p => Project(p.projectList, probed))
+          }
+        }.getOrElse(gl)
+    }
+
+  /** Look through attribute-only Projects to the underlying V1 file
+    * relation; None if anything else (Filter, Join, …) intervenes. */
+  private def bareRelation(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case lr: LogicalRelation => Some(lr)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        bareRelation(c)
+      case _ => None
+    }
+
+  private def rewrite(gl: GlobalLimit, k: Int, orders: Seq[SortOrder],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val (projList, below) = child match {
+      case Project(pl, c) => (pl, c)
+      case _ => return None
+    }
+    val lr = bareRelation(below).getOrElse(return None)
+    val fs = lr.relation match {
+      case f: HadoopFsRelation => f
+      case _ => return None
+    }
+    val entry = AnnCatalog.lookup(fs.location.rootPaths.map(_.toString))
+      .getOrElse(return None)
+
+    // projection must be exactly (id, score-alias) in either order
+    if (projList.length != 2) return None
+    val (scoreAlias, queryVec, embAttr) = projList.collectFirst {
+      case al @ Alias(c: CosineSimilarity, _) =>
+        (c.left, c.right) match {
+          case (e: AttributeReference, Literal(a: ArrayData, ArrayType(FloatType, _))) =>
+            (al, a.toFloatArray(), e)
+          case (Literal(a: ArrayData, ArrayType(FloatType, _)), e: AttributeReference) =>
+            (al, a.toFloatArray(), e)
+          case _ => return None
+        }
+    }.getOrElse(return None)
+    val idAttr = projList.collectFirst {
+      case a: AttributeReference => a
+    }.getOrElse(return None)
+    if (embAttr.name != entry.embCol || idAttr.name != entry.idCol) return None
+
+    // sort: score DESC first, at most one id ASC tiebreak after
+    val scoreLeads = orders.headOption.exists {
+      case SortOrder(r: AttributeReference, Descending, _, _) =>
+        r.exprId == scoreAlias.exprId
+      case _ => false
+    }
+    val tieOk = orders.length match {
+      case 1 => true
+      case 2 => orders(1) match {
+        case SortOrder(r: AttributeReference, Ascending, _, _) =>
+          r.exprId == idAttr.exprId
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!scoreLeads || !tieOk) return None
+
+    val spark = SparkSession.active
+    val probe = entry match {
+      case AnnCatalog.IvfEntry(path, embCol, idCol, cs, nProbe) =>
+        IvfIndex.search(spark.read.parquet(path), embCol, idCol, cs,
+          queryVec, k, nProbe)
+      case AnnCatalog.HnswEntry(path, _, idCol, params) =>
+        HnswIndex.searchGraphIndex(spark, path, idCol,
+          Seq(0L -> queryVec), k, params).drop("query_id")
+    }
+    val analyzed = probe.queryExecution.analyzed
+    val pId = analyzed.output.head
+    val pScore = analyzed.output(1)
+
+    // splice under aliases carrying the ORIGINAL exprIds so the parent
+    // plan resolves against the probe unchanged
+    def as(src: Attribute, target: Attribute): NamedExpression = {
+      val cast: Expression =
+        if (src.dataType == target.dataType) src else Cast(src, target.dataType)
+      Alias(cast, target.name)(exprId = target.exprId,
+        qualifier = target.qualifier)
+    }
+    // output = the sort-child Project's (id, score) attrs, in order —
+    // the caller re-applies any post-limit projection on top
+    val outProj = projList.map(_.toAttribute).map { a =>
+      if (a.exprId == scoreAlias.exprId) as(pScore, a)
+      else as(pId, a)
+    }
+    logInfo(s"AnnIndexRule: rewrote brute-force top-$k over " +
+      s"${fs.location.rootPaths.head} into ${entry.getClass.getSimpleName} probe")
+    Some(Project(outProj, analyzed))
+  }
+}

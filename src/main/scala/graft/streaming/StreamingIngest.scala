@@ -38,9 +38,14 @@ object StreamingIngest {
     val schema = spark.read.option("pathGlobFilter", "events.parquet")
       .parquet(dir).schema
     val raw = readStream(spark, dir, schema, globFilter = "events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window event counts with a watermark (the streaming form

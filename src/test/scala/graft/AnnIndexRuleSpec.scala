@@ -1,0 +1,189 @@
+package graft
+
+import graft.plans.{AnnCatalog, AnnIndexRule}
+import graft.vector.{HnswIndex, IvfIndex, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
+
+/** Transparent ANN planning: a stored index registered against a table
+  * path makes the naturally-written brute-force top-k plan into an index
+  * probe — the reference's `ORDER BY embedding <=> q LIMIT k` contract
+  * (database.py:201-210), where the planner, not the query, picks the
+  * index. */
+class AnnIndexRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ensureRule(): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AnnIndexRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new AnnIndexRule
+
+  /** All V1 file scans in the executed plan, recursing through AQE
+    * wrappers (the IvfIndexSpec pattern). */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] = p match {
+    case f: FileSourceScanExec => Seq(f)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scans(q.plan)
+    case other => other.children.flatMap(scans)
+  }
+
+  private def scanRoots(df: DataFrame): Seq[String] =
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+
+  /** 3 well-separated clusters written to a parquet "table". */
+  private def writeBase(n: Int = 300, dim: Int = 8): (String, Array[Array[Float]]) = {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat * 5))
+    val data = (0 until n).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.2).toFloat))
+    }.toDF("vec_id", "embedding").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("ann-rule").toString
+    data.write.parquet(s"$dir/base")
+    (dir, centers)
+  }
+
+  test("IVF: registered index turns brute-force top-k into a pruned index probe") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      IvfIndex.writeIndex(IvfIndex.build(base, "embedding", "vec_id", cs),
+        s"$dir/ivf")
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
+
+      val q = centers(0)
+      val df = VectorFunctions.topK(base, "embedding", "vec_id", q, 10)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      // the plan scans the INDEX with a centroid partition filter — the
+      // base table is not read at all
+      val roots = scanRoots(df)
+      assert(roots.exists(_.contains("/ivf")), s"no index scan in $roots")
+      assert(!roots.exists(_.contains("/base")), s"base table still scanned: $roots")
+      val s = scans(df.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.head.toString.contains("/ivf"))
+        .get.toString
+      assert(s.contains("PartitionFilters") &&
+        s.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("centroid_id"), s"no centroid partition filter:\n$s")
+
+      // identical rows to the explicit probe API
+      val direct = IvfIndex.search(spark.read.parquet(s"$dir/ivf"),
+          "embedding", "vec_id", cs, q, 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == direct)
+    } finally AnnCatalog.clear()
+  }
+
+  test("HNSW: registered graph index answers the query; exact at covering ef") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      HnswIndex.writeGraphIndex(base, "embedding", "vec_id", s"$dir/hnsw",
+        HnswIndex.Params(m = 8, efConstruction = 64))
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.HnswEntry(s"$dir/hnsw", "embedding", "vec_id",
+          HnswIndex.Params(efSearch = 1 << 20)))
+
+      val q = centers(1)
+      val df = VectorFunctions.topK(base, "embedding", "vec_id", q, 10)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      val roots = scanRoots(df)
+      assert(roots.exists(_.contains("/hnsw")), s"no graph scan in $roots")
+      assert(!roots.exists(_.contains("/base")), s"base table still scanned: $roots")
+
+      // covering efSearch ⇒ probe is exact ⇒ equals brute force,
+      // computed here WITHOUT the catalog entry. Scores agree to 1e-9
+      // (the graph walk computes sqrt(na)·sqrt(nb), codegen sqrt(na·nb) —
+      // one ulp apart; the 4dp-rounding oracle convention absorbs it)
+      AnnCatalog.clear()
+      val brute = VectorFunctions.topK(base, "embedding", "vec_id", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == brute.map(_._1))
+      got.zip(brute).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+      }
+    } finally AnnCatalog.clear()
+  }
+
+  test("SQL form plans into the same probe") {
+    ensureRule()
+    VectorFunctions.register(spark)
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      IvfIndex.writeIndex(IvfIndex.build(base, "embedding", "vec_id", cs),
+        s"$dir/ivf")
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
+      base.createOrReplaceTempView("ann_rule_base")
+      val q = centers(2)
+      val qSql = q.mkString("array(", "F,", "F)")
+      val df = spark.sql(
+        s"""SELECT vec_id, cosine_sim(embedding, $qSql) AS score
+           |FROM ann_rule_base ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+      val got = df.collect().map(_.getLong(0)).toSeq
+      assert(scanRoots(df).exists(_.contains("/ivf")),
+        s"SQL form not rewritten: ${scanRoots(df)}")
+      val direct = IvfIndex.search(spark.read.parquet(s"$dir/ivf"),
+          "embedding", "vec_id", cs, q, 10, nProbe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == direct)
+    } finally AnnCatalog.clear()
+  }
+
+  test("conservative fallbacks: unregistered, filtered, asc, extra columns") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      IvfIndex.writeIndex(IvfIndex.build(base, "embedding", "vec_id", cs),
+        s"$dir/ivf")
+      val q = centers(0)
+
+      // no registration → brute force
+      val un = VectorFunctions.topK(base, "embedding", "vec_id", q, 5)
+      un.collect()
+      assert(scanRoots(un).forall(_.contains("/base")))
+
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
+
+      // a filter between sort and scan → index covers the whole table,
+      // not the subset — MUST stay brute force
+      val filtered = VectorFunctions.topK(
+        base.filter(col("vec_id") > 100), "embedding", "vec_id", q, 5)
+      filtered.collect()
+      assert(scanRoots(filtered).forall(_.contains("/base")),
+        s"filtered scan was rewritten: ${scanRoots(filtered)}")
+
+      // ascending score (farthest-k) is not the index contract
+      val asc = base.select(col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"),
+            org.apache.spark.sql.functions.lit(q)).as("score"))
+        .orderBy(col("score").asc).limit(5)
+      asc.collect()
+      assert(scanRoots(asc).forall(_.contains("/base")))
+
+      // extra payload column → probe row layout can't produce it
+      val wide = base.select(col("vec_id"), col("embedding"),
+          VectorFunctions.cosine_sim(col("embedding"),
+            org.apache.spark.sql.functions.lit(q)).as("score"))
+        .orderBy(col("score").desc).limit(5)
+      wide.collect()
+      assert(scanRoots(wide).forall(_.contains("/base")))
+    } finally AnnCatalog.clear()
+  }
+}

@@ -65,6 +65,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "(?i)partial_cmsagg|cmsagg") >= 2, p.take(1200))
   }
 
+  test("q169: transparent ANN rewrite planned the brute topK into the IVF probe") {
+    val p = executedPlan("q169_ann_auto")
+    // the probe scans the stored index with centroid partition pruning;
+    // the brute-force shape (TakeOrderedAndProject over the base scan
+    // with no partition filter) is gone
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("centroid_id"), p.take(1500))
+    assert(p.contains("graft-ann-auto") && p.contains("/ivf"), p.take(1500))
+    graft.plans.AnnCatalog.clear()
+  }
+
   test("q16: serving-date range predicate is pushed to the raw scan") {
     val p = executedPlan("q16_serve_events_by_date")
     assert(count(p, "PushedFilters: \\[[^\\]]") >= 1, p.take(800))
