@@ -354,18 +354,45 @@ object HnswIndex {
   // ------------------------------------------------------ at rest
 
   /** Persist the per-partition sub-indexes AT REST: one parquet row per
-    * partition holding the serialized graph. Probing a stored index
-    * skips the build entirely — the amortization boundary moves from
-    * "queries within one job" (searchTopKMany) to "all future jobs".
-    * Partition the INPUT so each sub-graph stays index-sized (hundreds
-    * of MB of vectors per partition, not GB) — the blob is one parquet
-    * binary cell per partition. */
+    * partition holding the serialized graph, laid out
+    * `partitionBy("graph_id")` so ONE sub-graph = ONE partition
+    * directory (the unit [[addToGraphIndex]] rewrites incrementally).
+    * Probing a stored index skips the build entirely — the amortization
+    * boundary moves from "queries within one job" (searchTopKMany) to
+    * "all future jobs".
+    *
+    * Sub-graph sizing is ENFORCED, not advised: each serialized graph is
+    * one in-memory byte array and one parquet BINARY cell, so an
+    * oversized partition means an executor OOM or a >2 GiB cell.
+    * `maxPartitionRows` caps rows per sub-graph; when the input's
+    * average partition would exceed it the input is auto-repartitioned
+    * (round-robin — even by construction), and a residual SKEWED
+    * partition fails fast inside the build with the repartition hint
+    * rather than OOMing. */
   def writeGraphIndex(df: DataFrame, embCol: String, idCol: String,
-                      path: String, params: Params = Params()): Unit = {
+                      path: String, params: Params = Params(),
+                      maxPartitionRows: Int = 500000,
+                      autoSplit: Boolean = true): Unit = {
+    require(maxPartitionRows > 0, "maxPartitionRows must be positive")
     val p = params
-    val slim = df.select(col(idCol).cast("long"), col(embCol))
-      .sortWithinPartitions(col(idCol).cast("long"))
+    val cap = maxPartitionRows
+    val slim0 = df.select(col(idCol).cast("long"), col(embCol))
+    val slim1 =
+      if (!autoSplit) slim0
+      else {
+        val n = slim0.count()
+        // target ~90% of the cap: round-robin distribution is even only
+        // to ±1 per partition (random start offset), and the input may
+        // not divide exactly — headroom keeps every partition under the
+        // hard cap the build enforces
+        val headroom = math.max(1, cap - math.max(1, cap / 10))
+        val target = math.max(1, math.ceil(n.toDouble / headroom).toInt)
+        if (slim0.rdd.getNumPartitions < target) slim0.repartition(target)
+        else slim0
+      }
+    val slim = slim1.sortWithinPartitions(col(idCol).cast("long"))
     val schema = StructType(Seq(
+      StructField("graph_id", IntegerType, nullable = false),
       StructField("n_vectors", LongType, nullable = false),
       StructField("graph", BinaryType, nullable = false)))
     slim.mapPartitions { it =>
@@ -375,14 +402,90 @@ object HnswIndex {
         var n = 0L
         it.foreach { r =>
           if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            require(n < cap,
+              s"HNSW sub-graph row cap exceeded: partition " +
+                s"${org.apache.spark.TaskContext.getPartitionId()} holds more " +
+                s"than $cap vectors (skewed input). Repartition the input " +
+                s"(df.repartition(ceil(total/$cap))) or raise maxPartitionRows.")
             index.add(r.getLong(0), r.getSeq[Float](1).toArray)
             n += 1
           }
         }
-        Iterator.single(Row(n, index.serialize()))
+        Iterator.single(
+          Row(org.apache.spark.TaskContext.getPartitionId(), n, index.serialize()))
       }
     }(org.apache.spark.sql.Encoders.row(schema))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").partitionBy("graph_id").parquet(path)
+  }
+
+  /** Incrementally ADD a batch into a stored graph index — the
+    * reference's maintenance model (pgvector HNSW is updated on every
+    * INSERT, never rebuilt; database.py:201-210) at Spark batch grain.
+    *
+    * Each batch row is assigned to one existing sub-graph by id hash
+    * (keeps growth even), the touched sub-graphs are deserialized, the
+    * rows INSERTED with the standard HNSW insert (same code path as the
+    * initial build), and ONLY the touched `graph_id=` partition
+    * directories are rewritten (dynamic partition overwrite) — untouched
+    * sub-graphs are not read, shuffled, or rewritten. Cost per batch is
+    * therefore O(touched graphs + batch), not O(corpus).
+    *
+    * Streaming form: call from `foreachBatch` (StreamingSpec) — the
+    * q65-style incremental pattern with the index as the accumulating
+    * state. */
+  def addToGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, batch: DataFrame,
+                      embCol: String, idCol: String,
+                      params: Params = Params(),
+                      maxPartitionRows: Int = 500000): Unit = {
+    import spark.implicits._
+    val p = params
+    val cap = maxPartitionRows
+    val stored = spark.read.parquet(path)
+    val gids = stored.select(col("graph_id").cast("int")).as[Int]
+      .collect().sorted
+    require(gids.nonEmpty, s"no stored sub-graphs at $path")
+    val g = gids.length
+
+    // gid for a row: gids[ pmod(id, g) ] — stored ids can be sparse
+    // (empty build partitions emit no graph)
+    val batchDs = batch
+      .select(element_at(lit(gids), (pmod(col(idCol).cast("long"), lit(g.toLong))
+          + lit(1)).cast("int")).as("gid"),
+        col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<float>").as("emb"))
+      .as[(Int, Long, Array[Float])]
+
+    val touched = batchDs.select(col("gid")).distinct().as[Int].collect().toSet
+    val storedTouched = stored
+      .filter(col("graph_id").isin(touched.toSeq.map(Integer.valueOf): _*))
+      .select(col("graph_id").cast("int"), col("graph"))
+      .as[(Int, Array[Byte])]
+
+    val updated = storedTouched.groupByKey(_._1)
+      .cogroup(batchDs.groupByKey(_._1)) { (gid, graphs, rows) =>
+        val newRows = rows.toArray.sortBy(_._2) // deterministic insert order
+        if (newRows.isEmpty) Iterator.empty
+        else {
+          val index = new Hnsw(0, p)
+          graphs.toSeq.headOption.foreach(gr => index.loadFrom(gr._2))
+          require(index.size + newRows.length <= cap,
+            s"HNSW sub-graph $gid would grow past $cap rows " +
+              s"(${index.size} + ${newRows.length}); rebuild with " +
+              s"writeGraphIndex to re-split, or raise maxPartitionRows.")
+          newRows.foreach { case (_, id, v) => if (v != null) index.add(id, v) }
+          Iterator.single((gid, index.size.toLong, index.serialize()))
+        }
+      }.toDF("graph_id", "n_vectors", "graph")
+
+    // dynamic overwrite: only the touched graph_id= directories change
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updated.write.mode("overwrite").partitionBy("graph_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Probe a stored graph index: deserialize each partition's sub-graph

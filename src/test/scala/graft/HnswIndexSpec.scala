@@ -112,4 +112,127 @@ class HnswIndexSpec extends SparkSpec {
       centers(0), k = 20)
     assert(got.count() == 7)
   }
+
+  test("sub-graph row cap: auto-split repartitions; a skewed partition fails fast") {
+    val (df, centers) = clustered(200, 2, 4, seed = 33)
+    // everything in ONE partition, cap 50: autoSplit must spread it
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-cap").toString
+    HnswIndex.writeGraphIndex(df.coalesce(1), "emb", "id", s"$dir/auto",
+      maxPartitionRows = 50)
+    val stored = spark.read.parquet(s"$dir/auto")
+    assert(stored.count() >= 4, "auto-split should produce >= total/cap sub-graphs")
+    import org.apache.spark.sql.functions.{max, sum}
+    val (total, biggest) = stored
+      .agg(sum(col("n_vectors")), max(col("n_vectors")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(total == 200 && biggest <= 50, s"total=$total biggest=$biggest")
+    // and the split index still answers exactly at covering ef
+    val got = HnswIndex.searchGraphIndex(spark, s"$dir/auto", "id",
+      Seq(0L -> centers(0)), k = 10, HnswIndex.Params(efSearch = 1 << 20))
+      .collect().map(_.getLong(1)).toSeq
+    val exact = VectorFunctions.topK(df, "emb", "id", centers(0), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+
+    // autoSplit off + a single oversized partition: fail fast with the
+    // repartition hint, not an OOM-sized binary cell
+    val e = intercept[org.apache.spark.SparkException] {
+      HnswIndex.writeGraphIndex(df.coalesce(1), "emb", "id", s"$dir/skew",
+        maxPartitionRows = 50, autoSplit = false)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("Repartition the input"), msg)
+  }
+
+  test("incremental add-batch == full index over the union (search results)") {
+    val (all, centers) = clustered(300, 3, 8, seed = 44)
+    val base = all.filter(col("id") < 200)
+    val batch = all.filter(col("id") >= 200)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-incr").toString
+
+    HnswIndex.writeGraphIndex(base.repartition(4), "emb", "id", s"$dir/idx")
+    HnswIndex.addToGraphIndex(spark, s"$dir/idx", batch, "emb", "id")
+
+    // no vector lost or duplicated
+    import org.apache.spark.sql.functions.sum
+    val total = spark.read.parquet(s"$dir/idx")
+      .agg(sum(col("n_vectors"))).collect().head.getLong(0)
+    assert(total == 300, s"expected 300 vectors after add, got $total")
+
+    // covering ef ⇒ exact ⇒ must equal brute force over base ∪ batch
+    val queries = centers.indices.map(i => i.toLong -> centers(i))
+    val got = HnswIndex.searchGraphIndex(spark, s"$dir/idx", "id",
+        queries, k = 15, HnswIndex.Params(efSearch = 1 << 20))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = queries.flatMap { case (qid, q) =>
+      VectorFunctions.topK(all, "emb", "id", q, 15)
+        .collect().map(r => (qid, r.getLong(0))).toSeq
+    }
+    assert(got == exact)
+
+    // approximate mode on the grown index still clears the recall floor
+    val approx = HnswIndex.searchGraphIndex(spark, s"$dir/idx", "id",
+        queries, k = 15, HnswIndex.Params(efSearch = 48))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact.toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall after incremental add fell to $recall")
+  }
+
+  test("incremental add rewrites ONLY the touched graph_id partitions") {
+    val (all, _) = clustered(120, 2, 4, seed = 55)
+    val base = all.filter(col("id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-touch").toString
+    HnswIndex.writeGraphIndex(base.repartition(5), "emb", "id", s"$dir/idx")
+
+    val before = spark.read.parquet(s"$dir/idx")
+      .select(col("graph_id").cast("int"), col("n_vectors"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+
+    // a 1-row batch touches exactly one sub-graph
+    val batch = all.filter(col("id") === 100)
+    HnswIndex.addToGraphIndex(spark, s"$dir/idx", batch, "emb", "id")
+
+    val after = spark.read.parquet(s"$dir/idx")
+      .select(col("graph_id").cast("int"), col("n_vectors"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(after.keySet == before.keySet)
+    val changed = after.filter { case (gid, n) => before(gid) != n }
+    assert(changed.size == 1 && changed.head._2 == before(changed.head._1) + 1,
+      s"before=$before after=$after")
+  }
+
+  test("streaming incremental: foreachBatch grows the stored index batch by batch") {
+    val (all, centers) = clustered(150, 2, 4, seed = 66)
+    val base = all.filter(col("id") < 90)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-stream").toString
+    HnswIndex.writeGraphIndex(base.repartition(3), "emb", "id", s"$dir/idx")
+
+    // arrivals as files (the repo's streaming-test transport), one
+    // micro-batch per file via maxFilesPerTrigger
+    all.filter(col("id") >= 90 && col("id") < 120).coalesce(1)
+      .write.parquet(s"$dir/in/b1")
+    all.filter(col("id") >= 120).coalesce(1).write.parquet(s"$dir/in/b2")
+    val stream = spark.readStream
+      .schema("id LONG, emb ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        HnswIndex.addToGraphIndex(spark, s"$dir/idx", b, "emb", "id")
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    import org.apache.spark.sql.functions.sum
+    val total = spark.read.parquet(s"$dir/idx")
+      .agg(sum(col("n_vectors"))).collect().head.getLong(0)
+    assert(total == 150, s"streamed index holds $total of 150")
+    val got = HnswIndex.searchGraphIndex(spark, s"$dir/idx", "id",
+        Seq(0L -> centers(0)), k = 12, HnswIndex.Params(efSearch = 1 << 20))
+      .collect().map(_.getLong(1)).toSeq
+    val exact = VectorFunctions.topK(all, "emb", "id", centers(0), 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
 }
