@@ -2903,6 +2903,37 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // ---- APPROXIMATE-mode ANN under the driver oracle (q166/q167 gate
+    // exact mode; this gates the production knobs): probe HNSW at serve
+    // efSearch=48 and IVF at nProbe=4<16, compute recall@20 against the
+    // in-engine exact top-k, and emit the floor comparison as a
+    // deterministic row the DuckDB oracle replays as constants. A recall
+    // regression below the floor flips the boolean → hash mismatch →
+    // red CORRECTNESS cell. Driver state is 3×k ids (bounded).
+    // Measured recalls (this machine, all three sfs): hnsw 1.00,
+    // ivf@4 0.90-1.00 — floors 0.9/0.8 leave regression margin ----
+    "q170_ann_recall" -> ((s, d) => {
+      import graft.vector.{HnswIndex, IvfIndex}
+      val emb = tSpread(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val k = 20
+      val exact = VectorFunctions.topK(emb, "embedding", "vec_id", q, k)
+        .collect().map(_.getLong(0)).toSet
+      val hnsw = HnswIndex.searchTopK(emb, "embedding", "vec_id", q, k,
+          HnswIndex.Params(m = 8, efConstruction = 128, efSearch = 48))
+        .collect().map(_.getLong(0)).toSet
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding", "vec_id", 16)
+      val ivf = IvfIndex.search(IvfIndex.build(emb, "embedding", "vec_id", cs),
+          "embedding", "vec_id", cs, q, k, nProbe = 4)
+        .collect().map(_.getLong(0)).toSet
+      val rH = (hnsw & exact).size.toDouble / k
+      val rI = (ivf & exact).size.toDouble / k
+      import s.implicits._
+      Seq(("hnsw_ef48", k.toLong, rH >= 0.9), ("ivf_np4", k.toLong, rI >= 0.8))
+        .toDF("method", "k", "recall_ge_floor")
+        .orderBy(col("method"))
+    }),
+
     // ---- multimodal fan-out ops under the oracle: frame-sample the
     // "videos" (every stride-th byte window as a frame row) and chunk
     // the "audio" into fixed-duration windows (byte span derived from
@@ -5266,6 +5297,15 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
         | cl.vec_id
         |LIMIT 20""".stripMargin,
+
+    // the oracle replays the FLOOR COMPARISON as constants: the Spark
+    // side computes recall@20 of the production-knob probes against the
+    // in-engine exact top-k and emits booleans, which must all be true
+    "q170_ann_recall" ->
+      """SELECT 'hnsw_ef48' AS method, CAST(20 AS BIGINT) AS k, true AS recall_ge_floor
+        |UNION ALL
+        |SELECT 'ivf_np4', CAST(20 AS BIGINT), true
+        |ORDER BY method""".stripMargin,
 
     // exact-SQL oracle valid for the same reason as q166: efSearch
     // covers each stored sub-graph, so the read-back probe is exact
