@@ -3,6 +3,7 @@ package graft.enrich
 import java.io.{DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.SparkFiles
+import scala.collection.mutable
 
 /** [[Embedder]] that runs a REAL sentence-transformer forward pass — the
   * all-MiniLM-L6-v2 compute graph the reference executes in-process
@@ -21,16 +22,21 @@ import org.apache.spark.SparkFiles
   * the artifact resolves through [[SparkFiles]] when shipped with
   * `sparkContext.addFile`.
   *
-  * Tokenization is hashed whole-word (deterministic, vocabulary-free) —
-  * the one place a trained deployment would substitute its WordPiece
-  * vocab; the encoder downstream of token ids is the real thing.
+  * Tokenization is greedy longest-match-first WordPiece against the
+  * vocab table embedded in the artifact (`[UNK]`, `[CLS]`/`[SEP]`,
+  * `##` continuations, maxLen truncation — the tokenizer contract of
+  * the reference's MiniLM deployment); a trained deployment drops in
+  * its exported vocab unchanged. Legacy GFT2 artifacts (no vocab
+  * table) fall back to hashed whole-word ids.
   *
-  * Artifact format "GFT2" (big-endian): header
-  * (vocab, dim, nLayers, nHeads, ffDim, maxLen), then, in order:
+  * Artifact format "GFT3" (big-endian): header
+  * (vocab, dim, nLayers, nHeads, ffDim, maxLen), then the vocab table
+  * (vocab × writeUTF, token id = position), then, in order:
   * tokEmb vocab×d, posEmb maxLen×d, per layer
   * {Wq,Wk,Wv,Wo d×d + biases d; ln1 γ,β d; W1 d×F + b1 F;
   *  W2 F×d + b2 d; ln2 γ,β d}. All matrices row-major (in-feature
-  * major, matching y = xW + b).
+  * major, matching y = xW + b). "GFT2" is the same without the vocab
+  * table.
   */
 final class TransformerEmbedder(artifactName: String) extends Embedder {
 
@@ -54,9 +60,13 @@ object TransformerEmbedder {
                          w2: Array[Float], b2: Array[Float],
                          ln2g: Array[Float], ln2b: Array[Float])
 
+  /** `vocabTable` is the WordPiece vocabulary (token → id) when the
+    * artifact is GFT3; null for legacy GFT2 artifacts, which fall back
+    * to hashed whole-word tokenization. */
   final case class Model(vocab: Int, d: Int, nHeads: Int, ffDim: Int,
                          maxLen: Int, tokEmb: Array[Float],
-                         posEmb: Array[Float], layers: Array[Layer])
+                         posEmb: Array[Float], layers: Array[Layer],
+                         vocabTable: Map[String, Int])
 
   /** Loads in this JVM since process start — spec-asserted to stay at 1
     * per artifact across a multi-partition embed pass. */
@@ -107,14 +117,77 @@ object TransformerEmbedder {
 
   // --------------------------------------------------------- forward
 
-  private[enrich] def tokenize(model: Model, text: String): Array[Int] = {
+  private[graft] def tokenize(model: Model, text: String): Array[Int] = {
     if (text == null) return Array.empty
+    if (model.vocabTable != null) return wordPiece(model, text)
+    // legacy GFT2: hashed whole-word ids (vocabulary-free)
     val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     words.take(model.maxLen).map { w =>
       val h = graft.text.RollingHash.hashToken(
         org.apache.spark.unsafe.types.UTF8String.fromString(w))
       java.lang.Math.floorMod(h, model.vocab.toLong).toInt
     }
+  }
+
+  /** BERT basic tokenization: lowercase, whitespace split, punctuation
+    * split into standalone tokens. */
+  private[graft] def basicTokens(text: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
+      var cur = new StringBuilder
+      w.foreach { ch =>
+        if (Character.isLetterOrDigit(ch)) cur.append(ch)
+        else {
+          if (cur.nonEmpty) { out += cur.toString; cur = new StringBuilder }
+          out += ch.toString
+        }
+      }
+      if (cur.nonEmpty) out += cur.toString
+    }
+    out.toArray
+  }
+
+  /** WordPiece: greedy longest-match-first subword split against the
+    * artifact's vocab — the tokenizer contract of the reference's
+    * all-MiniLM-L6-v2 deployment (loader/service.py:39-52). Per word:
+    * the longest vocab prefix is taken, the remainder matches with the
+    * `##` continuation prefix; a word with an unmatchable position
+    * becomes one `[UNK]`. `[CLS]`/`[SEP]` wrap the sequence when the
+    * vocab defines them; output truncates to maxLen with `[SEP]` kept
+    * terminal. */
+  private[graft] def wordPiece(model: Model, text: String): Array[Int] = {
+    val v = model.vocabTable
+    val unk = v.getOrElse("[UNK]", 0)
+    val sep = v.get("[SEP]")
+    val ids = mutable.ArrayBuffer.empty[Int]
+    v.get("[CLS]").foreach(ids += _)
+    val budget = model.maxLen - (if (sep.isDefined) 1 else 0)
+    val words = basicTokens(text)
+    var wi = 0
+    while (wi < words.length && ids.length < budget) {
+      val w = words(wi)
+      val sub = mutable.ArrayBuffer.empty[Int]
+      var start = 0
+      var bad = false
+      while (start < w.length && !bad) {
+        var end = w.length
+        var found = -1
+        while (end > start && found < 0) {
+          val piece = (if (start > 0) "##" else "") + w.substring(start, end)
+          v.get(piece) match {
+            case Some(id) => found = id
+            case None => end -= 1
+          }
+        }
+        if (found < 0) bad = true
+        else { sub += found; start = end }
+      }
+      if (bad) ids += unk else ids ++= sub
+      wi += 1
+    }
+    val trimmed = if (ids.length > budget) ids.take(budget) else ids
+    sep.foreach(trimmed += _)
+    trimmed.toArray
   }
 
   /** The full encoder forward pass for one text; returns the
@@ -233,6 +306,9 @@ object TransformerEmbedder {
 
   // -------------------------------------------------------- artifact
 
+  /** Spec hook: load (cached) without constructing an embedder. */
+  private[graft] def testLoad(name: String): Model = load(name)
+
   private def load(name: String): Model =
     cache.computeIfAbsent(name, n => {
       loadCount.incrementAndGet()
@@ -240,15 +316,23 @@ object TransformerEmbedder {
       val path =
         if (local.exists()) local.getPath
         else SparkFiles.get(new File(n).getName)
-      val in = new DataInputStream(new FileInputStream(path))
+      val in = new DataInputStream(new java.io.BufferedInputStream(
+        new FileInputStream(path)))
       try {
         val magic = new Array[Byte](4); in.readFully(magic)
-        require(new String(magic, "US-ASCII") == "GFT2",
+        val version = new String(magic, "US-ASCII")
+        require(version == "GFT2" || version == "GFT3",
           s"not a graft transformer artifact: $path")
         val vocab = in.readInt(); val d = in.readInt()
         val nLayers = in.readInt(); val nHeads = in.readInt()
         val ffDim = in.readInt(); val maxLen = in.readInt()
         require(d % nHeads == 0, s"dim $d not divisible by heads $nHeads")
+        // GFT3 carries the WordPiece vocab table between header and
+        // weights; GFT2 has none (hashed tokenization)
+        val vocabTable: Map[String, Int] =
+          if (version == "GFT3")
+            (0 until vocab).map(i => in.readUTF() -> i).toMap
+          else null
         def arr(len: Int): Array[Float] = {
           val a = new Array[Float](len)
           var i = 0
@@ -261,16 +345,36 @@ object TransformerEmbedder {
           arr(d * d), arr(d), arr(d), arr(d),
           arr(d * ffDim), arr(ffDim), arr(ffDim * d), arr(d),
           arr(d), arr(d)))
-        Model(vocab, d, nHeads, ffDim, maxLen, tokEmb, posEmb, layers)
+        Model(vocab, d, nHeads, ffDim, maxLen, tokEmb, posEmb, layers,
+          vocabTable)
       } finally in.close()
     })
 
+  /** The default synthetic WordPiece vocab: specials, every ascii
+    * letter/digit as both word-initial and `##` continuation (the
+    * char-level fallback real WordPiece vocabs carry, so every word is
+    * tokenizable), and a few common English subwords. */
+  val defaultVocab: Seq[String] = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++
+      chars ++ chars.map("##" + _) ++
+      Seq("the", "and", "of", "in", "on", "new", "street", "band",
+        "jazz", "music", "##ing", "##er", "##ed", "doc",
+        "number", "about", "un", "##want")
+  }
+
   /** Export a seeded artifact with the trained-export layout: Xavier-ish
-    * weights, identity LayerNorm (γ=1, β=0). */
+    * weights, identity LayerNorm (γ=1, β=0). Writes GFT3 (WordPiece
+    * vocab table embedded) by default; `wordPiece = false` writes the
+    * legacy GFT2 hashed-tokenization layout. */
   def save(path: String, vocab: Int = 512, d: Int = 32, nLayers: Int = 2,
            nHeads: Int = 4, ffDim: Int = 64, maxLen: Int = 64,
-           seed: Long = 42L): Unit = {
+           seed: Long = 42L, wordPiece: Boolean = true,
+           vocabTokens: Seq[String] = defaultVocab): Unit = {
     require(d % nHeads == 0)
+    require(!wordPiece || vocabTokens.distinct.length == vocabTokens.length,
+      "vocabTokens must be distinct")
+    val vocabN = if (wordPiece) vocabTokens.length else vocab
     val rnd = new scala.util.Random(seed)
     val out = new DataOutputStream(new FileOutputStream(path))
     def mat(m: Int, n: Int): Unit = {
@@ -281,10 +385,11 @@ object TransformerEmbedder {
     def zeros(n: Int): Unit = { var i = 0; while (i < n) { out.writeFloat(0f); i += 1 } }
     def ones(n: Int): Unit = { var i = 0; while (i < n) { out.writeFloat(1f); i += 1 } }
     try {
-      out.writeBytes("GFT2")
-      out.writeInt(vocab); out.writeInt(d); out.writeInt(nLayers)
+      out.writeBytes(if (wordPiece) "GFT3" else "GFT2")
+      out.writeInt(vocabN); out.writeInt(d); out.writeInt(nLayers)
       out.writeInt(nHeads); out.writeInt(ffDim); out.writeInt(maxLen)
-      mat(vocab, d); mat(maxLen, d)
+      if (wordPiece) vocabTokens.foreach(out.writeUTF)
+      mat(vocabN, d); mat(maxLen, d)
       var l = 0
       while (l < nLayers) {
         mat(d, d); zeros(d); mat(d, d); zeros(d); mat(d, d); zeros(d)

@@ -65,6 +65,66 @@ class TransformerEmbedderSpec extends SparkSpec {
     assert(loads <= 1, s"model loaded $loads times — per-task loading leak")
   }
 
+  test("WordPiece: greedy longest-match-first subword split with ## continuations") {
+    val dir = Files.createTempDirectory("graft-wp")
+    val f = dir.resolve("wp.gft3").toString
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]",
+      "un", "##want", "##wa", "##ed", "unwant", "play", "##ing", "x")
+    TransformerEmbedder.save(f, vocabTokens = vocab)
+    val m = TransformerEmbedder.testLoad(f)
+    def ids(s: String) = TransformerEmbedder.tokenize(m, s).toSeq
+    def id(t: String) = vocab.indexOf(t)
+    // word-initial longest-first: "unwant" wins over "un"
+    assert(ids("unwanted") ==
+      Seq(id("[CLS]"), id("unwant"), id("##ed"), id("[SEP]")))
+    // continuation longest-first: "##want" wins over "##wa"
+    assert(ids("playwanted") ==
+      Seq(id("[CLS]"), id("play"), id("##want"), id("##ed"), id("[SEP]")))
+    assert(ids("playing") ==
+      Seq(id("[CLS]"), id("play"), id("##ing"), id("[SEP]")))
+  }
+
+  test("WordPiece: unmatchable word becomes one [UNK]; punctuation splits off") {
+    val dir = Files.createTempDirectory("graft-wp2")
+    val f = dir.resolve("wp2.gft3").toString
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "##b", ",")
+    TransformerEmbedder.save(f, vocabTokens = vocab)
+    val m = TransformerEmbedder.testLoad(f)
+    def ids(s: String) = TransformerEmbedder.tokenize(m, s).toSeq
+    def id(t: String) = vocab.indexOf(t)
+    // "q" has no vocab entry at position 0 → whole word is [UNK];
+    // mid-word failure ("ab" matches a+##b but "abz" dead-ends) too
+    assert(ids("q") == Seq(id("[CLS]"), id("[UNK]"), id("[SEP]")))
+    assert(ids("ab") == Seq(id("[CLS]"), id("a"), id("##b"), id("[SEP]")))
+    assert(ids("abz") == Seq(id("[CLS]"), id("[UNK]"), id("[SEP]")))
+    // punctuation is its own token (BERT basic tokenization)
+    assert(ids("a,ab") ==
+      Seq(id("[CLS]"), id("a"), id(","), id("a"), id("##b"), id("[SEP]")))
+  }
+
+  test("WordPiece: maxLen truncation keeps [SEP] terminal") {
+    val dir = Files.createTempDirectory("graft-wp3")
+    val f = dir.resolve("wp3.gft3").toString
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "##a")
+    TransformerEmbedder.save(f, vocabTokens = vocab, maxLen = 8)
+    val m = TransformerEmbedder.testLoad(f)
+    val toks = TransformerEmbedder.tokenize(m, Array.fill(50)("aaa").mkString(" "))
+    assert(toks.length == 8, s"len=${toks.length}")
+    assert(toks.head == vocab.indexOf("[CLS]") && toks.last == vocab.indexOf("[SEP]"))
+    assert(toks.forall(_ < vocab.length))
+  }
+
+  test("legacy GFT2 artifact still loads and embeds (hashed tokenization)") {
+    val dir = Files.createTempDirectory("graft-gft2")
+    val f = dir.resolve("legacy.gft2").toString
+    TransformerEmbedder.save(f, wordPiece = false)
+    val emb = new TransformerEmbedder(f)
+    val v = emb.embed("new orleans jazz")
+    assert(v.length == 32)
+    val norm = math.sqrt(v.map(x => x * x.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
   test("truncation at maxLen and long-input stability") {
     val emb = new TransformerEmbedder(artifact)
     val long = (1 to 500).map(i => s"w$i").mkString(" ")
