@@ -256,6 +256,91 @@ class JdbcMergeSpec extends SparkSpec {
       Map("name" -> InsertOnly, "score" -> InsertOnly))
   }
 
+  // ------------------------------------------------------------------
+  // EXECUTED pg dialect: DuckDB speaks the Postgres ON CONFLICT syntax
+  // (Derby doesn't), so the generated statement runs on a real engine
+  // through the full pgUpsert JDBC path — closing the round-4 gap where
+  // the dialect was proven only by template text + interpreter.
+  // Source frames are coalesce(1)'d: DuckDB rejects concurrent write
+  // transactions on one file, which is a property of the embedded test
+  // engine, not of the per-partition connection fan-out (Postgres
+  // serializes on the row locks instead).
+
+  private def withDuck(body: String => Unit): Unit = {
+    val db = java.nio.file.Files.createTempDirectory("graft-duck")
+      .resolve("pg.duckdb").toString
+    body(s"jdbc:duckdb:$db")
+  }
+
+  private def duckExec(durl: String, sqls: String*): Unit = {
+    val conn = DriverManager.getConnection(durl)
+    try {
+      val st = conn.createStatement()
+      try sqls.foreach(st.execute) finally st.close()
+    } finally conn.close()
+  }
+
+  test("pg dialect EXECUTED on DuckDB: default rules — null never clobbers, " +
+      "new keys insert") {
+    withDuck { durl =>
+      duckExec(durl,
+        """CREATE TABLE pgexec ("k" BIGINT, "name" VARCHAR, "score" DOUBLE,
+          | UNIQUE ("k"))""".stripMargin)
+      val target = Seq((1L, "alice", 1.0), (2L, "bob", 2.0))
+        .toDF("k", "name", "score")
+      val source = Seq((2L, null.asInstanceOf[String], 9.0), (3L, "carol", 3.0))
+        .toDF("k", "name", "score")
+      JdbcMerge.pgUpsert(target.coalesce(1), durl, "\"pgexec\"", Seq("k"))
+      JdbcMerge.pgUpsert(source.coalesce(1), durl, "\"pgexec\"", Seq("k"))
+      val expected = CoalesceMerge.upsert(target, source, Seq("k"))
+        .drop("_action")
+      assert(asSet(spark.read.jdbc(durl, "\"pgexec\"", props)) ==
+        asSet(expected))
+    }
+  }
+
+  test("pg dialect EXECUTED on DuckDB: mixed rules and idempotent re-run") {
+    withDuck { durl =>
+      duckExec(durl,
+        """CREATE TABLE pgmix ("k" BIGINT, "name" VARCHAR, "score" DOUBLE,
+          | UNIQUE ("k"))""".stripMargin)
+      val target = Seq((1L, "alice", 1.0), (2L, "bob", 2.0))
+        .toDF("k", "name", "score")
+      val source = Seq((1L, null.asInstanceOf[String], 7.0), (4L, "dan", 4.0))
+        .toDF("k", "name", "score")
+      val rules: Map[String, Rule] =
+        Map("name" -> Overwrite, "score" -> InsertOnly)
+      JdbcMerge.pgUpsert(target.coalesce(1), durl, "\"pgmix\"", Seq("k"))
+      JdbcMerge.pgUpsert(source.coalesce(1), durl, "\"pgmix\"", Seq("k"), rules)
+      val expected = CoalesceMerge.upsert(target, source, Seq("k"), rules)
+        .drop("_action")
+      assert(asSet(spark.read.jdbc(durl, "\"pgmix\"", props)) == asSet(expected))
+      // re-running the same batch is a no-op state change (foreachBatch
+      // replay contract), executed through the real engine
+      JdbcMerge.pgUpsert(source.coalesce(1), durl, "\"pgmix\"", Seq("k"), rules)
+      assert(asSet(spark.read.jdbc(durl, "\"pgmix\"", props)) == asSet(expected))
+    }
+  }
+
+  test("pg dialect EXECUTED on DuckDB: all-InsertOnly DO NOTHING keeps " +
+      "matched rows byte-identical") {
+    withDuck { durl =>
+      duckExec(durl,
+        """CREATE TABLE pgnop ("k" BIGINT, "name" VARCHAR, "score" DOUBLE,
+          | UNIQUE ("k"))""".stripMargin)
+      val target = Seq((1L, "alice", 1.0)).toDF("k", "name", "score")
+      val source = Seq((1L, "evil", 666.0), (2L, "new", 2.0))
+        .toDF("k", "name", "score")
+      val rules: Map[String, Rule] =
+        Map("name" -> InsertOnly, "score" -> InsertOnly)
+      JdbcMerge.pgUpsert(target.coalesce(1), durl, "\"pgnop\"", Seq("k"))
+      JdbcMerge.pgUpsert(source.coalesce(1), durl, "\"pgnop\"", Seq("k"), rules)
+      val expected = CoalesceMerge.upsert(target, source, Seq("k"), rules)
+        .drop("_action")
+      assert(asSet(spark.read.jdbc(durl, "\"pgnop\"", props)) == asSet(expected))
+    }
+  }
+
   test("readPartitioned splits the scan into the requested partitions") {
     withTable("t_read", """"k" BIGINT NOT NULL, "name" VARCHAR(64), "score" DOUBLE""") { t =>
       val rows = (1L to 100L).map(i => (i, s"n$i", i * 0.5)).toDF("k", "name", "score")
