@@ -102,7 +102,13 @@ object IvfIndex {
     * IVF the 100 TB serving shape (IvfIndexSpec asserts the plan and
     * the scanned-bytes delta; PLANS.md records the measurement). */
   def writeIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    // hash rows to their cell before partitionBy: without it every
+    // input partition writes a file into every cell directory
+    // (numPartitions × nCells small files — the classic partitionBy
+    // small-files blowup); with it each cell is written by one task
+    // (shuffle.partitions tasks hashed by cell, ≤1 file per cell)
+    index.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
   /** Read an at-rest index written by [[writeIndex]]. Probing through
     * [[search]] on this frame hits the partition-pruned path. */
