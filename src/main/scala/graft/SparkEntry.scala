@@ -2903,6 +2903,32 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // ---- transparent ANN planning, HNSW flavor: same rule, registered
+    // graph index; efSearch covers each stored sub-graph so the probe
+    // is provably exact (q166/q167's device) and the exact top-k SQL
+    // is the oracle. Unlike q169 the un-rewritten plan would produce
+    // the same rows — the rewrite itself is gated by q169's oracle and
+    // AnnIndexRuleSpec's plan assertions; this row gates that the
+    // rule + stored-graph probe composition round-trips at every sf ----
+    "q171_ann_auto_hnsw" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AnnIndexRule]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new AnnIndexRule
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-hnsw").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      graft.vector.HnswIndex.writeGraphIndex(
+        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+          graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
+      VectorFunctions.topK(s.read.parquet(s"$tmp/base"),
+          "embedding", "vec_id", queryVec(s, d), 20)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // ---- APPROXIMATE-mode ANN under the driver oracle (q166/q167 gate
     // exact mode; this gates the production knobs): probe HNSW at serve
     // efSearch=48 and IVF at nProbe=4<16, compute recall@20 against the
@@ -5296,6 +5322,19 @@ object SparkEntry {
         |FROM cells cl, q WHERE cl.cid IN (SELECT cid FROM probe)
         |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
         | cl.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // exact top-k oracle, valid because the registered index's efSearch
+    // covers each stored sub-graph (q166's exactness device) — the
+    // rewritten probe must therefore equal the brute-force answer
+    "q171_ann_auto_hnsw" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM embeddings e CROSS JOIN q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
         |LIMIT 20""".stripMargin,
 
     // the oracle replays the FLOOR COMPARISON as constants: the Spark
