@@ -448,8 +448,10 @@ object HnswIndex {
     val g = gids.length
 
     // gid for a row: gids[ pmod(id, g) ] — stored ids can be sparse
-    // (empty build partitions emit no graph)
+    // (empty build partitions emit no graph). Null ids/vectors are
+    // dropped, matching writeGraphIndex's build-side contract.
     val batchDs = batch
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
       .select(element_at(lit(gids), (pmod(col(idCol).cast("long"), lit(g.toLong))
           + lit(1)).cast("int")).as("gid"),
         col(idCol).cast("long").as("id"),
