@@ -153,27 +153,49 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     val entry = AnnCatalog.lookup(fs.location.rootPaths.map(_.toString))
       .getOrElse(return None)
 
-    // projection must be exactly (id, score-alias) in either order
+    // projection must be exactly (id, score-alias) in either order.
+    // Two score shapes are recognized: cosine SIMILARITY (sorted DESC)
+    // and cosine DISTANCE `1.0 - cosine_sim` — the literal pgvector
+    // `embedding <=> q` shape the reference's queries sort ASC
+    // (database.py:201-210; VectorFunctions.cosine_dist emits it).
     if (projList.length != 2) return None
-    val (scoreAlias, queryVec, embAttr) = projList.collectFirst {
-      case al @ Alias(c: CosineSimilarity, _) =>
-        (c.left, c.right) match {
-          case (e: AttributeReference, Literal(a: ArrayData, ArrayType(FloatType, _))) =>
-            (al, a.toFloatArray(), e)
-          case (Literal(a: ArrayData, ArrayType(FloatType, _)), e: AttributeReference) =>
-            (al, a.toFloatArray(), e)
-          case _ => return None
+    def cosOf(e: Expression): Option[(Array[Float], AttributeReference)] =
+      e match {
+        case c: CosineSimilarity => (c.left, c.right) match {
+          case (a: AttributeReference, Literal(v: ArrayData, ArrayType(FloatType, _))) =>
+            Some((v.toFloatArray(), a))
+          case (Literal(v: ArrayData, ArrayType(FloatType, _)), a: AttributeReference) =>
+            Some((v.toFloatArray(), a))
+          case _ => None
         }
+        case _ => None
+      }
+    val (scoreAlias, queryVec, embAttr, isDistance) = projList.collectFirst {
+      case al @ Alias(child, _) if cosOf(child).isDefined =>
+        val (v, a) = cosOf(child).get
+        (al, v, a, false)
+      case al @ Alias(Subtract(Literal(one, _), child, _), _)
+          if one == 1.0 && cosOf(child).isDefined =>
+        val (v, a) = cosOf(child).get
+        (al, v, a, true)
     }.getOrElse(return None)
     val idAttr = projList.collectFirst {
       case a: AttributeReference => a
     }.getOrElse(return None)
     if (embAttr.name != entry.embCol || idAttr.name != entry.idCol) return None
 
-    // sort: score DESC first, at most one id ASC tiebreak after
+    // sort: similarity DESC / distance ASC first, at most one id ASC
+    // tiebreak after. The ASC distance form is only taken when a null
+    // distance cannot lead the output: null scores sort LAST under
+    // DESC (matching the probe, which never emits null-embedding
+    // rows), but FIRST under default ASC — so ASC requires NullsLast
+    // or a non-nullable embedding column.
     val scoreLeads = orders.headOption.exists {
-      case SortOrder(r: AttributeReference, Descending, _, _) =>
+      case SortOrder(r: AttributeReference, Descending, _, _) if !isDistance =>
         r.exprId == scoreAlias.exprId
+      case SortOrder(r: AttributeReference, Ascending, no, _) if isDistance =>
+        r.exprId == scoreAlias.exprId &&
+          (no == NullsLast || !embAttr.nullable)
       case _ => false
     }
     val tieOk = orders.length match {
@@ -202,16 +224,20 @@ class AnnIndexRule extends Rule[LogicalPlan] {
 
     // splice under aliases carrying the ORIGINAL exprIds so the parent
     // plan resolves against the probe unchanged
-    def as(src: Attribute, target: Attribute): NamedExpression = {
+    def as(src: Expression, target: Attribute): NamedExpression = {
       val cast: Expression =
         if (src.dataType == target.dataType) src else Cast(src, target.dataType)
       Alias(cast, target.name)(exprId = target.exprId,
         qualifier = target.qualifier)
     }
     // output = the sort-child Project's (id, score) attrs, in order —
-    // the caller re-applies any post-limit projection on top
+    // the caller re-applies any post-limit projection on top. The probe
+    // emits SIMILARITY; the distance form re-derives 1 - score (probe
+    // order by similarity desc == distance asc, so ordering holds).
+    val scoreExpr: Expression =
+      if (isDistance) Subtract(Literal(1.0), pScore) else pScore
     val outProj = projList.map(_.toAttribute).map { a =>
-      if (a.exprId == scoreAlias.exprId) as(pScore, a)
+      if (a.exprId == scoreAlias.exprId) as(scoreExpr, a)
       else as(pId, a)
     }
     logInfo(s"AnnIndexRule: rewrote brute-force top-$k over " +

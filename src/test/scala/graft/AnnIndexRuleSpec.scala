@@ -143,6 +143,46 @@ class AnnIndexRuleSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
+  test("pgvector distance form: orderBy(cosine_dist.asc_nulls_last).limit(k) rewrites") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      IvfIndex.writeIndex(IvfIndex.build(base, "embedding", "vec_id", cs),
+        s"$dir/ivf")
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
+      val q = centers(0)
+      // the reference's literal shape: ORDER BY embedding <=> q LIMIT k
+      val df = base.select(col("vec_id"),
+          VectorFunctions.cosine_dist(col("embedding"),
+            org.apache.spark.sql.functions.lit(q)).as("dist"))
+        .orderBy(col("dist").asc_nulls_last, col("vec_id")).limit(10)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(scanRoots(df).exists(_.contains("/ivf")),
+        s"distance form not rewritten: ${scanRoots(df)}")
+      val direct = IvfIndex.search(spark.read.parquet(s"$dir/ivf"),
+          "embedding", "vec_id", cs, q, 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), 1.0 - r.getDouble(1))).toSeq
+      assert(got.map(_._1) == direct.map(_._1))
+      got.zip(direct).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-12) }
+
+      // plain .asc (nulls first) must NOT rewrite on a nullable column:
+      // a null distance would lead the brute-force output but never the
+      // probe's
+      if (base.schema("embedding").nullable) {
+        val ascFirst = base.select(col("vec_id"),
+            VectorFunctions.cosine_dist(col("embedding"),
+              org.apache.spark.sql.functions.lit(q)).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id")).limit(10)
+        ascFirst.collect()
+        assert(scanRoots(ascFirst).forall(_.contains("/base")))
+      }
+    } finally AnnCatalog.clear()
+  }
+
   test("conservative fallbacks: unregistered, filtered, asc, extra columns") {
     ensureRule()
     val (dir, centers) = writeBase()
