@@ -2929,6 +2929,33 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // ---- GPT-style sequence packing: tokenize, concatenate the token
+    // stream in doc_id order, chunk into fixed context windows (L=512)
+    // — the standard pretraining sample-packing layout. The exact
+    // global token offset comes from GlobalOrder.withRunningSumLong
+    // (ONE range shuffle + broadcast prefix carry; long addition is
+    // associative so the partition-split accumulation is bit-identical
+    // to the sequential window) — never the single-partition
+    // `sum() OVER (ORDER BY ...)` scale-killer. Output: which context
+    // windows each document spans ----
+    "q172_sequence_pack" -> ((s, d) => {
+      import graft.operators.GlobalOrder
+      val L = 512L
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.bpeTokenCount(col("text"))
+            .cast("bigint").as("n_tok"))
+      GlobalOrder.withRunningSumLong(docs, Seq(col("doc_id")),
+          col("n_tok"), "cum")
+        .withColumn("off", col("cum") - col("n_tok"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          expr(s"off div $L").as("first_chunk"),
+          expr(s"(off + n_tok - 1) div $L").as("last_chunk"))
+        .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- APPROXIMATE-mode ANN under the driver oracle (q166/q167 gate
     // exact mode; this gates the production knobs): probe HNSW at serve
     // efSearch=48 and IVF at nProbe=4<16, compute recall@20 against the
@@ -5323,6 +5350,26 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
         | cl.vec_id
         |LIMIT 20""".stripMargin,
+
+    // the oracle replays the packing with the sequential window cumsum
+    // (the semantics GlobalOrder's split accumulation is proven equal
+    // to); `//` is DuckDB integer division, matching Spark's `div`
+    "q172_sequence_pack" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+        | FROM t)
+        |SELECT doc_id, n_tok,
+        | CAST(off // 512 AS BIGINT) AS first_chunk,
+        | CAST((off + n_tok - 1) // 512 AS BIGINT) AS last_chunk,
+        | CAST(((off + n_tok - 1) // 512) - (off // 512) + 1 AS BIGINT) AS n_chunks
+        |FROM c WHERE n_tok > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // exact top-k oracle, valid because the registered index's efSearch
     // covers each stored sub-graph (q166's exactness device) — the
