@@ -209,16 +209,27 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     }
     if (!scoreLeads || !tieOk) return None
 
-    val spark = SparkSession.active
-    val probe = entry match {
-      case AnnCatalog.IvfEntry(path, embCol, idCol, cs, nProbe) =>
-        IvfIndex.search(spark.read.parquet(path), embCol, idCol, cs,
-          queryVec, k, nProbe)
-      case AnnCatalog.HnswEntry(path, _, idCol, params) =>
-        HnswIndex.searchGraphIndex(spark, path, idCol,
-          Seq(0L -> queryVec), k, params).drop("query_id")
+    // a stale registration (index files moved/deleted) must degrade to
+    // the always-correct brute-force scan, not fail the user's query
+    // from inside the optimizer
+    val analyzed = try {
+      val spark = SparkSession.active
+      val probe = entry match {
+        case AnnCatalog.IvfEntry(path, embCol, idCol, cs, nProbe) =>
+          IvfIndex.search(spark.read.parquet(path), embCol, idCol, cs,
+            queryVec, k, nProbe)
+        case AnnCatalog.HnswEntry(path, _, idCol, params) =>
+          HnswIndex.searchGraphIndex(spark, path, idCol,
+            Seq(0L -> queryVec), k, params).drop("query_id")
+      }
+      probe.queryExecution.analyzed
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"AnnIndexRule: stored index for " +
+          s"${fs.location.rootPaths.head} unusable (${e.getMessage}); " +
+          "falling back to brute-force scan")
+        return None
     }
-    val analyzed = probe.queryExecution.analyzed
     val pId = analyzed.output.head
     val pScore = analyzed.output(1)
 

@@ -183,6 +183,22 @@ class AnnIndexRuleSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
+  test("stale registration (deleted index files) degrades to brute force") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/never-written", "embedding", "vec_id",
+          cs, nProbe = 2))
+      val df = VectorFunctions.topK(base, "embedding", "vec_id", centers(0), 5)
+      val got = df.collect() // must not throw from inside the optimizer
+      assert(got.length == 5)
+      assert(scanRoots(df).forall(_.contains("/base")))
+    } finally AnnCatalog.clear()
+  }
+
   test("conservative fallbacks: unregistered, filtered, asc, extra columns") {
     ensureRule()
     val (dir, centers) = writeBase()

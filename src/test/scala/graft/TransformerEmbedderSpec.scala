@@ -114,6 +114,37 @@ class TransformerEmbedderSpec extends SparkSpec {
     assert(toks.forall(_ < vocab.length))
   }
 
+  test("WordPiece property: char-fallback vocab never yields [UNK]; " +
+      "stripping ## reconstructs every word") {
+    val dir = Files.createTempDirectory("graft-wp-prop")
+    val f = dir.resolve("prop.gft3").toString
+    // the default vocab carries every letter/digit as word-initial AND
+    // ## continuation — the char-level fallback of real vocabs
+    TransformerEmbedder.save(f, maxLen = 256)
+    val m = TransformerEmbedder.testLoad(f)
+    val idToTok = TransformerEmbedder.defaultVocab.zipWithIndex
+      .map(_.swap).toMap
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val nWords = 1 + rng.nextInt(6)
+      val words = Seq.fill(nWords)(
+        Seq.fill(1 + rng.nextInt(12))(
+          "abcdefghijklmnopqrstuvwxyz0123456789".charAt(rng.nextInt(36)))
+          .mkString)
+      val toks = TransformerEmbedder.tokenize(m, words.mkString(" "))
+      val pieces = toks.map(idToTok)
+      assert(!pieces.contains("[UNK]"), s"$words -> ${pieces.toSeq}")
+      // drop [CLS]/[SEP], split back into words at non-## boundaries
+      val body = pieces.filterNot(p => p == "[CLS]" || p == "[SEP]")
+      val rebuilt = body.foldLeft(List.empty[String]) {
+        case (acc, p) if p.startsWith("##") =>
+          acc.init :+ (acc.last + p.drop(2))
+        case (acc, p) => acc :+ p
+      }
+      assert(rebuilt == words, s"$words -> ${pieces.toSeq} -> $rebuilt")
+    }
+  }
+
   test("legacy GFT2 artifact still loads and embeds (hashed tokenization)") {
     val dir = Files.createTempDirectory("graft-gft2")
     val f = dir.resolve("legacy.gft2").toString
