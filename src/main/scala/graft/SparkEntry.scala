@@ -2956,6 +2956,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- deterministic EPOCH SHUFFLE + sharding: the training-order
+    // stage of a data pipeline. Permutation key is the closed-form
+    // multiplicative hash (engine-agnostic, same family the IVF
+    // centroid pick replays in SQL) seeded by the epoch; the global
+    // position comes from GlobalOrder.withRowNumber (one range
+    // shuffle), then docs are cut into fixed-size output shards. A
+    // different epoch seed yields a different permutation with zero
+    // data movement beyond the one range shuffle ----
+    "q173_epoch_shuffle" -> ((s, d) => {
+      import graft.operators.GlobalOrder
+      val epoch = 3L
+      val shardSize = 100L
+      val docs = tSpread(s, d, "documents").select(col("doc_id"))
+        // mod BEFORE the multiply (q39's closed form): keeps the
+        // product < 2^63 for any doc_id under ANSI overflow checking
+        .withColumn("h",
+          pmod(pmod(col("doc_id") + lit(epoch), lit(1000003L))
+            * lit(2654435761L), lit(1000003L)))
+      GlobalOrder.withRowNumber(docs, Seq(col("h"), col("doc_id")), "pos")
+        .withColumn("shard", expr(s"(pos - 1) div $shardSize"))
+        .withColumn("pos_in_shard", expr(s"(pos - 1) % $shardSize"))
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- APPROXIMATE-mode ANN under the driver oracle (q166/q167 gate
     // exact mode; this gates the production knobs): probe HNSW at serve
     // efSearch=48 and IVF at nProbe=4<16, compute recall@20 against the
@@ -5350,6 +5375,22 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
         | cl.vec_id
         |LIMIT 20""".stripMargin,
+
+    // the oracle replays the permutation with the sequential
+    // row_number window over the same closed-form hash
+    "q173_epoch_shuffle" ->
+      """WITH h AS (
+        | SELECT doc_id, (((doc_id + 3) % 1000003) * 2654435761) % 1000003 AS h
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id,
+        |  row_number() OVER (ORDER BY h, doc_id) AS pos
+        | FROM h)
+        |SELECT doc_id,
+        | CAST((pos - 1) // 100 AS BIGINT) AS shard,
+        | CAST((pos - 1) % 100 AS BIGINT) AS pos_in_shard
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
 
     // the oracle replays the packing with the sequential window cumsum
     // (the semantics GlobalOrder's split accumulation is proven equal
