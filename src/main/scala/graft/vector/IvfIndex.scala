@@ -115,6 +115,20 @@ object IvfIndex {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incrementally ADD a batch to a stored index: assign each new row
+    * to its centroid cell and APPEND to that cell's partition
+    * directory. Cell assignment is per-row independent, so the grown
+    * index is EXACTLY the index a full rebuild over base ∪ batch would
+    * produce (same cells, same rows — unlike a graph index there is no
+    * insertion-order state), and untouched cells see no IO at all.
+    * Centroids are fixed at build time — the standard IVF serve-time
+    * contract (retrain + rebuild to re-balance cells). */
+  def addToIndex(batch: DataFrame, embCol: String, idCol: String,
+                 cs: Array[(Int, Array[Float])], path: String): Unit =
+    build(batch, embCol, idCol, cs)
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
   /** Search: probe the `nProbe` best cells, exact top-k within them. */
   def search(index: DataFrame, embCol: String, idCol: String,
              cs: Array[(Int, Array[Float])], query: Array[Float],

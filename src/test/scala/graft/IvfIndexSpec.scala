@@ -116,6 +116,30 @@ class IvfIndexSpec extends SparkSpec {
       f"(${probedBytes.toDouble / fullBytes * 100}%.1f%%)")
   }
 
+  test("incremental add: grown index answers exactly like a full rebuild") {
+    val rng = new scala.util.Random(47)
+    val centers = Array.fill(6)(Array.fill(16)(rng.nextGaussian().toFloat * 5))
+    val all = (0 until 900).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.2).toFloat))
+    }.toDF("id", "emb")
+    val base = all.filter($"id" < 600)
+    val batch = all.filter($"id" >= 600)
+    val cs = IvfIndex.centroids(base, "emb", "id", 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-incr").toString
+
+    IvfIndex.writeIndex(IvfIndex.build(base, "emb", "id", cs), s"$dir/incr")
+    IvfIndex.addToIndex(batch, "emb", "id", cs, s"$dir/incr")
+    IvfIndex.writeIndex(IvfIndex.build(all, "emb", "id", cs), s"$dir/full")
+
+    assert(spark.read.parquet(s"$dir/incr").count() == 900)
+    val q = centers(2)
+    def ids(p: String) = IvfIndex.search(IvfIndex.readIndex(spark, p),
+        "emb", "id", cs, q, k = 15, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids(s"$dir/incr") == ids(s"$dir/full"))
+  }
+
   test("centroid pick is deterministic") {
     val data = (0 until 50).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("id", "emb")
     val c1 = IvfIndex.centroids(data, "emb", "id", 4).map(_._1).toSeq
