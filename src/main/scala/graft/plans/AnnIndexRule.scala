@@ -123,7 +123,7 @@ class AnnIndexRule extends Rule[LogicalPlan] {
               if pl.forall(_.deterministic) => Some((Some(p), s))
           case _ => None
         }).flatMap { case (post, sort) =>
-          rewrite(gl, k, sort.order, sort.child).map { probed =>
+          rewrite(k, sort.order, sort.child).map { probed =>
             post.fold(probed: LogicalPlan)(p => Project(p.projectList, probed))
           }
         }.getOrElse(gl)
@@ -139,7 +139,7 @@ class AnnIndexRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rewrite(gl: GlobalLimit, k: Int, orders: Seq[SortOrder],
+  private def rewrite(k: Int, orders: Seq[SortOrder],
                       child: LogicalPlan): Option[LogicalPlan] = {
     val (projList, below) = child match {
       case Project(pl, c) => (pl, c)
