@@ -121,7 +121,7 @@ object CoalesceMerge {
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
-        .orderBy(valueCols.map(col): _*)
+        .orderBy(valueCols.map(col).toIndexedSeq: _*)
       source.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
     }

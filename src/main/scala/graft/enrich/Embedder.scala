@@ -97,6 +97,6 @@ object EmbedStage {
     val missing = df.filter(col(embCol).isNull).drop(embCol)
     val present = df.filter(col(embCol).isNotNull)
     present.unionByName(
-      embedColumn(missing, textCol, embCol, embedder).select(df.columns.map(col): _*))
+      embedColumn(missing, textCol, embCol, embedder).select(df.columns.map(col).toIndexedSeq: _*))
   }
 }

@@ -45,6 +45,6 @@ object Skyline {
       .select(col(yCol).as("_fy"), col("_minx"))
     df.join(frontier,
         df(yCol) === frontier("_fy") && df(xCol) === frontier("_minx"))
-      .select(df.columns.map(df(_)): _*)
+      .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
 }

@@ -55,7 +55,7 @@ object AsOfJoin {
     val taggedRight = rightDedup
       .withColumn("_t", col(rightTime)).withColumn("_tag", lit(0))
       .select(Seq(col(key), col("_t"), col("_tag"),
-        struct(rightCols.map(col): _*).as("_r")) ++
+        struct(rightCols.map(col).toIndexedSeq: _*).as("_r")) ++
         leftCols.map(c => lit(null).cast(
           left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left

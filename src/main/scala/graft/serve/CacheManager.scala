@@ -69,7 +69,7 @@ object CacheManager {
         date_format(col("performance_time"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
       .drop("performance_time")
     rows
-      .withColumn("_doc", to_json(struct(rows.columns.sorted.map(col): _*)))
+      .withColumn("_doc", to_json(struct(rows.columns.sorted.map(col).toIndexedSeq: _*)))
       // deterministic array order: collect unordered (shuffle-safe), then
       // sort by (time, id) inside the aggregated array
       .agg(transform(

@@ -119,7 +119,7 @@ object StreamingIngest {
         // be invisible to the caller, so accumulate in a global temp view
         val spark = batch.sparkSession
         val prev =
-          if (spark.catalog.tableExists("global_temp", stateView))
+          if (spark.catalog.tableExists(s"global_temp.$stateView"))
             spark.table(s"global_temp.$stateView")
           else batch.limit(0)
         val merged = CoalesceMerge.insertIfAbsent(prev, batch, keys)

@@ -142,7 +142,7 @@ object IvfIndex {
     }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
     // cell filter = partition pruning on a partitionBy("centroid_id") table
     VectorFunctions.topK(
-      index.filter(col("centroid_id").isin(probeCells.map(Integer.valueOf): _*)),
+      index.filter(col("centroid_id").isin(probeCells.map(Integer.valueOf).toIndexedSeq: _*)),
       embCol, idCol, query, k)
   }
 }
