@@ -62,6 +62,84 @@ object AnnCatalog {
   /** The entry for a scan, only when the scan reads exactly one root. */
   def lookup(rootPaths: Seq[String]): Option[Entry] =
     if (rootPaths.length != 1) None else entries.get(norm(rootPaths.head))
+
+  // -------------------------------------------------- at-rest catalog
+  //
+  // The reference's index attachment is persistent (CREATE INDEX once,
+  // every later connection's planner uses it). The in-memory map above
+  // is session state, so the registration is ALSO persisted as a small
+  // descriptor INSIDE the index directory — the index is self-
+  // describing, and a fresh session re-attaches with one call:
+  //   AnnCatalog.registerAndPersist(tablePath, entry)   // build side
+  //   AnnCatalog.attach(tablePath, indexPath)           // serve side
+  // Hadoop FS API throughout, so the descriptor lives wherever the
+  // index lives (HDFS/S3/local alike).
+
+  private val DescriptorFile = "_graft_ann"
+  private val Magic = "GANN"
+
+  def registerAndPersist(tablePath: String, entry: Entry): Unit = {
+    register(tablePath, entry)
+    val indexPath = entry match {
+      case IvfEntry(p, _, _, _, _) => p
+      case HnswEntry(p, _, _, _) => p
+    }
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(conf)
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(dir, DescriptorFile), true))
+    try {
+      out.writeBytes(Magic)
+      entry match {
+        case IvfEntry(_, embCol, idCol, cs, nProbe) =>
+          out.writeByte(1)
+          out.writeUTF(embCol); out.writeUTF(idCol); out.writeInt(nProbe)
+          out.writeInt(cs.length)
+          cs.foreach { case (cid, c) =>
+            out.writeInt(cid); out.writeInt(c.length)
+            c.foreach(out.writeFloat)
+          }
+        case HnswEntry(_, embCol, idCol, params) =>
+          out.writeByte(2)
+          out.writeUTF(embCol); out.writeUTF(idCol)
+          out.writeInt(params.m); out.writeInt(params.efConstruction)
+          out.writeInt(params.efSearch)
+      }
+    } finally out.close()
+  }
+
+  /** Re-attach a persisted index to `tablePath` in this session by
+    * reading the descriptor [[registerAndPersist]] left inside the
+    * index directory. */
+  def attach(tablePath: String, indexPath: String): Entry = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(indexPath, DescriptorFile)
+    val fs = p.getFileSystem(conf)
+    val in = new java.io.DataInputStream(fs.open(p))
+    val entry = try {
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(new String(magic, "US-ASCII") == Magic,
+        s"not a graft ANN index descriptor: $p")
+      in.readByte() match {
+        case 1 =>
+          val embCol = in.readUTF(); val idCol = in.readUTF()
+          val nProbe = in.readInt()
+          val cs = Array.fill(in.readInt()) {
+            val cid = in.readInt()
+            (cid, Array.fill(in.readInt())(in.readFloat()))
+          }
+          IvfEntry(indexPath, embCol, idCol, cs, nProbe)
+        case 2 =>
+          val embCol = in.readUTF(); val idCol = in.readUTF()
+          HnswEntry(indexPath, embCol, idCol, HnswIndex.Params(
+            in.readInt(), in.readInt(), in.readInt()))
+        case other => sys.error(s"unknown ANN descriptor kind $other in $p")
+      }
+    } finally in.close()
+    register(tablePath, entry)
+    entry
+  }
 }
 
 /** Optimizer rule: transparent ANN index selection.

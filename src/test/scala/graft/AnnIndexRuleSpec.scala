@@ -183,6 +183,53 @@ class AnnIndexRuleSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
+  test("persisted registration: attach() restores the rewrite from the descriptor") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      IvfIndex.writeIndex(IvfIndex.build(base, "embedding", "vec_id", cs),
+        s"$dir/ivf")
+      AnnCatalog.registerAndPersist(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
+      // simulate a NEW session: in-memory registration gone
+      AnnCatalog.clear()
+      val cold = VectorFunctions.topK(base, "embedding", "vec_id", centers(0), 8)
+      cold.collect()
+      assert(scanRoots(cold).forall(_.contains("/base")), "cleared catalog must be brute force")
+
+      val restored = AnnCatalog.attach(s"$dir/base", s"$dir/ivf")
+      restored match {
+        case AnnCatalog.IvfEntry(_, emb, id, rcs, np) =>
+          assert(emb == "embedding" && id == "vec_id" && np == 2)
+          assert(rcs.map(_._1).toSeq == cs.map(_._1).toSeq)
+          assert(rcs.map(_._2.toSeq).toSeq == cs.map(_._2.toSeq).toSeq)
+        case other => fail(s"wrong entry kind: $other")
+      }
+      val warm = VectorFunctions.topK(base, "embedding", "vec_id", centers(0), 8)
+      val got = warm.collect().map(_.getLong(0)).toSeq
+      assert(scanRoots(warm).exists(_.contains("/ivf")),
+        s"attached index not used: ${scanRoots(warm)}")
+      val direct = IvfIndex.search(spark.read.parquet(s"$dir/ivf"),
+          "embedding", "vec_id", cs, centers(0), 8, nProbe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == direct)
+
+      // HNSW descriptor round-trips too
+      HnswIndex.writeGraphIndex(base, "embedding", "vec_id", s"$dir/hnsw")
+      AnnCatalog.registerAndPersist(s"$dir/base2",
+        AnnCatalog.HnswEntry(s"$dir/hnsw", "embedding", "vec_id",
+          HnswIndex.Params(m = 8, efConstruction = 64, efSearch = 99)))
+      AnnCatalog.clear()
+      AnnCatalog.attach(s"$dir/base2", s"$dir/hnsw") match {
+        case AnnCatalog.HnswEntry(_, _, _, p) =>
+          assert(p == HnswIndex.Params(8, 64, 99))
+        case other => fail(s"wrong entry kind: $other")
+      }
+    } finally AnnCatalog.clear()
+  }
+
   test("stale registration (deleted index files) degrades to brute force") {
     ensureRule()
     val (dir, centers) = writeBase()
