@@ -21,9 +21,11 @@ import scala.collection.concurrent.TrieMap
   * index against the table path once, and every naturally-written
   * brute-force top-k over that table plans into the index probe.
   *
-  * Keys are scheme-normalized paths (`file:/x` == `/x`) so a catalog
-  * entry registered with the path a user wrote matches the root path the
-  * file index reports.
+  * Keys are FULLY-QUALIFIED filesystem URIs (the bare-local path a user
+  * wrote and the `file:` root the file index reports both qualify to the
+  * same key, but `s3a://bucketA/t` and `hdfs://nn/t` stay distinct — a
+  * scheme-stripping normalization would let a lookup silently serve rows
+  * from a different table's index).
   */
 object AnnCatalog {
 
@@ -47,8 +49,19 @@ object AnnCatalog {
 
   private val entries = TrieMap.empty[String, Entry]
 
-  private def norm(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  private def norm(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val hadoopConf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    try path.getFileSystem(hadoopConf).makeQualified(path).toString
+    catch {
+      // scheme without a loadable FS impl: keep the full URI (scheme +
+      // authority intact) so distinct stores still key distinctly
+      case scala.util.control.NonFatal(_) => path.toUri.toString
+    }
+  }
 
   def register(tablePath: String, entry: Entry): Unit =
     entries.put(norm(tablePath), entry)
@@ -263,14 +276,20 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     if (embAttr.name != entry.embCol || idAttr.name != entry.idCol) return None
 
     // sort: similarity DESC / distance ASC first, at most one id ASC
-    // tiebreak after. The ASC distance form is only taken when a null
-    // distance cannot lead the output: null scores sort LAST under
-    // DESC (matching the probe, which never emits null-embedding
-    // rows), but FIRST under default ASC — so ASC requires NullsLast
-    // or a non-nullable embedding column.
+    // tiebreak after. Either form is only taken when a null score
+    // cannot lead the output: the probe never emits null-embedding
+    // rows, so a NULLS FIRST ordering (explicit desc_nulls_first, or
+    // the plain-ASC default) would make brute force lead with rows the
+    // probe cannot produce. Both branches therefore require NullsLast
+    // (the DESC default) or a non-nullable embedding column. Residual
+    // deviation, shared with pgvector (whose index scan never emits
+    // NULL-vector rows): if the table has fewer than k non-null
+    // embeddings the probe returns fewer rows than brute force, which
+    // pads with null-score rows.
     val scoreLeads = orders.headOption.exists {
-      case SortOrder(r: AttributeReference, Descending, _, _) if !isDistance =>
-        r.exprId == scoreAlias.exprId
+      case SortOrder(r: AttributeReference, Descending, no, _) if !isDistance =>
+        r.exprId == scoreAlias.exprId &&
+          (no == NullsLast || !embAttr.nullable)
       case SortOrder(r: AttributeReference, Ascending, no, _) if isDistance =>
         r.exprId == scoreAlias.exprId &&
           (no == NullsLast || !embAttr.nullable)

@@ -416,6 +416,52 @@ object HnswIndex {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
       .write.mode("overwrite").partitionBy("graph_id").parquet(path)
+    // the build-time cap is part of the index's contract (the bound
+    // incremental adds must respect), so it persists WITH the index —
+    // written after the parquet overwrite (which would wipe it)
+    writeMeta(df.sparkSession, path, p, cap)
+  }
+
+  // ------------------------------------------- persisted build params
+
+  private val MetaFile = "_graft_hnsw_meta"
+  private val MetaMagic = "GHNS"
+
+  /** Build-time parameters a stored index carries at rest: the graph
+    * knobs (m, efConstruction) and the sub-graph row cap. */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+                        path: String, p: Params, cap: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(dir, MetaFile), true))
+    try {
+      out.writeBytes(MetaMagic)
+      out.writeInt(1) // version
+      out.writeInt(p.m); out.writeInt(p.efConstruction); out.writeInt(cap)
+    } finally out.close()
+  }
+
+  /** (m, efConstruction, maxPartitionRows) persisted by
+    * [[writeGraphIndex]]; None for an index written before the sidecar
+    * existed. */
+  def readMeta(spark: org.apache.spark.sql.SparkSession,
+               path: String): Option[(Int, Int, Int)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        val magic = new Array[Byte](4); in.readFully(magic)
+        require(new String(magic, "US-ASCII") == MetaMagic,
+          s"not a graft HNSW meta sidecar: $p")
+        in.readInt() // version
+        Some((in.readInt(), in.readInt(), in.readInt()))
+      } finally in.close()
+    }
   }
 
   /** Incrementally ADD a batch into a stored graph index — the
@@ -430,6 +476,19 @@ object HnswIndex {
     * sub-graphs are not read, shuffled, or rewritten. Cost per batch is
     * therefore O(touched graphs + batch), not O(corpus).
     *
+    * The row cap defaults to the BUILD-TIME cap persisted in the index's
+    * meta sidecar (an index built with a larger cap keeps accepting adds
+    * up to it; one built with a smaller cap is bounded by its own limit)
+    * — pass `maxPartitionRows > 0` only to deliberately override.
+    *
+    * SINGLE WRITER: the rewritten sub-graphs are staged off the input
+    * files (localCheckpoint) before the overwrite, so a failure mid-add
+    * cannot corrupt the index by deleting inputs it still needs — but
+    * two CONCURRENT callers read-modify-write whole sub-graphs and the
+    * last writer wins. Serialize adds (one foreachBatch stream, one
+    * maintenance job), the same single-writer contract as the reference's
+    * single-Postgres-table index.
+    *
     * Streaming form: call from `foreachBatch` (StreamingSpec) — the
     * q65-style incremental pattern with the index as the accumulating
     * state. */
@@ -437,10 +496,12 @@ object HnswIndex {
                       path: String, batch: DataFrame,
                       embCol: String, idCol: String,
                       params: Params = Params(),
-                      maxPartitionRows: Int = 500000): Unit = {
+                      maxPartitionRows: Int = -1): Unit = {
     import spark.implicits._
     val p = params
-    val cap = maxPartitionRows
+    val cap =
+      if (maxPartitionRows > 0) maxPartitionRows
+      else readMeta(spark, path).map(_._3).getOrElse(500000)
     val stored = spark.read.parquet(path)
     val gids = stored.select(col("graph_id").cast("int")).as[Int]
       .collect().sorted
@@ -480,10 +541,17 @@ object HnswIndex {
         }
       }.toDF("graph_id", "n_vectors", "graph")
 
+    // stage the rewritten sub-graphs OFF the stored files before the
+    // overwrite: the write below replaces the same directories the
+    // cogroup reads, which today only works because inputs are read
+    // before commit-time replacement — materializing first removes the
+    // read-from/write-to-same-path coupling entirely
+    val staged = updated.localCheckpoint(true)
+
     // dynamic overwrite: only the touched graph_id= directories change
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try updated.write.mode("overwrite").partitionBy("graph_id").parquet(path)
+    try staged.write.mode("overwrite").partitionBy("graph_id").parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -230,6 +230,46 @@ class AnnIndexRuleSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
+  test("catalog keys are fully qualified: local file: equivalence, distinct authorities distinct") {
+    try {
+      val e = AnnCatalog.IvfEntry("/nowhere/ivf", "emb", "id",
+        Array(0 -> Array(1.0f)), nProbe = 1)
+      // the bare-local path a user writes and the file: root a file index
+      // reports must key identically
+      AnnCatalog.register("/tmp/graft-norm-test/t", e)
+      assert(AnnCatalog.lookup(Seq("file:/tmp/graft-norm-test/t")).contains(e))
+      // same path under different scheme/authority must NOT collide —
+      // the round-5 normalization stripped scheme+authority and would
+      // have served bucketB's query from bucketA's index
+      AnnCatalog.register("s3a://bucketA/t", e)
+      assert(AnnCatalog.lookup(Seq("s3a://bucketB/t")).isEmpty)
+      assert(AnnCatalog.lookup(Seq("hdfs://nn/t")).isEmpty)
+      assert(AnnCatalog.lookup(Seq("s3a://bucketA/t")).contains(e))
+    } finally AnnCatalog.clear()
+  }
+
+  test("explicit desc_nulls_first over a nullable embedding does not rewrite") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      IvfIndex.writeIndex(IvfIndex.build(base, "embedding", "vec_id", cs),
+        s"$dir/ivf")
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
+      assume(base.schema("embedding").nullable)
+      val q = centers(0)
+      val df = base.select(col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"),
+            org.apache.spark.sql.functions.lit(q)).as("score"))
+        .orderBy(col("score").desc_nulls_first, col("vec_id")).limit(10)
+      df.collect()
+      assert(scanRoots(df).forall(_.contains("/base")),
+        s"desc_nulls_first was rewritten: ${scanRoots(df)}")
+    } finally AnnCatalog.clear()
+  }
+
   test("stale registration (deleted index files) degrades to brute force") {
     ensureRule()
     val (dir, centers) = writeBase()

@@ -144,6 +144,28 @@ class HnswIndexSpec extends SparkSpec {
     assert(msg != null && msg.contains("Repartition the input"), msg)
   }
 
+  test("build-time row cap persists with the index and bounds later adds") {
+    val (all, _) = clustered(60, 2, 4, seed = 77)
+    val base = all.filter(col("id") < 48)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-meta").toString
+    HnswIndex.writeGraphIndex(base, "emb", "id", s"$dir/idx",
+      HnswIndex.Params(m = 6, efConstruction = 48), maxPartitionRows = 12)
+    assert(HnswIndex.readMeta(spark, s"$dir/idx").contains((6, 48, 12)))
+
+    // an add that would push one sub-graph past the STORED cap must fail
+    // with the cap the index was built with, without the caller
+    // re-passing it — repeated same-id batches pin ONE sub-graph (gid is
+    // an id hash), so its stored cap deterministically trips
+    val e = intercept[Exception] {
+      (0 until 12).foreach { _ =>
+        HnswIndex.addToGraphIndex(spark, s"$dir/idx",
+          all.filter(col("id") === 48), "emb", "id")
+      }
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("12"), s"stored cap not enforced: $msg")
+  }
+
   test("incremental add-batch == full index over the union (search results)") {
     val (all, centers) = clustered(300, 3, 8, seed = 44)
     val base = all.filter(col("id") < 200)
