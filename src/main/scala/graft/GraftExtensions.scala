@@ -158,5 +158,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
     e.injectOptimizerRule(_ => new graft.plans.AnnIndexRule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AnnFallbackStrategy)
   }
 }

@@ -2886,9 +2886,8 @@ object SparkEntry {
     "q169_ann_auto" -> ((s, d) => {
       import graft.plans.{AnnCatalog, AnnIndexRule}
       import graft.vector.IvfIndex
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AnnIndexRule]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ new AnnIndexRule
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-auto").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
@@ -2912,9 +2911,8 @@ object SparkEntry {
     // rule + stored-graph probe composition round-trips at every sf ----
     "q171_ann_auto_hnsw" -> ((s, d) => {
       import graft.plans.{AnnCatalog, AnnIndexRule}
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AnnIndexRule]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ new AnnIndexRule
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-hnsw").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
@@ -2927,6 +2925,96 @@ object SparkEntry {
       VectorFunctions.topK(s.read.parquet(s"$tmp/base"),
           "embedding", "vec_id", queryVec(s, d), 20)
         .withColumn("score", round(col("score"), 4))
+    }),
+
+    // ---- FILTERED transparent ANN planning — pgvector's dominant
+    // production shape `WHERE pred ORDER BY embedding <=> q LIMIT k`
+    // (the reference's serving queries always carry a date/entity
+    // predicate, cache_manager/service.py:43-58). AnnIndexRule plans it
+    // as: over-fetched index probe (k' = k×overfetch) → broadcast
+    // join-back on id (reads only id + predicate columns from base,
+    // never the wide embedding column) → re-filter → top-k, wrapped in
+    // AnnFallbackExec which runs the brute plan at execution time if
+    // fewer than k candidates survive. The stored graph index uses a
+    // covering efSearch, so probe-or-fallback BOTH equal the
+    // brute-force answer — the oracle is plain brute-force SQL and the
+    // row stays green at every sf regardless of which branch serves ----
+    "q174_ann_filtered" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-filt").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      graft.vector.HnswIndex.writeGraphIndex(
+        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+          graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
+      s.read.parquet(s"$tmp/base")
+        .filter(pmod(col("vec_id"), lit(3)) === 0)
+        .select(col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"),
+            lit(queryVec(s, d))).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
+    // ---- PAYLOAD columns through the transparent planner: `SELECT *`-
+    // shaped top-k (the reference serves full EventDTO rows,
+    // cache_manager/service.py:48-60). The rule plans the probe plus ONE
+    // broadcast join-back on id to recover the label column — the base
+    // scan reads (vec_id, label) only, not the embedding array, which is
+    // the dominant IO saving at 100 TB ----
+    "q175_ann_payload" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-payload").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      graft.vector.HnswIndex.writeGraphIndex(
+        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+          graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
+      s.read.parquet(s"$tmp/base")
+        .select(col("vec_id"), col("label"),
+          VectorFunctions.cosine_sim(col("embedding"),
+            lit(queryVec(s, d))).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
+    // ---- RUNTIME FALLBACK under the oracle: the predicate keeps fewer
+    // than k rows in the whole table (vec_id % 97 = 0), so no over-fetch
+    // can cover it — AnnFallbackExec's probe branch comes up short at
+    // execution time and the brute branch serves the query. Distance
+    // form (`1 - cosine` ASC NULLS LAST, the literal pgvector operator
+    // shape) with a payload column, so this row gates the fallback ×
+    // join-back × distance composition at every sf ----
+    "q176_ann_fallback" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-fb").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      graft.vector.HnswIndex.writeGraphIndex(
+        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+          graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
+      s.read.parquet(s"$tmp/base")
+        .filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id"), col("label"),
+          VectorFunctions.cosine_dist(col("embedding"),
+            lit(queryVec(s, d))).as("dist"))
+        .orderBy(col("dist").asc_nulls_last, col("vec_id")).limit(20)
+        .withColumn("dist", round(col("dist"), 4))
     }),
 
     // ---- GPT-style sequence packing: tokenize, concatenate the token
@@ -5423,6 +5511,45 @@ object SparkEntry {
         |FROM embeddings e CROSS JOIN q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // brute-force SQL with the predicate: valid because the registered
+    // index's efSearch covers each sub-graph (probe exact) and the
+    // runtime fallback covers the under-k case — whichever branch
+    // served, the answer equals brute force
+    "q174_ann_filtered" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id % 3 = 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // brute-force SQL with the payload column joined back by the probe
+    "q175_ann_payload" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        |FROM embeddings e CROSS JOIN q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // brute-force SQL in the pgvector DISTANCE form; the predicate keeps
+    // < k rows so the Spark side is served by the runtime brute fallback
+    "q176_ann_fallback" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        | round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                  CAST(q.qe AS DOUBLE[])), 4) AS dist
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id % 97 = 0
+        |ORDER BY 1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(q.qe AS DOUBLE[])) ASC, e.vec_id
         |LIMIT 20""".stripMargin,
 
     // the oracle replays the FLOOR COMPARISON as constants: the Spark

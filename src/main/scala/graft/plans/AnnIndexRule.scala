@@ -3,6 +3,7 @@ package graft.plans
 import graft.vector.{CosineSimilarity, HnswIndex, IvfIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -177,25 +178,36 @@ object AnnCatalog {
   *
   * Deliberately conservative — anything NOT matched falls back to the
   * (always-correct) brute-force scan:
-  *  - the scan must be a bare single-root parquet relation, optionally
-  *    under column-pruning Projects; ANY Filter disables the rewrite
-  *    (the stored index covers the whole table, not a filtered subset);
+  *  - the scan must be a single-root parquet relation under
+  *    column-pruning Projects, with at most deterministic,
+  *    subquery-free Filters (the pgvector `WHERE pred ORDER BY
+  *    embedding <=> q LIMIT k` serving shape);
   *  - the query vector must be a literal `array<float>`;
-  *  - the projection must be exactly (id, score) for the registered
-  *    id/embedding columns — extra payload columns don't fit the index
-  *    row layout and would need a join-back;
-  *  - the sort must lead with score DESC; one optional id ASC tiebreak
+  *  - the projection may carry any base-table payload columns next to
+  *    the score (the reference serves full EventDTO rows,
+  *    cache_manager/service.py:48-60);
+  *  - the sort must lead with score DESC (similarity) or ASC
+  *    (distance), NULLS LAST either way; one optional id ASC tiebreak
   *    is allowed (the convention `topK` emits).
   *
-  * The replacement subtree is built with the public DataFrame API
-  * ([[IvfIndex.search]] / [[HnswIndex.searchGraphIndex]]) and spliced in
-  * under a Project that re-aliases its output to the original exprIds,
-  * so parent operators (e.g. a rounding Project) resolve unchanged.
-  * Output ordering (score DESC, id) is preserved by construction.
+  * Plain `(id, score)` top-k with no predicate splices the probe
+  * directly (re-aliased to the original exprIds). A predicate and/or
+  * payload columns plan as: over-fetched probe (k' = k × expansion)
+  * → broadcast join-back on id to the base relation (which reads ONLY
+  * id + payload + predicate columns — never the wide embedding column)
+  * → re-filter → top-k, wrapped in [[AnnFallbackNode]] so execution
+  * degrades to the brute plan when fewer than k candidates survive —
+  * exact results at index speed for selective predicates, exact
+  * results at scan speed for over-selective ones.
   *
-  * Idempotent under fixed-point execution: the IVF probe contains a
-  * Filter over the index relation and the HNSW probe contains no
-  * cosine-sort-limit over a relation, so neither re-matches.
+  * A size-based cost gate mirrors the Postgres planner's index-vs-scan
+  * choice: tables smaller than `spark.graft.ann.minTableBytes`
+  * (default 32 KiB) keep the brute-force scan — on a tiny table the
+  * probe's fixed job overheads cost more than scanning everything.
+  *
+  * Idempotent under fixed-point execution: probes contain a Filter or
+  * Join over their relations so they never re-match, and the embedded
+  * brute branch carries a skip tag.
   */
 class AnnIndexRule extends Rule[LogicalPlan] {
 
@@ -207,7 +219,9 @@ class AnnIndexRule extends Rule[LogicalPlan] {
       // sort — accept one deterministic Project there and re-apply it
       // on top of the probe
       case gl @ GlobalLimit(IntegerLiteral(k),
-          LocalLimit(IntegerLiteral(k2), body)) if k == k2 && k > 0 =>
+          LocalLimit(IntegerLiteral(k2), body))
+          if k == k2 && k > 0 &&
+            gl.getTagValue(AnnIndexRule.noRewriteTag).isEmpty =>
         (body match {
           case s @ Sort(_, true, _, _) => Some((None: Option[Project], s))
           case p @ Project(pl, s @ Sort(_, true, _, _))
@@ -220,15 +234,23 @@ class AnnIndexRule extends Rule[LogicalPlan] {
         }.getOrElse(gl)
     }
 
-  /** Look through attribute-only Projects to the underlying V1 file
-    * relation; None if anything else (Filter, Join, …) intervenes. */
-  private def bareRelation(plan: LogicalPlan): Option[LogicalRelation] =
-    plan match {
-      case lr: LogicalRelation => Some(lr)
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        bareRelation(c)
-      case _ => None
-    }
+  /** Walk through attribute-only Projects and deterministic Filters to
+    * the underlying V1 file relation; None if anything else (Join,
+    * Aggregate, …) intervenes. Collected filter conditions AND together
+    * — they become the post-probe re-filter of the join-back plan. */
+  private def stripToRelation(plan: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = plan match {
+    case lr: LogicalRelation => Some((lr, None))
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToRelation(c)
+    case Filter(cond, c)
+        if cond.deterministic &&
+          cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      stripToRelation(c).map { case (lr, p) =>
+        (lr, Some(p.fold(cond)(And(cond, _))))
+      }
+    case _ => None
+  }
 
   private def rewrite(k: Int, orders: Seq[SortOrder],
                       child: LogicalPlan): Option[LogicalPlan] = {
@@ -236,7 +258,7 @@ class AnnIndexRule extends Rule[LogicalPlan] {
       case Project(pl, c) => (pl, c)
       case _ => return None
     }
-    val lr = bareRelation(below).getOrElse(return None)
+    val (lr, pred) = stripToRelation(below).getOrElse(return None)
     val fs = lr.relation match {
       case f: HadoopFsRelation => f
       case _ => return None
@@ -244,12 +266,24 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     val entry = AnnCatalog.lookup(fs.location.rootPaths.map(_.toString))
       .getOrElse(return None)
 
-    // projection must be exactly (id, score-alias) in either order.
-    // Two score shapes are recognized: cosine SIMILARITY (sorted DESC)
+    // cost gate (Postgres planner analogue): below the size threshold a
+    // single scan beats the probe's fixed job overheads — keep brute
+    // force even though an index is registered
+    val minBytes = java.lang.Long.parseLong(
+      conf.getConfString("spark.graft.ann.minTableBytes", "32768"))
+    if (fs.sizeInBytes < minBytes) {
+      logInfo(s"AnnIndexRule: table ${fs.location.rootPaths.head} " +
+        s"(${fs.sizeInBytes} B) below spark.graft.ann.minTableBytes=" +
+        s"$minBytes — keeping brute-force scan")
+      return None
+    }
+
+    // the projection: one score alias over the registered embedding
+    // column, everything else base-table attributes (payload). Two
+    // score shapes are recognized: cosine SIMILARITY (sorted DESC)
     // and cosine DISTANCE `1.0 - cosine_sim` — the literal pgvector
     // `embedding <=> q` shape the reference's queries sort ASC
     // (database.py:201-210; VectorFunctions.cosine_dist emits it).
-    if (projList.length != 2) return None
     def cosOf(e: Expression): Option[(Array[Float], AttributeReference)] =
       e match {
         case c: CosineSimilarity => (c.left, c.right) match {
@@ -270,10 +304,15 @@ class AnnIndexRule extends Rule[LogicalPlan] {
         val (v, a) = cosOf(child).get
         (al, v, a, true)
     }.getOrElse(return None)
-    val idAttr = projList.collectFirst {
-      case a: AttributeReference => a
-    }.getOrElse(return None)
-    if (embAttr.name != entry.embCol || idAttr.name != entry.idCol) return None
+    if (embAttr.name != entry.embCol || !lr.outputSet.contains(embAttr))
+      return None
+    // everything else must be a base-table column the join-back can
+    // re-attach
+    val payload = projList.filterNot(_.exprId == scoreAlias.exprId).map {
+      case a: AttributeReference if lr.outputSet.contains(a) => a
+      case _ => return None
+    }
+    val idAttrOpt = payload.find(_.name == entry.idCol)
 
     // sort: similarity DESC / distance ASC first, at most one id ASC
     // tiebreak after. Either form is only taken when a null score
@@ -297,14 +336,31 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     }
     val tieOk = orders.length match {
       case 1 => true
-      case 2 => orders(1) match {
-        case SortOrder(r: AttributeReference, Ascending, _, _) =>
-          r.exprId == idAttr.exprId
-        case _ => false
+      case 2 => idAttrOpt.exists { idAttr =>
+        orders(1) match {
+          case SortOrder(r: AttributeReference, Ascending, _, _) =>
+            r.exprId == idAttr.exprId
+          case _ => false
+        }
       }
       case _ => false
     }
     if (!scoreLeads || !tieOk) return None
+
+    // bare (id, score) with no predicate → direct splice; anything else
+    // (payload columns, predicate) → join-back + runtime fallback
+    val simple = pred.isEmpty && projList.length == 2 && idAttrOpt.isDefined
+    // post-filter over-fetch: ask the index for k' = k × expansion
+    // candidates so a selective predicate still leaves k survivors
+    val kProbe =
+      if (pred.isEmpty) k
+      else {
+        val factor = math.max(1, Integer.parseInt(
+          conf.getConfString("spark.graft.ann.overfetch", "4")))
+        val cap = math.max(k, Integer.parseInt(
+          conf.getConfString("spark.graft.ann.maxOverfetch", "100000")))
+        math.min(math.max(k.toLong * factor, k.toLong), cap.toLong).toInt
+      }
 
     // a stale registration (index files moved/deleted) must degrade to
     // the always-correct brute-force scan, not fail the user's query
@@ -314,10 +370,10 @@ class AnnIndexRule extends Rule[LogicalPlan] {
       val probe = entry match {
         case AnnCatalog.IvfEntry(path, embCol, idCol, cs, nProbe) =>
           IvfIndex.search(spark.read.parquet(path), embCol, idCol, cs,
-            queryVec, k, nProbe)
+            queryVec, kProbe, nProbe)
         case AnnCatalog.HnswEntry(path, _, idCol, params) =>
           HnswIndex.searchGraphIndex(spark, path, idCol,
-            Seq(0L -> queryVec), k, params).drop("query_id")
+            Seq(0L -> queryVec), kProbe, params).drop("query_id")
       }
       probe.queryExecution.analyzed
     } catch {
@@ -329,27 +385,92 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     }
     val pId = analyzed.output.head
     val pScore = analyzed.output(1)
-
-    // splice under aliases carrying the ORIGINAL exprIds so the parent
-    // plan resolves against the probe unchanged
-    def as(src: Expression, target: Attribute): NamedExpression = {
-      val cast: Expression =
-        if (src.dataType == target.dataType) src else Cast(src, target.dataType)
-      Alias(cast, target.name)(exprId = target.exprId,
-        qualifier = target.qualifier)
-    }
-    // output = the sort-child Project's (id, score) attrs, in order —
-    // the caller re-applies any post-limit projection on top. The probe
-    // emits SIMILARITY; the distance form re-derives 1 - score (probe
-    // order by similarity desc == distance asc, so ordering holds).
+    // the probe emits SIMILARITY; the distance form re-derives 1 - score
+    // (probe order by similarity desc == distance asc, so ordering holds)
     val scoreExpr: Expression =
       if (isDistance) Subtract(Literal(1.0), pScore) else pScore
-    val outProj = projList.map(_.toAttribute).map { a =>
-      if (a.exprId == scoreAlias.exprId) as(scoreExpr, a)
-      else as(pId, a)
+
+    if (simple) {
+      // splice under aliases carrying the ORIGINAL exprIds so the parent
+      // plan resolves against the probe unchanged. Output = the
+      // sort-child Project's (id, score) attrs, in order — the caller
+      // re-applies any post-limit projection on top.
+      def as(src: Expression, target: Attribute): NamedExpression = {
+        val cast: Expression =
+          if (src.dataType == target.dataType) src else Cast(src, target.dataType)
+        Alias(cast, target.name)(exprId = target.exprId,
+          qualifier = target.qualifier)
+      }
+      val outProj = projList.map(_.toAttribute).map { a =>
+        if (a.exprId == scoreAlias.exprId) as(scoreExpr, a)
+        else as(pId, a)
+      }
+      logInfo(s"AnnIndexRule: rewrote brute-force top-$k over " +
+        s"${fs.location.rootPaths.head} into ${entry.getClass.getSimpleName} probe")
+      Some(Project(outProj, analyzed))
+    } else {
+      // ---- join-back plan ----------------------------------------
+      // base side reads ONLY id + payload + predicate columns (explicit
+      // pruning Project directly over the relation so FileSourceStrategy
+      // never materializes the wide embedding column), pre-filtered by
+      // the predicate; probe side is ≤ k' rows and broadcast. The join
+      // recovers payload and re-checks the predicate; the original sort
+      // + limit then run over ≤ k' rows.
+      val lrId = lr.output.find(_.name == entry.idCol).getOrElse(return None)
+      val needed = {
+        val want = (payload ++ pred.toSeq.flatMap(_.references) :+ lrId)
+          .map(_.exprId).toSet
+        lr.output.filter(a => want.contains(a.exprId))
+      }
+      val pruned = Project(needed, lr)
+      val filtered = pred.map(Filter(_, pruned)).getOrElse(pruned)
+      val joinKey: Expression =
+        if (lrId.dataType == pId.dataType) lrId else Cast(lrId, pId.dataType)
+      val joined = Join(filtered, analyzed, Inner,
+        Some(EqualTo(joinKey, pId)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      val newProjList = projList.map {
+        case al: Alias if al.exprId == scoreAlias.exprId =>
+          val cast: Expression =
+            if (scoreExpr.dataType == al.dataType) scoreExpr
+            else Cast(scoreExpr, al.dataType)
+          Alias(cast, al.name)(exprId = al.exprId, qualifier = al.qualifier)
+        case other => other // payload attr, straight from the base side
+      }
+      val probeBranch = GlobalLimit(Literal(k), LocalLimit(Literal(k),
+        Sort(orders, global = true, Project(newProjList, joined))))
+      // the always-correct alternative: the ORIGINAL sort subtree under
+      // a fresh limit (the post-projection, if any, is re-applied by the
+      // caller on top of the fallback node). Tagged so the fixed-point
+      // re-run of this rule doesn't rewrite it again.
+      val brute = GlobalLimit(Literal(k), LocalLimit(Literal(k),
+        Sort(orders, global = true, child)))
+      brute.setTagValue(AnnIndexRule.noRewriteTag, ())
+      logInfo(s"AnnIndexRule: rewrote filtered/payload top-$k over " +
+        s"${fs.location.rootPaths.head} into ${entry.getClass.getSimpleName} " +
+        s"probe (k'=$kProbe) + join-back with runtime brute fallback")
+      Some(AnnFallbackNode(probeBranch, brute, k))
     }
-    logInfo(s"AnnIndexRule: rewrote brute-force top-$k over " +
-      s"${fs.location.rootPaths.head} into ${entry.getClass.getSimpleName} probe")
-    Some(Project(outProj, analyzed))
+  }
+}
+
+object AnnIndexRule {
+
+  /** Skip marker for the brute branch embedded in an [[AnnFallbackNode]]
+    * — it IS the shape this rule matches, by construction. */
+  private[plans] val noRewriteTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.ann.noRewrite")
+
+  /** Install transparent ANN planning into an EXISTING session
+    * (idempotent): the optimizer rule plus the fallback strategy. A
+    * session built `.withExtensions(new GraftExtensions)` has both
+    * already. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AnnIndexRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new AnnIndexRule
+    if (!spark.experimental.extraStrategies.contains(AnnFallbackStrategy))
+      spark.experimental.extraStrategies =
+        AnnFallbackStrategy +: spark.experimental.extraStrategies
   }
 }

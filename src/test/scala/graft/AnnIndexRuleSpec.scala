@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions.col
 class AnnIndexRuleSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ensureRule(): Unit =
-    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AnnIndexRule]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ new AnnIndexRule
+  private def ensureRule(): Unit = {
+    AnnIndexRule.install(spark)
+    // the suite's tables are tiny by design — disable the size-based
+    // cost gate so the rewrite paths are observable (the gate has its
+    // own test below)
+    spark.conf.set("spark.graft.ann.minTableBytes", "0")
+  }
 
   /** All V1 file scans in the executed plan, recursing through AQE
     * wrappers (the IvfIndexSpec pattern). */
@@ -286,7 +289,7 @@ class AnnIndexRuleSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
-  test("conservative fallbacks: unregistered, filtered, asc, extra columns") {
+  test("conservative fallbacks: unregistered, ascending similarity, non-base score") {
     ensureRule()
     val (dir, centers) = writeBase()
     try {
@@ -304,14 +307,6 @@ class AnnIndexRuleSpec extends SparkSpec {
       AnnCatalog.register(s"$dir/base",
         AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
 
-      // a filter between sort and scan → index covers the whole table,
-      // not the subset — MUST stay brute force
-      val filtered = VectorFunctions.topK(
-        base.filter(col("vec_id") > 100), "embedding", "vec_id", q, 5)
-      filtered.collect()
-      assert(scanRoots(filtered).forall(_.contains("/base")),
-        s"filtered scan was rewritten: ${scanRoots(filtered)}")
-
       // ascending score (farthest-k) is not the index contract
       val asc = base.select(col("vec_id"),
           VectorFunctions.cosine_sim(col("embedding"),
@@ -319,14 +314,177 @@ class AnnIndexRuleSpec extends SparkSpec {
         .orderBy(col("score").asc).limit(5)
       asc.collect()
       assert(scanRoots(asc).forall(_.contains("/base")))
+    } finally AnnCatalog.clear()
+  }
 
-      // extra payload column → probe row layout can't produce it
-      val wide = base.select(col("vec_id"), col("embedding"),
+  // ---------------------------------------------------------------
+  // round-6 surface: filtered + payload planning with runtime fallback
+
+  /** Base table WITH a payload column (label = vec_id % 5). */
+  private def writeBaseP(n: Int = 300, dim: Int = 8): (String, Array[Array[Float]]) = {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat * 5))
+    val data = (0 until n).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.2).toFloat), i % 5)
+    }.toDF("vec_id", "embedding", "label").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("ann-rule-p").toString
+    data.write.parquet(s"$dir/base")
+    (dir, centers)
+  }
+
+  private def fallbacks(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.plans.AnnFallbackExec] = p match {
+    case f: graft.plans.AnnFallbackExec => f +: f.children.flatMap(fallbacks)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fallbacks(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fallbacks(q.plan)
+    case other => other.children.flatMap(fallbacks)
+  }
+
+  /** Register a covering-efSearch HNSW index (probe provably exact) over
+    * a payload-bearing base; returns (dir, centers, base). */
+  private def hnswRegistered(): (String, Array[Array[Float]], DataFrame) = {
+    val (dir, centers) = writeBaseP()
+    val base = spark.read.parquet(s"$dir/base")
+    HnswIndex.writeGraphIndex(base, "embedding", "vec_id", s"$dir/hnsw",
+      HnswIndex.Params(m = 8, efConstruction = 64))
+    AnnCatalog.register(s"$dir/base",
+      AnnCatalog.HnswEntry(s"$dir/hnsw", "embedding", "vec_id",
+        HnswIndex.Params(efSearch = 1 << 20)))
+    (dir, centers, base)
+  }
+
+  test("filtered top-k plans as over-fetched probe + join-back; exact vs brute force") {
+    ensureRule()
+    val (dir, centers, base) = hnswRegistered()
+    try {
+      spark.conf.set("spark.graft.ann.overfetch", "8")
+      val q = centers(0)
+      def query(b: DataFrame) = b
+        .filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"),
           VectorFunctions.cosine_sim(col("embedding"),
             org.apache.spark.sql.functions.lit(q)).as("score"))
-        .orderBy(col("score").desc).limit(5)
-      wide.collect()
-      assert(scanRoots(wide).forall(_.contains("/base")))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+
+      val df = query(base)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // the probe path ran: index scanned, no brute fallback
+      assert(scanRoots(df).exists(_.contains("/hnsw")),
+        s"filtered query not rewritten: ${scanRoots(df)}")
+      val fb = fallbacks(df.queryExecution.executedPlan)
+      assert(fb.nonEmpty, "no AnnFallbackExec in the filtered plan")
+      assert(fb.head.metrics("fallbackFired").value == 0,
+        "selective predicate should be served by the probe branch")
+      assert(fb.head.metrics("probeRows").value == 10)
+      // the probe branch's base scan must NOT read the embedding column
+      // (that IO saving is the point of the join-back at 100 TB)
+      val baseScans = scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.head.toString.contains("/base"))
+      assert(baseScans.exists(!_.output.map(_.name).contains("embedding")),
+        s"join-back scan reads the embedding column: ${baseScans.map(_.output.map(_.name))}")
+
+      // exact: covering ef + fallback contract ⇒ equals brute force
+      AnnCatalog.clear()
+      val brute = query(base).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == brute.map(_._1))
+      got.zip(brute).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    } finally {
+      AnnCatalog.clear()
+      spark.conf.unset("spark.graft.ann.overfetch")
+    }
+  }
+
+  test("over-selective predicate fires the runtime brute fallback, still exact") {
+    ensureRule()
+    val (dir, centers, base) = hnswRegistered()
+    try {
+      val q = centers(1)
+      // only 5 rows in the whole table satisfy the predicate (< k = 10):
+      // no over-fetch can cover it, the probe must come up short and the
+      // brute branch must serve the query
+      def query(b: DataFrame) = b
+        .filter(col("vec_id") >= 295)
+        .select(col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"),
+            org.apache.spark.sql.functions.lit(q)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+
+      val df = query(base)
+      val got = df.collect().map(_.getLong(0)).toSeq
+      val fb = fallbacks(df.queryExecution.executedPlan)
+      assert(fb.nonEmpty, "no AnnFallbackExec in the filtered plan")
+      assert(fb.head.metrics("fallbackFired").value == 1,
+        "over-selective predicate must fall back to brute force")
+
+      AnnCatalog.clear()
+      val brute = query(base).collect().map(_.getLong(0)).toSeq
+      assert(got == brute)
+      assert(got.size == 5)
     } finally AnnCatalog.clear()
+  }
+
+  test("payload columns plan as probe + broadcast join-back, not a full scan-sort") {
+    ensureRule()
+    val (dir, centers, base) = hnswRegistered()
+    try {
+      val q = centers(2)
+      def query(b: DataFrame) = b
+        .select(col("vec_id"), col("label"),
+          VectorFunctions.cosine_sim(col("embedding"),
+            org.apache.spark.sql.functions.lit(q)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+
+      val df = query(base)
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(scanRoots(df).exists(_.contains("/hnsw")),
+        s"payload query not rewritten: ${scanRoots(df)}")
+      val fb = fallbacks(df.queryExecution.executedPlan)
+      assert(fb.nonEmpty && fb.head.metrics("fallbackFired").value == 0)
+      // join-back reads only (vec_id, label) from base
+      val baseScans = scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.head.toString.contains("/base"))
+      assert(baseScans.exists(!_.output.map(_.name).contains("embedding")))
+
+      AnnCatalog.clear()
+      val brute = query(base).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == brute)
+    } finally AnnCatalog.clear()
+  }
+
+  test("cost gate: a table below minTableBytes keeps the brute-force scan") {
+    ensureRule()
+    val (dir, centers) = writeBase()
+    try {
+      val base = spark.read.parquet(s"$dir/base")
+      val cs = IvfIndex.centroids(base, "embedding", "vec_id", 6)
+      IvfIndex.writeIndex(IvfIndex.build(base, "embedding", "vec_id", cs),
+        s"$dir/ivf")
+      AnnCatalog.register(s"$dir/base",
+        AnnCatalog.IvfEntry(s"$dir/ivf", "embedding", "vec_id", cs, nProbe = 2))
+      val q = centers(0)
+
+      // threshold far above the table size → planner keeps the scan
+      // (the Postgres small-table behavior)
+      spark.conf.set("spark.graft.ann.minTableBytes", (10L << 20).toString)
+      val cheap = VectorFunctions.topK(base, "embedding", "vec_id", q, 5)
+      cheap.collect()
+      assert(scanRoots(cheap).forall(_.contains("/base")),
+        s"tiny table was rewritten onto the index: ${scanRoots(cheap)}")
+
+      // threshold off → probe
+      spark.conf.set("spark.graft.ann.minTableBytes", "0")
+      val probe = VectorFunctions.topK(base, "embedding", "vec_id", q, 5)
+      probe.collect()
+      assert(scanRoots(probe).exists(_.contains("/ivf")))
+    } finally {
+      AnnCatalog.clear()
+      spark.conf.set("spark.graft.ann.minTableBytes", "0")
+    }
   }
 }
