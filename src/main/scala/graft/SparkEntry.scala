@@ -3153,8 +3153,13 @@ object SparkEntry {
     // ---- LM-perplexity quality filter (KenLM-family): a bigram model
     // trained ON the corpus scores each doc; P(w2|w1) = (c(w1,w2)+1) /
     // (c(w1)+V) with add-one smoothing. ONE token lineage feeds both the
-    // model counts and the per-doc scoring; count frames are broadcast
-    // (vocab-sized, tiny next to the corpus at 100 TB) ----
+    // model counts and the per-doc scoring. The count-frame joins are
+    // deliberately UN-hinted: the bigram vocabulary grows with corpus
+    // content (Heaps-law sub-linear but unbounded — billions of distinct
+    // bigrams at 100 TB), so a forced broadcast would OOM the executors
+    // at scale; AQE broadcasts at bench scale and shuffle-hash-joins
+    // beyond the threshold. Only the 1-row vocab-size frame keeps an
+    // explicit broadcast ----
     "q88_lm_perplexity" -> ((s, d) => {
       val tok = tSpread(s, d, "documents")
         .select(col("doc_id"), posexplode(
@@ -3167,8 +3172,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("cb"))
       val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
       val vocab = tok.agg(countDistinct(col("w")).as("v"))
-      big.join(broadcast(biCounts), Seq("w", "w2"))
-        .join(broadcast(uniCounts), Seq("w"))
+      big.join(biCounts, Seq("w", "w2"))
+        .join(uniCounts, Seq("w"))
         .crossJoin(broadcast(vocab))
         .withColumn("logp",
           log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))

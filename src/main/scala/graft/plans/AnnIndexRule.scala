@@ -202,8 +202,15 @@ object AnnCatalog {
   *
   * A size-based cost gate mirrors the Postgres planner's index-vs-scan
   * choice: tables smaller than `spark.graft.ann.minTableBytes`
-  * (default 32 KiB) keep the brute-force scan — on a tiny table the
-  * probe's fixed job overheads cost more than scanning everything.
+  * (default 1 GiB) keep the brute-force scan. Calibrated with
+  * [[graft.tools.AbBench]] interleaved A/B on this machine: the probe
+  * path has a ~0.4 s multi-job floor (probe + broadcast + join-back +
+  * bounded collect) while a codegen cosine scan + TakeOrdered covers a
+  * 100 MB table in ~0.14 s — brute force wins until roughly the GiB
+  * mark locally (earlier on cold remote storage, but the local
+  * measurement is the one we can defend). Real corpora at the 100 TB
+  * design point are far above the threshold, so the index engages
+  * exactly where it pays.
   *
   * Idempotent under fixed-point execution: probes contain a Filter or
   * Join over their relations so they never re-match, and the embedded
@@ -270,7 +277,8 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     // single scan beats the probe's fixed job overheads — keep brute
     // force even though an index is registered
     val minBytes = java.lang.Long.parseLong(
-      conf.getConfString("spark.graft.ann.minTableBytes", "32768"))
+      conf.getConfString("spark.graft.ann.minTableBytes",
+        (1L << 30).toString))
     if (fs.sizeInBytes < minBytes) {
       logInfo(s"AnnIndexRule: table ${fs.location.rootPaths.head} " +
         s"(${fs.sizeInBytes} B) below spark.graft.ann.minTableBytes=" +

@@ -1,0 +1,193 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Same-session interleaved A/B harness — the ONLY valid perf instrument
+  * on this shared machine (cross-session totals drift 1.3-1.8×,
+  * PLANS.md). Each pair prepares once (index builds, temp copies), then
+  * its two variants run ALTERNATED in one JVM: A,B,A,B,… so machine
+  * drift hits both sides equally. Emits one JSON file the round judge
+  * can read (medians + raw runs + B/A ratio per pair).
+  *
+  * Usage: `runMain graft.tools.AbBench [sfDir] [outPath] [pair ...]`
+  * Defaults: sf0.1, target/ab.json, all pairs.
+  */
+object AbBench {
+
+  /** One A/B comparison: `prepare` does un-timed setup and returns the
+    * two thunks to alternate. */
+  final case class Pair(name: String, labelA: String, labelB: String,
+                        prepare: (SparkSession, String) => (() => DataFrame, () => DataFrame))
+
+  /** The round-6 perf-relevant changes. */
+  def pairs: Seq[Pair] = Seq(
+
+    // round-6 change: q88 dropped its explicit broadcast() hints on the
+    // data-proportional bigram/unigram count frames (a 100 TB
+    // scale-killer — Heaps-law-unbounded build side) in favor of AQE's
+    // runtime choice. A = the old hinted plan, B = the shipped plan.
+    Pair("q88_lm_perplexity", "broadcast_hints", "aqe_choice",
+      (s, d) => {
+        def variant(hinted: Boolean): DataFrame = {
+          val toks = s.read.parquet(s"$d/documents.parquet")
+            .repartition(32) // mirror the query's tSpread input shape
+            .select(col("doc_id"), posexplode(
+              split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+            .filter(col("w") =!= "")
+          val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          val big = toks.withColumn("w2", lead(col("w"), 1).over(seqW))
+            .filter(col("w2").isNotNull)
+          val biCounts = big.groupBy(col("w"), col("w2"))
+            .agg(count(lit(1)).as("cb"))
+          val uniCounts = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+          val vocab = toks.agg(countDistinct(col("w")).as("v"))
+          val j1 = if (hinted) big.join(broadcast(biCounts), Seq("w", "w2"))
+                   else big.join(biCounts, Seq("w", "w2"))
+          val j2 = if (hinted) j1.join(broadcast(uniCounts), Seq("w"))
+                   else j1.join(uniCounts, Seq("w"))
+          j2.crossJoin(broadcast(vocab))
+            .withColumn("logp",
+              log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              round(-avg(col("logp")), 4).as("ppl_bits"))
+            .withColumn("keep", col("ppl_bits") < 7.0)
+            .orderBy(col("doc_id"))
+        }
+        (() => variant(hinted = true), () => variant(hinted = false))
+      }),
+
+    // round-6 feature: filtered top-k through the transparent ANN
+    // planner. A = brute force (catalog cleared), B = stored-HNSW probe
+    // + join-back. Index build is part of prepare(), not the timing —
+    // the serve-time contract. Two corpus sizes: the raw sf (tiny —
+    // EXPECTED to favor brute force; this measurement is what the
+    // spark.graft.ann.minTableBytes cost-gate default is calibrated
+    // against) and an AnnScale-style replicated corpus where the probe
+    // must win for the 100 TB story to hold.
+    annPair("ann_filtered_topk_raw", copies = 1),
+    annPair("ann_filtered_topk_50x", copies = 50),
+    annPair("ann_filtered_ivf_50x", copies = 50, ivf = true),
+    annPair("ann_filtered_ivf_200x", copies = 200, ivf = true),
+    annPair("ann_filtered_hnsw_200x", copies = 200),
+  )
+
+  private def annPair(name: String, copies: Int, ivf: Boolean = false): Pair =
+    Pair(name, "brute_force", "index_probe",
+      (s, d) => {
+        import graft.plans.{AnnCatalog, AnnIndexRule}
+        AnnIndexRule.install(s)
+        s.conf.set("spark.graft.ann.minTableBytes", "0")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-ann").toString
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        // deterministic per-copy jitter (the AnnScale replication) so a
+        // scaled corpus has distinct vectors in the same neighborhoods
+        val OFF = 100000000L
+        val perturb = udf { (v: Seq[Float], id: Long, c: Long) =>
+          val out = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            val h = graft.text.RollingHash.hashToken(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"$c:$id:$i"))
+            out(i) = v(i) + (((h % 1000L + 1000L) % 1000L) / 1000.0f - 0.5f) * 0.02f
+            i += 1
+          }
+          out
+        }
+        val corpus =
+          if (copies == 1) emb
+          else emb.crossJoin(s.range(copies).select(col("id").as("_copy")))
+            .select((col("vec_id") + col("_copy") * OFF).as("vec_id"),
+              perturb(col("embedding"), col("vec_id"), col("_copy")).as("embedding"))
+        corpus.repartition(32).write.mode("overwrite").parquet(s"$tmp/base")
+        val base = s.read.parquet(s"$tmp/base")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val entry: AnnCatalog.Entry =
+          if (ivf) {
+            // the partition-pruned scale path: a probe READS nProbe/16
+            // of the stored bytes
+            val cs = graft.vector.IvfIndex.centroids(base, "embedding",
+              "vec_id", 16)
+            graft.vector.IvfIndex.writeIndex(
+              graft.vector.IvfIndex.build(base, "embedding", "vec_id", cs),
+              s"$tmp/ivf")
+            AnnCatalog.IvfEntry(s"$tmp/ivf", "embedding", "vec_id", cs,
+              nProbe = 4)
+          } else {
+            graft.vector.HnswIndex.writeGraphIndex(
+              base, "embedding", "vec_id", s"$tmp/graphs",
+              graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+            AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+              graft.vector.HnswIndex.Params(efSearch = 256))
+          }
+        def query(): DataFrame = base
+          .filter(pmod(col("vec_id"), lit(3)) === 0)
+          .select(col("vec_id"),
+            graft.vector.VectorFunctions.cosine_sim(col("embedding"),
+              lit(q)).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(20)
+        (() => { AnnCatalog.clear(); query() },
+         () => { AnnCatalog.register(s"$tmp/base", entry); query() })
+      })
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (args.length > 1) args(1) else "target/ab.json"
+    val selected = if (args.length > 2) {
+      val want = args.drop(2).toSet
+      pairs.filter(p => want.contains(p.name))
+    } else pairs
+    val reps = sys.env.getOrElse("SPARK_GRAFT_AB_REPS", "5").toInt
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(2000000L).selectExpr("sum(id)").collect()
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    def time(thunk: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      thunk().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+
+    val results = selected.map { p =>
+      val (a, b) = p.prepare(spark, sfDir)
+      time(a); time(b) // one un-recorded warm lap each (JIT, codegen, footers)
+      val runs = (1 to reps).map(_ => (time(a), time(b)))
+      val (ra, rb) = (runs.map(_._1), runs.map(_._2))
+      val (ma, mb) = (median(ra), median(rb))
+      println(f"[ab] ${p.name}: ${p.labelA}=$ma%.3f ${p.labelB}=$mb%.3f " +
+        f"ratio=${mb / ma}%.3f")
+      s"""  "${p.name}": {"a_label": "${p.labelA}", "b_label": "${p.labelB}",
+         |    "a_runs": [${ra.map(t => f"$t%.4f").mkString(",")}],
+         |    "b_runs": [${rb.map(t => f"$t%.4f").mkString(",")}],
+         |    "a_median": $ma, "b_median": $mb,
+         |    "ratio_b_over_a": ${mb / ma}}""".stripMargin
+    }
+    val json = s"""{"sf": "$sfDir", "reps": $reps, "interleaved": true,
+       |"pairs": {
+       |${results.mkString(",\n")}
+       |}}""".stripMargin
+    val out = java.nio.file.Paths.get(outPath)
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
+    println(s"[ab] wrote $outPath")
+    spark.stop()
+  }
+}
