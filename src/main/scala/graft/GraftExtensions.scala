@@ -159,5 +159,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => new graft.plans.AnnIndexRule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AnnFallbackStrategy)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -73,6 +73,10 @@ object AnnCatalog {
 
   def isEmpty: Boolean = entries.isEmpty
 
+  /** Current registrations, keyed by normalized table path (the
+    * `GRAFT SHOW ANN INDEXES` listing). */
+  def list: Seq[(String, Entry)] = entries.toSeq.sortBy(_._1)
+
   /** The entry for a scan, only when the scan reads exactly one root. */
   def lookup(rootPaths: Seq[String]): Option[Entry] =
     if (rootPaths.length != 1) None else entries.get(norm(rootPaths.head))

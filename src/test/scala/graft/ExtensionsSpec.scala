@@ -75,6 +75,87 @@ class ExtensionsSpec extends SparkSpec {
     spark.catalog.dropTempView("hll_sql")
   }
 
+  test("SQL DDL: ANN index lifecycle (create/show/drop/attach) purely through spark.sql") {
+    import graft.plans.AnnCatalog
+    import org.apache.spark.sql.SparkSession
+    // an extensions-built session on the SAME SparkContext: the injected
+    // parser only exists at session build time, so this is the path a
+    // library user takes (spark.sql.extensions=graft.GraftExtensions)
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.ann.minTableBytes", "0")
+      val dir = java.nio.file.Files.createTempDirectory("ann-sql").toString
+      val rng = new scala.util.Random(11)
+      import s2.implicits._
+      (0 until 200).map { i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding").repartition(3)
+        .write.parquet(s"$dir/base")
+
+      // CREATE builds, persists (descriptor) and registers
+      val created = s2.sql(
+        s"""GRAFT CREATE ANN INDEX USING IVF ON '$dir/base'
+           |  (embedding, vec_id) AT '$dir/ivf'
+           |  OPTIONS (cells = 6, nprobe = 6)""".stripMargin).collect()
+      assert(created.head.getString(0).contains("created ivf index"))
+      assert(AnnCatalog.list.nonEmpty)
+      val shown = s2.sql("GRAFT SHOW ANN INDEXES").collect()
+      assert(shown.exists(r => r.getString(1) == "ivf" &&
+        r.getString(2) == s"$dir/ivf"))
+
+      // the q169 shape now plans onto the index in THIS session —
+      // nprobe = cells makes the probe exhaustive, so rows must equal
+      // brute force exactly
+      val q = Array.fill(8)(0.5f)
+      val qSql = q.mkString("array(", "F,", "F)")
+      def topk = s2.sql(
+        s"""SELECT vec_id, cosine_sim(embedding, $qSql) AS score
+           |FROM parquet.`$dir/base`
+           |ORDER BY score DESC, vec_id LIMIT 7""".stripMargin)
+      val viaIndex = topk.collect().map(_.getLong(0)).toSeq
+      assert(topk.queryExecution.executedPlan.toString.contains("/ivf"),
+        "SQL top-k did not plan onto the created index")
+
+      // DROP → brute force, same rows (exhaustive probe was exact)
+      s2.sql(s"GRAFT DROP ANN INDEX ON '$dir/base'").collect()
+      val brute = topk.collect().map(_.getLong(0)).toSeq
+      assert(!topk.queryExecution.executedPlan.toString.contains("/ivf"))
+      assert(viaIndex == brute)
+
+      // ATTACH restores the registration from the at-rest descriptor
+      // (the fresh-session half of CREATE-once)
+      val attached = s2.sql(
+        s"GRAFT ATTACH ANN INDEX '$dir/ivf' TO '$dir/base'").collect()
+      assert(attached.head.getString(0).contains("attached"))
+      assert(topk.queryExecution.executedPlan.toString.contains("/ivf"))
+      assert(topk.collect().map(_.getLong(0)).toSeq == brute)
+
+      // non-GRAFT SQL still parses through the delegate
+      assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+      // malformed GRAFT statement surfaces the option error
+      val err = intercept[Exception] {
+        s2.sql(s"""GRAFT CREATE ANN INDEX USING IVF ON '$dir/base'
+          |  (embedding, vec_id) AT '$dir/ivf2' OPTIONS (bogus = 1)""".stripMargin)
+          .collect()
+      }
+      assert(err.getMessage.contains("unknown ivf index option"))
+    } finally {
+      AnnCatalog.clear()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("hist_quantile usable from pure SQL, matches Column API") {
     GraftFunctions.register(spark)
     spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")
