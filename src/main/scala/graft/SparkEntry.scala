@@ -3017,6 +3017,41 @@ object SparkEntry {
         .withColumn("dist", round(col("dist"), 4))
     }),
 
+    // ---- MULTI-VECTOR (lateral) transparent ANN planning: top-k per
+    // QUERY ROW, written as the brute row_number-over-crossjoin window
+    // (the q78 hard-negatives shape). AnnIndexRule collects the bounded
+    // query side at plan time and rewrites the whole join+window into
+    // ONE batched probe of the stored graph index — every sub-graph
+    // deserialized once, answering all 100 queries, instead of
+    // 100 × |base| cosine evaluations. Covering efSearch keeps the
+    // probe exact, so the window SQL is the oracle ----
+    "q177_ann_multi" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-multi").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      graft.vector.HnswIndex.writeGraphIndex(
+        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+          graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
+      val queries = t(s, d, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      queries.crossJoin(s.read.parquet(s"$tmp/base"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"), col("qemb")).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"),
+          round(col("score"), 4).as("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- GPT-style sequence packing: tokenize, concatenate the token
     // stream in doc_id order, chunk into fixed context windows (L=512)
     // — the standard pretraining sample-packing layout. The exact
@@ -5556,6 +5591,25 @@ object SparkEntry {
         |ORDER BY 1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                    CAST(q.qe AS DOUBLE[])) ASC, e.vec_id
         |LIMIT 20""".stripMargin,
+
+    // per-query window top-k replayed in SQL: valid as the oracle for
+    // the batched stored-graph probe because efSearch covers each
+    // sub-graph (probe exact per query)
+    "q177_ann_multi" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qemb
+        |           FROM embeddings WHERE vec_id < 100),
+        |s AS (
+        | SELECT q.qid, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                         CAST(q.qemb AS DOUBLE[])) AS sim,
+        |  row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(q.qemb AS DOUBLE[])) DESC,
+        |    e.vec_id) AS rn
+        | FROM embeddings e CROSS JOIN q)
+        |SELECT qid, vec_id, round(sim, 4) AS score, CAST(rn AS INT) AS rn
+        |FROM s WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
 
     // the oracle replays the FLOOR COMPARISON as constants: the Spark
     // side computes recall@20 of the production-knob probes against the

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
 import scala.collection.concurrent.TrieMap
 
@@ -243,6 +243,15 @@ class AnnIndexRule extends Rule[LogicalPlan] {
             post.fold(probed: LogicalPlan)(p => Project(p.projectList, probed))
           }
         }.getOrElse(gl)
+
+      // the batched lateral form: top-k PER QUERY ROW, written as
+      // row_number() over (partition by qid order by cosine desc)
+      // filtered to rn <= k over a cross join of queries × base — the
+      // q78 hard-negatives shape. One stored-graph probe pass answers
+      // every query.
+      case f @ Filter(cond, w: Window)
+          if f.getTagValue(AnnIndexRule.noRewriteTag).isEmpty =>
+        rewriteMulti(cond, w).getOrElse(f)
     }
 
   /** Walk through attribute-only Projects and deterministic Filters to
@@ -463,6 +472,180 @@ class AnnIndexRule extends Rule[LogicalPlan] {
         s"probe (k'=$kProbe) + join-back with runtime brute fallback")
       Some(AnnFallbackNode(probeBranch, brute, k))
     }
+  }
+
+  /** Rewrite the multi-query (lateral) brute-force shape
+    *
+    * {{{
+    *   Filter (rn <= k)
+    *   +- Window [row_number() over (partition by qid
+    *                                 order by score DESC (, id)) AS rn]
+    *      +- [WindowGroupLimit]                 (InferWindowGroupLimit)
+    *         +- Project [qid, id, cosine_sim(emb, qemb) AS score]
+    *            +- Join Cross/Inner (no condition)
+    *               :- <queries plan>            (qid, qemb, …)
+    *               +- Relation <registered>     (either side)
+    * }}}
+    *
+    * into ONE batched probe of the stored HNSW graph index
+    * ([[HnswIndex.searchGraphIndexRanked]]): every partition's sub-graph
+    * is deserialized once and answers every query, instead of the cross
+    * join's |queries| × |base| cosine evaluations. The query side is
+    * collected at plan time (bounded by
+    * `spark.graft.ann.maxProbeQueries`, default 10 000 — pgvector's
+    * lateral form is likewise a per-query nested index scan); a larger
+    * or null-bearing query side keeps the brute plan. IVF entries are
+    * not matched (cell choice is per-query; the window plan is already
+    * the right distributed shape there).
+    */
+  private def rewriteMulti(cond: Expression, w: Window): Option[LogicalPlan] = {
+    // rank predicate → k
+    val (rnAttr, k) = cond match {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(n)) => (a, n)
+      case LessThan(a: AttributeReference, IntegerLiteral(n)) => (a, n - 1)
+      case EqualTo(a: AttributeReference, IntegerLiteral(n)) if n == 1 => (a, 1)
+      case _ => return None
+    }
+    if (k <= 0) return None
+    // exactly one window expression: row_number aliased to the rank attr
+    val rnAlias = w.windowExpressions match {
+      case Seq(al @ Alias(WindowExpression(RowNumber(), _), _))
+          if al.exprId == rnAttr.exprId => al
+      case _ => return None
+    }
+    val qidAttr = w.partitionSpec match {
+      case Seq(a: AttributeReference) => a
+      case _ => return None
+    }
+    val below = w.child match {
+      case wgl: WindowGroupLimit if wgl.rankLikeFunction.isInstanceOf[RowNumber] =>
+        wgl.child
+      case other => other
+    }
+    val (projList, join) = below match {
+      case Project(pl, j: Join) => (pl, j)
+      case _ => return None
+    }
+    if (join.condition.nonEmpty) return None
+    join.joinType match {
+      case org.apache.spark.sql.catalyst.plans.Cross | Inner => ()
+      case _ => return None
+    }
+    // which join side is the registered base relation? (bare — a
+    // predicate over the base is not matched in the lateral form)
+    val resolved = Seq(join.left, join.right).map { s =>
+      stripToRelation(s) match {
+        case Some((lr, None)) => lr.relation match {
+          case f: HadoopFsRelation =>
+            AnnCatalog.lookup(f.location.rootPaths.map(_.toString))
+              .map(e => (lr, f, e))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    val (lr, fs, entry, queriesPlan) = (resolved.head, resolved(1)) match {
+      case (Some((l, f, e)), None) => (l, f, e, join.right)
+      case (None, Some((l, f, e))) => (l, f, e, join.left)
+      case _ => return None
+    }
+    val hnsw = entry match {
+      case h: AnnCatalog.HnswEntry => h
+      case _ => return None
+    }
+    val minBytes = java.lang.Long.parseLong(
+      conf.getConfString("spark.graft.ann.minTableBytes",
+        (1L << 30).toString))
+    if (fs.sizeInBytes < minBytes) return None
+
+    // score = cosine(base emb, query emb), either argument order
+    val scoreAlias = projList.collectFirst {
+      case al @ Alias(_: CosineSimilarity, _) => al
+    }.getOrElse(return None)
+    val (embAttr, qembAttr) = scoreAlias.child match {
+      case CosineSimilarity(a: AttributeReference, b: AttributeReference) =>
+        if (lr.outputSet.contains(a) && queriesPlan.outputSet.contains(b)) (a, b)
+        else if (lr.outputSet.contains(b) && queriesPlan.outputSet.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    if (embAttr.name != hnsw.embCol) return None
+    qembAttr.dataType match {
+      case ArrayType(FloatType, _) => ()
+      case _ => return None
+    }
+    val idAttr = projList.collectFirst {
+      case a: AttributeReference
+          if lr.outputSet.contains(a) && a.name == hnsw.idCol => a
+    }.getOrElse(return None)
+    // projection carries exactly {qid, base id, score}
+    val okProj = projList.forall(e => e.exprId == scoreAlias.exprId ||
+      e.exprId == idAttr.exprId || e.exprId == qidAttr.exprId)
+    if (!okProj || !queriesPlan.outputSet.contains(qidAttr)) return None
+    qidAttr.dataType match {
+      case LongType | IntegerType => ()
+      case _ => return None
+    }
+    // window order: score DESC NULLS LAST (+ optional base-id tiebreak)
+    val orderOk = w.orderSpec.headOption.exists {
+      case SortOrder(r: AttributeReference, Descending, no, _) =>
+        r.exprId == scoreAlias.exprId && (no == NullsLast || !embAttr.nullable)
+      case _ => false
+    } && (w.orderSpec.length match {
+      case 1 => true
+      case 2 => w.orderSpec(1) match {
+        case SortOrder(r: AttributeReference, Ascending, _, _) =>
+          r.exprId == idAttr.exprId
+        case _ => false
+      }
+      case _ => false
+    })
+    if (!orderOk) return None
+
+    val maxQ = Integer.parseInt(
+      conf.getConfString("spark.graft.ann.maxProbeQueries", "10000"))
+    val analyzed = try {
+      val spark = SparkSession.active
+      val qDf = org.apache.spark.sql.graftbridge.PlanBridge.dataFrame(spark,
+        Project(Seq(qidAttr, qembAttr), queriesPlan))
+      val rows = qDf.limit(maxQ + 1).collect()
+      if (rows.length > maxQ || rows.isEmpty) return None
+      val queries: Seq[(Long, Array[Float])] = rows.toSeq.map { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) return None
+        val qid = qidAttr.dataType match {
+          case LongType => r.getLong(0)
+          case _ => r.getInt(0).toLong
+        }
+        qid -> r.getSeq[Float](1).toArray
+      }
+      // duplicate qids would merge two query groups into one top-k
+      if (queries.map(_._1).distinct.length != queries.length) return None
+      HnswIndex.searchGraphIndexRanked(spark, hnsw.indexPath, hnsw.idCol,
+        queries, k, hnsw.params).queryExecution.analyzed
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"AnnIndexRule: batched probe for " +
+          s"${fs.location.rootPaths.head} unusable (${e.getMessage}); " +
+          "keeping brute-force window plan")
+        return None
+    }
+    val pOut = analyzed.output // (query_id, id, score, rn)
+    def as2(src: Expression, target: Attribute): NamedExpression = {
+      val cast: Expression =
+        if (src.dataType == target.dataType) src else Cast(src, target.dataType)
+      Alias(cast, target.name)(exprId = target.exprId,
+        qualifier = target.qualifier)
+    }
+    // Filter output = window child's projection ++ the rank attr
+    val outProj = (projList.map(_.toAttribute) :+ rnAlias.toAttribute).map { a =>
+      if (a.exprId == qidAttr.exprId) as2(pOut.head, a)
+      else if (a.exprId == idAttr.exprId) as2(pOut(1), a)
+      else if (a.exprId == scoreAlias.exprId) as2(pOut(2), a)
+      else as2(pOut(3), a)
+    }
+    logInfo(s"AnnIndexRule: rewrote per-query top-$k window over " +
+      s"${fs.location.rootPaths.head} into one batched HNSW probe")
+    Some(Project(outProj, analyzed))
   }
 }
 

@@ -342,12 +342,15 @@ object HnswIndex {
   }
 
   /** Global k-bounded merge of per-partition top-k rows: ≤
-    * k·numPartitions rows reach the shuffle. */
-  private def mergeTopK(partial: DataFrame, idCol: String, k: Int): DataFrame = {
+    * k·numPartitions rows reach the shuffle. `rankCol` optionally keeps
+    * the per-query rank (1..k) in the output. */
+  private def mergeTopK(partial: DataFrame, idCol: String, k: Int,
+                        rankCol: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(idCol))
-    partial.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k).drop("_rk")
+    val ranked = partial.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+    rankCol.fold(ranked.drop("_rk"))(n => ranked.withColumnRenamed("_rk", n))
       .orderBy(col("query_id"), col("score").desc, col(idCol))
   }
 
@@ -565,7 +568,25 @@ object HnswIndex {
   def searchGraphIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, idCol: String,
                        queries: Seq[(Long, Array[Float])], k: Int,
-                       params: Params = Params()): DataFrame = {
+                       params: Params = Params()): DataFrame =
+    searchGraphIndexImpl(spark, path, idCol, queries, k, params, None)
+
+  /** [[searchGraphIndex]] plus a per-query rank column (1..k in
+    * (score desc, id) order) — the output shape of a `row_number()
+    * OVER (PARTITION BY qid ...)` top-k, which [[graft.plans.AnnIndexRule]]
+    * splices this probe into for the batched lateral/join form. */
+  def searchGraphIndexRanked(spark: org.apache.spark.sql.SparkSession,
+                             path: String, idCol: String,
+                             queries: Seq[(Long, Array[Float])], k: Int,
+                             params: Params = Params(),
+                             rankCol: String = "rn"): DataFrame =
+    searchGraphIndexImpl(spark, path, idCol, queries, k, params, Some(rankCol))
+
+  private def searchGraphIndexImpl(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, idCol: String,
+                                   queries: Seq[(Long, Array[Float])], k: Int,
+                                   params: Params,
+                                   rankCol: Option[String]): DataFrame = {
     val qs = queries.toArray
     val p = params
     val outSchema = StructType(Seq(
@@ -582,6 +603,6 @@ object HnswIndex {
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
-    mergeTopK(partial, idCol, k)
+    mergeTopK(partial, idCol, k, rankCol)
   }
 }

@@ -457,6 +457,53 @@ class AnnIndexRuleSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
+  test("multi-query lateral top-k plans as ONE batched stored-graph probe") {
+    ensureRule()
+    val (dir, centers, base) = hnswRegistered()
+    try {
+      val rng = new scala.util.Random(9)
+      val queries = (0 until 12).map { i =>
+        (i.toLong * 7, centers(i % 3).map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }.toDF("qid", "qemb")
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      def lateral(b: DataFrame) = queries.crossJoin(b)
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"), col("qemb")).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+
+      val df = lateral(base)
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq.sorted
+      assert(scanRoots(df).exists(_.contains("/hnsw")),
+        s"lateral form not rewritten: ${scanRoots(df)}")
+      assert(!scanRoots(df).exists(_.contains("/base")),
+        s"base still cross-joined: ${scanRoots(df)}")
+
+      // the gated q177 shape — outer rounding projection + global sort
+      // ABOVE the rank filter — must rewrite identically
+      val outer = lateral(base)
+        .select(col("qid"), col("vec_id"),
+          org.apache.spark.sql.functions.round(col("score"), 4).as("score"),
+          col("rn"))
+        .orderBy(col("qid"), col("rn"))
+      outer.collect()
+      assert(scanRoots(outer).exists(_.contains("/hnsw")) &&
+        !scanRoots(outer).exists(_.contains("/base")),
+        s"q177 shape not rewritten: ${scanRoots(outer)}")
+
+      // covering ef ⇒ the batched probe equals the brute window per query
+      AnnCatalog.clear()
+      val brute = lateral(base).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq.sorted
+      assert(got == brute)
+      assert(got.size == 12 * 5)
+    } finally AnnCatalog.clear()
+  }
+
   test("cost gate: a table below minTableBytes keeps the brute-force scan") {
     ensureRule()
     val (dir, centers) = writeBase()
