@@ -98,6 +98,13 @@ object AnnCatalog {
 
   def registerAndPersist(tablePath: String, entry: Entry): Unit = {
     register(tablePath, entry)
+    persistDescriptor(entry)
+  }
+
+  /** Write (or refresh) the at-rest descriptor inside the entry's index
+    * directory — called by [[registerAndPersist]] and by index
+    * maintenance after a re-cluster changes the centroids. */
+  def persistDescriptor(entry: Entry): Unit = {
     val indexPath = entry match {
       case IvfEntry(p, _, _, _, _) => p
       case HnswEntry(p, _, _, _) => p
@@ -127,15 +134,14 @@ object AnnCatalog {
     } finally out.close()
   }
 
-  /** Re-attach a persisted index to `tablePath` in this session by
-    * reading the descriptor [[registerAndPersist]] left inside the
-    * index directory. */
-  def attach(tablePath: String, indexPath: String): Entry = {
+  /** Read the descriptor persisted inside an index directory, without
+    * touching the in-memory catalog. */
+  def readDescriptor(indexPath: String): Entry = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(indexPath, DescriptorFile)
     val fs = p.getFileSystem(conf)
     val in = new java.io.DataInputStream(fs.open(p))
-    val entry = try {
+    try {
       val magic = new Array[Byte](4); in.readFully(magic)
       require(new String(magic, "US-ASCII") == Magic,
         s"not a graft ANN index descriptor: $p")
@@ -155,6 +161,13 @@ object AnnCatalog {
         case other => sys.error(s"unknown ANN descriptor kind $other in $p")
       }
     } finally in.close()
+  }
+
+  /** Re-attach a persisted index to `tablePath` in this session by
+    * reading the descriptor [[registerAndPersist]] left inside the
+    * index directory. */
+  def attach(tablePath: String, indexPath: String): Entry = {
+    val entry = readDescriptor(indexPath)
     register(tablePath, entry)
     entry
   }

@@ -129,6 +129,129 @@ object IvfIndex {
       .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id").parquet(path)
 
+  // -------------------------------------------------- maintenance
+  //
+  // addToIndex keeps cell ASSIGNMENT exact under growth, but the
+  // centroids themselves are frozen at build time: a drifting corpus
+  // (new topic cluster, embedding-model refresh) piles its rows into
+  // whichever old cells happen to be nearest, and the index degrades in
+  // the two ways that matter at scale — cell-size skew (partition
+  // pruning stops paying: a probe of the fat cell reads most of the
+  // bytes) and split neighborhoods (a semantic cluster straddling two
+  // old cells halves small-nProbe recall). This is the analogue of
+  // pgvector's REINDEX guidance for ivfflat after heavy writes.
+
+  /** Health metrics of a stored index. `skew` is maxCellRows /
+    * (rows / cells) — 1.0 is perfectly balanced, `cells` means
+    * everything in one cell; it catches mass drift into few cells.
+    * `meanIntraDist` is the average cosine distance of each row to its
+    * cell centroid; it catches ANGULAR drift (a new topic cluster
+    * split across old cells keeps the sizes balanced but sits far from
+    * every old centroid). Driver state O(nCells); the intra-distance
+    * is one distributed aggregate over a broadcast centroid join. */
+  final case class IndexStats(cells: Int, rows: Long, maxCellRows: Long,
+                              avgCellRows: Double, skew: Double,
+                              emptyCells: Int, meanIntraDist: Double)
+
+  def indexStats(index: DataFrame, embCol: String,
+                 cs: Array[(Int, Array[Float])]): IndexStats = {
+    val nCentroids = cs.length
+    val counts = index.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1))
+    val rows = counts.sum
+    val maxCell = if (counts.isEmpty) 0L else counts.max
+    val avg = if (nCentroids == 0) 0.0 else rows.toDouble / nCentroids
+    IndexStats(nCentroids, rows, maxCell, avg,
+      if (avg == 0) 0.0 else maxCell / avg, nCentroids - counts.length,
+      meanIntraDist(index, embCol, cs))
+  }
+
+  private def meanIntraDist(index: DataFrame, embCol: String,
+                            cs: Array[(Int, Array[Float])]): Double = {
+    if (cs.isEmpty) return 0.0
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = cs.toSeq.map { case (cid, c) => (cid, c) }.toDF("_cid", "_ce")
+    index.join(broadcast(cents), col("centroid_id") === col("_cid"))
+      .agg(avg(lit(1.0) - VectorFunctions.cosine_sim(col(embCol), col("_ce"))))
+      .head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+  }
+
+  /** Quick staleness check on sizes alone (cell-size skew above the
+    * threshold). Angular drift needs [[maintainIndex]]'s
+    * recluster-if-improves comparison. */
+  def isStale(stats: IndexStats, maxSkew: Double = 4.0): Boolean =
+    stats.skew > maxSkew
+
+  /** Check a stored index and re-cluster it when degraded — the
+    * analogue of pgvector's post-heavy-write REINDEX guidance for
+    * ivfflat, decided from measurements instead of guesswork:
+    *
+    *  1. cell-size skew above `maxSkew` → rebuild (pruning has stopped
+    *     paying: probes of the fat cell read most of the bytes);
+    *  2. otherwise run k-means over the CURRENT contents and compare
+    *     mean intra-cell distance under the candidate vs the live
+    *     centroids; adopt the candidate only if it improves by at
+    *     least `1 - improveFactor` (default 10%) — an index that is
+    *     still well-clustered re-derives (deterministically) the same
+    *     centroids and the call is a no-op.
+    *
+    * A rebuild stages into a sibling directory, atomically swaps in,
+    * and refreshes the at-rest `_graft_ann` descriptor (if present)
+    * with the new centroids so `attach()` and the transparent planner
+    * keep working. Returns the live centroids and whether a rebuild
+    * happened.
+    *
+    * Single-writer, like [[HnswIndex.addToGraphIndex]]: the swap is a
+    * delete+rename, so probes racing the swap may transiently miss the
+    * directory. */
+  def maintainIndex(spark: SparkSession, path: String,
+                    embCol: String, idCol: String,
+                    cs: Array[(Int, Array[Float])], nCentroids: Int,
+                    maxSkew: Double = 4.0, improveFactor: Double = 0.9,
+                    kmeansIters: Int = 3)
+      : (Array[(Int, Array[Float])], Boolean) = {
+    val index = readIndex(spark, path)
+    val stats = indexStats(index, embCol, cs)
+    val data = index.drop("centroid_id")
+    // the old descriptor (if any) must be read BEFORE the swap deletes
+    // the directory that holds it — its nProbe carries over
+    val oldDesc =
+      try Some(graft.plans.AnnCatalog.readDescriptor(path))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val candidate = {
+      val cand = kmeansCentroids(data, embCol, idCol, nCentroids, kmeansIters)
+      if (isStale(stats, maxSkew)) cand
+      else {
+        val candIntra = meanIntraDist(build(data, embCol, idCol, cand)
+          .select(col("centroid_id"), col(embCol)), embCol, cand)
+        if (candIntra < improveFactor * stats.meanIntraDist) cand
+        else return (cs, false)
+      }
+    }
+    // stage the rebuild NEXT TO the index, then swap — the build reads
+    // the directory it will replace, so it must never write into it
+    val staging = path.stripSuffix("/") + "._rebuild"
+    writeIndex(build(data, embCol, idCol, candidate), staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"could not swap rebuilt index into $path")
+    oldDesc.foreach {
+      case graft.plans.AnnCatalog.IvfEntry(_, e, i, _, nProbe) =>
+        graft.plans.AnnCatalog.persistDescriptor(
+          graft.plans.AnnCatalog.IvfEntry(path, e, i, candidate, nProbe))
+      case _ => ()
+    }
+    (candidate, true)
+  }
+
   /** Search: probe the `nProbe` best cells, exact top-k within them. */
   def search(index: DataFrame, embCol: String, idCol: String,
              cs: Array[(Int, Array[Float])], query: Array[Float],

@@ -140,6 +140,84 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids(s"$dir/incr") == ids(s"$dir/full"))
   }
 
+  test("maintenance: angular drift detected via intra-cell distance, re-cluster repairs recall") {
+    val rng = new scala.util.Random(23)
+    val dim = 8
+    // clusters separated by ANGLE (cosine assignment cares about
+    // direction, not magnitude)
+    def cluster(dir: Array[Float], n: Int, from: Int): Seq[(Long, Array[Float])] =
+      (0 until n).map { i =>
+        ((from + i).toLong,
+          dir.map(x => x * 5f + (rng.nextGaussian() * 0.3).toFloat))
+      }
+    val xPos = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    val xNeg = Array.tabulate(dim)(i => if (i == 0) -1f else 0f)
+    val yPos = Array.tabulate(dim)(i => if (i == 1) 1f else 0f)
+    val base = cluster(xPos, 80, 0) ++ cluster(xNeg, 80, 80)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-maint").toString
+
+    val baseDf = base.toDF("id", "emb")
+    val cs0 = IvfIndex.kmeansCentroids(baseDf, "emb", "id", 3, iters = 3)
+    IvfIndex.writeIndex(IvfIndex.build(baseDf, "emb", "id", cs0), s"$dir/idx")
+    graft.plans.AnnCatalog.persistDescriptor(
+      graft.plans.AnnCatalog.IvfEntry(s"$dir/idx", "emb", "id", cs0, 1))
+    val healthy = IvfIndex.indexStats(
+      IvfIndex.readIndex(spark, s"$dir/idx"), "emb", cs0)
+    // a fresh k-means index re-derives its own centroids → no-op
+    val (keep, rebuilt0) = IvfIndex.maintainIndex(spark, s"$dir/idx",
+      "emb", "id", cs0, nCentroids = 3)
+    assert(!rebuilt0)
+    assert(keep.map(_._2.toSeq).toSeq == cs0.map(_._2.toSeq).toSeq)
+
+    // DRIFT: a new topic cluster along +y, 90° from both old clusters.
+    // Its rows split across the old cells by jitter tip, so CELL SIZES
+    // stay balanced — the skew check alone cannot see this — but every
+    // drifted row sits ~90° from its cell centroid, so the mean
+    // intra-cell distance explodes.
+    val drift = cluster(yPos, 240, 1000)
+    IvfIndex.addToIndex(drift.toDF("id", "emb"), "emb", "id", cs0, s"$dir/idx")
+    val drifted = IvfIndex.indexStats(
+      IvfIndex.readIndex(spark, s"$dir/idx"), "emb", cs0)
+    assert(drifted.meanIntraDist > healthy.meanIntraDist * 3,
+      s"drift should blow up intra-cell distance: $healthy -> $drifted")
+
+    // recall at the drift center with nProbe=1 BEFORE repair: one
+    // probed old cell holds only part of the split new cluster
+    val all = (base ++ drift).toDF("id", "emb")
+    val exact = VectorFunctions.topK(all, "emb", "id", yPos, 20)
+      .collect().map(_.getLong(0)).toSet
+    def recallAt(cs: Array[(Int, Array[Float])]): Double = {
+      val got = IvfIndex.search(IvfIndex.readIndex(spark, s"$dir/idx"),
+          "emb", "id", cs, yPos, 20, nProbe = 1)
+        .collect().map(_.getLong(0)).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val recallBefore = recallAt(cs0)
+
+    // repair: the recluster-if-improves comparison triggers the rebuild
+    // (cell sizes alone stayed balanced); the drift cluster gets its
+    // own centroid and nProbe=1 recall is restored
+    val (cs1, rebuilt) = IvfIndex.maintainIndex(spark, s"$dir/idx",
+      "emb", "id", cs0, nCentroids = 3)
+    assert(rebuilt, "angular drift must trigger the re-cluster")
+    val repaired = IvfIndex.indexStats(
+      IvfIndex.readIndex(spark, s"$dir/idx"), "emb", cs1)
+    assert(repaired.rows == 400)
+    assert(repaired.meanIntraDist < drifted.meanIntraDist / 3,
+      s"rebuild did not re-tighten cells: $drifted -> $repaired")
+    val recallAfter = recallAt(cs1)
+    assert(recallAfter >= 0.95,
+      s"re-cluster should restore nProbe=1 recall: $recallBefore -> $recallAfter")
+    assert(recallAfter >= recallBefore)
+    // the at-rest descriptor now carries the NEW centroids (nProbe kept)
+    graft.plans.AnnCatalog.readDescriptor(s"$dir/idx") match {
+      case graft.plans.AnnCatalog.IvfEntry(_, _, _, rcs, nProbe) =>
+        assert(nProbe == 1)
+        assert(rcs.map(_._2.toSeq).toSeq == cs1.map(_._2.toSeq).toSeq)
+      case other => fail(s"wrong descriptor kind after maintenance: $other")
+    }
+  }
+
   test("centroid pick is deterministic") {
     val data = (0 until 50).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("id", "emb")
     val c1 = IvfIndex.centroids(data, "emb", "id", 4).map(_._1).toSeq
