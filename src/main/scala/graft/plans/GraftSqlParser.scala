@@ -68,6 +68,9 @@ object GraftSqlParser {
     """(?is)^\s*GRAFT\s+DROP\s+ANN\s+INDEX\s+ON\s+'([^']+)'\s*;?\s*$""".r
   private val Show =
     """(?is)^\s*GRAFT\s+SHOW\s+ANN\s+INDEXES\s*;?\s*$""".r
+  private val Maintain =
+    ("""(?is)^\s*GRAFT\s+MAINTAIN\s+ANN\s+INDEX\s+ON\s+'([^']+)'""" +
+      """(?:\s+OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""").r
 
   private[plans] def parseGraft(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -77,6 +80,8 @@ object GraftSqlParser {
       case Attach(index, table) => Some(AttachAnnIndexCommand(index, table))
       case Drop(table) => Some(DropAnnIndexCommand(table))
       case Show() => Some(ShowAnnIndexesCommand())
+      case Maintain(table, opts) =>
+        Some(MaintainAnnIndexCommand(table, parseOptions(Option(opts))))
       case _ => None
     }
 
@@ -165,6 +170,48 @@ case class DropAnnIndexCommand(tablePath: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     AnnCatalog.unregister(tablePath)
     Seq(Row(s"dropped ann index registration for $tablePath"))
+  }
+}
+
+/** The REINDEX analogue: check the registered IVF index for drift and
+  * re-cluster when degraded ([[graft.vector.IvfIndex.maintainIndex]] —
+  * rebuild on cell skew, else recluster-if-improves). Refreshes both the
+  * at-rest descriptor and the live catalog registration when a rebuild
+  * happens. Options: cells (default: current centroid count), max_skew,
+  * kmeans_iters. */
+case class MaintainAnnIndexCommand(tablePath: String,
+                                   opts: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val unknown = opts.keySet.diff(Set("cells", "max_skew", "kmeans_iters"))
+    require(unknown.isEmpty,
+      s"unknown maintain option(s): ${unknown.mkString(", ")} " +
+        "(known: cells, max_skew, kmeans_iters)")
+    val entry = AnnCatalog.lookup(Seq(tablePath)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ANN index registered for $tablePath (GRAFT ATTACH it first)"))
+    entry match {
+      case AnnCatalog.IvfEntry(indexPath, embCol, idCol, cs, nProbe) =>
+        val cells = opts.get("cells").map(Integer.parseInt).getOrElse(cs.length)
+        val maxSkew = opts.get("max_skew").map(_.toDouble).getOrElse(4.0)
+        val iters = opts.get("kmeans_iters").map(Integer.parseInt).getOrElse(3)
+        val (newCs, rebuilt) = IvfIndex.maintainIndex(spark, indexPath,
+          embCol, idCol, cs, cells, maxSkew, kmeansIters = iters)
+        if (rebuilt)
+          AnnCatalog.register(tablePath,
+            AnnCatalog.IvfEntry(indexPath, embCol, idCol, newCs, nProbe))
+        Seq(Row(if (rebuilt)
+          s"re-clustered ivf index $indexPath (cells=$cells)"
+        else s"index $indexPath healthy — no rebuild"))
+      case _: AnnCatalog.HnswEntry =>
+        // HNSW degrades by sub-graph overflow, which addToGraphIndex
+        // fails fast on; a rebuild is writeGraphIndex, not a re-cluster
+        Seq(Row(s"hnsw index for $tablePath needs no centroid " +
+          "maintenance (re-split via writeGraphIndex when the row cap " +
+          "is hit)"))
+    }
   }
 }
 

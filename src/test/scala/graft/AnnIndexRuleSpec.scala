@@ -385,6 +385,13 @@ class AnnIndexRuleSpec extends SparkSpec {
         .filter(_.relation.location.rootPaths.head.toString.contains("/base"))
       assert(baseScans.exists(!_.output.map(_.name).contains("embedding")),
         s"join-back scan reads the embedding column: ${baseScans.map(_.output.map(_.name))}")
+      // and the UNTAKEN brute branch (the scan that DOES read the
+      // embedding column) must have produced zero rows — the fallback
+      // plan costs nothing unless it fires
+      val bruteScan = baseScans.find(_.output.map(_.name).contains("embedding"))
+      assert(bruteScan.exists(_.metrics("numOutputRows").value == 0),
+        s"brute branch executed on the happy path: " +
+          s"${bruteScan.map(_.metrics("numOutputRows").value)}")
 
       // exact: covering ef + fallback contract ⇒ equals brute force
       AnnCatalog.clear()

@@ -104,7 +104,7 @@ class ExtensionsSpec extends SparkSpec {
       val created = s2.sql(
         s"""GRAFT CREATE ANN INDEX USING IVF ON '$dir/base'
            |  (embedding, vec_id) AT '$dir/ivf'
-           |  OPTIONS (cells = 6, nprobe = 6)""".stripMargin).collect()
+           |  OPTIONS (cells = 6, nprobe = 6, kmeans_iters = 2)""".stripMargin).collect()
       assert(created.head.getString(0).contains("created ivf index"))
       assert(AnnCatalog.list.nonEmpty)
       val shown = s2.sql("GRAFT SHOW ANN INDEXES").collect()
@@ -137,6 +137,14 @@ class ExtensionsSpec extends SparkSpec {
       assert(attached.head.getString(0).contains("attached"))
       assert(topk.queryExecution.executedPlan.toString.contains("/ivf"))
       assert(topk.collect().map(_.getLong(0)).toSeq == brute)
+
+      // MAINTAIN on a healthy index is a no-op (the k-means candidate
+      // re-derives the same clustering); the rebuild path is proven in
+      // IvfIndexSpec's drift test
+      val maint = s2.sql(
+        s"GRAFT MAINTAIN ANN INDEX ON '$dir/base' OPTIONS (kmeans_iters = 2)")
+        .collect()
+      assert(maint.head.getString(0).contains("healthy"), maint.head.getString(0))
 
       // non-GRAFT SQL still parses through the delegate
       assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
