@@ -58,6 +58,37 @@ object SparkEntry {
   // pinned "today" for all TTL/date math
   private val Today = "2024-01-01"
 
+  /** The IVF probe replayed end-to-end in DuckDB SQL: hash-spread
+    * centroid pick, nearest-centroid assignment, 4-of-16 cell routing,
+    * exact top-20 within the probed cells. Shared by q39 (IvfIndex
+    * direct), q178 (RoutedHnsw direct — with exhaustive efSearch the
+    * in-cell graph walk is exact, so routed == IVF row for row) and
+    * q179 (transparent planning onto a registered routed index — the
+    * oracle matches ONLY IF the rewrite fired: brute force returns the
+    * global top-20, which differs from the 4-cell probe). */
+  private val IvfProbeOracleSql: String =
+    """WITH cents AS (
+      | SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+      |   - 1 AS cid, embedding AS ce
+      | FROM embeddings
+      | QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id) <= 16),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |assign AS (SELECT e.vec_id, e.embedding, c.cid,
+      |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) DESC,
+      |     c.cid) AS rn
+      | FROM embeddings e, cents c),
+      |cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+      |probe AS (SELECT c.cid FROM cents c, q
+      | ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, c.cid
+      | LIMIT 4)
+      |SELECT cl.vec_id,
+      | round(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
+      |FROM cells cl, q WHERE cl.cid IN (SELECT cid FROM probe)
+      |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
+      | cl.vec_id
+      |LIMIT 20""".stripMargin
+
   /** Engine-agnostic k-decimal quantization of an EXACT integer ratio
     * `num/den`: scale in exact bigint arithmetic, take ONE double
     * division (identical IEEE result in both engines), then floor.
@@ -3052,6 +3083,55 @@ object SparkEntry {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- ROUTED HNSW (SPANN-style): IVF's cell routing × HNSW's
+    // in-cell graph walk. The index is laid out partitionBy(centroid_id)
+    // so a probe reads ~nProbe/nCells of the stored bytes (the plain
+    // graph index must open EVERY sub-graph per probe — at 1000
+    // executors that's a full-index read per query); within each probed
+    // cell the search is an ef-bounded walk, not IVF's exhaustive scan.
+    // Exhaustive efSearch makes the in-cell walk exact, so the result is
+    // bit-identical to the IVF probe at the same centroids — q39's SQL
+    // replay is the oracle, and it gates routing AND graph correctness:
+    // a mis-routed cell or a lossy (de)serialized graph both mismatch ----
+    "q178_ann_routed" -> ((s, d) => {
+      import graft.vector.{IvfIndex, RoutedHnsw}
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding", "vec_id", 16)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-rhnsw-q178").toString + "/idx"
+      RoutedHnsw.writeRoutedIndex(tSpread(s, d, "embeddings"),
+        "embedding", "vec_id", dir, cs,
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      RoutedHnsw.search(s, dir, "vec_id", cs, queryVec(s, d), k = 20,
+          nProbe = 4, graft.vector.HnswIndex.Params(efSearch = 1 << 20))
+        .withColumn("score", round(col("score"), 4))
+    }),
+
+    // ---- transparent planning onto a registered ROUTED index (q169's
+    // device, third index family): the plain brute-force topK shape
+    // plans into the routed probe because the base path is registered.
+    // The oracle is the 4-of-16-cell probe replay — it matches ONLY IF
+    // the rewrite fired (brute force returns the global top-20) ----
+    "q179_ann_routed_auto" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      import graft.vector.{IvfIndex, RoutedHnsw}
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rhnsw-auto").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding", "vec_id", 16)
+      RoutedHnsw.writeRoutedIndex(tSpread(s, d, "embeddings"),
+        "embedding", "vec_id", s"$tmp/routed", cs,
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.RoutedHnswEntry(s"$tmp/routed", "embedding", "vec_id",
+          cs, nProbe = 4,
+          graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
+      VectorFunctions.topK(s.read.parquet(s"$tmp/base"),
+          "embedding", "vec_id", queryVec(s, d), 20)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // ---- GPT-style sequence packing: tokenize, concatenate the token
     // stream in doc_id order, chunk into fixed context windows (L=512)
     // — the standard pretraining sample-packing layout. The exact
@@ -3689,28 +3769,15 @@ object SparkEntry {
 
     // IVF: 16 centroids by multiplicative-hash spread, cells by cosine
     // argmax, probe the 4 best cells, exact top-k within them.
-    "q39_ivf_ann" ->
-      s"""WITH cents AS (
-        | SELECT row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
-        |   - 1 AS cid, embedding AS ce
-        | FROM embeddings
-        | QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id) <= 16),
-        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |assign AS (SELECT e.vec_id, e.embedding, c.cid,
-        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) DESC,
-        |     c.cid) AS rn
-        | FROM embeddings e, cents c),
-        |cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
-        |probe AS (SELECT c.cid FROM cents c, q
-        | ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, c.cid
-        | LIMIT 4)
-        |SELECT cl.vec_id,
-        | round(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
-        |FROM cells cl, q WHERE cl.cid IN (SELECT cid FROM probe)
-        |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
-        | cl.vec_id
-        |LIMIT 20""".stripMargin,
+    "q39_ivf_ann" -> IvfProbeOracleSql,
+
+    // same probe replay: routed HNSW at exhaustive efSearch == IVF
+    "q178_ann_routed" -> IvfProbeOracleSql,
+
+    // same probe replay, reached through the transparent planner — the
+    // match gates that the rewrite FIRED (brute force would return the
+    // global top-20 instead)
+    "q179_ann_routed_auto" -> IvfProbeOracleSql,
 
     // Multimodal stub pipeline: meta from doc_id arithmetic, resize by
     // the original scale, byte-histogram feature f0 in float32.

@@ -48,6 +48,16 @@ object AnnCatalog {
   final case class HnswEntry(indexPath: String, embCol: String, idCol: String,
                              params: HnswIndex.Params) extends Entry
 
+  /** A stored [[graft.vector.RoutedHnsw]] index (`writeRoutedIndex`
+    * layout: parquet partitioned by `centroid_id`, one serialized HNSW
+    * sub-graph per cell/salt). Probes route to `nProbe` cells
+    * (partition-pruned read like IVF) and graph-walk within them. */
+  final case class RoutedHnswEntry(indexPath: String, embCol: String,
+                                   idCol: String,
+                                   centroids: Array[(Int, Array[Float])],
+                                   nProbe: Int,
+                                   params: HnswIndex.Params) extends Entry
+
   private val entries = TrieMap.empty[String, Entry]
 
   private def norm(p: String): String = {
@@ -108,6 +118,7 @@ object AnnCatalog {
     val indexPath = entry match {
       case IvfEntry(p, _, _, _, _) => p
       case HnswEntry(p, _, _, _) => p
+      case RoutedHnswEntry(p, _, _, _, _, _) => p
     }
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(indexPath)
@@ -130,6 +141,16 @@ object AnnCatalog {
           out.writeUTF(embCol); out.writeUTF(idCol)
           out.writeInt(params.m); out.writeInt(params.efConstruction)
           out.writeInt(params.efSearch)
+        case RoutedHnswEntry(_, embCol, idCol, cs, nProbe, params) =>
+          out.writeByte(3)
+          out.writeUTF(embCol); out.writeUTF(idCol); out.writeInt(nProbe)
+          out.writeInt(params.m); out.writeInt(params.efConstruction)
+          out.writeInt(params.efSearch)
+          out.writeInt(cs.length)
+          cs.foreach { case (cid, c) =>
+            out.writeInt(cid); out.writeInt(c.length)
+            c.foreach(out.writeFloat)
+          }
       }
     } finally out.close()
   }
@@ -158,6 +179,15 @@ object AnnCatalog {
           val embCol = in.readUTF(); val idCol = in.readUTF()
           HnswEntry(indexPath, embCol, idCol, HnswIndex.Params(
             in.readInt(), in.readInt(), in.readInt()))
+        case 3 =>
+          val embCol = in.readUTF(); val idCol = in.readUTF()
+          val nProbe = in.readInt()
+          val params = HnswIndex.Params(in.readInt(), in.readInt(), in.readInt())
+          val cs = Array.fill(in.readInt()) {
+            val cid = in.readInt()
+            (cid, Array.fill(in.readInt())(in.readFloat()))
+          }
+          RoutedHnswEntry(indexPath, embCol, idCol, cs, nProbe, params)
         case other => sys.error(s"unknown ANN descriptor kind $other in $p")
       }
     } finally in.close()
@@ -408,6 +438,9 @@ class AnnIndexRule extends Rule[LogicalPlan] {
         case AnnCatalog.HnswEntry(path, _, idCol, params) =>
           HnswIndex.searchGraphIndex(spark, path, idCol,
             Seq(0L -> queryVec), kProbe, params).drop("query_id")
+        case AnnCatalog.RoutedHnswEntry(path, _, idCol, cs, nProbe, params) =>
+          graft.vector.RoutedHnsw.search(spark, path, idCol, cs,
+            queryVec, kProbe, nProbe, params)
       }
       probe.queryExecution.analyzed
     } catch {
@@ -562,8 +595,14 @@ class AnnIndexRule extends Rule[LogicalPlan] {
       case (None, Some((l, f, e))) => (l, f, e, join.left)
       case _ => return None
     }
+    // graph-backed entries only: each sub-graph answers every query in
+    // one deserialization pass (routed entries additionally prune to
+    // the union of the queries' routed cells). IVF entries are not
+    // matched — cell choice is per-query and the scan within a cell is
+    // exhaustive, so the window plan is already the right shape there.
     val hnsw = entry match {
       case h: AnnCatalog.HnswEntry => h
+      case r: AnnCatalog.RoutedHnswEntry => r
       case _ => return None
     }
     val minBytes = java.lang.Long.parseLong(
@@ -633,8 +672,14 @@ class AnnIndexRule extends Rule[LogicalPlan] {
       }
       // duplicate qids would merge two query groups into one top-k
       if (queries.map(_._1).distinct.length != queries.length) return None
-      HnswIndex.searchGraphIndexRanked(spark, hnsw.indexPath, hnsw.idCol,
-        queries, k, hnsw.params).queryExecution.analyzed
+      (hnsw match {
+        case h: AnnCatalog.HnswEntry =>
+          HnswIndex.searchGraphIndexRanked(spark, h.indexPath, h.idCol,
+            queries, k, h.params)
+        case r: AnnCatalog.RoutedHnswEntry =>
+          graft.vector.RoutedHnsw.searchMany(spark, r.indexPath, r.idCol,
+            r.centroids, queries, k, r.nProbe, r.params, rankCol = Some("rn"))
+      }).queryExecution.analyzed
     } catch {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"AnnIndexRule: batched probe for " +

@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   GRAFT CREATE ANN INDEX USING HNSW ON '<tablePath>' (embCol, idCol)
   *     AT '<indexPath>' [OPTIONS (m=8, ef_construction=64, ef_search=48,
   *                                max_partition_rows=500000)]
+  *   GRAFT CREATE ANN INDEX USING ROUTED_HNSW ON '<tablePath>' (embCol, idCol)
+  *     AT '<indexPath>' [OPTIONS (cells=16, nprobe=4, kmeans_iters=0,
+  *                                m=8, ef_construction=64, ef_search=48,
+  *                                max_partition_rows=500000)]
   *   GRAFT ATTACH ANN INDEX '<indexPath>' TO '<tablePath>'
   *   GRAFT DROP ANN INDEX ON '<tablePath>'
   *   GRAFT SHOW ANN INDEXES
@@ -59,7 +63,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val Create =
-    ("""(?is)^\s*GRAFT\s+CREATE\s+ANN\s+INDEX\s+USING\s+(IVF|HNSW)\s+ON\s+""" +
+    ("""(?is)^\s*GRAFT\s+CREATE\s+ANN\s+INDEX\s+USING\s+(IVF|HNSW|ROUTED_HNSW)\s+ON\s+""" +
       """'([^']+)'\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+AT\s+'([^']+)'""" +
       """(?:\s+OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val Attach =
@@ -114,6 +118,8 @@ case class CreateAnnIndexCommand(kind: String, tablePath: String,
     val df = spark.read.parquet(tablePath)
     val known = kind match {
       case "ivf" => Set("cells", "nprobe", "kmeans_iters")
+      case "routed_hnsw" => Set("cells", "nprobe", "kmeans_iters",
+        "m", "ef_construction", "ef_search", "max_partition_rows")
       case _ => Set("m", "ef_construction", "ef_search", "max_partition_rows")
     }
     val unknown = opts.keySet.diff(known)
@@ -145,6 +151,24 @@ case class CreateAnnIndexCommand(kind: String, tablePath: String,
         s"created hnsw index $indexPath on $tablePath " +
           s"(m=${params.m}, ef_construction=${params.efConstruction}, " +
           s"ef_search=${params.efSearch})"
+      case "routed_hnsw" =>
+        val cells = intOpt("cells", 16)
+        val nProbe = intOpt("nprobe", 4)
+        val iters = intOpt("kmeans_iters", 0)
+        val params = HnswIndex.Params(
+          m = intOpt("m", 8),
+          efConstruction = intOpt("ef_construction", 64),
+          efSearch = intOpt("ef_search", 48))
+        val cs =
+          if (iters > 0) IvfIndex.kmeansCentroids(df, embCol, idCol, cells, iters)
+          else IvfIndex.centroids(df, embCol, idCol, cells)
+        graft.vector.RoutedHnsw.writeRoutedIndex(df, embCol, idCol, indexPath,
+          cs, params, maxPartitionRows = intOpt("max_partition_rows", 500000))
+        AnnCatalog.registerAndPersist(tablePath,
+          AnnCatalog.RoutedHnswEntry(indexPath, embCol, idCol, cs, nProbe, params))
+        s"created routed_hnsw index $indexPath on $tablePath " +
+          s"(cells=$cells, nprobe=$nProbe, m=${params.m}, " +
+          s"ef_construction=${params.efConstruction}, ef_search=${params.efSearch})"
       case other => sys.error(s"unknown ANN index kind $other")
     }
     Seq(Row(msg))
@@ -205,6 +229,20 @@ case class MaintainAnnIndexCommand(tablePath: String,
         Seq(Row(if (rebuilt)
           s"re-clustered ivf index $indexPath (cells=$cells)"
         else s"index $indexPath healthy — no rebuild"))
+      case AnnCatalog.RoutedHnswEntry(indexPath, embCol, idCol, cs, nProbe,
+          params) =>
+        val cells = opts.get("cells").map(Integer.parseInt).getOrElse(cs.length)
+        val maxSkew = opts.get("max_skew").map(_.toDouble).getOrElse(4.0)
+        val iters = opts.get("kmeans_iters").map(Integer.parseInt).getOrElse(3)
+        val (newCs, rebuilt) = graft.vector.RoutedHnsw.maintainIndex(spark,
+          indexPath, embCol, idCol, cs, cells, maxSkew, kmeansIters = iters)
+        if (rebuilt)
+          AnnCatalog.register(tablePath,
+            AnnCatalog.RoutedHnswEntry(indexPath, embCol, idCol, newCs,
+              nProbe, params))
+        Seq(Row(if (rebuilt)
+          s"re-clustered routed_hnsw index $indexPath (cells=$cells)"
+        else s"index $indexPath healthy — no rebuild"))
       case _: AnnCatalog.HnswEntry =>
         // HNSW degrades by sub-graph overflow, which addToGraphIndex
         // fails fast on; a rebuild is writeGraphIndex, not a re-cluster
@@ -228,5 +266,7 @@ case class ShowAnnIndexesCommand() extends LeafRunnableCommand {
         Row(table, "ivf", e.indexPath, e.embCol, e.idCol)
       case (table, e: AnnCatalog.HnswEntry) =>
         Row(table, "hnsw", e.indexPath, e.embCol, e.idCol)
+      case (table, e: AnnCatalog.RoutedHnswEntry) =>
+        Row(table, "routed_hnsw", e.indexPath, e.embCol, e.idCol)
     }
 }

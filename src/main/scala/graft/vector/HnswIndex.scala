@@ -278,6 +278,12 @@ object HnswIndex {
       }
     }
 
+    /** The stored (id, vector) pairs, in insertion order — lets
+      * maintenance jobs recover the raw rows from a stored graph
+      * without keeping a separate copy of the corpus. */
+    private[vector] def entries: Iterator[(Long, Array[Float])] =
+      ids.iterator.zip(vecs.iterator)
+
     /** Top-k (id, cosine SIMILARITY) for one query. */
     def search(q: Array[Float], k: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
@@ -344,8 +350,8 @@ object HnswIndex {
   /** Global k-bounded merge of per-partition top-k rows: ≤
     * k·numPartitions rows reach the shuffle. `rankCol` optionally keeps
     * the per-query rank (1..k) in the output. */
-  private def mergeTopK(partial: DataFrame, idCol: String, k: Int,
-                        rankCol: Option[String] = None): DataFrame = {
+  private[vector] def mergeTopK(partial: DataFrame, idCol: String, k: Int,
+                                rankCol: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(idCol))
     val ranked = partial.withColumn("_rk", row_number().over(w))

@@ -167,8 +167,8 @@ object IvfIndex {
       meanIntraDist(index, embCol, cs))
   }
 
-  private def meanIntraDist(index: DataFrame, embCol: String,
-                            cs: Array[(Int, Array[Float])]): Double = {
+  private[vector] def meanIntraDist(index: DataFrame, embCol: String,
+                                    cs: Array[(Int, Array[Float])]): Double = {
     if (cs.isEmpty) return 0.0
     val spark = index.sparkSession
     import spark.implicits._
