@@ -69,12 +69,22 @@ object AbBench {
     // must win for the 100 TB story to hold.
     annPair("ann_filtered_topk_raw", copies = 1),
     annPair("ann_filtered_topk_50x", copies = 50),
-    annPair("ann_filtered_ivf_50x", copies = 50, ivf = true),
-    annPair("ann_filtered_ivf_200x", copies = 200, ivf = true),
+    annPair("ann_filtered_ivf_50x", copies = 50, kind = "ivf"),
+    annPair("ann_filtered_ivf_200x", copies = 200, kind = "ivf"),
     annPair("ann_filtered_hnsw_200x", copies = 200),
+
+    // the crossover evidence: at 2000x (~4M vectors) the brute cosine
+    // scan leaves job-overhead territory and the probe's pruned read
+    // must win — this is the measurement that shows the minTableBytes
+    // cost gate has a "large" side, not just a "small" side. Unfiltered
+    // (the direct-splice shape), so the pair is pure probe-vs-scan.
+    annPair("ann_plain_ivf_2000x", copies = 2000, kind = "ivf", filtered = false),
+    annPair("ann_plain_routed_2000x", copies = 2000, kind = "routed",
+      filtered = false),
   )
 
-  private def annPair(name: String, copies: Int, ivf: Boolean = false): Pair =
+  private def annPair(name: String, copies: Int, kind: String = "hnsw",
+                      filtered: Boolean = true): Pair =
     Pair(name, "brute_force", "index_probe",
       (s, d) => {
         import graft.plans.{AnnCatalog, AnnIndexRule}
@@ -107,8 +117,8 @@ object AbBench {
         val base = s.read.parquet(s"$tmp/base")
         val q = emb.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
-        val entry: AnnCatalog.Entry =
-          if (ivf) {
+        val entry: AnnCatalog.Entry = kind match {
+          case "ivf" =>
             // the partition-pruned scale path: a probe READS nProbe/16
             // of the stored bytes
             val cs = graft.vector.IvfIndex.centroids(base, "embedding",
@@ -118,19 +128,32 @@ object AbBench {
               s"$tmp/ivf")
             AnnCatalog.IvfEntry(s"$tmp/ivf", "embedding", "vec_id", cs,
               nProbe = 4)
-          } else {
+          case "routed" =>
+            // pruned read AND ef-bounded in-cell walk
+            val cs = graft.vector.IvfIndex.centroids(base, "embedding",
+              "vec_id", 16)
+            graft.vector.RoutedHnsw.writeRoutedIndex(base, "embedding",
+              "vec_id", s"$tmp/routed", cs,
+              graft.vector.HnswIndex.Params(m = 8, efConstruction = 32))
+            AnnCatalog.RoutedHnswEntry(s"$tmp/routed", "embedding", "vec_id",
+              cs, nProbe = 4, graft.vector.HnswIndex.Params(efSearch = 256))
+          case _ =>
             graft.vector.HnswIndex.writeGraphIndex(
               base, "embedding", "vec_id", s"$tmp/graphs",
               graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
             AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
               graft.vector.HnswIndex.Params(efSearch = 256))
-          }
-        def query(): DataFrame = base
-          .filter(pmod(col("vec_id"), lit(3)) === 0)
-          .select(col("vec_id"),
-            graft.vector.VectorFunctions.cosine_sim(col("embedding"),
-              lit(q)).as("score"))
-          .orderBy(col("score").desc, col("vec_id")).limit(20)
+        }
+        def query(): DataFrame = {
+          val scanned =
+            if (filtered) base.filter(pmod(col("vec_id"), lit(3)) === 0)
+            else base
+          scanned
+            .select(col("vec_id"),
+              graft.vector.VectorFunctions.cosine_sim(col("embedding"),
+                lit(q)).as("score"))
+            .orderBy(col("score").desc, col("vec_id")).limit(20)
+        }
         (() => { AnnCatalog.clear(); query() },
          () => { AnnCatalog.register(s"$tmp/base", entry); query() })
       })

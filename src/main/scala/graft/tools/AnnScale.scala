@@ -135,6 +135,24 @@ object AnnScale {
     println(f"[annscale] hnsw    recall@$kNN=${hit.toDouble / tot}%.3f  " +
       f"total=${hnswSec}%.2fs (build+all probes)  " +
       f"per-query=${hnswSec / nQueries}%.3fs amortized")
+
+    // Routed HNSW (q178's operator): at-rest centroid-partitioned
+    // graphs — a probe reads nProbe/16 of the stored bytes (partition
+    // pruning, like IVF) and walks ef-bounded within each probed cell
+    // (like HNSW). Build persisted once, probes through the stored
+    // index — the serve split.
+    val rdir = java.nio.file.Files
+      .createTempDirectory("annscale-routed").toString + "/idx"
+    val csR = kmeans(16)
+    val (_, rBuild) = timed {
+      graft.vector.RoutedHnsw.writeRoutedIndex(corpus.repartition(32),
+        "embedding", "vec_id", rdir, csR,
+        HnswIndex.Params(m = 8, efConstruction = 64))
+    }
+    println(f"[annscale] routed  index build+persist: ${rBuild}%.2fs (16 cells, k-means)")
+    evalMethod("routed")(q =>
+      graft.vector.RoutedHnsw.search(spark, rdir, "vec_id", csR, q, kNN,
+        nProbe = 4, HnswIndex.Params(efSearch = 48)))
     spark.stop()
   }
 }

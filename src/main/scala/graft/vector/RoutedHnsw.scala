@@ -178,6 +178,106 @@ object RoutedHnsw {
     HnswIndex.mergeTopK(partial, idCol, k, rankCol)
   }
 
+  // -------------------------------------------------- incremental add
+
+  /** Incrementally ADD a batch into a stored routed index — family
+    * parity with [[IvfIndex.addToIndex]] and
+    * [[HnswIndex.addToGraphIndex]]. Each batch row is assigned to its
+    * nearest centroid cell (same assignment as the build, so the grown
+    * index routes exactly like a rebuild would), then within the cell
+    * to a salted sub-graph by the same id hash; only the TOUCHED cells'
+    * `centroid_id=` partition directories are read and rewritten
+    * (dynamic overwrite; a cell directory is the rewrite unit, so its
+    * unchanged sibling sub-graphs re-serialize with it) — untouched
+    * cells see no IO at all. Cost per batch is O(touched cells +
+    * batch), not O(corpus).
+    *
+    * The salt count per cell is re-derived from the STORED sub-graph
+    * count, so adds keep landing on the graphs the build created; the
+    * per-graph row cap (from the meta sidecar) still fails fast when a
+    * cell outgrows its salts — rebuild via [[writeRoutedIndex]] (or
+    * [[maintainIndex]], which re-splits) to re-balance, pgvector's
+    * REINDEX-after-heavy-write guidance.
+    *
+    * SINGLE WRITER, like every index mutation here: the rewritten
+    * graphs are staged (localCheckpoint) before the overwrite;
+    * concurrent callers last-write-win whole sub-graphs. */
+  def addToIndex(spark: SparkSession, path: String, batch: DataFrame,
+                 embCol: String, idCol: String,
+                 cs: Array[(Int, Array[Float])],
+                 maxPartitionRows: Int = -1): Unit = {
+    import spark.implicits._
+    val (m, efC, metaCap) = readMeta(spark, path)
+      .getOrElse((HnswIndex.Params().m, HnswIndex.Params().efConstruction,
+        500000))
+    val p = HnswIndex.Params(m = m, efConstruction = efC)
+    val cap = if (maxPartitionRows > 0) maxPartitionRows else metaCap
+    val stored = spark.read.parquet(path)
+    // sub-graphs per cell, in deterministic (cell, graph order) — the
+    // salt a row lands on must match an existing graph slot
+    val saltCounts: Map[Int, Int] = stored
+      .groupBy(col("centroid_id").cast("int")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+    require(saltCounts.nonEmpty, s"no stored routed index at $path")
+    val assigned = IvfIndex.build(
+        batch.select(col(idCol).cast("long").as("_id"), col(embCol).as("_emb"))
+          .filter(col("_id").isNotNull && col("_emb").isNotNull),
+        "_emb", "_id", cs)
+      .select(col("centroid_id"), col("_id"), col("_emb"))
+      .as[(Int, Long, Array[Float])]
+    val batchKeyed = assigned.groupByKey { case (cid, id, _) =>
+      (cid, saltOf(id, saltCounts.getOrElse(cid, 1)))
+    }
+    val touched = batchKeyed.keys.collect().map(_._1).toSet
+    // the stored graphs of the touched cells, keyed (cell, ordinal) so
+    // ordinal == the salt rows hash to; ordering by n_vectors then
+    // graph bytes is deterministic for a deterministic build
+    val storedTouched = stored
+      .filter(col("centroid_id").isin(touched.toSeq.map(Integer.valueOf): _*))
+      .select(col("centroid_id").cast("int"), col("graph"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid: Int, it: Iterator[(Int, Array[Byte])]) =>
+        // deterministic ordinal assignment: graphs sort by their FIRST
+        // stored id (unique across sub-graphs, content-derived)
+        val graphs = it.map(_._2).toArray
+        def firstId(bytes: Array[Byte]): Long = {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val n = in.readInt(); in.readInt(); in.readInt()
+          if (n == 0) Long.MaxValue else in.readLong()
+        }
+        graphs.sortBy(firstId).iterator.zipWithIndex.map {
+          case (g, salt) => ((cid, salt), g)
+        }
+      }
+    val updated = storedTouched.groupByKey(_._1)
+      .cogroup(batchKeyed) { (key, graphs, rows) =>
+        val newRows = rows.toArray.sortBy(_._2)
+        val existing = graphs.toSeq.headOption.map(_._2)
+        if (newRows.isEmpty && existing.isEmpty) Iterator.empty
+        else {
+          val index = new HnswIndex.Hnsw(0, p)
+          existing.foreach(index.loadFrom)
+          require(index.size + newRows.length <= cap,
+            s"routed sub-graph (cell ${key._1}, salt ${key._2}) would grow " +
+              s"past $cap rows (${index.size} + ${newRows.length}); rebuild " +
+              "with writeRoutedIndex/maintainIndex to re-split.")
+          newRows.foreach { case (_, id, v) => index.add(id, v) }
+          Iterator.single((key._1, index.size.toLong, index.serialize()))
+        }
+      }.toDF("centroid_id", "n_vectors", "graph")
+    val staged = updated.localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   // -------------------------------------------------- maintenance
 
   /** Decode the stored graphs back to raw rows — the graphs carry their

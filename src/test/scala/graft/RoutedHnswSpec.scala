@@ -210,6 +210,44 @@ class RoutedHnswSpec extends SparkSpec {
     }
   }
 
+  test("incremental add: grown index answers exactly like a full rebuild") {
+    val (data, _) = clustered(1600, 8, 16, seed = 61)
+    val first = data.filter(col("id") < 1200)
+    val batch = data.filter(col("id") >= 1200)
+    val cs = IvfIndex.centroids(first, "emb", "id", 8)
+    val tmp = java.nio.file.Files.createTempDirectory("rhnsw-add").toString
+    RoutedHnsw.writeRoutedIndex(first, "emb", "id", s"$tmp/grown", cs)
+    RoutedHnsw.addToIndex(spark, s"$tmp/grown", batch, "emb", "id", cs)
+    // every row answers: exhaustive-walk probe of ALL cells == exact
+    // top-k over the union (cell routing covered by nProbe = nCells)
+    val q = data.filter(col("id") === 42L).head().getSeq[Float](1).toArray
+    val grown = RoutedHnsw.search(spark, s"$tmp/grown", "id", cs, q, 12, 8,
+      HnswIndex.Params(efSearch = 1 << 20)).collect().map(_.getLong(0)).toSeq
+    val exact = VectorFunctions.topK(data, "emb", "id", q, 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(grown == exact)
+    // untouched-cell IO contract: a batch routed into few cells leaves
+    // the other cell directories' files untouched on disk
+    val dirs = new java.io.File(s"$tmp/grown").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet
+    assert(dirs.size >= 2)
+    val before = dirs.map { d =>
+      d -> new java.io.File(s"$tmp/grown/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    }.toMap
+    // one-point batch touches exactly one cell
+    val one = data.filter(col("id") === 0L)
+      .select(col("id") + 100000L as "id", col("emb"))
+    RoutedHnsw.addToIndex(spark, s"$tmp/grown", one, "emb", "id", cs)
+    val untouchedSame = before.count { case (d, files) =>
+      new java.io.File(s"$tmp/grown/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet == files
+    }
+    assert(untouchedSame >= before.size - 1,
+      s"more than one cell dir rewritten by a one-point add")
+  }
+
   test("maintenance: drifted corpus detected and re-clustered from the graphs alone") {
     // build over cluster A only, then a maintenance-triggering check:
     // the stored index IS the corpus (readVectors), no base copy needed
