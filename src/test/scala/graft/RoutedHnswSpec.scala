@@ -248,6 +248,38 @@ class RoutedHnswSpec extends SparkSpec {
       s"more than one cell dir rewritten by a one-point add")
   }
 
+  test("streaming incremental: foreachBatch grows the stored routed index") {
+    val (all, _) = clustered(300, 4, 8, seed = 71)
+    val base = all.filter(col("id") < 180)
+    val cs = IvfIndex.centroids(base, "emb", "id", 4)
+    val dir = java.nio.file.Files.createTempDirectory("rhnsw-stream").toString
+    RoutedHnsw.writeRoutedIndex(base, "emb", "id", s"$dir/idx", cs)
+    all.filter(col("id") >= 180 && col("id") < 240).coalesce(1)
+      .write.parquet(s"$dir/in/b1")
+    all.filter(col("id") >= 240).coalesce(1).write.parquet(s"$dir/in/b2")
+    val stream = spark.readStream
+      .schema("id LONG, emb ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        RoutedHnsw.addToIndex(spark, s"$dir/idx", b, "emb", "id", cs)
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import org.apache.spark.sql.functions.sum
+    val total = spark.read.parquet(s"$dir/idx")
+      .agg(sum(col("n_vectors"))).collect().head.getLong(0)
+    assert(total == 300, s"streamed routed index holds $total of 300")
+    val probe = all.filter(col("id") === 5L).head().getSeq[Float](1).toArray
+    val got = RoutedHnsw.search(spark, s"$dir/idx", "id", cs, probe, 12, 4,
+      HnswIndex.Params(efSearch = 1 << 20)).collect().map(_.getLong(0)).toSeq
+    val exact = VectorFunctions.topK(all, "emb", "id", probe, 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
   test("maintenance: drifted corpus detected and re-clustered from the graphs alone") {
     // build over cluster A only, then a maintenance-triggering check:
     // the stored index IS the corpus (readVectors), no base copy needed
