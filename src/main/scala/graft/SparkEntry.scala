@@ -3132,6 +3132,44 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // ---- CROSS-DOCUMENT exact-substring duplicate spans (ExactSubstr,
+    // Lee et al. 2021): q164 finds repeats WITHIN a doc; this finds
+    // verbatim spans shared ACROSS docs — the form that actually
+    // removes boilerplate/mirrored text from a pretraining corpus.
+    // a 40-char window at EVERY position (stride 1 — exact detection of
+    // any shared span ≥ 40 chars, with maximal boundaries), one shuffle
+    // keyed on the window text (aggregate only — no pair expansion, so
+    // a span shared by a million docs costs one stats row), per-doc
+    // gaps-islands merge into maximal spans. Detection mode: flagged
+    // when ≥ 2 distinct docs share the window ----
+    "q180_crossdoc_spans" -> ((s, d) => {
+      graft.dedup.Dedup.crossDocSpans(tSpread(s, d, "documents"),
+          "text", "doc_id", window = 40)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // ---- ExactSubstr EXCISION accounting (keep-first contract): the
+    // lowest doc_id sharing a window owns the text; every other doc
+    // cuts its merged spans. Output per doc: spans cut, chars cut,
+    // chars kept — the corpus-shrink report a dedup stage emits before
+    // the cleaned rewrite. Docs owning all their text keep 100% ----
+    "q181_exact_substr_dedup" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val spans = graft.dedup.Dedup.crossDocSpans(docs,
+          "text", "doc_id", window = 40, keepFirst = true)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans_cut"),
+          sum(col("span_end") - col("span_start") + 1).as("chars_cut"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+          coalesce(col("chars_cut"), lit(0L)).as("chars_cut"),
+          (col("n_chars") - coalesce(col("chars_cut"), lit(0L)))
+            .as("chars_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- GPT-style sequence packing: tokenize, concatenate the token
     // stream in doc_id order, chunk into fixed context windows (L=512)
     // — the standard pretraining sample-packing layout. The exact
@@ -3778,6 +3816,73 @@ object SparkEntry {
     // match gates that the rewrite FIRED (brute force would return the
     // global top-20 instead)
     "q179_ann_routed_auto" -> IvfProbeOracleSql,
+
+    // ExactSubstr replay: a 40-char window at every position, per-window
+    // distinct-doc stats, gaps-islands merge of flagged occurrences
+    "q180_crossdoc_spans" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40),
+        |stats AS (
+        | SELECT win, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN stats s ON s.win = o.win WHERE s.n_docs > 1),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        | CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // keep-first excision accounting: flagged iff a LOWER doc_id shares
+    // the window; merged-span chars subtracted from n_chars
+    "q181_exact_substr_dedup" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40),
+        |stats AS (
+        | SELECT win, min(doc_id) AS min_did FROM occ GROUP BY 1),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN stats s ON s.win = o.win WHERE o.doc_id > s.min_did),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk),
+        |spans AS (
+        | SELECT doc_id, min(p) AS s, max(e) AS e
+        | FROM isl GROUP BY doc_id, island),
+        |cut AS (
+        | SELECT doc_id, count(*) AS n_spans_cut,
+        |  sum(e - s + 1) AS chars_cut
+        | FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(c.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+        | CAST(coalesce(c.chars_cut, 0) AS BIGINT) AS chars_cut,
+        | CAST(d.n_chars - coalesce(c.chars_cut, 0) AS BIGINT) AS chars_kept
+        |FROM documents d LEFT JOIN cut c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Multimodal stub pipeline: meta from doc_id arithmetic, resize by
     // the original scale, byte-histogram feature f0 in float32.

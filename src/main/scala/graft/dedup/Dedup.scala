@@ -566,4 +566,79 @@ object Dedup {
         col("centroid_id").cast("bigint").as("centroid_id"),
         when(col("_dropped").isNull, 1).otherwise(0).cast("int").as("kept"))
   }
+
+  /** Cross-document exact-substring duplicate spans — the distributed
+    * re-expression of suffix-array ExactSubstr dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * reference keeps only pgvector-side near-dup machinery, but a
+    * training corpus needs verbatim cross-document span removal too.
+    *
+    * Shape: fixed-width character windows of `window` chars at every
+    * position (`stride = 1`, the default — this is what makes detection
+    * EXACT: any cross-doc duplicated span of ≥ `window` chars is found
+    * with its maximal boundaries), ONE wide shuffle keyed on the window
+    * text (distinct (win, doc) then an aggregate — no pair expansion,
+    * so boilerplate shared by millions of docs costs one aggregate row,
+    * never n²), a key-stats join back onto the occurrences, then a
+    * per-document gaps-and-islands merge of flagged windows into
+    * maximal spans (window partitioned by doc — parallel across docs).
+    *
+    * `stride > 1` is the cheap sampled mode (rows ÷ stride) with a
+    * caveat: two documents sample a shared region at offsets congruent
+    * to their own phase mod `stride`, so a duplicated span is only
+    * GUARANTEED to be caught when it is long enough to contain aligned
+    * windows (self-repetitive content aligns trivially; arbitrary
+    * content needs a content-defined anchor scheme instead — use
+    * stride 1 when exactness matters).
+    *
+    * `keepFirst = false` (detection): an occurrence is flagged when the
+    * identical substring appears in ≥ 2 distinct documents.
+    * `keepFirst = true` (excision contract): only occurrences in docs
+    * ABOVE the window's minimum doc id are flagged — the lowest doc
+    * "owns" the text and keeps it, everyone else cuts the span.
+    *
+    * 100 TB notes: exploded rows = total_chars / stride (linear, no
+    * blowup); production would key the shuffle on xxhash64(win) instead
+    * of the substring to shrink shuffle bytes (a collision only ever
+    * ADDS a flag); AQE skew-join splits hot boilerplate keys on the
+    * stats join-back. Grouping on the substring itself here keeps the
+    * operator engine-agnostic for the oracle.
+    *
+    * @return one row per merged span: (idCol, span_start, span_end,
+    *         n_windows), 1-based inclusive char positions
+    */
+  def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
+                    window: Int = 40, stride: Int = 1,
+                    keepFirst: Boolean = false): DataFrame = {
+    require(window >= 2 && stride >= 1, "window >= 2, stride >= 1")
+    val occ = df
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).cast("long").as("_did"),
+        explode(sequence(lit(1), length(col(textCol)) - (window - 1),
+          lit(stride))).as("_p"),
+        col(textCol).as("_txt"))
+      .select(col("_did"), col("_p"),
+        col("_txt").substr(col("_p"), lit(window)).as("_win"))
+    val stats = occ.select("_win", "_did").distinct()
+      .groupBy("_win")
+      .agg(count(lit(1)).as("_n_docs"), min(col("_did")).as("_min_did"))
+    val flagged = occ.join(stats, "_win")
+      .filter(if (keepFirst) col("_did") > col("_min_did")
+              else col("_n_docs") > 1)
+      .select(col("_did"), col("_p"), (col("_p") + (window - 1)).as("_e"))
+    val wD = Window.partitionBy("_did").orderBy("_p")
+    flagged
+      .withColumn("_prev_e",
+        max(col("_e")).over(wD.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_b",
+        when(col("_prev_e").isNull || col("_p") > col("_prev_e") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_b")).over(wD))
+      .groupBy(col("_did"), col("_isl"))
+      .agg(min(col("_p")).cast("long").as("span_start"),
+        max(col("_e")).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("_did").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
 }

@@ -679,6 +679,7 @@ class AnnIndexRule extends Rule[LogicalPlan] {
         case r: AnnCatalog.RoutedHnswEntry =>
           graft.vector.RoutedHnsw.searchMany(spark, r.indexPath, r.idCol,
             r.centroids, queries, k, r.nProbe, r.params, rankCol = Some("rn"))
+        case _ => return None // IVF screened out above; keeps the match total
       }).queryExecution.analyzed
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -225,4 +225,45 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
     assert(both == Map(30L -> 1, 31L -> 0))
   }
+
+  test("crossDocSpans finds exact maximal shared spans at any offset") {
+    // docs 1 and 2 share a 60-char verbatim region at DIFFERENT offsets
+    // (the case stride-sampling misses); doc 3 is unrelated. stride=1
+    // guarantees detection with exact maximal boundaries.
+    val shared = "A" * 10 + "shared-boilerplate-region-" + "B" * 24 // 60 chars
+    val d = Seq(
+      (1L, shared + "unique tail one xxxxxxxxxx"),
+      (2L, "prefix-two " + shared + " and its own ending"),
+      (3L, "c" * 80)).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpans(d, "text", "doc_id", window = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // both docs report exactly one merged span; doc 3 none
+    assert(spans.map(_._1).sorted == List(1L, 2L))
+    val s1 = spans.find(_._1 == 1L).get
+    val s2 = spans.find(_._1 == 2L).get
+    // doc 1's shared region spans chars 1..60 exactly
+    assert(s1._2 == 1L && s1._3 == 60L)
+    // doc 2's starts after its 11-char prefix: 12..71
+    assert(s2._2 == 12L && s2._3 == 71L)
+  }
+
+  test("crossDocSpans keepFirst: owner doc keeps, higher ids flagged") {
+    val shared = "shared-text-" * 5 // 60 chars
+    val d = Seq(
+      (1L, shared),
+      (2L, shared),
+      (3L, shared)).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpans(d, "text", "doc_id",
+        window = 20, keepFirst = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L)) // doc 1 owns the text, nothing flagged
+  }
+
+  test("crossDocSpans: within-doc repeats alone never flag in detection") {
+    val d = Seq(
+      (1L, "repeat-me-" * 8), // 80 chars of self-repetition, one doc only
+      (2L, "x" * 80)).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpans(d, "text", "doc_id", window = 20)
+    assert(out.count() == 0L)
+  }
 }
