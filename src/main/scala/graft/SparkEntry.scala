@@ -3170,6 +3170,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the CLEANED CORPUS itself: q181's spans excised from the
+    // text (the emit of an ExactSubstr stage — stats alone don't train
+    // a model). Spans collapse to one bounded array row per doc, one
+    // join back, then a map-side fold stitches the kept segments — the
+    // text never shuffles beyond that single join. md5 of the rewrite
+    // makes any stitching error a hash mismatch ----
+    "q182_excised_corpus" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val spans = graft.dedup.Dedup.crossDocSpans(docs,
+        "text", "doc_id", window = 40, keepFirst = true)
+      graft.dedup.Dedup.exciseSpans(docs, "text", "doc_id", spans)
+        .select(col("doc_id"),
+          length(col("cleaned")).cast("bigint").as("kept_len"),
+          md5(col("cleaned")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- GPT-style sequence packing: tokenize, concatenate the token
     // stream in doc_id order, chunk into fixed context windows (L=512)
     // — the standard pretraining sample-packing layout. The exact
@@ -3882,6 +3899,62 @@ object SparkEntry {
         | CAST(coalesce(c.chars_cut, 0) AS BIGINT) AS chars_cut,
         | CAST(d.n_chars - coalesce(c.chars_cut, 0) AS BIGINT) AS chars_kept
         |FROM documents d LEFT JOIN cut c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the cleaned-corpus rewrite: q181's keep-first spans, then the kept
+    // segments (inter-span gaps + trailing tail) stitched in order
+    "q182_excised_corpus" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40),
+        |stats AS (
+        | SELECT win, min(doc_id) AS min_did FROM occ GROUP BY 1),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN stats s ON s.win = o.win WHERE o.doc_id > s.min_did),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk),
+        |spans AS (
+        | SELECT doc_id, min(p) AS s, max(e) AS e
+        | FROM isl GROUP BY doc_id, island),
+        |segs AS (
+        | SELECT doc_id,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+        |    AS gs,
+        |  s - 1 AS ge
+        | FROM spans
+        | UNION ALL
+        | SELECT doc_id, max(e) + 1 AS gs, NULL AS ge
+        | FROM spans GROUP BY doc_id),
+        |kept AS (
+        | SELECT sp.doc_id,
+        |  string_agg(substring(d.text, CAST(gs AS INT),
+        |    CAST(coalesce(ge, d.n_chars) - gs + 1 AS INT)), ''
+        |    ORDER BY gs) AS cleaned
+        | FROM segs sp JOIN documents d ON d.doc_id = sp.doc_id
+        | WHERE coalesce(ge, d.n_chars) >= gs
+        | GROUP BY sp.doc_id),
+        |cutdocs AS (SELECT DISTINCT doc_id FROM spans)
+        |SELECT d.doc_id,
+        | CAST(length(CASE WHEN c.doc_id IS NULL THEN d.text
+        |                  ELSE coalesce(k.cleaned, '') END) AS BIGINT)
+        |   AS kept_len,
+        | md5(CASE WHEN c.doc_id IS NULL THEN d.text
+        |          ELSE coalesce(k.cleaned, '') END) AS kept_md5
+        |FROM documents d
+        | LEFT JOIN cutdocs c ON c.doc_id = d.doc_id
+        | LEFT JOIN kept k ON k.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     // Multimodal stub pipeline: meta from doc_id arithmetic, resize by

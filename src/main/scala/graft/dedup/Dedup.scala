@@ -641,4 +641,42 @@ object Dedup {
       .select(col("_did").as(idCol), col("span_start"), col("span_end"),
         col("n_windows"))
   }
+
+  /** Apply [[crossDocSpans]]' excision: rewrite each document with its
+    * flagged spans cut out — the cleaned-corpus emit of ExactSubstr
+    * dedup. `spans` must be per-doc sorted-disjoint (what
+    * [[crossDocSpans]] returns); docs with no spans pass through
+    * verbatim.
+    *
+    * Plan shape: spans collapse to ONE array row per doc (bounded —
+    * merged maximal spans, not windows), one join back to the corpus,
+    * then a map-side `aggregate` higher-order fold stitches the kept
+    * segments in order. No window over the corpus, no shuffle of the
+    * text beyond the single join.
+    *
+    * @return (idCol, cleaned) — the rewritten text column
+    */
+  def exciseSpans(docs: DataFrame, textCol: String, idCol: String,
+                  spans: DataFrame): DataFrame = {
+    val spanType = "array<struct<span_start:bigint,span_end:bigint>>"
+    val spansAgg = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end")))).as("_sp"))
+    docs.join(spansAgg, Seq(idCol), "left")
+      .withColumn("_sp", coalesce(col("_sp"), array().cast(spanType)))
+      .select(col(idCol),
+        aggregate(col("_sp"),
+          struct(lit(1L).as("pos"), lit("").as("acc")),
+          (st, s) => struct(
+            (s.getField("span_end") + 1L).as("pos"),
+            concat(st.getField("acc"),
+              col(textCol).substr(st.getField("pos").cast("int"),
+                (s.getField("span_start") - st.getField("pos"))
+                  .cast("int"))).as("acc")),
+          st => concat(st.getField("acc"),
+            col(textCol).substr(st.getField("pos").cast("int"),
+              (length(col(textCol)) - st.getField("pos") + 1).cast("int"))))
+          .as("cleaned"))
+  }
 }

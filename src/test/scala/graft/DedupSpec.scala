@@ -266,4 +266,37 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.crossDocSpans(d, "text", "doc_id", window = 20)
     assert(out.count() == 0L)
   }
+
+  test("exciseSpans stitches kept segments; no-span docs pass through") {
+    val shared = "Z" * 30
+    val d = Seq(
+      (1L, shared + "-one-tail"),
+      (2L, "two-head-" + shared + "-two-tail"),
+      (3L, "untouched document text here")).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpans(d, "text", "doc_id",
+      window = 20, keepFirst = true)
+    val out = Dedup.exciseSpans(d, "text", "doc_id", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == shared + "-one-tail") // doc 1 owns the share
+    // the shared MAXIMAL span is the Z-run plus the "-" both docs
+    // continue it with, so the excision eats that "-" too
+    assert(out(2L) == "two-head-two-tail")
+    assert(out(3L) == "untouched document text here")
+  }
+
+  test("exciseSpans handles a fully-removed doc and multiple spans") {
+    val a = "A" * 25
+    val b = "B" * 25
+    val d = Seq(
+      (1L, a + b),
+      (2L, a + b), // entire doc duplicated → cleaned to ""
+      (3L, a + "-mid-" + b)).toDF("doc_id", "text") // two disjoint spans
+    val spans = Dedup.crossDocSpans(d, "text", "doc_id",
+      window = 20, keepFirst = true)
+    val out = Dedup.exciseSpans(d, "text", "doc_id", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == a + b)
+    assert(out(2L) == "")
+    assert(out(3L) == "-mid-")
+  }
 }
