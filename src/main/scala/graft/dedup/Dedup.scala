@@ -598,19 +598,27 @@ object Dedup {
     * "owns" the text and keeps it, everyone else cuts the span.
     *
     * 100 TB notes: exploded rows = total_chars / stride (linear, no
-    * blowup); production would key the shuffle on xxhash64(win) instead
-    * of the substring to shrink shuffle bytes (a collision only ever
-    * ADDS a flag); AQE skew-join splits hot boilerplate keys on the
-    * stats join-back. Grouping on the substring itself here keeps the
-    * operator engine-agnostic for the oracle.
+    * blowup); `hashKey = true` (the default) keys the wide shuffle on
+    * `xxhash64(win)` instead of the substring — 8 bytes per occurrence
+    * across the wire instead of `window` chars (5× less at window=40),
+    * and the aggregate hashes a long, not a string. Results are
+    * identical absent a 64-bit collision (birthday bound ~2^32 distinct
+    * windows; a collision only ever ADDS a flagged span — the
+    * conservative direction for dedup — and the per-sf oracle gate
+    * replays the substring grouping, so an actual collision would
+    * surface as a hash mismatch). `hashKey = false` groups on the
+    * substring itself, byte-for-byte the oracle's plan. AQE skew-join
+    * splits hot boilerplate keys on the stats join-back either way.
     *
     * @return one row per merged span: (idCol, span_start, span_end,
     *         n_windows), 1-based inclusive char positions
     */
   def crossDocSpans(df: DataFrame, textCol: String, idCol: String,
                     window: Int = 40, stride: Int = 1,
-                    keepFirst: Boolean = false): DataFrame = {
+                    keepFirst: Boolean = false,
+                    hashKey: Boolean = true): DataFrame = {
     require(window >= 2 && stride >= 1, "window >= 2, stride >= 1")
+    val win = col("_txt").substr(col("_p"), lit(window))
     val occ = df
       .filter(length(col(textCol)) >= window)
       .select(col(idCol).cast("long").as("_did"),
@@ -618,7 +626,7 @@ object Dedup {
           lit(stride))).as("_p"),
         col(textCol).as("_txt"))
       .select(col("_did"), col("_p"),
-        col("_txt").substr(col("_p"), lit(window)).as("_win"))
+        (if (hashKey) xxhash64(win) else win).as("_win"))
     val stats = occ.select("_win", "_did").distinct()
       .groupBy("_win")
       .agg(count(lit(1)).as("_n_docs"), min(col("_did")).as("_min_did"))

@@ -81,6 +81,29 @@ object AbBench {
     annPair("ann_plain_ivf_2000x", copies = 2000, kind = "ivf", filtered = false),
     annPair("ann_plain_routed_2000x", copies = 2000, kind = "routed",
       filtered = false),
+
+    // round-6 change: crossDocSpans' wide shuffle keys on xxhash64 of
+    // the window (8 bytes/occurrence) instead of the 40-char substring.
+    // A = substring key (the oracle's engine-agnostic plan), B = hashed
+    // key (the shipped default). 10× replicated corpus so the shuffle,
+    // not job overhead, is what's measured.
+    Pair("crossdoc_hashkey_10x", "substring_key", "hashed_key",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-xdoc").toString
+        val OFF = 100000000L
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .crossJoin(s.range(10).select(col("id").as("_copy")))
+          .select((col("doc_id") + col("_copy") * OFF).as("doc_id"),
+            col("text"))
+          .repartition(32).write.mode("overwrite").parquet(s"$tmp/docs")
+        val docs = s.read.parquet(s"$tmp/docs")
+        def run(hashed: Boolean): DataFrame =
+          graft.dedup.Dedup.crossDocSpans(docs, "text", "doc_id",
+            window = 40, keepFirst = true, hashKey = hashed)
+        (() => run(hashed = false), () => run(hashed = true))
+      }),
   )
 
   private def annPair(name: String, copies: Int, kind: String = "hnsw",

@@ -267,6 +267,24 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("crossDocSpans: hashed shuffle key (default) equals substring key") {
+    // the production shuffle carries xxhash64(win) — 8 bytes/occurrence
+    // instead of `window` chars; identical output absent a 64-bit
+    // collision. Gate both modes against each other on real corpus text.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(hashed: Boolean) =
+      Dedup.crossDocSpans(docs, "text", "doc_id", window = 40,
+          keepFirst = true, hashKey = hashed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val hashedSpans = run(hashed = true)
+    assert(hashedSpans == run(hashed = false))
+    assert(hashedSpans.nonEmpty) // the corpus genuinely exercises the path
+  }
+
   test("exciseSpans stitches kept segments; no-span docs pass through") {
     val shared = "Z" * 30
     val d = Seq(
