@@ -3170,6 +3170,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- INCREMENTAL ExactSubstr: a new crawl batch (doc_id%10==7)
+    // span-checked against the rest of the corpus through a persisted
+    // window-fingerprint index (16 B/distinct window — the hashed-key
+    // layout), never re-reading the corpus text. Keep-first by arrival:
+    // the indexed corpus owns every window it contains; within the
+    // batch the lowest doc id owns windows the corpus lacks ----
+    "q183_exact_substr_incr" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-xdoc-fp").toString + "/idx"
+      graft.dedup.Dedup.writeWindowFingerprints(corpus, "text", "doc_id",
+        idx, window = 40)
+      graft.dedup.Dedup.crossDocSpansIncremental(s, idx, batch,
+          "text", "doc_id", window = 40)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ---- the CLEANED CORPUS itself: q181's spans excised from the
     // text (the emit of an ExactSubstr stage — stats alone don't train
     // a model). Spans collapse to one bounded array row per doc, one
@@ -3956,6 +3975,42 @@ object SparkEntry {
         | LEFT JOIN cutdocs c ON c.doc_id = d.doc_id
         | LEFT JOIN kept k ON k.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // incremental ExactSubstr: batch (doc_id%10==7) occurrences flag
+    // when the window exists anywhere in the corpus split OR a lower
+    // batch doc shares it; same islands merge as q180
+    "q183_exact_substr_incr" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 10 = 7),
+        |corp AS (
+        | SELECT DISTINCT substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 10 <> 7),
+        |bstats AS (
+        | SELECT win, min(doc_id) AS batch_min FROM occ GROUP BY 1),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN bstats b ON b.win = o.win
+        |  LEFT JOIN corp c ON c.win = o.win
+        | WHERE c.win IS NOT NULL OR o.doc_id > b.batch_min),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        | CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // Multimodal stub pipeline: meta from doc_id arithmetic, resize by
     // the original scale, byte-histogram feature f0 in float32.

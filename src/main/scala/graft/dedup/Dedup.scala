@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -618,15 +618,7 @@ object Dedup {
                     keepFirst: Boolean = false,
                     hashKey: Boolean = true): DataFrame = {
     require(window >= 2 && stride >= 1, "window >= 2, stride >= 1")
-    val win = col("_txt").substr(col("_p"), lit(window))
-    val occ = df
-      .filter(length(col(textCol)) >= window)
-      .select(col(idCol).cast("long").as("_did"),
-        explode(sequence(lit(1), length(col(textCol)) - (window - 1),
-          lit(stride))).as("_p"),
-        col(textCol).as("_txt"))
-      .select(col("_did"), col("_p"),
-        (if (hashKey) xxhash64(win) else win).as("_win"))
+    val occ = windowOccurrences(df, textCol, idCol, window, stride, hashKey)
     val stats = occ.select("_win", "_did").distinct()
       .groupBy("_win")
       .agg(count(lit(1)).as("_n_docs"), min(col("_did")).as("_min_did"))
@@ -634,6 +626,32 @@ object Dedup {
       .filter(if (keepFirst) col("_did") > col("_min_did")
               else col("_n_docs") > 1)
       .select(col("_did"), col("_p"), (col("_p") + (window - 1)).as("_e"))
+    mergeFlaggedWindows(flagged, idCol)
+  }
+
+  /** Every fixed-width window occurrence of `df`'s text:
+    * (`_did`, `_p`, `_win`) where `_win` is the window's `xxhash64`
+    * (`hashKey = true`) or the substring itself. Map-side only — the
+    * explode never shuffles. */
+  private def windowOccurrences(df: DataFrame, textCol: String,
+                                idCol: String, window: Int, stride: Int,
+                                hashKey: Boolean): DataFrame = {
+    val win = col("_txt").substr(col("_p"), lit(window))
+    df.filter(length(col(textCol)) >= window)
+      .select(col(idCol).cast("long").as("_did"),
+        explode(sequence(lit(1), length(col(textCol)) - (window - 1),
+          lit(stride))).as("_p"),
+        col(textCol).as("_txt"))
+      .select(col("_did"), col("_p"),
+        (if (hashKey) xxhash64(win) else win).as("_win"))
+  }
+
+  /** Gaps-and-islands merge of flagged windows (`_did`, `_p`, `_e`) into
+    * maximal per-document spans — the shared tail of [[crossDocSpans]]
+    * and [[crossDocSpansIncremental]]. Window-partitioned by doc:
+    * parallel across documents, never a global sort. */
+  private def mergeFlaggedWindows(flagged: DataFrame,
+                                  idCol: String): DataFrame = {
     val wD = Window.partitionBy("_did").orderBy("_p")
     flagged
       .withColumn("_prev_e",
@@ -686,5 +704,90 @@ object Dedup {
             col(textCol).substr(st.getField("pos").cast("int"),
               (length(col(textCol)) - st.getField("pos") + 1).cast("int"))))
           .as("cleaned"))
+  }
+
+  // ------------------------------------------ incremental ExactSubstr
+
+  /** Persist the corpus's window-fingerprint index at `path`: one row
+    * per distinct window, `(win_hash: long, min_did: long)` — the
+    * window's `xxhash64` and its first-owner doc id. 16 bytes per
+    * DISTINCT window at rest (the hashed-key form is what makes the
+    * index plausible at 100 TB — substrings would store `window` chars
+    * per entry), laid out `partitionBy(bucket)` on `pmod(win_hash,
+    * nBuckets)`: point-lookups of single windows prune to one bucket
+    * directory, and each [[appendWindowFingerprints]] generation lands
+    * as its own files inside the bucket dirs (no monolithic rewrite).
+    *
+    * `mode = "append"` adds a batch's fingerprints WITHOUT rewriting
+    * the stored ones (LSM-style): readers min-merge duplicate hashes at
+    * probe time ([[readWindowFingerprints]]), so an append is
+    * O(batch), never O(corpus). Re-write with `mode = "overwrite"`
+    * periodically to compact. */
+  def writeWindowFingerprints(df: DataFrame, textCol: String,
+                              idCol: String, path: String,
+                              window: Int = 40, stride: Int = 1,
+                              nBuckets: Int = 64,
+                              mode: String = "overwrite"): Unit = {
+    windowOccurrences(df, textCol, idCol, window, stride, hashKey = true)
+      .groupBy(col("_win").as("win_hash"))
+      .agg(min(col("_did")).as("min_did"))
+      .withColumn("bucket", pmod(col("win_hash"), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
+  }
+
+  /** Append a new batch's fingerprints into a stored index — the
+    * streaming/incremental maintenance call. O(batch) IO. */
+  def appendWindowFingerprints(batch: DataFrame, textCol: String,
+                               idCol: String, path: String,
+                               window: Int = 40, stride: Int = 1,
+                               nBuckets: Int = 64): Unit =
+    writeWindowFingerprints(batch, textCol, idCol, path, window, stride,
+      nBuckets, mode = "append")
+
+  /** The stored fingerprints, min-merged across appended generations:
+    * (win_hash, min_did). */
+  def readWindowFingerprints(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("win_hash").agg(min(col("min_did")).as("min_did"))
+
+  /** Flag an ARRIVING batch's duplicate spans against a stored corpus
+    * fingerprint index — ExactSubstr without re-scanning the corpus.
+    * Keep-first is by ARRIVAL: the indexed corpus owns every window it
+    * contains (a batch occurrence whose window is already indexed is
+    * always flagged); within the batch itself, the lowest batch doc id
+    * owns a window the corpus has never seen. Equivalent to
+    * [[crossDocSpans]](corpus ∪ batch, keepFirst) restricted to batch
+    * docs whenever corpus ids precede batch ids — the monotonic-id
+    * crawl-snapshot case — and the arrival-order contract otherwise.
+    *
+    * Plan: batch windows explode map-side, ONE aggregate over the
+    * batch's own windows, one existence join against the stored index,
+    * islands merge. The probe reads the INDEX (16 bytes per distinct
+    * corpus window), never the corpus text — O(batch text + index
+    * bytes) where a full re-run is O(corpus text); on a boilerplate-
+    * heavy 100 TB corpus the fingerprint set is a small fraction of
+    * the text it covers.
+    *
+    * @return [[crossDocSpans]]-shaped spans for batch docs only */
+  def crossDocSpansIncremental(spark: SparkSession, indexPath: String,
+                               batch: DataFrame, textCol: String,
+                               idCol: String, window: Int = 40,
+                               stride: Int = 1): DataFrame = {
+    val occ = windowOccurrences(batch, textCol, idCol, window, stride,
+      hashKey = true)
+    val batchStats = occ.select("_win", "_did").distinct()
+      .groupBy("_win").agg(min(col("_did")).as("_batch_min"))
+    // existence is enough here — skip readWindowFingerprints' min-merge
+    // and carry only the 8-byte hash through the join
+    val corpus = spark.read.parquet(indexPath)
+      .select(col("win_hash").as("_win")).distinct()
+      .withColumn("_in_corpus", lit(true))
+    val flagged = occ
+      .join(batchStats, "_win")
+      .join(corpus, Seq("_win"), "left")
+      .filter(col("_in_corpus").isNotNull || col("_did") > col("_batch_min"))
+      .select(col("_did"), col("_p"), (col("_p") + (window - 1)).as("_e"))
+    mergeFlaggedWindows(flagged, idCol)
   }
 }

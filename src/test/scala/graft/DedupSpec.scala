@@ -285,6 +285,57 @@ class DedupSpec extends SparkSpec {
     assert(hashedSpans.nonEmpty) // the corpus genuinely exercises the path
   }
 
+  test("incremental ExactSubstr: stored fingerprints == full keep-first " +
+      "run restricted to the batch (monotone ids)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-fp-spec").toString + "/idx"
+    Dedup.writeWindowFingerprints(corpus, "text", "doc_id", idx)
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val incr = spanSet(
+      Dedup.crossDocSpansIncremental(spark, idx, batch, "text", "doc_id"))
+    val full = spanSet(
+      Dedup.crossDocSpans(docs, "text", "doc_id", keepFirst = true)
+        .filter(col("doc_id") >= 250))
+    assert(incr == full)
+    assert(incr.nonEmpty)
+  }
+
+  test("incremental ExactSubstr: appended generations min-merge; " +
+      "batch-internal sharing flags only the later doc") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-fp-spec2").toString + "/idx"
+    val g1 = Seq((1L, "A" * 60)).toDF("doc_id", "text")
+    val g2 = Seq((2L, "B" * 60)).toDF("doc_id", "text")
+    Dedup.writeWindowFingerprints(g1, "text", "doc_id", idx, window = 20)
+    Dedup.appendWindowFingerprints(g2, "text", "doc_id", idx, window = 20)
+    // batch: doc 10 repeats g2's text (indexed via append → flagged);
+    // docs 11/12 share NEW text the corpus lacks → only 12 flagged;
+    // doc 13 is unique → clean
+    val batch = Seq(
+      (10L, "B" * 60),
+      (11L, "fresh-shared-text-" * 3),
+      (12L, "fresh-shared-text-" * 3),
+      (13L, "z" * 60)).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpansIncremental(spark, idx, batch,
+        "text", "doc_id", window = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(10L, 12L))
+    assert(out.find(_._1 == 10L).get == ((10L, 1L, 60L))) // whole doc
+    // fingerprint reader min-merges across the two generations
+    val fp = Dedup.readWindowFingerprints(spark, idx)
+    assert(fp.filter(col("min_did") === 1L).count() > 0)
+    assert(fp.filter(col("min_did") === 2L).count() > 0)
+    assert(fp.groupBy("win_hash").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
   test("exciseSpans stitches kept segments; no-span docs pass through") {
     val shared = "Z" * 30
     val d = Seq(

@@ -140,6 +140,53 @@ class StreamingSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("streaming incremental ExactSubstr: each micro-batch is " +
+       "span-checked against the fingerprint index, then appended to it " +
+       "— a later batch's verbatim copy of an earlier batch flags") {
+    import graft.dedup.Dedup
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val idx = Files.createTempDirectory("graft-stream-fp").toString + "/idx"
+    Dedup.writeWindowFingerprints(corpus, "text", "doc_id", idx)
+    // two micro-batches: b1 copies a corpus doc AND introduces fresh
+    // text; b2 copies b1's FRESH text — only detectable because the
+    // foreachBatch sink appended b1's fingerprints after probing
+    val fresh = "entirely new boilerplate that only batch one carries " * 3
+    val dir = Files.createTempDirectory("graft-stream-fp-docs").toString
+    val corpusText = corpus.filter(col("doc_id") === 0)
+      .select("text").head().getString(0)
+    Seq((100001L, corpusText), (100002L, fresh))
+      .toDF("doc_id", "text").coalesce(1).write.json(s"$dir/b1")
+    Seq((200001L, fresh), (200002L, "genuinely unique text " * 10))
+      .toDF("doc_id", "text").coalesce(1).write.json(s"$dir/b2")
+
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+    val ckpt = Files.createTempDirectory("graft-fp-ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val spans = Dedup.crossDocSpansIncremental(
+          spark, idx, batch, "text", "doc_id")
+        flagged.synchronized {
+          flagged ++= spans.select("doc_id").distinct()
+            .collect().map(_.getLong(0))
+        }
+        // probe-then-append: this batch's text now owns its windows
+        Dedup.appendWindowFingerprints(batch, "text", "doc_id", idx)
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    // b1: the corpus copy flags, the fresh text doesn't; b2: the copy
+    // of b1's fresh text flags (via the append), the unique doc doesn't
+    assert(flagged.toSet == Set(100001L, 200001L), s"got ${flagged.toSet}")
+  }
+
   test("custom sketch aggregates work in streaming: hll_distinct per group") {
     import graft.sketch.HllSketch.hll_distinct
     val sf = "/root/testdata/sf0.001"
