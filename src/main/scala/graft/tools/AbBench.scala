@@ -73,11 +73,17 @@ object AbBench {
     annPair("ann_filtered_ivf_200x", copies = 200, kind = "ivf"),
     annPair("ann_filtered_hnsw_200x", copies = 200),
 
-    // the crossover evidence: at 2000x (~4M vectors) the brute cosine
-    // scan leaves job-overhead territory and the probe's pruned read
-    // must win — this is the measurement that shows the minTableBytes
-    // cost gate has a "large" side, not just a "small" side. Unfiltered
-    // (the direct-splice shape), so the pair is pure probe-vs-scan.
+    // the large-corpus evidence (~4M vectors): unfiltered probe-vs-scan
+    // (the direct-splice shape). The timed laps are WARM serve-path
+    // probes — AbBench's unrecorded warm lap populates the resident
+    // graph cache, so the recorded runs measure what a long-lived
+    // executor pays per probe (index bytes read + walk/cell-scan), not
+    // the one-time deserialization. Brute force at 64-dim on one NVMe
+    // node is memory-bandwidth-trivial, so single-node wall-clock
+    // crossover sits far beyond what this box can materialize; the
+    // claim these pairs support is the RATIO TREND with corpus size
+    // plus the bytes-read pruning the specs assert — the 100 TB case
+    // is bytes-not-read across 1000 executors, not single-node sec.
     annPair("ann_plain_ivf_2000x", copies = 2000, kind = "ivf", filtered = false),
     annPair("ann_plain_routed_2000x", copies = 2000, kind = "routed",
       filtered = false),

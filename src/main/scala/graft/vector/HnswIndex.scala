@@ -285,7 +285,15 @@ object HnswIndex {
       ids.iterator.zip(vecs.iterator)
 
     /** Top-k (id, cosine SIMILARITY) for one query. */
-    def search(q: Array[Float], k: Int): Seq[(Long, Double)] = {
+    def search(q: Array[Float], k: Int): Seq[(Long, Double)] =
+      search(q, k, params.efSearch)
+
+    /** Top-k with an explicit candidate-list width — the probe-time
+      * knob decoupled from the instance's construction params, which
+      * is what lets [[HnswIndex.residentGraph]] share one deserialized
+      * structure across probes with different efSearch. Read-only and
+      * thread-safe: concurrent probes may share `this`. */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
       var nq = 0.0
       var i = 0
@@ -297,10 +305,79 @@ object HnswIndex {
         ep = Seq(searchLayer(q, qNorm, ep, 1, layer).head)
         layer -= 1
       }
-      searchLayer(q, qNorm, ep, math.max(params.efSearch, k), 0)
+      searchLayer(q, qNorm, ep, math.max(ef, k), 0)
         .take(k).map { case (n, d) => (ids(n), 1.0 - d) }.toSeq
     }
   }
+
+  // ------------------------------------------------ resident graph cache
+
+  /** Executor-local resident cache of deserialized sub-graphs — the
+    * distributed analogue of the reference's shared-buffers-resident
+    * pgvector HNSW (its Postgres answers every probe from one warm
+    * graph; database.py:201-210). Stored sub-graphs are immutable byte
+    * blobs — every mutation path writes NEW bytes — so a probe task may
+    * reuse the structure an earlier probe on this executor already
+    * deserialized. Deserialization (rebuilding 10^5-10^6-node adjacency
+    * + vector arrays) dominates cold-probe latency at production cell
+    * sizes, and without this cache every probe JOB pays it again even
+    * though executors are long-lived.
+    *
+    * Keyed by (xxhash64(bytes), length) — content-addressed, so a
+    * rewritten sub-graph (incremental add, maintenance) simply misses
+    * and the stale entry ages out by LRU. Bounded by ESTIMATED resident
+    * bytes (serialized length × 4 for adjacency boxing overhead),
+    * budget via system property `graft.ann.graphCacheBytes` (default
+    * 4 GiB estimated ≈ 1 GiB serialized per executor JVM — a serving
+    * executor dedicates memory to its resident cells exactly as
+    * Postgres's graph lives in shared buffers; 0 disables; size it
+    * below executor heap headroom). Cached instances are probed
+    * read-only ([[Hnsw.search]]); mutation paths (addToGraphIndex)
+    * always deserialize privately. */
+  private object GraphCache {
+    private final case class Entry(g: Hnsw, cost: Long)
+    private val budget: Long = java.lang.Long.parseLong(
+      System.getProperty("graft.ann.graphCacheBytes", (4L << 30).toString))
+    private val map =
+      new java.util.LinkedHashMap[(Long, Int), Entry](16, 0.75f, true)
+    private var total = 0L
+
+    def get(bytes: Array[Byte]): Hnsw = {
+      if (budget <= 0) {
+        val g = new Hnsw(0, Params()); g.loadFrom(bytes); return g
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
+      val key = (h, bytes.length)
+      map.synchronized {
+        val hit = map.get(key)
+        if (hit != null) return hit.g
+      }
+      // deserialize OUTSIDE the lock: concurrent misses may race and
+      // both build; the map keeps whichever inserts first
+      val g = new Hnsw(0, Params()); g.loadFrom(bytes)
+      val cost = bytes.length.toLong * 4
+      map.synchronized {
+        val prior = map.get(key)
+        if (prior != null) prior.g
+        else {
+          map.put(key, Entry(g, cost)); total += cost
+          val it = map.entrySet().iterator()
+          while (total > budget && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) { total -= e.getValue.cost; it.remove() }
+          }
+          g
+        }
+      }
+    }
+  }
+
+  /** The shared resident instance for a stored sub-graph blob — probe
+    * read-only, pass efSearch explicitly to [[Hnsw.search]]. */
+  private[graft] def residentGraph(bytes: Array[Byte]): Hnsw =
+    GraphCache.get(bytes)
 
   // ----------------------------------------------------- Spark facade
 
@@ -602,10 +679,10 @@ object HnswIndex {
     val partial = spark.read.parquet(path).select(col("graph"))
       .mapPartitions { it =>
         it.flatMap { r =>
-          val index = new Hnsw(0, p)
-          index.loadFrom(r.getAs[Array[Byte]](0))
+          val index = residentGraph(r.getAs[Array[Byte]](0))
           qs.iterator.flatMap { case (qid, q) =>
-            index.search(q, k).iterator.map { case (id, s) => Row(qid, id, s) }
+            index.search(q, k, p.efSearch).iterator
+              .map { case (id, s) => Row(qid, id, s) }
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -167,10 +167,10 @@ object RoutedHnsw {
           val qs = byCell.getOrElse(cid, Array.empty)
           if (qs.isEmpty) Iterator.empty
           else {
-            val index = new HnswIndex.Hnsw(0, p)
-            index.loadFrom(r.getAs[Array[Byte]](1))
+            val index = HnswIndex.residentGraph(r.getAs[Array[Byte]](1))
             qs.iterator.flatMap { case (qid, q) =>
-              index.search(q, k).iterator.map { case (id, s) => Row(qid, id, s) }
+              index.search(q, k, p.efSearch).iterator
+                .map { case (id, s) => Row(qid, id, s) }
             }
           }
         }

@@ -223,6 +223,30 @@ class HnswIndexSpec extends SparkSpec {
       s"before=$before after=$after")
   }
 
+  test("resident graph cache: identical blobs share one instance; " +
+       "changed blobs miss; explicit ef overrides construction params") {
+    val (df, centers) = clustered(400, 4, 8, seed = 11)
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val g = new HnswIndex.Hnsw(0, HnswIndex.Params(m = 8, efConstruction = 64))
+    rows.sortBy(_._1).foreach { case (id, v) => g.add(id, v) }
+    val blob = g.serialize()
+    // content-addressed: same bytes (even a fresh array) → same instance
+    val a = HnswIndex.residentGraph(blob)
+    val b = HnswIndex.residentGraph(blob.clone())
+    assert(a eq b)
+    // resident probe == the original builder instance, at any ef (the
+    // serialize/loadFrom round-trip is behavior-preserving)
+    for (ef <- Seq(16, 400)) {
+      assert(a.search(centers(2), 10, ef) == g.search(centers(2), 10, ef))
+    }
+    // a mutated (re-serialized, different content) blob is a different
+    // resident entry — stale graphs can never be served
+    g.add(100000L, centers(0))
+    val c = HnswIndex.residentGraph(g.serialize())
+    assert(!(c eq a))
+    assert(c.search(centers(0), 1, 400).head._1 == 100000L)
+  }
+
   test("streaming incremental: foreachBatch grows the stored index batch by batch") {
     val (all, centers) = clustered(150, 2, 4, seed = 66)
     val base = all.filter(col("id") < 90)
