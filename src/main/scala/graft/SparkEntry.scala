@@ -3189,6 +3189,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // ---- temperature-flattened corpus mixture (Conneau-Lample
+    // p_g ∝ q_g^0.5): per-language rates on an integer basis-point
+    // grid (α fixed at 0.5 — sqrt is IEEE-correctly-rounded in every
+    // engine, pow is not), per-doc Bernoulli + upsampling from the
+    // q173 closed-form hash. One tiny-group aggregate broadcast back
+    // over the corpus grain; rare langs emit > 1 copy (capped 3×) ----
+    "q184_temperature_mix" -> ((s, d) => {
+      import graft.operators.MixtureSample
+      val docs = tSpread(s, d, "documents")
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      MixtureSample.temperatureSample(docs, col("lang_pred"), "doc_id",
+          gainBp = 6000, capBp = 30000, seed = 17L)
+        .select(col("doc_id"), col("group").as("grp"), col("rate_bp"),
+          col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the CLEANED CORPUS itself: q181's spans excised from the
     // text (the emit of an ExactSubstr stage — stats alone don't train
     // a model). Spans collapse to one bounded array row per doc, one
@@ -4011,6 +4028,40 @@ object SparkEntry {
         | CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // temperature mixture: langId regex replay (q161's CTEs) → sqrt
+    // basis-point rate → integer hash Bernoulli (// is DuckDB int div)
+    "q184_temperature_mix" ->
+      """WITH scored AS (
+        | SELECT doc_id,
+        |  length(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS s_en,
+        |  length(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        |  length(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+        |  length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+        |  length(regexp_extract_all(lower(text), '\b(de|le|shi|wo|ni)\b')) AS s_zh
+        | FROM documents),
+        |pred AS (
+        | SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |   WHEN s_zh > greatest(s_en, s_es, s_fr, s_de) THEN 'zh'
+        |   WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+        |   WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+        |   WHEN s_es > s_en THEN 'es'
+        |   ELSE 'en' END AS grp
+        | FROM scored),
+        |by_g AS (SELECT grp, count(*) AS n_g FROM pred GROUP BY 1),
+        |tot AS (SELECT sum(n_g) AS n_total FROM by_g),
+        |rated AS (
+        | SELECT grp, CAST(least(30000, floor(6000 *
+        |   sqrt((SELECT n_total FROM tot) / CAST(n_g AS DOUBLE)))) AS BIGINT)
+        |   AS rate_bp
+        | FROM by_g)
+        |SELECT p.doc_id, p.grp, r.rate_bp,
+        | CAST(r.rate_bp // 10000 +
+        |  CASE WHEN (((p.doc_id + 17) % 1000003) * 2654435761) % 1000003
+        |        < (r.rate_bp % 10000) * 1000003 // 10000
+        |   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM pred p JOIN rated r USING (grp)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // Multimodal stub pipeline: meta from doc_id arithmetic, resize by
     // the original scale, byte-histogram feature f0 in float32.
