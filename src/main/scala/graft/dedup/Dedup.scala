@@ -751,6 +751,28 @@ object Dedup {
     spark.read.parquet(path)
       .groupBy("win_hash").agg(min(col("min_did")).as("min_did"))
 
+  /** Compact an appended index: collapse the generations back to one
+    * row per distinct window (the LSM merge). Staged to a sibling dir
+    * and swapped in atomically so a concurrent reader sees either the
+    * old generations or the compacted set, both semantically identical
+    * under the read-side min-merge. Run when append amplification
+    * (duplicate hashes across generations) makes probes re-shuffle
+    * more rows than the distinct set. */
+  def compactWindowFingerprints(spark: SparkSession, path: String,
+                                nBuckets: Int = 64): Unit = {
+    val staging = path.stripSuffix("/") + "._compact"
+    readWindowFingerprints(spark, path)
+      .withColumn("bucket", pmod(col("win_hash"), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"could not swap compacted fingerprint index into $path")
+  }
+
   /** Flag an ARRIVING batch's duplicate spans against a stored corpus
     * fingerprint index — ExactSubstr without re-scanning the corpus.
     * Keep-first is by ARRIVAL: the indexed corpus owns every window it

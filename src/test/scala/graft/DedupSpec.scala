@@ -334,6 +334,26 @@ class DedupSpec extends SparkSpec {
     assert(fp.filter(col("min_did") === 2L).count() > 0)
     assert(fp.groupBy("win_hash").count()
       .filter(col("count") > 1).count() == 0L)
+    // LSM compaction: physical rows shrink to the distinct set, the
+    // logical fingerprints are unchanged, probes still flag doc 10
+    val before = fp.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.appendWindowFingerprints(batch, "text", "doc_id", idx, window = 20)
+    assert(spark.read.parquet(idx).count() >
+      spark.read.parquet(idx).select("win_hash").distinct().count())
+    Dedup.compactWindowFingerprints(spark, idx)
+    val after = spark.read.parquet(idx)
+    assert(after.count() ==
+      after.select("win_hash").distinct().count())
+    val merged = Dedup.readWindowFingerprints(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // old hashes keep their old owners (batch ids are higher), and the
+    // batch's novel windows joined the set
+    assert(before.subsetOf(merged) && merged.size > before.size)
+    assert(Dedup.crossDocSpansIncremental(spark, idx,
+        Seq((999L, "B" * 60)).toDF("doc_id", "text"),
+        "text", "doc_id", window = 20)
+      .count() > 0L)
   }
 
   test("exciseSpans stitches kept segments; no-span docs pass through") {
