@@ -751,6 +751,25 @@ object Dedup {
     spark.read.parquet(path)
       .groupBy("win_hash").agg(min(col("min_did")).as("min_did"))
 
+  /** Point-lookup: is this exact `window`-char passage anywhere in the
+    * indexed corpus, and who owns it? Hashes the text driver-side and
+    * reads ONLY the one `bucket=` partition directory the hash lands
+    * in (PartitionFilters — 1/nBuckets of the index bytes; asserted in
+    * DedupSpec), min-merging generations for that hash. Returns
+    * (win_hash, min_did), empty if unseen. The single-passage form of
+    * the "have we seen this text before" check a serving-side
+    * contamination probe needs. */
+  def lookupWindow(spark: SparkSession, path: String, passage: String,
+                   nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val h = Seq(passage).toDF("t")
+      .select(xxhash64(col("t"))).head().getLong(0)
+    val bucket = ((h % nBuckets) + nBuckets) % nBuckets
+    spark.read.parquet(path)
+      .filter(col("bucket") === bucket && col("win_hash") === h)
+      .groupBy("win_hash").agg(min(col("min_did")).as("min_did"))
+  }
+
   /** Compact an appended index: collapse the generations back to one
     * row per distinct window (the LSM merge). Staged to a sibling dir
     * and swapped in atomically so a concurrent reader sees either the

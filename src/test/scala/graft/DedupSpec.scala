@@ -356,6 +356,44 @@ class DedupSpec extends SparkSpec {
       .count() > 0L)
   }
 
+  test("fingerprint point-lookup prunes to one bucket partition") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-fp-lookup").toString + "/idx"
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Dedup.writeWindowFingerprints(docs, "text", "doc_id", idx, window = 40)
+    val passage = docs.filter(col("doc_id") === 3)
+      .select(substring(col("text"), 5, 40)).head().getString(0)
+    val hit = Dedup.lookupWindow(spark, idx, passage)
+    hit.collect()
+    assert(hit.count() == 1L &&
+      hit.head().getLong(1) <= 3L) // doc 3 or an earlier owner
+    // the scan reads only the hash's bucket directory
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(hit.queryExecution.executedPlan)
+      .headOption.getOrElse(fail("no file scan in lookup plan"))
+    assert(scan.toString.contains("PartitionFilters") &&
+      scan.toString.contains("bucket"), s"no bucket filter:\n$scan")
+    val full = spark.read.parquet(idx).agg(count(lit(1)))
+    full.collect()
+    val fullBytes = scans(full.queryExecution.executedPlan)
+      .head.metrics("filesSize").value
+    val lookupBytes = scan.metrics("filesSize").value
+    assert(lookupBytes * 4 < fullBytes,
+      s"lookup read $lookupBytes of $fullBytes bytes — not bucket-pruned")
+    // an unseen passage returns empty
+    assert(Dedup.lookupWindow(spark, idx, "~" * 40).count() == 0L)
+  }
+
   test("exciseSpans stitches kept segments; no-span docs pass through") {
     val shared = "Z" * 30
     val d = Seq(
