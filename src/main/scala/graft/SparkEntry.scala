@@ -3189,6 +3189,46 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // ---- int8-quantized IVF probe under the recall-gate contract
+    // (q170's pattern): same cell routing as the float probe, scores on
+    // 1-byte-per-dim codes (~1/3 the at-rest embedding bytes, spec-
+    // measured), recall vs the float probe at IDENTICAL nProbe — pure
+    // quantization effect — plus the at-rest size ratio, emitted as
+    // deterministic booleans the oracle replays. A quantization
+    // regression (recall < 0.8 or store >= half the float store)
+    // flips a cell red ----
+    "q185_ann_sq8" -> ((s, d) => {
+      import graft.vector.IvfIndex
+      val emb = tSpread(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val k = 20
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding",
+        "vec_id", 16)
+      val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sq8").toString
+      IvfIndex.writeIndex(index, s"$tmp/f")
+      IvfIndex.writeIndex(
+        IvfIndex.quantizeIndex(index, "embedding", "vec_id"), s"$tmp/q")
+      val floatIds = IvfIndex.search(IvfIndex.readIndex(s, s"$tmp/f"),
+          "embedding", "vec_id", cs, q, k, nProbe = 4)
+        .collect().map(_.getLong(0)).toSet
+      val q8Ids = IvfIndex.searchQuantized(IvfIndex.readIndex(s, s"$tmp/q"),
+          "vec_id", cs, q, k, nProbe = 4)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (q8Ids intersect floatIds).size.toDouble / k
+      def dirBytes(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(dir))
+      }
+      import s.implicits._
+      Seq(("sq8_np4", k.toLong, recall >= 0.8,
+          dirBytes(s"$tmp/q") * 2 < dirBytes(s"$tmp/f")))
+        .toDF("method", "k", "recall_ge_floor", "store_lt_half")
+    }),
+
     // ---- temperature-flattened corpus mixture (Conneau-Lample
     // p_g ∝ q_g^0.5): per-language rates on an integer basis-point
     // grid (α fixed at 0.5 — sqrt is IEEE-correctly-rounded in every
@@ -4028,6 +4068,12 @@ object SparkEntry {
         | CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // constant-replay oracle, valid like q170's: the booleans are
+    // deterministic functions of the data + fixed parameters
+    "q185_ann_sq8" ->
+      """SELECT 'sq8_np4' AS method, CAST(20 AS BIGINT) AS k,
+        | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
 
     // temperature mixture: langId regex replay (q161's CTEs) → sqrt
     // basis-point rate → integer hash Bernoulli (// is DuckDB int div)

@@ -253,16 +253,88 @@ object IvfIndex {
   }
 
   /** Search: probe the `nProbe` best cells, exact top-k within them. */
-  def search(index: DataFrame, embCol: String, idCol: String,
-             cs: Array[(Int, Array[Float])], query: Array[Float],
-             k: Int, nProbe: Int): DataFrame = {
-    val probeCells = cs.map { case (cid, c) =>
+  // ---------------------------------------- int8 scalar quantization
+
+  /** Symmetric per-vector int8 quantization (pgvector's halfvec trade,
+    * one step further): `code_i = round(127 · v_i / s)`, `s = max|v_i|`
+    * — 1 byte per dimension at rest instead of 4. For COSINE ranking
+    * the scale cancels (`cos(q, (s/127)·code) = cos(q, code)`), so the
+    * quantized probe ranks by `cos(query, code)` directly; `scale` is
+    * stored anyway so vectors reconstruct to within 1/254 per dim
+    * (maintenance, debugging, future L2 support). Deterministic: pure
+    * per-row arithmetic, half-up rounding.
+    *
+    * The 100 TB point: a probe's scan bytes are the embedding column
+    * of the probed cells — quantized cells store that column at ~¼
+    * the bytes, compounding with the nProbe/nCells partition pruning
+    * (spec asserts the at-rest ratio; q185 gates recall). */
+  private val quantizeUdf = udf { (v: Seq[Float]) =>
+    var mx = 0f
+    v.foreach(x => if (math.abs(x) > mx) mx = math.abs(x))
+    val sc = if (mx == 0f) 1f else mx
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.round(v(i) / sc * 127f).toByte
+      i += 1
+    }
+    (out, sc)
+  }
+
+  /** Quantize a built index (`centroid_id`, idCol, embCol) to its
+    * int8 at-rest form: (centroid_id, idCol, q8: binary, scale). Write
+    * with [[writeIndex]] for the same cell-pruned layout. */
+  def quantizeIndex(index: DataFrame, embCol: String,
+                    idCol: String): DataFrame =
+    index.withColumn("_q", quantizeUdf(col(embCol)))
+      .select(col("centroid_id"), col(idCol),
+        col("_q._1").as("q8"), col("_q._2").as("scale"))
+
+  /** Cosine between a float query and an int8 code vector. */
+  private def codeCosineUdf(q: Array[Float]) = udf { (code: Array[Byte]) =>
+    var dot = 0.0; var nq = 0.0; var nc = 0.0
+    var i = 0
+    val n = math.min(q.length, code.length)
+    while (i < n) {
+      val c = code(i).toDouble
+      dot += q(i) * c; nq += q(i).toDouble * q(i); nc += c * c
+      i += 1
+    }
+    if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc)
+  }
+
+  /** [[search]] over a quantized index: identical cell routing and
+    * partition pruning, scores computed on the int8 codes (~¼ the scan
+    * bytes). Approximate — rank error bounded by the quantization step;
+    * gate with a recall floor like any approximate probe (q185). */
+  def searchQuantized(index: DataFrame, idCol: String,
+                      cs: Array[(Int, Array[Float])], query: Array[Float],
+                      k: Int, nProbe: Int): DataFrame = {
+    val probeCells = routeCellsFor(cs, query, nProbe)
+    index.filter(col("centroid_id")
+        .isin(probeCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col(idCol), codeCosineUdf(query)(col("q8")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def routeCellsFor(cs: Array[(Int, Array[Float])],
+                            query: Array[Float], nProbe: Int): Array[Int] =
+    cs.map { case (cid, c) =>
       var dot = 0.0; var nq = 0.0; var nc = 0.0
       var i = 0
       val n = math.min(query.length, c.length)
-      while (i < n) { dot += query(i) * c(i); nq += query(i) * query(i); nc += c(i) * c(i); i += 1 }
+      while (i < n) {
+        dot += query(i) * c(i); nq += query(i) * query(i)
+        nc += c(i) * c(i); i += 1
+      }
       (cid, if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc))
     }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+
+  def search(index: DataFrame, embCol: String, idCol: String,
+             cs: Array[(Int, Array[Float])], query: Array[Float],
+             k: Int, nProbe: Int): DataFrame = {
+    val probeCells = routeCellsFor(cs, query, nProbe)
     // cell filter = partition pruning on a partitionBy("centroid_id") table
     VectorFunctions.topK(
       index.filter(col("centroid_id").isin(probeCells.map(Integer.valueOf).toIndexedSeq: _*)),
