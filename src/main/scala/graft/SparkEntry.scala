@@ -3229,6 +3229,41 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- int8-at-rest ROUTED graphs under the same recall-gate
+    // contract: same centroids, same routing, graph blobs store int8
+    // codes + scale (dequantized on load — the walk code is identical),
+    // ~half the store (spec-measured 0.47). Gates quantized-vs-float
+    // recall at matched routing/ef plus the size ratio ----
+    "q186_ann_graph_sq8" -> ((s, d) => {
+      import graft.vector.{HnswIndex, IvfIndex, RoutedHnsw}
+      val emb = tSpread(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val k = 20
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding",
+        "vec_id", 16)
+      val p = HnswIndex.Params(m = 8, efConstruction = 64, efSearch = 96)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-gsq8").toString
+      RoutedHnsw.writeRoutedIndex(emb, "embedding", "vec_id",
+        s"$tmp/f", cs, p)
+      RoutedHnsw.writeRoutedIndex(emb, "embedding", "vec_id",
+        s"$tmp/q", cs, p, quantized = true)
+      def ids(dir: String) = RoutedHnsw
+        .search(s, dir, "vec_id", cs, q, k, nProbe = 4, p)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (ids(s"$tmp/q") intersect ids(s"$tmp/f")).size.toDouble / k
+      def dirBytes(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(dir))
+      }
+      import s.implicits._
+      Seq(("routed_sq8_np4", k.toLong, recall >= 0.8,
+          dirBytes(s"$tmp/q") * 2 < dirBytes(s"$tmp/f")))
+        .toDF("method", "k", "recall_ge_floor", "store_lt_half")
+    }),
+
     // ---- temperature-flattened corpus mixture (Conneau-Lample
     // p_g ∝ q_g^0.5): per-language rates on an integer basis-point
     // grid (α fixed at 0.5 — sqrt is IEEE-correctly-rounded in every
@@ -4068,6 +4103,10 @@ object SparkEntry {
         | CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q186_ann_graph_sq8" ->
+      """SELECT 'routed_sq8_np4' AS method, CAST(20 AS BIGINT) AS k,
+        | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
 
     // constant-replay oracle, valid like q170's: the booleans are
     // deterministic functions of the data + fixed parameters

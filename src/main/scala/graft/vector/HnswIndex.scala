@@ -41,7 +41,8 @@ object HnswIndex {
   // ------------------------------------------------------------ graph
 
   /** One in-memory sub-index over a partition's vectors. */
-  final class Hnsw(dim: Int, params: Params) {
+  final class Hnsw(dim: Int, params: Params,
+                   quantizedAtRest: Boolean = false) {
     private val m = params.m
     private val maxL0 = 2 * params.m
     private val mult = 1.0 / math.log(m.toDouble)
@@ -49,6 +50,33 @@ object HnswIndex {
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private val ids = mutable.ArrayBuffer.empty[Long]
     private val norms = mutable.ArrayBuffer.empty[Double]
+    // int8 at-rest mode: codes are write-once per vector (add() stores
+    // the code AND inserts its dequantized float form, so the graph
+    // structure an add builds is identical to the one a reload sees —
+    // and re-serialization copies codes verbatim, no requantize drift)
+    private var qMode = quantizedAtRest
+    private val qCodes = mutable.ArrayBuffer.empty[Array[Byte]]
+    private val qScales = mutable.ArrayBuffer.empty[Float]
+
+    private def quantizeVec(v: Array[Float]): (Array[Byte], Float) = {
+      var mx = 0f
+      var i = 0
+      while (i < v.length) {
+        if (math.abs(v(i)) > mx) mx = math.abs(v(i)); i += 1
+      }
+      val s = if (mx == 0f) 1f else mx
+      val c = new Array[Byte](v.length)
+      i = 0
+      while (i < v.length) { c(i) = math.round(v(i) / s * 127f).toByte; i += 1 }
+      (c, s)
+    }
+
+    private def dequantizeVec(c: Array[Byte], s: Float): Array[Float] = {
+      val v = new Array[Float](c.length)
+      var i = 0
+      while (i < c.length) { v(i) = c(i).toFloat * s / 127f; i += 1 }
+      v
+    }
     // neighbors(layer)(node) = ArrayBuffer[node]
     private val neighbors = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]
     private var entry = -1
@@ -150,7 +178,12 @@ object HnswIndex {
 
     /** Insert one vector; standard HNSW insert with simple M-closest
       * neighbor selection (deterministic). */
-    def add(id: Long, v: Array[Float]): Unit = {
+    def add(id: Long, v0: Array[Float]): Unit = {
+      val v = if (!qMode) v0 else {
+        val (c, s) = quantizeVec(v0)
+        qCodes += c; qScales += s
+        dequantizeVec(c, s)
+      }
       val node = vecs.length
       vecs += v; ids += id
       var nv = 0.0
@@ -212,14 +245,25 @@ object HnswIndex {
     def serialize(): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val o = new java.io.DataOutputStream(bos)
+      // v2 (int8 at rest): sentinel -2 (v1 starts with n >= 0), then
+      // the same layout with (scale: float, len bytes) per vector —
+      // codes copied verbatim from the write-once store
+      if (qMode) o.writeInt(-2)
       o.writeInt(vecs.length); o.writeInt(topLayer); o.writeInt(entry)
       var i = 0
       while (i < vecs.length) {
         o.writeLong(ids(i))
-        val v = vecs(i)
-        o.writeInt(v.length)
-        var j = 0
-        while (j < v.length) { o.writeFloat(v(j)); j += 1 }
+        if (qMode) {
+          val c = qCodes(i)
+          o.writeInt(c.length)
+          o.writeFloat(qScales(i))
+          o.write(c)
+        } else {
+          val v = vecs(i)
+          o.writeInt(v.length)
+          var j = 0
+          while (j < v.length) { o.writeFloat(v(j)); j += 1 }
+        }
         i += 1
       }
       var lay = 0
@@ -244,18 +288,29 @@ object HnswIndex {
       require(vecs.isEmpty, "loadFrom on a non-empty index")
       val in = new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val n = in.readInt()
+      val first = in.readInt()
+      qMode = first == -2
+      val n = if (qMode) in.readInt() else first
       topLayer = in.readInt(); entry = in.readInt()
       var i = 0
       while (i < n) {
         ids += in.readLong()
         val len = in.readInt()
-        val v = new Array[Float](len)
-        var j = 0
-        while (j < len) { v(j) = in.readFloat(); j += 1 }
+        val v = if (qMode) {
+          val s = in.readFloat()
+          val c = new Array[Byte](len)
+          in.readFully(c)
+          qCodes += c; qScales += s
+          dequantizeVec(c, s)
+        } else {
+          val f = new Array[Float](len)
+          var j = 0
+          while (j < len) { f(j) = in.readFloat(); j += 1 }
+          f
+        }
         vecs += v
         var nv = 0.0
-        j = 0
+        var j = 0
         while (j < len) { nv += v(j).toDouble * v(j); j += 1 }
         norms += math.sqrt(nv)
         i += 1
@@ -458,9 +513,11 @@ object HnswIndex {
   def writeGraphIndex(df: DataFrame, embCol: String, idCol: String,
                       path: String, params: Params = Params(),
                       maxPartitionRows: Int = 500000,
-                      autoSplit: Boolean = true): Unit = {
+                      autoSplit: Boolean = true,
+                      quantized: Boolean = false): Unit = {
     require(maxPartitionRows > 0, "maxPartitionRows must be positive")
     val p = params
+    val q = quantized
     val cap = maxPartitionRows
     val slim0 = df.select(col(idCol).cast("long"), col(embCol))
     val slim1 =
@@ -484,7 +541,7 @@ object HnswIndex {
     slim.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        val index = new Hnsw(0, p)
+        val index = new Hnsw(0, p, q)
         var n = 0L
         it.foreach { r =>
           if (!r.isNullAt(0) && !r.isNullAt(1)) {
@@ -505,7 +562,7 @@ object HnswIndex {
     // the build-time cap is part of the index's contract (the bound
     // incremental adds must respect), so it persists WITH the index —
     // written after the parquet overwrite (which would wipe it)
-    writeMeta(df.sparkSession, path, p, cap)
+    writeMeta(df.sparkSession, path, p, cap, q)
   }
 
   // ------------------------------------------- persisted build params
@@ -514,9 +571,11 @@ object HnswIndex {
   private val MetaMagic = "GHNS"
 
   /** Build-time parameters a stored index carries at rest: the graph
-    * knobs (m, efConstruction) and the sub-graph row cap. */
+    * knobs (m, efConstruction), the sub-graph row cap and (v2) the
+    * int8-at-rest flag. */
   private def writeMeta(spark: org.apache.spark.sql.SparkSession,
-                        path: String, p: Params, cap: Int): Unit = {
+                        path: String, p: Params, cap: Int,
+                        quantized: Boolean = false): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
@@ -524,8 +583,9 @@ object HnswIndex {
       fs.create(new org.apache.hadoop.fs.Path(dir, MetaFile), true))
     try {
       out.writeBytes(MetaMagic)
-      out.writeInt(1) // version
+      out.writeInt(2) // version
       out.writeInt(p.m); out.writeInt(p.efConstruction); out.writeInt(cap)
+      out.writeInt(if (quantized) 1 else 0)
     } finally out.close()
   }
 
@@ -548,6 +608,27 @@ object HnswIndex {
         Some((in.readInt(), in.readInt(), in.readInt()))
       } finally in.close()
     }
+  }
+
+  /** Whether the stored index was written int8-at-rest (v2 sidecar);
+    * false for v1 sidecars and missing ones. The graph blobs are also
+    * self-describing (the -2 sentinel), so this is only needed where a
+    * NEW sub-graph must be created in the stored index's mode. */
+  def readMetaQuantized(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(new String(magic, "US-ASCII") == MetaMagic,
+        s"not a graft HNSW meta sidecar: $p")
+      val version = in.readInt()
+      if (version < 2) false
+      else { in.readInt(); in.readInt(); in.readInt(); in.readInt() == 1 }
+    } finally in.close()
   }
 
   /** Incrementally ADD a batch into a stored graph index — the

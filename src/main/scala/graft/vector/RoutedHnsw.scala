@@ -62,11 +62,13 @@ object RoutedHnsw {
   def writeRoutedIndex(df: DataFrame, embCol: String, idCol: String,
                        path: String, cs: Array[(Int, Array[Float])],
                        params: HnswIndex.Params = HnswIndex.Params(),
-                       maxPartitionRows: Int = 500000): Unit = {
+                       maxPartitionRows: Int = 500000,
+                       quantized: Boolean = false): Unit = {
     require(maxPartitionRows > 0, "maxPartitionRows must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val p = params
+    val q = quantized
     val cap = maxPartitionRows
     val assigned = IvfIndex.build(
         df.select(col(idCol).cast("long").as("_id"), col(embCol).as("_emb"))
@@ -93,7 +95,7 @@ object RoutedHnsw {
           s"routed HNSW sub-graph in cell $cid holds ${sorted.length} > $cap " +
             "rows (salt under-split); rebuild with a larger cell count or " +
             "raise maxPartitionRows.")
-        val index = new HnswIndex.Hnsw(0, p)
+        val index = new HnswIndex.Hnsw(0, p, q)
         sorted.foreach { case (_, id, v) => index.add(id, v) }
         (cid, sorted.length.toLong, index.serialize())
       }
@@ -102,7 +104,7 @@ object RoutedHnsw {
     // small-files fix): each cell directory is written by one task
     graphs.repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    writeMeta(spark, path, p, cap)
+    writeMeta(spark, path, p, cap, q)
   }
 
   /** The `nProbe` cells nearest a query by cosine, deterministic
@@ -211,6 +213,7 @@ object RoutedHnsw {
       .getOrElse((HnswIndex.Params().m, HnswIndex.Params().efConstruction,
         500000))
     val p = HnswIndex.Params(m = m, efConstruction = efC)
+    val qMode = readMetaQuantized(spark, path)
     val cap = if (maxPartitionRows > 0) maxPartitionRows else metaCap
     val stored = spark.read.parquet(path)
     // sub-graphs per cell, in deterministic (cell, graph order) — the
@@ -244,7 +247,10 @@ object RoutedHnsw {
         def firstId(bytes: Array[Byte]): Long = {
           val in = new java.io.DataInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val n = in.readInt(); in.readInt(); in.readInt()
+          // v2 (int8-at-rest) blobs lead with a -2 sentinel before n
+          val first = in.readInt()
+          val n = if (first == -2) in.readInt() else first
+          in.readInt(); in.readInt()
           if (n == 0) Long.MaxValue else in.readLong()
         }
         graphs.sortBy(firstId).iterator.zipWithIndex.map {
@@ -257,7 +263,9 @@ object RoutedHnsw {
         val existing = graphs.toSeq.headOption.map(_._2)
         if (newRows.isEmpty && existing.isEmpty) Iterator.empty
         else {
-          val index = new HnswIndex.Hnsw(0, p)
+          // loadFrom auto-detects the blob's mode; the meta flag only
+          // decides the mode of a brand-new sub-graph in an empty cell
+          val index = new HnswIndex.Hnsw(0, p, qMode)
           existing.foreach(index.loadFrom)
           require(index.size + newRows.length <= cap,
             s"routed sub-graph (cell ${key._1}, salt ${key._2}) would grow " +
@@ -338,7 +346,8 @@ object RoutedHnsw {
       .getOrElse((HnswIndex.Params().m, HnswIndex.Params().efConstruction, 500000))
     val staging = path.stripSuffix("/") + "._rebuild"
     writeRoutedIndex(raw, embCol, idCol, staging, candidate,
-      HnswIndex.Params(m = m, efConstruction = efC), cap)
+      HnswIndex.Params(m = m, efConstruction = efC), cap,
+      quantized = readMetaQuantized(spark, path))
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -361,7 +370,8 @@ object RoutedHnsw {
   private val MetaMagic = "GRHN"
 
   private def writeMeta(spark: SparkSession, path: String,
-                        p: HnswIndex.Params, cap: Int): Unit = {
+                        p: HnswIndex.Params, cap: Int,
+                        quantized: Boolean = false): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
@@ -369,9 +379,27 @@ object RoutedHnsw {
       fs.create(new org.apache.hadoop.fs.Path(dir, MetaFile), true))
     try {
       out.writeBytes(MetaMagic)
-      out.writeInt(1) // version
+      out.writeInt(2) // version
       out.writeInt(p.m); out.writeInt(p.efConstruction); out.writeInt(cap)
+      out.writeInt(if (quantized) 1 else 0)
     } finally out.close()
+  }
+
+  /** v2 sidecar int8-at-rest flag; false for v1/missing sidecars. */
+  def readMetaQuantized(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(new String(magic, "US-ASCII") == MetaMagic,
+        s"not a graft routed-HNSW meta sidecar: $p")
+      val version = in.readInt()
+      if (version < 2) false
+      else { in.readInt(); in.readInt(); in.readInt(); in.readInt() == 1 }
+    } finally in.close()
   }
 
   /** (m, efConstruction, maxPartitionRows) persisted by

@@ -223,6 +223,60 @@ class HnswIndexSpec extends SparkSpec {
       s"before=$before after=$after")
   }
 
+  test("int8 at-rest graphs: self-describing blobs, near-float recall, " +
+       "smaller store; incremental adds preserve the mode") {
+    val (df, centers) = clustered(3000, 6, 32, seed = 21, spread = 1.0)
+    val dirF = java.nio.file.Files
+      .createTempDirectory("hnsw-sq8").toString + "/f"
+    val dirQ = java.nio.file.Files
+      .createTempDirectory("hnsw-sq8").toString + "/q"
+    val p = HnswIndex.Params(m = 8, efConstruction = 64, efSearch = 64)
+    HnswIndex.writeGraphIndex(df, "emb", "id", dirF, p)
+    HnswIndex.writeGraphIndex(df, "emb", "id", dirQ, p, quantized = true)
+    assert(!HnswIndex.readMetaQuantized(spark, dirF))
+    assert(HnswIndex.readMetaQuantized(spark, dirQ))
+
+    def ids(dir: String) = HnswIndex
+      .searchGraphIndex(spark, dir, "id", Seq(0L -> centers(1)), k = 20, p)
+      .collect().map(_.getLong(1)).toSet
+    val recall = (ids(dirQ) intersect ids(dirF)).size.toDouble / 20
+    info(f"graph sq8 recall vs float graphs: $recall%.2f")
+    assert(recall >= 0.9)
+
+    def dirBytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(d))
+    }
+    val (bf, bq) = (dirBytes(dirF), dirBytes(dirQ))
+    info(f"at rest: float=$bf%d B sq8=$bq%d B ratio=${bq.toDouble / bf}%.2f")
+    assert(bq * 2 < bf)
+
+    // adds into a quantized index stay quantized (blob sentinel -2)
+    // distinct jitter per row: exact-duplicate vectors (distance 0)
+    // can leave a node unreachable under the diversity heuristic —
+    // a real corpus property, not what this test is about
+    val batch = (100000L until 100050L).map(i =>
+      (i, centers((i % 6).toInt).zipWithIndex.map { case (x, j) =>
+        x + 0.01f * ((i % 7) + 1) + 0.001f * j })).toDF("id", "emb")
+    HnswIndex.addToGraphIndex(spark, dirQ, batch, "emb", "id", p)
+    val blobs = spark.read.parquet(dirQ)
+      .select("graph").collect().map(_.getAs[Array[Byte]](0))
+    assert(blobs.forall { b =>
+      java.nio.ByteBuffer.wrap(b, 0, 4).getInt == -2
+    })
+    // the adds landed (structural): stored row count grew by the batch
+    assert(spark.read.parquet(dirQ)
+      .selectExpr("sum(n_vectors)").head().getLong(0) == 3050L)
+    // and the added points are probe-findable near their cluster
+    val near = HnswIndex
+      .searchGraphIndex(spark, dirQ, "id", Seq(0L -> centers(1)), k = 200,
+        p.copy(efSearch = 512))
+      .collect().map(_.getLong(1)).toSet
+    assert(near.exists(_ >= 100000L), "no added id surfaced in the probe")
+  }
+
   test("resident graph cache: identical blobs share one instance; " +
        "changed blobs miss; explicit ef overrides construction params") {
     val (df, centers) = clustered(400, 4, 8, seed = 11)

@@ -210,6 +210,52 @@ class RoutedHnswSpec extends SparkSpec {
     }
   }
 
+  test("int8 at-rest routed index: near-float recall, smaller store, " +
+       "adds and maintenance stay quantized") {
+    val (data, centers) = clustered(3000, 8, 32, seed = 41, spread = 1.0)
+    val cs = IvfIndex.centroids(data, "emb", "id", 8)
+    val dirF = java.nio.file.Files
+      .createTempDirectory("rhnsw-q").toString + "/f"
+    val dirQ = java.nio.file.Files
+      .createTempDirectory("rhnsw-q").toString + "/q"
+    val p = HnswIndex.Params(m = 8, efConstruction = 64, efSearch = 64)
+    RoutedHnsw.writeRoutedIndex(data, "emb", "id", dirF, cs, p)
+    RoutedHnsw.writeRoutedIndex(data, "emb", "id", dirQ, cs, p,
+      quantized = true)
+    assert(!RoutedHnsw.readMetaQuantized(spark, dirF))
+    assert(RoutedHnsw.readMetaQuantized(spark, dirQ))
+
+    def ids(dir: String) = RoutedHnsw
+      .search(spark, dir, "id", cs, centers(2), k = 20, nProbe = 3, p)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ids(dirQ) intersect ids(dirF)).size.toDouble / 20
+    info(f"routed sq8 recall vs float: $recall%.2f")
+    assert(recall >= 0.9)
+
+    def dirBytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(d))
+    }
+    val (bf, bq) = (dirBytes(dirF), dirBytes(dirQ))
+    info(f"at rest: float=$bf%d B sq8=$bq%d B ratio=${bq.toDouble / bf}%.2f")
+    assert(bq * 2 < bf)
+
+    // incremental adds keep the stored form quantized
+    val batch = (200000L until 200020L).map(i =>
+      (i, centers((i % 8).toInt).zipWithIndex.map { case (x, j) =>
+        x + 0.01f * ((i % 5) + 1) + 0.001f * j })).toDF("id", "emb")
+    RoutedHnsw.addToIndex(spark, dirQ, batch, "emb", "id", cs)
+    assert(spark.read.parquet(dirQ).select("graph").collect()
+      .forall(r => java.nio.ByteBuffer
+        .wrap(r.getAs[Array[Byte]](0), 0, 4).getInt == -2))
+    assert(spark.read.parquet(dirQ)
+      .selectExpr("sum(n_vectors)").head().getLong(0) == 3020L)
+    // readVectors recovers dequantized rows (maintenance path works)
+    assert(RoutedHnsw.readVectors(spark, dirQ, "emb", "id").count() == 3020L)
+  }
+
   test("incremental add: grown index answers exactly like a full rebuild") {
     val (data, _) = clustered(1600, 8, 16, seed = 61)
     val first = data.filter(col("id") < 1200)
