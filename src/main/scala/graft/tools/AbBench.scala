@@ -88,6 +88,51 @@ object AbBench {
     annPair("ann_plain_routed_2000x", copies = 2000, kind = "routed",
       filtered = false),
 
+    // late round-6: int8-at-rest routed graphs. A = float blobs, B =
+    // quantized blobs of the SAME corpus/centroids/params — the pair
+    // isolates blob-decode cost, the routed probe's measured single-
+    // node constant (both sides warm through the resident cache, so
+    // the delta is parquet read + the smaller deserialize + hash).
+    Pair("ann_routed_sq8_2000x", "float_blobs", "sq8_blobs",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-sq8").toString
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val OFF = 100000000L
+        val perturb = udf { (v: Seq[Float], id: Long, c: Long) =>
+          val out = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            val h = graft.text.RollingHash.hashToken(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"$c:$id:$i"))
+            out(i) = v(i) + (((h % 1000L + 1000L) % 1000L) / 1000.0f - 0.5f) * 0.02f
+            i += 1
+          }
+          out
+        }
+        val corpus = emb
+          .crossJoin(s.range(2000).select(col("id").as("_copy")))
+          .select((col("vec_id") + col("_copy") * OFF).as("vec_id"),
+            perturb(col("embedding"), col("vec_id"), col("_copy")).as("embedding"))
+          .repartition(32)
+        corpus.write.mode("overwrite").parquet(s"$tmp/base")
+        val base = s.read.parquet(s"$tmp/base")
+        val cs = graft.vector.IvfIndex.centroids(base, "embedding", "vec_id", 16)
+        val p = graft.vector.HnswIndex.Params(m = 8, efConstruction = 32,
+          efSearch = 256)
+        graft.vector.RoutedHnsw.writeRoutedIndex(base, "embedding", "vec_id",
+          s"$tmp/f", cs, p)
+        graft.vector.RoutedHnsw.writeRoutedIndex(base, "embedding", "vec_id",
+          s"$tmp/q", cs, p, quantized = true)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        def probe(dir: String): DataFrame =
+          graft.vector.RoutedHnsw.search(s, dir, "vec_id", cs, q,
+            k = 20, nProbe = 4, p)
+        (() => probe(s"$tmp/f"), () => probe(s"$tmp/q"))
+      }),
+
     // round-6 change: crossDocSpans' wide shuffle keys on xxhash64 of
     // the window (8 bytes/occurrence) instead of the 40-char substring.
     // A = substring key (the oracle's engine-agnostic plan), B = hashed
