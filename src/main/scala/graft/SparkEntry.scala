@@ -3264,6 +3264,38 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- Gopher repetition rules (Rae et al. 2021 App. A): mode-word,
+    // top-2-gram and duplicate-3-gram fractions + keep flag. The whole
+    // rule set is ONE shuffle-free higher-order-function projection
+    // (array_sort + fold + array_distinct) — a 100 TB corpus scan stays
+    // a single codegen pass reading only (doc_id, text) ----
+    "q187_gopher_repetition" -> ((s, d) => {
+      TextFunctions.gopherRepetition(tSpread(s, d, "documents"),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher quality rules: word-count bounds, mean word length,
+    // alphabetic-word fraction, required-stopword hits. Same
+    // zero-shuffle projection shape as q187 ----
+    "q188_gopher_quality" -> ((s, d) => {
+      TextFunctions.gopherQuality(tSpread(s, d, "documents"),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- benchmark decontamination (GPT-3-style eval-leakage check):
+    // flag training docs sharing any distinct word-3-gram with the
+    // held-out set (doc_id % 97 == 0 models the benchmark corpus).
+    // Grams are distinct-per-doc BEFORE the explode; the tiny eval
+    // side is AQE-broadcast with no forced hint ----
+    "q189_decontaminate" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      Dedup.decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- temperature-flattened corpus mixture (Conneau-Lample
     // p_g ∝ q_g^0.5): per-language rates on an integer basis-point
     // grid (α fixed at 0.5 — sqrt is IEEE-correctly-rounded in every
@@ -4107,6 +4139,87 @@ object SparkEntry {
     "q186_ann_graph_sq8" ->
       """SELECT 'routed_sq8_np4' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    // Gopher repetition rules: the engine's zero-shuffle fold is
+    // replayed relationally (explode + two-level counts per gram size)
+    "q187_gopher_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM
+        |  (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t))) AS r(i)
+        | WHERE array_length(t) >= 2),
+        |g2c AS (SELECT doc_id, max(c) AS topg, sum(c) AS ng FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |g3c AS (SELECT doc_id, count(DISTINCT g) AS d3, count(*) AS n3
+        | FROM g3 GROUP BY 1),
+        |m AS (
+        | SELECT t.doc_id, array_length(t.t) AS nw,
+        |  floor(wc.topw * 10000.0 / array_length(t.t) + 0.5) / 10000
+        |    AS top_word_frac,
+        |  CASE WHEN g2c.doc_id IS NULL THEN 0.0
+        |   ELSE floor(g2c.topg * 10000.0 / g2c.ng + 0.5) / 10000 END
+        |    AS top_2gram_frac,
+        |  CASE WHEN g3c.doc_id IS NULL THEN 0.0
+        |   ELSE floor((1.0 - g3c.d3 * 1.0 / g3c.n3) * 10000 + 0.5) / 10000 END
+        |    AS dup_3gram_frac
+        | FROM toks t JOIN wc ON wc.doc_id = t.doc_id
+        |  LEFT JOIN g2c ON g2c.doc_id = t.doc_id
+        |  LEFT JOIN g3c ON g3c.doc_id = t.doc_id)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, top_word_frac,
+        | top_2gram_frac, dup_3gram_frac,
+        | (top_word_frac <= 0.15 AND top_2gram_frac <= 0.08
+        |  AND dup_3gram_frac <= 0.01) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q188_gopher_quality" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |m AS (SELECT doc_id, array_length(t) AS nw,
+        |  floor(length(array_to_string(t, '')) * 10000.0 / array_length(t)
+        |    + 0.5) / 10000 AS mean_word_len,
+        |  floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |    * 10000.0 / array_length(t) + 0.5) / 10000 AS alpha_word_frac,
+        |  (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END) AS stops
+        | FROM toks)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_word_len,
+        | alpha_word_frac, CAST(stops AS BIGINT) AS stop_hits,
+        | (nw >= 30 AND nw <= 100000 AND mean_word_len >= 3.0
+        |  AND mean_word_len <= 10.0 AND alpha_word_frac >= 0.8
+        |  AND stops >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q189_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |cg AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        |nd AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+        |h AS (SELECT doc_id, count(*) AS n_hits
+        | FROM cg JOIN ev USING (g) GROUP BY 1)
+        |SELECT h.doc_id, nd.n_grams, h.n_hits,
+        | floor(h.n_hits * 10000.0 / nd.n_grams + 0.5) / 10000 AS contam_frac
+        |FROM h JOIN nd ON nd.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
 
     // constant-replay oracle, valid like q170's: the booleans are
     // deterministic functions of the data + fixed parameters

@@ -831,4 +831,43 @@ object Dedup {
       .select(col("_did"), col("_p"), (col("_p") + (window - 1)).as("_e"))
     mergeFlaggedWindows(flagged, idCol)
   }
+
+  /** Benchmark decontamination by word-n-gram overlap (the GPT-3 /
+    * PaLM-style eval-set leakage check): every training document sharing
+    * at least one distinct n-gram with the held-out benchmark corpus is
+    * flagged, with its overlap count and fraction.
+    *
+    * Plan shape for 100 TB: one shingle projection over each side
+    * (map-side, distinct-per-doc via `array_distinct` BEFORE the
+    * explode, so the exploded row count is bounded by distinct grams),
+    * then an equi-join on the gram string. The benchmark side is tiny
+    * by nature (eval sets are MBs, not TBs) — AQE broadcasts it and the
+    * training corpus never shuffles; no hint is forced, so a
+    * pathologically large eval set degrades to a shuffle join instead
+    * of an executor OOM.
+    *
+    * @param corpus training documents (idCol, textCol)
+    * @param benchmark held-out eval documents (textCol; ids ignored)
+    * @return flagged docs only: (idCol, n_grams, n_hits, contam_frac)
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3): DataFrame = {
+    import graft.text.TextFunctions.shinglesFromTokens
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select((cols :+ split(trim(col(textCol)), "\\s+").as("_t")): _*)
+      .filter(size(col("_t")) >= n)
+      .select((cols :+
+        explode(array_distinct(shinglesFromTokens(col("_t"), n))).as("_g")): _*)
+    val evalGrams = grams(benchmark).select(col("_g")).distinct()
+    val corpusGrams = grams(corpus, col(idCol))
+    val perDoc = corpusGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    corpusGrams.join(evalGrams, "_g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      .join(perDoc, idCol)
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams"), 4).as("contam_frac"))
+  }
 }

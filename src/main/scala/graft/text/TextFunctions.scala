@@ -142,4 +142,102 @@ object TextFunctions {
       .agg(count(lit(1)).as("n_repeated_windows"),
         sum(col("b")).as("n_spans"))
   }
+
+  /** Multiplicity of the array's mode — the max run length of equal
+    * adjacent elements after sorting. A pure map-side higher-order fold
+    * (O(n log n) per document, ZERO shuffle), which is what lets the
+    * Gopher repetition rules below run as a plain projection over a
+    * 100 TB scan instead of an exploded two-level aggregate. */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (st, x) => {
+        val run = when(st.getField("prev").isNotNull &&
+            x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  private def r4(x: Column): Column = round(x, 4)
+
+  /** Gopher-style repetition filter rules (Rae et al. 2021, appendix A
+    * "repetition removal"): per-document mode-word fraction, most-
+    * frequent-2-gram fraction, and duplicate-3-gram fraction, plus the
+    * keep flag at the given thresholds. Line/paragraph variants are
+    * meaningless on single-line documents, so the word/n-gram family
+    * carries the rule set here.
+    *
+    * Everything is computed inside ONE narrow projection with
+    * higher-order functions (array_sort + fold, array_distinct): no
+    * explode, no groupBy, no window — a 100 TB corpus scan stays one
+    * shuffle-free WholeStageCodegen pass reading only (id, text).
+    *
+    * @return (idCol, n_words, top_word_frac, top_2gram_frac,
+    *          dup_3gram_frac, keep)
+    */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String, topWordMax: Double = 0.15,
+                       top2GramMax: Double = 0.08,
+                       dup3GramMax: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+    val grams = toks.select(col(idCol), col("t"),
+      shinglesFromTokens(col("t"), 2).as("g2"),
+      shinglesFromTokens(col("t"), 3).as("g3"))
+    grams
+      .select(col(idCol),
+        size(col("t")).cast("long").as("n_words"),
+        r4(maxMultiplicity(col("t")) / size(col("t"))).as("top_word_frac"),
+        r4(when(size(col("g2")) === 0, 0.0)
+          .otherwise(maxMultiplicity(col("g2")) / size(col("g2"))))
+          .as("top_2gram_frac"),
+        r4(when(size(col("g3")) === 0, 0.0)
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("g3"))).cast("double") / size(col("g3"))))
+          .as("dup_3gram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= topWordMax &&
+          col("top_2gram_frac") <= top2GramMax &&
+          col("dup_3gram_frac") <= dup3GramMax)
+  }
+
+  /** The stopwords whose presence Gopher's quality rules require (≥ 2
+    * distinct hits keeps the document). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+  /** Gopher-style document quality rules: word count bounds, mean word
+    * length bounds, alphabetic-word fraction, and required-stopword
+    * hits — the non-repetition half of the rule set. Same zero-shuffle
+    * projection shape as [[gopherRepetition]].
+    *
+    * @return (idCol, n_words, mean_word_len, alpha_word_frac,
+    *          stop_hits, keep)
+    */
+  def gopherQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, minWords: Long = 30,
+                    maxWords: Long = 100000): org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+    val stopHits = GopherStopwords
+      .map(w => when(array_contains(col("t"), w), 1).otherwise(0))
+      .reduce(_ + _)
+    toks
+      .select(col(idCol),
+        size(col("t")).cast("long").as("n_words"),
+        // total non-space chars / words; tokens are whitespace-split so
+        // concatenating them drops exactly the separators
+        r4(length(concat_ws("", col("t"))) / size(col("t")))
+          .as("mean_word_len"),
+        r4(size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("double") /
+          size(col("t"))).as("alpha_word_frac"),
+        stopHits.cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_word_frac") >= 0.8 && col("stop_hits") >= 2)
+  }
 }
