@@ -426,4 +426,19 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == "")
     assert(out(3L) == "-mid-")
   }
+
+  test("decontaminate: flags corpus docs sharing a distinct 3-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "a b c d e"),            // grams abc bcd cde; cde leaks
+      (2L, "x y z w"),              // no overlap -> absent
+      (3L, "c d e c d e c d e"),    // dup gram counted once per doc
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "c d e f g")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((3L, 1L, 0.3333)))
+    assert(!out.contains(2L))
+  }
 }

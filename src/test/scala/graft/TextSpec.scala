@@ -75,4 +75,40 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L)))
     assert(!out.contains(3L) && !out.contains(4L))
   }
+
+  test("gopherRepetition: mode-word / top-2-gram / dup-3-gram fractions") {
+    val docs = Seq(
+      (1L, "a a a b c"),            // topw 3/5, top2 "a a" 2/4, dup3 0
+      (2L, "spam spam spam spam"),  // everything degenerate
+      (3L, "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 " +
+           "w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"), // all distinct
+      (4L, "solo"),                 // no 2-/3-grams at all
+      (5L, "   "),                  // blank -> filtered out
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.gopherRepetition(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((5L, 0.6, 0.5, 0.0, false)))
+    assert(out(2L) == ((4L, 1.0, 1.0, 0.5, false)))
+    assert(out(3L) == ((20L, 0.05, 0.0526, 0.0, true)))
+    assert(out(4L) == ((1L, 1.0, 0.0, 0.0, false)))
+    assert(!out.contains(5L))
+  }
+
+  test("gopherQuality: word length, alpha fraction, stopword hits") {
+    val docs = Seq(
+      (1L, "the dog runs with joy"), // mwl 3.4, stops the+with=2 -> keep
+      (2L, "zz yy xx ww vv"),        // zero stopword hits -> drop
+      (3L, "12 34 56 aa the with"),  // alpha 3/6 = 0.5 -> drop
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.gopherQuality(docs, "text", "doc_id",
+        minWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((5L, 3.4, 1.0, 2L, true)))
+    assert(out(2L)._4 == 0L && !out(2L)._5)
+    assert(out(3L)._3 == 0.5 && !out(3L)._5)
+  }
 }
