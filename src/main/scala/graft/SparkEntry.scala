@@ -4167,7 +4167,7 @@ object SparkEntry {
         |   ELSE floor(g2c.topg * 10000.0 / g2c.ng + 0.5) / 10000 END
         |    AS top_2gram_frac,
         |  CASE WHEN g3c.doc_id IS NULL THEN 0.0
-        |   ELSE floor((1.0 - g3c.d3 * 1.0 / g3c.n3) * 10000 + 0.5) / 10000 END
+        |   ELSE floor((g3c.n3 - g3c.d3) * 10000.0 / g3c.n3 + 0.5) / 10000 END
         |    AS dup_3gram_frac
         | FROM toks t JOIN wc ON wc.doc_id = t.doc_id
         |  LEFT JOIN g2c ON g2c.doc_id = t.doc_id

@@ -868,6 +868,9 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
       .join(perDoc, idCol)
       .select(col(idCol), col("n_grams"), col("n_hits"),
-        round(col("n_hits") / col("n_grams"), 4).as("contam_frac"))
+        // ratioQ idiom: exact-integer scale + one double division —
+        // round() diverges from DuckDB on decimal ties (q52/q150)
+        (floor(col("n_hits") * lit(10000L) / col("n_grams") + lit(0.5d)) /
+          lit(10000.0d)).as("contam_frac"))
   }
 }

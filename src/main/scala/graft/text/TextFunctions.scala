@@ -161,7 +161,12 @@ object TextFunctions {
       },
       st => st.getField("best"))
 
-  private def r4(x: Column): Column = round(x, 4)
+  /** 4-decimal quantization of an EXACT integer ratio, engine-agnostic:
+    * scale in integer arithmetic, ONE double division, floor — the
+    * `ratioQ` idiom (see SparkEntry) that sidesteps `round()`'s
+    * HALF_UP-vs-binary tie divergence between Spark and DuckDB. */
+  private def rq4(num: Column, den: Column): Column =
+    floor(num * lit(10000L) / den + lit(0.5d)) / lit(10000.0d)
 
   /** Gopher-style repetition filter rules (Rae et al. 2021, appendix A
     * "repetition removal"): per-document mode-word fraction, most-
@@ -190,13 +195,13 @@ object TextFunctions {
     grams
       .select(col(idCol),
         size(col("t")).cast("long").as("n_words"),
-        r4(maxMultiplicity(col("t")) / size(col("t"))).as("top_word_frac"),
-        r4(when(size(col("g2")) === 0, 0.0)
-          .otherwise(maxMultiplicity(col("g2")) / size(col("g2"))))
+        rq4(maxMultiplicity(col("t")), size(col("t"))).as("top_word_frac"),
+        when(size(col("g2")) === 0, 0.0)
+          .otherwise(rq4(maxMultiplicity(col("g2")), size(col("g2"))))
           .as("top_2gram_frac"),
-        r4(when(size(col("g3")) === 0, 0.0)
-          .otherwise(lit(1.0) -
-            size(array_distinct(col("g3"))).cast("double") / size(col("g3"))))
+        when(size(col("g3")) === 0, 0.0)
+          .otherwise(rq4(size(col("g3")) - size(array_distinct(col("g3"))),
+            size(col("g3"))))
           .as("dup_3gram_frac"))
       .withColumn("keep",
         col("top_word_frac") <= topWordMax &&
@@ -230,9 +235,9 @@ object TextFunctions {
         size(col("t")).cast("long").as("n_words"),
         // total non-space chars / words; tokens are whitespace-split so
         // concatenating them drops exactly the separators
-        r4(length(concat_ws("", col("t"))) / size(col("t")))
+        rq4(length(concat_ws("", col("t"))), size(col("t")))
           .as("mean_word_len"),
-        r4(size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("double") /
+        rq4(size(filter(col("t"), x => x.rlike("[A-Za-z]"))),
           size(col("t"))).as("alpha_word_frac"),
         stopHits.cast("long").as("stop_hits"))
       .withColumn("keep",
