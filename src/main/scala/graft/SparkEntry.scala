@@ -3264,6 +3264,48 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- product quantization (Jégou et al.) under the q185/q186
+    // recall-gate contract: 8-byte codes (32× under float at rest, the
+    // spec measures ≥8× after parquet framing), ADC shortlist + exact
+    // re-rank through a bounded broadcast join-back, IVF cell layout
+    // preserved. Gates refined recall@20 and the at-rest ratio ----
+    "q190_ann_pq" -> ((s, d) => {
+      import graft.vector.{IvfIndex, PqIndex}
+      val emb = tSpread(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val k = 20
+      val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding",
+        "vec_id", 16)
+      val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
+      val cb = PqIndex.train(emb, "embedding", "vec_id", 64, m = 8,
+        ksub = 64, iters = 3)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pq").toString
+      IvfIndex.writeIndex(index, s"$tmp/f")
+      IvfIndex.writeIndex(
+        PqIndex.encode(index, "embedding", "vec_id", cb,
+          keep = Seq("centroid_id")), s"$tmp/q")
+      val codes = IvfIndex.readIndex(s, s"$tmp/q")
+      val refined = PqIndex.searchAdcRefined(codes, emb, "embedding",
+          "vec_id", cb, q, k, shortlist = 200)
+        .collect().map(_.getLong(0)).toSet
+      val exact = VectorFunctions.topK(emb, "embedding", "vec_id", q, k)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (refined intersect exact).size.toDouble / k
+      def dirBytes(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(dir))
+      }
+      import s.implicits._
+      Seq(("pq_m8_k64_refine200", k.toLong, recall >= 0.8,
+          // lt_half like q185/q186: at 500-row cells parquet footers
+          // dominate; the spec's 4000-row index measures the real >=8x
+          dirBytes(s"$tmp/q") * 2 < dirBytes(s"$tmp/f")))
+        .toDF("method", "k", "recall_ge_floor", "store_lt_half")
+    }),
+
     // ---- Gopher repetition rules (Rae et al. 2021 App. A): mode-word,
     // top-2-gram and duplicate-3-gram fractions + keep flag. The whole
     // rule set is ONE shuffle-free higher-order-function projection
@@ -4138,6 +4180,12 @@ object SparkEntry {
 
     "q186_ann_graph_sq8" ->
       """SELECT 'routed_sq8_np4' AS method, CAST(20 AS BIGINT) AS k,
+        | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    // constant-replay oracle like q185/q186: booleans are deterministic
+    // functions of the data + fixed parameters
+    "q190_ann_pq" ->
+      """SELECT 'pq_m8_k64_refine200' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
 
     // Gopher repetition rules: the engine's zero-shuffle fold is

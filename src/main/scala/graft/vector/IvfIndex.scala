@@ -318,8 +318,8 @@ object IvfIndex {
       .limit(k)
   }
 
-  private def routeCellsFor(cs: Array[(Int, Array[Float])],
-                            query: Array[Float], nProbe: Int): Array[Int] =
+  private[vector] def routeCellsFor(cs: Array[(Int, Array[Float])],
+                                    query: Array[Float], nProbe: Int): Array[Int] =
     cs.map { case (cid, c) =>
       var dot = 0.0; var nq = 0.0; var nc = 0.0
       var i = 0

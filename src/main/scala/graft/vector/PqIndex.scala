@@ -1,0 +1,168 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011) — the third at-rest code
+  * family next to float32 and int8 SQ (IvfIndex.quantizeIndex): the
+  * vector is split into `m` subspaces, each subvector replaced by the
+  * id of its nearest per-subspace centroid, so a D-dim float vector
+  * stores as `m` BYTES (64-dim → 8 bytes, 32× under float, 8× under
+  * SQ8). Probes score codes against a per-query ADC distance table —
+  * `m` table lookups per candidate, no float vector ever read.
+  *
+  * Scale design mirrors the reference's pgvector index contract the way
+  * the SQ8 path does (reference: `database.py:201-210` index-once,
+  * probe-many):
+  *  - training is Lloyd's over SUBVECTORS with all `m` subspaces
+  *    assigned in one map pass per iteration; the driver only ever
+  *    holds the codebook itself (m·ksub·subDim floats — KBs);
+  *  - codes ride the same `partitionBy(centroid_id)` layout as every
+  *    other IVF artifact, so cell pruning still happens at file-listing
+  *    time and the probed bytes are m-byte codes, not 4·D floats;
+  *  - like SQ8 (q185), PQ trades rank exactness for bytes — it is an
+  *    explicit API gated by a recall floor (q190), never a transparent
+  *    rewrite.
+  */
+object PqIndex {
+
+  /** [m][ksub][subDim] per-subspace centroids. */
+  final case class Codebook(m: Int, subDim: Int,
+                            cents: Array[Array[Array[Float]]]) {
+    def ksub: Int = cents(0).length
+  }
+
+  /** Train per-subspace codebooks with deterministic seeding (the same
+    * multiplicative-hash row pick as [[IvfIndex.centroids]], sliced
+    * into subvectors) and `iters` Lloyd rounds. Each round is ONE
+    * assignment pass (a single UDF emits all m codes per row) plus ONE
+    * (sub, code, dim)-grain mean aggregate whose result — the whole
+    * next codebook — is the only thing collected. */
+  def train(df: DataFrame, embCol: String, idCol: String, dim: Int,
+            m: Int = 8, ksub: Int = 16, iters: Int = 3): Codebook = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val seeds = IvfIndex.centroids(df, embCol, idCol, ksub)
+    var cb = Codebook(m, subDim,
+      Array.tabulate(m)(s => seeds.map(_._2.slice(s * subDim, (s + 1) * subDim))))
+    var it = 0
+    while (it < iters) {
+      // int-array codes for training: BinaryType (the at-rest form)
+      // is not element_at-indexable
+      val cbNow = cb
+      val codes = udf((v: Seq[Float]) => assignCodes(cbNow, v).map(_.toInt))
+      val means = df
+        .select(col(embCol).as("_e"), codes(col(embCol)).as("_c"))
+        .select(posexplode(col("_e")).as(Seq("_p", "_v")), col("_c"))
+        .select((col("_p") / subDim).cast("int").as("_s"),
+          pmod(col("_p"), lit(subDim)).as("_d"), col("_v"), col("_c"))
+        .withColumn("_k", element_at(col("_c"), col("_s") + 1).cast("int"))
+        .groupBy(col("_s"), col("_k"), col("_d"))
+        .agg(avg(col("_v")).as("_m"))
+        .collect()
+      val next = cb.cents.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2).toInt) = r.getDouble(3).toFloat
+      }
+      cb = Codebook(m, subDim, next) // empty clusters keep their centroid
+      it += 1
+    }
+    cb
+  }
+
+  /** m-byte PQ code per vector: per subspace, the L2-nearest centroid
+    * (ties → lowest code, deterministic). */
+  private def assignCodes(cb: Codebook, v: Seq[Float]): Array[Byte] = {
+    val out = new Array[Byte](cb.m)
+    var s = 0
+    while (s < cb.m) {
+      val off = s * cb.subDim
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.cents(s).length) {
+        val c = cb.cents(s)(j)
+        var d = 0.0; var i = 0
+        while (i < cb.subDim) {
+          val x = v(off + i).toDouble - c(i); d += x * x; i += 1
+        }
+        if (d < bestD) { best = j; bestD = d }
+        j += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  private def encodeUdf(cb: Codebook) =
+    udf((v: Seq[Float]) => assignCodes(cb, v))
+
+  /** Encode to the at-rest code frame: (keep..., idCol, pq). Pass
+    * `keep = Seq("centroid_id")` on a built IVF index and write with
+    * [[IvfIndex.writeIndex]] to get the cell-pruned IVF-PQ layout. */
+  def encode(df: DataFrame, embCol: String, idCol: String, cb: Codebook,
+             keep: Seq[String] = Nil): DataFrame =
+    df.select((keep.map(col) :+ col(idCol) :+
+      encodeUdf(cb)(col(embCol)).as("pq")): _*)
+
+  /** ADC scoring: the query is expanded ONCE (driver-side) into per-
+    * (subspace, code) dot products and reconstruction square-norms;
+    * each candidate's approximate cosine is then m lookups. */
+  private def adcUdf(cb: Codebook, query: Array[Float]) = {
+    val dot = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
+      val c = cb.cents(s)(j); val off = s * cb.subDim
+      var d = 0.0; var i = 0
+      while (i < cb.subDim) { d += query(off + i).toDouble * c(i); i += 1 }
+      d
+    }
+    val sq = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
+      val c = cb.cents(s)(j)
+      var n = 0.0; var i = 0
+      while (i < cb.subDim) { n += c(i).toDouble * c(i); i += 1 }
+      n
+    }
+    var qn = 0.0
+    query.foreach(x => qn += x.toDouble * x)
+    val qNorm = math.sqrt(qn)
+    udf { (code: Array[Byte]) =>
+      var d = 0.0; var n = 0.0; var s = 0
+      while (s < code.length) {
+        val j = code(s) & 0xff
+        d += dot(s)(j); n += sq(s)(j); s += 1
+      }
+      if (qNorm == 0 || n == 0) 0.0 else d / (qNorm * math.sqrt(n))
+    }
+  }
+
+  /** Exact-over-codes top-k: rank every code row by ADC cosine. */
+  def searchAdc(codes: DataFrame, idCol: String, cb: Codebook,
+                query: Array[Float], k: Int): DataFrame =
+    codes.select(col(idCol), adcUdf(cb, query)(col("pq")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** IVF-PQ probe: route to the `nProbe` best cells (partition pruning
+    * on the at-rest layout), ADC-score only those cells' codes. */
+  def searchIvfAdc(codes: DataFrame, idCol: String,
+                   cs: Array[(Int, Array[Float])], cb: Codebook,
+                   query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val cells = IvfIndex.routeCellsFor(cs, query, nProbe)
+    searchAdc(codes.filter(col("centroid_id")
+        .isin(cells.map(Integer.valueOf).toIndexedSeq: _*)),
+      idCol, cb, query, k)
+  }
+
+  /** ADC shortlist + exact re-rank (faiss's IndexRefineFlat contract):
+    * the m-byte codes pick `shortlist` candidates, then ONLY those rows'
+    * float vectors are read back for an exact cosine top-k. At 100 TB
+    * the scan side is the code table (32× smaller) and the float table
+    * contributes `shortlist` point-lookups through a broadcast semi-join
+    * — the bounded-k' broadcast is safe by construction. */
+  def searchAdcRefined(codes: DataFrame, base: DataFrame, embCol: String,
+                       idCol: String, cb: Codebook, query: Array[Float],
+                       k: Int, shortlist: Int = 100): DataFrame = {
+    val ids = searchAdc(codes, idCol, cb, query, shortlist).select(col(idCol))
+    VectorFunctions.topK(base.join(broadcast(ids), idCol), embCol, idCol,
+      query, k)
+  }
+}

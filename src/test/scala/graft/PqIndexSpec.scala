@@ -1,0 +1,121 @@
+package graft
+
+import graft.vector.{IvfIndex, PqIndex, VectorFunctions}
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(29)
+  private val dim = 32
+  private val centers =
+    Array.fill(8)(Array.fill(dim)(rng.nextGaussian().toFloat * 5))
+  private lazy val data = (0 until 4000).map { i =>
+    val c = centers(i % 8)
+    (i.toLong, c.map(x => (x + rng.nextGaussian() * 1.0).toFloat))
+  }.toDF("id", "emb")
+  private lazy val cb =
+    PqIndex.train(data, "emb", "id", dim, m = 8, ksub = 64, iters = 3)
+
+  test("codes are m bytes and encoding is deterministic") {
+    val codes = PqIndex.encode(data, "emb", "id", cb)
+    val twice = PqIndex.encode(data, "emb", "id", cb)
+    val a = codes.orderBy("id").collect().map(r => r.getAs[Array[Byte]]("pq"))
+    val b = twice.orderBy("id").collect().map(r => r.getAs[Array[Byte]]("pq"))
+    assert(a.length == 4000 && a.forall(_.length == 8))
+    assert(a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+  }
+
+  test("ADC ranks product-structured data (PQ's model) near-exactly") {
+    // vectors built AS products of per-subspace prototypes + small
+    // noise — the structure PQ assumes. Neighbor margins here are
+    // prototype-scale, far above quantization error, so the 8-byte
+    // codes should rank like the floats. (On an isotropic Gaussian blob
+    // with the query at its center, margins sit BELOW quantization
+    // error and no PQ ranks well — that regime is covered by the
+    // shortlist+refine contract instead.)
+    val prng = new scala.util.Random(31)
+    val protos = Array.fill(8, 8)(Array.fill(4)(prng.nextGaussian().toFloat * 5))
+    val pdata = (0 until 4000).map { i =>
+      val v = new Array[Float](dim)
+      for (s <- 0 until 8; d <- 0 until 4)
+        v(s * 4 + d) = protos(s)((i * (s + 3)) % 8)(d) +
+          prng.nextGaussian().toFloat * 0.2f
+      (i.toLong, v)
+    }.toDF("id", "emb")
+    val pcb = PqIndex.train(pdata, "emb", "id", dim, m = 8, ksub = 64,
+      iters = 3)
+    val query = pdata.filter($"id" === 7L).select("emb")
+      .head().getSeq[Float](0).toArray
+    val codes = PqIndex.encode(pdata, "emb", "id", pcb)
+    val short = PqIndex.searchAdc(codes, "id", pcb, query, k = 100)
+      .collect().map(_.getLong(0)).toSet
+    val exact = VectorFunctions.topK(pdata, "emb", "id", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect short).size / 20.0
+    assert(recall >= 0.8, s"ADC recall@100 $recall < 0.8")
+  }
+
+  test("refined search recovers exact top-k on the corpus embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ecb = PqIndex.train(emb, "embedding", "vec_id", 64, m = 8,
+      ksub = 64, iters = 3)
+    val query = emb.filter($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val codes = PqIndex.encode(emb, "embedding", "vec_id", ecb)
+    val refined = PqIndex.searchAdcRefined(codes, emb, "embedding",
+        "vec_id", ecb, query, k = 20, shortlist = 200)
+      .collect().map(_.getLong(0)).toSet
+    val exact = VectorFunctions.topK(emb, "embedding", "vec_id", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (refined intersect exact).size / 20.0
+    assert(recall >= 0.9, s"refined recall $recall < 0.9")
+  }
+
+  test("IVF-PQ at rest: cell-pruned probe, codes >=8x smaller than floats") {
+    val cs = IvfIndex.centroids(data, "emb", "id", 8)
+    val index = IvfIndex.build(data, "emb", "id", cs)
+    val tmp = java.nio.file.Files.createTempDirectory("pq-ivf").toString
+    IvfIndex.writeIndex(index, s"$tmp/f")
+    IvfIndex.writeIndex(
+      PqIndex.encode(index, "emb", "id", cb, keep = Seq("centroid_id")),
+      s"$tmp/q")
+
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(dir))
+    }
+    assert(bytes(s"$tmp/q") * 8 < bytes(s"$tmp/f"),
+      s"PQ store ${bytes(s"$tmp/q")} not 8x under float ${bytes(s"$tmp/f")}")
+
+    // probe == plain ADC restricted to the same cells (routing is shared
+    // with the float IVF path)
+    val query = centers(1)
+    val stored = IvfIndex.readIndex(spark, s"$tmp/q")
+    val probe = PqIndex.searchIvfAdc(stored, "id", cs, cb, query,
+        k = 20, nProbe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val cells = stored.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.size > 1, "index collapsed to one cell")
+    val exactProbeCells = PqIndex.searchAdc(
+        stored.filter(org.apache.spark.sql.functions.col("centroid_id")
+          .isin(IvfProbeCells(cs, query, 3).map(Integer.valueOf).toSeq: _*)),
+        "id", cb, query, 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe == exactProbeCells)
+  }
+
+  private def IvfProbeCells(cs: Array[(Int, Array[Float])],
+                            q: Array[Float], nProbe: Int): Array[Int] = {
+    cs.map { case (cid, c) =>
+      var dot = 0.0; var nq = 0.0; var nc = 0.0
+      var i = 0
+      while (i < q.length) {
+        dot += q(i) * c(i); nq += q(i) * q(i); nc += c(i) * c(i); i += 1
+      }
+      (cid, if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc))
+    }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+  }
+}
