@@ -3306,6 +3306,19 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- DSIR importance selection (Xie et al. 2023): every doc
+    // scored by the avg log unigram importance ratio between the
+    // target sample (lang='en' here) and the raw corpus; the ratio
+    // table joins back on the word key by SHUFFLE (vocabulary is
+    // Heaps-unbounded — never broadcast, the q88 lesson) ----
+    "q191_dsir_select" -> ((s, d) => {
+      import graft.operators.ImportanceSelect
+      val docs = tSpread(s, d, "documents")
+      ImportanceSelect.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Gopher repetition rules (Rae et al. 2021 App. A): mode-word,
     // top-2-gram and duplicate-3-gram fractions + keep flag. The whole
     // rule set is ONE shuffle-free higher-order-function projection
@@ -4187,6 +4200,29 @@ object SparkEntry {
     "q190_ann_pq" ->
       """SELECT 'pq_m8_k64_refine200' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    "q191_dsir_select" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |t2 AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+        |cr AS (SELECT w, count(*) AS c_r FROM t2 GROUP BY 1),
+        |ct AS (SELECT w, count(*) AS c_t FROM t2 WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT sum(c_r) AS n_r, count(*) AS v FROM cr),
+        |ttot AS (SELECT count(*) AS n_t FROM t2 WHERE lang = 'en'),
+        |lr AS (SELECT cr.w,
+        |  ln((coalesce(ct.c_t, 0) + 1) * 1.0 /
+        |     ((SELECT n_t FROM ttot) + (SELECT v FROM tot)))
+        |  - ln((cr.c_r + 1) * 1.0 /
+        |     ((SELECT n_r FROM tot) + (SELECT v FROM tot))) AS lr
+        | FROM cr LEFT JOIN ct ON ct.w = cr.w),
+        |per AS (SELECT t2.doc_id, count(*) AS n_tokens, avg(lr.lr) AS aw
+        | FROM t2 JOIN lr ON lr.w = t2.w GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        | floor(aw * 10000 + 0.5) / 10000 AS weight,
+        | (floor(aw * 10000 + 0.5) / 10000 > 0) AS selected
+        |FROM per ORDER BY doc_id""".stripMargin,
 
     // Gopher repetition rules: the engine's zero-shuffle fold is
     // replayed relationally (explode + two-level counts per gram size)
