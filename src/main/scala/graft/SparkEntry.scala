@@ -3306,6 +3306,31 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- trained quality classifier (fastText/CCNet shape): hashed
+    // bag-of-words logistic regression, full-batch gradient descent
+    // where each iteration is one map pass + one feature-grain
+    // aggregate and the driver holds only the 1024-double weight
+    // vector. Label = the langId rule (distillation of q20's regex
+    // into a classifier); holdout = doc_id % 5. Driver-gated like
+    // q170/q185: booleans for loss reduction and holdout accuracy ----
+    "q192_quality_classifier" -> ((s, d) => {
+      import graft.operators.HashedLogReg
+      val docs = tSpread(s, d, "documents")
+      val label = TextFunctions.langId(col("text")) === "en"
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val hold = docs.filter(col("doc_id") % 5 === 0)
+      val m = HashedLogReg.train(train, "text", label, "doc_id",
+        dim = 1024, iters = 30, lr = 4.0)
+      val acc = HashedLogReg.score(hold, "text", "doc_id", m)
+        .join(hold.select(col("doc_id"), label.as("_y")), "doc_id")
+        .select(((col("prob") > 0.5) === col("_y")).cast("int").as("_ok"))
+        .agg(avg(col("_ok"))).head().getDouble(0)
+      import s.implicits._
+      Seq(("hashed_logreg_1024", m.losses.last < 0.6 * m.losses.head,
+          acc >= 0.8))
+        .toDF("method", "loss_reduced", "holdout_acc_ge_floor")
+    }),
+
     // ---- DSIR importance selection (Xie et al. 2023): every doc
     // scored by the avg log unigram importance ratio between the
     // target sample (lang='en' here) and the raw corpus; the ratio
@@ -4200,6 +4225,12 @@ object SparkEntry {
     "q190_ann_pq" ->
       """SELECT 'pq_m8_k64_refine200' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    // constant-replay oracle like q170/q185: the booleans are
+    // deterministic functions of the data + fixed hyperparameters
+    "q192_quality_classifier" ->
+      """SELECT 'hashed_logreg_1024' AS method, true AS loss_reduced,
+        | true AS holdout_acc_ge_floor""".stripMargin,
 
     "q191_dsir_select" ->
       """WITH tok AS (
