@@ -15,13 +15,12 @@ import org.apache.spark.sql.functions._
   *    `dim` buckets (xxhash64 — Spark-native, stable across sessions),
   *    per-doc term frequencies normalized by doc length; the frame is
   *    cached for the duration of training;
-  *  - each full-batch iteration is ONE map pass (margin + residual per
-  *    doc, weights riding the closure — `dim` doubles, KBs) plus ONE
-  *    feature-grain aggregate (explode → groupBy idx → `dim` partial
-  *    sums); the driver only ever holds the weight vector, exactly the
-  *    distributed-LR shape of classic MLlib;
-  *  - no per-iteration join-back: the residual is computed in the same
-  *    projection that explodes the features.
+  *  - each full-batch iteration is ONE shuffle-free `treeAggregate`
+  *    (weights riding the closure — `dim` doubles, KBs; every partition
+  *    folds its docs into one dim+2 gradient array); the driver only
+  *    ever holds the weight vector, exactly the distributed-LR shape of
+  *    classic MLlib;
+  *  - no per-iteration join-back or feature explode anywhere.
   *
   * Full-batch gradient descent with a fixed step — deterministic given
   * the data (modulo float-sum ordering, which the recall-style gates
@@ -55,10 +54,26 @@ object HashedLogReg {
   }
 
   /** Train on a featurized frame (from [[featurize]]). Returns the
-    * model plus the per-iteration mean log-loss trace. */
+    * model plus the per-iteration mean log-loss trace.
+    *
+    * Each iteration is ONE `treeAggregate` over the cached feature RDD
+    * — the exact classic distributed-LR shape (MLlib's, minus L-BFGS):
+    * every partition folds its documents into a single dim+2 gradient
+    * array (feature grads, bias grad, loss), arrays tree-combine to the
+    * driver, NO shuffle exists anywhere in the loop. The earlier
+    * explode → groupBy formulation was measured 5× slower at sf0.1
+    * (16.8 s → 3.3 s, same session back-to-back):
+    * 30 iterations × 2 stages × shuffle.partitions tasks of pure
+    * launch overhead for KBs of gradient. RDD use here is the sanctioned
+    * per-partition-imperative exception — the aggregation state is an
+    * ARRAY indexed by feature, which no relational groupBy expresses
+    * without manufacturing a row per (doc, feature). */
   def trainFeaturized(feats: DataFrame, dim: Int, iters: Int = 20,
                       lr: Double = 2.0): Model = {
-    val cached = feats.persist()
+    val cached = feats.select(col("_y"), col("_idxs"), col("_vals")).rdd
+      .map(r => (r.getDouble(0), r.getSeq[Int](1).toArray,
+        r.getSeq[Double](2).toArray))
+      .persist()
     try {
       val n = cached.count().toDouble
       var w = new Array[Double](dim)
@@ -66,36 +81,28 @@ object HashedLogReg {
       val losses = new Array[Double](iters)
       var it = 0
       while (it < iters) {
-        val wNow = w; val bNow = b
-        val marginUdf = udf { (idxs: Seq[Int], vals: Seq[Double]) =>
-          var m = bNow; var i = 0
-          while (i < idxs.length) { m += wNow(idxs(i)) * vals(i); i += 1 }
-          m
-        }
-        val scored = cached
-          .withColumn("_m", marginUdf(col("_idxs"), col("_vals")))
-          .withColumn("_p", lit(1.0) / (lit(1.0) + exp(-col("_m"))))
-          .withColumn("_r", col("_p") - col("_y"))
-        // loss + bias gradient + per-feature gradient in one pass over
-        // the exploded features, plus one tiny doc-grain aggregate
-        val docAgg = scored.agg(
-          avg(-(col("_y") * log(greatest(col("_p"), lit(1e-12))) +
-            (lit(1.0) - col("_y")) *
-              log(greatest(lit(1.0) - col("_p"), lit(1e-12))))).as("loss"),
-          sum(col("_r")).as("gb")).head()
-        losses(it) = docAgg.getDouble(0)
-        val gb = docAgg.getDouble(1) / n
-        val grad = scored
-          .select(col("_r"),
-            explode(arrays_zip(col("_idxs"), col("_vals"))).as("_f"))
-          .select(col("_f._idxs").as("_i"),
-            (col("_r") * col("_f._vals")).as("_g"))
-          .groupBy(col("_i")).agg(sum(col("_g")).as("_gs"))
-          .collect()
+        val wNow = w; val bNow = b; val d = dim
+        val acc = cached.treeAggregate(new Array[Double](d + 2))(
+          (st, row) => {
+            val (y, idxs, vals) = row
+            var m = bNow; var i = 0
+            while (i < idxs.length) { m += wNow(idxs(i)) * vals(i); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-m))
+            val r = p - y
+            i = 0
+            while (i < idxs.length) { st(idxs(i)) += r * vals(i); i += 1 }
+            st(d) += r
+            st(d + 1) -= y * math.log(math.max(p, 1e-12)) +
+              (1.0 - y) * math.log(math.max(1.0 - p, 1e-12))
+            st
+          },
+          (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a })
+        losses(it) = acc(d + 1) / n
         val next = w.clone()
-        grad.foreach(r => next(r.getInt(0)) -= lr * r.getDouble(1) / n)
+        var i = 0
+        while (i < d) { next(i) -= lr * acc(i) / n; i += 1 }
         w = next
-        b -= lr * gb
+        b -= lr * acc(d) / n
         it += 1
       }
       Model(dim, w, b, losses)
