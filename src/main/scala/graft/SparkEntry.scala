@@ -3306,6 +3306,61 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- the curation FUNNEL: the four q187-q191 stages composed the
+    // way a real corpus-curation run chains them, reporting per-stage
+    // survivor counts (raw → repetition rules → quality rules →
+    // decontamination → DSIR selection). Each stage frame is the same
+    // plan as its standalone query; the funnel is four left joins on
+    // doc_id + one aggregate — at 100 TB the flags frame is one row
+    // per doc and the count aggregate is map-side combinable ----
+    "q193_filter_funnel" -> ((s, d) => {
+      import graft.operators.ImportanceSelect
+      val docs = tSpread(s, d, "documents")
+      val rep = TextFunctions.gopherRepetition(docs, "text", "doc_id")
+        .select(col("doc_id"), col("keep").as("_k1"))
+      val qual = TextFunctions.gopherQuality(docs, "text", "doc_id")
+        .select(col("doc_id"), col("keep").as("_k2"))
+      val contam = Dedup.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 3)
+        .select(col("doc_id"), lit(true).as("_c"))
+      val dsir = ImportanceSelect.dsirWeights(docs,
+          docs.filter(col("lang") === "en"), "text", "doc_id")
+        .select(col("doc_id"), col("selected").as("_k4"))
+      val flags = docs.select(col("doc_id"))
+        .join(rep, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(dsir, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_k1"), lit(false)).as("k1"),
+          coalesce(col("_k2"), lit(false)).as("k2"),
+          // eval-set docs leave the training corpus at this stage too
+          (col("doc_id") % 97 =!= 0 && col("_c").isNull).as("k3"),
+          coalesce(col("_k4"), lit(false)).as("k4"))
+      val agg = flags.agg(
+        count(lit(1)).as("n0"),
+        sum(col("k1").cast("long")).as("n1"),
+        sum((col("k1") && col("k2")).cast("long")).as("n2"),
+        sum((col("k1") && col("k2") && col("k3")).cast("long")).as("n3"),
+        sum((col("k1") && col("k2") && col("k3") && col("k4"))
+          .cast("long")).as("n4"))
+      agg.select(explode(array(
+          struct(lit(0L).as("stage"), lit("raw").as("label"),
+            col("n0").as("survivors")),
+          struct(lit(1L).as("stage"), lit("gopher_repetition").as("label"),
+            col("n1").as("survivors")),
+          struct(lit(2L).as("stage"), lit("gopher_quality").as("label"),
+            col("n2").as("survivors")),
+          struct(lit(3L).as("stage"), lit("decontaminated").as("label"),
+            col("n3").as("survivors")),
+          struct(lit(4L).as("stage"), lit("dsir_selected").as("label"),
+            col("n4").as("survivors")))).as("f"))
+        .select(col("f.stage").as("stage"), col("f.label").as("label"),
+          col("f.survivors").as("survivors"))
+        .orderBy(col("stage"))
+    }),
+
     // ---- trained quality classifier (fastText/CCNet shape): hashed
     // bag-of-words logistic regression, full-batch gradient descent
     // where each iteration is one map pass + one feature-grain
@@ -4225,6 +4280,101 @@ object SparkEntry {
     "q190_ann_pq" ->
       """SELECT 'pq_m8_k64_refine200' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    // the four stage definitions are verbatim the q187/q188/q189/q191
+    // oracle fragments; the funnel is their conjunction
+    "q193_filter_funnel" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM
+        |  (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t))) AS r(i)
+        | WHERE array_length(t) >= 2),
+        |g2c AS (SELECT doc_id, max(c) AS topg, sum(c) AS ng FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |g3c AS (SELECT doc_id, count(DISTINCT g) AS d3, count(*) AS n3
+        | FROM g3 GROUP BY 1),
+        |rep AS (
+        | SELECT t.doc_id,
+        |  (floor(wc.topw * 10000.0 / array_length(t.t) + 0.5) / 10000 <= 0.15
+        |   AND CASE WHEN g2c.doc_id IS NULL THEN 0.0
+        |    ELSE floor(g2c.topg * 10000.0 / g2c.ng + 0.5) / 10000 END <= 0.08
+        |   AND CASE WHEN g3c.doc_id IS NULL THEN 0.0
+        |    ELSE floor((g3c.n3 - g3c.d3) * 10000.0 / g3c.n3 + 0.5) / 10000
+        |    END <= 0.01) AS k1
+        | FROM toks t JOIN wc ON wc.doc_id = t.doc_id
+        |  LEFT JOIN g2c ON g2c.doc_id = t.doc_id
+        |  LEFT JOIN g3c ON g3c.doc_id = t.doc_id),
+        |qual AS (
+        | SELECT doc_id,
+        |  (array_length(t) >= 30 AND array_length(t) <= 100000
+        |   AND floor(length(array_to_string(t, '')) * 10000.0 /
+        |     array_length(t) + 0.5) / 10000 BETWEEN 3.0 AND 10.0
+        |   AND floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |     * 10000.0 / array_length(t) + 0.5) / 10000 >= 0.8
+        |   AND (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END) >= 2) AS k2
+        | FROM toks),
+        |cg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |ev AS (SELECT DISTINCT g FROM cg WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT c.doc_id FROM cg c JOIN ev USING (g)
+        | WHERE c.doc_id % 97 <> 0),
+        |ltok AS (
+        | SELECT doc_id, lang,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |lt2 AS (SELECT doc_id, lang, w FROM ltok WHERE w <> ''),
+        |cr AS (SELECT w, count(*) AS c_r FROM lt2 GROUP BY 1),
+        |ct AS (SELECT w, count(*) AS c_t FROM lt2 WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT sum(c_r) AS n_r, count(*) AS v FROM cr),
+        |ttot AS (SELECT count(*) AS n_t FROM lt2 WHERE lang = 'en'),
+        |lr AS (SELECT cr.w,
+        |  ln((coalesce(ct.c_t, 0) + 1) * 1.0 /
+        |     ((SELECT n_t FROM ttot) + (SELECT v FROM tot)))
+        |  - ln((cr.c_r + 1) * 1.0 /
+        |     ((SELECT n_r FROM tot) + (SELECT v FROM tot))) AS lr
+        | FROM cr LEFT JOIN ct ON ct.w = cr.w),
+        |per AS (SELECT lt2.doc_id, avg(lr.lr) AS aw
+        | FROM lt2 JOIN lr ON lr.w = lt2.w GROUP BY 1),
+        |flags AS (
+        | SELECT d.doc_id,
+        |  coalesce(r.k1, false) AS k1,
+        |  coalesce(q.k2, false) AS k2,
+        |  (d.doc_id % 97 <> 0 AND h.doc_id IS NULL) AS k3,
+        |  coalesce(floor(p.aw * 10000 + 0.5) / 10000 > 0, false) AS k4
+        | FROM documents d
+        |  LEFT JOIN rep r ON r.doc_id = d.doc_id
+        |  LEFT JOIN qual q ON q.doc_id = d.doc_id
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |  LEFT JOIN per p ON p.doc_id = d.doc_id),
+        |agg AS (SELECT count(*) AS n0,
+        |  sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS n1,
+        |  sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS n2,
+        |  sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END) AS n3,
+        |  sum(CASE WHEN k1 AND k2 AND k3 AND k4 THEN 1 ELSE 0 END) AS n4
+        | FROM flags)
+        |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS label,
+        |  CAST(n0 AS BIGINT) AS survivors FROM agg
+        |UNION ALL SELECT 1, 'gopher_repetition', CAST(n1 AS BIGINT) FROM agg
+        |UNION ALL SELECT 2, 'gopher_quality', CAST(n2 AS BIGINT) FROM agg
+        |UNION ALL SELECT 3, 'decontaminated', CAST(n3 AS BIGINT) FROM agg
+        |UNION ALL SELECT 4, 'dsir_selected', CAST(n4 AS BIGINT) FROM agg
+        |ORDER BY stage""".stripMargin,
 
     // constant-replay oracle like q170/q185: the booleans are
     // deterministic functions of the data + fixed hyperparameters
