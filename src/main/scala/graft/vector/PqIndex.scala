@@ -41,6 +41,8 @@ object PqIndex {
   def train(df: DataFrame, embCol: String, idCol: String, dim: Int,
             m: Int = 8, ksub: Int = 16, iters: Int = 3): Codebook = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(ksub >= 2 && ksub <= 256,
+      s"ksub $ksub must fit a one-byte code (2..256)")
     val subDim = dim / m
     val seeds = IvfIndex.centroids(df, embCol, idCol, ksub)
     var cb = Codebook(m, subDim,
@@ -150,6 +152,49 @@ object PqIndex {
     searchAdc(codes.filter(col("centroid_id")
         .isin(cells.map(Integer.valueOf).toIndexedSeq: _*)),
       idCol, cb, query, k)
+  }
+
+  /** Incrementally ADD a batch to a stored IVF-PQ index: route each new
+    * row to its cell, encode with the FROZEN codebook, append to that
+    * cell's partition directory. Codes are per-row deterministic
+    * functions of (vector, codebook), so the grown index is exactly the
+    * full-rebuild index — the same contract as [[IvfIndex.addToIndex]];
+    * untouched cells see no IO. Codebook and centroids stay fixed
+    * (retrain + rebuild to re-balance, the IVF maintenance analogue). */
+  def addToIndex(batch: DataFrame, embCol: String, idCol: String,
+                 cs: Array[(Int, Array[Float])], cb: Codebook,
+                 path: String): Unit =
+    encode(IvfIndex.build(batch, embCol, idCol, cs), embCol, idCol, cb,
+        keep = Seq("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
+  /** Persist the codebook next to the index (`_graft_pq/` inside the
+    * index dir — same pattern as the `_graft_ann` descriptor): one row
+    * per (subspace, code) centroid. A fresh session re-attaches with
+    * [[readCodebook]] and probes without retraining — the
+    * CREATE-INDEX-once contract the other three families already keep. */
+  def writeCodebook(spark: SparkSession, cb: Codebook, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m; j <- 0 until cb.ksub
+    } yield (s, j, cb.subDim, cb.cents(s)(j).toSeq)
+    rows.toDF("s", "j", "sub_dim", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_graft_pq")
+  }
+
+  def readCodebook(spark: SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path.stripSuffix("/") + "/_graft_pq")
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val subDim = rows.head.getInt(2)
+    val cents = Array.ofDim[Array[Float]](m, ksub)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](3).toArray
+    }
+    Codebook(m, subDim, cents)
   }
 
   /** ADC shortlist + exact re-rank (faiss's IndexRefineFlat contract):

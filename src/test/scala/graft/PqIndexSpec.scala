@@ -107,6 +107,44 @@ class PqIndexSpec extends SparkSpec {
     assert(probe == exactProbeCells)
   }
 
+  test("codebook persists at rest; incremental adds equal the rebuild") {
+    val cs = IvfIndex.centroids(data, "emb", "id", 8)
+    val base = data.filter($"id" < 3000L)
+    val batch = data.filter($"id" >= 3000L)
+    val tmp = java.nio.file.Files.createTempDirectory("pq-add").toString
+    // base index + codebook at rest, then grow by the batch
+    IvfIndex.writeIndex(
+      PqIndex.encode(IvfIndex.build(base, "emb", "id", cs), "emb", "id",
+        cb, keep = Seq("centroid_id")), s"$tmp/idx")
+    PqIndex.writeCodebook(spark, cb, s"$tmp/idx")
+    PqIndex.addToIndex(batch, "emb", "id", cs, cb, s"$tmp/idx")
+
+    val cb2 = PqIndex.readCodebook(spark, s"$tmp/idx")
+    assert(cb2.m == cb.m && cb2.ksub == cb.ksub && cb2.subDim == cb.subDim)
+    assert(cb2.cents(3)(7).toSeq == cb.cents(3)(7).toSeq)
+
+    // the grown index is row-for-row the full-rebuild index
+    val grown = IvfIndex.readIndex(spark, s"$tmp/idx")
+      .select($"id", $"centroid_id", $"pq")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val rebuilt = PqIndex.encode(IvfIndex.build(data, "emb", "id", cs),
+        "emb", "id", cb, keep = Seq("centroid_id"))
+      .collect().map(r => (r.getLong(1), r.getInt(0),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(grown == rebuilt)
+
+    // probing through the re-read codebook matches the live one
+    val q = centers(6)
+    val a = PqIndex.searchIvfAdc(IvfIndex.readIndex(spark, s"$tmp/idx"),
+        "id", cs, cb2, q, 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val b = PqIndex.searchIvfAdc(IvfIndex.readIndex(spark, s"$tmp/idx"),
+        "id", cs, cb, q, 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
   private def IvfProbeCells(cs: Array[(Int, Array[Float])],
                             q: Array[Float], nProbe: Int): Array[Int] = {
     cs.map { case (cid, c) =>
