@@ -102,6 +102,15 @@ object SparkEntry {
     floor(num * lit(scale) / den + lit(0.5d)) / lit(scale.toDouble)
   }
 
+  /** Total .parquet bytes under a directory — the at-rest size the
+    * q185/q186/q190 store-ratio gates compare. */
+  private def parquetDirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length() else 0L
+    walk(new java.io.File(dir))
+  }
+
   /** Engine-agnostic quantization of an already-computed double that is
     * IDENTICAL in both engines (same single IEEE expression, e.g.
     * percent_rank): floor on the same bits agrees everywhere, while
@@ -3217,15 +3226,9 @@ object SparkEntry {
           "vec_id", cs, q, k, nProbe = 4)
         .collect().map(_.getLong(0)).toSet
       val recall = (q8Ids intersect floatIds).size.toDouble / k
-      def dirBytes(dir: String): Long = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) f.listFiles().map(walk).sum
-          else if (f.getName.endsWith(".parquet")) f.length() else 0L
-        walk(new java.io.File(dir))
-      }
       import s.implicits._
       Seq(("sq8_np4", k.toLong, recall >= 0.8,
-          dirBytes(s"$tmp/q") * 2 < dirBytes(s"$tmp/f")))
+          parquetDirBytes(s"$tmp/q") * 2 < parquetDirBytes(s"$tmp/f")))
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
@@ -3252,15 +3255,9 @@ object SparkEntry {
         .search(s, dir, "vec_id", cs, q, k, nProbe = 4, p)
         .collect().map(_.getLong(0)).toSet
       val recall = (ids(s"$tmp/q") intersect ids(s"$tmp/f")).size.toDouble / k
-      def dirBytes(dir: String): Long = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) f.listFiles().map(walk).sum
-          else if (f.getName.endsWith(".parquet")) f.length() else 0L
-        walk(new java.io.File(dir))
-      }
       import s.implicits._
       Seq(("routed_sq8_np4", k.toLong, recall >= 0.8,
-          dirBytes(s"$tmp/q") * 2 < dirBytes(s"$tmp/f")))
+          parquetDirBytes(s"$tmp/q") * 2 < parquetDirBytes(s"$tmp/f")))
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
@@ -3292,17 +3289,11 @@ object SparkEntry {
       val exact = VectorFunctions.topK(emb, "embedding", "vec_id", q, k)
         .collect().map(_.getLong(0)).toSet
       val recall = (refined intersect exact).size.toDouble / k
-      def dirBytes(dir: String): Long = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) f.listFiles().map(walk).sum
-          else if (f.getName.endsWith(".parquet")) f.length() else 0L
-        walk(new java.io.File(dir))
-      }
       import s.implicits._
       Seq(("pq_m8_k64_refine200", k.toLong, recall >= 0.8,
           // lt_half like q185/q186: at 500-row cells parquet footers
           // dominate; the spec's 4000-row index measures the real >=8x
-          dirBytes(s"$tmp/q") * 2 < dirBytes(s"$tmp/f")))
+          parquetDirBytes(s"$tmp/q") * 2 < parquetDirBytes(s"$tmp/f")))
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 

@@ -861,12 +861,14 @@ object Dedup {
       .select((cols :+
         explode(array_distinct(shinglesFromTokens(col("_t"), n))).as("_g")): _*)
     val evalGrams = grams(benchmark).select(col("_g")).distinct()
-    val corpusGrams = grams(corpus, col(idCol))
-    val perDoc = corpusGrams.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"))
-    corpusGrams.join(evalGrams, "_g")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-      .join(perDoc, idCol)
+    // ONE corpus pass: left-join the gram set, count all grams and the
+    // hits in the same doc-grain aggregate (a separate per-doc total
+    // would shingle and scan the corpus twice)
+    grams(corpus, col(idCol))
+      .join(evalGrams.withColumn("_hit", lit(1)), Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hits"))
+      .filter(col("n_hits") > 0)
       .select(col(idCol), col("n_grams"), col("n_hits"),
         // ratioQ idiom: exact-integer scale + one double division —
         // round() diverges from DuckDB on decimal ties (q52/q150)

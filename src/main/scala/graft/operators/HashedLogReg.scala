@@ -46,11 +46,13 @@ object HashedLogReg {
       .agg(count(lit(1)).cast("double").as("_c"))
       .groupBy(col(idCol), col("_y"))
       .agg(collect_list(col("_i")).as("_idxs"),
-        collect_list(col("_c")).as("_cs"))
+        collect_list(col("_c")).as("_cs"),
+        sum(col("_c")).as("_n"))
       .select(col(idCol), col("_y"), col("_idxs"),
-        // normalized term frequency: x_i = count_i / doc_len
-        transform(col("_cs"), c => c / aggregate(col("_cs"), lit(0.0d),
-          (a, x) => a + x)).as("_vals"))
+        // normalized term frequency x_i = count_i / doc_len; the total
+        // comes from the aggregate above — folding it inside transform
+        // would re-sum per element, O(u²) per doc
+        transform(col("_cs"), c => c / col("_n")).as("_vals"))
   }
 
   /** Train on a featurized frame (from [[featurize]]). Returns the

@@ -52,7 +52,9 @@ object PqIndex {
       // int-array codes for training: BinaryType (the at-rest form)
       // is not element_at-indexable
       val cbNow = cb
-      val codes = udf((v: Seq[Float]) => assignCodes(cbNow, v).map(_.toInt))
+      // & 0xff, not toInt: codes >= 128 would sign-extend negative and
+      // index out of bounds in the update loop for ksub in 129..256
+      val codes = udf((v: Seq[Float]) => assignCodes(cbNow, v).map(_ & 0xff))
       val means = df
         .select(col(embCol).as("_e"), codes(col(embCol)).as("_c"))
         .select(posexplode(col("_e")).as(Seq("_p", "_v")), col("_c"))
