@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    `dim` buckets (xxhash64 — Spark-native, stable across sessions),
   *    per-doc term frequencies normalized by doc length; the frame is
   *    cached for the duration of training;
-  *  - each full-batch iteration is ONE shuffle-free `treeAggregate`
+  *  - each full-batch iteration is ONE shuffle-free `aggregate`
   *    (weights riding the closure — `dim` doubles, KBs; every partition
   *    folds its docs into one dim+2 gradient array); the driver only
   *    ever holds the weight vector, exactly the distributed-LR shape of
@@ -58,11 +58,11 @@ object HashedLogReg {
   /** Train on a featurized frame (from [[featurize]]). Returns the
     * model plus the per-iteration mean log-loss trace.
     *
-    * Each iteration is ONE `treeAggregate` over the cached feature RDD
-    * — the exact classic distributed-LR shape (MLlib's, minus L-BFGS):
-    * every partition folds its documents into a single dim+2 gradient
-    * array (feature grads, bias grad, loss), arrays tree-combine to the
-    * driver, NO shuffle exists anywhere in the loop. The earlier
+    * Each iteration is ONE shuffle-free `aggregate` over the cached
+    * feature RDD — the classic distributed-LR shape (MLlib's, minus
+    * L-BFGS): every partition folds its documents into a single dim+2
+    * gradient array (feature grads, bias grad, loss) and the partials
+    * merge on the driver; NO shuffle exists anywhere in the loop. The earlier
     * explode → groupBy formulation was measured 5× slower at sf0.1
     * (16.8 s → 3.3 s, same session back-to-back):
     * 30 iterations × 2 stages × shuffle.partitions tasks of pure
@@ -84,7 +84,15 @@ object HashedLogReg {
       var it = 0
       while (it < iters) {
         val wNow = w; val bNow = b; val d = dim
-        val acc = cached.treeAggregate(new Array[Double](d + 2))(
+        // plain aggregate, NOT treeAggregate: the tree level adds a
+        // Kryo-serialized shuffle of the partials, which (a) is pure
+        // overhead at dim ~1k (one array per partition merges fine on
+        // the driver) and (b) crashes under a plain-java launch on
+        // JDK 17 (Kryo needs --add-opens java.base/java.nio for its
+        // relocation probe; sbt forks add it, the bench driver doesn't).
+        // treeAggregate only pays when dim × partitions outgrows the
+        // driver — rewire then.
+        val acc = cached.aggregate(new Array[Double](d + 2))(
           (st, row) => {
             val (y, idxs, vals) = row
             var m = bNow; var i = 0
