@@ -150,4 +150,72 @@ class PropertySpec extends SparkSpec {
       assert(self.estimate == ea)
     }
   }
+
+  test("gopher repetition property: engine fractions equal a plain-Scala model") {
+    // small alphabet forces heavy repetition; include empty/blank docs
+    val docGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield ws.mkString(" ")
+    val docs = cases(docGen).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.text.TextFunctions.gopherRepetition(df, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+
+    def q4(num: Long, den: Long): Double =
+      math.floor(num * 10000.0 / den + 0.5) / 10000.0
+    def grams(ts: Seq[String], n: Int): Seq[String] =
+      if (ts.length < n) Nil else ts.sliding(n).map(_.mkString(" ")).toSeq
+    docs.foreach { case (id, text) =>
+      val ts = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (ts.isEmpty) assert(!got.contains(id))
+      else {
+        val (nw, topw, top2, dup3) = got(id)
+        assert(nw == ts.length.toLong)
+        assert(topw == q4(ts.groupBy(identity).values.map(_.size).max, ts.length))
+        val g2 = grams(ts, 2)
+        val expTop2 = if (g2.isEmpty) 0.0
+          else q4(g2.groupBy(identity).values.map(_.size).max, g2.length)
+        assert(top2 == expTop2, s"doc $id top2 $top2 != $expTop2")
+        val g3 = grams(ts, 3)
+        val expDup3 = if (g3.isEmpty) 0.0
+          else q4(g3.length - g3.distinct.length, g3.length)
+        assert(dup3 == expDup3, s"doc $id dup3 $dup3 != $expDup3")
+        Seq(topw, top2, dup3).foreach(f => assert(f >= 0.0 && f <= 1.0))
+      }
+    }
+  }
+
+  test("decontaminate property: flags exactly the docs sharing a 3-gram") {
+    val docGen = for {
+      n <- Gen.choose(0, 15)
+      ws <- Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w", "v"))
+    } yield ws.mkString(" ")
+    val all = cases(docGen).take(120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (bench0, corpus0) = all.partition(_._1 % 7 == 0)
+    val corpus = corpus0.toDF("doc_id", "text")
+    val bench = bench0.toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def gramSet(t: String): Set[String] = {
+      val ts = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = bench0.flatMap(d => gramSet(d._2)).toSet
+    corpus0.foreach { case (id, text) =>
+      val gs = gramSet(text)
+      val hits = (gs intersect evalGrams).size.toLong
+      if (hits == 0) assert(!got.contains(id), s"doc $id falsely flagged")
+      else {
+        val (nGrams, nHits) = got(id)
+        assert(nGrams == gs.size.toLong && nHits == hits,
+          s"doc $id: got ($nGrams, $nHits), expected (${gs.size}, $hits)")
+        assert(nHits <= nGrams)
+      }
+    }
+  }
 }
