@@ -482,4 +482,61 @@ class StreamingSpec extends SparkSpec {
     assert(served.length == serveDates.length)
     assert(served.forall(r => r.getAs[String]("payload_json").startsWith("[")))
   }
+
+  test("streaming quality gate: arriving docs pass the frozen classifier " +
+       "+ Gopher rules per micro-batch, equal to the batch filter") {
+    import graft.operators.HashedLogReg
+    import graft.text.TextFunctions
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    docs.count()
+    // train ONCE on the historical corpus (label = the langId rule),
+    // then serve the frozen model against the stream — the production
+    // split: training is offline, the stream only scores
+    val model = HashedLogReg.train(docs, "text",
+      TextFunctions.langId(col("text")) === "en", "doc_id",
+      dim = 256, iters = 10, lr = 4.0)
+
+    val dir = Files.createTempDirectory("graft-qgate").toString
+    val arrive1 = docs.limit(6)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val arrive2 = docs.filter(col("doc_id") >= 6).limit(6)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    arrive1.coalesce(1).write.json(s"$dir/b1")
+    arrive2.coalesce(1).write.json(s"$dir/b2")
+
+    def gate(batch: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val rules = TextFunctions.gopherRepetition(batch, "text", "doc_id")
+        .filter(col("top_word_frac") <= 0.3)
+        .select(col("doc_id"))
+      HashedLogReg.score(batch, "text", "doc_id", model)
+        .join(rules, "doc_id")
+        .select(col("doc_id"), (col("prob") > 0.5).as("pred_en"))
+    }
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+    val ckpt = Files.createTempDirectory("graft-qgate-ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= gate(batch).collect()
+            .map(r => (r.getLong(0), r.getBoolean(1)))
+        }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    val want = gate(arrive1.unionByName(arrive2))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(got.toSet == want, s"streaming=${got.toSet} batch=$want")
+    assert(want.nonEmpty)
+    docs.unpersist()
+  }
 }
