@@ -3297,6 +3297,28 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- Zipf slope per source (corpus-profiling statistic: natural
+    // text fits log f ≈ a + s·log r with s near −1; synthetic or
+    // degenerate corpora deviate — a drift detector for ingest). The
+    // rank window is per-source over the VOCABULARY grain (≪ corpus);
+    // the regression is one moment aggregate, map-side combinable ----
+    "q194_zipf_slope" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val freq = tok.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("f").desc, col("w"))))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          round(regr_slope(log(col("f")), log(col("r"))), 4).as("zipf_slope"),
+          round(regr_r2(log(col("f")), log(col("r"))), 4).as("r2"))
+        .orderBy(col("source"))
+    }),
+
     // ---- the curation FUNNEL: the four q187-q191 stages composed the
     // way a real corpus-curation run chains them, reporting per-stage
     // survivor counts (raw → repetition rules → quality rules →
@@ -4271,6 +4293,21 @@ object SparkEntry {
     "q190_ann_pq" ->
       """SELECT 'pq_m8_k64_refine200' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    "q194_zipf_slope" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |t2 AS (SELECT source, w FROM tok WHERE w <> ''),
+        |freq AS (SELECT source, w, count(*) AS f FROM t2 GROUP BY 1, 2),
+        |ranked AS (SELECT source, f,
+        |  row_number() OVER (PARTITION BY source ORDER BY f DESC, w) AS r
+        | FROM freq)
+        |SELECT source, count(*) AS n_types,
+        | round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+        | round(regr_r2(ln(f), ln(r)), 4) AS r2
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the four stage definitions are verbatim the q187/q188/q189/q191
     // oracle fragments; the funnel is their conjunction
