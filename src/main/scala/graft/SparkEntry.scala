@@ -3297,6 +3297,29 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- multi-step BPE tokenizer training (the iterative extension
+    // of q89's single merge step): 20 merges learned on the frequency-
+    // weighted VOCABULARY (per-iteration cost independent of corpus
+    // size), then the corpus re-tokenized under them. The oracle
+    // replays the FIRST merge relationally (q89's argmax) — a real
+    // check that the trainer's counting+tie-break agree with SQL —
+    // plus the constants the spec pins (merge count, compression) ----
+    "q195_bpe_train" -> ((s, d) => {
+      import graft.text.BpeTrainer
+      val docs = tSpread(s, d, "documents")
+      val merges = BpeTrainer.train(docs, "text", 20)
+      val stats = BpeTrainer.tokenize(docs, "text", merges)
+        .select(sum(size(col("tokens"))).as("nt"),
+          sum(length(regexp_replace(trim(lower(col("text"))), "\\s+", "")))
+            .as("nc")).head()
+      val first = merges.head
+      import s.implicits._
+      Seq((merges.size.toLong, first.left, first.right, first.freq,
+          stats.getLong(0) < stats.getLong(1)))
+        .toDF("n_merges", "first_left", "first_right", "first_freq",
+          "compression_ok")
+    }),
+
     // ---- Zipf slope per source (corpus-profiling statistic: natural
     // text fits log f ≈ a + s·log r with s near −1; synthetic or
     // degenerate corpora deviate — a drift detector for ingest). The
@@ -4293,6 +4316,34 @@ object SparkEntry {
     "q190_ann_pq" ->
       """SELECT 'pq_m8_k64_refine200' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    // first merge replayed relationally (q89's CTE chain); count and
+    // compression are spec-pinned constants, the q170/q185 pattern
+    "q195_bpe_train" ->
+      """WITH words AS (
+        | SELECT w, count(*) AS wf FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents)
+        | WHERE length(w) > 0 GROUP BY 1),
+        |chars AS (
+        | SELECT w, wf, unnest(range(1, length(w) + 1)) AS i FROM words),
+        |sym AS (
+        | SELECT w, wf, i, substr(w, CAST(i AS INT), 1) AS s1 FROM chars),
+        |pairs AS (
+        | SELECT w, wf, s1,
+        |  lead(s1, 1) OVER (PARTITION BY w ORDER BY i) AS s2
+        | FROM sym QUALIFY s2 IS NOT NULL),
+        |counted AS (
+        | SELECT s1, s2, CAST(sum(wf) AS BIGINT) AS pair_freq
+        | FROM pairs GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT s1, s2, pair_freq,
+        |  row_number() OVER (ORDER BY pair_freq DESC, s1, s2) AS rank
+        | FROM counted)
+        |SELECT CAST(20 AS BIGINT) AS n_merges, s1 AS first_left,
+        | s2 AS first_right, pair_freq AS first_freq,
+        | true AS compression_ok
+        |FROM ranked WHERE rank = 1""".stripMargin,
 
     "q194_zipf_slope" ->
       """WITH tok AS (

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-step BPE tokenizer training (Sennrich et al. 2016) — the
+  * iterative extension of q89's single merge step. Like q89, counting
+  * runs on the word VOCABULARY weighted by word frequency, never on the
+  * corpus: the per-iteration cost is independent of corpus size (the
+  * standard trick — a 100 TB corpus and its 10 M-type vocabulary train
+  * identical tokenizers), so `train` is one corpus-grain aggregate up
+  * front plus `nMerges` vocabulary-grain jobs.
+  *
+  * Each iteration: segment every vocab word under the merges learned so
+  * far (map-side, deterministic), explode adjacent symbol pairs
+  * weighted by word frequency, ONE pair-grain aggregate, and the argmax
+  * pair (freq desc, then lexicographic — deterministic ties) becomes
+  * the next merge. Driver state is the merge list only.
+  */
+object BpeTrainer {
+
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** Apply a merge sequence to a word's character segmentation — the
+    * greedy in-order replay every BPE implementation uses. */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
+  /** Learn `nMerges` merges from the corpus. */
+  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val vocab = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .persist()
+    try {
+      vocab.count()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      var rank = 1
+      while (rank <= nMerges) {
+        val sofar = merges.map(m => (m.left, m.right)).toSeq
+        val seg = udf((w: String) => applyMerges(w, sofar))
+        val top = vocab
+          .select(col("wf"), seg(col("w")).as("_s"))
+          .filter(size(col("_s")) >= 2)
+          .select(col("wf"), posexplode(col("_s")).as(Seq("_p", "_l")),
+            col("_s"))
+          .filter(col("_p") < size(col("_s")) - 1)
+          .select(col("_l"),
+            element_at(col("_s"), col("_p") + 2).as("_r"), col("wf"))
+          .groupBy(col("_l"), col("_r")).agg(sum(col("wf")).as("_f"))
+          .orderBy(col("_f").desc, col("_l"), col("_r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) return merges.toSeq // vocabulary fully merged
+        val r0 = top(0)
+        merges += Merge(rank, r0.getString(0), r0.getString(1), r0.getLong(2))
+        rank += 1
+      }
+      merges.toSeq
+    } finally { vocab.unpersist(); () }
+  }
+
+  /** Tokenize text under a learned merge list: (original columns...,
+    * tokens array). Pure map-side. */
+  def tokenize(df: DataFrame, textCol: String,
+               merges: Seq[Merge]): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val tok = udf((t: String) =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => applyMerges(w, pairs)))
+    df.withColumn("tokens", tok(col(textCol)))
+  }
+}
