@@ -47,6 +47,11 @@ object BpeTrainer {
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      // the vocabulary is tiny relative to the corpus (types, not
+      // tokens); packing it into few partitions trims the per-merge
+      // task-launch overhead (3.9 s → 3.3 s for 20 merges at sf0.1 —
+      // the remaining floor is one pair-grain aggregate job per merge)
+      .coalesce(4)
       .persist()
     try {
       vocab.count()
