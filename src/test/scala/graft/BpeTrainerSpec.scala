@@ -49,4 +49,55 @@ class BpeTrainerSpec extends SparkSpec {
     assert(merges.map(_.rank) == (1 to 10))
     assert(merges.forall(_.freq > 0))
   }
+
+  test("property: full merge sequence equals an independent in-memory model") {
+    // naive reference BPE: count adjacent pairs over (word, freq),
+    // argmax (freq desc, pair lex asc), merge, repeat
+    def refBpe(vocab: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      var segs: Map[Seq[String], Long] =
+        vocab.map { case (w, f) => (w.map(_.toString): Seq[String]) -> f }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.foreach { case (s, f) =>
+          s.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.isEmpty) return out.toSeq
+        val ((l, r), f) = counts.toSeq
+          .sortBy { case ((l, r), f) => (-f, l, r) }.head
+        out += ((l, r, f))
+        segs = segs.toSeq.map { case (s, wf) =>
+          val m = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              m += l + r; i += 2
+            } else { m += s(i); i += 1 }
+          }
+          (m.toSeq, wf)
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      }
+      out.toSeq
+    }
+
+    val rng = new scala.util.Random(53)
+    for (trial <- 0 until 3) {
+      val words = (0 until 40).map { _ =>
+        (0 until (2 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(3)).toChar)
+          .mkString
+      }
+      val docs = (0 until 60).map { i =>
+        (i.toLong, (0 until (3 + rng.nextInt(8)))
+          .map(_ => words(rng.nextInt(words.length))).mkString(" "))
+      }.toDF("id", "text")
+      val got = BpeTrainer.train(docs, "text", 8)
+        .map(m => (m.left, m.right, m.freq))
+      val vocab = docs.collect().flatMap(_.getString(1).split(" "))
+        .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+      val want = refBpe(vocab, 8)
+      assert(got == want, s"trial $trial: engine=$got ref=$want")
+    }
+  }
 }
