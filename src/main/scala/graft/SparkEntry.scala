@@ -3326,11 +3326,9 @@ object SparkEntry {
     // rank window is per-source over the VOCABULARY grain (≪ corpus);
     // the regression is one moment aggregate, map-side combinable ----
     "q194_zipf_slope" -> ((s, d) => {
-      val tok = tSpread(s, d, "documents")
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-        .filter(col("w") =!= "")
+      val tok = TextFunctions
+        .unigrams(tSpread(s, d, "documents"), "text", col("source"))
+        .select(col("source"), col("_w").as("w"))
       val freq = tok.groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as("f"))
       val ranked = freq.withColumn("r", row_number().over(

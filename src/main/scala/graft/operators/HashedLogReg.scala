@@ -35,11 +35,13 @@ object HashedLogReg {
     * be 0/1. */
   def featurize(df: DataFrame, textCol: String, labelExpr:
       org.apache.spark.sql.Column, idCol: String, dim: Int): DataFrame = {
-    val tok = df
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), labelExpr.cast("double").as("_y"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("_w"))
-      .filter(col("_w") =!= "")
+    // fail fast on a null label (the API contract is 0/1): a silent
+    // null would NPE deep inside an executor during training instead
+    val label = when(labelExpr.cast("double").isNull,
+      raise_error(lit(s"null label for a non-blank document " +
+        s"(labelExpr must be 0/1)"))).otherwise(labelExpr.cast("double"))
+    val tok = graft.text.TextFunctions
+      .unigrams(df, textCol, col(idCol), label.as("_y"))
       .select(col(idCol), col("_y"),
         pmod(xxhash64(col("_w")), lit(dim.toLong)).cast("int").as("_i"))
     tok.groupBy(col(idCol), col("_y"), col("_i"))

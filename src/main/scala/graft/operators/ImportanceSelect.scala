@@ -36,13 +36,9 @@ object ImportanceSelect {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
                   idCol: String): DataFrame = {
-    def toks(df: DataFrame, cols: Column*): DataFrame = df
-      .filter(length(trim(col(textCol))) > 0)
-      .select((cols :+
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("_w")): _*)
-      .filter(col("_w") =!= "")
-    val rawTok = toks(raw, col(idCol))
-    val targetTok = toks(target)
+    import graft.text.TextFunctions.unigrams
+    val rawTok = unigrams(raw, textCol, col(idCol))
+    val targetTok = unigrams(target, textCol)
     val cR = rawTok.groupBy(col("_w")).agg(count(lit(1)).as("_cr"))
     val cT = targetTok.groupBy(col("_w")).agg(count(lit(1)).as("_ct"))
     // scalar totals: raw token mass, vocabulary size, target token mass

@@ -42,11 +42,8 @@ object BpeTrainer {
 
   /** Learn `nMerges` merges from the corpus. */
   def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    val vocab = df
-      .filter(length(trim(col(textCol))) > 0)
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val vocab = TextFunctions.unigrams(df, textCol)
+      .groupBy(col("_w").as("w")).agg(count(lit(1)).as("wf"))
       // the vocabulary is tiny relative to the corpus (types, not
       // tokens); packing it into few partitions trims the per-merge
       // task-launch overhead (3.9 s → 3.3 s for 20 merges at sf0.1 —
@@ -87,7 +84,8 @@ object BpeTrainer {
                merges: Seq[Merge]): DataFrame = {
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
     val tok = udf((t: String) =>
-      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (t == null) Array.empty[String]
+      else t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
         .flatMap(w => applyMerges(w, pairs)))
     df.withColumn("tokens", tok(col(textCol)))
   }

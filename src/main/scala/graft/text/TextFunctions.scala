@@ -143,6 +143,20 @@ object TextFunctions {
         sum(col("b")).as("n_spans"))
   }
 
+  /** The one lowercased-whitespace-unigram explode every corpus
+    * operator shares (DSIR, the hashed classifier, BPE training,
+    * Zipf profiling): blank/null docs dropped, empty tokens dropped,
+    * token column named `_w`. Centralized because the tokenization
+    * must stay symmetric with the oracle SQL in all of them — a
+    * Unicode-whitespace tweak in one copy would silently diverge the
+    * rest. */
+  def unigrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+               keep: Column*): org.apache.spark.sql.DataFrame = df
+    .filter(length(trim(col(textCol))) > 0)
+    .select((keep :+
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("_w")): _*)
+    .filter(col("_w") =!= "")
+
   /** Multiplicity of the array's mode — the max run length of equal
     * adjacent elements after sorting. A pure map-side higher-order fold
     * (O(n log n) per document, ZERO shuffle), which is what lets the

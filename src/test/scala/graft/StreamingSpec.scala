@@ -499,9 +499,12 @@ class StreamingSpec extends SparkSpec {
       dim = 256, iters = 10, lr = 4.0)
 
     val dir = Files.createTempDirectory("graft-qgate").toString
-    val arrive1 = docs.limit(6)
+    // id-range filters, not limit(): these frames are evaluated twice
+    // (JSON write + batch reference) and limit without order is not
+    // deterministic across executions
+    val arrive1 = docs.filter(col("doc_id") < 6)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    val arrive2 = docs.filter(col("doc_id") >= 6).limit(6)
+    val arrive2 = docs.filter(col("doc_id") >= 6 && col("doc_id") < 12)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     arrive1.coalesce(1).write.json(s"$dir/b1")
     arrive2.coalesce(1).write.json(s"$dir/b2")
