@@ -199,6 +199,66 @@ object PqIndex {
     Codebook(m, subDim, cents)
   }
 
+  /** Measured ADC shortlist recall over `nQueries` deterministic
+    * sample vectors (the same multiplicative-hash row pick as
+    * centroid seeding): for each sampled query, what fraction of the
+    * exact top-`k` appears in the ADC top-`shortlist`. This is the
+    * health metric of a PQ index — codebook drift shows up here first
+    * (the refine stage can only re-rank what the shortlist caught). */
+  def adcRecall(base: DataFrame, codes: DataFrame, embCol: String,
+                idCol: String, cb: Codebook, nQueries: Int = 5,
+                k: Int = 20, shortlist: Int = 200): Double = {
+    val qs = IvfIndex.centroids(base, embCol, idCol, nQueries).map(_._2)
+    val per = qs.map { q =>
+      val exact = VectorFunctions.topK(base, embCol, idCol, q, k)
+        .collect().map(_.get(0)).toSet
+      val short = searchAdc(codes, idCol, cb, q, shortlist)
+        .collect().map(_.get(0)).toSet
+      (exact intersect short).size.toDouble / k
+    }
+    per.sum / per.length
+  }
+
+  /** Check a stored IVF-PQ index and retrain when degraded — PQ's
+    * analogue of [[IvfIndex.maintainIndex]] (all four index families
+    * carry the same post-heavy-write maintenance contract). The
+    * codebook was trained on the corpus AS OF build time; after enough
+    * drifted adds the codes quantize the new region poorly and ADC
+    * shortlist recall decays — measured directly, not inferred:
+    *
+    *  1. measure [[adcRecall]] of the stored codes against the CURRENT
+    *     base vectors; at or above `recallFloor` the call is a no-op;
+    *  2. below it, retrain the codebook on the current base, re-encode
+    *     every cell, stage the rebuilt index into a sibling directory,
+    *     atomically swap, and persist the new codebook.
+    *
+    * Single-writer like the other families' maintenance. Returns the
+    * live codebook and whether a rebuild happened. */
+  def maintainIndex(spark: SparkSession, path: String, base: DataFrame,
+                    embCol: String, idCol: String,
+                    cs: Array[(Int, Array[Float])], cb: Codebook,
+                    dim: Int, recallFloor: Double = 0.8,
+                    nQueries: Int = 5, k: Int = 20,
+                    shortlist: Int = 200): (Codebook, Boolean) = {
+    val codes = IvfIndex.readIndex(spark, path)
+    val recall = adcRecall(base, codes, embCol, idCol, cb, nQueries, k,
+      shortlist)
+    if (recall >= recallFloor) return (cb, false)
+    val next = train(base, embCol, idCol, dim, cb.m, cb.ksub)
+    val staging = path.stripSuffix("/") + "._rebuild"
+    IvfIndex.writeIndex(
+      encode(IvfIndex.build(base, embCol, idCol, cs), embCol, idCol,
+        next, keep = Seq("centroid_id")), staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"could not swap rebuilt PQ index into $path")
+    writeCodebook(spark, next, path)
+    (next, true)
+  }
+
   /** ADC shortlist + exact re-rank (faiss's IndexRefineFlat contract):
     * the m-byte codes pick `shortlist` candidates, then ONLY those rows'
     * float vectors are read back for an exact cosine top-k. At 100 TB

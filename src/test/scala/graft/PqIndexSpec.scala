@@ -156,4 +156,46 @@ class PqIndexSpec extends SparkSpec {
       (cid, if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc))
     }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
   }
+
+  test("maintenance: drifted corpus detected by ADC recall and repaired") {
+    // the index was built for THIS distribution...
+    val cs0 = IvfIndex.centroids(data, "emb", "id", 8)
+    // ...but the corpus has since drifted to entirely new clusters
+    val drng = new scala.util.Random(37)
+    val dcenters = Array.fill(8)(
+      Array.fill(dim)(50f + drng.nextGaussian().toFloat * 5))
+    val drifted = (0 until 4000).map { i =>
+      val c = dcenters(i % 8)
+      (i.toLong, c.map(x => (x + drng.nextGaussian() * 1.0).toFloat))
+    }.toDF("id", "emb")
+    val csD = IvfIndex.centroids(drifted, "emb", "id", 8)
+    val tmp = java.nio.file.Files.createTempDirectory("pq-maint").toString
+
+    // stale codebook (trained on `data`) encoding the DRIFTED corpus
+    IvfIndex.writeIndex(
+      PqIndex.encode(IvfIndex.build(drifted, "emb", "id", csD),
+        "emb", "id", cb, keep = Seq("centroid_id")), s"$tmp/idx")
+    val before = PqIndex.adcRecall(drifted,
+      IvfIndex.readIndex(spark, s"$tmp/idx"), "emb", "id", cb,
+      nQueries = 3, k = 10, shortlist = 50)
+
+    val (cb2, rebuilt) = PqIndex.maintainIndex(spark, s"$tmp/idx",
+      drifted, "emb", "id", csD, cb, dim, recallFloor = 0.8,
+      nQueries = 3, k = 10, shortlist = 50)
+    assert(rebuilt, s"stale codebook not detected (recall was $before)")
+    assert(before < 0.8)
+
+    val after = PqIndex.adcRecall(drifted,
+      IvfIndex.readIndex(spark, s"$tmp/idx"), "emb", "id", cb2,
+      nQueries = 3, k = 10, shortlist = 50)
+    assert(after >= 0.8, s"retrain did not repair recall: $before -> $after")
+    // the persisted codebook is the retrained one
+    val stored = PqIndex.readCodebook(spark, s"$tmp/idx")
+    assert(stored.cents(0)(0).toSeq == cb2.cents(0)(0).toSeq)
+    // a healthy index is a no-op
+    val (cb3, again) = PqIndex.maintainIndex(spark, s"$tmp/idx",
+      drifted, "emb", "id", csD, cb2, dim, recallFloor = 0.8,
+      nQueries = 3, k = 10, shortlist = 50)
+    assert(!again && (cb3 eq cb2))
+  }
 }
