@@ -199,6 +199,103 @@ object PqIndex {
     Codebook(m, subDim, cents)
   }
 
+  // ---------------------------------------------------- residual PQ
+  //
+  // Raw-vector PQ quantizes the GLOBAL point cloud: on clustered data
+  // most of each code's resolution is spent telling clusters apart —
+  // information the IVF cell id already carries — and within-cluster
+  // ranking collapses. Residual encoding (faiss's IVFPQ default)
+  // quantizes v − centroid(cell) instead: the full per-subspace
+  // codebook models the LOCAL noise around each centroid, recovering
+  // within-cell resolution at identical at-rest bytes.
+
+  private def residualUdf(cs: Array[(Int, Array[Float])]) =
+    udf { (v: Seq[Float], cid: Int) =>
+      val c = cs(cid)._2
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+
+  /** Train the codebook on cell residuals of an already-cell-assigned
+    * frame (from [[IvfIndex.build]]). */
+  def trainResidual(index: DataFrame, embCol: String, idCol: String,
+                    cs: Array[(Int, Array[Float])], dim: Int,
+                    m: Int = 8, ksub: Int = 64, iters: Int = 3): Codebook = {
+    val res = index.withColumn("_res",
+      residualUdf(cs)(col(embCol), col("centroid_id")))
+    train(res, "_res", idCol, dim, m, ksub, iters)
+  }
+
+  /** Encode cell residuals: (centroid_id, idCol, pq) — write with
+    * [[IvfIndex.writeIndex]] exactly like the raw form. */
+  def encodeResidual(index: DataFrame, embCol: String, idCol: String,
+                     cb: Codebook,
+                     cs: Array[(Int, Array[Float])]): DataFrame = {
+    val res = index.withColumn("_res",
+      residualUdf(cs)(col(embCol), col("centroid_id")))
+    encode(res, "_res", idCol, cb, keep = Seq("centroid_id"))
+  }
+
+  /** IVF-ADC over residual codes: the reconstruction is
+    * `centroid(cell) + decode(code)`, so
+    * `dot(q, v̂) = dot(q, c) + Σ_s dotT[s][code_s]` and
+    * `|v̂|² = |c|² + 2·Σ_s cross[cell][s][code_s] + Σ_s sq[s][code_s]`
+    * — all three tables precomputed driver-side
+    * (nCells·m·ksub doubles, KBs), probe cost still m lookups. */
+  def searchIvfAdcResidual(codes: DataFrame, idCol: String,
+                           cs: Array[(Int, Array[Float])], cb: Codebook,
+                           query: Array[Float], k: Int,
+                           nProbe: Int): DataFrame = {
+    val cells = IvfIndex.routeCellsFor(cs, query, nProbe)
+    val dotT = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
+      val c = cb.cents(s)(j); val off = s * cb.subDim
+      var d = 0.0; var i = 0
+      while (i < cb.subDim) { d += query(off + i).toDouble * c(i); i += 1 }
+      d
+    }
+    val sqT = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
+      val c = cb.cents(s)(j)
+      var n = 0.0; var i = 0
+      while (i < cb.subDim) { n += c(i).toDouble * c(i); i += 1 }
+      n
+    }
+    val qc = cs.map { case (_, c) =>
+      var d = 0.0; var i = 0
+      val n = math.min(query.length, c.length)
+      while (i < n) { d += query(i).toDouble * c(i); i += 1 }
+      d
+    }
+    val c2 = cs.map { case (_, c) =>
+      var n = 0.0; var i = 0
+      while (i < c.length) { n += c(i).toDouble * c(i); i += 1 }
+      n
+    }
+    val crossT = Array.tabulate(cs.length, cb.m, cb.ksub) { (cell, s, j) =>
+      val c = cs(cell)._2; val cent = cb.cents(s)(j); val off = s * cb.subDim
+      var d = 0.0; var i = 0
+      while (i < cb.subDim) { d += c(off + i).toDouble * cent(i); i += 1 }
+      d
+    }
+    var qn = 0.0
+    query.foreach(x => qn += x.toDouble * x)
+    val qNorm = math.sqrt(qn)
+    val scoreUdf = udf { (cid: Int, code: Array[Byte]) =>
+      var d = qc(cid); var n = c2(cid); var s = 0
+      while (s < code.length) {
+        val j = code(s) & 0xff
+        d += dotT(s)(j)
+        n += 2.0 * crossT(cid)(s)(j) + sqT(s)(j)
+        s += 1
+      }
+      if (qNorm == 0 || n <= 0) 0.0 else d / (qNorm * math.sqrt(n))
+    }
+    codes.filter(col("centroid_id")
+        .isin(cells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col(idCol),
+        scoreUdf(col("centroid_id"), col("pq")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Measured ADC shortlist recall over `nQueries` deterministic
     * sample vectors (the same multiplicative-hash row pick as
     * centroid seeding): for each sampled query, what fraction of the

@@ -198,4 +198,77 @@ class PqIndexSpec extends SparkSpec {
       nQueries = 3, k = 10, shortlist = 50)
     assert(!again && (cb3 eq cb2))
   }
+
+  test("residual PQ halves reconstruction error on many-cluster data " +
+       "at identical bytes; recall does not regress") {
+    // 64 clusters vs a 64-code-per-subspace codebook: raw PQ spends
+    // its codes re-encoding WHICH cluster (which the IVF cell id
+    // already narrows); residuals relative to the 16 IVF centroids
+    // span a far tighter range, so the same 8 bytes reconstruct much
+    // closer. Reconstruction MSE is the metric PQ training minimizes
+    // and the sharp, seed-stable discriminator; under cosine the
+    // recall gain on synthetic near-tie blobs is real but thin, so it
+    // is asserted as no-regression (the serving contract remains
+    // shortlist + exact refine either way).
+    val mrng = new scala.util.Random(43)
+    val mcenters = Array.fill(64)(
+      Array.fill(dim)(mrng.nextGaussian().toFloat * 5))
+    val mdata = (0 until 6400).map { i =>
+      val c = mcenters(i % 64)
+      (i.toLong, c.map(x => (x + mrng.nextGaussian() * 1.0).toFloat))
+    }.toDF("id", "emb")
+    // k-means cells at nlist ≈ cluster count — the IVFPQ operating
+    // point (residuals are only small relative to cell MEANS; against
+    // hash-sampled routing points they can exceed the raw spread)
+    val cs = IvfIndex.kmeansCentroids(mdata, "emb", "id", 64, iters = 3)
+    val index = IvfIndex.build(mdata, "emb", "id", cs)
+    val rawCb = PqIndex.train(mdata, "emb", "id", dim, m = 8, ksub = 64,
+      iters = 3)
+    val rcb = PqIndex.trainResidual(index, "emb", "id", cs, dim,
+      m = 8, ksub = 64, iters = 3)
+    val rawCodes = PqIndex.encode(index, "emb", "id", rawCb,
+      keep = Seq("centroid_id"))
+    val resCodes = PqIndex.encodeResidual(index, "emb", "id", rcb, cs)
+    assert(resCodes.head().getAs[Array[Byte]]("pq").length == 8)
+
+    // reconstruction error, computed driver-side from collected rows
+    val vecs = index.select($"id", $"emb", $"centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .toSeq
+    def decode(cb: PqIndex.Codebook, code: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      for (s <- 0 until cb.m; i <- 0 until cb.subDim)
+        out(s * cb.subDim + i) = cb.cents(s)(code(s) & 0xff)(i)
+      out
+    }
+    val rawByCid = rawCodes.collect()
+      .map(r => r.getLong(1) -> r.getAs[Array[Byte]]("pq")).toMap
+    val resByCid = resCodes.collect()
+      .map(r => r.getLong(1) -> r.getAs[Array[Byte]]("pq")).toMap
+    def mse(rec: (Long, Array[Float], Int) => Array[Float]): Double =
+      vecs.map { case (id, v, cid) =>
+        val h = rec(id, v, cid)
+        v.indices.map(i => math.pow(v(i) - h(i), 2)).sum
+      }.sum / vecs.size
+    val rawErr = mse((id, _, _) => decode(rawCb, rawByCid(id)))
+    val resErr = mse((id, _, cid) => {
+      val d = decode(rcb, resByCid(id)); val c = cs(cid)._2
+      Array.tabulate(dim)(i => c(i) + d(i))
+    })
+    info(s"reconstruction MSE: raw=$rawErr residual=$resErr")
+    assert(resErr < 0.7 * rawErr,
+      s"residual MSE $resErr not well under raw $rawErr")
+
+    val query = mdata.filter($"id" === 130L).select("emb")
+      .head().getSeq[Float](0).toArray
+    val exact = VectorFunctions.topK(mdata, "emb", "id", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    def recall(ids: Set[Long]): Double = (ids intersect exact).size / 20.0
+    val raw = recall(PqIndex.searchIvfAdc(rawCodes, "id", cs, rawCb, query,
+      k = 100, nProbe = 8).collect().map(_.getLong(0)).toSet)
+    val res = recall(PqIndex.searchIvfAdcResidual(resCodes, "id", cs, rcb,
+      query, k = 100, nProbe = 8).collect().map(_.getLong(0)).toSet)
+    info(s"recall@100: raw=$raw residual=$res")
+    assert(res >= raw - 0.05, s"residual recall $res regressed vs raw $raw")
+  }
 }
