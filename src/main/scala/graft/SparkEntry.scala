@@ -3297,6 +3297,63 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "store_lt_half")
     }),
 
+    // ---- residual IVF-PQ (faiss's IVFPQ default) under the recall-
+    // gate contract: codes quantize v − cellMean (k-means cells — the
+    // operating point the spec pins), ADC reconstructs centroid+code
+    // from precomputed tables. Gates refined recall AND that residual
+    // reconstruction beats raw-PQ reconstruction at identical bytes ----
+    "q196_ann_pq_residual" -> ((s, d) => {
+      import graft.vector.{IvfIndex, PqIndex}
+      val emb = tSpread(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val k = 20
+      val cs = IvfIndex.kmeansCentroids(t(s, d, "embeddings"), "embedding",
+        "vec_id", 16, iters = 2)
+      val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
+      val rawCb = PqIndex.train(emb, "embedding", "vec_id", 64, m = 8,
+        ksub = 64, iters = 3)
+      val rcb = PqIndex.trainResidual(index, "embedding", "vec_id", cs,
+        64, m = 8, ksub = 64, iters = 3)
+      val rawCodes = PqIndex.encode(index, "embedding", "vec_id", rawCb,
+        keep = Seq("centroid_id"))
+      val resCodes = PqIndex.encodeResidual(index, "embedding", "vec_id",
+        rcb, cs)
+      val short = PqIndex.searchIvfAdcResidual(resCodes, "vec_id", cs,
+          rcb, q, k = 200, nProbe = 16)
+        .select(col("vec_id"))
+      val refined = VectorFunctions.topK(emb.join(broadcast(short),
+          "vec_id"), "embedding", "vec_id", q, k)
+        .collect().map(_.getLong(0)).toSet
+      val exact = VectorFunctions.topK(emb, "embedding", "vec_id", q, k)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (refined intersect exact).size.toDouble / k
+      // reconstruction MSE, driver-side (corpus is bench-scale here;
+      // the spec carries the at-scale statement)
+      val rows = index.select(col("vec_id"), col("embedding"),
+          col("centroid_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      val rawBy = rawCodes.collect()
+        .map(r => r.getLong(1) -> r.getAs[Array[Byte]]("pq")).toMap
+      val resBy = resCodes.collect()
+        .map(r => r.getLong(1) -> r.getAs[Array[Byte]]("pq")).toMap
+      def dec(cb: PqIndex.Codebook, code: Array[Byte]): Array[Float] =
+        Array.tabulate(64)(i =>
+          cb.cents(i / cb.subDim)(code(i / cb.subDim) & 0xff)(i % cb.subDim))
+      def mse(rec: (Long, Int) => Array[Float]): Double =
+        rows.map { case (id, v, cid) =>
+          val h = rec(id, cid)
+          v.indices.map(i => math.pow(v(i) - h(i), 2)).sum
+        }.sum / rows.length
+      val rawErr = mse((id, _) => dec(rawCb, rawBy(id)))
+      val resErr = mse((id, cid) => {
+        val dv = dec(rcb, resBy(id)); val c = cs.find(_._1 == cid).get._2
+        Array.tabulate(64)(i => c(i) + dv(i))
+      })
+      import s.implicits._
+      Seq(("pq_residual_m8_k64", k.toLong, recall >= 0.8, resErr < rawErr))
+        .toDF("method", "k", "recall_ge_floor", "mse_lt_raw")
+    }),
+
     // ---- multi-step BPE tokenizer training (the iterative extension
     // of q89's single merge step): 20 merges learned on the frequency-
     // weighted VOCABULARY (per-iteration cost independent of corpus
@@ -4314,6 +4371,12 @@ object SparkEntry {
     "q190_ann_pq" ->
       """SELECT 'pq_m8_k64_refine200' AS method, CAST(20 AS BIGINT) AS k,
         | true AS recall_ge_floor, true AS store_lt_half""".stripMargin,
+
+    // constant-replay oracle like q185/q190: booleans are deterministic
+    // functions of the data + fixed parameters
+    "q196_ann_pq_residual" ->
+      """SELECT 'pq_residual_m8_k64' AS method, CAST(20 AS BIGINT) AS k,
+        | true AS recall_ge_floor, true AS mse_lt_raw""".stripMargin,
 
     // first merge replayed relationally (q89's CTE chain); count and
     // compression are spec-pinned constants, the q170/q185 pattern
