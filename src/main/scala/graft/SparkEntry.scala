@@ -3367,6 +3367,8 @@ object SparkEntry {
       import graft.text.BpeTrainer
       val docs = tSpread(s, d, "documents")
       val merges = BpeTrainer.train(docs, "text", 20)
+      require(merges.nonEmpty,
+        "BPE training found no mergeable pairs in the corpus")
       val stats = BpeTrainer.tokenize(docs, "text", merges)
         .select(sum(size(col("tokens"))).as("nt"),
           sum(length(regexp_replace(trim(lower(col("text"))), "\\s+", "")))

@@ -83,10 +83,15 @@ object BpeTrainer {
   def tokenize(df: DataFrame, textCol: String,
                merges: Seq[Merge]): DataFrame = {
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
-    val tok = udf((t: String) =>
-      if (t == null) Array.empty[String]
-      else t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .flatMap(w => applyMerges(w, pairs)))
-    df.withColumn("tokens", tok(col(textCol)))
+    // the word split is the SAME Spark expression unigrams uses —
+    // only the merge replay lives in the UDF, so a tokenization tweak
+    // in TextFunctions cannot diverge training counts from tokenize
+    val applyU = udf { (ws: Seq[String]) =>
+      if (ws == null) Array.empty[String]
+      else ws.iterator.filter(_.nonEmpty)
+        .flatMap(w => applyMerges(w, pairs)).toArray
+    }
+    df.withColumn("tokens",
+      applyU(split(trim(lower(col(textCol))), "\\s+")))
   }
 }

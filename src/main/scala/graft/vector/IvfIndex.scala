@@ -237,12 +237,7 @@ object IvfIndex {
     // the directory it will replace, so it must never write into it
     val staging = path.stripSuffix("/") + "._rebuild"
     writeIndex(build(data, embCol, idCol, candidate), staging)
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
-      s"could not swap rebuilt index into $path")
+    atomicSwap(spark, path, staging)
     oldDesc.foreach {
       case graft.plans.AnnCatalog.IvfEntry(_, e, i, _, nProbe) =>
         graft.plans.AnnCatalog.persistDescriptor(
@@ -250,6 +245,21 @@ object IvfIndex {
       case _ => ()
     }
     (candidate, true)
+  }
+
+  /** Delete `path` and rename `staging` into its place — the staged-
+    * sibling rebuild swap every maintenance path shares. Single-writer;
+    * stage EVERYTHING that must survive (codes, descriptors, codebooks)
+    * into `staging` BEFORE calling — anything written to `path` after
+    * the delete sits in a crash window where neither version exists. */
+  private[vector] def atomicSwap(spark: SparkSession, path: String,
+                                 staging: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"could not swap rebuilt index into $path")
   }
 
   /** Search: probe the `nProbe` best cells, exact top-k within them. */

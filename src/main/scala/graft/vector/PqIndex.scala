@@ -109,10 +109,11 @@ object PqIndex {
     df.select((keep.map(col) :+ col(idCol) :+
       encodeUdf(cb)(col(embCol)).as("pq")): _*)
 
-  /** ADC scoring: the query is expanded ONCE (driver-side) into per-
-    * (subspace, code) dot products and reconstruction square-norms;
-    * each candidate's approximate cosine is then m lookups. */
-  private def adcUdf(cb: Codebook, query: Array[Float]) = {
+  /** Per-query ADC tables, built ONCE driver-side: per-(subspace, code)
+    * query dot products, per-(subspace, code) square norms, and the
+    * query norm. Shared by the raw and residual score paths. */
+  private def adcTables(cb: Codebook, query: Array[Float])
+      : (Array[Array[Double]], Array[Array[Double]], Double) = {
     val dot = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
       val c = cb.cents(s)(j); val off = s * cb.subDim
       var d = 0.0; var i = 0
@@ -127,7 +128,12 @@ object PqIndex {
     }
     var qn = 0.0
     query.foreach(x => qn += x.toDouble * x)
-    val qNorm = math.sqrt(qn)
+    (dot, sq, math.sqrt(qn))
+  }
+
+  /** ADC scoring: each candidate's approximate cosine is m lookups. */
+  private def adcUdf(cb: Codebook, query: Array[Float]) = {
+    val (dot, sq, qNorm) = adcTables(cb, query)
     udf { (code: Array[Byte]) =>
       var d = 0.0; var n = 0.0; var s = 0
       while (s < code.length) {
@@ -209,11 +215,16 @@ object PqIndex {
   // codebook models the LOCAL noise around each centroid, recovering
   // within-cell resolution at identical at-rest bytes.
 
-  private def residualUdf(cs: Array[(Int, Array[Float])]) =
+  // cid-KEYED, not positional: routeCellsFor/nearestCentroidUdf carry
+  // explicit cell ids, so a filtered or re-assembled cs array must not
+  // silently subtract the wrong centroid
+  private def residualUdf(cs: Array[(Int, Array[Float])]) = {
+    val byId = cs.toMap
     udf { (v: Seq[Float], cid: Int) =>
-      val c = cs(cid)._2
+      val c = byId(cid)
       Array.tabulate(v.length)(i => v(i) - c(i))
     }
+  }
 
   /** Train the codebook on cell residuals of an already-cell-assigned
     * frame (from [[IvfIndex.build]]). */
@@ -246,44 +257,34 @@ object PqIndex {
                            query: Array[Float], k: Int,
                            nProbe: Int): DataFrame = {
     val cells = IvfIndex.routeCellsFor(cs, query, nProbe)
-    val dotT = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
-      val c = cb.cents(s)(j); val off = s * cb.subDim
-      var d = 0.0; var i = 0
-      while (i < cb.subDim) { d += query(off + i).toDouble * c(i); i += 1 }
-      d
-    }
-    val sqT = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
-      val c = cb.cents(s)(j)
-      var n = 0.0; var i = 0
-      while (i < cb.subDim) { n += c(i).toDouble * c(i); i += 1 }
-      n
-    }
-    val qc = cs.map { case (_, c) =>
-      var d = 0.0; var i = 0
-      val n = math.min(query.length, c.length)
-      while (i < n) { d += query(i).toDouble * c(i); i += 1 }
-      d
-    }
-    val c2 = cs.map { case (_, c) =>
-      var n = 0.0; var i = 0
-      while (i < c.length) { n += c(i).toDouble * c(i); i += 1 }
-      n
-    }
-    val crossT = Array.tabulate(cs.length, cb.m, cb.ksub) { (cell, s, j) =>
-      val c = cs(cell)._2; val cent = cb.cents(s)(j); val off = s * cb.subDim
-      var d = 0.0; var i = 0
-      while (i < cb.subDim) { d += c(off + i).toDouble * cent(i); i += 1 }
-      d
-    }
-    var qn = 0.0
-    query.foreach(x => qn += x.toDouble * x)
-    val qNorm = math.sqrt(qn)
+    val (dotT, sqT, qNorm) = adcTables(cb, query)
+    // per-cell constants ONLY for the routed cells, keyed by cid —
+    // building (and closure-shipping) tables for every cell wastes
+    // >99% of the work at a realistic nlist with small nProbe
+    val routed = cells.toSet
+    val cellTabs: Map[Int, (Double, Double, Array[Array[Double]])] =
+      cs.iterator.filter { case (cid, _) => routed(cid) }.map {
+        case (cid, c) =>
+          var qc = 0.0; var c2 = 0.0; var i = 0
+          val n = math.min(query.length, c.length)
+          while (i < n) { qc += query(i).toDouble * c(i); i += 1 }
+          i = 0
+          while (i < c.length) { c2 += c(i).toDouble * c(i); i += 1 }
+          val cross = Array.tabulate(cb.m, cb.ksub) { (s, j) =>
+            val cent = cb.cents(s)(j); val off = s * cb.subDim
+            var d = 0.0; var x = 0
+            while (x < cb.subDim) { d += c(off + x).toDouble * cent(x); x += 1 }
+            d
+          }
+          cid -> ((qc, c2, cross))
+      }.toMap
     val scoreUdf = udf { (cid: Int, code: Array[Byte]) =>
-      var d = qc(cid); var n = c2(cid); var s = 0
+      val (qc, c2, cross) = cellTabs(cid)
+      var d = qc; var n = c2; var s = 0
       while (s < code.length) {
         val j = code(s) & 0xff
         d += dotT(s)(j)
-        n += 2.0 * crossT(cid)(s)(j) + sqT(s)(j)
+        n += 2.0 * cross(s)(j) + sqT(s)(j)
         s += 1
       }
       if (qNorm == 0 || n <= 0) 0.0 else d / (qNorm * math.sqrt(n))
@@ -316,6 +317,26 @@ object PqIndex {
     per.sum / per.length
   }
 
+  /** [[adcRecall]] for RESIDUAL-encoded codes: the shortlist comes from
+    * the residual score path (probing every cell — this is a health
+    * check, not a serve-time probe). Raw [[adcRecall]] on residual
+    * codes decodes garbage and reads ~0 regardless of health. */
+  def residualRecall(base: DataFrame, codes: DataFrame, embCol: String,
+                     idCol: String, cs: Array[(Int, Array[Float])],
+                     cb: Codebook, nQueries: Int = 5, k: Int = 20,
+                     shortlist: Int = 200): Double = {
+    val qs = IvfIndex.centroids(base, embCol, idCol, nQueries).map(_._2)
+    val per = qs.map { q =>
+      val exact = VectorFunctions.topK(base, embCol, idCol, q, k)
+        .collect().map(_.get(0)).toSet
+      val short = searchIvfAdcResidual(codes, idCol, cs, cb, q, shortlist,
+          nProbe = cs.length)
+        .collect().map(_.get(0)).toSet
+      (exact intersect short).size.toDouble / k
+    }
+    per.sum / per.length
+  }
+
   /** Check a stored IVF-PQ index and retrain when degraded — PQ's
     * analogue of [[IvfIndex.maintainIndex]] (all four index families
     * carry the same post-heavy-write maintenance contract). The
@@ -330,29 +351,38 @@ object PqIndex {
     *     atomically swap, and persist the new codebook.
     *
     * Single-writer like the other families' maintenance. Returns the
-    * live codebook and whether a rebuild happened. */
+    * live codebook and whether a rebuild happened. Pass
+    * `residual = true` for an [[encodeResidual]]-built index — the two
+    * code formats are not self-describing, and measuring/rebuilding a
+    * residual index through the raw path silently corrupts it. */
   def maintainIndex(spark: SparkSession, path: String, base: DataFrame,
                     embCol: String, idCol: String,
                     cs: Array[(Int, Array[Float])], cb: Codebook,
-                    dim: Int, recallFloor: Double = 0.8,
+                    dim: Int, residual: Boolean = false,
+                    recallFloor: Double = 0.8,
                     nQueries: Int = 5, k: Int = 20,
                     shortlist: Int = 200): (Codebook, Boolean) = {
     val codes = IvfIndex.readIndex(spark, path)
-    val recall = adcRecall(base, codes, embCol, idCol, cb, nQueries, k,
-      shortlist)
+    val recall =
+      if (residual) residualRecall(base, codes, embCol, idCol, cs, cb,
+        nQueries, k, shortlist)
+      else adcRecall(base, codes, embCol, idCol, cb, nQueries, k, shortlist)
     if (recall >= recallFloor) return (cb, false)
-    val next = train(base, embCol, idCol, dim, cb.m, cb.ksub)
+    val index = IvfIndex.build(base, embCol, idCol, cs)
+    val next =
+      if (residual) trainResidual(index, embCol, idCol, cs, dim, cb.m,
+        cb.ksub)
+      else train(base, embCol, idCol, dim, cb.m, cb.ksub)
     val staging = path.stripSuffix("/") + "._rebuild"
     IvfIndex.writeIndex(
-      encode(IvfIndex.build(base, embCol, idCol, cs), embCol, idCol,
-        next, keep = Seq("centroid_id")), staging)
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
-      s"could not swap rebuilt PQ index into $path")
-    writeCodebook(spark, next, path)
+      if (residual) encodeResidual(index, embCol, idCol, next, cs)
+      else encode(index, embCol, idCol, next, keep = Seq("centroid_id")),
+      staging)
+    // the codebook is staged WITH the codes: writing it after the swap
+    // leaves a crash window where the old codebook is deleted and the
+    // new one not yet written — an unprobeable index
+    writeCodebook(spark, next, staging)
+    IvfIndex.atomicSwap(spark, path, staging)
     (next, true)
   }
 

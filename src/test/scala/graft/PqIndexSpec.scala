@@ -271,4 +271,49 @@ class PqIndexSpec extends SparkSpec {
     info(s"recall@100: raw=$raw residual=$res")
     assert(res >= raw - 0.05, s"residual recall $res regressed vs raw $raw")
   }
+
+  test("residual maintenance: measured through the residual path, " +
+       "rebuild keeps the residual format") {
+    val cs = IvfIndex.kmeansCentroids(data, "emb", "id", 8, iters = 2)
+    val index = IvfIndex.build(data, "emb", "id", cs)
+    val rcb = PqIndex.trainResidual(index, "emb", "id", cs, dim,
+      m = 8, ksub = 64, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("pq-rmaint").toString
+    IvfIndex.writeIndex(
+      PqIndex.encodeResidual(index, "emb", "id", rcb, cs), s"$tmp/idx")
+    PqIndex.writeCodebook(spark, rcb, s"$tmp/idx")
+
+    // healthy residual index must be a NO-OP through the residual path
+    // (the raw path would misread the codes as garbage and force a
+    // rebuild every call — the corruption this guard exists for)
+    val (same, rebuilt) = PqIndex.maintainIndex(spark, s"$tmp/idx", data,
+      "emb", "id", cs, rcb, dim, residual = true, recallFloor = 0.6,
+      nQueries = 3, k = 10, shortlist = 100)
+    assert(!rebuilt && (same eq rcb))
+
+    // a STALE residual codebook (trained on different data) rebuilds
+    // through the residual path, and the swapped index still probes
+    // correctly in residual form with the returned codebook
+    val xrng = new scala.util.Random(59)
+    val xcb = {
+      val other = (0 until 2000).map { i =>
+        (i.toLong, Array.fill(dim)(30f + xrng.nextGaussian().toFloat))
+      }.toDF("id", "emb")
+      PqIndex.trainResidual(IvfIndex.build(other, "emb", "id", cs),
+        "emb", "id", cs, dim, m = 8, ksub = 64, iters = 1)
+    }
+    IvfIndex.writeIndex(
+      PqIndex.encodeResidual(index, "emb", "id", xcb, cs), s"$tmp/idx2")
+    val (fresh, did) = PqIndex.maintainIndex(spark, s"$tmp/idx2", data,
+      "emb", "id", cs, xcb, dim, residual = true, recallFloor = 0.9,
+      nQueries = 3, k = 10, shortlist = 100)
+    assert(did)
+    val after = PqIndex.residualRecall(data,
+      IvfIndex.readIndex(spark, s"$tmp/idx2"), "emb", "id", cs, fresh,
+      nQueries = 3, k = 10, shortlist = 100)
+    assert(after >= 0.9, s"rebuild did not restore residual recall: $after")
+    // and the staged codebook survived the swap
+    val stored = PqIndex.readCodebook(spark, s"$tmp/idx2")
+    assert(stored.cents(2)(5).toSeq == fresh.cents(2)(5).toSeq)
+  }
 }
