@@ -3329,28 +3329,14 @@ object SparkEntry {
       val exact = VectorFunctions.topK(emb, "embedding", "vec_id", q, k)
         .collect().map(_.getLong(0)).toSet
       val recall = (refined intersect exact).size.toDouble / k
-      // reconstruction MSE, driver-side (corpus is bench-scale here;
-      // the spec carries the at-scale statement)
-      val rows = index.select(col("vec_id"), col("embedding"),
-          col("centroid_id")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-      val rawBy = rawCodes.collect()
-        .map(r => r.getLong(1) -> r.getAs[Array[Byte]]("pq")).toMap
-      val resBy = resCodes.collect()
-        .map(r => r.getLong(1) -> r.getAs[Array[Byte]]("pq")).toMap
-      def dec(cb: PqIndex.Codebook, code: Array[Byte]): Array[Float] =
-        Array.tabulate(64)(i =>
-          cb.cents(i / cb.subDim)(code(i / cb.subDim) & 0xff)(i % cb.subDim))
-      def mse(rec: (Long, Int) => Array[Float]): Double =
-        rows.map { case (id, v, cid) =>
-          val h = rec(id, cid)
-          v.indices.map(i => math.pow(v(i) - h(i), 2)).sum
-        }.sum / rows.length
-      val rawErr = mse((id, _) => dec(rawCb, rawBy(id)))
-      val resErr = mse((id, cid) => {
-        val dv = dec(rcb, resBy(id)); val c = cs.find(_._1 == cid).get._2
-        Array.tabulate(64)(i => c(i) + dv(i))
-      })
+      // reconstruction MSE as a distributed aggregate: codes join back
+      // to the index frame, the decode runs in a projection with the
+      // KB-scale codebook broadcast in the closure, and only two
+      // doubles reach the driver — corpus-proportional at no point
+      val rawErr = PqIndex.reconstructionMse(index, "embedding",
+        "vec_id", rawCodes, rawCb)
+      val resErr = PqIndex.reconstructionMse(index, "embedding",
+        "vec_id", resCodes, rcb, cs)
       import s.implicits._
       Seq(("pq_residual_m8_k64", k.toLong, recall >= 0.8, resErr < rawErr))
         .toDF("method", "k", "recall_ge_floor", "mse_lt_raw")

@@ -246,6 +246,46 @@ object PqIndex {
     encode(res, "_res", idCol, cb, keep = Seq("centroid_id"))
   }
 
+  /** Distributed mean squared reconstruction error of a code frame
+    * against its base vectors — the audit statistic behind the
+    * residual-beats-raw gate. Fully corpus-distributed: codes join to
+    * the base on `idCol` (both corpus-sized — a plain shuffle join AQE
+    * sizes), the decode runs inside a projection with the KB-scale
+    * codebook (and, in residual mode, the nCells centroid map) closed
+    * over, and ONE `avg` brings back a single double. Nothing
+    * corpus-proportional ever reaches the driver, so the audit itself
+    * survives the 100 TB corpus the index is built for.
+    *
+    * Pass `cs` for an [[encodeResidual]]-built frame (reconstruction
+    * is `centroid(cell) + decode(code)`, read from the frame's
+    * `centroid_id`); leave it empty for raw [[encode]] codes. */
+  def reconstructionMse(base: DataFrame, embCol: String, idCol: String,
+                        codes: DataFrame, cb: Codebook,
+                        cs: Array[(Int, Array[Float])] = Array.empty)
+      : Double = {
+    val cMap = cs.map { case (cid, c) => cid -> c }.toMap
+    val residual = cs.nonEmpty
+    val sqErr = udf { (v: Seq[Float], code: Array[Byte], cid: Int) =>
+      val cent = if (residual) cMap(cid) else null
+      var s2 = 0.0; var i = 0
+      while (i < v.length) {
+        val sub = i / cb.subDim
+        var h = cb.cents(sub)(code(sub) & 0xff)(i % cb.subDim).toDouble
+        if (cent != null) h += cent(i)
+        val x = v(i).toDouble - h
+        s2 += x * x
+        i += 1
+      }
+      s2
+    }
+    val joined = base
+      .select(col(idCol).as("_id"), col(embCol).as("_v"),
+        (if (residual) col("centroid_id") else lit(-1)).as("_cid"))
+      .join(codes.select(col(idCol).as("_id"), col("pq").as("_pq")), "_id")
+    joined.agg(avg(sqErr(col("_v"), col("_pq"), col("_cid"))).as("mse"))
+      .head().getDouble(0)
+  }
+
   /** IVF-ADC over residual codes: the reconstruction is
     * `centroid(cell) + decode(code)`, so
     * `dot(q, v̂) = dot(q, c) + Σ_s dotT[s][code_s]` and

@@ -259,6 +259,18 @@ class PqIndexSpec extends SparkSpec {
     assert(resErr < 0.7 * rawErr,
       s"residual MSE $resErr not well under raw $rawErr")
 
+    // the distributed audit aggregate (what q196 gates on — nothing
+    // corpus-proportional reaches the driver) matches this test's
+    // driver-side oracle to FP-reorder tolerance, both modes
+    val distRaw = PqIndex.reconstructionMse(index, "emb", "id",
+      rawCodes, rawCb)
+    val distRes = PqIndex.reconstructionMse(index, "emb", "id",
+      resCodes, rcb, cs)
+    assert(math.abs(distRaw - rawErr) <= 1e-6 * math.max(1.0, rawErr),
+      s"distributed raw MSE $distRaw != driver oracle $rawErr")
+    assert(math.abs(distRes - resErr) <= 1e-6 * math.max(1.0, resErr),
+      s"distributed residual MSE $distRes != driver oracle $resErr")
+
     val query = mdata.filter($"id" === 130L).select("emb")
       .head().getSeq[Float](0).toArray
     val exact = VectorFunctions.topK(mdata, "emb", "id", query, 20)
