@@ -3342,6 +3342,29 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "mse_lt_raw")
     }),
 
+    // ---- corpus-scale BPE tokenization (what a training-data
+    // pipeline actually ships: token ids per document, not a merge
+    // list): train 20 merges on the vocabulary grain, then ONE
+    // map-side projection pass re-tokenizes every document under the
+    // broadcast merge list. The oracle replays the ENTIRE training
+    // loop AND the per-document tokenization in DuckDB (20 unrolled
+    // argmax+replace iterations over a double-space symbol encoding),
+    // then compares per-doc token count + an md5 of the token stream —
+    // the strongest possible check that counting, tie-breaks, and the
+    // greedy in-order merge replay agree symbol-for-symbol ----
+    "q197_bpe_tokenize" -> ((s, d) => {
+      import graft.text.BpeTrainer
+      val docs = tSpread(s, d, "documents")
+      val merges = BpeTrainer.train(docs, "text", 20)
+      require(merges.size == 20, s"expected 20 merges, got ${merges.size}")
+      BpeTrainer.tokenize(docs.filter(length(trim(col("text"))) > 0),
+          "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multi-step BPE tokenizer training (the iterative extension
     // of q89's single merge step): 20 merges learned on the frequency-
     // weighted VOCABULARY (per-iteration cost independent of corpus
@@ -3850,7 +3873,71 @@ object SparkEntry {
       | UNION
       | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst)""".stripMargin
 
+  /** q197's oracle: the FULL BPE training loop plus per-document
+    * tokenization, unrolled to `n` argmax+replace iterations of plain
+    * DuckDB SQL. Symbol sequences ride a double-space string encoding
+    * (each symbol wrapped in its own leading+trailing space, so the
+    * pattern `' l  r '` → `' lr '` reproduces the trainer's
+    * left-to-right non-overlapping single-pass merge exactly: after a
+    * replacement the NEXT pair's leading space is still present, while
+    * a merged symbol can never re-merge in the same pass); documents
+    * join their words with a newline so no merge crosses a word
+    * boundary. CTEs are MATERIALIZED — the chain references each stage
+    * twice (pair count + rewrite) and inlining would blow up
+    * exponentially. substr()/length() count codepoints, matching
+    * [[graft.text.BpeTrainer.applyMerges]]'s codepoint segmentation. */
+  private def bpeTokenizeOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS (
+      | SELECT w, count(*) AS wf FROM (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents)
+      | WHERE length(w) > 0 GROUP BY 1),
+      |st0 AS MATERIALIZED (
+      | SELECT w, wf,
+      |  ' ' || array_to_string(list_transform(range(1, length(w)+1),
+      |    i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS seg
+      | FROM words),
+      |d0 AS MATERIALIZED (
+      | SELECT doc_id,
+      |  array_to_string(list_transform(
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> x <> ''),
+      |    w -> ' ' || array_to_string(list_transform(range(1, length(w)+1),
+      |      i -> substr(w, CAST(i AS INT), 1)), '  ') || ' '),
+      |   chr(10)) AS seg
+      | FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    for (i <- 1 to n) sb ++= s""",
+      |p$i AS MATERIALIZED (
+      | SELECT s[j] AS l, s[j+1] AS r, wf FROM
+      |  (SELECT regexp_split_to_array(trim(seg), '\\s+') AS s, wf
+      |   FROM st${i - 1}),
+      |  unnest(range(1, len(s))) AS t(j)
+      | WHERE len(s) >= 2),
+      |b$i AS MATERIALIZED (
+      | SELECT l, r FROM p$i GROUP BY l, r
+      | ORDER BY sum(wf) DESC, l, r LIMIT 1),
+      |st$i AS MATERIALIZED (
+      | SELECT w, wf,
+      |  replace(seg, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS seg
+      | FROM st${i - 1}, b$i b),
+      |d$i AS MATERIALIZED (
+      | SELECT doc_id,
+      |  replace(seg, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS seg
+      | FROM d${i - 1}, b$i b)""".stripMargin
+    sb ++= s"""
+      |SELECT doc_id,
+      | CAST(len(regexp_split_to_array(trim(seg), '\\s+')) AS BIGINT)
+      |   AS n_tokens,
+      | md5(array_to_string(regexp_split_to_array(trim(seg), '\\s+'), ' '))
+      |   AS tok_md5
+      |FROM d$n ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q197_bpe_tokenize" -> bpeTokenizeOracle(20),
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

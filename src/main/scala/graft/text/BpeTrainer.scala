@@ -22,9 +22,21 @@ object BpeTrainer {
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
   /** Apply a merge sequence to a word's character segmentation — the
-    * greedy in-order replay every BPE implementation uses. */
+    * greedy in-order replay every BPE implementation uses. The initial
+    * segmentation is one CODEPOINT per symbol (not UTF-16 code units —
+    * surrogate halves of non-BMP characters must never be split, and
+    * the DuckDB oracle's substr() counts codepoints). */
   def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
     merges.foreach { case (l, r) =>
       if (syms.length >= 2) {
         val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)

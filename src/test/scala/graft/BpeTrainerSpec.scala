@@ -100,4 +100,17 @@ class BpeTrainerSpec extends SparkSpec {
       assert(got == want, s"trial $trial: engine=$got ref=$want")
     }
   }
+
+  test("applyMerges segments by codepoint: non-BMP chars stay whole") {
+    // U+1F600 is two UTF-16 code units; a code-unit split would leave
+    // unpaired surrogate halves that no merge list could ever name,
+    // and would diverge from the codepoint-based DuckDB oracle
+    val emoji = new String(Character.toChars(0x1F600))
+    val word = s"a${emoji}b"
+    val syms = BpeTrainer.applyMerges(word, Nil)
+    assert(syms.toSeq == Seq("a", emoji, "b"))
+    // and the merged symbol round-trips through a merge touching it
+    val merged = BpeTrainer.applyMerges(word, Seq(("a", emoji)))
+    assert(merged.toSeq == Seq("a" + emoji, "b"))
+  }
 }
