@@ -42,6 +42,13 @@ object GraftFunctions {
 
   val langIdBuilder: Seq[Expression] => Expression =
     columnFn(cs => graft.text.TextFunctions.langId(cs(0)))
+  val gopherRepetitionBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.text.TextFunctions.gopherRepetitionStruct(cs(0)))
+  val gopherQualityBuilder: Seq[Expression] => Expression =
+    columnFn(cs => graft.text.TextFunctions.gopherQualityStruct(cs(0)))
+  val qualityProbBuilder: Seq[Expression] => Expression =
+    columnFn(cs =>
+      graft.operators.HashedLogReg.qualityProb(cs(0), cs(1), cs(2)))
   val tokenCountBuilder: Seq[Expression] => Expression =
     columnFn(cs => graft.text.TextFunctions.tokenCount(cs(0)))
   val bpeTokenCountBuilder: Seq[Expression] => Expression =
@@ -134,6 +141,45 @@ object GraftFunctions {
     ("quality_score", qualityScoreBuilder, classOf[Expression]),
     ("doc_fingerprint", fingerprintBuilder, classOf[graft.text.RollingHash]),
     ("ttl_seconds", ttlSecondsBuilder, classOf[Expression]),
+    ("gopher_repetition", gopherRepetitionBuilder, classOf[Expression]),
+    ("gopher_quality", gopherQualityBuilder, classOf[Expression]),
+    ("quality_prob", qualityProbBuilder, classOf[Expression]),
+  )
+
+  /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`
+    * — DSIR importance weighting as a SQL TABLE function (the operator
+    * is inherently relational: two corpus scans, vocabulary-grain
+    * aggregates, a ratio join — not a scalar). Table names are resolved
+    * against the active session's catalog at analysis time; the
+    * returned plan is exactly [[graft.operators.ImportanceSelect
+    * .dsirWeights]]'s, so SQL and DataFrame callers share one
+    * definition and one plan shape. */
+  val dsirWeightsTvf
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    exprs => {
+      def str(i: Int, default: String, what: String): String =
+        if (exprs.length <= i) default
+        else exprs(i).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"dsir_weights $what must be a string literal, got $other")
+        }
+      val spark = SparkSession.active
+      val raw = spark.table(str(0, "", "raw table"))
+      val target = spark.table(str(1, "", "target table"))
+      graft.operators.ImportanceSelect
+        .dsirWeights(raw, target, str(2, "text", "text column"),
+          str(3, "doc_id", "id column"))
+        .queryExecution.logical
+    }
+
+  /** Every (name, builder) the engine exposes as a SQL TABLE function. */
+  val allTable: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Class[_])] = Seq(
+    ("dsir_weights", dsirWeightsTvf,
+      graft.operators.ImportanceSelect.getClass),
   )
 
   /** Register into an already-built session. */
@@ -141,6 +187,10 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder, _) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    allTable.foreach { case (name, builder, _) =>
+      treg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 }
@@ -151,6 +201,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, cls) =>
       e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
+    GraftFunctions.allTable.foreach { case (name, builder, cls) =>
+      e.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         builder))

@@ -3342,6 +3342,34 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "mse_lt_raw")
     }),
 
+    // ---- pure-SQL reach of the curation surface (q48's contract
+    // extended to the round-6 operators): gopher_repetition /
+    // gopher_quality register as scalar struct functions,
+    // DSIR as a SQL TABLE function — a SQL-only user composes the
+    // curation funnel without touching the Column API. quality_prob's
+    // SQL==Column parity is gated in ExtensionsSpec (its weights come
+    // from a trained model, which no relational oracle can replay) ----
+    "q198_sql_curation" -> ((s, d) => {
+      GraftFunctions.register(s)
+      tSpread(s, d, "documents").createOrReplaceTempView("documents")
+      tSpread(s, d, "documents").filter(col("lang") === "en")
+        .createOrReplaceTempView("documents_en")
+      s.sql(
+        """SELECT g.doc_id,
+          | g.r.n_words AS n_words,
+          | g.r.keep AS rep_keep,
+          | g.q.stop_hits AS stop_hits,
+          | g.q.keep AS qual_keep,
+          | dw.weight, dw.selected
+          |FROM (
+          | SELECT doc_id, gopher_repetition(text) AS r,
+          |  gopher_quality(text) AS q
+          | FROM documents WHERE length(trim(text)) > 0) g
+          |JOIN dsir_weights('documents', 'documents_en') dw
+          | ON dw.doc_id = g.doc_id
+          |ORDER BY g.doc_id""".stripMargin)
+    }),
+
     // ---- corpus-scale BPE tokenization (what a training-data
     // pipeline actually ships: token ids per document, not a merge
     // list): train 20 merges on the vocabulary grain, then ONE
@@ -3938,6 +3966,83 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q197_bpe_tokenize" -> bpeTokenizeOracle(20),
 
+    // the three stage definitions are verbatim the q187/q188/q191
+    // oracle fragments; q198 checks the SQL surface composes them
+    "q198_sql_curation" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS lt
+        | FROM documents WHERE length(trim(text)) > 0),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM
+        |  (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t))) AS r(i)
+        | WHERE array_length(t) >= 2),
+        |g2c AS (SELECT doc_id, max(c) AS topg, sum(c) AS ng FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |g3c AS (SELECT doc_id, count(DISTINCT g) AS d3, count(*) AS n3
+        | FROM g3 GROUP BY 1),
+        |rep AS (
+        | SELECT t.doc_id, array_length(t.t) AS nw,
+        |  (floor(wc.topw * 10000.0 / array_length(t.t) + 0.5) / 10000 <= 0.15
+        |   AND CASE WHEN g2c.doc_id IS NULL THEN 0.0
+        |    ELSE floor(g2c.topg * 10000.0 / g2c.ng + 0.5) / 10000
+        |    END <= 0.08
+        |   AND CASE WHEN g3c.doc_id IS NULL THEN 0.0
+        |    ELSE floor((g3c.n3 - g3c.d3) * 10000.0 / g3c.n3 + 0.5) / 10000
+        |    END <= 0.01) AS rep_keep
+        | FROM toks t JOIN wc ON wc.doc_id = t.doc_id
+        |  LEFT JOIN g2c ON g2c.doc_id = t.doc_id
+        |  LEFT JOIN g3c ON g3c.doc_id = t.doc_id),
+        |qm AS (SELECT doc_id, array_length(t) AS nw,
+        |  floor(length(array_to_string(t, '')) * 10000.0 / array_length(t)
+        |    + 0.5) / 10000 AS mwl,
+        |  floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |    * 10000.0 / array_length(t) + 0.5) / 10000 AS awf,
+        |  (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) AS stops
+        | FROM toks),
+        |qual AS (SELECT doc_id, stops,
+        |  (nw >= 30 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |   AND awf >= 0.8 AND stops >= 2) AS qual_keep
+        | FROM qm),
+        |dtok AS (
+        | SELECT doc_id, lang,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |dt2 AS (SELECT doc_id, lang, w FROM dtok WHERE w <> ''),
+        |cr AS (SELECT w, count(*) AS c_r FROM dt2 GROUP BY 1),
+        |ct AS (SELECT w, count(*) AS c_t FROM dt2 WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT sum(c_r) AS n_r, count(*) AS v FROM cr),
+        |ttot AS (SELECT count(*) AS n_t FROM dt2 WHERE lang = 'en'),
+        |lr AS (SELECT cr.w,
+        |  ln((coalesce(ct.c_t, 0) + 1) * 1.0 /
+        |     ((SELECT n_t FROM ttot) + (SELECT v FROM tot)))
+        |  - ln((cr.c_r + 1) * 1.0 /
+        |     ((SELECT n_r FROM tot) + (SELECT v FROM tot))) AS lr
+        | FROM cr LEFT JOIN ct ON ct.w = cr.w),
+        |per AS (SELECT dt2.doc_id, avg(lr.lr) AS aw
+        | FROM dt2 JOIN lr ON lr.w = dt2.w GROUP BY 1)
+        |SELECT rep.doc_id, CAST(rep.nw AS BIGINT) AS n_words, rep.rep_keep,
+        | CAST(qual.stops AS BIGINT) AS stop_hits, qual.qual_keep,
+        | floor(per.aw * 10000 + 0.5) / 10000 AS weight,
+        | (floor(per.aw * 10000 + 0.5) / 10000 > 0) AS selected
+        |FROM rep JOIN qual ON qual.doc_id = rep.doc_id
+        | JOIN per ON per.doc_id = rep.doc_id
+        |ORDER BY rep.doc_id""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -4502,7 +4607,9 @@ object SparkEntry {
     // oracle fragments; the funnel is their conjunction
     "q193_filter_funnel" ->
       """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS lt
         | FROM documents WHERE length(trim(text)) > 0),
         |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
         |wc AS (SELECT doc_id, max(c) AS topw FROM
@@ -4535,15 +4642,15 @@ object SparkEntry {
         |     array_length(t) + 0.5) / 10000 BETWEEN 3.0 AND 10.0
         |   AND floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
         |     * 10000.0 / array_length(t) + 0.5) / 10000 >= 0.8
-        |   AND (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END
-        |    + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END) >= 2) AS k2
+        |   AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) >= 2) AS k2
         | FROM toks),
         |cg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
         | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
@@ -4626,7 +4733,9 @@ object SparkEntry {
     // replayed relationally (explode + two-level counts per gram size)
     "q187_gopher_repetition" ->
       """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS lt
         | FROM documents WHERE length(trim(text)) > 0),
         |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
         |wc AS (SELECT doc_id, max(c) AS topw FROM
@@ -4662,22 +4771,24 @@ object SparkEntry {
 
     "q188_gopher_quality" ->
       """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS lt
         | FROM documents WHERE length(trim(text)) > 0),
         |m AS (SELECT doc_id, array_length(t) AS nw,
         |  floor(length(array_to_string(t, '')) * 10000.0 / array_length(t)
         |    + 0.5) / 10000 AS mean_word_len,
         |  floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
         |    * 10000.0 / array_length(t) + 0.5) / 10000 AS alpha_word_frac,
-        |  (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END
-        |   + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END) AS stops
+        |  (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) AS stops
         | FROM toks)
         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_word_len,
         | alpha_word_frac, CAST(stops AS BIGINT) AS stop_hits,
@@ -4688,7 +4799,9 @@ object SparkEntry {
 
     "q189_decontaminate" ->
       """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS lt
         | FROM documents WHERE length(trim(text)) > 0),
         |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
         | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)

@@ -127,7 +127,10 @@ object HashedLogReg {
     trainFeaturized(featurize(df, textCol, labelExpr, idCol, dim), dim,
       iters, lr)
 
-  /** Score documents: (idCol, prob). */
+  /** Score documents: (idCol, prob). EVERY input id gets a row —
+    * blank/whitespace-only documents (which featurize's unigram pass
+    * drops, having no tokens) score `sigmoid(bias)`, the model's
+    * no-evidence prior, instead of silently vanishing from joins. */
   def score(df: DataFrame, textCol: String, idCol: String,
             model: Model): DataFrame = {
     val feats = featurize(df, textCol, F.lit(0), idCol, model.dim)
@@ -137,6 +140,41 @@ object HashedLogReg {
       while (i < idxs.length) { m += w(idxs(i)) * vals(i); i += 1 }
       1.0 / (1.0 + math.exp(-m))
     }
-    feats.select(col(idCol), probUdf(col("_idxs"), col("_vals")).as("prob"))
+    val scored = feats.select(col(idCol),
+      probUdf(col("_idxs"), col("_vals")).as("prob"))
+    val blanks = df.filter(length(trim(col(textCol))) === 0)
+      .select(col(idCol),
+        lit(1.0 / (1.0 + math.exp(-b))).as("prob"))
+    scored.unionByName(blanks)
+  }
+
+  /** Scalar probability column — the SQL/Column form of [[score]] for
+    * an ALREADY-TRAINED model whose weights ride a column (CROSS JOIN
+    * a broadcast 1-row model frame — a scalar subquery won't do: Spark
+    * rejects subquery expressions inside the higher-order-function
+    * lambda the scorer folds with; registered as
+    * `quality_prob(text, weights, bias)` in GraftFunctions). Same
+    * featurization as [[featurize]] — xxhash64 mod `size(weights)`,
+    * tf-normalized — folded per row with higher-order functions, so
+    * scoring a 100 TB corpus is one shuffle-free codegen projection.
+    * Identical margin to [[score]]: Σ_distinct w[i]·(c_i/n) over hashed
+    * term frequencies equals Σ_tokens w[h(tok)]/n. Blank text scores
+    * `sigmoid(bias)`, matching [[score]]'s empty-document contract. */
+  def qualityProb(text: org.apache.spark.sql.Column,
+                  weights: org.apache.spark.sql.Column,
+                  bias: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val toksExpr = F.filter(split(trim(lower(text)), "\\s+"), w => w =!= "")
+    // bind the token array once as a lambda variable (the
+    // single-element transform idiom TextFunctions.bound uses)
+    element_at(transform(array(toksExpr), { toks =>
+      val margin = bias +
+        aggregate(toks, lit(0.0d), (acc, w) =>
+          acc + element_at(weights,
+            (pmod(xxhash64(w), size(weights).cast("long")) + 1L)
+              .cast("int"))) / size(toks)
+      when(size(toks) === 0, lit(1.0d) / (lit(1.0d) + exp(-bias)))
+        .otherwise(lit(1.0d) / (lit(1.0d) + exp(-margin)))
+    }), 1)
   }
 }

@@ -182,6 +182,16 @@ object TextFunctions {
   private def rq4(num: Column, den: Column): Column =
     floor(num * lit(10000L) / den + lit(0.5d)) / lit(10000.0d)
 
+  /** Bind a computed array ONCE as a higher-order-function lambda
+    * variable so every downstream sub-expression references the bound
+    * value instead of re-evaluating its defining expression (the
+    * single-element `transform(array(c), f)[1]` idiom — the scalar
+    * analogue of projecting the array in a prior select). Keeps the
+    * whole composition inside WholeStageCodegen, which is what lets
+    * the struct forms below register as plain SQL scalar functions. */
+  private def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Gopher-style repetition filter rules (Rae et al. 2021, appendix A
     * "repetition removal"): per-document mode-word fraction, most-
     * frequent-2-gram fraction, and duplicate-3-gram fraction, plus the
@@ -189,39 +199,52 @@ object TextFunctions {
     * meaningless on single-line documents, so the word/n-gram family
     * carries the rule set here.
     *
-    * Everything is computed inside ONE narrow projection with
-    * higher-order functions (array_sort + fold, array_distinct): no
-    * explode, no groupBy, no window — a 100 TB corpus scan stays one
-    * shuffle-free WholeStageCodegen pass reading only (id, text).
+    * This scalar struct form is the ONE definition shared by the
+    * DataFrame API ([[gopherRepetition]]) and the SQL surface
+    * (`gopher_repetition(text)` in GraftFunctions) — computed entirely
+    * with higher-order functions (array_sort + fold, array_distinct):
+    * no explode, no groupBy, no window — a 100 TB corpus scan stays one
+    * shuffle-free WholeStageCodegen pass reading only the text column.
+    * Blank text reads as one empty-string token (callers that must
+    * exclude blanks filter first, as [[gopherRepetition]] does).
     *
-    * @return (idCol, n_words, top_word_frac, top_2gram_frac,
-    *          dup_3gram_frac, keep)
+    * @return struct(n_words, top_word_frac, top_2gram_frac,
+    *         dup_3gram_frac, keep)
     */
+  def gopherRepetitionStruct(text: Column, topWordMax: Double = 0.15,
+                             top2GramMax: Double = 0.08,
+                             dup3GramMax: Double = 0.01): Column =
+    bound(split(trim(text), "\\s+")) { t =>
+      bound(shinglesFromTokens(t, 2)) { g2 =>
+        bound(shinglesFromTokens(t, 3)) { g3 =>
+          val topWord = rq4(maxMultiplicity(t), size(t))
+          val top2 = when(size(g2) === 0, 0.0)
+            .otherwise(rq4(maxMultiplicity(g2), size(g2)))
+          val dup3 = when(size(g3) === 0, 0.0)
+            .otherwise(rq4(size(g3) - size(array_distinct(g3)), size(g3)))
+          struct(
+            size(t).cast("long").as("n_words"),
+            topWord.as("top_word_frac"),
+            top2.as("top_2gram_frac"),
+            dup3.as("dup_3gram_frac"),
+            (topWord <= topWordMax && top2 <= top2GramMax &&
+              dup3 <= dup3GramMax).as("keep"))
+        }
+      }
+    }
+
+  /** DataFrame form of [[gopherRepetitionStruct]] over non-blank rows:
+    * (idCol, n_words, top_word_frac, top_2gram_frac, dup_3gram_frac,
+    * keep). */
   def gopherRepetition(df: org.apache.spark.sql.DataFrame, textCol: String,
                        idCol: String, topWordMax: Double = 0.15,
                        top2GramMax: Double = 0.08,
-                       dup3GramMax: Double = 0.01): org.apache.spark.sql.DataFrame = {
-    val toks = df.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
-    val grams = toks.select(col(idCol), col("t"),
-      shinglesFromTokens(col("t"), 2).as("g2"),
-      shinglesFromTokens(col("t"), 3).as("g3"))
-    grams
-      .select(col(idCol),
-        size(col("t")).cast("long").as("n_words"),
-        rq4(maxMultiplicity(col("t")), size(col("t"))).as("top_word_frac"),
-        when(size(col("g2")) === 0, 0.0)
-          .otherwise(rq4(maxMultiplicity(col("g2")), size(col("g2"))))
-          .as("top_2gram_frac"),
-        when(size(col("g3")) === 0, 0.0)
-          .otherwise(rq4(size(col("g3")) - size(array_distinct(col("g3"))),
-            size(col("g3"))))
-          .as("dup_3gram_frac"))
-      .withColumn("keep",
-        col("top_word_frac") <= topWordMax &&
-          col("top_2gram_frac") <= top2GramMax &&
-          col("dup_3gram_frac") <= dup3GramMax)
-  }
+                       dup3GramMax: Double = 0.01): org.apache.spark.sql.DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), gopherRepetitionStruct(col(textCol), topWordMax,
+        top2GramMax, dup3GramMax).as("_g"))
+      .select(col(idCol), col("_g.n_words"), col("_g.top_word_frac"),
+        col("_g.top_2gram_frac"), col("_g.dup_3gram_frac"), col("_g.keep"))
 
   /** The stopwords whose presence Gopher's quality rules require (≥ 2
     * distinct hits keeps the document). */
@@ -230,33 +253,48 @@ object TextFunctions {
 
   /** Gopher-style document quality rules: word count bounds, mean word
     * length bounds, alphabetic-word fraction, and required-stopword
-    * hits — the non-repetition half of the rule set. Same zero-shuffle
-    * projection shape as [[gopherRepetition]].
+    * hits — the non-repetition half of the rule set. The ONE definition
+    * shared by the DataFrame API ([[gopherQuality]]) and the SQL
+    * surface (`gopher_quality(text)`); same zero-shuffle HOF projection
+    * shape as [[gopherRepetitionStruct]]. Stopwords match against
+    * LOWERCASED tokens (sentence-initial 'The'/'And' count — the
+    * convention every other token path here uses).
     *
-    * @return (idCol, n_words, mean_word_len, alpha_word_frac,
-    *          stop_hits, keep)
+    * @return struct(n_words, mean_word_len, alpha_word_frac, stop_hits,
+    *         keep)
     */
+  def gopherQualityStruct(text: Column, minWords: Long = 30,
+                          maxWords: Long = 100000): Column =
+    bound(split(trim(text), "\\s+")) { t =>
+      val stopHits = bound(transform(t, x => lower(x))) { lt =>
+        GopherStopwords
+          .map(w => when(array_contains(lt, w), 1).otherwise(0))
+          .reduce(_ + _)
+      }
+      // total non-space chars / words; tokens are whitespace-split so
+      // concatenating them drops exactly the separators
+      val meanLen = rq4(length(concat_ws("", t)), size(t))
+      val alphaFrac = rq4(size(filter(t, x => x.rlike("[A-Za-z]"))), size(t))
+      struct(
+        size(t).cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.cast("long").as("stop_hits"),
+        (size(t).cast("long") >= minWords &&
+          size(t).cast("long") <= maxWords &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          alphaFrac >= 0.8 && stopHits >= 2).as("keep"))
+    }
+
+  /** DataFrame form of [[gopherQualityStruct]] over non-blank rows:
+    * (idCol, n_words, mean_word_len, alpha_word_frac, stop_hits,
+    * keep). */
   def gopherQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, minWords: Long = 30,
-                    maxWords: Long = 100000): org.apache.spark.sql.DataFrame = {
-    val toks = df.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
-    val stopHits = GopherStopwords
-      .map(w => when(array_contains(col("t"), w), 1).otherwise(0))
-      .reduce(_ + _)
-    toks
+                    maxWords: Long = 100000): org.apache.spark.sql.DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
-        size(col("t")).cast("long").as("n_words"),
-        // total non-space chars / words; tokens are whitespace-split so
-        // concatenating them drops exactly the separators
-        rq4(length(concat_ws("", col("t"))), size(col("t")))
-          .as("mean_word_len"),
-        rq4(size(filter(col("t"), x => x.rlike("[A-Za-z]"))),
-          size(col("t"))).as("alpha_word_frac"),
-        stopHits.cast("long").as("stop_hits"))
-      .withColumn("keep",
-        col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("alpha_word_frac") >= 0.8 && col("stop_hits") >= 2)
-  }
+        gopherQualityStruct(col(textCol), minWords, maxWords).as("_g"))
+      .select(col(idCol), col("_g.n_words"), col("_g.mean_word_len"),
+        col("_g.alpha_word_frac"), col("_g.stop_hits"), col("_g.keep"))
 }

@@ -179,4 +179,78 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(viaSql - 500.0) <= 10.0)
     spark.catalog.dropTempView("hq_sql")
   }
+
+  test("curation operators usable from pure SQL, same results as Column API") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "The cat and the dog sat with a hat that fit " * 4),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "unique words only here today friends of mine and that"),
+      (4L, "   "), // blank: struct forms still evaluate; score() keeps it
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("cur_docs")
+
+    // gopher_repetition / gopher_quality: SQL == DataFrame API
+    val viaSql = spark.sql(
+      """SELECT doc_id, gopher_repetition(text) AS r,
+        |  gopher_quality(text) AS q
+        |FROM cur_docs WHERE length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin).collect()
+    val repCol = graft.text.TextFunctions
+      .gopherRepetition(docs, "text", "doc_id").orderBy("doc_id").collect()
+    val qualCol = graft.text.TextFunctions
+      .gopherQuality(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(viaSql.length == repCol.length && viaSql.length == qualCol.length)
+    viaSql.zip(repCol).foreach { case (s, c) =>
+      val r = s.getStruct(1)
+      assert(r.getLong(0) == c.getLong(1) && r.getDouble(1) == c.getDouble(2)
+        && r.getDouble(2) == c.getDouble(3) && r.getDouble(3) == c.getDouble(4)
+        && r.getBoolean(4) == c.getBoolean(5), s"repetition: $s vs $c")
+    }
+    viaSql.zip(qualCol).foreach { case (s, c) =>
+      val q = s.getStruct(2)
+      assert(q.getLong(0) == c.getLong(1) && q.getDouble(1) == c.getDouble(2)
+        && q.getDouble(2) == c.getDouble(3) && q.getLong(3) == c.getLong(4)
+        && q.getBoolean(4) == c.getBoolean(5), s"quality: $s vs $c")
+    }
+    // sentence-initial capitalized stopwords count (the lowercase fix)
+    assert(viaSql(0).getStruct(2).getLong(3) >= 4, "The/that/with/and/a")
+
+    // quality_prob: SQL (weights via scalar subquery) == score()
+    val m = graft.operators.HashedLogReg.train(docs,
+      "text", col("doc_id") <= 2L, "doc_id", dim = 64, iters = 5)
+    spark.createDataFrame(Seq(Tuple2(m.weights.toSeq, m.bias)))
+      .toDF("w", "b").createOrReplaceTempView("cur_model")
+    // model rides a broadcast 1-row cross join (a scalar subquery is
+    // not allowed inside the HOF lambda the scorer folds with)
+    val probSql = spark.sql(
+      """SELECT doc_id, quality_prob(text, w, b) AS prob
+        |FROM cur_docs CROSS JOIN cur_model ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val probScore = graft.operators.HashedLogReg
+      .score(docs, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probSql.keySet == Set(1L, 2L, 3L, 4L))
+    assert(probScore.keySet == Set(1L, 2L, 3L, 4L),
+      "score() must emit a row for the blank doc")
+    probSql.foreach { case (id, p) =>
+      assert(math.abs(p - probScore(id)) < 1e-9, s"doc $id: $p vs ${probScore(id)}")
+    }
+    // blank doc scores the no-evidence prior
+    assert(math.abs(probSql(4L) - 1.0 / (1.0 + math.exp(-m.bias))) < 1e-12)
+
+    // dsir_weights TABLE function == ImportanceSelect.dsirWeights
+    docs.filter(col("doc_id") <= 2L).createOrReplaceTempView("cur_target")
+    val tvf = spark.sql(
+      """SELECT * FROM dsir_weights('cur_docs', 'cur_target')
+        |ORDER BY doc_id""".stripMargin).collect()
+    val api = graft.operators.ImportanceSelect
+      .dsirWeights(docs, docs.filter(col("doc_id") <= 2L), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(tvf.map(_.toString).toSeq == api.map(_.toString).toSeq)
+
+    Seq("cur_docs", "cur_model", "cur_target")
+      .foreach(spark.catalog.dropTempView)
+  }
 }
