@@ -29,32 +29,55 @@ import org.apache.spark.sql.functions._
   */
 object ImportanceSelect {
 
-  /** @param raw    the full corpus (idCol, textCol)
-    * @param target the in-domain sample (textCol; ids ignored)
-    * @return one row per raw doc: (idCol, n_tokens, weight, selected)
-    *         — `weight` = avg log ratio at 4dp, `selected` = weight > 0
-    */
-  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
-                  idCol: String): DataFrame = {
+  /** The vocabulary-grain log importance-ratio frame — DSIR's trainable
+    * artifact, computed ONCE offline over (raw, target): (_w, _lr).
+    * This is the streaming split of [[dsirWeights]]: a daily pipeline
+    * freezes this frame (cache or write it) and serves arriving
+    * micro-batches through [[scoreWith]], never re-scanning the
+    * historical corpus per batch. Vocabulary-sized (Heaps-law-unbounded
+    * — join it by shuffle, never broadcast). */
+  def dsirRatio(raw: DataFrame, target: DataFrame,
+                textCol: String): DataFrame = {
     import graft.text.TextFunctions.unigrams
-    val rawTok = unigrams(raw, textCol, col(idCol))
+    val rawTok = unigrams(raw, textCol)
     val targetTok = unigrams(target, textCol)
     val cR = rawTok.groupBy(col("_w")).agg(count(lit(1)).as("_cr"))
     val cT = targetTok.groupBy(col("_w")).agg(count(lit(1)).as("_ct"))
     // scalar totals: raw token mass, vocabulary size, target token mass
     val totR = cR.agg(sum(col("_cr")).as("_nr"), count(lit(1)).as("_v"))
     val totT = targetTok.agg(count(lit(1)).as("_nt"))
-    val ratio = cR.join(cT, Seq("_w"), "left")
+    cR.join(cT, Seq("_w"), "left")
       .na.fill(0L, Seq("_ct"))
       .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
       .select(col("_w"),
         (log((col("_ct") + 1) / (col("_nt") + col("_v"))) -
           log((col("_cr") + 1) / (col("_nr") + col("_v")))).as("_lr"))
+  }
+
+  /** Score documents against a precomputed [[dsirRatio]] frame: one row
+    * per doc with ≥1 in-vocabulary token — (idCol, n_tokens, weight,
+    * selected), `weight` = avg log ratio at 4dp, `selected` =
+    * weight > 0. `n_tokens` counts the in-vocabulary tokens the average
+    * runs over (out-of-vocabulary tokens carry no evidence — on the
+    * training corpus itself the vocabulary is total, so this is exactly
+    * the corpus token count). */
+  def scoreWith(ratio: DataFrame, docs: DataFrame, textCol: String,
+                idCol: String): DataFrame = {
+    import graft.text.TextFunctions.unigrams
     val w4 = floor(col("_aw") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
-    rawTok.join(ratio, "_w")
+    unigrams(docs, textCol, col(idCol)).join(ratio, "_w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), avg(col("_lr")).as("_aw"))
       .select(col(idCol), col("n_tokens"), w4.as("weight"),
         (w4 > 0).as("selected"))
   }
+
+  /** @param raw    the full corpus (idCol, textCol)
+    * @param target the in-domain sample (textCol; ids ignored)
+    * @return one row per raw doc: (idCol, n_tokens, weight, selected)
+    *         — `weight` = avg log ratio at 4dp, `selected` = weight > 0
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String): DataFrame =
+    scoreWith(dsirRatio(raw, target, textCol), raw, textCol, idCol)
 }

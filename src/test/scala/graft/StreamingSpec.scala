@@ -483,6 +483,118 @@ class StreamingSpec extends SparkSpec {
     assert(served.forall(r => r.getAs[String]("payload_json").startsWith("[")))
   }
 
+  test("streaming curation funnel: gopher → near-dup probe → decontaminate " +
+       "→ DSIR → classifier per micro-batch equals the one-shot batch run, " +
+       "survivor counts equal per stage") {
+    import graft.dedup.Dedup
+    import graft.operators.{HashedLogReg, ImportanceSelect}
+    import graft.text.TextFunctions
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // the production split: docs % 3 != 0 is the HISTORICAL corpus all
+    // frozen artifacts derive from; % 3 == 0 arrives later as a stream
+    val hist = docs.filter(col("doc_id") % 3 =!= 0).cache()
+    hist.count()
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text")).cache()
+    evalSet.count()
+    val model = HashedLogReg.train(hist, "text",
+      TextFunctions.langId(col("text")) === "en", "doc_id",
+      dim = 256, iters = 10, lr = 4.0)
+    val ratio = ImportanceSelect.dsirRatio(hist,
+      hist.filter(col("lang") === "en"), "text").cache()
+    ratio.count()
+
+    // arrivals: two id-range slices of the held-out third, plus planted
+    // exact copies of historical docs (guaranteed near-dup hits)
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val copies = hist.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val arrive1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+      .select(col("doc_id"), col("text")).unionByName(copies)
+    val arrive2 = docs
+      .filter(col("doc_id") % 3 === 0 &&
+        col("doc_id") >= 120 && col("doc_id") < 240)
+      .select(col("doc_id"), col("text"))
+    arrive1.coalesce(1).write.json(s"$dir/b1")
+    arrive2.coalesce(1).write.json(s"$dir/b2")
+
+    // the per-batch funnel — every stage probes a FROZEN artifact
+    // (corpus LSH index, eval-set grams, ratio frame, model weights);
+    // nothing rescans or retrains on the historical corpus per batch
+    def funnel(batch: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val rep = TextFunctions.gopherRepetition(batch, "text", "doc_id")
+        .select(col("doc_id"), col("keep").as("_k1"))
+      val qual = TextFunctions.gopherQuality(batch, "text", "doc_id")
+        .select(col("doc_id"), col("keep").as("_k2"))
+      val nd = Dedup.minhashIncrementalCandidates(hist, batch,
+          "text", "doc_id")
+        .select(col("id_new").as("doc_id")).distinct()
+        .withColumn("_nd", lit(true))
+      val contam = Dedup.decontaminate(batch, evalSet, "text", "doc_id")
+        .select(col("doc_id"), lit(true).as("_c"))
+      val dsir = ImportanceSelect.scoreWith(ratio, batch, "text", "doc_id")
+        .select(col("doc_id"), col("selected").as("_k5"))
+      val clf = HashedLogReg.score(batch, "text", "doc_id", model)
+        .select(col("doc_id"), (col("prob") > 0.5).as("_k6"))
+      batch.select(col("doc_id"))
+        .join(rep, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .join(nd, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(dsir, Seq("doc_id"), "left")
+        .join(clf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_k1"), lit(false)).as("k1"),
+          coalesce(col("_k2"), lit(false)).as("k2"),
+          col("_nd").isNull.as("k3"),
+          col("_c").isNull.as("k4"),
+          coalesce(col("_k5"), lit(false)).as("k5"),
+          coalesce(col("_k6"), lit(false)).as("k6"))
+    }
+    def flagsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    def survivors(rows: Iterable[(Long, Boolean, Boolean, Boolean,
+        Boolean, Boolean, Boolean)]): Seq[Int] = {
+      val ks = rows.toSeq.map(t => Seq(t._2, t._3, t._4, t._5, t._6, t._7))
+      (0 to 6).map(i => ks.count(_.take(i).forall(identity)))
+    }
+
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$dir/*")
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= flagsOf(funnel(batch)) }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    val want = flagsOf(funnel(arrive1.unionByName(arrive2))).toSet
+    assert(got.toSet == want,
+      s"streaming flags != one-shot batch flags (diff: " +
+        s"${(got.toSet diff want) ++ (want diff got.toSet)})")
+    val sGot = survivors(got); val sWant = survivors(want)
+    info(s"survivors per stage: $sGot")
+    assert(sGot == sWant, s"survivor counts: streaming=$sGot batch=$sWant")
+    // non-degenerate: the planted copies died at the near-dup probe,
+    // the funnel actually filters, and someone survives it all
+    val copyIds = copies.collect().map(_.getLong(0)).toSet
+    assert(want.filter(t => copyIds(t._1)).forall(!_._4),
+      "planted exact copies must be flagged by the near-dup probe")
+    assert(sWant.head > sWant.last && sWant.last > 0,
+      s"degenerate funnel: $sWant")
+    hist.unpersist(); evalSet.unpersist(); ratio.unpersist()
+  }
+
   test("streaming quality gate: arriving docs pass the frozen classifier " +
        "+ Gopher rules per micro-batch, equal to the batch filter") {
     import graft.operators.HashedLogReg
