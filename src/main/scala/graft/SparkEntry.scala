@@ -3431,10 +3431,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("f"))
       val ranked = freq.withColumn("r", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("f").desc, col("w"))))
+      // qdouble idiom, not round(): same IEEE expression both engines,
+      // no decimal-tie divergence on the regression moments (ADVICE r6)
+      def q4(c: org.apache.spark.sql.Column) =
+        floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
       ranked.groupBy(col("source"))
         .agg(count(lit(1)).as("n_types"),
-          round(regr_slope(log(col("f")), log(col("r"))), 4).as("zipf_slope"),
-          round(regr_r2(log(col("f")), log(col("r"))), 4).as("r2"))
+          q4(regr_slope(log(col("f")), log(col("r")))).as("zipf_slope"),
+          q4(regr_r2(log(col("f")), log(col("r")))).as("r2"))
         .orderBy(col("source"))
     }),
 
@@ -4599,8 +4603,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY f DESC, w) AS r
         | FROM freq)
         |SELECT source, count(*) AS n_types,
-        | round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
-        | round(regr_r2(ln(f), ln(r)), 4) AS r2
+        | floor(regr_slope(ln(f), ln(r)) * 10000 + 0.5) / 10000 AS zipf_slope,
+        | floor(regr_r2(ln(f), ln(r)) * 10000 + 0.5) / 10000 AS r2
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the four stage definitions are verbatim the q187/q188/q189/q191

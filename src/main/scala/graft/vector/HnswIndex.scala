@@ -394,17 +394,29 @@ object HnswIndex {
     private val budget: Long = java.lang.Long.parseLong(
       System.getProperty("graft.ann.graphCacheBytes", (4L << 30).toString))
     private val map =
-      new java.util.LinkedHashMap[(Long, Int), Entry](16, 0.75f, true)
+      new java.util.LinkedHashMap[java.lang.Long, Entry](16, 0.75f, true)
     private var total = 0L
 
     def get(bytes: Array[Byte]): Hnsw = {
       if (budget <= 0) {
         val g = new Hnsw(0, Params()); g.loadFrom(bytes); return g
       }
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, 42L)
-      val key = (h, bytes.length)
+      put(contentKey(bytes), bytes)
+    }
+
+    /** Resident instance for a content key WITHOUT touching the bytes —
+      * the manifest fast path: a warm probe that knows the stored
+      * segment hash never reads, copies, or hashes the blob at all. */
+    def lookup(key: Long): Option[Hnsw] =
+      if (budget <= 0) None
+      else map.synchronized { Option(map.get(key)).map(_.g) }
+
+    /** Insert (or return the resident instance of) a blob under an
+      * externally-supplied content key. */
+    def put(key: Long, bytes: Array[Byte]): Hnsw = {
+      if (budget <= 0) {
+        val g = new Hnsw(0, Params()); g.loadFrom(bytes); return g
+      }
       map.synchronized {
         val hit = map.get(key)
         if (hit != null) return hit.g
@@ -429,10 +441,26 @@ object HnswIndex {
     }
   }
 
+  /** The 64-bit content key the resident cache addresses blobs by —
+    * also what [[RoutedHnsw.writeRoutedIndex]] persists as `seg_hash`,
+    * so a stored manifest row IS a cache key. */
+  private[graft] def contentKey(bytes: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L)
+
   /** The shared resident instance for a stored sub-graph blob — probe
     * read-only, pass efSearch explicitly to [[Hnsw.search]]. */
   private[graft] def residentGraph(bytes: Array[Byte]): Hnsw =
     GraphCache.get(bytes)
+
+  /** Resident lookup by STORED content key (no blob bytes touched);
+    * [[residentPut]] fills a miss. */
+  private[graft] def residentLookup(key: Long): Option[Hnsw] =
+    GraphCache.lookup(key)
+
+  private[graft] def residentPut(key: Long, bytes: Array[Byte]): Hnsw =
+    GraphCache.put(key, bytes)
 
   // ----------------------------------------------------- Spark facade
 
@@ -768,5 +796,98 @@ object HnswIndex {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
     mergeTopK(partial, idCol, k, rankCol)
+  }
+
+  // ------------------------------------------------------- maintenance
+
+  /** Measured recall of a stored graph index against the CURRENT base
+    * vectors, over `nQueries` deterministic sample queries (the same
+    * multiplicative-hash row pick every family's health metric uses) —
+    * the graph analogue of [[IvfIndex.indexStats]] and
+    * [[PqIndex.adcRecall]], completing the family-wide maintenance
+    * contract. Graph recall at a FIXED probe `efSearch` decays as
+    * capped sub-graphs fill with incremental adds: the ef-bounded walk
+    * covers an ever-smaller fraction of each sub-graph. This measures
+    * that decay directly — against live data, not build-time
+    * assumptions. */
+  def graphIndexRecall(spark: org.apache.spark.sql.SparkSession,
+                       path: String, base: DataFrame, embCol: String,
+                       idCol: String, nQueries: Int = 5, k: Int = 20,
+                       params: Params = Params()): Double = {
+    val qs = IvfIndex.centroids(base, embCol, idCol, nQueries).map(_._2)
+    val per = qs.map { q =>
+      val exact = VectorFunctions.topK(base, embCol, idCol, q, k)
+        .collect().map(_.get(0)).toSet
+      val got = searchGraphIndex(spark, path, idCol, Seq(0L -> q), k, params)
+        .collect().map(_.get(1)).toSet
+      (exact intersect got).size.toDouble / k
+    }
+    per.sum / per.length
+  }
+
+  /** Check a stored graph index's measured recall and REPAIR it when
+    * degraded — [[IvfIndex.maintainIndex]]'s contract for the plain
+    * graph family. HNSW's failure mode is not centroid drift (there are
+    * no centroids) but sub-graph FILL: adds grow each capped sub-graph,
+    * and at a fixed probe `efSearch` the walk's covered fraction — and
+    * recall — shrinks. The at-rest repair is a RE-SPLIT: rebuild from
+    * the current base into more, smaller sub-graphs (starting at half
+    * the current mean sub-graph size, halving per round) until measured
+    * recall clears the floor. Per-sub-graph search cost falls with
+    * size; the price is probe fan-out (every probe opens every
+    * sub-graph — the documented plain-graph tradeoff; route-limited
+    * probes are [[RoutedHnsw]]'s job). Convergent by construction: at
+    * sub-graph sizes near `efSearch` the walk is effectively
+    * exhaustive and the k-bounded union is exact.
+    *
+    * Rebuilds stage into a sibling directory and swap in atomically;
+    * the `_graft_ann` descriptor (if present) is re-persisted, like
+    * [[RoutedHnsw.maintainIndex]]. Single-writer, like every index
+    * mutation here. Returns (final measured recall, rebuilt?). */
+  def maintainGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, base: DataFrame, embCol: String,
+                         idCol: String, recallFloor: Double = 0.95,
+                         nQueries: Int = 5, k: Int = 20,
+                         params: Params = Params(), maxRounds: Int = 3)
+      : (Double, Boolean) = {
+    var recall = graphIndexRecall(spark, path, base, embCol, idCol,
+      nQueries, k, params)
+    if (recall >= recallFloor) return (recall, false)
+    val (m, efC, _) = readMeta(spark, path)
+      .getOrElse((params.m, params.efConstruction, 500000))
+    val quant = readMetaQuantized(spark, path)
+    val buildParams = Params(m = m, efConstruction = efC,
+      efSearch = params.efSearch)
+    val oldDesc =
+      try Some(graft.plans.AnnCatalog.readDescriptor(path))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val meanRows = spark.read.parquet(path)
+      .agg(avg(col("n_vectors"))).head().getDouble(0)
+    var target = math.max(1, (meanRows / 2).toInt)
+    var round = 0
+    var rebuilt = false
+    val conf = spark.sessionState.newHadoopConf()
+    while (recall < recallFloor && round < maxRounds) {
+      val staging = path.stripSuffix("/") + "._rebuild"
+      writeGraphIndex(base, embCol, idCol, staging, buildParams,
+        maxPartitionRows = target, quantized = quant)
+      val pth = new org.apache.hadoop.fs.Path(path)
+      val fs = pth.getFileSystem(conf)
+      fs.delete(pth, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging), pth),
+        s"could not swap rebuilt graph index into $path")
+      oldDesc.foreach {
+        case graft.plans.AnnCatalog.HnswEntry(_, e, i, ps) =>
+          graft.plans.AnnCatalog.persistDescriptor(
+            graft.plans.AnnCatalog.HnswEntry(path, e, i, ps))
+        case _ => ()
+      }
+      rebuilt = true
+      recall = graphIndexRecall(spark, path, base, embCol, idCol,
+        nQueries, k, params)
+      target = math.max(1, target / 2)
+      round += 1
+    }
+    (recall, rebuilt)
   }
 }

@@ -55,16 +55,27 @@ object RoutedHnsw {
   }
 
   /** Build + persist the routed index at `path`, laid out
-    * `partitionBy("centroid_id")` with one parquet BINARY graph row per
-    * (cell, salt) sub-graph. Driver state is O(nCells) (the per-cell
-    * counts that size the salts); graphs build inside `mapGroups`, one
-    * group (≤ cap rows) in memory at a time. */
+    * `partitionBy("centroid_id")` with one parquet row per (cell, salt)
+    * sub-graph SEGMENT: (n_vectors, seg_hash, graph). Driver state is
+    * O(nCells) (the per-cell counts that size the salts); graphs build
+    * inside `mapGroups`, one group (≤ cap rows) in memory at a time.
+    *
+    * Cells segment at `maxSegmentRows` (not just the OOM cap): small
+    * segments are the unit of the executor-resident cache, so a serving
+    * executor holds hot FRACTIONS of fat cells under its memory budget,
+    * and a cold miss re-reads one segment, not an 85 MB cell blob.
+    * `seg_hash` is the blob's 64-bit content key ([[HnswIndex
+    * .contentKey]]) persisted AT REST — a warm probe matches manifest
+    * rows against the resident cache and never reads, copies, or
+    * hashes graph bytes at all (see [[searchMany]]). */
   def writeRoutedIndex(df: DataFrame, embCol: String, idCol: String,
                        path: String, cs: Array[(Int, Array[Float])],
                        params: HnswIndex.Params = HnswIndex.Params(),
                        maxPartitionRows: Int = 500000,
-                       quantized: Boolean = false): Unit = {
+                       quantized: Boolean = false,
+                       maxSegmentRows: Int = 30000): Unit = {
     require(maxPartitionRows > 0, "maxPartitionRows must be positive")
+    require(maxSegmentRows > 0, "maxSegmentRows must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val p = params
@@ -77,9 +88,12 @@ object RoutedHnsw {
       .select(col("centroid_id"), col("_id"), col("_emb"))
       .as[(Int, Long, Array[Float])]
     // per-cell counts → salts per cell (driver state O(nCells)); 90% of
-    // the cap as headroom: the id-hash split is even only in expectation
+    // the target as headroom: the id-hash split is even only in
+    // expectation. Segment grain is the SMALLER of the OOM cap and the
+    // cache-granularity target.
     val counts: Map[Int, Long] = assigned.groupByKey(_._1).count().collect().toMap
-    val headroom = math.max(1, cap - math.max(1, cap / 10))
+    val seg = math.min(cap, maxSegmentRows)
+    val headroom = math.max(1, seg - math.max(1, seg / 10))
     val nSaltsByCell: Map[Int, Int] =
       counts.map { case (cid, n) =>
         cid -> math.max(1, math.ceil(n.toDouble / headroom).toInt)
@@ -97,13 +111,18 @@ object RoutedHnsw {
             "raise maxPartitionRows.")
         val index = new HnswIndex.Hnsw(0, p, q)
         sorted.foreach { case (_, id, v) => index.add(id, v) }
-        (cid, sorted.length.toLong, index.serialize())
+        val bytes = index.serialize()
+        (cid, sorted.length.toLong, HnswIndex.contentKey(bytes), bytes)
       }
-      .toDF("centroid_id", "n_vectors", "graph")
+      .toDF("centroid_id", "n_vectors", "seg_hash", "graph")
     // hash rows to their cell before partitionBy (IvfIndex.writeIndex's
-    // small-files fix): each cell directory is written by one task
+    // small-files fix): each cell directory is written by one task.
+    // Small parquet row groups (vs the 128 MB default) keep each
+    // segment's pages separately addressable for the miss path.
     graphs.repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      .write.mode("overwrite")
+      .option("parquet.block.size", 8L * 1024 * 1024)
+      .partitionBy("centroid_id").parquet(path)
     writeMeta(spark, path, p, cap, q)
   }
 
@@ -140,7 +159,19 @@ object RoutedHnsw {
     * answer only the queries routed to that cell. Output:
     * (query_id, idCol, score), plus a per-query rank 1..k when
     * `rankCol` is set (the window-top-k shape [[graft.plans.AnnIndexRule]]
-    * splices). */
+    * splices).
+    *
+    * Serve-path IO: on a manifest-format index (`seg_hash` at rest) the
+    * probe scans ONLY (centroid_id, seg_hash) of the routed cells — a
+    * column-pruned read of a few longs — and resolves each segment
+    * against the executor-resident graph cache by its stored content
+    * key. Graph BYTES are read only on a cache miss (one direct parquet
+    * read per missed file, which also pre-warms its sibling segments —
+    * they are about to be probed too). A warm executor therefore pays
+    * manifest-scan + walk per probe, never the cell-blob decode that
+    * dominated the cold path; this is the segment-resident serving
+    * shape of SPANN/DiskANN, with parquet as the at-rest store.
+    * Pre-manifest indexes fall back to the full bytes scan. */
   def searchMany(spark: SparkSession, path: String, idCol: String,
                  cs: Array[(Int, Array[Float])],
                  queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
@@ -158,26 +189,102 @@ object RoutedHnsw {
       StructField("query_id", LongType, nullable = false),
       StructField(idCol, LongType, nullable = false),
       StructField("score", DoubleType, nullable = false)))
+    val stored = spark.read.parquet(path)
     // the isin cell filter prunes at file-listing time
-    // (PartitionFilters) — the probe reads ~nProbe/nCells of the bytes
-    val partial = spark.read.parquet(path)
+    // (PartitionFilters) — the probe reads ~nProbe/nCells of the CELLS
+    val pruned = stored
       .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
-      .select(col("centroid_id").cast("int"), col("graph"))
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val cid = r.getInt(0)
-          val qs = byCell.getOrElse(cid, Array.empty)
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val index = HnswIndex.residentGraph(r.getAs[Array[Byte]](1))
-            qs.iterator.flatMap { case (qid, q) =>
-              index.search(q, k, p.efSearch).iterator
-                .map { case (id, s) => Row(qid, id, s) }
+    val partial =
+      if (stored.schema.fieldNames.contains("seg_hash"))
+        pruned
+          .select(col("centroid_id").cast("int"), col("seg_hash"),
+            input_file_name().as("_file"))
+          .mapPartitions { it =>
+            // per-task pin of bulk-loaded files: survives cache
+            // eviction for the duration of this task
+            val pinned = scala.collection.mutable
+              .Map.empty[String, Map[Long, HnswIndex.Hnsw]]
+            it.flatMap { r =>
+              val cid = r.getInt(0)
+              val qs = byCell.getOrElse(cid, Array.empty)
+              if (qs.isEmpty) Iterator.empty
+              else {
+                val h = r.getLong(1); val file = r.getString(2)
+                val index = HnswIndex.residentLookup(h)
+                  .orElse(pinned.get(file).flatMap(_.get(h)))
+                  .getOrElse {
+                    val m = loadSegments(file)
+                    pinned(file) = m
+                    m.getOrElse(h, throw new IllegalStateException(
+                      s"manifest names segment $h but $file lacks it — " +
+                        "index files rewritten mid-probe?"))
+                  }
+                qs.iterator.flatMap { case (qid, q) =>
+                  index.search(q, k, p.efSearch).iterator
+                    .map { case (id, s) => Row(qid, id, s) }
+                }
+              }
             }
-          }
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+          }(org.apache.spark.sql.Encoders.row(outSchema))
+      else
+        pruned
+          .select(col("centroid_id").cast("int"), col("graph"))
+          .mapPartitions { it =>
+            it.flatMap { r =>
+              val cid = r.getInt(0)
+              val qs = byCell.getOrElse(cid, Array.empty)
+              if (qs.isEmpty) Iterator.empty
+              else {
+                val index = HnswIndex.residentGraph(r.getAs[Array[Byte]](1))
+                qs.iterator.flatMap { case (qid, q) =>
+                  index.search(q, k, p.efSearch).iterator
+                    .map { case (id, s) => Row(qid, id, s) }
+                }
+              }
+            }
+          }(org.apache.spark.sql.Encoders.row(outSchema))
     HnswIndex.mergeTopK(partial, idCol, k, rankCol)
+  }
+
+  /** Read every (seg_hash, graph) row of ONE index parquet file via a
+    * direct parquet-hadoop read (no Spark job — this runs INSIDE a
+    * probe task on a cache miss), inserting each segment into the
+    * executor-resident cache under its stored content key. Loading the
+    * whole file on a single-segment miss is deliberate: a cold probe is
+    * about to walk the file's sibling segments too, and one sequential
+    * read beats per-segment seeks. */
+  private def loadSegments(fileUri: String): Map[Long, HnswIndex.Hnsw] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fsPath = new org.apache.hadoop.fs.Path(fileUri)
+    // projection derived from the file's own footer (field repetition —
+    // required vs optional — must match the writer's exactly)
+    val footerReader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fsPath, conf))
+    val requested =
+      try {
+        val full = footerReader.getFooter.getFileMetaData.getSchema
+        new org.apache.parquet.schema.MessageType(full.getName,
+          full.getFields.stream()
+            .filter(f => f.getName == "seg_hash" || f.getName == "graph")
+            .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type]): _*)
+      } finally footerReader.close()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      requested.toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), fsPath)
+      .withConf(conf)
+      .build()
+    try {
+      val out = Map.newBuilder[Long, HnswIndex.Hnsw]
+      var g = reader.read()
+      while (g != null) {
+        val h = g.getLong("seg_hash", 0)
+        val bytes = g.getBinary("graph", 0).getBytes
+        out += h -> HnswIndex.residentPut(h, bytes)
+        g = reader.read()
+      }
+      out.result()
+    } finally reader.close()
   }
 
   // -------------------------------------------------- incremental add
@@ -272,14 +379,24 @@ object RoutedHnsw {
               s"past $cap rows (${index.size} + ${newRows.length}); rebuild " +
               "with writeRoutedIndex/maintainIndex to re-split.")
           newRows.foreach { case (_, id, v) => index.add(id, v) }
-          Iterator.single((key._1, index.size.toLong, index.serialize()))
+          val bytes = index.serialize()
+          Iterator.single((key._1, index.size.toLong,
+            HnswIndex.contentKey(bytes), bytes))
         }
-      }.toDF("centroid_id", "n_vectors", "graph")
-    val staged = updated.localCheckpoint(true)
+      }.toDF("centroid_id", "n_vectors", "seg_hash", "graph")
+    // a rewritten sub-graph gets a NEW content key, so stale resident
+    // cache entries simply stop being referenced by the manifest;
+    // pre-manifest indexes keep their legacy schema
+    val shaped =
+      if (stored.schema.fieldNames.contains("seg_hash")) updated
+      else updated.drop("seg_hash")
+    val staged = shaped.localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try staged.repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      .write.mode("overwrite")
+      .option("parquet.block.size", 8L * 1024 * 1024)
+      .partitionBy("centroid_id").parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -287,6 +404,32 @@ object RoutedHnsw {
   }
 
   // -------------------------------------------------- maintenance
+
+  /** Measured end-to-end recall of a stored routed index against the
+    * CURRENT base vectors over deterministic sample queries — the
+    * routed family's health probe, composing BOTH failure modes in one
+    * number: cell-routing recall (degrades with centroid drift — what
+    * [[maintainIndex]]'s skew/intra-distance stats see) × in-cell graph
+    * recall (degrades as salted sub-graphs fill with adds — what
+    * [[HnswIndex.graphIndexRecall]] sees for the plain family). Use it
+    * as the measured gate in front of [[maintainIndex]], the way
+    * [[PqIndex.maintainIndex]] gates on [[PqIndex.adcRecall]]. */
+  def routedIndexRecall(spark: SparkSession, path: String,
+                        base: DataFrame, embCol: String, idCol: String,
+                        cs: Array[(Int, Array[Float])], nProbe: Int,
+                        nQueries: Int = 5, k: Int = 20,
+                        params: HnswIndex.Params = HnswIndex.Params())
+      : Double = {
+    val qs = IvfIndex.centroids(base, embCol, idCol, nQueries).map(_._2)
+    val per = qs.map { q =>
+      val exact = VectorFunctions.topK(base, embCol, idCol, q, k)
+        .collect().map(_.get(0)).toSet
+      val got = search(spark, path, idCol, cs, q, k, nProbe, params)
+        .collect().map(_.get(0)).toSet
+      (exact intersect got).size.toDouble / k
+    }
+    per.sum / per.length
+  }
 
   /** Decode the stored graphs back to raw rows — the graphs carry their
     * vectors, so maintenance never needs a separate copy of the corpus.

@@ -335,4 +335,52 @@ class HnswIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == exact)
   }
+
+  test("maintenance: recall decays as capped sub-graphs fill with adds; " +
+       "re-split repairs it to the floor (family maintenance contract)") {
+    // UNstructured data at a deliberately weak graph (small m/efC) and a
+    // fixed serve-time efSearch — the regime where an ef-bounded walk's
+    // covered fraction, and recall, shrink as the sub-graph fills
+    val rng = new scala.util.Random(77)
+    val dim = 16
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }.toDF("id", "emb")
+    val base = mk(500, 0)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-maint").toString
+    val p = HnswIndex.Params(m = 4, efConstruction = 16, efSearch = 32)
+    HnswIndex.writeGraphIndex(base.repartition(1), "emb", "id",
+      s"$dir/idx", p, maxPartitionRows = 100000)
+    val adds = mk(5500, 1000000L)
+    HnswIndex.addToGraphIndex(spark, s"$dir/idx", adds, "emb", "id", p)
+    val all = base.unionByName(adds).cache()
+    all.count()
+
+    val degraded = HnswIndex.graphIndexRecall(spark, s"$dir/idx", all,
+      "emb", "id", nQueries = 5, k = 20, p)
+    info(f"degraded recall: $degraded%.3f")
+    assert(degraded < 0.95,
+      s"expected the filled sub-graph to degrade below the floor, " +
+        s"measured $degraded")
+
+    val (repaired, rebuilt) = HnswIndex.maintainGraphIndex(spark,
+      s"$dir/idx", all, "emb", "id", recallFloor = 0.95,
+      nQueries = 5, k = 20, params = p, maxRounds = 6)
+    info(f"repaired recall: $repaired%.3f (rebuilt=$rebuilt)")
+    assert(rebuilt, "degraded index must trigger a rebuild")
+    assert(repaired >= 0.95, s"repair stopped below the floor: $repaired")
+
+    // repaired index still holds every vector, in more, smaller graphs
+    import org.apache.spark.sql.functions.sum
+    val stored = spark.read.parquet(s"$dir/idx")
+    assert(stored.agg(sum(col("n_vectors"))).head().getLong(0) == 6000L)
+    assert(stored.count() > 1, "repair must have re-split the sub-graph")
+
+    // healthy index: maintenance is a no-op
+    val (r2, again) = HnswIndex.maintainGraphIndex(spark, s"$dir/idx",
+      all, "emb", "id", recallFloor = 0.95, nQueries = 5, k = 20,
+      params = p, maxRounds = 6)
+    assert(!again && r2 >= 0.95, s"healthy index re-rebuilt (recall $r2)")
+    all.unpersist()
+  }
 }
