@@ -568,8 +568,11 @@ object SparkEntry {
 
     // ---- multimodal columns (deterministic stub decode → SQL oracle) ----
     "q36_multimodal" -> ((s, d) => {
+      // maxSide 12 exercises the REAL image path: P6 payloads decode,
+      // nearest-neighbor resize, and featurize from actual pixels (f0 =
+      // mean red / 255); audio/video rows keep the declared stub
       val media = Multimodal.mediaFromDocuments(tSpread(s, d, "documents"))
-      val feat = Multimodal.extractFeatures(Multimodal.resize(media, 512))
+      val feat = Multimodal.extractFeatures(Multimodal.resize(media, 12))
       feat.select(col("doc_id"), col("media_type"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           length(col("content")).cast("bigint").as("n_bytes"),
@@ -4863,28 +4866,54 @@ object SparkEntry {
     // Multimodal stub pipeline: meta from doc_id arithmetic, resize by
     // the original scale, byte-histogram feature f0 in float32.
     "q36_multimodal" ->
-      s"""WITH m AS (
+      """WITH m AS (
         | SELECT doc_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
         |  text, length(text) AS olen,
-        |  CAST(doc_id % 1024 + 16 AS INT) AS w0,
-        |  CAST((doc_id * 7) % 768 + 16 AS INT) AS h0
+        |  CAST(doc_id % 1024 + 16 AS INT) AS w0a,
+        |  CAST((doc_id * 7) % 768 + 16 AS INT) AS h0a,
+        |  CAST(doc_id % 16 + 4 AS INT) AS w0i,
+        |  CAST((doc_id * 7) % 16 + 4 AS INT) AS h0i
         | FROM documents),
-        |r AS (SELECT *, least(1.0, 512.0 / greatest(w0, h0)) AS scale FROM m),
-        |rr AS (SELECT doc_id, media_type,
+        |av AS (
+        | SELECT doc_id, media_type, w0a AS w0, h0a AS h0, text, olen,
+        |  least(1.0, 12.0 / greatest(w0a, h0a)) AS scale
+        | FROM m WHERE doc_id % 3 <> 0),
+        |avr AS (SELECT doc_id, media_type,
         |  CAST(floor(w0 * scale) AS INTEGER) AS width,
         |  CAST(floor(h0 * scale) AS INTEGER) AS height,
         |  substr(text, 1, CAST(greatest(1, trunc(olen * scale)) AS BIGINT)) AS ctext
-        | FROM r),
-        |f AS (SELECT doc_id, media_type, width, height,
+        | FROM av),
+        |avf AS (SELECT doc_id, media_type, width, height,
         |  length(ctext) AS n_bytes,
         |  length(list_filter(range(1, length(ctext) + 1),
         |    fi -> unicode(substr(ctext, fi, 1)) % 16 = 0)) AS cnt0
-        | FROM rr)
-        |SELECT doc_id, media_type, width, height, CAST(n_bytes AS BIGINT) AS n_bytes,
-        | CAST(16 AS BIGINT) AS feat_dim,
-        | round(CAST(CAST(cnt0 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 4) AS f0
-        |FROM f ORDER BY doc_id""".stripMargin,
+        | FROM avr),
+        |avo AS (SELECT doc_id, media_type, width, height,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes, CAST(16 AS BIGINT) AS feat_dim,
+        |  round(CAST(CAST(cnt0 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 4) AS f0
+        | FROM avf),
+        |im AS (
+        | SELECT doc_id, w0i AS w0, h0i AS h0,
+        |  least(1.0, 12.0 / greatest(w0i, h0i)) AS scale
+        | FROM m WHERE doc_id % 3 = 0),
+        |imd AS (SELECT doc_id, w0, h0,
+        |  CAST(floor(w0 * scale) AS INTEGER) AS w1,
+        |  CAST(floor(h0 * scale) AS INTEGER) AS h1
+        | FROM im),
+        |imo AS (SELECT doc_id, 'image' AS media_type, w1 AS width, h1 AS height,
+        |  CAST(length('P6' || chr(10) || CAST(w1 AS VARCHAR) || ' ' ||
+        |    CAST(h1 AS VARCHAR) || chr(10) || '255' || chr(10))
+        |    + 3 * w1 * h1 AS BIGINT) AS n_bytes,
+        |  CAST(16 AS BIGINT) AS feat_dim,
+        |  round(CAST(CAST(
+        |    list_avg(list_transform(range(0, CAST(w1 AS BIGINT) * h1), i ->
+        |      (doc_id * 31 + 7 * 3 * (((i // w1) * h0 // h1) * w0
+        |        + ((i % w1) * w0 // w1))) % 256))
+        |    / 255.0 AS FLOAT) AS DOUBLE), 4) AS f0
+        | FROM imd)
+        |SELECT * FROM (SELECT * FROM avo UNION ALL SELECT * FROM imo)
+        |ORDER BY doc_id""".stripMargin,
 
     "q28_pipeline_e2e" ->
       """WITH staged AS (

@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns plus typed metadata, with decode / feature
   * extraction / resize / frame-sampling as batch `mapPartitions` stages.
   *
-  * The actual codec step is a STUB (image/audio libraries are not in
-  * this environment): `decodeStub` derives deterministic fake features
-  * from the bytes. Everything around it — the schema, the binary column
-  * handling, the partition-wise batch shape (decoder state loaded once
-  * per partition, exactly like a real libjpeg/ffmpeg handle), the
-  * metadata struct — is real and tested, so a real decoder drops in by
-  * replacing one function.
+  * The IMAGE path is real pixel math end to end: payloads are binary PPM
+  * (P6), decoded, nearest-neighbor-resized, and feature-extracted by
+  * [[PpmCodec]] — no external imaging library needed for this
+  * self-describing format. Audio/video codecs are not in this
+  * environment, so their decode stays a declared STUB (a deterministic
+  * byte-histogram stands in for real samples); the schema, binary
+  * column handling, partition-wise batch shape (decoder handle per
+  * partition, like a real ffmpeg context), and metadata struct are real
+  * either way, so a real av-codec drops in by replacing one function.
   *
   * Scale notes: binaries ride in the row (parquet BYTE_ARRAY) so a 100 TB
   * media table partitions like any other; feature extraction is a narrow
@@ -28,22 +30,50 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Deterministic media table derived from the documents table: the text
-    * bytes stand in for encoded media payloads. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  /** Deterministic pixel formula for synthetic image payloads: channel
+    * byte `c` of doc `d` is `(d*31 + c*7) mod 256` — pure integer
+    * arithmetic the DuckDB oracle replays exactly. */
+  private def imagePayload(docId: Long): Array[Byte] = {
+    val w = (docId % 16 + 4).toInt
+    val h = (docId * 7 % 16 + 4).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var c = 0
+    while (c < rgb.length) {
+      rgb(c) = ((docId * 31 + c.toLong * 7) % 256).toByte
+      c += 1
+    }
+    PpmCodec.encode(PpmCodec.Image(w, h, rgb))
+  }
+
+  /** Deterministic media table derived from the documents table: image
+    * rows carry REAL P6-encoded payloads (small synthetic rasters whose
+    * pixels follow the arithmetic formula above, with meta matching the
+    * actual encoded dimensions); audio/video rows keep the text bytes as
+    * stand-in encoded payloads. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val img = udf((d: Long) => imagePayload(d))
+    val isImage = pmod(col("doc_id"), lit(3)) === 0
     docs.select(col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("content"),
+      when(isImage, img(col("doc_id")))
+        .otherwise(col("text").cast("binary")).as("content"),
       struct(
-        (pmod(col("doc_id"), lit(1024)) + 16).cast("int").as("width"),
-        (pmod(col("doc_id") * 7, lit(768)) + 16).cast("int").as("height"),
+        when(isImage, (pmod(col("doc_id"), lit(16)) + 4).cast("int"))
+          .otherwise((pmod(col("doc_id"), lit(1024)) + 16).cast("int"))
+          .as("width"),
+        when(isImage, (pmod(col("doc_id") * 7, lit(16)) + 4).cast("int"))
+          .otherwise((pmod(col("doc_id") * 7, lit(768)) + 16).cast("int"))
+          .as("height"),
         (pmod(col("doc_id") * 13, lit(60000))).as("duration_ms")).as("meta"))
+  }
 
-  /** STUB decode + feature-extract: bytes → fixed-width feature vector.
-    * Real implementation would decode pixels/samples here; the fake is a
-    * deterministic byte-histogram projection so tests and oracles are
-    * stable. Runs partition-wise with one "decoder" per partition. */
+  /** Decode + feature-extract: bytes → fixed-width feature vector.
+    * Self-describing payloads dispatch on their own bytes: P6 images
+    * decode to pixels and featurize as channel means + a luminance
+    * histogram ([[PpmCodec.features]]); other payloads fall back to the
+    * STUB byte-histogram (no av codecs in this environment). Runs
+    * partition-wise with one decoder handle per partition. */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
     val spark = df.sparkSession
     val contentIdx = df.schema.fieldIndex("content")
@@ -55,29 +85,56 @@ object Multimodal {
         val bytes = row.get(contentIdx)
         val feats =
           if (bytes == null) null
-          else decoder.decodeAndFeaturize(bytes.asInstanceOf[Array[Byte]])
+          else {
+            val b = bytes.asInstanceOf[Array[Byte]]
+            PpmCodec.decode(b) match {
+              case Some(img) if dim == 16 => PpmCodec.features(img)
+              case _ => decoder.decodeAndFeaturize(b)
+            }
+          }
         Row.fromSeq(row.toSeq :+ feats)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Resize: metadata-only transform (a real resize would re-encode the
-    * payload; the stub scales the metadata and truncates the payload
-    * proportionally, keeping the plumbing honest). */
+  /** Resize to fit `maxSide`: P6 image payloads are REALLY resized
+    * (nearest-neighbor pixel sampling, re-encoded, meta set to the
+    * actual new dimensions); non-image payloads keep the stub behavior
+    * — meta scaled, payload truncated proportionally (a real av resize
+    * would re-encode; the plumbing stays honest). */
   def resize(df: DataFrame, maxSide: Int): DataFrame = {
+    val resizeImg = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(PpmCodec.decode).map { img =>
+        val scale = math.min(1.0,
+          maxSide.toDouble / math.max(img.width, img.height))
+        val w1 = math.floor(img.width * scale).toInt
+        val h1 = math.floor(img.height * scale).toInt
+        if (w1 == img.width && h1 == img.height) bytes
+        else PpmCodec.encode(PpmCodec.resizeNearest(img, w1, h1))
+      }.orNull
+    }
+    val dims = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(PpmCodec.decode)
+        .map(i => (i.width, i.height)).orNull
+    }
     // Compute the scale from the ORIGINAL meta once, and use it for both
     // the meta rewrite and the payload truncation (recomputing it after
     // the meta swap would always yield ~1.0 and never truncate).
-    df.withColumn("_scale", least(lit(1.0),
+    val stub = df.withColumn("_scale", least(lit(1.0),
         lit(maxSide) / greatest(col("meta.width"), col("meta.height")).cast("double")))
+    stub
+      .withColumn("_img", resizeImg(col("content")))
+      .withColumn("_dims", dims(col("_img")))
       .withColumn("meta", struct(
-        floor(col("meta.width") * col("_scale")).cast("int").as("width"),
-        floor(col("meta.height") * col("_scale")).cast("int").as("height"),
+        coalesce(col("_dims._1"),
+          floor(col("meta.width") * col("_scale")).cast("int")).as("width"),
+        coalesce(col("_dims._2"),
+          floor(col("meta.height") * col("_scale")).cast("int")).as("height"),
         col("meta.duration_ms").as("duration_ms")))
-      .withColumn("content",
-        expr("substring(content, 1, greatest(1, cast(length(content) * _scale as int)))"))
-      .drop("_scale")
+      .withColumn("content", coalesce(col("_img"),
+        expr("substring(content, 1, greatest(1, cast(length(content) * _scale as int)))")))
+      .drop("_scale", "_img", "_dims")
   }
 
   /** Frame-sample a "video": emit every `stride`-th byte-window as a

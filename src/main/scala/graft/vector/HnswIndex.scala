@@ -512,9 +512,18 @@ object HnswIndex {
     * the per-query rank (1..k) in the output. */
   private[vector] def mergeTopK(partial: DataFrame, idCol: String, k: Int,
                                 rankCol: Option[String] = None): DataFrame = {
+    // partials are k-BOUNDED (≤ sub-graphs × queries × k rows), so the
+    // merge collapses to ONE task: a single narrow exchange into one
+    // partition satisfies the window's clustering AND the final sort's
+    // ordering requirement (SinglePartition satisfies every
+    // distribution), where the default plan paid a 2-stage
+    // 32-partition window shuffle plus a range exchange — pure
+    // task-launch overhead that measured as the bulk of a warm probe's
+    // wall clock at local[32]
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(idCol))
-    val ranked = partial.withColumn("_rk", row_number().over(w))
+    val ranked = partial.repartition(1)
+      .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
     rankCol.fold(ranked.drop("_rk"))(n => ranked.withColumnRenamed("_rk", n))
       .orderBy(col("query_id"), col("score").desc, col(idCol))
