@@ -133,6 +133,57 @@ object AbBench {
         (() => probe(s"$tmp/f"), () => probe(s"$tmp/q"))
       }),
 
+    // round-7 change: the seg_hash manifest fast path — warm probes
+    // scan only (centroid_id, seg_hash) of the routed cells and serve
+    // graphs from the executor-resident cache by stored content key;
+    // blob bytes are read only on a miss. A = the legacy at-rest format
+    // (no seg_hash column → the full bytes-scan probe), B = the shipped
+    // manifest format. Same corpus/centroids/params; both sides warm.
+    Pair("ann_routed_manifest_2000x", "bytes_scan", "manifest_resident",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-manifest").toString
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val OFF = 100000000L
+        val perturb = udf { (v: Seq[Float], id: Long, c: Long) =>
+          val out = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            val h = graft.text.RollingHash.hashToken(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"$c:$id:$i"))
+            out(i) = v(i) + (((h % 1000L + 1000L) % 1000L) / 1000.0f - 0.5f) * 0.02f
+            i += 1
+          }
+          out
+        }
+        val corpus = emb
+          .crossJoin(s.range(2000).select(col("id").as("_copy")))
+          .select((col("vec_id") + col("_copy") * OFF).as("vec_id"),
+            perturb(col("embedding"), col("vec_id"), col("_copy")).as("embedding"))
+          .repartition(32)
+        corpus.write.mode("overwrite").parquet(s"$tmp/base")
+        val base = s.read.parquet(s"$tmp/base")
+        val cs = graft.vector.IvfIndex.centroids(base, "embedding", "vec_id", 16)
+        val p = graft.vector.HnswIndex.Params(m = 8, efConstruction = 32,
+          efSearch = 256)
+        graft.vector.RoutedHnsw.writeRoutedIndex(base, "embedding", "vec_id",
+          s"$tmp/m", cs, p)
+        // legacy replica of the SAME index: strip the manifest column —
+        // searchMany's schema check then takes the bytes-scan path
+        s.read.parquet(s"$tmp/m")
+          .select(col("centroid_id"), col("n_vectors"), col("graph"))
+          .repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$tmp/l")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        def probe(dir: String): DataFrame =
+          graft.vector.RoutedHnsw.search(s, dir, "vec_id", cs, q,
+            k = 20, nProbe = 4, p)
+        (() => probe(s"$tmp/l"), () => probe(s"$tmp/m"))
+      }),
+
     // round-6 change: crossDocSpans' wide shuffle keys on xxhash64 of
     // the window (8 bytes/occurrence) instead of the 40-char substring.
     // A = substring key (the oracle's engine-agnostic plan), B = hashed
