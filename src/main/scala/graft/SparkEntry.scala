@@ -3345,6 +3345,60 @@ object SparkEntry {
         .toDF("method", "k", "recall_ge_floor", "mse_lt_raw")
     }),
 
+    // ---- graph-index maintenance (the graph leg of the four-family
+    // contract, IvfIndex.maintainIndex / PqIndex.maintainIndex's
+    // sibling): a deliberately fill-degraded plain HNSW index — one
+    // weak sub-graph grown by incremental adds to 20x its build size —
+    // is DETECTED by the measured recall health probe and REPAIRED by
+    // the re-split policy until the measured floor clears. Driver-gated
+    // like q185/q186 (the index artifacts live outside the plan); the
+    // oracle pins the contract booleans ----
+    "q199_graph_maintenance" -> ((s, d) => {
+      import graft.vector.HnswIndex
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 500)
+      // scale-stable corpus: 20 deterministic perturbed copies = 10k
+      // vectors at EVERY sf (the embeddings table itself varies by sf);
+      // the heavy perturbation de-structures the data — the regime
+      // where an ef-bounded walk's recall decays fastest with fill
+      val OFF = 1000000L
+      val perturb = udf { (v: Seq[Float], id: Long, c: Long) =>
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val h = graft.text.RollingHash.hashToken(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"$c:$id:$i"))
+          out(i) = v(i) + (((h % 1000L + 1000L) % 1000L) / 1000.0f - 0.5f) * 0.6f
+          i += 1
+        }
+        out
+      }
+      val corpus = emb.crossJoin(s.range(20).select(col("id").as("_c")))
+        .select((col("vec_id") + col("_c") * OFF).as("vec_id"),
+          perturb(col("embedding"), col("vec_id"), col("_c")).as("embedding"))
+        .cache()
+      try {
+        corpus.count()
+        val base = corpus.filter(col("vec_id") < OFF)
+        val adds = corpus.filter(col("vec_id") >= OFF)
+        val p = HnswIndex.Params(m = 4, efConstruction = 16, efSearch = 32)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-gmaint").toString
+        HnswIndex.writeGraphIndex(base.repartition(1), "embedding",
+          "vec_id", s"$tmp/idx", p, maxPartitionRows = 100000)
+        HnswIndex.addToGraphIndex(s, s"$tmp/idx", adds, "embedding",
+          "vec_id", p)
+        val degraded = HnswIndex.graphIndexRecall(s, s"$tmp/idx", corpus,
+          "embedding", "vec_id", nQueries = 4, k = 20, p)
+        val (repaired, rebuilt) = HnswIndex.maintainGraphIndex(s,
+          s"$tmp/idx", corpus, "embedding", "vec_id", recallFloor = 0.95,
+          nQueries = 4, k = 20, params = p, maxRounds = 6)
+        import s.implicits._
+        Seq(("hnsw_resplit", degraded < 0.95, rebuilt, repaired >= 0.95))
+          .toDF("method", "degraded_lt_floor", "rebuilt",
+            "repaired_ge_floor")
+      } finally { corpus.unpersist(); () }
+    }),
+
     // ---- pure-SQL reach of the curation surface (q48's contract
     // extended to the round-6 operators): gopher_repetition /
     // gopher_quality register as scalar struct functions,
@@ -3972,6 +4026,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q197_bpe_tokenize" -> bpeTokenizeOracle(20),
+
+    "q199_graph_maintenance" ->
+      """SELECT 'hnsw_resplit' AS method, true AS degraded_lt_floor,
+        | true AS rebuilt, true AS repaired_ge_floor""".stripMargin,
 
     // the three stage definitions are verbatim the q187/q188/q191
     // oracle fragments; q198 checks the SQL surface composes them
