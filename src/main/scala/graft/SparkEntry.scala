@@ -3353,6 +3353,51 @@ object SparkEntry {
     // the re-split policy until the measured floor clears. Driver-gated
     // like q185/q186 (the index artifacts live outside the plan); the
     // oracle pins the contract booleans ----
+    // ---- LINE-grain corpus dedup (CCNet / RefinedWeb boilerplate
+    // removal: a line occurring verbatim in >= 2 distinct documents is
+    // boilerplate — drop EVERY copy). The synthetic docs are
+    // single-line, so the query first "line-ifies" each document into
+    // width-4 word segments (the tiny vocabulary then produces genuine
+    // cross-doc duplicate lines — 11-18 % of occurrences depending on
+    // sf); the operator under test is the generic \n-grain
+    // Dedup.dedupLines. The corpus-wide line aggregate keys on
+    // xxhash64(line) — fixed 8-byte shuffle keys (the ExactSubstr
+    // hashed-key lesson) — and the blocklist frame is Heaps-unbounded,
+    // so it is NEVER force-broadcast (q88 lesson; AQE decides). The
+    // oracle rebuilds every cleaned document and md5s it ----
+    "q200_line_dedup" -> ((s, d) => {
+      val W = 4
+      val pages = tSpread(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0),
+            ((size(split(col("text"), " ")) - 1) / W).cast("int")),
+          g => concat_ws(" ",
+            slice(split(col("text"), " "), g * W + 1, lit(W))))).as("text"))
+      Dedup.dedupLines(pages, "text", "doc_id", minDocs = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          length(col("cleaned")).cast("long").as("kept_len"),
+          md5(col("cleaned")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- domain-cap curation (FineWeb's per-domain contribution cap,
+    // C4's origin blocklist grain): keep the top-20 documents per
+    // source by (n_chars desc, doc_id), publish the domain-grain stats
+    // sheet. One window shuffle on the domain key —
+    // InferWindowGroupLimit turns rn <= 20 into a per-partition top-k,
+    // so one hot domain never sorts its full document set; the domain
+    // grain itself is bounded by the web's registrable-domain count,
+    // not corpus size ----
+    "q201_domain_cap" -> ((s, d) => {
+      import graft.operators.Curation
+      Curation.domainStats(tSpread(s, d, "documents"), "source",
+          "doc_id", "n_chars", "lang", col("n_chars").desc,
+          maxPerDomain = 20)
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("kept_chars"), col("n_langs"))
+        .orderBy(col("source"))
+    }),
+
     "q199_graph_maintenance" -> ((s, d) => {
       import graft.vector.HnswIndex
       val emb = t(s, d, "embeddings").filter(col("vec_id") < 500)
@@ -4030,6 +4075,49 @@ object SparkEntry {
     "q199_graph_maintenance" ->
       """SELECT 'hnsw_resplit' AS method, true AS degraded_lt_floor,
         | true AS rebuilt, true AS repaired_ge_floor""".stripMargin,
+
+    // the oracle line-ifies identically (width-4 word segments), then
+    // replays the corpus-wide duplicate-line blocklist and rebuilds +
+    // md5s every cleaned document
+    "q200_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |pg AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(ws)/4.0) AS BIGINT)),
+        |    g -> array_to_string(
+        |      ws[CAST(g*4+1 AS BIGINT):CAST(g*4+4 AS BIGINT)], ' ')) AS ls
+        | FROM w),
+        |ln AS (SELECT doc_id, unnest(ls) AS line,
+        |        unnest(range(1, len(ls)+1)) AS pos FROM pg),
+        |blk AS (SELECT trim(line) AS nl FROM ln WHERE trim(line) <> ''
+        |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT l.doc_id, l.pos, l.line, (b.nl IS NOT NULL) AS dup
+        |       FROM ln l LEFT JOIN blk b ON b.nl = trim(l.line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(length(coalesce(string_agg(
+        |    CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), ''))
+        |    AS BIGINT) AS kept_len,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), ''))
+        |    AS kept_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q201_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars, lang,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents),
+        |k AS (SELECT source, count(*) AS n_kept,
+        |   CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |   count(DISTINCT lang) AS n_langs FROM r WHERE rn <= 20
+        | GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs, k.n_kept, k.kept_chars,
+        | k.n_langs
+        |FROM documents d JOIN k ON k.source = d.source
+        |GROUP BY d.source, k.n_kept, k.kept_chars, k.n_langs
+        |ORDER BY d.source""".stripMargin,
 
     // the three stage definitions are verbatim the q187/q188/q191
     // oracle fragments; q198 checks the SQL surface composes them

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain-level curation: the per-origin stage every web-scale corpus
+  * runs between document filters and mixing (FineWeb / RefinedWeb cap
+  * the number of documents any one domain may contribute; C4 blocklists
+  * domains outright). The reference's corpus carries the same notion as
+  * its per-source partitioning of scraped pages
+  * (`extractor/service.py:58-116` — one crawl origin per endpoint).
+  *
+  * Everything here is grouped/windowed on the domain key only — at
+  * 100 TB the domain grain is millions of rows (bounded by the web's
+  * registrable-domain count, NOT corpus size), so domain-grain frames
+  * are small; the per-document work stays distributed and one hot
+  * domain is exactly the partition a `partitionBy(domain)` window
+  * handles (skewed-domain caps are top-k-per-key: the window's
+  * rank-limit pushes down to a per-partition top-k via
+  * InferWindowGroupLimit — no full sort of the domain's documents).
+  */
+object Curation {
+
+  /** Cap each domain's contribution at `maxPerDomain` documents,
+    * keeping the best by `orderBy` (ties broken by `idCol` so the
+    * selection replays bit-identically). Returns the surviving rows
+    * with their `domain_rank`.
+    *
+    * One shuffle (the window's hash partitioning on the domain key);
+    * `InferWindowGroupLimit` turns the rank filter into a per-partition
+    * top-k so a skewed domain never materializes beyond the cap per
+    * task. */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                orderBy: Column, maxPerDomain: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(orderBy, col(idCol))
+    df.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
+  /** Domain-grain curation report: per-domain document count, kept
+    * count under the cap, characters kept, and language spread —
+    * the stats sheet a corpus audit publishes per origin.
+    *
+    * Two aggregates on the same domain key (the capped frame re-uses
+    * the window's partitioning — no extra exchange). */
+  def domainStats(df: DataFrame, domainCol: String, idCol: String,
+                  charsCol: String, langCol: String,
+                  orderBy: Column, maxPerDomain: Int): DataFrame = {
+    val kept = domainCap(df, domainCol, idCol, orderBy, maxPerDomain)
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(charsCol)).as("kept_chars"),
+        countDistinct(col(langCol)).as("n_langs"))
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq(domainCol), "left")
+  }
+}

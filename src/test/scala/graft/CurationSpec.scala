@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Line-grain corpus dedup (CCNet/RefinedWeb boilerplate removal) and
+  * domain-cap curation (FineWeb per-domain contribution cap). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pages = Seq(
+    (1L, "Cookie banner\nunique body one\n\nCookie banner\nFooter nav"),
+    (2L, "Cookie banner\nunique body two\nFooter nav"),
+    (3L, "unique body three\n  Footer nav  \nmore unique text"),
+    (4L, "totally original page\nno shared lines at all"),
+    (5L, ""),
+  ).toDF("doc_id", "text")
+
+  test("duplicatedLines finds lines shared by >= minDocs distinct docs") {
+    val blk = Dedup.duplicatedLines(pages, "text", "doc_id")
+      .select("line", "n_docs").as[(String, Long)].collect().toMap
+    assert(blk == Map("Cookie banner" -> 2L, "Footer nav" -> 3L))
+  }
+
+  test("dedupLines removes EVERY copy, keeps order, keeps blank lines") {
+    val out = Dedup.dedupLines(pages, "text", "doc_id")
+      .select("doc_id", "cleaned", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1: both banner copies AND the footer go; blank line survives
+    assert(out(1L) == (("unique body one\n", 5L, 3L)))
+    assert(out(2L) == (("unique body two", 3L, 2L)))
+    // trim-normalized match: "  Footer nav  " is the same line
+    assert(out(3L) == (("unique body three\nmore unique text", 3L, 1L)))
+    // untouched doc round-trips byte-identically
+    assert(out(4L) == (("totally original page\nno shared lines at all",
+      2L, 0L)))
+    // empty doc: one empty line, kept
+    assert(out(5L) == (("", 1L, 0L)))
+  }
+
+  test("dedupLines honors the minDocs threshold") {
+    val out = Dedup.dedupLines(pages, "text", "doc_id", minDocs = 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    // only "Footer nav" (3 docs) is boilerplate at minDocs=3
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
+  private val corpus = Seq(
+    ("a.com", 1L, 100L, "en"), ("a.com", 2L, 300L, "en"),
+    ("a.com", 3L, 200L, "fr"), ("a.com", 4L, 300L, "de"),
+    ("b.com", 5L, 50L, "en"),
+    ("c.com", 6L, 10L, "en"), ("c.com", 7L, 20L, "en"),
+  ).toDF("source", "doc_id", "n_chars", "lang")
+
+  test("domainCap keeps top-N per domain by order, id tiebreak") {
+    val kept = Curation.domainCap(corpus, "source", "doc_id",
+        col("n_chars").desc, maxPerDomain = 2)
+      .select("doc_id", "domain_rank").as[(Long, Int)].collect().toMap
+    // a.com: 300-char docs 2 and 4 tie — doc_id breaks it; doc 1/3 cut
+    assert(kept == Map(2L -> 1, 4L -> 2, 5L -> 1, 6L -> 2, 7L -> 1))
+  }
+
+  test("domainStats reports per-domain totals and capped aggregates") {
+    val st = Curation.domainStats(corpus, "source", "doc_id", "n_chars",
+        "lang", col("n_chars").desc, maxPerDomain = 2)
+      .select("source", "n_docs", "n_kept", "kept_chars", "n_langs")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(st("a.com") == ((4L, 2L, 600L, 2L)))
+    assert(st("b.com") == ((1L, 1L, 50L, 1L)))
+    assert(st("c.com") == ((2L, 2L, 30L, 1L)))
+  }
+}
