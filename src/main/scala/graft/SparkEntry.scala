@@ -3398,6 +3398,232 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- INDEX-SERVED hard-negative mining (q78's contract at serving
+    // scale): per anchor, the top-5 most-similar vectors with a
+    // DIFFERENT label, via the standard post-filter ANN pattern —
+    // over-fetch top-20 from the stored graph index (the inner window
+    // is exactly the lateral shape AnnIndexRule rewrites into ONE
+    // batched probe), label join-back on the id (embedding never
+    // re-read — q175's payload contract), filter, re-rank. The
+    // over-fetch factor is the declared contract (any post-filter ANN
+    // serving stack's): the oracle replays the same top-20-then-filter
+    // pipeline, so the gate is deterministic — not a recall gamble on
+    // the filter's selectivity ----
+    "q202_ann_hard_negatives" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      import graft.vector.HnswIndex
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-hn").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      HnswIndex.writeGraphIndex(tSpread(s, d, "embeddings"), "embedding",
+        "vec_id", s"$tmp/graphs",
+        HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+          HnswIndex.Params(efSearch = 1 << 20)))
+      val anchors = t(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(37)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+      val probed = anchors.select(col("qid"), col("qemb"))
+        .crossJoin(s.read.parquet(s"$tmp/base"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"), col("qemb"))
+            .as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= 20)
+      probed
+        .join(t(s, d, "embeddings").select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .join(anchors.select(col("qid"), col("qlabel")), Seq("qid"))
+        .filter(col("label") =!= col("qlabel"))
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("neg_rank") <= 5)
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(col("score"), 4).as("score"), col("neg_rank"))
+        .orderBy(col("qid"), col("neg_rank"))
+    }),
+
+    // ---- kNN label-agreement audit (confident-learning shape: a
+    // vector whose nearest neighbors mostly disagree with its own
+    // label is a mislabel suspect). Sampled anchors probe the stored
+    // index for their 12 exact nearest non-self neighbors (over-fetch
+    // 13 covers self), labels join back on the id, one per-anchor
+    // aggregate scores the agreement. The probe is the same ONE
+    // batched index pass as q202; nothing label-grain ever shuffles
+    // corpus text or embeddings ----
+    "q203_knn_label_noise" -> ((s, d) => {
+      import graft.plans.{AnnCatalog, AnnIndexRule}
+      import graft.vector.HnswIndex
+      AnnIndexRule.install(s)
+      s.conf.set("spark.graft.ann.minTableBytes", "0")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ann-noise").toString
+      t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
+      HnswIndex.writeGraphIndex(tSpread(s, d, "embeddings"), "embedding",
+        "vec_id", s"$tmp/graphs",
+        HnswIndex.Params(m = 8, efConstruction = 128))
+      AnnCatalog.register(s"$tmp/base",
+        AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
+          HnswIndex.Params(efSearch = 1 << 20)))
+      val anchors = t(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+      val probed = anchors.select(col("qid"), col("qemb"))
+        .crossJoin(s.read.parquet(s"$tmp/base"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosine_sim(col("embedding"), col("qemb"))
+            .as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= 13)
+      probed
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("nn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("nn") <= 12)
+        .join(t(s, d, "embeddings").select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .join(anchors.select(col("qid"), col("qlabel")), Seq("qid"))
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(sum((col("label") === col("qlabel")).cast("long"))
+          .as("n_agree"))
+        .select(col("qid"), col("qlabel"), col("n_agree"),
+          (col("n_agree") <= 3).as("suspect"))
+        .orderBy(col("qid"))
+    }),
+
+    // ---- Okapi BM25 multi-query retrieval (k1=1.2, b=0.75 — the
+    // lexical leg every RAG serving stack pairs with the vector leg;
+    // extends q156's single-query TF-IDF to per-anchor BM25 with real
+    // length normalization). Per anchor (doc_id % 113 == 0) the query
+    // terms are the anchor's first 6 distinct words. Postings join on
+    // the term key — the document-frequency frame is vocabulary-grain
+    // (Heaps-unbounded) so it SHUFFLE-joins, never broadcast (q88
+    // lesson); N/avgdl ride one broadcast 1-row cross join; the
+    // per-(anchor, doc) score is one map-side-combinable aggregate over
+    // ≤6 matched terms; top-10 per anchor via the window
+    // InferWindowGroupLimit turns into a per-partition top-k ----
+    "q204_bm25_search" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      // avgdl via exact integer sum / one double division — avg()'s
+      // engine-specific accumulation order would be an ulp gamble
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      val qterms = docs.filter(col("doc_id") % 113 === 0)
+        .select(col("doc_id").as("qid"), explode(array_distinct(
+          slice(split(trim(col("text")), "\\s+"), 1, 6))).as("w"))
+      val K1 = 1.2d; val B = 0.75d
+      tf.join(qterms, "w")
+        .join(dfreq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(
+            log(lit(1.0d) + (col("n") - col("df") + lit(0.5d)) /
+              (col("df") + lit(0.5d))) *
+            (col("tf") * lit(K1 + 1.0d)) /
+            (col("tf") + lit(K1) * (lit(1.0d - B) +
+              lit(B) * col("dl") / col("avgdl"))))
+          .as("score0"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score0").desc, col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("doc_id"), col("n_terms"),
+          (floor(col("score0") * lit(10000.0d) + lit(0.5d)) /
+            lit(10000.0d)).as("score"),
+          col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- hybrid retrieval fusion (Reciprocal Rank Fusion, k=60 — the
+    // standard serving combiner for a lexical + vector stack): the q204
+    // BM25 leg and a cosine leg each contribute their top-20 per
+    // anchor; a candidate's fused score adds at most two 1/(60+rank)
+    // terms — identical IEEE operands in either engine, so the fusion
+    // is bit-exact cross-engine (no rounding gamble on the rank
+    // boundary). Full-outer merge on (anchor, doc): RRF by design
+    // scores docs found by EITHER leg ----
+    "q205_hybrid_rrf" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      // avgdl via exact integer sum / one double division — avg()'s
+      // engine-specific accumulation order would be an ulp gamble
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      val qterms = docs.filter(col("doc_id") % 113 === 0)
+        .select(col("doc_id").as("qid"), explode(array_distinct(
+          slice(split(trim(col("text")), "\\s+"), 1, 6))).as("w"))
+      val K1 = 1.2d; val B = 0.75d
+      val lex = tf.join(qterms, "w")
+        .join(dfreq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(
+            log(lit(1.0d) + (col("n") - col("df") + lit(0.5d)) /
+              (col("df") + lit(0.5d))) *
+            (col("tf") * lit(K1 + 1.0d)) /
+            (col("tf") + lit(K1) * (lit(1.0d - B) +
+              lit(B) * col("dl") / col("avgdl"))))
+          .as("score0"))
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score0").desc, col("doc_id"))))
+        .filter(col("lrank") <= 20)
+        .select(col("qid"), col("doc_id"), col("lrank"))
+      val emb = t(s, d, "embeddings")
+      val vec = emb.filter(col("vec_id") % 113 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        .crossJoin(emb)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          VectorFunctions.cosine_sim(col("embedding"), col("qemb"))
+            .as("cs"))
+        .withColumn("vrank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cs").desc, col("doc_id"))))
+        .filter(col("vrank") <= 20)
+        .select(col("qid"), col("doc_id"), col("vrank"))
+      lex.join(vec, Seq("qid", "doc_id"), "full")
+        .withColumn("rrf",
+          coalesce(lit(1.0d) / (lit(60.0d) + col("lrank")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(60.0d) + col("vrank")), lit(0.0d)))
+        .withColumn("frank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("frank") <= 10)
+        .select(col("qid"), col("doc_id"), col("lrank"), col("vrank"),
+          (floor(col("rrf") * lit(1000000.0d) + lit(0.5d)) /
+            lit(1000000.0d)).as("rrf"),
+          col("frank"))
+        .orderBy(col("qid"), col("frank"))
+    }),
+
     "q199_graph_maintenance" -> ((s, d) => {
       import graft.vector.HnswIndex
       val emb = t(s, d, "embeddings").filter(col("vec_id") < 500)
@@ -4118,6 +4344,154 @@ object SparkEntry {
         |FROM documents d JOIN k ON k.source = d.source
         |GROUP BY d.source, k.n_kept, k.kept_chars, k.n_langs
         |ORDER BY d.source""".stripMargin,
+
+    // the oracle replays the SAME over-fetch-20-then-filter contract
+    // (post-filter ANN serving is defined by its over-fetch, so the
+    // check is deterministic — covering efSearch makes the probe's
+    // top-20 exact)
+    "q202_ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qemb,
+        |             label AS qlabel
+        |           FROM embeddings WHERE vec_id % 37 = 0),
+        |sc AS (
+        | SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                         CAST(q.qemb AS DOUBLE[])) AS score,
+        |  row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(q.qemb AS DOUBLE[])) DESC,
+        |    e.vec_id) AS rn
+        | FROM embeddings e CROSS JOIN q),
+        |neg AS (
+        | SELECT qid, vec_id, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC,
+        |    vec_id) AS neg_rank
+        | FROM sc WHERE rn <= 20 AND label <> qlabel)
+        |SELECT qid, vec_id, label, round(score, 4) AS score,
+        | CAST(neg_rank AS INT) AS neg_rank
+        |FROM neg WHERE neg_rank <= 5
+        |ORDER BY qid, neg_rank""".stripMargin,
+
+    "q203_knn_label_noise" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qemb,
+        |             label AS qlabel
+        |           FROM embeddings WHERE vec_id % 7 = 0),
+        |sc AS (
+        | SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        |  row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(q.qemb AS DOUBLE[])) DESC,
+        |    e.vec_id) AS rn,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                         CAST(q.qemb AS DOUBLE[])) AS score
+        | FROM embeddings e CROSS JOIN q),
+        |nn AS (
+        | SELECT qid, qlabel, vec_id, label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC,
+        |    vec_id) AS nn
+        | FROM sc WHERE rn <= 13 AND vec_id <> qid)
+        |SELECT qid, qlabel,
+        | CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_agree,
+        | (sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) <= 3)
+        |   AS suspect
+        |FROM nn WHERE nn <= 12
+        |GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
+
+    // constants forced ::DOUBLE — DuckDB parses bare decimal literals
+    // as DECIMAL and would run exact-decimal arithmetic where Spark
+    // runs IEEE doubles; avgdl is integer-sum / one double division on
+    // both sides for the same reason
+    "q204_bm25_search" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |   AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        | WHERE w <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok
+        | WHERE w <> '' GROUP BY 1),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS qid, w FROM (
+        |  SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')[1:6]) AS w
+        |  FROM documents WHERE doc_id % 113 = 0)),
+        |sc AS (
+        | SELECT q.qid, tf.doc_id,
+        |  sum(ln(1.0::DOUBLE + ((SELECT n FROM st) - df.df + 0.5::DOUBLE)
+        |        / (df.df + 0.5::DOUBLE)) *
+        |      (tf.tf * 2.2::DOUBLE) /
+        |      (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE +
+        |        0.75::DOUBLE * dl.dl / (SELECT avgdl FROM st))))
+        |    AS score0,
+        |  count(*) AS n_terms
+        | FROM tf JOIN qt q ON tf.w = q.w JOIN df ON tf.w = df.w
+        |   JOIN dl ON dl.doc_id = tf.doc_id
+        | GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, n_terms, score0,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY score0 DESC, doc_id) AS rn FROM sc)
+        |SELECT qid, doc_id, n_terms,
+        | floor(score0 * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+        |   AS score,
+        | CAST(rn AS INT) AS rn
+        |FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "q205_hybrid_rrf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |   AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        | WHERE w <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok
+        | WHERE w <> '' GROUP BY 1),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS qid, w FROM (
+        |  SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')[1:6]) AS w
+        |  FROM documents WHERE doc_id % 113 = 0)),
+        |sc AS (
+        | SELECT q.qid, tf.doc_id,
+        |  sum(ln(1.0::DOUBLE + ((SELECT n FROM st) - df.df + 0.5::DOUBLE)
+        |        / (df.df + 0.5::DOUBLE)) *
+        |      (tf.tf * 2.2::DOUBLE) /
+        |      (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE +
+        |        0.75::DOUBLE * dl.dl / (SELECT avgdl FROM st))))
+        |    AS score0
+        | FROM tf JOIN qt q ON tf.w = q.w JOIN df ON tf.w = df.w
+        |   JOIN dl ON dl.doc_id = tf.doc_id
+        | GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, lrank FROM (
+        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score0 DESC, doc_id) AS lrank FROM sc)
+        | WHERE lrank <= 20),
+        |qv AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+        |       WHERE vec_id % 113 = 0),
+        |vec AS (SELECT qid, doc_id, vrank FROM (
+        |  SELECT q.qid, e.vec_id AS doc_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                            CAST(q.qemb AS DOUBLE[])) DESC,
+        |     e.vec_id) AS vrank
+        |  FROM embeddings e CROSS JOIN qv q)
+        | WHERE vrank <= 20),
+        |fu AS (SELECT coalesce(l.qid, v.qid) AS qid,
+        |  coalesce(l.doc_id, v.doc_id) AS doc_id, l.lrank, v.vrank,
+        |  coalesce(1.0::DOUBLE / (60.0::DOUBLE + l.lrank), 0.0::DOUBLE) +
+        |  coalesce(1.0::DOUBLE / (60.0::DOUBLE + v.vrank), 0.0::DOUBLE)
+        |    AS rrf
+        | FROM lex l FULL JOIN vec v
+        |   ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        |fr AS (SELECT qid, doc_id, lrank, vrank, rrf,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS frank FROM fu)
+        |SELECT qid, doc_id, CAST(lrank AS INT) AS lrank,
+        | CAST(vrank AS INT) AS vrank,
+        | floor(rrf * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+        |   AS rrf,
+        | CAST(frank AS INT) AS frank
+        |FROM fr WHERE frank <= 10 ORDER BY qid, frank""".stripMargin,
 
     // the three stage definitions are verbatim the q187/q188/q191
     // oracle fragments; q198 checks the SQL surface composes them

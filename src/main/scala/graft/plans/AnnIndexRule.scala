@@ -263,7 +263,7 @@ object AnnCatalog {
   * Join over their relations so they never re-match, and the embedded
   * brute branch carries a skip tag.
   */
-class AnnIndexRule extends Rule[LogicalPlan] {
+class AnnIndexRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (AnnCatalog.isEmpty) plan
@@ -545,20 +545,35 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     * the right distributed shape there).
     */
   private def rewriteMulti(cond: Expression, w: Window): Option[LogicalPlan] = {
-    // rank predicate → k
-    val (rnAttr, k) = cond match {
-      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(n)) => (a, n)
-      case LessThan(a: AttributeReference, IntegerLiteral(n)) => (a, n - 1)
-      case EqualTo(a: AttributeReference, IntegerLiteral(n)) if n == 1 => (a, 1)
+    // exactly one window expression: a row_number rank column
+    val rnAlias = w.windowExpressions match {
+      case Seq(al @ Alias(WindowExpression(RowNumber(), _), _)) => al
+      case _ => return None
+    }
+    // split the filter: exactly one rank conjunct on the rn attribute
+    // gives k; the residual conjuncts (operators composed ABOVE the
+    // lateral probe push their implied predicates — e.g. a join-back on
+    // the id contributes isnotnull(id) — the q202 serving shape) are
+    // re-applied as a Filter over the probe's output, which carries
+    // every attribute the window's Filter carried
+    val (rankConj, residual) = splitConjunctivePredicates(cond).partition {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(_)) =>
+        a.exprId == rnAlias.exprId
+      case LessThan(a: AttributeReference, IntegerLiteral(_)) =>
+        a.exprId == rnAlias.exprId
+      case EqualTo(a: AttributeReference, IntegerLiteral(n)) =>
+        n == 1 && a.exprId == rnAlias.exprId
+      case _ => false
+    }
+    val k = rankConj match {
+      case Seq(LessThanOrEqual(_, IntegerLiteral(n))) => n
+      case Seq(LessThan(_, IntegerLiteral(n))) => n - 1
+      case Seq(EqualTo(_, IntegerLiteral(_))) => 1
       case _ => return None
     }
     if (k <= 0) return None
-    // exactly one window expression: row_number aliased to the rank attr
-    val rnAlias = w.windowExpressions match {
-      case Seq(al @ Alias(WindowExpression(RowNumber(), _), _))
-          if al.exprId == rnAttr.exprId => al
-      case _ => return None
-    }
+    if (!residual.forall(r => r.deterministic &&
+        r.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)) return None
     val qidAttr = w.partitionSpec match {
       case Seq(a: AttributeReference) => a
       case _ => return None
@@ -704,7 +719,9 @@ class AnnIndexRule extends Rule[LogicalPlan] {
     }
     logInfo(s"AnnIndexRule: rewrote per-query top-$k window over " +
       s"${fs.location.rootPaths.head} into one batched HNSW probe")
-    Some(Project(outProj, analyzed))
+    val probed = Project(outProj, analyzed)
+    Some(if (residual.isEmpty) probed
+         else Filter(residual.reduce(And), probed))
   }
 }
 

@@ -511,6 +511,67 @@ class AnnIndexRuleSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
+  test("over-fetch + post-filter composition (hard negatives) rides the batched probe") {
+    // the q202 serving shape: lateral top-20 through the index, label
+    // join-back on the id, anti-label filter, re-rank to 5 — the inner
+    // window must rewrite onto the stored graph while the join-back
+    // reads only (vec_id, label) from base
+    ensureRule()
+    val (dir, centers, base) = hnswRegistered()
+    try {
+      val rng = new scala.util.Random(11)
+      val anchors = (0 until 9).map { i =>
+        (i.toLong * 13,
+         centers(i % 3).map(x => (x + rng.nextGaussian() * 0.1).toFloat),
+         i % 5)
+      }.toDF("qid", "qemb", "qlabel")
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      def negatives(b: DataFrame) = {
+        val probed = anchors.select(col("qid"), col("qemb"))
+          .crossJoin(b)
+          .select(col("qid"), col("vec_id"),
+            VectorFunctions.cosine_sim(col("embedding"), col("qemb"))
+              .as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= 20)
+        probed
+          .join(b.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .join(anchors.select(col("qid"), col("qlabel")), Seq("qid"))
+          .filter(col("label") =!= col("qlabel"))
+          .withColumn("neg_rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("neg_rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("label"), col("neg_rank"))
+      }
+
+      val df = negatives(base)
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSeq.sorted
+      assert(scanRoots(df).exists(_.contains("/hnsw")),
+        s"inner top-20 not rewritten onto the graph: ${scanRoots(df)}")
+      // the only base scans left are the label join-back — none may
+      // read the embedding column back
+      val baseScans = scans(df.queryExecution.executedPlan).filter(
+        _.relation.location.rootPaths.head.toString.contains("/base"))
+      assert(baseScans.nonEmpty &&
+        baseScans.forall(!_.output.map(_.name).contains("embedding")),
+        s"label join-back re-reads embeddings: ${baseScans.map(_.output.map(_.name))}")
+
+      // covering ef ⇒ identical to the fully brute composition
+      AnnCatalog.clear()
+      val brute = negatives(base).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSeq.sorted
+      assert(got == brute)
+      assert(got.size == 9 * 5)
+    } finally AnnCatalog.clear()
+  }
+
   test("cost gate: a table below minTableBytes keeps the brute-force scan") {
     ensureRule()
     val (dir, centers) = writeBase()
