@@ -3518,11 +3518,22 @@ object SparkEntry {
       val tok = docs.select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("w"))
         .filter(col("w") =!= "")
+      // the postings frame is MATERIALIZED once (what a real lexical
+      // engine calls the index build): dl, df and the scoring join all
+      // consume it, and relying on ReuseExchange instead is fragile —
+      // each consumer pushes different implied predicates / prunes
+      // different columns, de-duplicating the subtree only sometimes.
+      // One corpus tokenization, three cheap postings-grain re-reads.
       val tf = tok.groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // tf is distinct on (doc_id, w), so document frequency is a plain
+      // count over it — a countDistinct would plan its own (w, doc_id)
+      // distinct aggregate whose exchange cannot reuse tf's, re-running
+      // the corpus tokenization a second time
       val dfreq = tf.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
       // avgdl via exact integer sum / one double division — avg()'s
       // engine-specific accumulation order would be an ulp gamble
       val stats = dl.agg(count(lit(1)).as("n"),
@@ -3567,11 +3578,22 @@ object SparkEntry {
       val tok = docs.select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("w"))
         .filter(col("w") =!= "")
+      // the postings frame is MATERIALIZED once (what a real lexical
+      // engine calls the index build): dl, df and the scoring join all
+      // consume it, and relying on ReuseExchange instead is fragile —
+      // each consumer pushes different implied predicates / prunes
+      // different columns, de-duplicating the subtree only sometimes.
+      // One corpus tokenization, three cheap postings-grain re-reads.
       val tf = tok.groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // tf is distinct on (doc_id, w), so document frequency is a plain
+      // count over it — a countDistinct would plan its own (w, doc_id)
+      // distinct aggregate whose exchange cannot reuse tf's, re-running
+      // the corpus tokenization a second time
       val dfreq = tf.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
       // avgdl via exact integer sum / one double division — avg()'s
       // engine-specific accumulation order would be an ulp gamble
       val stats = dl.agg(count(lit(1)).as("n"),

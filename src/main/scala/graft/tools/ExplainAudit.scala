@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional second arg: comma-separated query filter; optional third
+    // arg "full" also dumps each filtered query's final physical plan
+    val only = args.lift(1).map(_.split(",").toSet)
+    val dump = args.lift(2).contains("full")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +23,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     println("| query | exchanges | bcast joins | SMJ | codegen spans | scans | pushed filters |")
     println("|---|---|---|---|---|---|---|")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.collect() // execute THIS plan (count() would build a different
@@ -37,6 +43,7 @@ object ExplainAudit {
         val scans = n("FileScan parquet|Scan parquet")
         val pushed = n("PushedFilters: \\[[^\\]]")
         println(s"| $name | $exchanges | $bhj | $smj | $wsc | $scans | $pushed |")
+        if (dump) println(plan)
         spark.catalog.clearCache()
       } catch {
         case e: Throwable => println(s"| $name | ERR ${e.getClass.getSimpleName} | | | | | |")
