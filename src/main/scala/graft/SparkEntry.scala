@@ -2664,12 +2664,18 @@ object SparkEntry {
         .filter(col("w") =!= "")
       val tf = tok.groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val queryTerms = Seq("dup", "key", "vector")
-      tf.filter(col("w").isin(queryTerms: _*))
-        .join(broadcast(dfreq.filter(col("w").isin(queryTerms: _*))), "w")
+      // materialize the matched postings (tiny: query terms only) so the
+      // df aggregate and the scoring join share ONE corpus tokenization —
+      // a second dfreq branch would re-explode the corpus (the q204
+      // lesson: ReuseExchange misses when pruning reshapes the subtree)
+      val matched = tf.filter(col("w").isin(queryTerms: _*))
+        .localCheckpoint()
+      val dfreq = matched.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      matched
+        .join(broadcast(dfreq), "w")
         .crossJoin(broadcast(n))
         .groupBy(col("doc_id"))
         .agg(round(sum(col("tf") * log(col("n") / col("df"))), 4).as("score"),
