@@ -4197,6 +4197,102 @@ object SparkEntry {
           |SELECT start, node, depth FROM anc
           |ORDER BY start, depth""".stripMargin)
     }),
+
+    // ---- bloom-accelerated incremental dedup (the daily "seen this
+    // content before?" gate): corpus = the stored 80 %, batch = the
+    // arriving 20 %; key = 64-bit fingerprint of the 12-token prefix
+    // (the news-wire prefix-dedup grain; q200's fixed-8-byte-key
+    // contract — the oracle replays with prefix-string equality). The
+    // corpus Bloom filter has NO false negatives, so definitely-new
+    // rows are emitted from a map-side scan without ever shuffling;
+    // only true dupes + the false-positive margin pay the exact
+    // anti-join, whose corpus side is the stored key set, never the
+    // corpus text ----
+    "q206_bloom_incr_dedup" -> ((s, d) => {
+      import graft.sketch.BloomPrune
+      val docs = tSpread(s, d, "documents")
+        .withColumn("k", xxhash64(concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 1, 12))))
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      BloomPrune.antiJoin(batch, corpus, "k")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- MMR-diversified retrieval (maximal marginal relevance — the
+    // standard serving-side diversifier over an ANN candidate pool):
+    // the top-20 relevance pool is computed distributed (one codegen
+    // cosine scan + TakeOrdered, no full sort), then the greedy
+    // λ·rel − (1−λ)·max-sim re-rank runs over the k-row pool on the
+    // driver (k-bounded, the q170 contract — never
+    // corpus-proportional). Cross-engine parity: both engines argmax
+    // on UNROUNDED doubles and only display at 4dp; with random float
+    // embeddings the chance of an mmr near-tie within one ulp is ~0
+    // (the q18 ordering precedent) ----
+    "q207_mmr_diversify" -> ((s, d) => {
+      import s.implicits._
+      val em = t(s, d, "embeddings")
+      val qv = em.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"))
+      val pool = em.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          graft.vector.VectorFunctions.cosine_sim(
+            col("embedding"), col("qemb")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      val cand = pool.collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+          r.getDouble(2))
+      }
+      // same arithmetic as CosineSimilarity.nullSafeEval: double
+      // accumulation in index order, dot / sqrt(na * nb)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      // literal 0.3, NOT 1.0-0.7 (= 0.30000000000000004): the oracle's
+      // 0.3::DOUBLE must be the identical IEEE operand
+      val lambda = 0.7d; val oneMinusLambda = 0.3d
+      val remaining = scala.collection.mutable.ArrayBuffer(cand.toSeq: _*)
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val sel = Seq.newBuilder[(Int, Long, Double, Double)]
+      var rank = 1
+      while (rank <= 5 && remaining.nonEmpty) {
+        var bi = -1; var bmmr = Double.NegativeInfinity
+        var bid = Long.MaxValue
+        var i = 0
+        while (i < remaining.length) {
+          val (id, emb, rel) = remaining(i)
+          // true max over the selected set (may be negative) — the
+          // oracle's correlated max(); 0.0 only for the empty set
+          var ms = 0.0
+          if (chosen.nonEmpty) {
+            ms = Double.NegativeInfinity
+            var j = 0
+            while (j < chosen.length) {
+              val c = cos(emb, chosen(j)); if (c > ms) ms = c; j += 1
+            }
+          }
+          val m = lambda * rel - oneMinusLambda * ms
+          if (m > bmmr || (m == bmmr && id < bid)) {
+            bi = i; bmmr = m; bid = id
+          }
+          i += 1
+        }
+        val (id, emb, rel) = remaining.remove(bi)
+        chosen += emb
+        sel += ((rank, id, math.floor(rel * 1e4 + 0.5) / 1e4,
+          math.floor(bmmr * 1e4 + 0.5) / 1e4))
+        rank += 1
+      }
+      sel.result().toDF("rank", "vec_id", "rel", "mmr")
+        .orderBy(col("rank"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -7890,5 +7986,80 @@ object SparkEntry {
         |  FROM anc WHERE node > 0)
         |SELECT start, node, depth FROM anc
         |ORDER BY start, depth""".stripMargin,
+
+    // exact semantics: batch docs whose 12-token prefix appears in the
+    // corpus split are dropped — the Bloom filter is a pure plan
+    // optimization and cannot change the result
+    "q206_bloom_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  array_to_string(regexp_split_to_array(trim(text), '\s+')[1:12],
+        |    ' ') AS k
+        | FROM documents),
+        |c AS (SELECT k FROM d WHERE doc_id % 10 < 8),
+        |b AS (SELECT doc_id, n_chars, k FROM d WHERE doc_id % 10 >= 8)
+        |SELECT doc_id, n_chars FROM b
+        |WHERE k NOT IN (SELECT k FROM c)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the greedy MMR loop unrolled to its 5 selection steps; every
+    // numeric literal ::DOUBLE so both engines multiply the identical
+    // IEEE operands (DuckDB parses bare 0.7 as DECIMAL)
+    "q207_mmr_diversify" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |pool AS (SELECT vec_id, emb, rel FROM (
+        |   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |      AS rel
+        |   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+        | ORDER BY rel DESC, vec_id LIMIT 20),
+        |s1 AS (SELECT vec_id, emb, rel, 0.7::DOUBLE * rel AS mmr
+        |       FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+        |e1 AS (SELECT vec_id, emb FROM s1),
+        |c2 AS (SELECT p.vec_id, p.emb, p.rel,
+        |  0.7::DOUBLE * p.rel - 0.3::DOUBLE *
+        |   (SELECT max(list_cosine_similarity(p.emb, s.emb)) FROM e1 s)
+        |    AS mmr
+        | FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM e1)),
+        |s2 AS (SELECT vec_id, emb, rel, mmr FROM c2
+        |       ORDER BY mmr DESC, vec_id LIMIT 1),
+        |e2 AS (SELECT vec_id, emb FROM e1
+        |       UNION ALL SELECT vec_id, emb FROM s2),
+        |c3 AS (SELECT p.vec_id, p.emb, p.rel,
+        |  0.7::DOUBLE * p.rel - 0.3::DOUBLE *
+        |   (SELECT max(list_cosine_similarity(p.emb, s.emb)) FROM e2 s)
+        |    AS mmr
+        | FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM e2)),
+        |s3 AS (SELECT vec_id, emb, rel, mmr FROM c3
+        |       ORDER BY mmr DESC, vec_id LIMIT 1),
+        |e3 AS (SELECT vec_id, emb FROM e2
+        |       UNION ALL SELECT vec_id, emb FROM s3),
+        |c4 AS (SELECT p.vec_id, p.emb, p.rel,
+        |  0.7::DOUBLE * p.rel - 0.3::DOUBLE *
+        |   (SELECT max(list_cosine_similarity(p.emb, s.emb)) FROM e3 s)
+        |    AS mmr
+        | FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM e3)),
+        |s4 AS (SELECT vec_id, emb, rel, mmr FROM c4
+        |       ORDER BY mmr DESC, vec_id LIMIT 1),
+        |e4 AS (SELECT vec_id, emb FROM e3
+        |       UNION ALL SELECT vec_id, emb FROM s4),
+        |c5 AS (SELECT p.vec_id, p.emb, p.rel,
+        |  0.7::DOUBLE * p.rel - 0.3::DOUBLE *
+        |   (SELECT max(list_cosine_similarity(p.emb, s.emb)) FROM e4 s)
+        |    AS mmr
+        | FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM e4)),
+        |s5 AS (SELECT vec_id, emb, rel, mmr FROM c5
+        |       ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT CAST(r AS INT) AS rank, vec_id,
+        | floor(rel * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+        |   AS rel,
+        | floor(mmr * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+        |   AS mmr
+        |FROM (SELECT 1 AS r, vec_id, rel, mmr FROM s1
+        | UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
+        | UNION ALL SELECT 3, vec_id, rel, mmr FROM s3
+        | UNION ALL SELECT 4, vec_id, rel, mmr FROM s4
+        | UNION ALL SELECT 5, vec_id, rel, mmr FROM s5)
+        |ORDER BY r""".stripMargin,
   )
 }

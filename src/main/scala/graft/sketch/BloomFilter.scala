@@ -127,6 +127,27 @@ object BloomPrune {
     pruned.join(small.select(col(key)).distinct(), Seq(key), "left_semi")
   }
 
+  /** Exact `batch ▷ corpus` (left-anti on `key`) with a Bloom fast path —
+    * the incremental "have we seen this content before" shape of a daily
+    * ingest. A Bloom filter has NO false negatives, so rows whose key the
+    * corpus filter definitely has not seen are emitted directly from a
+    * map-side scan; only the maybe-seen fraction (true duplicates plus
+    * the false-positive margin) pays the exact shuffled anti-join. At
+    * 100 TB the anti-join's probe side shrinks from the full batch to
+    * ~(dup_rate + fpr) × batch, and the corpus side of that join is the
+    * stored key set (8-byte fingerprints), never the corpus text. */
+  def antiJoin(batch: DataFrame, corpus: DataFrame, key: String,
+               numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bytes = corpus.agg(bloom_agg(col(key), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = udf(new Probe(bytes))
+    val definitelyNew = batch.filter(col(key).isNotNull &&
+      !mightContain(col(key)))
+    val maybeSeen = batch.filter(col(key).isNotNull && mightContain(col(key)))
+      .join(corpus.select(col(key)).distinct(), Seq(key), "left_anti")
+    definitelyNew.unionByName(maybeSeen)
+  }
+
   /** Serializable probe: ships the BYTES, deserializes the bitset once
     * per executor deserialization of the closure (`@transient lazy`) —
     * NEVER per row. */

@@ -40,4 +40,23 @@ class BloomFilterSpec extends SparkSpec {
     assert(prunedCount >= 500 && prunedCount < 2000,
       s"pruned to $prunedCount of 50000")
   }
+
+  test("bloom anti-join equals plain anti-join (FPs cannot leak, FNs impossible)") {
+    // batch deliberately overlaps the corpus on every 10th key; an
+    // undersized filter (m/n ~ 3.3 bits) forces a HIGH fp rate so the
+    // exact-join backstop is actually exercised, not just compiled
+    val corpus = (1L to 5000L).map(i => i * 10).toDF("k")
+    val batch = (1L to 10000L).map(i => (i, s"doc$i")).toDF("k", "v")
+    val plain = batch.join(corpus.select("k").distinct(), Seq("k"), "left_anti")
+    val bloom = BloomPrune.antiJoin(batch, corpus, "k",
+      numBits = 1 << 14, numHashes = 3)
+    assert(bloom.count() == plain.count())
+    assert(bloom.except(plain).count() == 0 && plain.except(bloom).count() == 0)
+    // and with the production-sized filter the maybe-seen fraction that
+    // pays the shuffle is small: dup rate 10% + fp margin under 2%
+    val bytes = corpus.agg(BloomPrune.bloom_agg(col("k")))
+      .head().getAs[Array[Byte]](0)
+    val maybe = BloomPrune.prune(batch, "k", bytes).count()
+    assert(maybe >= 1000 && maybe < 1200, s"maybe-seen: $maybe of 10000")
+  }
 }
