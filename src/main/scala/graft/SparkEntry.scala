@@ -4293,6 +4293,59 @@ object SparkEntry {
       sel.result().toDF("rank", "vec_id", "rel", "mmr")
         .orderBy(col("rank"))
     }),
+
+    // ---- token-budget corpus selection (fill a fixed training-token
+    // budget from the best documents — the stage quality scores feed):
+    // exact greedy prefix over (quality DESC, doc_id), but computed in
+    // the BANDED two-phase shape — per-band token totals find the
+    // boundary band, better bands keep wholesale map-side, and only
+    // ~1/1000 of the corpus pays an ordered cumsum window. The oracle
+    // replays the global single-window form; banding is provably the
+    // same prefix (floor(q·1000) is monotone in q) ----
+    "q208_token_budget" -> ((s, d) => {
+      import graft.operators.Curation
+      import graft.text.TextFunctions
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .filter(col("n_tokens") > 0)
+      Curation.selectByBudget(docs, "q", "doc_id", "n_tokens",
+        budget = 12000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-label embedding dispersion sheet (corpus diversity
+    // audit: how spread out is each label's slice of embedding space?):
+    // trace-of-covariance via E‖x‖² − ‖E[x]‖², computed ENTIRELY from
+    // exact integer sums of 4dp-quantized elements (the q52 idiom —
+    // float avg accumulation order is engine-specific; bigint sums are
+    // not). Two map-side-combined aggregates: (label, dim) grain, then
+    // label grain; the final double math runs on identical exact-int
+    // operands in both engines ----
+    "q209_embedding_diversity" -> ((s, d) => {
+      val qv = floor(col("col").cast("double") * lit(10000d) + lit(0.5d))
+        .cast("bigint")
+      val per = t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"), qv.as("qv"))
+      val dims = per.groupBy(col("label"), col("pos"))
+        .agg(sum(col("qv")).as("sd"),
+          sum(col("qv") * col("qv")).as("sq"),
+          count(lit(1)).as("n"))
+      dims.groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum(col("sq")).as("ssq"),
+          sum(col("sd") * col("sd")).as("cnorm"))
+        .select(col("label"), col("n_vecs"),
+          (floor((col("ssq").cast("double") / col("n_vecs") -
+            col("cnorm").cast("double") /
+              (col("n_vecs") * col("n_vecs"))) /
+            lit(1.0e8) * lit(1000000d) + lit(0.5d)) / lit(1000000d))
+            .as("dispersion"))
+        .orderBy(col("label"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8061,5 +8114,48 @@ object SparkEntry {
         | UNION ALL SELECT 4, vec_id, rel, mmr FROM s4
         | UNION ALL SELECT 5, vec_id, rel, mmr FROM s5)
         |ORDER BY r""".stripMargin,
+
+    // n_tokens / quality are verbatim the q19 oracle fragments; the
+    // budget prefix is the plain global window the engine's banded
+    // two-phase form provably equals
+    "q208_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |   ELSE round(length(regexp_extract_all(lower(text),
+        |     '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |     array_length(regexp_split_to_array(trim(text), '\s+')), 4)
+        |   END AS q
+        | FROM documents),
+        |f AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, q
+        |      FROM t WHERE n_tokens > 0),
+        |o AS (SELECT doc_id, n_tokens, q,
+        |  sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM f)
+        |SELECT doc_id, n_tokens, q FROM o
+        |WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+
+    // exact-int operands end to end (the q52 idiom): per-element 4dp
+    // fixed point, bigint sums, one identical double expression at the
+    // end in both engines
+    "q209_embedding_diversity" ->
+      """WITH x AS (SELECT label,
+        |  CAST(floor(embedding[CAST(i AS INT)]::DOUBLE * 10000.0::DOUBLE
+        |    + 0.5::DOUBLE) AS BIGINT) AS qv,
+        |  i AS dim
+        | FROM embeddings, range(1, 65) r(i)),
+        |dims AS (SELECT label, dim, sum(qv) AS sd, sum(qv * qv) AS sq,
+        |  count(*) AS n
+        | FROM x GROUP BY label, dim)
+        |SELECT label, max(n) AS n_vecs,
+        | floor((sum(sq)::DOUBLE / max(n) -
+        |   sum(sd * sd)::DOUBLE / (max(n) * max(n))) /
+        |   100000000.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE) /
+        |   1000000.0::DOUBLE AS dispersion
+        |FROM dims GROUP BY label
+        |ORDER BY label""".stripMargin,
   )
 }

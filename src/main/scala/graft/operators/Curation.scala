@@ -57,4 +57,56 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .join(kept, Seq(domainCol), "left")
   }
+
+  /** Greedy quality-ranked selection under a global token budget — the
+    * "fill a fixed training-token budget from the best documents" stage
+    * (the selection mode DSIR/classifier scores ultimately feed).
+    *
+    * Exact semantics: order all rows by (`scoreCol` DESC, `idCol` ASC);
+    * keep each row whose inclusive running `tokensCol` total is within
+    * `budget` (tokens are non-negative, so the kept set is a prefix).
+    *
+    * Scalable shape: a global ordered cumsum is a single-partition
+    * window — the corpus would serialize through one task. Instead the
+    * score (expected in [0, 1]) is banded into `nBands` coarse buckets:
+    *  1. per-band token totals (an `nBands`-row aggregate, map-side
+    *     combined) locate the boundary band on the driver;
+    *  2. every band strictly better than the boundary is kept wholesale
+    *     by a map-side filter — its rows never shuffle;
+    *  3. ONLY the boundary band (~1/nBands of the corpus) pays the
+    *     ordered cumsum window, with the better-bands total as a
+    *     constant offset.
+    * Banding is exact, not approximate: floor(score·nBands) is monotone
+    * in score and equal scores land in the same band, so the banded
+    * prefix is identical to the global one. */
+  def selectByBudget(df: DataFrame, scoreCol: String, idCol: String,
+                     tokensCol: String, budget: Long,
+                     nBands: Int = 1000): DataFrame = {
+    val banded = df.withColumn("_band",
+      least(floor(col(scoreCol) * nBands), lit(nBands - 1)).cast("int"))
+    val bandTotals = banded.groupBy(col("_band"))
+      .agg(sum(col(tokensCol)).as("_bt"))
+      .collect()                       // nBands-bounded, never corpus-sized
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1)                   // best band first
+    var acc = 0L; var boundary = Option.empty[Int]
+    val it = bandTotals.iterator
+    while (boundary.isEmpty && it.hasNext) {
+      val (band, bt) = it.next()
+      if (acc + bt > budget) boundary = Some(band) else acc += bt
+    }
+    boundary match {
+      case None => banded.drop("_band") // the whole corpus fits
+      case Some(b) =>
+        val offset = acc
+        val keepWhole = banded.filter(col("_band") > b).drop("_band")
+        val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundaryKept = banded.filter(col("_band") === b)
+          .withColumn("_cum", sum(col(tokensCol)).over(w))
+          .filter(col("_cum") + offset <= budget)
+          .drop("_band", "_cum")
+        keepWhole.unionByName(boundaryKept)
+    }
+  }
 }

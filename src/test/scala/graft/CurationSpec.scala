@@ -72,4 +72,36 @@ class CurationSpec extends SparkSpec {
     assert(st("b.com") == ((1L, 1L, 50L, 1L)))
     assert(st("c.com") == ((2L, 2L, 30L, 1L)))
   }
+
+  test("selectByBudget equals the global-window greedy prefix") {
+    // deterministic pseudo-random scores/tokens; nBands=10 forces many
+    // docs per band so the boundary band is genuinely partial
+    val docs = (1L to 500L).map { i =>
+      val score = ((i * 7919) % 1000) / 1000.0
+      val tokens = 1L + (i * 31) % 100
+      (i, score, tokens)
+    }.toDF("id", "score", "tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Long.MinValue, 0)
+    val budget = 5000L
+    val expected = docs
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .filter(col("cum") <= budget).drop("cum")
+      .select("id").as[Long].collect().toSet
+    val got = Curation.selectByBudget(docs, "score", "id", "tokens",
+        budget, nBands = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 500) // boundary actually cut
+  }
+
+  test("selectByBudget keeps everything when the corpus fits") {
+    val docs = (1L to 50L).map(i => (i, (i % 10) / 10.0, 5L))
+      .toDF("id", "score", "tokens")
+    val got = Curation.selectByBudget(docs, "score", "id", "tokens",
+        budget = 10000L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (1L to 50L).toSet)
+  }
 }
