@@ -4346,6 +4346,65 @@ object SparkEntry {
             .as("dispersion"))
         .orderBy(col("label"))
     }),
+
+    // ---- canonical-document selection per near-dup cluster (the
+    // "keep which one" half of near-dedup — FineWeb/C4 keep-longest
+    // policy): clusters from the q124 simhash Hamming graph +
+    // label-propagation CC, then ONE window shuffle on cluster_id —
+    // rn = 1 is a per-partition top-1 (InferWindowGroupLimit), the
+    // cluster-size count rides the same exchange. Output grain is
+    // clusters; text never moves — only (doc_id, length) pairs reach
+    // the window ----
+    "q210_dup_canonical" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val pairs = Dedup.simhashHammingPairs(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      val cc = Graph.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      val scored = docs
+        .select(col("doc_id"),
+          length(trim(col("text"))).cast("long").as("n"))
+        .join(cc, col("doc_id") === col("id"))
+      val part = Window.partitionBy(col("cluster_id"))
+      val ord = part.orderBy(col("n").desc, col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("cluster_size", count(lit(1)).over(part))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("n").as("kept_chars"), col("cluster_size"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // ---- corpus data card (multi-dimensional rollup for the dataset
+    // datasheet: totals by language × length band, each margin, and
+    // the grand total): GROUP BY CUBE compiles to ONE Expand +
+    // aggregate — a single shuffle at 4× row multiplicity, not four
+    // scans of a 100 TB corpus. grouping() drives the sentinel columns
+    // so real values can never collide with the ALL rows ----
+    "q211_corpus_cube" -> ((s, d) => {
+      import graft.text.TextFunctions
+      val base = tSpread(s, d, "documents")
+        .select(col("lang"),
+          least(floor(col("n_chars") / lit(400)), lit(4L))
+            .cast("bigint").as("band"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_toks"),
+          col("n_chars"))
+      base.cube(col("lang"), col("band"))
+        .agg(grouping(col("lang")).as("gl"),
+          grouping(col("band")).as("gb"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tot_tokens"),
+          sum(col("n_chars")).as("tot_chars"))
+        .select(
+          when(col("gl") === 1, lit("ALL"))
+            .otherwise(col("lang")).as("lang"),
+          when(col("gb") === 1, lit(-1L))
+            .otherwise(col("band")).as("band"),
+          col("n_docs"), col("tot_tokens"), col("tot_chars"))
+        .orderBy(col("lang"), col("band"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8157,5 +8216,53 @@ object SparkEntry {
         |   1000000.0::DOUBLE AS dispersion
         |FROM dims GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    // q124's simhash + CC replay extended with the keep-longest window
+    "q210_dup_canonical" ->
+      s"""WITH RECURSIVE toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes),
+        |s2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM sig),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (SELECT doc_id AS id, doc_id AS c FROM documents
+        | UNION
+        | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst),
+        |cc AS (SELECT id, CAST(min(c) AS BIGINT) AS cluster_id FROM lbl GROUP BY id),
+        |len AS (SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n FROM documents),
+        |j AS (SELECT cc.cluster_id, len.doc_id, len.n,
+        |  row_number() OVER (PARTITION BY cc.cluster_id
+        |    ORDER BY len.n DESC, len.doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY cc.cluster_id) AS cluster_size
+        | FROM cc JOIN len ON cc.id = len.doc_id)
+        |SELECT cluster_id, doc_id AS kept_doc, n AS kept_chars, cluster_size
+        |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q211_corpus_cube" ->
+      """WITH b AS (SELECT lang,
+        |  CAST(LEAST(n_chars // 400, 4) AS BIGINT) AS band,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS n_toks,
+        |  n_chars
+        | FROM documents)
+        |SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(band) = 1 THEN CAST(-1 AS BIGINT) ELSE band END AS band,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS tot_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |FROM b GROUP BY CUBE(lang, band)
+        |ORDER BY lang, band""".stripMargin,
   )
 }
