@@ -4405,6 +4405,66 @@ object SparkEntry {
           col("n_docs"), col("tot_tokens"), col("tot_chars"))
         .orderBy(col("lang"), col("band"))
     }),
+
+    // ---- percentile-threshold selection WITHOUT a global sort (pick
+    // the p90 length cutoff, then keep everything above it — the
+    // quality-threshold pattern at corpus scale): pass 1 builds a
+    // fixed-width histogram (one shuffle onto a BOUNDED bin key — the
+    // bin count is data-range/50, not corpus size), the cumulative
+    // window runs on that tiny frame, the chosen cutoff rides back as
+    // a 1-row broadcast cross join, pass 2 filters + aggregates. The
+    // naive form sorts 100 TB to find one number; this never sorts
+    // anything bigger than the histogram ----
+    "q212_percentile_threshold" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val hist = docs
+        .groupBy((col("n_chars") / lit(50)).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wAll))
+        .withColumn("total",
+          sum(col("c")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+      val cutoff = cum
+        .filter(col("cum") * lit(10L) >= col("total") * lit(9L))
+        .agg(min(col("bin")).as("th_bin"))
+        .select((col("th_bin") * lit(50L)).as("threshold"))
+      docs.crossJoin(broadcast(cutoff))
+        .filter(col("n_chars") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("threshold"))
+    }),
+
+    // ---- proportional stratified sampling (per-language corpus
+    // sample for eval sets / data audits, deterministic replay): the
+    // rank key is md5(doc_id:lang) — a seeded uniform order any engine
+    // reproduces bit-for-bit, unlike rand(). ONE window exchange on
+    // the stratum key carries both the row_number and the stratum
+    // count; allocation is max(2, |stratum|/100) so strata keep
+    // proportional representation with a floor. Docs never move twice
+    // and nothing reaches the driver ----
+    "q213_stratified_sample" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          md5(concat_ws(":", col("doc_id").cast("string"), col("lang")))
+            .as("rk"))
+      val part = Window.partitionBy(col("lang"))
+      val ord = part.orderBy(col("rk"), col("doc_id"))
+      docs
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("n_str", count(lit(1)).over(part))
+        .filter(col("rn") <=
+          greatest(lit(2L), floor(col("n_str") / lit(100)).cast("bigint")))
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rn"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8264,5 +8324,35 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
         |FROM b GROUP BY CUBE(lang, band)
         |ORDER BY lang, band""".stripMargin,
+
+    // integer cum*10 >= total*9 keeps the p90 selection exact in both
+    // engines (no float percentile semantics to reconcile)
+    "q212_percentile_threshold" ->
+      """WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        |hist AS (SELECT n_chars // 50 AS bin, count(*) AS c
+        |         FROM docs GROUP BY 1),
+        |cum AS (SELECT bin, c,
+        |  sum(c) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER () AS total
+        | FROM hist),
+        |cutoff AS (SELECT CAST(min(bin) * 50 AS BIGINT) AS threshold
+        |           FROM cum WHERE cum * 10 >= total * 9)
+        |SELECT threshold, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  max(n_chars) AS max_chars
+        |FROM docs, cutoff WHERE n_chars >= threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "q213_stratified_sample" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS rk
+        | FROM documents),
+        |w AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n_str FROM d)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars FROM w
+        |WHERE rn <= GREATEST(2, n_str // 100)
+        |ORDER BY lang, rn""".stripMargin,
   )
 }
