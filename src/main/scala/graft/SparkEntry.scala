@@ -4465,6 +4465,76 @@ object SparkEntry {
         .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("rn"))
     }),
+
+    // ---- corpus snapshot diff (dataset versioning: what changed
+    // between corpus v1 and v2 — the release-notes sheet every
+    // training-data drop ships with): v2 is derived deterministically
+    // from v1 in-query (md5-parity removes ~1/16, revises ~1/16, adds
+    // ~1/16 under shifted ids) so both engines build the identical
+    // pair. The diff itself is the scale pattern: ONE full-outer
+    // shuffle join on the id comparing md5 CONTENT HASHES — text never
+    // crosses the wire twice, and the status sheet is bounded by
+    // sources × 4 ----
+    "q214_snapshot_diff" -> ((s, d) => {
+      val v1 = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val base = v1.withColumn("h",
+        substring(md5(col("doc_id").cast("string")), 1, 1))
+      val kept = base.filter(col("h") =!= "0")
+        .select(col("doc_id"), col("source"),
+          when(col("h") === "1", concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      val added = base.filter(col("h") === "2")
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("source"), concat(lit("new "), col("text")).as("text"))
+      val v2 = kept.unionAll(added)
+      val a = v1.select(col("doc_id"), col("source").as("src1"),
+        md5(col("text")).as("h1"))
+      val b = v2.select(col("doc_id"), col("source").as("src2"),
+        md5(col("text")).as("h2"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src1"), col("src2")).as("source"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    }),
+
+    // ---- join-key skew advisor (the salting decision input q53's
+    // SaltedJoin consumes, computed instead of guessed): per-key
+    // counts (one shuffle — the frame is bounded by DISTINCT keys),
+    // then a scalar stats row + the deterministic hottest key
+    // (smallest id among the max-count ties). skew_ppm and the
+    // suggested salt factor are exact integer arithmetic so both
+    // engines emit identical rows. Run over both demo join keys;
+    // output grain = analyzed columns ----
+    "q215_skew_advisor" -> ((s, d) => {
+      def advise(df: DataFrame, tag: String): DataFrame = {
+        val counts = df.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        val stats = counts.agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"), max(col("c")).as("max_c"))
+        val hot = counts.join(broadcast(stats),
+            col("c") === col("max_c"))
+          .agg(min(col("k")).as("hot_key"))
+        stats.crossJoin(broadcast(hot))
+          .select(lit(tag).as("key_col"), col("n_keys"), col("n_rows"),
+            col("max_c"), col("hot_key"),
+            // integral div end to end: double division + truncate can
+            // land one below the exact floor near integer boundaries
+            expr("max_c * 1000000L div n_rows").as("skew_ppm"),
+            expr("greatest(1L, max_c div " +
+              "(greatest(1L, n_rows div n_keys) * 4L))")
+              .as("salt_factor"))
+      }
+      val ev = t(s, d, "events").select(col("user_id").as("k"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+      advise(ev, "events.user_id")
+        .unionAll(advise(li, "lineitem.l_orderkey"))
+        .orderBy(col("key_col"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8354,5 +8424,51 @@ object SparkEntry {
         |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars FROM w
         |WHERE rn <= GREATEST(2, n_str // 100)
         |ORDER BY lang, rn""".stripMargin,
+
+    // v2 derived by md5-parity from v1 so both engines diff the same
+    // snapshot pair; the diff compares content hashes, not text
+    "q214_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        |b AS (SELECT doc_id, source, text,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h FROM v1),
+        |kept AS (SELECT doc_id, source,
+        |  CASE WHEN h = '1' THEN text || ' [rev2]' ELSE text END AS text
+        | FROM b WHERE h <> '0'),
+        |added AS (SELECT doc_id + 10000000 AS doc_id, source,
+        |  'new ' || text AS text FROM b WHERE h = '2'),
+        |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+        |a2 AS (SELECT doc_id, source AS src1, md5(text) AS h1 FROM v1),
+        |b2 AS (SELECT doc_id, source AS src2, md5(text) AS h2 FROM v2),
+        |d AS (SELECT coalesce(src1, src2) AS source,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        | FROM a2 FULL OUTER JOIN b2 ON a2.doc_id = b2.doc_id)
+        |SELECT source, status, count(*) AS n FROM d
+        |GROUP BY source, status ORDER BY source, status""".stripMargin,
+
+    "q215_skew_advisor" ->
+      """WITH evc AS (SELECT user_id AS k, count(*) AS c
+        |             FROM events GROUP BY 1),
+        |lic AS (SELECT l_orderkey AS k, count(*) AS c
+        |        FROM lineitem GROUP BY 1),
+        |evs AS (SELECT 'events.user_id' AS key_col, count(*) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_c FROM evc),
+        |evh AS (SELECT min(k) AS hot_key FROM evc
+        |        WHERE c = (SELECT max(c) FROM evc)),
+        |lis AS (SELECT 'lineitem.l_orderkey' AS key_col,
+        |  count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_c FROM lic),
+        |lih AS (SELECT min(k) AS hot_key FROM lic
+        |        WHERE c = (SELECT max(c) FROM lic)),
+        |u AS (SELECT evs.*, evh.hot_key FROM evs, evh
+        |      UNION ALL
+        |      SELECT lis.*, lih.hot_key FROM lis, lih)
+        |SELECT key_col, n_keys, n_rows, max_c, hot_key,
+        |  max_c * 1000000 // n_rows AS skew_ppm,
+        |  CAST(GREATEST(1, max_c // (GREATEST(1, n_rows // n_keys) * 4))
+        |    AS BIGINT) AS salt_factor
+        |FROM u ORDER BY key_col""".stripMargin,
   )
 }
