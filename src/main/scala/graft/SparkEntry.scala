@@ -4535,6 +4535,60 @@ object SparkEntry {
         .unionAll(advise(li, "lineitem.l_orderkey"))
         .orderBy(col("key_col"))
     }),
+
+    // ---- blocklist filtering (C4's badwords pass): drop any document
+    // containing a blocklisted term, publish the per-source impact
+    // sheet. The hot path is ONE zero-exchange codegen projection —
+    // word-boundary regex count over the text column — followed by a
+    // bounded per-source aggregate; at 100 TB this is scan-rate work
+    // with nothing shuffled but the sheet ----
+    "q216_blocklist_filter" -> ((s, d) => {
+      import graft.text.TextFunctions
+      val block = Seq("scan", "dup", "skew")
+      val flagged = tSpread(s, d, "documents")
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_toks"),
+          (TextFunctions.wordMatchCount(col("text"), block) > 0)
+            .as("blocked"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("blocked"), col("n_toks")).otherwise(0L))
+            .as("dropped_tokens"),
+          sum(when(!col("blocked"), col("n_toks")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- soft deduplication (weight duplicates down instead of
+    // dropping them — each exact-dup cluster contributes ONE document's
+    // worth of tokens, spread across its members): cluster sizes come
+    // from one groupBy on the md5 CONTENT HASH (32-byte keys, text
+    // never shuffles), weights are exact integer ppm so the effective-
+    // token arithmetic replays bit-for-bit. Output: per-source raw vs
+    // effective token totals — the "how much data do I really have"
+    // sheet ----
+    "q217_soft_dedup_weights" -> ((s, d) => {
+      import graft.text.TextFunctions
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("ch"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_toks"))
+      val sizes = docs.groupBy(col("ch"))
+        .agg(count(lit(1)).as("csize"))
+      docs.join(sizes, "ch")
+        .select(col("source"), col("n_toks"),
+          expr("1000000L div csize").as("w_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("raw_tokens"),
+          sum(col("n_toks") * col("w_ppm")).as("eff_tokens_ppm"))
+        .select(col("source"), col("n_docs"), col("raw_tokens"),
+          expr("eff_tokens_ppm div 1000000L").as("eff_tokens"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8470,5 +8524,37 @@ object SparkEntry {
         |  CAST(GREATEST(1, max_c // (GREATEST(1, n_rows // n_keys) * 4))
         |    AS BIGINT) AS salt_factor
         |FROM u ORDER BY key_col""".stripMargin,
+
+    "q216_blocklist_filter" ->
+      """WITH f AS (SELECT source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS n_toks,
+        |  length(regexp_extract_all(lower(text),
+        |    '\b(scan|dup|skew)\b')) > 0 AS blocked
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(CASE WHEN blocked THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS dropped_tokens,
+        |  CAST(sum(CASE WHEN NOT blocked THEN n_toks ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact integer ppm weights: 1e6 // cluster_size replays bit-for-bit
+    "q217_soft_dedup_weights" ->
+      """WITH docs AS (SELECT doc_id, source, md5(text) AS ch,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS n_toks
+        | FROM documents),
+        |sizes AS (SELECT ch, count(*) AS csize FROM docs GROUP BY ch),
+        |j AS (SELECT source, CAST(n_toks AS BIGINT) AS n_toks,
+        |  1000000 // csize AS w_ppm FROM docs JOIN sizes USING (ch))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(n_toks * w_ppm) // 1000000 AS BIGINT) AS eff_tokens
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
   )
 }
