@@ -4589,6 +4589,57 @@ object SparkEntry {
           expr("eff_tokens_ppm div 1000000L").as("eff_tokens"))
         .orderBy(col("source"))
     }),
+
+    // ---- token-balanced training shards (webdataset-style packing:
+    // consecutive docs in deterministic hash order fill ~25k-token
+    // shards): shard id = exact global EXCLUSIVE prefix sum div budget,
+    // computed with the banded two-phase pattern — 256 hex-prefix
+    // bands, per-band totals to the driver (bounded), offsets
+    // broadcast back, per-band window cumsum. No global sort, no
+    // single-partition window; the oracle replays the one-window
+    // global form, which banding provably equals ----
+    "q218_token_shards" -> ((s, d) => {
+      import graft.operators.Curation
+      import graft.text.TextFunctions
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_toks"))
+      Curation.shardByTokens(docs, "doc_id", "n_toks",
+          shardBudget = 25000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("shard_tokens"))
+        .orderBy(col("shard"))
+    }),
+
+    // ---- tokenizer fertility sheet (the standard per-language
+    // tokenizer eval: BPE-ish tokens per word and chars per token —
+    // high fertility means a language is paying more sequence length
+    // per word): one zero-exchange projection computing both token
+    // counts, one bounded per-language aggregate; ratios in exact
+    // basis-point integer arithmetic after the sums ----
+    "q219_tokenizer_fertility" -> ((s, d) => {
+      import graft.text.TextFunctions
+      tSpread(s, d, "documents")
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("words"),
+          TextFunctions.bpeTokenCount(col("text")).cast("bigint")
+            .as("toks"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("tot_words"),
+          sum(col("toks")).as("tot_toks"),
+          sum(col("n_chars")).as("tot_chars"))
+        .select(col("lang"), col("n_docs"), col("tot_words"),
+          col("tot_toks"),
+          expr("tot_toks * 10000L div tot_words").as("fertility_bp"),
+          expr("tot_chars * 10000L div tot_toks")
+            .as("chars_per_tok_bp"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8556,5 +8607,41 @@ object SparkEntry {
         |  CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
         |  CAST(sum(n_toks * w_ppm) // 1000000 AS BIGINT) AS eff_tokens
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // global single-window exclusive prefix — the form the engine's
+    // 256-band two-phase computation provably equals
+    "q218_token_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS BIGINT) AS n_toks,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS rk
+        | FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |  coalesce(sum(n_toks) OVER (ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        | FROM d)
+        |SELECT CAST(excl // 25000 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q219_tokenizer_fertility" ->
+      """WITH d AS (SELECT lang,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS BIGINT) AS words,
+        |  CAST(length(regexp_extract_all(text, '\w+|[^\w\s]'))
+        |    AS BIGINT) AS toks,
+        |  n_chars
+        | FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS tot_words,
+        |  CAST(sum(toks) AS BIGINT) AS tot_toks,
+        |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        | FROM d GROUP BY lang)
+        |SELECT lang, n_docs, tot_words, tot_toks,
+        |  tot_toks * 10000 // tot_words AS fertility_bp,
+        |  tot_chars * 10000 // tot_toks AS chars_per_tok_bp
+        |FROM g ORDER BY lang""".stripMargin,
   )
 }

@@ -109,4 +109,45 @@ object Curation {
         keepWhole.unionByName(boundaryKept)
     }
   }
+
+  /** Token-balanced contiguous shard assignment (webdataset-style
+    * training-shard creation: consecutive documents in a deterministic
+    * pseudo-random order fill shards of ≈`shardBudget` tokens each).
+    *
+    * Shard id is `exclusivePrefixSum(tokens) div shardBudget` over the
+    * md5 rank order — an EXACT global prefix sum computed without a
+    * global sort: the rank key's first two hex chars band the order into
+    * 256 contiguous ranges (a string-prefix band respects the global
+    * order by construction), per-band token totals collect to the driver
+    * (256 rows — bounded, never corpus-sized), exclusive band offsets
+    * broadcast back, and each band's internal cumsum is an ordinary
+    * `partitionBy(band)` window. Two passes over the tokens column, no
+    * single-partition window anywhere — the q208 banding idea
+    * generalized from thresholding to packing. */
+  def shardByTokens(df: DataFrame, idCol: String, tokensCol: String,
+                    shardBudget: Long): DataFrame = {
+    val ranked = df
+      .withColumn("_rk",
+        md5(concat_ws(":", lit("shard"), col(idCol).cast("string"))))
+      .withColumn("_band", substring(col("_rk"), 1, 2))
+    val totals = ranked.groupBy(col("_band"))
+      .agg(sum(col(tokensCol)).as("_bt"))
+      .collect()                       // ≤256 rows — bounded
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, bt) =>
+      val o = acc; acc += bt; (b, o)
+    }
+    val offDf = df.sparkSession.createDataFrame(offsets)
+      .toDF("_band", "_off")
+    val w = Window.partitionBy(col("_band"))
+      .orderBy(col("_rk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(broadcast(offDf), "_band")
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("shard",
+        expr(s"(_cum - $tokensCol + _off) div ${shardBudget}L"))
+      .drop("_rk", "_band", "_cum", "_off")
+  }
 }

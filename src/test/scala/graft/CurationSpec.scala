@@ -96,6 +96,25 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < 500) // boundary actually cut
   }
 
+  test("shardByTokens equals the global-window exclusive prefix") {
+    val docs = (1L to 400L).map(i => (i, 1L + (i * 31) % 100))
+      .toDF("id", "tokens")
+    val rk = md5(concat_ws(":", lit("shard"), col("id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(rk, col("id")).rowsBetween(Long.MinValue, -1)
+    val budget = 1000L
+    val expected = docs
+      .withColumn("excl", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("id"),
+        expr(s"excl div ${budget}L").as("shard"))
+      .as[(Long, Long)].collect().toMap
+    val got = Curation.shardByTokens(docs, "id", "tokens", budget)
+      .select(col("id"), col("shard")).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // packing actually split the corpus into many shards
+    assert(expected.values.toSet.size > 5)
+  }
+
   test("selectByBudget keeps everything when the corpus fits") {
     val docs = (1L to 50L).map(i => (i, (i % 10) / 10.0, 5L))
       .toDF("id", "score", "tokens")
