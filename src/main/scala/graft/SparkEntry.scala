@@ -4640,6 +4640,79 @@ object SparkEntry {
             .as("chars_per_tok_bp"))
         .orderBy(col("lang"))
     }),
+
+    // ---- bucketed co-located join (the fact-table layout decision at
+    // 100 TB: bucket both sides on the join key at write time and the
+    // daily join never shuffles again): both tables saved via
+    // BucketedStore.saveBucketed(8 buckets on the order key), and the
+    // query REQUIRES at plan time that the join has no
+    // hashpartitioning exchange — the gate fails if the bucketed
+    // layout stops being exchange-free, so the property is verified on
+    // every run, not assumed from the spec. Money in exact cents ----
+    "q220_bucketed_join" -> ((s, d) => {
+      import graft.store.BucketedStore
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          cents(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+            .as("rev_cents"))
+      // a fresh metastore with a stale warehouse dir refuses the name:
+      // drop both table AND leftover location before writing
+      Seq("g_q220_orders", "g_q220_lineitem").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+            .getPath, tbl)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      BucketedStore.saveBucketed(o, "g_q220_orders", Seq("o_orderkey"),
+        buckets = 8)
+      BucketedStore.saveBucketed(l, "g_q220_lineitem", Seq("o_orderkey"),
+        buckets = 8)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table("g_q220_orders")
+          .join(s.table("g_q220_lineitem"), "o_orderkey")
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must be exchange-free, got:\n$plan")
+        j.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("rev_cents")).as("rev_cents"))
+          .orderBy(col("o_orderpriority"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
+    // ---- event burst collapse (streaming windowed dedup in its batch
+    // replay form — dropDuplicatesWithinWatermark's semantics: within
+    // a (user, event_type) stream, events ≤600 s after their
+    // predecessor are the same burst; keep the first of each burst):
+    // ONE window exchange on the composite key, gap test in exact
+    // microsecond integers, then a bounded per-type sheet. The
+    // streaming twin runs the same lag logic inside
+    // flatMapGroupsWithState; batch and stream agree because the gap
+    // rule only looks backward ----
+    "q221_event_burst_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      e.withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("first",
+          col("prev").isNull || (col("us") - col("prev")) > 600000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("first"), 1L).otherwise(0L)).as("n_collapsed"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8643,5 +8716,28 @@ object SparkEntry {
         |  tot_toks * 10000 // tot_words AS fertility_bp,
         |  tot_chars * 10000 // tot_toks AS chars_per_tok_bp
         |FROM g ORDER BY lang""".stripMargin,
+
+    // the oracle checks the JOIN RESULT; the exchange-free property is
+    // require()d inside the engine query itself at plan time
+    "q220_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q221_event_burst_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS us FROM events),
+        |f AS (SELECT event_type,
+        |  lag(us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id) AS prev, us
+        | FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN prev IS NULL OR us - prev > 600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND us - prev <= 600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
