@@ -3625,18 +3625,44 @@ object SparkEntry {
             .orderBy(col("score0").desc, col("doc_id"))))
         .filter(col("lrank") <= 20)
         .select(col("qid"), col("doc_id"), col("lrank"))
-      val emb = t(s, d, "embeddings")
-      val vec = emb.filter(col("vec_id") % 113 === 0)
+      // the vector leg rides the STORED graph index (round-8 fix: the
+      // brute crossJoin here was the last corpus-proportional cartesian
+      // in the query corpus — a full n×(n/113) shuffle at scale). Same
+      // registration as q202: the lateral window below is exactly the
+      // shape AnnIndexRule rewrites into ONE batched probe, and the
+      // covering efSearch makes the probe exact, so the RRF fusion (and
+      // the oracle hash) is unchanged.
+      locally {
+        import graft.plans.AnnIndexRule
+        AnnIndexRule.install(s)
+        s.conf.set("spark.graft.ann.minTableBytes", "0")
+      }
+      val tmpRrf = java.nio.file.Files
+        .createTempDirectory("graft-rrf").toString
+      t(s, d, "embeddings").write.mode("overwrite")
+        .parquet(s"$tmpRrf/base")
+      graft.vector.HnswIndex.writeGraphIndex(tSpread(s, d, "embeddings"),
+        "embedding", "vec_id", s"$tmpRrf/graphs",
+        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      graft.plans.AnnCatalog.register(s"$tmpRrf/base",
+        graft.plans.AnnCatalog.HnswEntry(s"$tmpRrf/graphs", "embedding",
+          "vec_id", graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
+      val emb = s.read.parquet(s"$tmpRrf/base")
+      // vec_id keeps its name through the window (the doc_id rename
+      // happens above the rank filter): the lateral matcher binds the
+      // registered index's id column by attribute, and the ranks are
+      // identical either way (same values, same order)
+      val vec = t(s, d, "embeddings").filter(col("vec_id") % 113 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
         .crossJoin(emb)
-        .select(col("qid"), col("vec_id").as("doc_id"),
+        .select(col("qid"), col("vec_id"),
           VectorFunctions.cosine_sim(col("embedding"), col("qemb"))
             .as("cs"))
         .withColumn("vrank", row_number().over(
           Window.partitionBy(col("qid"))
-            .orderBy(col("cs").desc, col("doc_id"))))
+            .orderBy(col("cs").desc, col("vec_id"))))
         .filter(col("vrank") <= 20)
-        .select(col("qid"), col("doc_id"), col("vrank"))
+        .select(col("qid"), col("vec_id").as("doc_id"), col("vrank"))
       lex.join(vec, Seq("qid", "doc_id"), "full")
         .withColumn("rrf",
           coalesce(lit(1.0d) / (lit(60.0d) + col("lrank")), lit(0.0d)) +

@@ -602,4 +602,22 @@ class AnnIndexRuleSpec extends SparkSpec {
       spark.conf.set("spark.graft.ann.minTableBytes", "0")
     }
   }
+
+  test("q205's RRF vector leg rides the stored graph — base never cross-joined") {
+    // the round-8 fix for the last corpus-proportional cartesian: the
+    // hybrid-RRF query registers its own graph index, so its executed
+    // plan must scan the graph parquet and must NOT read the staged
+    // base copy (the anchors still read the original embeddings table,
+    // which is not under the staged graft-rrf directory)
+    try {
+      val df = SparkEntry.queries("q205_hybrid_rrf")(
+        spark, "/root/testdata/sf0.001")
+      assert(df.collect().nonEmpty)
+      val roots = scanRoots(df)
+      assert(roots.exists(r => r.contains("graft-rrf") && r.contains("/graphs")),
+        s"vector leg not served from the stored graph: $roots")
+      assert(!roots.exists(r => r.contains("graft-rrf") && r.contains("/base")),
+        s"staged base still cross-joined: $roots")
+    } finally AnnCatalog.clear()
+  }
 }
