@@ -4604,13 +4604,19 @@ object SparkEntry {
             .as("n_toks"))
       val sizes = docs.groupBy(col("ch"))
         .agg(count(lit(1)).as("csize"))
+      // the ppm-scaled sum accumulates in DECIMAL(38,0): at the 100 TB
+      // corpus scale this sheet targets (~25T tokens) a BIGINT
+      // accumulator exceeds 2^63; per-row products stay well inside
+      // bigint, only the running total needs the headroom (`div` on a
+      // decimal is IntegralDivide → the output stays BIGINT)
       docs.join(sizes, "ch")
         .select(col("source"), col("n_toks"),
           expr("1000000L div csize").as("w_ppm"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("raw_tokens"),
-          sum(col("n_toks") * col("w_ppm")).as("eff_tokens_ppm"))
+          sum((col("n_toks") * col("w_ppm")).cast("decimal(38,0)"))
+            .as("eff_tokens_ppm"))
         .select(col("source"), col("n_docs"), col("raw_tokens"),
           expr("eff_tokens_ppm div 1000000L").as("eff_tokens"))
         .orderBy(col("source"))

@@ -73,20 +73,37 @@ object Curation {
     *     combined) locate the boundary band on the driver;
     *  2. every band strictly better than the boundary is kept wholesale
     *     by a map-side filter — its rows never shuffle;
-    *  3. ONLY the boundary band (~1/nBands of the corpus) pays the
-    *     ordered cumsum window, with the better-bands total as a
-    *     constant offset.
+    *  3. ONLY the boundary band pays the ordered cumsum — and not as a
+    *     single-partition window: [[GlobalOrder.withRunningSumLong]]
+    *     range-shuffles the band on the same (score DESC, id) order and
+    *     carries per-partition totals, so even a DEGENERATE score
+    *     distribution (e.g. quantized classifier scores putting most of
+    *     the corpus on one value, hence in one band) never serializes
+    *     through one task.
     * Banding is exact, not approximate: floor(score·nBands) is monotone
     * in score and equal scores land in the same band, so the banded
-    * prefix is identical to the global one. */
+    * prefix is identical to the global one.
+    *
+    * Fails fast (IllegalArgumentException) if any score is NULL — an
+    * unscored row has no place in a quality ordering, and silently
+    * best- or worst-casing it would corrupt the selection. Callers
+    * filter or impute first. */
   def selectByBudget(df: DataFrame, scoreCol: String, idCol: String,
                      tokensCol: String, budget: Long,
                      nBands: Int = 1000): DataFrame = {
+    // keep NULL scores as a NULL band (a bare `least` would silently
+    // swallow the null and file the row under the best band)
     val banded = df.withColumn("_band",
-      least(floor(col(scoreCol) * nBands), lit(nBands - 1)).cast("int"))
-    val bandTotals = banded.groupBy(col("_band"))
+      when(col(scoreCol).isNull, lit(null))
+        .otherwise(least(floor(col(scoreCol) * nBands), lit(nBands - 1)))
+        .cast("int"))
+    val rawTotals = banded.groupBy(col("_band"))
       .agg(sum(col(tokensCol)).as("_bt"))
       .collect()                       // nBands-bounded, never corpus-sized
+    require(!rawTotals.exists(_.isNullAt(0)),
+      s"selectByBudget: NULL $scoreCol values present — score or filter " +
+        "every row before budget selection")
+    val bandTotals = rawTotals
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(-_._1)                   // best band first
     var acc = 0L; var boundary = Option.empty[Int]
@@ -100,10 +117,9 @@ object Curation {
       case Some(b) =>
         val offset = acc
         val keepWhole = banded.filter(col("_band") > b).drop("_band")
-        val w = Window.orderBy(col(scoreCol).desc, col(idCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val boundaryKept = banded.filter(col("_band") === b)
-          .withColumn("_cum", sum(col(tokensCol)).over(w))
+        val boundaryKept = GlobalOrder.withRunningSumLong(
+            banded.filter(col("_band") === b),
+            Seq(col(scoreCol).desc, col(idCol)), col(tokensCol), "_cum")
           .filter(col("_cum") + offset <= budget)
           .drop("_band", "_cum")
         keepWhole.unionByName(boundaryKept)
@@ -144,10 +160,14 @@ object Curation {
     val w = Window.partitionBy(col("_band"))
       .orderBy(col("_rk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive prefix via the Column API (interpolating the
+    // caller-supplied tokensCol into an expr string would mis-resolve
+    // names needing backquotes); only the internal names reach the one
+    // expr, which exists for its integral `div`
     ranked.join(broadcast(offDf), "_band")
       .withColumn("_cum", sum(col(tokensCol)).over(w))
-      .withColumn("shard",
-        expr(s"(_cum - $tokensCol + _off) div ${shardBudget}L"))
-      .drop("_rk", "_band", "_cum", "_off")
+      .withColumn("_excl", col("_cum") - col(tokensCol) + col("_off"))
+      .withColumn("shard", expr(s"_excl div ${shardBudget}L"))
+      .drop("_rk", "_band", "_cum", "_off", "_excl")
   }
 }

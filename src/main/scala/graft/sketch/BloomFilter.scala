@@ -141,7 +141,10 @@ object BloomPrune {
     val bytes = corpus.agg(bloom_agg(col(key), numBits, numHashes))
       .head().getAs[Array[Byte]](0)
     val mightContain = udf(new Probe(bytes))
-    val definitelyNew = batch.filter(col(key).isNotNull &&
+    // NULL-key batch rows are definitely-new under left-anti semantics
+    // (NULL never equals any corpus key, so a true `left_anti` keeps
+    // them); routing them through the fast path preserves that contract
+    val definitelyNew = batch.filter(col(key).isNull ||
       !mightContain(col(key)))
     val maybeSeen = batch.filter(col(key).isNotNull && mightContain(col(key)))
       .join(corpus.select(col(key)).distinct(), Seq(key), "left_anti")

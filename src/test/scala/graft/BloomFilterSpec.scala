@@ -59,4 +59,18 @@ class BloomFilterSpec extends SparkSpec {
     val maybe = BloomPrune.prune(batch, "k", bytes).count()
     assert(maybe >= 1000 && maybe < 1200, s"maybe-seen: $maybe of 10000")
   }
+
+  test("anti-join keeps NULL-key batch rows (left_anti semantics)") {
+    // NULL never equals any corpus key, so a true left_anti keeps
+    // NULL-key left rows — the bloom fast path must agree
+    val corpus = (1L to 100L).map(i => i * 10).toDF("k")
+    val batch = Seq((Option(5L), "new"), (Option(10L), "dup"),
+      (Option.empty[Long], "null1"), (Option.empty[Long], "null2"))
+      .toDF("k", "v")
+    val plain = batch.join(corpus.select("k").distinct(), Seq("k"), "left_anti")
+    val bloom = BloomPrune.antiJoin(batch, corpus, "k")
+    val got = bloom.select("v").as[String].collect().sorted.toSeq
+    assert(got == Seq("new", "null1", "null2"))
+    assert(bloom.except(plain).count() == 0 && plain.except(bloom).count() == 0)
+  }
 }

@@ -115,6 +115,42 @@ class CurationSpec extends SparkSpec {
     assert(expected.values.toSet.size > 5)
   }
 
+  test("selectByBudget: degenerate one-score corpus — no data-sized window") {
+    // quantized classifier scores can put the WHOLE corpus in one band;
+    // the boundary cumsum must still be exact AND must not serialize
+    // the band through a single-partition window
+    val docs = (1L to 2000L).map(i => (i, 0.5, 1L + (i * 31) % 100))
+      .toDF("id", "score", "tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Long.MinValue, 0)
+    val budget = 20000L
+    val expected = docs
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .filter(col("cum") <= budget).drop("cum")
+      .select("id").as[Long].collect().toSet
+    val out = Curation.selectByBudget(docs, "score", "id", "tokens",
+      budget, nBands = 10)
+    val got = out.select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 2000) // boundary actually cut
+    // every Window in the plan runs over GlobalOrder's bounded
+    // per-partition offsets frame (keyed _go_pid), never the band's data
+    val plan = out.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("_go_pid")),
+      s"data-sized window in:\n${windowLines.mkString("\n")}")
+  }
+
+  test("selectByBudget fails fast on NULL scores") {
+    val docs = Seq((1L, Some(0.9), 10L), (2L, None, 10L), (3L, Some(0.1), 10L))
+      .toDF("id", "score", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      Curation.selectByBudget(docs, "score", "id", "tokens", budget = 15L)
+    }
+    assert(e.getMessage.contains("NULL score"))
+  }
+
   test("selectByBudget keeps everything when the corpus fits") {
     val docs = (1L to 50L).map(i => (i, (i % 10) / 10.0, 5L))
       .toDF("id", "score", "tokens")
