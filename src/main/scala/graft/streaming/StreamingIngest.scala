@@ -8,6 +8,14 @@ import org.apache.spark.sql.types.StructType
 
 /** Event row for stateful ops. */
 case class SessionEvent(user_id: Long, us: Long, value: Double)
+/** Event row for the burst-collapse stream (q221's streaming twin). */
+case class BurstEvent(user_id: Long, event_type: String, event_id: Long,
+    us: Long)
+/** Per-(user, type) burst state: the last event's timestamp. */
+case class BurstState(lastUs: Long)
+/** Burst decision for one event: `first` = it starts a new burst. */
+case class BurstDecision(user_id: Long, event_type: String, event_id: Long,
+    us: Long, first: Boolean)
 /** Per-user open-session state carried across micro-batches. */
 case class SessionState(sessionId: Long, lastUs: Long, n: Long, v: Double)
 /** A CLOSED session (emitted once, append-mode safe). */
@@ -100,6 +108,38 @@ object StreamingIngest {
           }
           state.update(st)
           closed.result().iterator
+      }
+  }
+
+  /** Streaming twin of q221's event burst collapse: within a
+    * (user, event_type) stream, an event ≤ `gapSeconds` after its
+    * predecessor belongs to the same burst (`first = false`); the first
+    * of each burst opens it. The batch form is one `lag` window; here
+    * the predecessor timestamp is O(1) state per key carried across
+    * micro-batches, so the stream answer equals the batch replay as long
+    * as each key's events arrive time-ordered across batches (the gap
+    * rule only looks backward — the same contract
+    * `dropDuplicatesWithinWatermark` places on late data). */
+  def burstCollapse(events: DataFrame, gapSeconds: Long): Dataset[BurstDecision] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[BurstEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[BurstState, BurstDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption.map(_.lastUs)
+          val out = evs.map { e =>
+            val first = last.forall(l => e.us - l > gapUs)
+            last = Some(e.us)
+            BurstDecision(e.user_id, e.event_type, e.event_id, e.us, first)
+          }
+          last.foreach(l => state.update(BurstState(l)))
+          out.iterator
       }
   }
 

@@ -654,4 +654,57 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
     docs.unpersist()
   }
+
+  test("streaming burst collapse equals batch q221 across micro-batches") {
+    // the q221 twin: the lag-window burst rule replayed through
+    // flatMapGroupsWithState state, events delivered in two time-split
+    // micro-batches (per-key time order holds — the rule's contract)
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-burst-src")
+    val ckpt = Files.createTempDirectory("graft-burst-ckpt").toString
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    val cutoff = events.agg(
+      expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val schema = events.schema
+
+    val collected = scala.collection.mutable
+      .ArrayBuffer[graft.streaming.BurstDecision]()
+    def runOnce(): Unit = {
+      val q = StreamingIngest.burstCollapse(
+          StreamingIngest.readStream(spark, dir.toString, schema),
+          gapSeconds = 600L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.BurstDecision],
+           _: Long) =>
+            collected.synchronized { collected ++= b.collect() }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    events.filter(unix_micros(col("ts")) <= cutoff)
+      .write.mode("overwrite").parquet(dir.toString)
+    runOnce()
+    val afterB1 = collected.size
+    events.filter(unix_micros(col("ts")) > cutoff)
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+    assert(afterB1 > 0 && collected.size > afterB1) // both batches emitted
+
+    // the streamed decisions, re-aggregated, equal the one-shot batch query
+    val streamed = collected
+      .groupBy(_.event_type).toSeq
+      .map { case (t, ds) =>
+        (t, ds.size.toLong, ds.count(_.first).toLong,
+          ds.count(!_.first).toLong)
+      }.sortBy(_._1)
+    val batch = SparkEntry.queries("q221_event_burst_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
