@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE path is real pixel math end to end: payloads are binary PPM
   * (P6), decoded, nearest-neighbor-resized, and feature-extracted by
-  * [[PpmCodec]] — no external imaging library needed for this
-  * self-describing format. Audio/video codecs are not in this
-  * environment, so their decode stays a declared STUB (a deterministic
-  * byte-histogram stands in for real samples); the schema, binary
-  * column handling, partition-wise batch shape (decoder handle per
-  * partition, like a real ffmpeg context), and metadata struct are real
-  * either way, so a real av-codec drops in by replacing one function.
+  * [[PpmCodec]]; the AUDIO path is real sample math — PCM16 RIFF/WAVE
+  * payloads decode through [[WavCodec]] to duration/RMS/peak/clipping
+  * stats and amplitude-histogram features. Neither needs an external
+  * media library for these self-describing formats. Video codecs are
+  * not in this environment, so video decode stays the one declared STUB
+  * (a deterministic byte-histogram stands in for real frames); the
+  * schema, binary column handling, partition-wise batch shape (decoder
+  * handle per partition, like a real ffmpeg context), and metadata
+  * struct are real either way, so a real av-codec drops in by replacing
+  * one function.
   *
   * Scale notes: binaries ride in the row (parquet BYTE_ARRAY) so a 100 TB
   * media table partitions like any other; feature extraction is a narrow
@@ -71,9 +74,11 @@ object Multimodal {
   /** Decode + feature-extract: bytes → fixed-width feature vector.
     * Self-describing payloads dispatch on their own bytes: P6 images
     * decode to pixels and featurize as channel means + a luminance
-    * histogram ([[PpmCodec.features]]); other payloads fall back to the
-    * STUB byte-histogram (no av codecs in this environment). Runs
-    * partition-wise with one decoder handle per partition. */
+    * histogram ([[PpmCodec.features]]); PCM16 WAVs decode to samples
+    * and featurize as RMS/peak/zero-crossing/clipping plus an
+    * amplitude histogram ([[audioFeatures]]); other payloads fall back
+    * to the STUB byte-histogram (no video codecs in this environment).
+    * Runs partition-wise with one decoder handle per partition. */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
     val spark = df.sparkSession
     val contentIdx = df.schema.fieldIndex("content")
@@ -89,13 +94,46 @@ object Multimodal {
             val b = bytes.asInstanceOf[Array[Byte]]
             PpmCodec.decode(b) match {
               case Some(img) if dim == 16 => PpmCodec.features(img)
-              case _ => decoder.decodeAndFeaturize(b)
+              case _ => WavCodec.decode(b) match {
+                case Some(clip) if dim == 16 => audioFeatures(clip)
+                case _ => decoder.decodeAndFeaturize(b)
+              }
             }
           }
         Row.fromSeq(row.toSeq :+ feats)
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** 16-dim audio feature vector from DECODED samples: RMS and peak
+    * (each /32768), zero-crossing rate (per channel-0 frame), clipped
+    * fraction, then a 12-bin absolute-amplitude histogram (bin =
+    * |s|·12/32768 capped at 11, counts normalized by sample count).
+    * All sums are exact integers before one division each — replayable
+    * by a SQL oracle regardless of accumulation order. */
+  def audioFeatures(clip: WavCodec.Clip): Array[Float] = {
+    val st = WavCodec.stats(clip)
+    val n = clip.samples.length
+    val hist = new Array[Long](12)
+    var i = 0
+    while (i < n) {
+      val a = math.abs(clip.samples(i).toInt)
+      hist(math.min(a * 12 / 32768, 11)) += 1
+      i += 1
+    }
+    val out = new Array[Float](16)
+    out(0) = (st.rms / 32768.0).toFloat
+    out(1) = (st.peak / 32768.0).toFloat
+    out(2) = if (st.frames > 1)
+      (st.zeroCrossings.toDouble / (st.frames - 1)).toFloat else 0.0f
+    out(3) = if (n > 0) (st.clipped.toDouble / n).toFloat else 0.0f
+    var b = 0
+    while (b < 12) {
+      out(4 + b) = if (n > 0) (hist(b).toDouble / n).toFloat else 0.0f
+      b += 1
+    }
+    out
   }
 
   /** Resize to fit `maxSide`: P6 image payloads are REALLY resized

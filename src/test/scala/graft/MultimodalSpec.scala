@@ -150,4 +150,74 @@ class MultimodalSpec extends SparkSpec {
     assert(got == f.toSeq)
   }
 
+  test("WavCodec: hand-built RIFF bytes decode byte-exactly; round-trip") {
+    import graft.multimodal.WavCodec
+    // hand-assembled canonical 44-byte header + 3 PCM16LE samples
+    // (rate 8000, mono): 100, -2, -32768
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val hand = "RIFF".getBytes ++ le32(36 + 6) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(6) ++ le16(100) ++ le16(0xfffe) ++ le16(0x8000)
+    val clip = WavCodec.decode(hand).get
+    assert(clip.sampleRate == 8000 && clip.channels == 1 && clip.frames == 3)
+    assert(clip.samples.toSeq == Seq[Short](100, -2, -32768))
+    // round-trip: the canonical writer reproduces the hand bytes exactly
+    assert(WavCodec.encode(clip).toSeq == hand.toSeq)
+    // an extra LIST chunk between fmt and data is skipped (word-aligned)
+    val listed = hand.take(36) ++
+      ("LIST".getBytes ++ le32(5) ++ "INFOx".getBytes :+ 0.toByte) ++
+      hand.drop(36)
+    assert(WavCodec.decode(listed).get.samples.toSeq == clip.samples.toSeq)
+    // malformed payloads are None, not garbage
+    assert(WavCodec.decode("not audio".getBytes).isEmpty)
+    assert(WavCodec.decode(hand.dropRight(1)).isEmpty)  // truncated data
+    val nonPcm = hand.clone(); nonPcm(20) = 3           // IEEE-float fmt
+    assert(WavCodec.decode(nonPcm).isEmpty)
+  }
+
+  test("WavCodec stats: exact integer duration/peak/clipping, IEEE rms") {
+    import graft.multimodal.WavCodec
+    val samples = Array[Short](0, 100, -100, 32767, -32768, -32767, 5)
+    val st = WavCodec.stats(WavCodec.Clip(14000, 1, samples))
+    assert(st.frames == 7 && st.durationMs == 0L) // 7/14000 s → 0 ms
+    assert(WavCodec.stats(WavCodec.Clip(1000, 1, samples)).durationMs == 7L)
+    assert(st.peak == 32768)
+    assert(st.clipped == 3L) // 32767, -32768, -32767
+    val expectSq = samples.map(s => s.toLong * s).sum
+    assert(st.sumSquares == expectSq)
+    assert(st.rms == math.sqrt(expectSq.toDouble / 7))
+    // sign changes on: 100→-100, -100→32767, 32767→-32768, -32768(→-32767 no), -32767→5
+    assert(st.zeroCrossings == 4L)
+    // stereo: frames halve, channel-0 zero crossings only
+    val stereo = WavCodec.stats(WavCodec.Clip(8000, 2,
+      Array[Short](10, -10, -10, 10, 10, -10))) // ch0: 10, -10, 10
+    assert(stereo.frames == 3 && stereo.zeroCrossings == 2L)
+  }
+
+  test("audio features come from decoded samples, not the byte stub") {
+    import graft.multimodal.WavCodec
+    val clip = WavCodec.Clip(8000, 1,
+      Array.tabulate[Short](64)(i => ((i * 997) % 65536 - 32768).toShort))
+    val f = Multimodal.audioFeatures(clip)
+    val st = WavCodec.stats(clip)
+    assert(f.length == 16)
+    assert(f(0) == (st.rms / 32768.0).toFloat)
+    assert(f(1) == (st.peak / 32768.0).toFloat)
+    // the dispatch in extractFeatures picks the WAV branch for RIFF bytes
+    val df = Seq((1L, "audio", WavCodec.encode(clip))).toDF(
+      "doc_id", "media_type", "content")
+    val got = Multimodal.extractFeatures(df)
+      .select("features").as[Seq[Float]].head()
+    assert(got == f.toSeq)
+    // while non-RIFF audio payloads still take the declared stub path
+    val stub = Seq((2L, "audio", "plain text bytes".getBytes)).toDF(
+      "doc_id", "media_type", "content")
+    val sf = Multimodal.extractFeatures(stub)
+      .select("features").as[Seq[Float]].head()
+    assert(sf.sum > 0.99f && sf.sum < 1.01f) // L1-normalized byte histogram
+  }
+
 }
