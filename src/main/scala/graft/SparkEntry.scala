@@ -4788,6 +4788,58 @@ object SparkEntry {
           col("t._6").as("n_clipped"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- REAL video decode (the last modality; q222's shape for
+    // YUV4MPEG2): deterministic C420 clips are encoded per video doc —
+    // luma AND chroma planes from pure integer arithmetic — then frame
+    // count, duration, mean luma, and frame-to-frame motion are
+    // computed by DECODING the actual Y4M bytes through Y4mCodec. One
+    // codegen projection, zero exchanges before the presentation sort;
+    // the oracle replays the luma/motion sums from the same formula
+    // and pins the encoder's byte layout via n_bytes ----
+    "q223_video_stats" -> ((s, d) => {
+      import graft.multimodal.Y4mCodec
+      val gen = udf { (d0: Long) =>
+        val w = (2L * ((d0 % 8) + 2)).toInt
+        val h = (2L * (((d0 * 5) % 8) + 2)).toInt
+        val nf = (2L + d0 % 6).toInt
+        val fps = (10L + d0 % 5).toInt
+        val fb = w * h * 3 / 2
+        val frames = Vector.tabulate(nf) { f =>
+          val fr = new Array[Byte](fb)
+          var i = 0
+          while (i < w * h) { // luma plane: the audited formula
+            fr(i) = ((d0 * 31 + f.toLong * 101 + i.toLong * 7) % 256).toByte
+            i += 1
+          }
+          while (i < fb) {    // chroma planes: real bytes, not audited
+            fr(i) = ((d0 * 7 + f.toLong * 13 + i.toLong * 3) % 256).toByte
+            i += 1
+          }
+          fr
+        }
+        Y4mCodec.encode(Y4mCodec.Video(w, h, fps, 1, frames))
+      }
+      val st = udf { (bytes: Array[Byte]) =>
+        Y4mCodec.decode(bytes).map { v =>
+          val t = Y4mCodec.stats(v)
+          (t.nFrames.toLong, t.durationMs, t.lumaMean, t.motionMean,
+            bytes.length.toLong)
+        }.orNull
+      }
+      tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), st(gen(col("doc_id"))).as("t"))
+        .select(col("doc_id"),
+          col("t._1").as("n_frames"),
+          col("t._2").as("duration_ms"),
+          (floor(col("t._3") * lit(10000.0d) + lit(0.5d)) /
+            lit(10000.0d)).as("luma_mean"),
+          (floor(col("t._4") * lit(10000.0d) + lit(0.5d)) /
+            lit(10000.0d)).as("motion_mean"),
+          col("t._5").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8837,5 +8889,34 @@ object SparkEntry {
         | CAST(length(list_filter(smp, x -> abs(x) >= 32767)) AS BIGINT)
         |   AS n_clipped
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Y4M decode replay: luma/motion sums from the integer plane
+    // formula; n_bytes pins the canonical encoder layout (header +
+    // per-frame "FRAME\n" + w*h*3/2 planes).
+    "q223_video_stats" ->
+      """WITH v AS (
+        | SELECT doc_id,
+        |  2 * ((doc_id % 8) + 2) AS w,
+        |  2 * (((doc_id * 5) % 8) + 2) AS h,
+        |  2 + doc_id % 6 AS nf,
+        |  10 + doc_id % 5 AS fps
+        | FROM documents WHERE doc_id % 3 = 2),
+        |y AS (
+        | SELECT doc_id, w, h, nf, fps,
+        |  list_transform(range(0, nf * w * h),
+        |   j -> (doc_id * 31 + (j // (w * h)) * 101 + (j % (w * h)) * 7)
+        |     % 256) AS ys
+        | FROM v)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        | CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+        | floor(CAST(list_sum(ys) AS DOUBLE) / (nf * w * h) * 10000 + 0.5)
+        |   / 10000 AS luma_mean,
+        | floor(CAST(list_sum(list_transform(range(0, (nf - 1) * w * h),
+        |     j -> abs(ys[j + w * h + 1] - ys[j + 1]))) AS DOUBLE)
+        |   / ((nf - 1) * w * h) * 10000 + 0.5) / 10000 AS motion_mean,
+        | CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F' || fps ||
+        |   ':1 Ip A1:1 C420' || chr(10)) +
+        |   nf * (6 + w * h * 3 // 2) AS BIGINT) AS n_bytes
+        |FROM y ORDER BY doc_id""".stripMargin,
   )
 }

@@ -8,18 +8,18 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns plus typed metadata, with decode / feature
   * extraction / resize / frame-sampling as batch `mapPartitions` stages.
   *
-  * The IMAGE path is real pixel math end to end: payloads are binary PPM
-  * (P6), decoded, nearest-neighbor-resized, and feature-extracted by
-  * [[PpmCodec]]; the AUDIO path is real sample math — PCM16 RIFF/WAVE
-  * payloads decode through [[WavCodec]] to duration/RMS/peak/clipping
-  * stats and amplitude-histogram features. Neither needs an external
-  * media library for these self-describing formats. Video codecs are
-  * not in this environment, so video decode stays the one declared STUB
-  * (a deterministic byte-histogram stands in for real frames); the
+  * All three modalities decode for REAL: P6 images through
+  * [[PpmCodec]] (pixels → resize/features), PCM16 RIFF/WAVE audio
+  * through [[WavCodec]] (samples → duration/RMS/clipping), and
+  * YUV4MPEG2 video through [[Y4mCodec]] (C420 planes → frame
+  * counts/luma/motion) — none of these self-describing formats needs
+  * an external media library. COMPRESSED codecs (JPEG/MP3/H.264) are
+  * not in this environment; payloads that aren't one of the three raw
+  * formats fall back to the declared byte-histogram STUB, and the
   * schema, binary column handling, partition-wise batch shape (decoder
   * handle per partition, like a real ffmpeg context), and metadata
-  * struct are real either way, so a real av-codec drops in by replacing
-  * one function.
+  * struct are the same either way, so a compressed-codec library drops
+  * in by replacing one dispatch arm.
   *
   * Scale notes: binaries ride in the row (parquet BYTE_ARRAY) so a 100 TB
   * media table partitions like any other; feature extraction is a narrow
@@ -96,7 +96,10 @@ object Multimodal {
               case Some(img) if dim == 16 => PpmCodec.features(img)
               case _ => WavCodec.decode(b) match {
                 case Some(clip) if dim == 16 => audioFeatures(clip)
-                case _ => decoder.decodeAndFeaturize(b)
+                case _ => Y4mCodec.decode(b) match {
+                  case Some(vid) if dim == 16 => videoFeatures(vid)
+                  case _ => decoder.decodeAndFeaturize(b)
+                }
               }
             }
           }
@@ -173,6 +176,74 @@ object Multimodal {
       .withColumn("content", coalesce(col("_img"),
         expr("substring(content, 1, greatest(1, cast(length(content) * _scale as int)))")))
       .drop("_scale", "_img", "_dims")
+  }
+
+  /** 16-dim video feature vector from DECODED C420 planes: overall
+    * luma mean and frame-to-frame motion mean (each /255), min/max
+    * frame luma (each /255), then a 12-bin all-frames luma histogram
+    * (bin = y·12/256, counts normalized by pixel count). Exact integer
+    * sums before one division each. */
+  def videoFeatures(v: Y4mCodec.Video): Array[Float] = {
+    val st = Y4mCodec.stats(v)
+    val wh = v.width * v.height
+    val hist = new Array[Long](12)
+    var minF = Long.MaxValue; var maxF = Long.MinValue
+    var f = 0
+    while (f < v.frames.size) {
+      val fr = v.frames(f)
+      var s = 0L; var i = 0
+      while (i < wh) {
+        val y = fr(i) & 0xff
+        s += y; hist(y * 12 / 256) += 1
+        i += 1
+      }
+      if (s < minF) minF = s
+      if (s > maxF) maxF = s
+      f += 1
+    }
+    val out = new Array[Float](16)
+    val n = st.nFrames.toLong * wh
+    out(0) = (st.lumaMean / 255.0).toFloat
+    out(1) = (st.motionMean / 255.0).toFloat
+    out(2) = if (st.nFrames > 0) (minF.toDouble / wh / 255.0).toFloat else 0f
+    out(3) = if (st.nFrames > 0) (maxF.toDouble / wh / 255.0).toFloat else 0f
+    var b = 0
+    while (b < 12) {
+      out(4 + b) = if (n > 0) (hist(b).toDouble / n).toFloat else 0f
+      b += 1
+    }
+    out
+  }
+
+  /** Frame-sample a video payload: Y4M payloads explode into their REAL
+    * decoded frames (every `stride`-th, with the frame's exact luma
+    * stats); other payloads keep the declared byte-stride stub via
+    * [[sampleFrames]]. Partition-wise, one decode per row. */
+  def sampleFramesDecoded(df: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val sample = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Y4mCodec.decode).map { v =>
+        val wh = v.width * v.height
+        (0 until v.frames.size by stride).map { f =>
+          var s = 0L; var i = 0
+          val fr = v.frames(f)
+          while (i < wh) { s += fr(i) & 0xff; i += 1 }
+          (f, s, wh)
+        }
+      }.orNull
+    }
+    val real = df.filter(col("media_type") === "video")
+      .withColumn("_frames", sample(col("content")))
+    val decoded = real.filter(col("_frames").isNotNull)
+      .select(col("doc_id"), explode(col("_frames")).as("fr"))
+      .select(col("doc_id"), col("fr._1").as("frame_idx"),
+        col("fr._2").as("luma_sum"), col("fr._3").as("n_pixels"))
+    val stub = sampleFrames(real.filter(col("_frames").isNull)
+        .drop("_frames"), stride)
+      .select(col("doc_id"), col("frame_idx"),
+        lit(null).cast("long").as("luma_sum"),
+        lit(null).cast("long").as("n_pixels"))
+    decoded.unionByName(stub)
   }
 
   /** Frame-sample a "video": emit every `stride`-th byte-window as a

@@ -184,6 +184,17 @@ object AbBench {
         (() => probe(s"$tmp/l"), () => probe(s"$tmp/m"))
       }),
 
+    // round-7 bench recorded nominal regressions on these four queries
+    // (q78 2.40×, q92 2.12×, q59 1.93×, q56 1.54×) with no commit
+    // touching them; an interleaved SELF-pair gives the same-session
+    // constant that adjudicates drift vs real — ratio ≈ 1 by
+    // construction, and medians near the r6 recording mean the r7
+    // numbers were cross-session machine drift, not a plan change.
+    driftPair("q78_hard_negatives"),
+    driftPair("q92_profile_sources"),
+    driftPair("q59_vocab_topk"),
+    driftPair("q56_doc_repetition"),
+
     // round-6 change: crossDocSpans' wide shuffle keys on xxhash64 of
     // the window (8 bytes/occurrence) instead of the 40-char substring.
     // A = substring key (the oracle's engine-agnostic plan), B = hashed
@@ -207,6 +218,16 @@ object AbBench {
         (() => run(hashed = false), () => run(hashed = true))
       }),
   )
+
+  /** Interleaved self-pair of a shipped query: both sides run the same
+    * plan, so the medians are a same-session absolute constant for
+    * drift adjudication against recorded cross-session bench numbers. */
+  private def driftPair(q: String): Pair =
+    Pair(s"drift_$q", "run_a", "run_b",
+      (s, d) => {
+        def run(): DataFrame = graft.SparkEntry.queries(q)(s, d)
+        (() => run(), () => run())
+      })
 
   private def annPair(name: String, copies: Int, kind: String = "hnsw",
                       filtered: Boolean = true): Pair =

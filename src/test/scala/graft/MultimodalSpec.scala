@@ -220,4 +220,75 @@ class MultimodalSpec extends SparkSpec {
     assert(sf.sum > 0.99f && sf.sum < 1.01f) // L1-normalized byte histogram
   }
 
+  test("Y4mCodec: hand-built Y4M bytes decode byte-exactly; round-trip") {
+    import graft.multimodal.Y4mCodec
+    // hand-assembled: 2x2 C420 (4 luma + 1 U + 1 V bytes/frame), 2 frames
+    val f0 = Array[Byte](10, 20, 30, 40, 100, (200 & 0xff).toByte)
+    val f1 = Array[Byte](15, 25, 35, 45, 110, (210 & 0xff).toByte)
+    val hand = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n".getBytes ++
+      "FRAME\n".getBytes ++ f0 ++ "FRAME\n".getBytes ++ f1
+    val v = Y4mCodec.decode(hand).get
+    assert(v.width == 2 && v.height == 2 && v.fpsNum == 25 && v.fpsDen == 1)
+    assert(v.frames.size == 2)
+    assert(v.frames(0).toSeq == f0.toSeq && v.frames(1).toSeq == f1.toSeq)
+    // round-trip: the canonical writer reproduces the hand bytes exactly
+    assert(Y4mCodec.encode(v).toSeq == hand.toSeq)
+    // header-parameter order flexibility + X metadata + FRAME params
+    val reordered = ("YUV4MPEG2 C420jpeg F25:1 Xfoo=bar H2 W2\n" +
+      "FRAME Xtimecode\n").getBytes ++ f0
+    val v2 = Y4mCodec.decode(reordered).get
+    assert(v2.frames.size == 1 && v2.frames(0).toSeq == f0.toSeq)
+    // malformed payloads are None, not garbage
+    assert(Y4mCodec.decode("not video".getBytes).isEmpty)
+    assert(Y4mCodec.decode(hand.dropRight(1)).isEmpty)   // truncated frame
+    assert(Y4mCodec.decode(
+      "YUV4MPEG2 W3 H2 F25:1\nFRAME\n123456789".getBytes).isEmpty) // odd W
+    assert(Y4mCodec.decode(
+      "YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n".getBytes ++ f0).isEmpty)
+  }
+
+  test("Y4mCodec stats: exact luma/motion sums, floored duration") {
+    import graft.multimodal.Y4mCodec
+    def frame(ys: Array[Int]) =
+      (ys ++ Array(0, 0)).map(_.toByte) // 2x2 luma + zero chroma
+    val v = Y4mCodec.Video(2, 2, 3, 1, Vector(
+      frame(Array(0, 10, 20, 250)), frame(Array(5, 10, 15, 255))))
+    val st = Y4mCodec.stats(v)
+    assert(st.nFrames == 2 && st.durationMs == 666L) // 2000/3 floored
+    assert(st.lumaSum == (0 + 10 + 20 + 250 + 5 + 10 + 15 + 255).toLong)
+    assert(st.motionSum == (5 + 0 + 5 + 5).toLong)
+    assert(st.lumaMean == st.lumaSum.toDouble / 8)
+    assert(st.motionMean == st.motionSum.toDouble / 4)
+  }
+
+  test("video features and frame sampling come from decoded planes") {
+    import graft.multimodal.Y4mCodec
+    val frames = Vector.tabulate(5) { f =>
+      Array.tabulate(6)(i => ((f * 40 + i * 9) % 256).toByte)
+    }
+    val v = Y4mCodec.Video(2, 2, 10, 1, frames)
+    val feat = Multimodal.videoFeatures(v)
+    val st = Y4mCodec.stats(v)
+    assert(feat(0) == (st.lumaMean / 255.0).toFloat)
+    assert(feat(1) == (st.motionMean / 255.0).toFloat)
+    // extractFeatures dispatches Y4M bytes to the video branch
+    val df = Seq((2L, "video", Y4mCodec.encode(v))).toDF(
+      "doc_id", "media_type", "content")
+    val got = Multimodal.extractFeatures(df)
+      .select("features").as[Seq[Float]].head()
+    assert(got == feat.toSeq)
+    // sampleFramesDecoded explodes REAL frames with exact luma sums
+    val sampled = Multimodal.sampleFramesDecoded(df, stride = 2)
+      .orderBy("frame_idx")
+      .select("frame_idx", "luma_sum", "n_pixels")
+      .as[(Int, Long, Long)].collect().toSeq
+    def lsum(f: Int) = (0 until 4).map(i => frames(f)(i) & 0xff).sum.toLong
+    assert(sampled == Seq((0, lsum(0), 4L), (2, lsum(2), 4L), (4, lsum(4), 4L)))
+    // non-Y4M video payloads keep the byte-stride stub (null luma stats)
+    val stub = Multimodal.sampleFramesDecoded(
+      Seq((3L, "video", Array.fill[Byte](256)(7))).toDF(
+        "doc_id", "media_type", "content"), stride = 2)
+    assert(stub.count() > 0 && stub.filter(col("luma_sum").isNotNull).count() == 0)
+  }
+
 }
