@@ -81,4 +81,51 @@ class PlanShapeSpec extends SparkSpec {
     val p = executedPlan("q16_serve_events_by_date")
     assert(count(p, "PushedFilters: \\[[^\\]]") >= 1, p.take(800))
   }
+
+  test("q216: blocklist pass is scan-rate — no join, no window, no data sort") {
+    val p = executedPlan("q216_blocklist_filter")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+    // shuffles: the bounded source-grain aggregate + the presentation
+    // sort only — nothing corpus-grain repartitions
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1200))
+  }
+
+  test("q212: percentile threshold never sorts the corpus") {
+    val p = executedPlan("q212_percentile_threshold")
+    // the only window runs over the bounded histogram's bin key; the
+    // corpus is never range-shuffled on its own key (the one
+    // rangepartitioning is the presentation sort of the 1-row output,
+    // keyed on the derived threshold)
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("bin")), windowLines.mkString("\n"))
+    assert(count(p, "Exchange rangepartitioning\\(n_chars") == 0, p.take(1500))
+  }
+
+  test("q218: shard packing has no single-partition data window") {
+    val p = executedPlan("q218_token_shards")
+    // every window partitions by the 256-value band key; nothing runs
+    // over an unpartitioned corpus frame
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(_.contains("_band")), windowLines.mkString("\n"))
+    assert(count(p, "Exchange SinglePartition.*Window") == 0)
+  }
+
+  test("q208: budget selection's boundary cumsum rides GlobalOrder, not a window") {
+    val p = executedPlan("q208_token_budget")
+    // GlobalOrder materializes the range-sorted band (ExistingRDD scan);
+    // any Window left runs over the bounded _go_pid offsets frame
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("_go_pid")), windowLines.mkString("\n"))
+  }
+
+  test("q222/q223: media decode is one projection — no join, no window, no agg") {
+    Seq("q222_audio_stats", "q223_video_stats").foreach { q =>
+      val p = executedPlan(q)
+      assert(!p.contains("Join") && !p.contains("Window") &&
+        !p.contains("HashAggregate"), s"$q:\n${p.take(1200)}")
+      // the only exchange is the presentation sort's range partitioning
+      assert(count(p, "Exchange hashpartitioning") == 0, s"$q:\n${p.take(1200)}")
+    }
+  }
 }
