@@ -4840,6 +4840,48 @@ object SparkEntry {
           col("t._5").as("n_bytes"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- matryoshka truncation recall (the embedding-serving cost
+    // eval: how much top-k recall survives storing/serving only the
+    // first 32/16/8 of 64 dims — the MRL deployment question): a FIXED
+    // 4-anchor panel (constant, never corpus-proportional — this is
+    // deliberately NOT the q205 anchor-per-113-rows shape) scans the
+    // corpus ONCE computing all four cosines in one projection; the
+    // four rank windows share ONE exchange on the anchor key
+    // (InferWindowGroupLimit inapplicable — ranks feed an aggregate —
+    // but each partition is one anchor's scan, streamed once); overlap
+    // counts are one aggregate + a 12-row stack unpivot. Rank ties
+    // break on vec_id; scores compare unrounded in both engines (the
+    // q18 ordering contract) ----
+    "q224_matryoshka_recall" -> ((s, d) => {
+      val emb = tSpread(s, d, "embeddings")
+      val anchors = t(s, d, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      def cos(dim: Int) =
+        if (dim == 64) VectorFunctions.cosine_sim(col("embedding"), col("qe"))
+        else VectorFunctions.cosine_sim(
+          slice(col("embedding"), 1, dim), slice(col("qe"), 1, dim))
+      def rk(c: String) = row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col(c).desc, col("vec_id")))
+      anchors.crossJoin(emb)
+        .select(col("qid"), col("vec_id"), cos(64).as("sf"),
+          cos(32).as("s32"), cos(16).as("s16"), cos(8).as("s8"))
+        .withColumn("rf", rk("sf"))
+        .withColumn("r32", rk("s32"))
+        .withColumn("r16", rk("s16"))
+        .withColumn("r8", rk("s8"))
+        .groupBy(col("qid"))
+        .agg(
+          sum(when(col("rf") <= 20 && col("r32") <= 20, 1L)
+            .otherwise(0L)).as("o32"),
+          sum(when(col("rf") <= 20 && col("r16") <= 20, 1L)
+            .otherwise(0L)).as("o16"),
+          sum(when(col("rf") <= 20 && col("r8") <= 20, 1L)
+            .otherwise(0L)).as("o8"))
+        .selectExpr("qid",
+          "stack(3, 8L, o8, 16L, o16, 32L, o32) as (tdim, n_overlap)")
+        .orderBy(col("qid"), col("tdim"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8918,5 +8960,40 @@ object SparkEntry {
         |   ':1 Ip A1:1 C420' || chr(10)) +
         |   nf * (6 + w * h * 3 // 2) AS BIGINT) AS n_bytes
         |FROM y ORDER BY doc_id""".stripMargin,
+
+    // matryoshka replay: same 4-anchor panel, same truncated cosines
+    // (list slices), same tie-break; overlap via the two rank columns.
+    "q224_matryoshka_recall" ->
+      """WITH a AS (SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 4),
+        |sc AS (SELECT a.qid, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(a.qe AS DOUBLE[])) AS sf,
+        |  list_cosine_similarity(CAST(e.embedding[1:32] AS DOUBLE[]),
+        |    CAST(a.qe[1:32] AS DOUBLE[])) AS s32,
+        |  list_cosine_similarity(CAST(e.embedding[1:16] AS DOUBLE[]),
+        |    CAST(a.qe[1:16] AS DOUBLE[])) AS s16,
+        |  list_cosine_similarity(CAST(e.embedding[1:8] AS DOUBLE[]),
+        |    CAST(a.qe[1:8] AS DOUBLE[])) AS s8
+        | FROM embeddings e CROSS JOIN a),
+        |r AS (SELECT qid, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sf DESC, vec_id) AS rf,
+        |  row_number() OVER (PARTITION BY qid ORDER BY s32 DESC, vec_id) AS r32,
+        |  row_number() OVER (PARTITION BY qid ORDER BY s16 DESC, vec_id) AS r16,
+        |  row_number() OVER (PARTITION BY qid ORDER BY s8 DESC, vec_id) AS r8
+        | FROM sc),
+        |o AS (SELECT qid,
+        |  sum(CASE WHEN rf <= 20 AND r32 <= 20 THEN 1 ELSE 0 END) AS o32,
+        |  sum(CASE WHEN rf <= 20 AND r16 <= 20 THEN 1 ELSE 0 END) AS o16,
+        |  sum(CASE WHEN rf <= 20 AND r8 <= 20 THEN 1 ELSE 0 END) AS o8
+        | FROM r GROUP BY qid)
+        |SELECT qid, tdim, n_overlap FROM (
+        |  SELECT qid, CAST(8 AS BIGINT) AS tdim,
+        |    CAST(o8 AS BIGINT) AS n_overlap FROM o
+        |  UNION ALL
+        |  SELECT qid, CAST(16 AS BIGINT), CAST(o16 AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT qid, CAST(32 AS BIGINT), CAST(o32 AS BIGINT) FROM o)
+        |ORDER BY qid, tdim""".stripMargin,
   )
 }
