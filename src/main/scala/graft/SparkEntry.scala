@@ -4882,6 +4882,53 @@ object SparkEntry {
           "stack(3, 8L, o8, 16L, o16, 32L, o32) as (tdim, n_overlap)")
         .orderBy(col("qid"), col("tdim"))
     }),
+
+    // ---- DoReMi-lite domain reweighting (the mixing-weight step a
+    // multi-source pretraining run feeds back from measured loss):
+    // per-source mean bigram perplexity (q88's model — the proxy for
+    // "hard for the reference model") maps to excess-over-easiest
+    // mixture weights. The token/count lineage is exactly q88's
+    // (un-hinted Heaps-unbounded count joins — AQE picks the strategy);
+    // everything after the per-doc score is SOURCE-grain (bounded).
+    // Per-doc scores quantize to integer basis points (the 4dp round
+    // the q88 gate already proves cross-engine) before any re-
+    // aggregation, so the sheet is exact integer arithmetic end to end
+    // — no double accumulation order anywhere ----
+    "q225_domain_reweight" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"), posexplode(
+          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+      val biCounts = big.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      val perDoc = big.join(biCounts, Seq("w", "w2"))
+        .join(uniCounts, Seq("w"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(round(-avg(col("logp")), 4).as("ppl_bits"))
+      val perSrc = perDoc
+        .select(col("source"),
+          floor(col("ppl_bits") * lit(10000.0d) + lit(0.5d))
+            .cast("bigint").as("bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bp")).as("sum_bp"))
+        .withColumn("mean_bp", expr("sum_bp div n_docs"))
+      val minBp = perSrc.agg(min(col("mean_bp")).as("min_bp"))
+      val ex = perSrc.crossJoin(broadcast(minBp))
+        .withColumn("excess", col("mean_bp") - col("min_bp") + lit(1000L))
+      val tot = ex.agg(sum(col("excess")).as("tot"))
+      ex.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("mean_bp"),
+          expr("excess * 1000000L div tot").as("w_ppm"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -8995,5 +9042,45 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT qid, CAST(32 AS BIGINT), CAST(o32 AS BIGINT) FROM o)
         |ORDER BY qid, tdim""".stripMargin,
+
+    // DoReMi-lite replay: q88's bigram-perplexity CTEs with the source
+    // carried through, per-doc 4dp quantization, then the pure-integer
+    // excess/weight arithmetic.
+    "q225_domain_reweight" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, source, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id, source,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, source, i - 1 AS pos, ts[CAST(i AS INT)] AS w
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |big AS (
+        | SELECT doc_id, source, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM tok
+        | QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |pd AS (SELECT b.doc_id, b.source,
+        |  CAST(floor(round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4)
+        |    * 10000 + 0.5) AS BIGINT) AS bp
+        | FROM big b
+        |  JOIN bi ON bi.w = b.w AND bi.w2 = b.w2
+        |  JOIN uni ON uni.w = b.w
+        |  CROSS JOIN v
+        | GROUP BY 1, 2),
+        |ps AS (SELECT source, count(*) AS n_docs, sum(bp) AS sum_bp
+        | FROM pd GROUP BY 1),
+        |ps2 AS (SELECT source, n_docs, sum_bp // n_docs AS mean_bp FROM ps),
+        |m AS (SELECT min(mean_bp) AS min_bp FROM ps2),
+        |ex AS (SELECT source, n_docs, mean_bp, mean_bp - min_bp + 1000 AS excess
+        | FROM ps2 CROSS JOIN m),
+        |t AS (SELECT sum(excess) AS tot FROM ex)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(mean_bp AS BIGINT) AS mean_bp,
+        | CAST(excess * 1000000 // tot AS BIGINT) AS w_ppm
+        |FROM ex CROSS JOIN t ORDER BY source""".stripMargin,
   )
 }

@@ -218,4 +218,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("WavCodec property: arbitrary PCM16 clips round-trip byte-exactly") {
+    import graft.multimodal.WavCodec
+    val clipGen = for {
+      rate <- Gen.choose(1, 192000)
+      channels <- Gen.choose(1, 4)
+      frames <- Gen.choose(0, 200)
+      samples <- Gen.listOfN(frames * channels,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield WavCodec.Clip(rate, channels, samples.map(_.toShort).toArray)
+    cases(clipGen).foreach { c =>
+      val back = WavCodec.decode(WavCodec.encode(c)).get
+      assert(back.sampleRate == c.sampleRate && back.channels == c.channels)
+      assert(back.samples.toSeq == c.samples.toSeq)
+      // stats model: independent Scala fold over the samples
+      val st = WavCodec.stats(c)
+      assert(st.sumSquares == c.samples.map(s => s.toLong * s).sum)
+      assert(st.peak == (if (c.samples.isEmpty) 0
+        else c.samples.map(s => math.abs(s.toInt)).max))
+      assert(st.clipped == c.samples.count(s => math.abs(s.toInt) >= 32767))
+      assert(st.durationMs ==
+        (c.samples.length / c.channels).toLong * 1000L / c.sampleRate)
+    }
+  }
+
+  test("Y4mCodec property: arbitrary C420 clips round-trip byte-exactly") {
+    import graft.multimodal.Y4mCodec
+    val vidGen = for {
+      w <- Gen.choose(1, 12).map(_ * 2)
+      h <- Gen.choose(1, 12).map(_ * 2)
+      fn <- Gen.choose(1, 120); fd <- Gen.choose(1, 4)
+      nf <- Gen.choose(0, 6)
+      frames <- Gen.listOfN(nf,
+        Gen.listOfN(w * h * 3 / 2, Gen.choose(0, 255)))
+    } yield Y4mCodec.Video(w, h, fn, fd,
+      frames.map(_.map(_.toByte).toArray).toVector)
+    cases(vidGen).foreach { v =>
+      val back = Y4mCodec.decode(Y4mCodec.encode(v)).get
+      assert(back.width == v.width && back.height == v.height &&
+        back.fpsNum == v.fpsNum && back.fpsDen == v.fpsDen)
+      assert(back.frames.size == v.frames.size)
+      back.frames.zip(v.frames).foreach { case (a, b) =>
+        assert(a.toSeq == b.toSeq)
+      }
+      // stats model
+      val st = Y4mCodec.stats(v)
+      val wh = v.width * v.height
+      assert(st.lumaSum ==
+        v.frames.map(_.take(wh).map(b => (b & 0xff).toLong).sum).sum)
+      val motion = v.frames.sliding(2).collect { case Seq(p, c) =>
+        (0 until wh).map(i => math.abs((c(i) & 0xff) - (p(i) & 0xff)).toLong).sum
+      }.sum
+      assert(st.motionSum == motion)
+      assert(st.durationMs == v.frames.size.toLong * 1000L * v.fpsDen / v.fpsNum)
+    }
+  }
 }
