@@ -4929,6 +4929,35 @@ object SparkEntry {
           expr("excess * 1000000L div tot").as("w_ppm"))
         .orderBy(col("source"))
     }),
+
+    // ---- packed-sequence attention-span manifest (q172's packing
+    // inverted to the artifact the TRAINER consumes: per context
+    // window, which document spans it contains and where — the
+    // cross-document attention mask / loss-boundary manifest). Same
+    // GlobalOrder exact token offsets (one range shuffle, no
+    // single-partition window); the explode is bounded by
+    // total_tokens/L + n_docs rows — linear, and each chunk's spans
+    // provably sum to exactly L except the final one ----
+    "q226_pack_manifest" -> ((s, d) => {
+      import graft.operators.GlobalOrder
+      val L = 512L
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.bpeTokenCount(col("text"))
+            .cast("bigint").as("n_tok"))
+      GlobalOrder.withRunningSumLong(docs, Seq(col("doc_id")),
+          col("n_tok"), "cum")
+        .withColumn("off", col("cum") - col("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("chunk", explode(sequence(
+          expr(s"off div $L"), expr(s"(off + n_tok - 1) div $L"))))
+        .select(col("chunk"), col("doc_id"),
+          greatest(col("off") - col("chunk") * L, lit(0L))
+            .as("start_in_chunk"),
+          (least((col("chunk") + 1) * L, col("off") + col("n_tok")) -
+            greatest(col("chunk") * L, col("off"))).as("span_len"))
+        .orderBy(col("chunk"), col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9082,5 +9111,28 @@ object SparkEntry {
         | CAST(mean_bp AS BIGINT) AS mean_bp,
         | CAST(excess * 1000000 // tot AS BIGINT) AS w_ppm
         |FROM ex CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // span-manifest replay: q172's offsets + a chunk-range unnest.
+    "q226_pack_manifest" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        |    AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+        | FROM t),
+        |e AS (
+        | SELECT doc_id, n_tok, off,
+        |  unnest(range(CAST(off // 512 AS BIGINT),
+        |    CAST((off + n_tok - 1) // 512 + 1 AS BIGINT))) AS chunk
+        | FROM c WHERE n_tok > 0)
+        |SELECT CAST(chunk AS BIGINT) AS chunk, doc_id,
+        | CAST(greatest(off - chunk * 512, 0) AS BIGINT) AS start_in_chunk,
+        | CAST(least((chunk + 1) * 512, off + n_tok) -
+        |   greatest(chunk * 512, off) AS BIGINT) AS span_len
+        |FROM e ORDER BY chunk, doc_id""".stripMargin,
   )
 }

@@ -184,6 +184,89 @@ object AbBench {
         (() => probe(s"$tmp/l"), () => probe(s"$tmp/m"))
       }),
 
+    // round-8 change: q205's RRF vector leg moved from a brute
+    // crossJoin+window (corpus-proportional cartesian) onto the stored
+    // graph via the lateral rewrite. Fixed 8-anchor panel so the pair
+    // isolates probe-vs-cartesian cost; 200× replicated corpus so the
+    // cartesian's O(anchors × n) work dominates job overhead. B builds
+    // the index in prepare() (un-timed — the serve-path contract).
+    Pair("rrf_vector_leg_200x", "brute_cartesian", "graph_probe",
+      (s, d) => {
+        import graft.plans.{AnnCatalog, AnnIndexRule}
+        AnnIndexRule.install(s)
+        s.conf.set("spark.graft.ann.minTableBytes", "0")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-rrfleg").toString
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val OFF = 100000000L
+        val perturb = udf { (v: Seq[Float], id: Long, c: Long) =>
+          val out = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            val h = graft.text.RollingHash.hashToken(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"$c:$id:$i"))
+            out(i) = v(i) + (((h % 1000L + 1000L) % 1000L) / 1000.0f - 0.5f) * 0.02f
+            i += 1
+          }
+          out
+        }
+        emb.crossJoin(s.range(200).select(col("id").as("_copy")))
+          .select((col("vec_id") + col("_copy") * OFF).as("vec_id"),
+            perturb(col("embedding"), col("vec_id"), col("_copy")).as("embedding"))
+          .repartition(32).write.mode("overwrite").parquet(s"$tmp/base")
+        val base = s.read.parquet(s"$tmp/base")
+        graft.vector.HnswIndex.writeGraphIndex(base, "embedding", "vec_id",
+          s"$tmp/graphs",
+          graft.vector.HnswIndex.Params(m = 8, efConstruction = 32))
+        val entry = AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding",
+          "vec_id", graft.vector.HnswIndex.Params(efSearch = 256))
+        val anchors = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+          .localCheckpoint()
+        def leg(): DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          anchors.crossJoin(base)
+            .select(col("qid"), col("vec_id"),
+              graft.vector.VectorFunctions.cosine_sim(col("embedding"),
+                col("qemb")).as("cs"))
+            .withColumn("vrank", row_number().over(
+              Window.partitionBy(col("qid"))
+                .orderBy(col("cs").desc, col("vec_id"))))
+            .filter(col("vrank") <= 20)
+        }
+        (() => { AnnCatalog.clear(); leg() },
+         () => { AnnCatalog.register(s"$tmp/base", entry); leg() })
+      }),
+
+    // round-8 change: selectByBudget's boundary band moved from a
+    // global Window.orderBy cumsum (ONE task) to GlobalOrder's
+    // range-shuffled running sum. Worst-case input: 2M rows sharing a
+    // single score, so the boundary band IS the whole frame — the
+    // exact skew the fix targets.
+    Pair("budget_boundary_skew_2m", "single_task_window", "global_order",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-budget").toString
+        s.range(2000000L)
+          .select(col("id"), lit(0.5d).as("score"),
+            (col("id") % 100L + 1L).as("tokens"))
+          .repartition(32).write.mode("overwrite").parquet(s"$tmp/docs")
+        val docs = s.read.parquet(s"$tmp/docs")
+        val budget = 50000000L // ~half the corpus tokens
+        def windowForm(): DataFrame = {
+          val w = Window.orderBy(col("score").desc, col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          docs.withColumn("_cum", sum(col("tokens")).over(w))
+            .filter(col("_cum") <= budget).drop("_cum")
+        }
+        def globalOrderForm(): DataFrame =
+          graft.operators.Curation.selectByBudget(docs, "score", "id",
+            "tokens", budget, nBands = 10)
+        (() => windowForm(), () => globalOrderForm())
+      }),
+
     // round-7 bench recorded nominal regressions on these four queries
     // (q78 2.40×, q92 2.12×, q59 1.93×, q56 1.54×) with no commit
     // touching them; an interleaved SELF-pair gives the same-session
