@@ -4995,6 +4995,43 @@ object SparkEntry {
           Seq(col("n_tok"), col("doc_id")), "rn"), "length_sorted"))
         .orderBy(col("strategy"))
     }),
+
+    // ---- deterministic span-corruption masks (T5/UL2 denoising
+    // objective prep): ~15% of tokens in 2-4-token spans, one span per
+    // 20-token stratum, start jittered by the closed-form
+    // multiplicative hash (q173's engine-agnostic permutation family —
+    // NOT rand(): at 100 TB the mask is recomputable from the doc id
+    // alone, no mask table to persist, and strata guarantee
+    // non-overlap by construction). One bounded explode (n_tok/20 rows
+    // per doc), one per-doc re-aggregate; the md5 over the ordered
+    // span list pins every start:len pair ----
+    "q228_span_corruption" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.bpeTokenCount(col("text"))
+            .cast("bigint").as("n_tok"))
+        .withColumn("m", expr("n_tok div 20"))
+        .filter(col("m") >= 1)
+        .withColumn("st", expr("n_tok div m"))
+      docs.withColumn("k", explode(sequence(lit(0L), col("m") - 1)))
+        .withColumn("l",
+          expr("2 + pmod(pmod(doc_id * 7 + k, 1000003) * 2654435761, " +
+            "1000003) % 3"))
+        .withColumn("start",
+          expr("k * st + pmod(pmod(doc_id * 13 + k, 1000003) * " +
+            "2654435761, 1000003) % (st - l + 1)"))
+        .groupBy(col("doc_id"), col("n_tok"), col("m"))
+        .agg(sum(col("l")).as("n_corrupt"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(struct(col("k"),
+              concat_ws(":", col("start"), col("l")).as("sl")))),
+            x => x.getField("sl")))).as("spans_md5"))
+        .select(col("doc_id"), col("n_tok"), col("m").as("n_spans"),
+          col("n_corrupt"),
+          expr("n_corrupt * 10000 div n_tok").as("ratio_bp"),
+          col("spans_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9196,5 +9233,32 @@ object SparkEntry {
         | CAST((sum(bsz * maxlen) - sum(rt)) * 1000000 // sum(bsz * maxlen)
         |   AS BIGINT) AS waste_ppm
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // span-corruption replay: identical closed-form hash arithmetic,
+    // list-built spans in stratum order.
+    "q228_span_corruption" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(length(regexp_extract_all(text, '\w+|[^\w\s]'))
+        |   AS BIGINT) AS n_tok
+        | FROM documents),
+        |s AS (SELECT doc_id, n_tok, n_tok // 20 AS m,
+        |  n_tok // (n_tok // 20) AS st
+        | FROM t WHERE n_tok // 20 >= 1),
+        |sp AS (SELECT doc_id, n_tok, m, st,
+        |  list_transform(range(0, m), k ->
+        |    2 + (((doc_id * 7 + k) % 1000003) * 2654435761 % 1000003) % 3)
+        |    AS lens,
+        |  list_transform(range(0, m), k ->
+        |    k * st + (((doc_id * 13 + k) % 1000003) * 2654435761 % 1000003)
+        |      % (st - (2 + (((doc_id * 7 + k) % 1000003) * 2654435761
+        |        % 1000003) % 3) + 1)) AS starts
+        | FROM s)
+        |SELECT doc_id, n_tok, CAST(m AS BIGINT) AS n_spans,
+        | CAST(list_sum(lens) AS BIGINT) AS n_corrupt,
+        | CAST(list_sum(lens) * 10000 // n_tok AS BIGINT) AS ratio_bp,
+        | md5(array_to_string(list_transform(range(1, CAST(m AS BIGINT) + 1),
+        |   i -> CAST(starts[CAST(i AS INT)] AS VARCHAR) || ':' ||
+        |        CAST(lens[CAST(i AS INT)] AS VARCHAR)), ',')) AS spans_md5
+        |FROM sp ORDER BY doc_id""".stripMargin,
   )
 }
