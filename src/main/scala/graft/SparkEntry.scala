@@ -5032,6 +5032,93 @@ object SparkEntry {
           col("spans_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- multimodal curation gate (the quality filter a mixed-media
+    // corpus runs before training — q46's reject-reasons shape over
+    // DECODED media): every doc gets a real payload in its modality
+    // (P6 raster / PCM WAV / C420 Y4M, the q36/q222/q223 deterministic
+    // generators), the gate DECODES the actual bytes and applies
+    // per-type rules — image min-side, audio min-duration + clipping
+    // ceiling, video min-frames + static-clip floor — all in exact
+    // integer arithmetic. One codegen projection per row, zero
+    // exchanges before the presentation sort ----
+    "q229_media_gate" -> ((s, d) => {
+      import graft.multimodal.{PpmCodec, WavCodec, Y4mCodec}
+      val gen = udf { (d0: Long) =>
+        (d0 % 3) match {
+          case 0 =>
+            val w = (d0 % 16 + 4).toInt
+            val h = (d0 * 7 % 16 + 4).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var c = 0
+            while (c < rgb.length) {
+              rgb(c) = ((d0 * 31 + c.toLong * 7) % 256).toByte
+              c += 1
+            }
+            PpmCodec.encode(PpmCodec.Image(w, h, rgb))
+          case 1 =>
+            val rate = (8000L + (d0 % 7) * 1000L).toInt
+            val n = (100L + (d0 * 13) % 900L).toInt
+            val smp = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              smp(i) = (((d0 * 31 + i.toLong * 7919) % 65536L) - 32768L)
+                .toShort
+              i += 1
+            }
+            WavCodec.encode(WavCodec.Clip(rate, 1, smp))
+          case _ =>
+            val w = (2L * ((d0 % 8) + 2)).toInt
+            val h = (2L * (((d0 * 5) % 8) + 2)).toInt
+            val nf = (2L + d0 % 6).toInt
+            val fps = (10L + d0 % 5).toInt
+            val fb = w * h * 3 / 2
+            val frames = Vector.tabulate(nf) { f =>
+              val fr = new Array[Byte](fb)
+              var i = 0
+              while (i < w * h) {
+                fr(i) = ((d0 * 31 + f.toLong * 101 + i.toLong * 7) % 256)
+                  .toByte
+                i += 1
+              }
+              while (i < fb) {
+                fr(i) = ((d0 * 7 + f.toLong * 13 + i.toLong * 3) % 256)
+                  .toByte
+                i += 1
+              }
+              fr
+            }
+            Y4mCodec.encode(Y4mCodec.Video(w, h, fps, 1, frames))
+        }
+      }
+      val gate = udf { (bytes: Array[Byte]) =>
+        PpmCodec.decode(bytes).map { img =>
+          ("image",
+            if (math.min(img.width, img.height) < 8) "too_small" else "")
+        }.orElse(WavCodec.decode(bytes).map { c =>
+          val st = WavCodec.stats(c)
+          ("audio", Seq(
+            if (st.durationMs < 10) "too_short" else "",
+            // ceiling 0.005% — tight enough that one clipped sample in
+            // a short clip trips it (both rails count)
+            if (st.clipped * 20000 > st.frames) "clipped" else "")
+            .filter(_.nonEmpty).mkString(","))
+        }).orElse(Y4mCodec.decode(bytes).map { v =>
+          val st = Y4mCodec.stats(v)
+          ("video", Seq(
+            if (st.nFrames < 5) "too_few_frames" else "",
+            if (st.motionSum <
+              (st.nFrames - 1).toLong * st.width * st.height) "static"
+            else "").filter(_.nonEmpty).mkString(","))
+        }).orNull
+      }
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), gate(gen(col("doc_id"))).as("t"))
+        .select(col("doc_id"), col("t._1").as("media_type"),
+          col("t._2").as("reason"),
+          (col("t._2") === "").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9260,5 +9347,48 @@ object SparkEntry {
         |   i -> CAST(starts[CAST(i AS INT)] AS VARCHAR) || ':' ||
         |        CAST(lens[CAST(i AS INT)] AS VARCHAR)), ',')) AS spans_md5
         |FROM sp ORDER BY doc_id""".stripMargin,
+
+    // media-gate replay: per-type rules from the q36/q222/q223
+    // generator formulas (array_to_string of an empty list is NULL in
+    // DuckDB — hence the coalesce).
+    "q229_media_gate" ->
+      """WITH im AS (
+        | SELECT doc_id, 'image' AS media_type,
+        |  CASE WHEN least(doc_id % 16 + 4, (doc_id * 7) % 16 + 4) < 8
+        |   THEN 'too_small' ELSE '' END AS reason
+        | FROM documents WHERE doc_id % 3 = 0),
+        |au0 AS (
+        | SELECT doc_id, 8000 + (doc_id % 7) * 1000 AS rate,
+        |  100 + (doc_id * 13) % 900 AS n
+        | FROM documents WHERE doc_id % 3 = 1),
+        |au AS (
+        | SELECT doc_id, 'audio' AS media_type,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN n * 1000 // rate < 10 THEN 'too_short' ELSE '' END,
+        |    CASE WHEN length(list_filter(list_transform(range(0, n),
+        |      i -> ((doc_id * 31 + i * 7919) % 65536) - 32768),
+        |      x -> abs(x) >= 32767)) * 20000 > n THEN 'clipped' ELSE '' END],
+        |    r -> r <> ''), ','), '') AS reason
+        | FROM au0),
+        |vi0 AS (
+        | SELECT doc_id, 2 * ((doc_id % 8) + 2) AS w,
+        |  2 * (((doc_id * 5) % 8) + 2) AS h, 2 + doc_id % 6 AS nf
+        | FROM documents WHERE doc_id % 3 = 2),
+        |vi AS (
+        | SELECT doc_id, 'video' AS media_type,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN nf < 5 THEN 'too_few_frames' ELSE '' END,
+        |    CASE WHEN list_sum(list_transform(range(0, (nf - 1) * w * h),
+        |      j -> abs(((doc_id * 31 + ((j // (w * h)) + 1) * 101
+        |          + (j % (w * h)) * 7) % 256)
+        |        - ((doc_id * 31 + (j // (w * h)) * 101
+        |          + (j % (w * h)) * 7) % 256))))
+        |      < (nf - 1) * w * h THEN 'static' ELSE '' END],
+        |    r -> r <> ''), ','), '') AS reason
+        | FROM vi0),
+        |u AS (SELECT * FROM im UNION ALL SELECT * FROM au
+        |  UNION ALL SELECT * FROM vi)
+        |SELECT doc_id, media_type, reason, reason = '' AS keep
+        |FROM u ORDER BY doc_id""".stripMargin,
   )
 }

@@ -109,6 +109,28 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Streaming-safe scalar form of [[extractFeatures]]: the same
+    * self-describing dispatch (P6 → WAV → Y4M → stub) as ONE
+    * deterministic UDF — no RDD underneath, so it runs in Structured
+    * Streaming plans and plain projections alike (the `.rdd` batch
+    * form cannot execute on a streaming DataFrame). MultimodalSpec
+    * asserts bit-equality with [[extractFeatures]]; StreamingSpec
+    * equates the streamed features with the batch ones. */
+  val mediaFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else PpmCodec.decode(bytes) match {
+        case Some(img) => PpmCodec.features(img)
+        case None => WavCodec.decode(bytes) match {
+          case Some(clip) => audioFeatures(clip)
+          case None => Y4mCodec.decode(bytes) match {
+            case Some(vid) => videoFeatures(vid)
+            case None => new StubDecoder(16).decodeAndFeaturize(bytes)
+          }
+        }
+      }
+    }
+
   /** 16-dim audio feature vector from DECODED samples: RMS and peak
     * (each /32768), zero-crossing rate (per channel-0 frame), clipped
     * fraction, then a 12-bin absolute-amplitude histogram (bin =

@@ -291,4 +291,29 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.count() > 0 && stub.filter(col("luma_sum").isNotNull).count() == 0)
   }
 
+  test("mediaFeatures UDF equals the batch extractFeatures dispatch") {
+    import graft.multimodal.{PpmCodec, WavCodec, Y4mCodec}
+    val img = PpmCodec.Image(3, 2,
+      Array.tabulate[Byte](18)(i => (i * 11).toByte))
+    val wav = WavCodec.Clip(8000, 1,
+      Array.tabulate[Short](32)(i => (i * 999 % 65536 - 32768).toShort))
+    val vid = Y4mCodec.Video(2, 2, 10, 1,
+      Vector.tabulate(3)(f => Array.tabulate(6)(i => ((f * 50 + i) % 256).toByte)))
+    val mixed = Seq(
+      (0L, "image", PpmCodec.encode(img)),
+      (1L, "audio", WavCodec.encode(wav)),
+      (2L, "video", Y4mCodec.encode(vid)),
+      (3L, "audio", "not media at all".getBytes)) // stub fallback
+      .toDF("doc_id", "media_type", "content")
+    val batch = Multimodal.extractFeatures(mixed)
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    val viaUdf = mixed
+      .select(col("doc_id"), Multimodal.mediaFeatures(col("content")).as("features"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(viaUdf == batch)
+    assert(batch(0L) == PpmCodec.features(img).toSeq)
+    assert(batch(1L) == Multimodal.audioFeatures(wav).toSeq)
+    assert(batch(2L) == Multimodal.videoFeatures(vid).toSeq)
+  }
+
 }

@@ -707,4 +707,45 @@ class StreamingSpec extends SparkSpec {
       .toSeq
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("streaming media decode: mediaFeatures over a file stream equals batch") {
+    // the multimodal path in Structured Streaming: real P6/WAV payloads
+    // arrive as a parquet file stream, the streaming-safe mediaFeatures
+    // UDF decodes them per micro-batch, and the features equal the
+    // batch extractFeatures dispatch on the same rows
+    import graft.multimodal.{Multimodal, PpmCodec, WavCodec}
+    val dir = Files.createTempDirectory("graft-media-src")
+    val ckpt = Files.createTempDirectory("graft-media-ckpt").toString
+    val rows = (0L until 12L).map { i =>
+      val bytes =
+        if (i % 2 == 0) {
+          val w = (i % 5 + 2).toInt; val h = (i % 3 + 2).toInt
+          PpmCodec.encode(PpmCodec.Image(w, h,
+            Array.tabulate[Byte](w * h * 3)(c => ((i * 31 + c * 7) % 256).toByte)))
+        } else WavCodec.encode(WavCodec.Clip(8000, 1,
+          Array.tabulate[Short](64)(j => ((i * 17 + j * 997) % 65536 - 32768).toShort)))
+      (i, bytes)
+    }
+    rows.toDF("doc_id", "content")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    val q = StreamingIngest.readStream(spark, dir.toString, schema)
+      .select(col("doc_id"), Multimodal.mediaFeatures(col("content")).as("f"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        collected.synchronized {
+          collected ++= b.collect().map(r =>
+            (r.getLong(0), r.getSeq[Float](1)))
+        }: Unit
+      }.start()
+    q.awaitTermination()
+    val batch = Multimodal.extractFeatures(
+        rows.toDF("doc_id", "content").withColumn("media_type", lit("x")))
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(collected.size == 12)
+    collected.foreach { case (id, f) => assert(f == batch(id), s"doc $id") }
+  }
 }
