@@ -5119,6 +5119,43 @@ object SparkEntry {
           (col("t._2") === "").as("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- data-quality constraint suite (Deequ's analyzer-batching
+    // shape: EVERY rule's violation count from ONE corpus scan — eight
+    // assertions fused into a single map-side-combined aggregate, so a
+    // 100 TB contract check costs one pass; uniqueness is the only
+    // rule needing a shuffle and rides the same aggregate as a
+    // countDistinct). Two thresholds fail by design on this corpus so
+    // the violation path is live, not vacuous ----
+    "q230_data_contract" -> ((s, d) => {
+      tSpread(s, d, "documents").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null"),
+          countDistinct(col("doc_id")).as("n_dist"),
+          sum(when(!col("lang").isin("en", "es", "fr", "de", "zh"), 1L)
+            .otherwise(0L)).as("v_lang"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L)
+            .otherwise(0L)).as("v_len"),
+          sum(when(trim(col("text")) === "", 1L).otherwise(0L))
+            .as("v_blank"),
+          sum(when(!col("source").startsWith("src"), 1L).otherwise(0L))
+            .as("v_src"),
+          sum(when(col("n_chars") > 500, 1L).otherwise(0L)).as("v_max"),
+          sum(when(col("n_chars") < 50, 1L).otherwise(0L)).as("v_min"))
+        .selectExpr("n",
+          "stack(8, " +
+            "'doc_id_not_null', v_null, " +
+            "'doc_id_unique', n - n_dist, " +
+            "'lang_in_domain', v_lang, " +
+            "'n_chars_consistent', v_len, " +
+            "'text_nonblank', v_blank, " +
+            "'source_format', v_src, " +
+            "'n_chars_max_500', v_max, " +
+            "'n_chars_min_50', v_min) as (rule, n_violations)")
+        .select(col("rule"), col("n").as("n_checked"),
+          col("n_violations"), (col("n_violations") === 0L).as("pass"))
+        .orderBy(col("rule"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9390,5 +9427,32 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM vi)
         |SELECT doc_id, media_type, reason, reason = '' AS keep
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // contract replay: the same eight rules from one aggregate.
+    "q230_data_contract" ->
+      """WITH a AS (
+        | SELECT count(*) AS n,
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |  count(DISTINCT doc_id) AS n_dist,
+        |  sum(CASE WHEN lang NOT IN ('en','es','fr','de','zh')
+        |    THEN 1 ELSE 0 END) AS v_lang,
+        |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_len,
+        |  sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS v_blank,
+        |  sum(CASE WHEN source NOT LIKE 'src%' THEN 1 ELSE 0 END) AS v_src,
+        |  sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS v_max,
+        |  sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS v_min
+        | FROM documents),
+        |r AS (
+        | SELECT 'doc_id_not_null' AS rule, n, v_null AS v FROM a
+        | UNION ALL SELECT 'doc_id_unique', n, n - n_dist FROM a
+        | UNION ALL SELECT 'lang_in_domain', n, v_lang FROM a
+        | UNION ALL SELECT 'n_chars_consistent', n, v_len FROM a
+        | UNION ALL SELECT 'text_nonblank', n, v_blank FROM a
+        | UNION ALL SELECT 'source_format', n, v_src FROM a
+        | UNION ALL SELECT 'n_chars_max_500', n, v_max FROM a
+        | UNION ALL SELECT 'n_chars_min_50', n, v_min FROM a)
+        |SELECT rule, CAST(n AS BIGINT) AS n_checked,
+        | CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
   )
 }
