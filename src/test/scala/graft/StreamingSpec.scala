@@ -748,4 +748,58 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size == 12)
     collected.foreach { case (id, f) => assert(f == batch(id), s"doc $id") }
   }
+
+  test("streaming index ingestion: foreachBatch adds keep the probe exact") {
+    // the serving-side write path as a stream: a stored graph index
+    // built from a base batch, arriving vectors added per micro-batch
+    // through the SAME addToGraphIndex the batch path uses; at
+    // covering efSearch the probe is exhaustive per sub-graph, so the
+    // final index must answer EXACTLY the brute top-k over base+stream
+    import graft.vector.{HnswIndex, VectorFunctions}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("graft-annstream-src")
+    val ckpt = Files.createTempDirectory("graft-annstream-ckpt").toString
+    val idx = Files.createTempDirectory("graft-annstream-idx").toString + "/g"
+    val p = HnswIndex.Params(m = 8, efConstruction = 64,
+      efSearch = 1 << 20)
+    HnswIndex.writeGraphIndex(emb.filter(col("vec_id") < 200),
+      "embedding", "vec_id", idx, p)
+    val schema = emb.schema
+    def runOnce(): Unit = {
+      val q = StreamingIngest.readStream(spark, dir.toString, schema)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            HnswIndex.addToGraphIndex(spark, idx, b, "embedding",
+              "vec_id", p): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    emb.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+      .write.mode("overwrite").parquet(dir.toString)
+    runOnce()
+    emb.filter(col("vec_id") >= 350)
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val got = HnswIndex.searchGraphIndex(spark, idx, "vec_id",
+        Seq((0L, qv)), k = 10, p)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    val brute = emb
+      .select(col("vec_id"),
+        VectorFunctions.cosine_sim(col("embedding"), lit(qv)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(got == brute, s"probe=$got brute=$brute")
+    // the streamed adds really landed (the index covers the full set)
+    assert(spark.read.parquet(idx).agg(sum(col("n_vectors")))
+      .head().getLong(0) == emb.count())
+  }
 }
