@@ -144,6 +144,17 @@ object GraftFunctions {
     ("gopher_repetition", gopherRepetitionBuilder, classOf[Expression]),
     ("gopher_quality", gopherQualityBuilder, classOf[Expression]),
     ("quality_prob", qualityProbBuilder, classOf[Expression]),
+    // the multimodal codecs' SQL surface: decode-dispatching features
+    // and per-codec stats structs over a BINARY column
+    ("media_features",
+      columnFn(cs => graft.multimodal.Multimodal.mediaFeatures(cs(0))),
+      classOf[Expression]),
+    ("wav_stats",
+      columnFn(cs => graft.multimodal.Multimodal.wavStats(cs(0))),
+      classOf[Expression]),
+    ("y4m_stats",
+      columnFn(cs => graft.multimodal.Multimodal.y4mStats(cs(0))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

@@ -131,6 +131,36 @@ object Multimodal {
       }
     }
 
+  /** SQL row shape of [[WavCodec.Stats]] (`wav_stats(content)`). */
+  final case class WavStatsRow(sample_rate: Int, channels: Int,
+      frames: Int, duration_ms: Long, rms: Double, peak: Int,
+      clipped: Long, zero_crossings: Long)
+  /** SQL row shape of [[Y4mCodec.Stats]] (`y4m_stats(content)`). */
+  final case class Y4mStatsRow(width: Int, height: Int, n_frames: Int,
+      duration_ms: Long, luma_mean: Double, motion_mean: Double)
+
+  /** Decoded-WAV stats as a struct Column (NULL for non-WAV bytes) —
+    * the SQL surface of the audio codec. */
+  val wavStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(WavCodec.decode).map { c =>
+        val t = WavCodec.stats(c)
+        WavStatsRow(t.sampleRate, t.channels, t.frames, t.durationMs,
+          t.rms, t.peak, t.clipped, t.zeroCrossings)
+      }
+    }
+
+  /** Decoded-Y4M stats as a struct Column (NULL for non-Y4M bytes) —
+    * the SQL surface of the video codec. */
+  val y4mStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Y4mCodec.decode).map { v =>
+        val t = Y4mCodec.stats(v)
+        Y4mStatsRow(t.width, t.height, t.nFrames, t.durationMs,
+          t.lumaMean, t.motionMean)
+      }
+    }
+
   /** 16-dim audio feature vector from DECODED samples: RMS and peak
     * (each /32768), zero-crossing rate (per channel-0 frame), clipped
     * fraction, then a 12-bin absolute-amplitude histogram (bin =

@@ -253,4 +253,44 @@ class ExtensionsSpec extends SparkSpec {
     Seq("cur_docs", "cur_model", "cur_target")
       .foreach(spark.catalog.dropTempView)
   }
+
+  test("media codec functions usable from pure SQL, same results as Column API") {
+    import graft.multimodal.{Multimodal, PpmCodec, WavCodec, Y4mCodec}
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val wav = WavCodec.encode(WavCodec.Clip(8000, 1,
+      Array.tabulate[Short](40)(i => ((i * 777) % 65536 - 32768).toShort)))
+    val vid = Y4mCodec.encode(Y4mCodec.Video(2, 2, 10, 1,
+      Vector.tabulate(3)(f => Array.tabulate(6)(i => ((f * 30 + i * 5) % 256).toByte))))
+    val img = PpmCodec.encode(PpmCodec.Image(2, 2,
+      Array.tabulate[Byte](12)(i => (i * 21).toByte)))
+    Seq((1L, wav), (2L, vid), (3L, img)).toDF("id", "content")
+      .createOrReplaceTempView("media_sql")
+
+    val sqlRows = spark.sql(
+      """SELECT id,
+        | wav_stats(content).duration_ms AS wdur,
+        | wav_stats(content).clipped AS wclip,
+        | y4m_stats(content).n_frames AS vframes,
+        | y4m_stats(content).motion_mean AS vmotion,
+        | media_features(content)[0] AS f0
+        |FROM media_sql ORDER BY id""".stripMargin).collect()
+    // WAV row: stats match the codec; video/image rows are NULL for wav_stats
+    val wst = WavCodec.stats(WavCodec.decode(wav).get)
+    val vst = Y4mCodec.stats(Y4mCodec.decode(vid).get)
+    assert(sqlRows(0).getLong(1) == wst.durationMs &&
+      sqlRows(0).getLong(2) == wst.clipped)
+    assert(sqlRows(0).isNullAt(3)) // wav is not a y4m
+    assert(sqlRows(1).getInt(3) == vst.nFrames &&
+      sqlRows(1).getDouble(4) == vst.motionMean)
+    assert(sqlRows(1).isNullAt(1)) // y4m is not a wav
+    // media_features dispatches per modality, equal to the Column API
+    import org.apache.spark.sql.functions.{col => c}
+    val apiF0 = Seq((1L, wav), (2L, vid), (3L, img)).toDF("id", "content")
+      .select(c("id"),
+        Multimodal.mediaFeatures(c("content")).getItem(0).as("f0"))
+      .orderBy("id").collect().map(_.getFloat(1))
+    assert(sqlRows.map(_.getFloat(5)).toSeq == apiF0.toSeq)
+    spark.catalog.dropTempView("media_sql"): Unit
+  }
 }
