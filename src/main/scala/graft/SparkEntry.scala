@@ -5156,6 +5156,46 @@ object SparkEntry {
           col("n_violations"), (col("n_violations") === 0L).as("pass"))
         .orderBy(col("rule"))
     }),
+
+    // ---- dataset release fingerprint (the checksum a training-data
+    // drop ships so a consumer can verify the bytes they trained on):
+    // per-source XOR-fold of a 60-bit content hash over (doc_id,
+    // md5(text)) — XOR is commutative/associative, so the fingerprint
+    // is PARTITION-ORDER-INDEPENDENT: any execution order, any
+    // parallelism, same value. ONE map-side-combined aggregate; at
+    // 100 TB this is scan-rate work emitting a sources-bounded sheet ----
+    "q231_dataset_fingerprint" -> ((s, d) => {
+      tSpread(s, d, "documents")
+        .select(col("source"),
+          conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), md5(col("text")))), 1, 15),
+            16, 10).cast("bigint").as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("fingerprint"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- datasheet example sampler (the "representative examples"
+    // section of a dataset card): deterministic md5-rank top-3 per
+    // source — reproducible across runs/engines unlike rand(), and at
+    // 100 TB the examples are recomputable from the ids alone. One
+    // window exchange on the source key; InferWindowGroupLimit keeps
+    // it per-partition top-k; text leaves only as its md5 ----
+    "q232_datasheet_examples" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("rk"), col("doc_id"))
+      tSpread(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("lang"), col("n_chars"),
+          md5(concat_ws(":", lit("ex"), col("doc_id").cast("string")))
+            .as("rk"),
+          md5(col("text")).as("text_md5"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn").cast("bigint").as("example_rank"),
+          col("doc_id"), col("lang"), col("n_chars"), col("text_md5"))
+        .orderBy(col("source"), col("example_rank"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9454,5 +9494,25 @@ object SparkEntry {
         |SELECT rule, CAST(n AS BIGINT) AS n_checked,
         | CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
+
+    // fingerprint replay: same 60-bit md5 fold, same XOR aggregate.
+    "q231_dataset_fingerprint" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |   || ':' || md5(text)), 1, 15))::BIGINT) AS BIGINT) AS fingerprint
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // examples replay: same seeded md5 rank, same per-source top-3.
+    "q232_datasheet_examples" ->
+      """WITH r AS (
+        | SELECT source, doc_id, lang, n_chars,
+        |  md5('ex:' || CAST(doc_id AS VARCHAR)) AS rk,
+        |  md5(text) AS text_md5,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('ex:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT source, CAST(rn AS BIGINT) AS example_rank, doc_id, lang,
+        | n_chars, text_md5
+        |FROM r WHERE rn <= 3 ORDER BY source, example_rank""".stripMargin,
   )
 }
