@@ -5196,6 +5196,41 @@ object SparkEntry {
           col("doc_id"), col("lang"), col("n_chars"), col("text_md5"))
         .orderBy(col("source"), col("example_rank"))
     }),
+
+    // ---- vocabulary drift between two corpus slices (the snapshot-
+    // over-snapshot distribution check an ingest pipeline runs before
+    // accepting a new crawl): unigram ppm distributions of the two
+    // halves, L1 distance plus the top-10 movers. Vocabulary-grain
+    // FULL-OUTER shuffle join on the word key (Heaps-unbounded — never
+    // broadcast, the q88 lesson); totals ride 1-row broadcasts; all
+    // ppm arithmetic exact integer; the drift frame is materialized
+    // once (localCheckpoint) because both the L1 total and the movers
+    // consume it ----
+    "q233_vocab_drift" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      def counts(side: DataFrame) = side
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val a = counts(docs.filter(col("doc_id") % 2 === 0))
+      val b = counts(docs.filter(col("doc_id") % 2 === 1))
+      val ta = a.agg(sum(col("c")).as("ta"))
+      val tb = b.agg(sum(col("c")).as("tb"))
+      val drift = a.withColumnRenamed("c", "ca")
+        .join(b.withColumnRenamed("c", "cb"), Seq("w"), "full")
+        .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .select(col("w"),
+          expr("coalesce(ca, 0L) * 1000000L div ta").as("ppm_a"),
+          expr("coalesce(cb, 0L) * 1000000L div tb").as("ppm_b"))
+        .withColumn("delta_ppm", col("ppm_b") - col("ppm_a"))
+        .localCheckpoint()
+      val l1 = drift.agg(sum(abs(col("delta_ppm"))).as("l1_ppm"))
+      drift.crossJoin(broadcast(l1))
+        .orderBy(abs(col("delta_ppm")).desc, col("w"))
+        .limit(10)
+        .select(col("w"), col("ppm_a"), col("ppm_b"), col("delta_ppm"),
+          col("l1_ppm"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9514,5 +9549,32 @@ object SparkEntry {
         |SELECT source, CAST(rn AS BIGINT) AS example_rank, doc_id, lang,
         | n_chars, text_md5
         |FROM r WHERE rn <= 3 ORDER BY source, example_rank""".stripMargin,
+
+    // drift replay: same integer ppm pipeline over the two halves.
+    "q233_vocab_drift" ->
+      """WITH tok0 AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents),
+        |tok AS (SELECT doc_id, w FROM tok0 WHERE length(w) > 0),
+        |a AS (SELECT w, count(*) AS c FROM tok WHERE doc_id % 2 = 0
+        | GROUP BY 1),
+        |b AS (SELECT w, count(*) AS c FROM tok WHERE doc_id % 2 = 1
+        | GROUP BY 1),
+        |ta AS (SELECT sum(c) AS t FROM a),
+        |tb AS (SELECT sum(c) AS t FROM b),
+        |j AS (SELECT coalesce(a.w, b.w) AS w,
+        |  coalesce(a.c, 0) * 1000000 // ta.t AS ppm_a,
+        |  coalesce(b.c, 0) * 1000000 // tb.t AS ppm_b
+        | FROM a FULL OUTER JOIN b ON a.w = b.w
+        | CROSS JOIN ta CROSS JOIN tb),
+        |jd AS (SELECT w, ppm_a, ppm_b, ppm_b - ppm_a AS delta_ppm FROM j),
+        |l AS (SELECT sum(abs(delta_ppm)) AS l1 FROM jd)
+        |SELECT w, CAST(ppm_a AS BIGINT) AS ppm_a,
+        | CAST(ppm_b AS BIGINT) AS ppm_b,
+        | CAST(delta_ppm AS BIGINT) AS delta_ppm,
+        | CAST(l.l1 AS BIGINT) AS l1_ppm
+        |FROM jd CROSS JOIN l
+        |ORDER BY abs(delta_ppm) DESC, w LIMIT 10""".stripMargin,
   )
 }
