@@ -4756,18 +4756,8 @@ object SparkEntry {
     // only floating steps (one divide + sqrt) are IEEE-correctly-
     // rounded, hence engine-portable ----
     "q222_audio_stats" -> ((s, d) => {
-      import graft.multimodal.WavCodec
-      val gen = udf { (d0: Long) =>
-        val rate = (8000L + (d0 % 7) * 1000L).toInt
-        val n = (100L + (d0 * 13) % 900L).toInt
-        val smp = new Array[Short](n)
-        var i = 0
-        while (i < n) {
-          smp(i) = (((d0 * 31 + i.toLong * 7919) % 65536L) - 32768L).toShort
-          i += 1
-        }
-        WavCodec.encode(WavCodec.Clip(rate, 1, smp))
-      }
+      import graft.multimodal.{SyntheticMedia, WavCodec}
+      val gen = udf { (d0: Long) => SyntheticMedia.wavPayload(d0) }
       val st = udf { (bytes: Array[Byte]) =>
         WavCodec.decode(bytes).map { c =>
           val t = WavCodec.stats(c)
@@ -4798,28 +4788,8 @@ object SparkEntry {
     // the oracle replays the luma/motion sums from the same formula
     // and pins the encoder's byte layout via n_bytes ----
     "q223_video_stats" -> ((s, d) => {
-      import graft.multimodal.Y4mCodec
-      val gen = udf { (d0: Long) =>
-        val w = (2L * ((d0 % 8) + 2)).toInt
-        val h = (2L * (((d0 * 5) % 8) + 2)).toInt
-        val nf = (2L + d0 % 6).toInt
-        val fps = (10L + d0 % 5).toInt
-        val fb = w * h * 3 / 2
-        val frames = Vector.tabulate(nf) { f =>
-          val fr = new Array[Byte](fb)
-          var i = 0
-          while (i < w * h) { // luma plane: the audited formula
-            fr(i) = ((d0 * 31 + f.toLong * 101 + i.toLong * 7) % 256).toByte
-            i += 1
-          }
-          while (i < fb) {    // chroma planes: real bytes, not audited
-            fr(i) = ((d0 * 7 + f.toLong * 13 + i.toLong * 3) % 256).toByte
-            i += 1
-          }
-          fr
-        }
-        Y4mCodec.encode(Y4mCodec.Video(w, h, fps, 1, frames))
-      }
+      import graft.multimodal.{SyntheticMedia, Y4mCodec}
+      val gen = udf { (d0: Long) => SyntheticMedia.y4mPayload(d0) }
       val st = udf { (bytes: Array[Byte]) =>
         Y4mCodec.decode(bytes).map { v =>
           val t = Y4mCodec.stats(v)
@@ -5043,52 +5013,12 @@ object SparkEntry {
     // integer arithmetic. One codegen projection per row, zero
     // exchanges before the presentation sort ----
     "q229_media_gate" -> ((s, d) => {
-      import graft.multimodal.{PpmCodec, WavCodec, Y4mCodec}
+      import graft.multimodal.{PpmCodec, SyntheticMedia, WavCodec, Y4mCodec}
       val gen = udf { (d0: Long) =>
         (d0 % 3) match {
-          case 0 =>
-            val w = (d0 % 16 + 4).toInt
-            val h = (d0 * 7 % 16 + 4).toInt
-            val rgb = new Array[Byte](w * h * 3)
-            var c = 0
-            while (c < rgb.length) {
-              rgb(c) = ((d0 * 31 + c.toLong * 7) % 256).toByte
-              c += 1
-            }
-            PpmCodec.encode(PpmCodec.Image(w, h, rgb))
-          case 1 =>
-            val rate = (8000L + (d0 % 7) * 1000L).toInt
-            val n = (100L + (d0 * 13) % 900L).toInt
-            val smp = new Array[Short](n)
-            var i = 0
-            while (i < n) {
-              smp(i) = (((d0 * 31 + i.toLong * 7919) % 65536L) - 32768L)
-                .toShort
-              i += 1
-            }
-            WavCodec.encode(WavCodec.Clip(rate, 1, smp))
-          case _ =>
-            val w = (2L * ((d0 % 8) + 2)).toInt
-            val h = (2L * (((d0 * 5) % 8) + 2)).toInt
-            val nf = (2L + d0 % 6).toInt
-            val fps = (10L + d0 % 5).toInt
-            val fb = w * h * 3 / 2
-            val frames = Vector.tabulate(nf) { f =>
-              val fr = new Array[Byte](fb)
-              var i = 0
-              while (i < w * h) {
-                fr(i) = ((d0 * 31 + f.toLong * 101 + i.toLong * 7) % 256)
-                  .toByte
-                i += 1
-              }
-              while (i < fb) {
-                fr(i) = ((d0 * 7 + f.toLong * 13 + i.toLong * 3) % 256)
-                  .toByte
-                i += 1
-              }
-              fr
-            }
-            Y4mCodec.encode(Y4mCodec.Video(w, h, fps, 1, frames))
+          case 0 => SyntheticMedia.ppmPayload(d0)
+          case 1 => SyntheticMedia.wavPayload(d0)
+          case _ => SyntheticMedia.y4mPayload(d0)
         }
       }
       val gate = udf { (bytes: Array[Byte]) =>
@@ -5162,13 +5092,17 @@ object SparkEntry {
     // per-source XOR-fold of a 60-bit content hash over (doc_id,
     // md5(text)) — XOR is commutative/associative, so the fingerprint
     // is PARTITION-ORDER-INDEPENDENT: any execution order, any
-    // parallelism, same value. ONE map-side-combined aggregate; at
-    // 100 TB this is scan-rate work emitting a sources-bounded sheet ----
+    // parallelism, same value. NULL text hashes as an explicit 'nil'
+    // sentinel (null-propagating concat, not concat_ws, so both
+    // engines agree on any NULL-bearing release drop). ONE map-side-
+    // combined aggregate; at 100 TB this is scan-rate work emitting a
+    // sources-bounded sheet ----
     "q231_dataset_fingerprint" -> ((s, d) => {
       tSpread(s, d, "documents")
         .select(col("source"),
-          conv(substring(md5(concat_ws(":",
-            col("doc_id").cast("string"), md5(col("text")))), 1, 15),
+          conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit(":"),
+            coalesce(md5(col("text")), lit("nil")))), 1, 15),
             16, 10).cast("bigint").as("h"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -9530,11 +9464,13 @@ object SparkEntry {
         | CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
 
-    // fingerprint replay: same 60-bit md5 fold, same XOR aggregate.
+    // fingerprint replay: same 60-bit md5 fold (NULL text -> 'nil'
+    // sentinel), same XOR aggregate.
     "q231_dataset_fingerprint" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-        |   || ':' || md5(text)), 1, 15))::BIGINT) AS BIGINT) AS fingerprint
+        |   || ':' || coalesce(md5(text), 'nil')), 1, 15))::BIGINT)
+        |   AS BIGINT) AS fingerprint
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // examples replay: same seeded md5 rank, same per-source top-3.

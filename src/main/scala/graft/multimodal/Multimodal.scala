@@ -33,20 +33,11 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Deterministic pixel formula for synthetic image payloads: channel
-    * byte `c` of doc `d` is `(d*31 + c*7) mod 256` — pure integer
-    * arithmetic the DuckDB oracle replays exactly. */
-  private def imagePayload(docId: Long): Array[Byte] = {
-    val w = (docId % 16 + 4).toInt
-    val h = (docId * 7 % 16 + 4).toInt
-    val rgb = new Array[Byte](w * h * 3)
-    var c = 0
-    while (c < rgb.length) {
-      rgb(c) = ((docId * 31 + c.toLong * 7) % 256).toByte
-      c += 1
-    }
-    PpmCodec.encode(PpmCodec.Image(w, h, rgb))
-  }
+  /** Deterministic pixel formula for synthetic image payloads —
+    * delegates to the shared [[SyntheticMedia.ppmPayload]] formula the
+    * DuckDB oracles replay exactly. */
+  private def imagePayload(docId: Long): Array[Byte] =
+    SyntheticMedia.ppmPayload(docId)
 
   /** Deterministic media table derived from the documents table: image
     * rows carry REAL P6-encoded payloads (small synthetic rasters whose
@@ -71,14 +62,35 @@ object Multimodal {
         (pmod(col("doc_id") * 13, lit(60000))).as("duration_ms")).as("meta"))
   }
 
+  /** The ONE bytes→features dispatch both the batch and streaming
+    * paths share: P6 images → [[PpmCodec.features]], PCM16 WAVs →
+    * [[audioFeatures]], Y4M video → [[videoFeatures]], anything else
+    * (or a non-16 `dim`, since the real featurizers are 16-wide) →
+    * the stub byte-histogram. */
+  private[multimodal] def featurize(bytes: Array[Byte], dim: Int,
+      stub: StubDecoder): Array[Float] =
+    if (dim != 16) stub.decodeAndFeaturize(bytes)
+    else PpmCodec.decode(bytes) match {
+      case Some(img) => PpmCodec.features(img)
+      case None => WavCodec.decode(bytes) match {
+        case Some(clip) => audioFeatures(clip)
+        case None => Y4mCodec.decode(bytes) match {
+          case Some(vid) => videoFeatures(vid)
+          case None => stub.decodeAndFeaturize(bytes)
+        }
+      }
+    }
+
   /** Decode + feature-extract: bytes → fixed-width feature vector.
-    * Self-describing payloads dispatch on their own bytes: P6 images
-    * decode to pixels and featurize as channel means + a luminance
-    * histogram ([[PpmCodec.features]]); PCM16 WAVs decode to samples
-    * and featurize as RMS/peak/zero-crossing/clipping plus an
-    * amplitude histogram ([[audioFeatures]]); other payloads fall back
-    * to the STUB byte-histogram (no video codecs in this environment).
-    * Runs partition-wise with one decoder handle per partition. */
+    * Self-describing payloads dispatch on their own bytes via
+    * [[featurize]]: P6 images decode to pixels and featurize as channel
+    * means + a luminance histogram ([[PpmCodec.features]]); PCM16 WAVs
+    * decode to samples and featurize as RMS/peak/zero-crossing/clipping
+    * plus an amplitude histogram ([[audioFeatures]]); Y4M video decodes
+    * to C420 planes and featurizes as luma/motion stats plus a luma
+    * histogram ([[videoFeatures]]); other payloads (compressed codecs)
+    * fall back to the STUB byte-histogram. Runs partition-wise with one
+    * decoder handle per partition. */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
     val spark = df.sparkSession
     val contentIdx = df.schema.fieldIndex("content")
@@ -90,19 +102,7 @@ object Multimodal {
         val bytes = row.get(contentIdx)
         val feats =
           if (bytes == null) null
-          else {
-            val b = bytes.asInstanceOf[Array[Byte]]
-            PpmCodec.decode(b) match {
-              case Some(img) if dim == 16 => PpmCodec.features(img)
-              case _ => WavCodec.decode(b) match {
-                case Some(clip) if dim == 16 => audioFeatures(clip)
-                case _ => Y4mCodec.decode(b) match {
-                  case Some(vid) if dim == 16 => videoFeatures(vid)
-                  case _ => decoder.decodeAndFeaturize(b)
-                }
-              }
-            }
-          }
+          else featurize(bytes.asInstanceOf[Array[Byte]], dim, decoder)
         Row.fromSeq(row.toSeq :+ feats)
       }
     }
@@ -116,20 +116,12 @@ object Multimodal {
     * form cannot execute on a streaming DataFrame). MultimodalSpec
     * asserts bit-equality with [[extractFeatures]]; StreamingSpec
     * equates the streamed features with the batch ones. */
-  val mediaFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
+  val mediaFeatures: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val stub = new StubDecoder(16)
     udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else PpmCodec.decode(bytes) match {
-        case Some(img) => PpmCodec.features(img)
-        case None => WavCodec.decode(bytes) match {
-          case Some(clip) => audioFeatures(clip)
-          case None => Y4mCodec.decode(bytes) match {
-            case Some(vid) => videoFeatures(vid)
-            case None => new StubDecoder(16).decodeAndFeaturize(bytes)
-          }
-        }
-      }
+      if (bytes == null) null else featurize(bytes, 16, stub)
     }
+  }
 
   /** SQL row shape of [[WavCodec.Stats]] (`wav_stats(content)`). */
   final case class WavStatsRow(sample_rate: Int, channels: Int,

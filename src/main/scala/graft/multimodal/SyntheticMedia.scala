@@ -1,0 +1,66 @@
+package graft.multimodal
+
+/** Deterministic synthetic media payload generators — the ONE copy of
+  * each pixel/sample/plane formula shared by the media-gated queries
+  * (q36/q168 images, q222 audio, q223 video, q229 tri-modal gate) and
+  * [[Multimodal.mediaFromDocuments]]. The DuckDB oracles replay these
+  * exact integer formulas, so keeping a single source of truth is what
+  * guarantees the Spark bytes and the oracle arithmetic cannot drift
+  * apart.
+  */
+object SyntheticMedia {
+
+  /** P6 raster: `w = d%16+4`, `h = d*7%16+4`, channel byte `c` is
+    * `(d*31 + c*7) mod 256`. */
+  def ppmPayload(d0: Long): Array[Byte] = {
+    val w = (d0 % 16 + 4).toInt
+    val h = (d0 * 7 % 16 + 4).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var c = 0
+    while (c < rgb.length) {
+      rgb(c) = ((d0 * 31 + c.toLong * 7) % 256).toByte
+      c += 1
+    }
+    PpmCodec.encode(PpmCodec.Image(w, h, rgb))
+  }
+
+  /** Mono PCM16 WAV: rate `8000 + (d%7)*1000`, `n = 100 + d*13 % 900`
+    * samples, sample `i` is `(d*31 + i*7919) mod 65536 - 32768`. */
+  def wavPayload(d0: Long): Array[Byte] = {
+    val rate = (8000L + (d0 % 7) * 1000L).toInt
+    val n = (100L + (d0 * 13) % 900L).toInt
+    val smp = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      smp(i) = (((d0 * 31 + i.toLong * 7919) % 65536L) - 32768L).toShort
+      i += 1
+    }
+    WavCodec.encode(WavCodec.Clip(rate, 1, smp))
+  }
+
+  /** C420 Y4M clip: `w = 2*((d%8)+2)`, `h = 2*((d*5%8)+2)`,
+    * `2 + d%6` frames at `10 + d%5` fps; luma byte `i` of frame `f` is
+    * `(d*31 + f*101 + i*7) mod 256` (the audited formula), chroma byte
+    * `i` is `(d*7 + f*13 + i*3) mod 256` (real bytes, not audited). */
+  def y4mPayload(d0: Long): Array[Byte] = {
+    val w = (2L * ((d0 % 8) + 2)).toInt
+    val h = (2L * (((d0 * 5) % 8) + 2)).toInt
+    val nf = (2L + d0 % 6).toInt
+    val fps = (10L + d0 % 5).toInt
+    val fb = w * h * 3 / 2
+    val frames = Vector.tabulate(nf) { f =>
+      val fr = new Array[Byte](fb)
+      var i = 0
+      while (i < w * h) {
+        fr(i) = ((d0 * 31 + f.toLong * 101 + i.toLong * 7) % 256).toByte
+        i += 1
+      }
+      while (i < fb) {
+        fr(i) = ((d0 * 7 + f.toLong * 13 + i.toLong * 3) % 256).toByte
+        i += 1
+      }
+      fr
+    }
+    Y4mCodec.encode(Y4mCodec.Video(w, h, fps, 1, frames))
+  }
+}

@@ -4,7 +4,8 @@ package graft.multimodal
   * [[PpmCodec]]: no audio library exists in this environment, and none
   * is needed for canonical PCM WAV, so the multimodal audio path becomes
   * REAL sample math (decode, duration/RMS/peak/clipping stats) end to
-  * end. Video decode remains the one declared stub.
+  * end. [[Y4mCodec]] does the same for raw video; only compressed
+  * codecs (JPEG/MP3/H.264) remain stubbed.
   *
   * The parser walks the RIFF chunk list (accepting extra chunks such as
   * LIST/INFO between fmt and data, and odd-sized chunks' pad bytes), and
