@@ -5165,6 +5165,55 @@ object SparkEntry {
         .select(col("w"), col("ppm_a"), col("ppm_b"), col("delta_ppm"),
           col("l1_ppm"))
     }),
+
+    // ---- perceptual image dedup (the visual near-dup operator text
+    // dedup has had since q21: image doc payloads DECODE through
+    // PpmCodec and fingerprint as a 64-bit dHash over real pixels).
+    // Scale shape: everything past the one decode projection runs at
+    // SIGNATURE grain — exact-dup groups are one groupBy on the hash;
+    // near-dup candidates come from an 8×8-bit band self-join of
+    // DISTINCT hashes (pigeonhole: hamming ≤ 7 ⇒ some band matches, so
+    // banding loses nothing at threshold 6), never doc×doc. The oracle
+    // cross-joins the distinct hashes — tractable there, and it proves
+    // the banded path's recall guarantee against ground truth ----
+    "q234_image_phash_dedup" -> ((s, d) => {
+      import graft.multimodal.{PerceptualHash, PpmCodec, SyntheticMedia}
+      val ph = udf { (d0: Long) =>
+        val img = PpmCodec.decode(SyntheticMedia.ppmPayload(d0)).get
+        val bands = PerceptualHash.dHash(img)
+        (PerceptualHash.hex(bands), bands)
+      }
+      val hashes = tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), ph(col("doc_id")).as("t"))
+        .select(col("doc_id"), col("t._1").as("phash"), col("t._2").as("bands"))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"),
+          first(col("bands")).as("bands")) // bands ↔ phash is a bijection
+        .localCheckpoint()
+      val bandRows = hashes.select(col("phash"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+      val pairs = bandRows.as("a")
+        .join(bandRows.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.phash") < col("b.phash"))
+        .select(col("a.phash").as("h1"), col("b.phash").as("h2"))
+        .distinct()
+        .join(hashes.select(col("phash").as("h1"), col("bands").as("b1")), "h1")
+        .join(hashes.select(col("phash").as("h2"), col("bands").as("b2")), "h2")
+        .withColumn("dist", aggregate(
+          zip_with(col("b1"), col("b2"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, v) => acc + v))
+        .filter(col("dist") > 0 && col("dist") <= 6)
+      val near = pairs.select(col("h1").as("phash"))
+        .unionAll(pairs.select(col("h2").as("phash")))
+        .groupBy(col("phash")).agg(count(lit(1)).as("n_near"))
+      hashes.join(near, Seq("phash"), "left")
+        .select(col("phash"), col("n_docs"), col("rep_doc"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy(col("phash"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9512,5 +9561,53 @@ object SparkEntry {
         | CAST(l.l1 AS BIGINT) AS l1_ppm
         |FROM jd CROSS JOIN l
         |ORDER BY abs(delta_ppm) DESC, w LIMIT 10""".stripMargin,
+
+    // phash replay: the dHash bits from the pixel FORMULA (the Spark
+    // side decodes real P6 bytes), then ground-truth near pairs by
+    // cross-joining the distinct hashes — which also proves the banded
+    // candidate path loses nothing at threshold 6.
+    "q234_image_phash_dedup" ->
+      """WITH img AS (
+        | SELECT doc_id, CAST(doc_id % 16 + 4 AS BIGINT) AS w,
+        |        CAST(doc_id * 7 % 16 + 4 AS BIGINT) AS h
+        | FROM documents WHERE doc_id % 3 = 0),
+        |gr AS (
+        | SELECT doc_id,
+        |  list_transform(range(0::BIGINT, 8::BIGINT), gy ->
+        |   list_transform(range(0::BIGINT, 9::BIGINT), gx ->
+        |    ( ((doc_id*31 + (((gy*h//8)*w + (gx*w//9))*3 + 0)*7) % 256)
+        |    + ((doc_id*31 + (((gy*h//8)*w + (gx*w//9))*3 + 1)*7) % 256)
+        |    + ((doc_id*31 + (((gy*h//8)*w + (gx*w//9))*3 + 2)*7) % 256)) // 3
+        |   )) AS g
+        | FROM img),
+        |bh AS (
+        | SELECT doc_id,
+        |  list_transform(range(0::BIGINT, 8::BIGINT), gy ->
+        |   list_sum(list_transform(range(0::BIGINT, 8::BIGINT), gx ->
+        |    CASE WHEN g[gy+1][gx+2] > g[gy+1][gx+1] THEN 1<<gx ELSE 0 END))) AS bands
+        | FROM gr),
+        |hs AS (
+        | SELECT doc_id, bands,
+        |  array_to_string(list_transform(bands,
+        |    b -> printf('%02x', CAST(b AS INT))), '') AS phash
+        | FROM bh),
+        |hg AS (
+        | SELECT phash, any_value(bands) AS bands, count(*) AS n_docs,
+        |        min(doc_id) AS rep_doc
+        | FROM hs GROUP BY phash),
+        |p2 AS (
+        | SELECT a.phash AS h1, b.phash AS h2,
+        |  list_sum(list_transform(range(0::BIGINT, 8::BIGINT), i ->
+        |    bit_count(xor(CAST(a.bands[i+1] AS BIGINT),
+        |                  CAST(b.bands[i+1] AS BIGINT))))) AS dist
+        | FROM hg a JOIN hg b ON a.phash < b.phash),
+        |p3 AS (SELECT h1, h2 FROM p2 WHERE dist BETWEEN 1 AND 6),
+        |nn AS (
+        | SELECT phash, count(*) AS n_near FROM (
+        |  SELECT h1 AS phash FROM p3 UNION ALL SELECT h2 AS phash FROM p3)
+        | GROUP BY phash)
+        |SELECT hg.phash, CAST(n_docs AS BIGINT) AS n_docs, rep_doc,
+        |       CAST(coalesce(n_near, 0) AS BIGINT) AS n_near
+        |FROM hg LEFT JOIN nn USING (phash) ORDER BY phash""".stripMargin,
   )
 }

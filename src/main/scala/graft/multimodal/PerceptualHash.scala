@@ -1,0 +1,62 @@
+package graft.multimodal
+
+/** Perceptual image fingerprints over DECODED pixels — the image-side
+  * near-duplicate signature (the visual analog of MinHash for text
+  * dedup; cf. the reference's text-only dedup surface). dHash is the
+  * classic difference hash: downsample to a 9×8 gray grid, emit one bit
+  * per horizontally-adjacent comparison → 64 bits that survive
+  * re-encoding, small crops, and brightness shifts.
+  *
+  * The hash is exposed as 8 per-row band BYTES rather than one packed
+  * 64-bit value: bands are exactly what LSH-style candidate generation
+  * joins on (two hashes within hamming distance 7 MUST share at least
+  * one of 8 bands — pigeonhole), and keeping each band in 0..255 avoids
+  * 64-bit sign pitfalls in SQL engines. All arithmetic is integer-exact
+  * (floor downsample, integer-mean gray), so a SQL oracle replays the
+  * hash bit-for-bit from the pixel formula.
+  */
+object PerceptualHash {
+
+  /** 8 row-band bytes of the 64-bit dHash: gray(gy,gx) is the integer
+    * mean of the RGB channels at source pixel `(gx*w/9, gy*h/8)` (floor
+    * nearest-neighbor), and bit `gx` of band `gy` is set when
+    * `gray(gy,gx+1) > gray(gy,gx)`. */
+  def dHash(img: PpmCodec.Image): Array[Int] = {
+    val g = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * img.height / 8
+      var gx = 0
+      while (gx < 9) {
+        val sx = gx * img.width / 9
+        g(gy)(gx) =
+          (img.at(sx, sy, 0) + img.at(sx, sy, 1) + img.at(sx, sy, 2)) / 3
+        gx += 1
+      }
+      gy += 1
+    }
+    Array.tabulate(8) { r =>
+      var b = 0
+      var gx = 0
+      while (gx < 8) {
+        if (g(r)(gx + 1) > g(r)(gx)) b |= (1 << gx)
+        gx += 1
+      }
+      b
+    }
+  }
+
+  /** Canonical 16-hex-char rendering of the 8 band bytes. */
+  def hex(bands: Array[Int]): String = bands.map(b => f"$b%02x").mkString
+
+  /** Exact bit distance between two band arrays. */
+  def hamming(a: Array[Int], b: Array[Int]): Int = {
+    var d = 0
+    var i = 0
+    while (i < a.length) {
+      d += Integer.bitCount(a(i) ^ b(i))
+      i += 1
+    }
+    d
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.multimodal.{PerceptualHash, PpmCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PerceptualHashSpec extends AnyFunSuite {
+
+  private def img(w: Int, h: Int)(pix: (Int, Int) => Int): PpmCodec.Image = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb((y * w + x) * 3 + c) = pix(x, y).toByte
+    PpmCodec.Image(w, h, rgb)
+  }
+
+  test("dHash of a horizontal gradient is all-ones; of a constant image all-zeros") {
+    // strictly increasing left->right at every downsampled column
+    val grad = img(18, 16)((x, _) => x * 14)
+    assert(PerceptualHash.dHash(grad).forall(_ == 0xff))
+    assert(PerceptualHash.hex(PerceptualHash.dHash(grad)) == "ff" * 8)
+    val const = img(18, 16)((_, _) => 77)
+    assert(PerceptualHash.dHash(const).forall(_ == 0))
+  }
+
+  test("dHash survives a nearest-neighbor upscale (the near-dup property)") {
+    val base = img(9, 8)((x, y) => (x * 29 + y * 53) % 256)
+    val up = PpmCodec.resizeNearest(base, 18, 16)
+    // 2x nearest upscale samples the identical source pixels at every
+    // grid point, so the perceptual hash is EXACTLY preserved
+    assert(PerceptualHash.dHash(up).sameElements(PerceptualHash.dHash(base)))
+  }
+
+  test("hamming counts exact bit differences across bands") {
+    val a = Array(0x00, 0xff, 0x0f, 0xa5, 0, 0, 0, 0)
+    val b = Array(0x01, 0xff, 0xf0, 0x5a, 0, 0, 0, 0)
+    assert(PerceptualHash.hamming(a, a) == 0)
+    assert(PerceptualHash.hamming(a, b) == 1 + 0 + 8 + 8)
+  }
+
+  test("pigeonhole: any two hashes within hamming 7 share at least one band") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val a = Array.fill(8)(rnd.nextInt(256))
+      val b = a.clone()
+      // flip up to 7 random bits
+      for (_ <- 1 to rnd.nextInt(8)) {
+        val bit = rnd.nextInt(64)
+        b(bit / 8) ^= (1 << (bit % 8))
+      }
+      if (PerceptualHash.hamming(a, b) <= 7)
+        assert((0 until 8).exists(i => a(i) == b(i)),
+          s"no shared band: ${a.toSeq} vs ${b.toSeq}")
+    }
+  }
+
+  test("round-trip: encode/decode preserves the hash (decoded-bytes path)") {
+    val im = img(13, 11)((x, y) => (x * 7 + y * 31) % 256)
+    val back = PpmCodec.decode(PpmCodec.encode(im)).get
+    assert(PerceptualHash.dHash(back).sameElements(PerceptualHash.dHash(im)))
+  }
+}
