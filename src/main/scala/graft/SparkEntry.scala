@@ -5214,6 +5214,31 @@ object SparkEntry {
           coalesce(col("n_near"), lit(0L)).as("n_near"))
         .orderBy(col("phash"))
     }),
+
+    // ---- cross-split leakage audit (what a random train/eval split
+    // leaks through duplicated content — the check q189's benchmark
+    // decontamination does for EXTERNAL eval sets, here for the
+    // split's own test side): LSH candidates restricted to cross-split
+    // bucket co-occupancy, exact-jaccard verified at pair grain, then
+    // one source-grain sheet. Integer-exact ppm; the per-source output
+    // is sources-bounded at any corpus size ----
+    "q235_split_leakage" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .withColumn("is_test", col("doc_id") % 10 >= 8)
+      val leaks = graft.dedup.Dedup.crossSplitLeakage(
+        docs, "text", "doc_id", "is_test")
+      val perTest = leaks.groupBy(col("test_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_links"))
+      docs.filter(col("is_test"))
+        .join(perTest, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("n_links").isNotNull, 1L).otherwise(0L))
+            .as("n_leaked"),
+          sum(coalesce(col("n_links"), lit(0L))).as("n_links"))
+        .withColumn("leak_ppm", expr("n_leaked * 1000000L div n_test"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9609,5 +9634,36 @@ object SparkEntry {
         |SELECT hg.phash, CAST(n_docs AS BIGINT) AS n_docs, rep_doc,
         |       CAST(coalesce(n_near, 0) AS BIGINT) AS n_near
         |FROM hg LEFT JOIN nn USING (phash) ORDER BY phash""".stripMargin,
+
+    // leakage replay: the shared minhash CTE's candidate pairs filtered
+    // to cross-split orientation, verified with exact string-shingle
+    // jaccard (the Spark side intersects FNV-hashed shingles — same
+    // sets modulo negligible 64-bit collisions, the q22 precedent).
+    "q235_split_leakage" ->
+      s"""$minhashClusterCteSql,
+        |cr AS (
+        | SELECT CASE WHEN id_a % 10 >= 8 THEN id_a ELSE id_b END AS test_id,
+        |        CASE WHEN id_a % 10 >= 8 THEN id_b ELSE id_a END AS train_id
+        | FROM pairs
+        | WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)),
+        |sz AS (SELECT doc_id, array_length(shingles) AS ns, shingles FROM sh),
+        |ver AS (
+        | SELECT c.test_id,
+        |  array_length(list_intersect(a.shingles, b.shingles)) AS inter,
+        |  a.ns AS nt, b.ns AS nr
+        | FROM cr c JOIN sz a ON a.doc_id = c.test_id
+        |           JOIN sz b ON b.doc_id = c.train_id),
+        |vok AS (SELECT test_id FROM ver
+        | WHERE floor(inter * 10000 / (nt + nr - inter) + 0.5) / 10000 >= 0.5),
+        |lk AS (SELECT test_id, count(*) AS n_links FROM vok GROUP BY 1),
+        |te AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 >= 8)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN lk.test_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_leaked,
+        | CAST(coalesce(sum(n_links), 0) AS BIGINT) AS n_links,
+        | CAST(sum(CASE WHEN lk.test_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   * 1000000 // count(*) AS BIGINT) AS leak_ppm
+        |FROM te LEFT JOIN lk ON te.doc_id = lk.test_id
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -427,6 +427,62 @@ object Dedup {
       simUdf(split(trim(col(textCol)), "\\s+")).as("simhash"))
   }
 
+  /** Cross-split contamination audit: test-side documents whose
+    * near-duplicate sits on the TRAIN side of a split — the leak a
+    * random or temporal train/eval split inherits from duplicated web
+    * content (dedup-then-split prevents it; this measures what a given
+    * split actually leaks). Candidates come from MinHash-LSH buckets
+    * restricted to CROSS-split (train, test) co-occupancy — never
+    * within-split pairs, so the candidate count is bounded by
+    * Σ_bucket |bucket∩train|·|bucket∩test|, a strict subset of the
+    * full LSH candidate set. Each candidate is then VERIFIED with the
+    * exact n-gram Jaccard over the hashed shingle sets (array
+    * intersection at pair grain — no shingle-key shuffle; the shingle
+    * arrays ride the candidate join), so LSH false positives never
+    * reach the metric. Returns verified (test_id, train_id, jaccard)
+    * pairs; jaccard is the engine-portable floor(x·1e4+0.5)/1e4
+    * quantization.
+    *
+    * At 100 TB: signatures/buckets for the train side are the same
+    * precomputed index [[minhashIncrementalCandidates]] probes; docs
+    * shorter than `n` tokens have no signature and exit the audit (they
+    * carry no shingle evidence either way). A degenerate bucket flooded
+    * by one template (identical sigs) costs |train|·|test| of THAT
+    * bucket — apply a doc-frequency cap upstream if the corpus is
+    * template-heavy (the [[sharedKeyPairs]] guard). */
+  def crossSplitLeakage(df: DataFrame, textCol: String, idCol: String,
+                        testCol: String, n: Int = 3, numHashes: Int = 64,
+                        rowsPerBand: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    val buckets = lshBuckets(
+      minhashSignature(df, textCol, idCol, n, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val flags = df.select(col(idCol).as("id"),
+      col(testCol).cast("boolean").as("is_test"))
+    val b2 = buckets.join(flags, Seq("id"))
+    val cand = b2.filter(!col("is_test"))
+      .select(col("band"), col("bucket"), col("id").as("train_id"))
+      .join(b2.filter(col("is_test"))
+        .select(col("band"), col("bucket"), col("id").as("test_id")),
+        Seq("band", "bucket"))
+      .select(col("test_id"), col("train_id")).distinct()
+    val shingles = df.select(col(idCol).as("id"),
+      shingleHashesUdf(n)(col(textCol)).as("sh"))
+    cand
+      .join(shingles.select(col("id").as("test_id"), col("sh").as("sh_t")),
+        Seq("test_id"))
+      .join(shingles.select(col("id").as("train_id"), col("sh").as("sh_r")),
+        Seq("train_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_t"), col("sh_r"))).cast("long"))
+      .withColumn("jaccard",
+        floor(col("inter") * lit(10000L) /
+            (size(col("sh_t")) + size(col("sh_r")) - col("inter")) +
+          lit(0.5d)) / lit(10000d))
+      .filter(col("jaccard") >= threshold)
+      .select(col("test_id"), col("train_id"), col("jaccard"))
+  }
+
   /** Incremental dedup: candidate near-dup pairs of a NEW batch against
     * an EXISTING corpus via shared MinHash-LSH buckets — the per-crawl
     * shape of a production dedup stage (the global q23 clustering runs

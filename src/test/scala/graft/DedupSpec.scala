@@ -441,4 +441,23 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L, 0.3333)))
     assert(!out.contains(2L))
   }
+
+  test("crossSplitLeakage: planted cross-split dup found, verified, oriented") {
+    val d = Seq(
+      // train side (is_test = false)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      // test side: 10 is an exact dup of train doc 1; 11 is unrelated
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "unrelated content about entirely different things here now"),
+      // 12/13: a WITHIN-test dup pair — must never appear in the audit
+      (12L, "red orange yellow green blue indigo violet pink brown black"),
+      (13L, "red orange yellow green blue indigo violet pink brown black"),
+    ).toDF("doc_id", "text").withColumn("is_test", col("doc_id") >= 10)
+    val out = Dedup.crossSplitLeakage(d, "text", "doc_id", "is_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1.0))) // exact dup: jaccard 1.0,
+    // oriented test->train, and neither 11 (clean) nor 12/13
+    // (within-split dup) are reported
+  }
 }
