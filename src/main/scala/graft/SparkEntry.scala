@@ -5239,6 +5239,47 @@ object SparkEntry {
         .withColumn("leak_ppm", expr("n_leaked * 1000000L div n_test"))
         .orderBy(col("source"))
     }),
+
+    // ---- semantic pack order (in-context pretraining, Shi et al.
+    // 2024's shape: related documents packed into the SAME training
+    // sequence so attention sees coherent context): docs assign to
+    // their nearest seed centroid (q163's IVF assignment — k×dim
+    // driver state only), then pack greedily in (centroid, doc_id)
+    // order into 256-token sequences. The per-cluster prefix sum that
+    // decides sequence boundaries is ONE GlobalOrder range shuffle on
+    // (centroid_id, doc_id) — never a per-cluster single-task window
+    // (8 clusters of corpus/8 docs each would be 8 straggler tasks at
+    // 100 TB) — minus a broadcast 8-row exclusive cluster prefix; the
+    // only unpartitioned window runs over that 8-row frame. Output is
+    // sequence-grain (total_tokens/256 rows), not doc-grain ----
+    "q236_semantic_pack_order" -> ((s, d) => {
+      import graft.operators.GlobalOrder
+      val cs = t(s, d, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      val asg = graft.vector.IvfIndex.build(tSpread(s, d, "embeddings"),
+          "embedding", "vec_id", cs)
+        .select(col("vec_id").as("doc_id"),
+          col("centroid_id").cast("bigint").as("centroid_id"))
+      val toks = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      val docs = asg.join(toks, Seq("doc_id"))
+      val withCum = GlobalOrder.withRunningSumLong(docs,
+        Seq(col("centroid_id"), col("doc_id")), col("n_toks"), "cum")
+      val prefix = docs.groupBy(col("centroid_id"))
+        .agg(sum(col("n_toks")).as("ct"))
+        .withColumn("cprefix", coalesce(sum(col("ct")).over(
+          Window.orderBy(col("centroid_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("centroid_id"), col("cprefix"))
+      withCum.join(broadcast(prefix), Seq("centroid_id"))
+        .withColumn("seq_idx", expr("(cum - cprefix - n_toks) div 256"))
+        .groupBy(col("centroid_id"), col("seq_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("centroid_id"), col("seq_idx"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9665,5 +9706,55 @@ object SparkEntry {
         |   * 1000000 // count(*) AS BIGINT) AS leak_ppm
         |FROM te LEFT JOIN lk ON te.doc_id = lk.test_id
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // pack-order replay: q163's cosine argmax assignment (ties to the
+    // smaller centroid id), whitespace token counts, per-cluster
+    // inclusive running sum -> greedy 256-token sequence boundaries.
+    "q236_semantic_pack_order" ->
+      """WITH c AS (
+        | SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        | WHERE vec_id < 8),
+        |p AS (
+        | SELECT e.vec_id AS doc_id, c.cid,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS dot,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i])), (x, y) -> x + y)
+        |    AS na,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(c.ce) + 1),
+        |      i -> c.ce[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS nc
+        | FROM embeddings e, c),
+        |sc AS (
+        | SELECT doc_id, cid,
+        |  CASE WHEN na = 0 OR nc = 0 THEN 0.0 ELSE dot / sqrt(na * nc) END AS s
+        | FROM p),
+        |asg AS (
+        | SELECT doc_id, cid,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cid) AS rk
+        | FROM sc),
+        |a AS (SELECT doc_id, cid FROM asg WHERE rk = 1),
+        |tk AS (
+        | SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |   END AS n_toks
+        | FROM documents),
+        |dj AS (SELECT a.doc_id, a.cid, tk.n_toks
+        | FROM a JOIN tk ON a.doc_id = tk.doc_id),
+        |cm AS (
+        | SELECT doc_id, cid, n_toks,
+        |  sum(n_toks) OVER (PARTITION BY cid ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM dj),
+        |sq AS (SELECT cid, (cum - n_toks) // 256 AS seq_idx, doc_id, n_toks
+        | FROM cm)
+        |SELECT CAST(cid AS BIGINT) AS centroid_id,
+        | CAST(seq_idx AS BIGINT) AS seq_idx,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_toks,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM sq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
