@@ -5280,6 +5280,45 @@ object SparkEntry {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("centroid_id"), col("seq_idx"))
     }),
+
+    // ---- Heaps-law vocabulary growth curve (the data-card sheet that
+    // answers "is more data still buying new vocabulary?"): vocab size
+    // at every DOUBLING prefix of the corpus (docs with id < 2^k).
+    // The scale trick: never rescan per prefix — ONE word-key shuffle
+    // computes each word's first-occurrence doc, bit_length maps that
+    // to the first prefix LEVEL containing it (integer-exact — no
+    // float log2 on either engine), and the cumulative curve assembles
+    // on a ≤ log2(N)-row frame (the only unpartitioned window). Word
+    // key is Heaps-unbounded → shuffle join, never broadcast ----
+    "q237_vocab_growth" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      def levelOf(c: Column) =
+        when(c === 0, lit(0)).otherwise(length(bin(c))).cast("int")
+      val docLvl = docs
+        .select(levelOf(col("doc_id")).as("level"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+        .groupBy(col("level")).agg(sum(col("n_toks")).as("toks_new"))
+      val wordLvl = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(min(col("doc_id")).as("m"))
+        .select(levelOf(col("m")).as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).as("new_words"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val wl = Window.orderBy(col("level"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docLvl.join(wordLvl, Seq("level"), "left")
+        .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+        .withColumn("n_tokens", sum(col("toks_new")).over(wl))
+        .withColumn("vocab", sum(col("new_words")).over(wl))
+        .crossJoin(broadcast(n))
+        .withColumn("prefix_docs",
+          least(expr("shiftleft(1L, level)"), col("n")))
+        .select(col("level").cast("bigint").as("level"), col("prefix_docs"),
+          col("n_tokens"), col("vocab"), col("new_words"))
+        .orderBy(col("level"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9756,5 +9795,37 @@ object SparkEntry {
         | CAST(sum(n_toks) AS BIGINT) AS n_toks,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM sq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // growth replay: bin() bit-length prefix levels (identical
+    // unpadded semantics in both engines), word-grain first
+    // occurrence, cumulative assembly over the level frame.
+    "q237_vocab_growth" ->
+      """WITH dl AS (
+        | SELECT CASE WHEN doc_id = 0 THEN 0 ELSE length(bin(doc_id)) END
+        |   AS level,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |   END AS n_toks
+        | FROM documents),
+        |dt AS (SELECT level, sum(n_toks) AS toks_new FROM dl GROUP BY 1),
+        |w0 AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents),
+        |wm AS (SELECT w, min(doc_id) AS m FROM w0 WHERE length(w) > 0
+        | GROUP BY 1),
+        |wl AS (SELECT CASE WHEN m = 0 THEN 0 ELSE length(bin(m)) END
+        |   AS level, count(*) AS new_words
+        | FROM wm GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |j AS (SELECT dt.level, toks_new, coalesce(new_words, 0) AS new_words
+        | FROM dt LEFT JOIN wl ON dt.level = wl.level)
+        |SELECT CAST(level AS BIGINT) AS level,
+        | CAST(least(1 << level, n.n) AS BIGINT) AS prefix_docs,
+        | CAST(sum(toks_new) OVER (ORDER BY level ROWS BETWEEN UNBOUNDED
+        |   PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens,
+        | CAST(sum(new_words) OVER (ORDER BY level ROWS BETWEEN UNBOUNDED
+        |   PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab,
+        | CAST(new_words AS BIGINT) AS new_words
+        |FROM j CROSS JOIN n ORDER BY level""".stripMargin,
   )
 }
