@@ -155,6 +155,9 @@ object GraftFunctions {
     ("y4m_stats",
       columnFn(cs => graft.multimodal.Multimodal.y4mStats(cs(0))),
       classOf[Expression]),
+    ("phash",
+      columnFn(cs => graft.multimodal.Multimodal.phash(cs(0))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

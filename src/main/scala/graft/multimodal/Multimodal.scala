@@ -123,6 +123,17 @@ object Multimodal {
     }
   }
 
+  /** Perceptual dHash of a P6 image payload as its 16-hex-char string
+    * (NULL for non-P6 bytes) — streaming-safe like [[mediaFeatures]],
+    * and the SQL surface (`phash(content)`) of [[PerceptualHash]].
+    * Exact-dup grouping and LSH band derivation both start from this
+    * one canonical rendering. */
+  val phash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(PpmCodec.decode)
+        .map(img => PerceptualHash.hex(PerceptualHash.dHash(img))).orNull
+    }
+
   /** SQL row shape of [[WavCodec.Stats]] (`wav_stats(content)`). */
   final case class WavStatsRow(sample_rate: Int, channels: Int,
       frames: Int, duration_ms: Long, rms: Double, peak: Int,

@@ -293,4 +293,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlRows.map(_.getFloat(5)).toSeq == apiF0.toSeq)
     spark.catalog.dropTempView("media_sql"): Unit
   }
+
+  test("phash usable from pure SQL: dHash hex for P6 payloads, NULL otherwise") {
+    import graft.multimodal.{PerceptualHash, PpmCodec, WavCodec}
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val img = PpmCodec.Image(5, 4,
+      Array.tabulate[Byte](60)(i => (i * 37).toByte))
+    val wav = WavCodec.encode(WavCodec.Clip(8000, 1,
+      Array.tabulate[Short](20)(i => (i * 999).toShort)))
+    Seq((1L, PpmCodec.encode(img)), (2L, wav))
+      .toDF("id", "content").createOrReplaceTempView("phash_sql")
+    val rows = spark.sql(
+      "SELECT id, phash(content) AS h FROM phash_sql ORDER BY id").collect()
+    assert(rows(0).getString(1) ==
+      PerceptualHash.hex(PerceptualHash.dHash(img)))
+    assert(rows(1).isNullAt(1))
+    spark.catalog.dropTempView("phash_sql"): Unit
+  }
 }
