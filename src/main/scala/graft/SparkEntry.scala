@@ -5319,6 +5319,47 @@ object SparkEntry {
           col("n_tokens"), col("vocab"), col("new_words"))
         .orderBy(col("level"))
     }),
+
+    // ---- audio fingerprint dedup (q234's shape for the third
+    // modality, completing per-modality dedup signatures: text
+    // minhash/simhash, image dHash, audio energy-delta): audio docs
+    // DECODE through WavCodec and fingerprint as 15 gain-invariant
+    // energy-comparison bits; signature-grain exact groups + banded
+    // near pairs (3×5-bit bands — pigeonhole-complete at hamming ≤ 2).
+    // Distinct fingerprints are capped at 2^15 regardless of corpus
+    // size, so everything past the decode projection is bounded ----
+    "q238_audio_fp_dedup" -> ((s, d) => {
+      import graft.multimodal.{PerceptualHash, SyntheticMedia, WavCodec}
+      val fp = udf { (d0: Long) =>
+        PerceptualHash.energyFingerprint(
+          WavCodec.decode(SyntheticMedia.wavPayload(d0)).get)
+      }
+      val sigs = tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), fp(col("doc_id")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+        .localCheckpoint()
+      val bands = sigs.select(col("fp"),
+          explode(sequence(lit(0), lit(2))).as("band_idx"))
+        .withColumn("band_val", expr("shiftright(fp, band_idx * 5) & 31"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.fp") < col("b.fp"))
+        .select(col("a.fp").as("f1"), col("b.fp").as("f2"))
+        .distinct()
+        .withColumn("dist", bit_count(col("f1").bitwiseXOR(col("f2"))))
+        .filter(col("dist") > 0 && col("dist") <= 2)
+      val near = pairs.select(col("f1").as("fp"))
+        .unionAll(pairs.select(col("f2").as("fp")))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_near"))
+      sigs.join(near, Seq("fp"), "left")
+        .select(col("fp").cast("bigint").as("fp"), col("n_docs"),
+          col("rep_doc"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy(col("fp"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9827,5 +9868,40 @@ object SparkEntry {
         |   PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab,
         | CAST(new_words AS BIGINT) AS new_words
         |FROM j CROSS JOIN n ORDER BY level""".stripMargin,
+
+    // audio-fp replay: energies from the sample FORMULA (the Spark
+    // side decodes real WAV bytes), ground-truth near pairs by
+    // cross-joining distinct fingerprints.
+    "q238_audio_fp_dedup" ->
+      """WITH au AS (
+        | SELECT doc_id, CAST(100 + (doc_id * 13) % 900 AS BIGINT) AS n
+        | FROM documents WHERE doc_id % 3 = 1),
+        |e AS (
+        | SELECT doc_id,
+        |  list_transform(range(0::BIGINT, 16::BIGINT), j ->
+        |   list_sum(list_transform(range(j * n // 16, (j + 1) * n // 16),
+        |    i -> ((doc_id * 31 + i * 7919) % 65536 - 32768)
+        |       * ((doc_id * 31 + i * 7919) % 65536 - 32768)))) AS es
+        | FROM au),
+        |f0 AS (
+        | SELECT doc_id,
+        |  list_sum(list_transform(range(0::BIGINT, 15::BIGINT), b ->
+        |   CASE WHEN es[b + 2] > es[b + 1] THEN 1 << b ELSE 0 END)) AS fp
+        | FROM e),
+        |hg AS (
+        | SELECT fp, count(*) AS n_docs, min(doc_id) AS rep_doc
+        | FROM f0 GROUP BY fp),
+        |p2 AS (
+        | SELECT a.fp AS f1, b.fp AS f2,
+        |  bit_count(xor(CAST(a.fp AS BIGINT), CAST(b.fp AS BIGINT))) AS dist
+        | FROM hg a JOIN hg b ON a.fp < b.fp),
+        |p3 AS (SELECT f1, f2 FROM p2 WHERE dist BETWEEN 1 AND 2),
+        |nn AS (
+        | SELECT fp, count(*) AS n_near FROM (
+        |  SELECT f1 AS fp FROM p3 UNION ALL SELECT f2 AS fp FROM p3)
+        | GROUP BY fp)
+        |SELECT CAST(hg.fp AS BIGINT) AS fp, CAST(n_docs AS BIGINT) AS n_docs,
+        | rep_doc, CAST(coalesce(n_near, 0) AS BIGINT) AS n_near
+        |FROM hg LEFT JOIN nn ON hg.fp = nn.fp ORDER BY fp""".stripMargin,
   )
 }

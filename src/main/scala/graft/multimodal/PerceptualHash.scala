@@ -49,6 +49,39 @@ object PerceptualHash {
   /** Canonical 16-hex-char rendering of the 8 band bytes. */
   def hex(bands: Array[Int]): String = bands.map(b => f"$b%02x").mkString
 
+  /** 15-bit energy-delta fingerprint of a DECODED audio clip — the
+    * audio analog of [[dHash]] (a chromaprint-style sketch reduced to
+    * what integer-exact SQL can replay): samples split into `nFrames`
+    * equal frames (floor boundaries), bit `j` set when frame `j+1`'s
+    * exact integer energy (Σ s², Long) exceeds frame `j`'s. Comparing
+    * energies makes the fingerprint GAIN-INVARIANT (scaling every
+    * sample scales every energy; comparisons are unchanged) and robust
+    * to small edits localized in one frame. */
+  def energyFingerprint(clip: WavCodec.Clip, nFrames: Int = 16): Int = {
+    val n = clip.samples.length
+    val e = new Array[Long](nFrames)
+    var j = 0
+    while (j < nFrames) {
+      var i = j * n / nFrames
+      val end = (j + 1) * n / nFrames
+      var s = 0L
+      while (i < end) {
+        val v = clip.samples(i).toLong
+        s += v * v
+        i += 1
+      }
+      e(j) = s
+      j += 1
+    }
+    var f = 0
+    var b = 0
+    while (b < nFrames - 1) {
+      if (e(b + 1) > e(b)) f |= (1 << b)
+      b += 1
+    }
+    f
+  }
+
   /** Exact bit distance between two band arrays. */
   def hamming(a: Array[Int], b: Array[Int]): Int = {
     var d = 0

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{PerceptualHash, PpmCodec}
+import graft.multimodal.{PerceptualHash, PpmCodec, WavCodec}
 import org.scalatest.funsuite.AnyFunSuite
 
 class PerceptualHashSpec extends AnyFunSuite {
@@ -50,6 +50,20 @@ class PerceptualHashSpec extends AnyFunSuite {
         assert((0 until 8).exists(i => a(i) == b(i)),
           s"no shared band: ${a.toSeq} vs ${b.toSeq}")
     }
+  }
+
+  test("energyFingerprint: gain-invariant, deterministic, frame-localized") {
+    def clip(gain: Int) = WavCodec.Clip(8000, 1,
+      Array.tabulate[Short](320)(i => ((i % 37 - 18) * gain).toShort))
+    val f1 = PerceptualHash.energyFingerprint(clip(10))
+    assert(f1 == PerceptualHash.energyFingerprint(clip(10))) // deterministic
+    assert(f1 == PerceptualHash.energyFingerprint(clip(20))) // 2x gain: same
+    // zeroing ONE frame (20 samples of 16) flips only the adjacent
+    // comparison bits -> hamming <= 2 from the original
+    val s = clip(10).samples.clone()
+    for (i <- 100 until 120) s(i) = 0
+    val f2 = PerceptualHash.energyFingerprint(WavCodec.Clip(8000, 1, s))
+    assert(Integer.bitCount(f1 ^ f2) <= 2 && f1 != f2)
   }
 
   test("round-trip: encode/decode preserves the hash (decoded-bytes path)") {
