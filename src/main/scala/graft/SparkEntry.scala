@@ -5360,6 +5360,43 @@ object SparkEntry {
           col("rep_doc"), coalesce(col("n_near"), lit(0L)).as("n_near"))
         .orderBy(col("fp"))
     }),
+
+    // ---- per-source distribution divergence (the domain-shift data
+    // card: which sources' unigram distributions diverge from the
+    // corpus mean — q233's drift metric turned source-wise): exact
+    // integer-ppm L1 per source. The absent-word mass is handled by
+    // ALGEBRA, not a source×vocab cross join: Σ_{w∉s} ppm_g =
+    // G − Σ_{w∈s} ppm_g, with G the corpus ppm total — so the only
+    // corpus-content-sized exchanges are the (source, word) groupBy
+    // and ONE word-key shuffle join (Heaps-unbounded, never
+    // broadcast); everything else is sources- or 1-row-bounded ----
+    "q239_source_divergence" -> ((s, d) => {
+      val sw = tSpread(s, d, "documents")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the global vocab agg AND the join
+      val g = sw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+      val totS = sw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+      val totG = g.agg(sum(col("cg")).as("tg"))
+      val gp = g.crossJoin(broadcast(totG))
+        .select(col("w"), expr("cg * 1000000L div tg").as("ppm_g"))
+        .localCheckpoint() // feeds the G total AND the join
+      val gSum = gp.agg(sum(col("ppm_g")).as("gsum"))
+      sw.join(gp, Seq("w"))
+        .join(broadcast(totS), Seq("source"))
+        .select(col("source"), col("ts"),
+          expr("c * 1000000L div ts").as("ppm_s"), col("ppm_g"))
+        .groupBy(col("source"))
+        .agg(max(col("ts")).as("n_tokens"), count(lit(1)).as("n_words"),
+          sum(expr("abs(ppm_s - ppm_g)")).as("l1_in"),
+          sum(col("ppm_g")).as("gin"))
+        .crossJoin(broadcast(gSum))
+        .select(col("source"), col("n_tokens"), col("n_words"),
+          (col("l1_in") + col("gsum") - col("gin")).as("l1_ppm"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9903,5 +9940,31 @@ object SparkEntry {
         |SELECT CAST(hg.fp AS BIGINT) AS fp, CAST(n_docs AS BIGINT) AS n_docs,
         | rep_doc, CAST(coalesce(n_near, 0) AS BIGINT) AS n_near
         |FROM hg LEFT JOIN nn ON hg.fp = nn.fp ORDER BY fp""".stripMargin,
+
+    // divergence replay: same integer ppm pipeline; the absent-word
+    // mass enters through the same G - Σ_{w∈s} ppm_g identity.
+    "q239_source_divergence" ->
+      """WITH tok0 AS (
+        | SELECT source,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents),
+        |tok AS (SELECT source, w FROM tok0 WHERE length(w) > 0),
+        |sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (SELECT w, sum(c) AS cg FROM sw GROUP BY 1),
+        |ts AS (SELECT source, sum(c) AS t FROM sw GROUP BY 1),
+        |tg AS (SELECT sum(cg) AS t FROM g),
+        |gp AS (SELECT w, cg * 1000000 // tg.t AS ppm_g
+        | FROM g CROSS JOIN tg),
+        |gs AS (SELECT sum(ppm_g) AS gsum FROM gp),
+        |j AS (SELECT sw.source, sw.c * 1000000 // ts.t AS ppm_s, gp.ppm_g
+        | FROM sw JOIN gp ON sw.w = gp.w JOIN ts ON sw.source = ts.source),
+        |a AS (SELECT source, count(*) AS n_words,
+        |  sum(abs(ppm_s - ppm_g)) AS l1_in, sum(ppm_g) AS gin
+        | FROM j GROUP BY 1)
+        |SELECT a.source, CAST(ts.t AS BIGINT) AS n_tokens,
+        | CAST(n_words AS BIGINT) AS n_words,
+        | CAST(l1_in + gs.gsum - gin AS BIGINT) AS l1_ppm
+        |FROM a JOIN ts ON a.source = ts.source CROSS JOIN gs
+        |ORDER BY a.source""".stripMargin,
   )
 }
