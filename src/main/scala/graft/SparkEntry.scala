@@ -5397,6 +5397,48 @@ object SparkEntry {
           (col("l1_in") + col("gsum") - col("gin")).as("l1_ppm"))
         .orderBy(col("source"))
     }),
+
+    // ---- video perceptual dedup (q234 image / q238 audio shape for
+    // the LAST modality — per-modality dedup signatures now complete:
+    // text minhash/simhash, image dHash, audio energy-delta, video
+    // spatio-temporal): video docs DECODE through Y4mCodec and
+    // fingerprint as 24 brightness-invariant luma-comparison bits over
+    // the first two frames; signature-grain exact groups + banded near
+    // pairs (3×8-bit bands — pigeonhole-complete at hamming ≤ 2).
+    // Distinct fingerprints are capped at 2^24 (and in practice far
+    // below), so everything past the decode projection is bounded ----
+    "q240_video_fp_dedup" -> ((s, d) => {
+      import graft.multimodal.{PerceptualHash, SyntheticMedia, Y4mCodec}
+      val fp = udf { (d0: Long) =>
+        PerceptualHash.videoFingerprint(
+          Y4mCodec.decode(SyntheticMedia.y4mPayload(d0)).get)
+      }
+      val sigs = tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), fp(col("doc_id")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+        .localCheckpoint()
+      val bands = sigs.select(col("fp"),
+          explode(sequence(lit(0), lit(2))).as("band_idx"))
+        .withColumn("band_val", expr("shiftright(fp, band_idx * 8) & 255"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.fp") < col("b.fp"))
+        .select(col("a.fp").as("f1"), col("b.fp").as("f2"))
+        .distinct()
+        .withColumn("dist", bit_count(col("f1").bitwiseXOR(col("f2"))))
+        .filter(col("dist") > 0 && col("dist") <= 2)
+      val near = pairs.select(col("f1").as("fp"))
+        .unionAll(pairs.select(col("f2").as("fp")))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_near"))
+      sigs.join(near, Seq("fp"), "left")
+        .select(col("fp").cast("bigint").as("fp"), col("n_docs"),
+          col("rep_doc"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy(col("fp"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -9966,5 +10008,44 @@ object SparkEntry {
         | CAST(l1_in + gs.gsum - gin AS BIGINT) AS l1_ppm
         |FROM a JOIN ts ON a.source = ts.source CROSS JOIN gs
         |ORDER BY a.source""".stripMargin,
+
+    // video-fp replay: luma comparisons from the plane FORMULA (the
+    // Spark side decodes real Y4M bytes); bit b of the 24 → frame
+    // b//12, grid row (b%12)//3, column comparison b%3 vs b%3+1 at
+    // point-sampled coordinates (gy*h//4, gx*w//4). Ground-truth near
+    // pairs by cross-joining distinct fingerprints.
+    "q240_video_fp_dedup" ->
+      """WITH vd AS (
+        | SELECT doc_id, CAST(2 * ((doc_id % 8) + 2) AS BIGINT) AS w,
+        |        CAST(2 * (((doc_id * 5) % 8) + 2) AS BIGINT) AS h
+        | FROM documents WHERE doc_id % 3 = 2),
+        |f0 AS (
+        | SELECT doc_id,
+        |  list_sum(list_transform(range(0::BIGINT, 24::BIGINT), b ->
+        |   CASE WHEN
+        |    ((doc_id * 31 + (b // 12) * 101 +
+        |      ((((b % 12) // 3) * h // 4) * w + ((b % 3) + 1) * w // 4) * 7)
+        |     % 256)
+        |    >
+        |    ((doc_id * 31 + (b // 12) * 101 +
+        |      ((((b % 12) // 3) * h // 4) * w + (b % 3) * w // 4) * 7)
+        |     % 256)
+        |   THEN 1 << b ELSE 0 END)) AS fp
+        | FROM vd),
+        |hg AS (
+        | SELECT fp, count(*) AS n_docs, min(doc_id) AS rep_doc
+        | FROM f0 GROUP BY fp),
+        |p2 AS (
+        | SELECT a.fp AS f1, b.fp AS f2,
+        |  bit_count(xor(CAST(a.fp AS BIGINT), CAST(b.fp AS BIGINT))) AS dist
+        | FROM hg a JOIN hg b ON a.fp < b.fp),
+        |p3 AS (SELECT f1, f2 FROM p2 WHERE dist BETWEEN 1 AND 2),
+        |nn AS (
+        | SELECT fp, count(*) AS n_near FROM (
+        |  SELECT f1 AS fp FROM p3 UNION ALL SELECT f2 AS fp FROM p3)
+        | GROUP BY fp)
+        |SELECT CAST(hg.fp AS BIGINT) AS fp, CAST(n_docs AS BIGINT) AS n_docs,
+        | rep_doc, CAST(coalesce(n_near, 0) AS BIGINT) AS n_near
+        |FROM hg LEFT JOIN nn ON hg.fp = nn.fp ORDER BY fp""".stripMargin,
   )
 }

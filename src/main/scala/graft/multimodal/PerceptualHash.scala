@@ -82,6 +82,44 @@ object PerceptualHash {
     f
   }
 
+  /** 24-bit spatio-temporal fingerprint of a DECODED video clip — the
+    * video analog of [[dHash]]/[[energyFingerprint]], completing the
+    * per-modality dedup-signature set. The first TWO frames (every
+    * well-formed clip has at least two) each contribute 12 dHash-style
+    * luma comparison bits on a point-sampled 4-row × 4-column grid:
+    * bit `f*12 + gy*3 + gx` is set when the luma byte at row
+    * `gy*h/4`, column `(gx+1)*w/4` exceeds the one at column
+    * `gx*w/4` of frame `f`. Point sampling (floor nearest-neighbor,
+    * no averaging) keeps every step integer-exact so a SQL oracle
+    * replays the fingerprint bit-for-bit from the plane formula, and
+    * comparisons (not absolute levels) make it brightness-shift
+    * invariant, as dHash is. Two frames capture both layout and
+    * motion: a clip re-encoded or gain-shifted keeps its fingerprint;
+    * a different scene or different motion flips many bits. */
+  def videoFingerprint(v: Y4mCodec.Video): Int = {
+    var fp = 0
+    var bit = 0
+    var f = 0
+    while (f < 2) {
+      val plane = v.frames(f)
+      var gy = 0
+      while (gy < 4) {
+        val row = (gy * v.height / 4) * v.width
+        var gx = 0
+        while (gx < 3) {
+          val a = plane(row + gx * v.width / 4) & 0xff
+          val b = plane(row + (gx + 1) * v.width / 4) & 0xff
+          if (b > a) fp |= (1 << bit)
+          bit += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      f += 1
+    }
+    fp
+  }
+
   /** Exact bit distance between two band arrays. */
   def hamming(a: Array[Int], b: Array[Int]): Int = {
     var d = 0

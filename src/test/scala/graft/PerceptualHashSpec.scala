@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{PerceptualHash, PpmCodec, WavCodec}
+import graft.multimodal.{PerceptualHash, PpmCodec, WavCodec, Y4mCodec}
 import org.scalatest.funsuite.AnyFunSuite
 
 class PerceptualHashSpec extends AnyFunSuite {
@@ -70,5 +70,51 @@ class PerceptualHashSpec extends AnyFunSuite {
     val im = img(13, 11)((x, y) => (x * 7 + y * 31) % 256)
     val back = PpmCodec.decode(PpmCodec.encode(im)).get
     assert(PerceptualHash.dHash(back).sameElements(PerceptualHash.dHash(im)))
+  }
+
+  private def video(w: Int, h: Int, nf: Int)(luma: (Int, Int) => Int) = {
+    val fb = w * h * 3 / 2
+    Y4mCodec.Video(w, h, 10, 1, Vector.tabulate(nf) { f =>
+      Array.tabulate[Byte](fb)(i =>
+        (if (i < w * h) luma(f, i) else 128).toByte)
+    })
+  }
+
+  test("videoFingerprint: brightness-invariant, deterministic, 24-bit") {
+    def v(shift: Int) = video(8, 8, 3)((f, i) => (i * 3 + f * 11) % 200 + shift)
+    val f1 = PerceptualHash.videoFingerprint(v(0))
+    assert(f1 == PerceptualHash.videoFingerprint(v(0))) // deterministic
+    assert(f1 == PerceptualHash.videoFingerprint(v(30))) // +30 brightness: same
+    assert((f1 & ~((1 << 24) - 1)) == 0) // fits in 24 bits
+    // a horizontal luma gradient on both frames sets all 24 comparison
+    // bits; a constant plane sets none
+    assert(PerceptualHash.videoFingerprint(
+      video(8, 8, 2)((_, i) => (i % 8) * 30)) == (1 << 24) - 1)
+    assert(PerceptualHash.videoFingerprint(
+      video(8, 8, 2)((_, _) => 77)) == 0)
+  }
+
+  test("videoFingerprint: one perturbed sample flips at most two bits " +
+    "and only frames 0-1 are sampled") {
+    val base = video(8, 8, 4)((f, i) => (i * 5 + f * 7) % 256)
+    val f1 = PerceptualHash.videoFingerprint(base)
+    // flip one sampled luma byte of frame 1 (w=h=8 samples rows/cols
+    // 0,2,4,6 — byte (row 2, col 2) is grid point gy=1,gx=1): a grid
+    // point participates in at most the two adjacent comparisons
+    val pert = video(8, 8, 4)((f, i) => (i * 5 + f * 7) % 256)
+    pert.frames(1)(2 * 8 + 2) = 255.toByte
+    val f2 = PerceptualHash.videoFingerprint(pert)
+    assert(Integer.bitCount(f1 ^ f2) <= 2)
+    // frames >= 2 never affect the fingerprint
+    val tail = video(8, 8, 4)((f, i) =>
+      if (f >= 2) 0 else (i * 5 + f * 7) % 256)
+    assert(PerceptualHash.videoFingerprint(tail) == f1)
+  }
+
+  test("videoFingerprint round-trip: decode(encode) preserves it") {
+    val v = video(10, 6, 2)((f, i) => (i * 13 + f * 101) % 256)
+    val back = Y4mCodec.decode(Y4mCodec.encode(v)).get
+    assert(PerceptualHash.videoFingerprint(back) ==
+      PerceptualHash.videoFingerprint(v))
   }
 }
