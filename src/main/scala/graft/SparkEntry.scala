@@ -5439,6 +5439,48 @@ object SparkEntry {
           col("rep_doc"), coalesce(col("n_near"), lit(0L)).as("n_near"))
         .orderBy(col("fp"))
     }),
+
+    // ---- fill-in-the-middle transform (Bavarian et al. 2022's FIM
+    // data augmentation for code/infilling pretraining, the q228
+    // deterministic-prep shape): 50% of docs (by closed-form
+    // multiplicative hash — recomputable from the doc id alone, no
+    // rand()) split at two uniform character offsets u ≤ v into
+    // prefix/middle/suffix and reassemble with sentinels — PSM
+    // `<PRE>p<SUF>s<MID>m` or SPM `<PRE><SUF>s<MID>p·m`, mode by a
+    // second hash bit; the rest pass through raw. ONE codegen
+    // projection per doc, zero exchanges before the presentation
+    // sort; md5 of the reassembled sequence pins every byte ----
+    "q241_fim_transform" -> ((s, d) => {
+      def h(k: Int) =
+        expr(s"pmod(pmod(doc_id * $k, 1000003) * 2654435761, 1000003)")
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .withColumn("n", length(col("text")).cast("bigint"))
+        .withColumn("fim", col("n") >= 2 && h(7) % 2 === 0)
+        .withColumn("a", h(17) % (col("n") + 1))
+        .withColumn("b", h(19) % (col("n") + 1))
+        .withColumn("u", least(col("a"), col("b")))
+        .withColumn("v", greatest(col("a"), col("b")))
+        .withColumn("mode", when(!col("fim"), lit("raw"))
+          .when(h(13) % 2 === 0, lit("psm")).otherwise(lit("spm")))
+        .withColumn("pre", expr("substring(text, 1, int(u))"))
+        .withColumn("mid", expr("substring(text, int(u + 1), int(v - u))"))
+        .withColumn("suf", expr("substring(text, int(v + 1), int(n - v))"))
+        .withColumn("out", when(col("mode") === "raw", col("text"))
+          .when(col("mode") === "psm", concat(lit("<PRE>"), col("pre"),
+            lit("<SUF>"), col("suf"), lit("<MID>"), col("mid")))
+          .otherwise(concat(lit("<PRE><SUF>"), col("suf"),
+            lit("<MID>"), col("pre"), col("mid"))))
+        .select(col("doc_id"), col("mode"),
+          when(col("mode") === "raw", lit(0L)).otherwise(col("u"))
+            .as("pre_len"),
+          when(col("mode") === "raw", lit(0L)).otherwise(col("v") - col("u"))
+            .as("mid_len"),
+          when(col("mode") === "raw", lit(0L)).otherwise(col("n") - col("v"))
+            .as("suf_len"),
+          md5(col("out")).as("out_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10047,5 +10089,47 @@ object SparkEntry {
         |SELECT CAST(hg.fp AS BIGINT) AS fp, CAST(n_docs AS BIGINT) AS n_docs,
         | rep_doc, CAST(coalesce(n_near, 0) AS BIGINT) AS n_near
         |FROM hg LEFT JOIN nn ON hg.fp = nn.fp ORDER BY fp""".stripMargin,
+
+    // FIM replay: identical multiplicative-hash draws and character
+    // offsets; md5 of the reassembled sentinel sequence pins bytes.
+    "q241_fim_transform" ->
+      """WITH dd AS (
+        | SELECT doc_id, coalesce(text, '') AS text,
+        |  CAST(length(coalesce(text, '')) AS BIGINT) AS n
+        | FROM documents),
+        |hx AS (
+        | SELECT doc_id, text, n,
+        |  ((doc_id * 7) % 1000003) * 2654435761 % 1000003 AS h7,
+        |  ((doc_id * 13) % 1000003) * 2654435761 % 1000003 AS h13,
+        |  ((doc_id * 17) % 1000003) * 2654435761 % 1000003 AS h17,
+        |  ((doc_id * 19) % 1000003) * 2654435761 % 1000003 AS h19
+        | FROM dd),
+        |sp AS (
+        | SELECT doc_id, text, n,
+        |  least(h17 % (n + 1), h19 % (n + 1)) AS u,
+        |  greatest(h17 % (n + 1), h19 % (n + 1)) AS v,
+        |  CASE WHEN NOT (n >= 2 AND h7 % 2 = 0) THEN 'raw'
+        |       WHEN h13 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+        | FROM hx),
+        |o AS (
+        | SELECT doc_id, mode, u, v, n,
+        |  CASE mode WHEN 'raw' THEN text
+        |   WHEN 'psm' THEN '<PRE>' || substr(text, 1, CAST(u AS INT))
+        |    || '<SUF>' || substr(text, CAST(v + 1 AS INT), CAST(n - v AS INT))
+        |    || '<MID>' || substr(text, CAST(u + 1 AS INT), CAST(v - u AS INT))
+        |   ELSE '<PRE><SUF>'
+        |    || substr(text, CAST(v + 1 AS INT), CAST(n - v AS INT))
+        |    || '<MID>' || substr(text, 1, CAST(u AS INT))
+        |    || substr(text, CAST(u + 1 AS INT), CAST(v - u AS INT))
+        |  END AS out
+        | FROM sp)
+        |SELECT doc_id, mode,
+        | CAST(CASE WHEN mode = 'raw' THEN 0 ELSE u END AS BIGINT) AS pre_len,
+        | CAST(CASE WHEN mode = 'raw' THEN 0 ELSE v - u END AS BIGINT)
+        |   AS mid_len,
+        | CAST(CASE WHEN mode = 'raw' THEN 0 ELSE n - v END AS BIGINT)
+        |   AS suf_len,
+        | md5(out) AS out_md5
+        |FROM o ORDER BY doc_id""".stripMargin,
   )
 }
