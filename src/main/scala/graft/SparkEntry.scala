@@ -5481,6 +5481,52 @@ object SparkEntry {
           md5(col("out")).as("out_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- temperature-scaled source mixture (XLM-R / mT5 α-sampling,
+    // α = 0.5: sample sources ∝ (their token share)^α so low-resource
+    // sources are up-weighted without letting any source dominate):
+    // per-source weights w_s = ⌊√tokens_s⌋ (IEEE sqrt is correctly
+    // rounded → floor is engine-portable), target share in exact
+    // integer ppm, and a DETERMINISTIC Bernoulli doc selection with
+    // per-source acceptance acc_s = rel_s / max(rel) (the standard
+    // downsample-the-overrepresented construction — the most-boosted
+    // source keeps everything). One corpus scan feeds both the
+    // source-grain rate math (20-row frames, broadcast back) and the
+    // hash-gated selection; no second scan, no rand() ----
+    "q242_alpha_mixture" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit("")))
+            .cast("long").as("n_toks"))
+        .localCheckpoint() // feeds the rate math AND the selection
+      val per = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      val tot = per.agg(sum(col("toks")).as("ttot"))
+      val w = per.crossJoin(broadcast(tot))
+        .withColumn("nat_ppm", expr("greatest(toks * 1000000L div ttot, 1L)"))
+        .withColumn("w", expr("cast(floor(sqrt(cast(toks as double))) as bigint)"))
+      val wtot = w.agg(sum(col("w")).as("wtot"))
+      val rates = w.crossJoin(broadcast(wtot))
+        .withColumn("samp_ppm", expr("w * 1000000L div wtot"))
+        .withColumn("rel", expr("samp_ppm * 1000000L div nat_ppm"))
+      val maxRel = rates.agg(max(col("rel")).as("mrel"))
+      val acc = rates.crossJoin(broadcast(maxRel))
+        .withColumn("acc_ppm", expr("rel * 1000000L div mrel"))
+        .select(col("source"), col("n_docs"), col("toks"),
+          col("nat_ppm"), col("samp_ppm"), col("acc_ppm"))
+      val sel = docs
+        .join(broadcast(acc.select(col("source"), col("acc_ppm"))), Seq("source"))
+        .filter(expr("pmod(pmod(doc_id * 23, 1000003) * 2654435761, " +
+          "1000003) % 1000000 < acc_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_toks")).as("s_toks"))
+      acc.join(sel, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("toks").as("n_tokens"),
+          col("nat_ppm"), col("samp_ppm"), col("acc_ppm"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("s_toks"), lit(0L)).as("sampled_tokens"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10131,5 +10177,49 @@ object SparkEntry {
         |   AS suf_len,
         | md5(out) AS out_md5
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // α-mixture replay: same integer-ppm ladder (⌊√toks⌋ weights,
+    // rel = samp/nat, acc = rel/max) and the same hash gate.
+    "q242_alpha_mixture" ->
+      """WITH tk AS (
+        | SELECT source, doc_id,
+        |  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(
+        |          trim(coalesce(text, '')), '\s+'))
+        |  END AS n_toks
+        | FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs, sum(n_toks) AS toks
+        | FROM tk GROUP BY 1),
+        |tt AS (SELECT sum(toks) AS ttot FROM per),
+        |w AS (
+        | SELECT source, n_docs, toks,
+        |  greatest(toks * 1000000 // tt.ttot, 1) AS nat_ppm,
+        |  CAST(floor(sqrt(toks)) AS BIGINT) AS w
+        | FROM per CROSS JOIN tt),
+        |wt AS (SELECT sum(w) AS wtot FROM w),
+        |r AS (
+        | SELECT source, n_docs, toks, nat_ppm,
+        |  w * 1000000 // wt.wtot AS samp_ppm,
+        |  (w * 1000000 // wt.wtot) * 1000000 // nat_ppm AS rel
+        | FROM w CROSS JOIN wt),
+        |mx AS (SELECT max(rel) AS mrel FROM r),
+        |acc AS (
+        | SELECT source, n_docs, toks, nat_ppm, samp_ppm,
+        |  rel * 1000000 // mx.mrel AS acc_ppm
+        | FROM r CROSS JOIN mx),
+        |sel AS (
+        | SELECT tk.source, count(*) AS n_sampled, sum(n_toks) AS s_toks
+        | FROM tk JOIN acc ON tk.source = acc.source
+        | WHERE ((doc_id * 23) % 1000003) * 2654435761 % 1000003 % 1000000
+        |       < acc_ppm
+        | GROUP BY 1)
+        |SELECT acc.source, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(toks AS BIGINT) AS n_tokens, CAST(nat_ppm AS BIGINT) AS nat_ppm,
+        | CAST(samp_ppm AS BIGINT) AS samp_ppm,
+        | CAST(acc_ppm AS BIGINT) AS acc_ppm,
+        | CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+        | CAST(coalesce(s_toks, 0) AS BIGINT) AS sampled_tokens
+        |FROM acc LEFT JOIN sel ON acc.source = sel.source
+        |ORDER BY acc.source""".stripMargin,
   )
 }
