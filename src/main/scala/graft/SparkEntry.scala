@@ -5527,6 +5527,61 @@ object SparkEntry {
           coalesce(col("s_toks"), lit(0L)).as("sampled_tokens"))
         .orderBy(col("source"))
     }),
+
+    // ---- CCNet perplexity buckets (Wenzek et al. 2020: split each
+    // language into head/middle/tail TERTILES of LM perplexity — the
+    // curation sheet behind "train on head+middle"): per-doc bigram
+    // perplexity is q88's lineage (carrying lang), integer-ized at 4
+    // decimals, then the tertile cutoffs come from a VALUE HISTOGRAM —
+    // per-(lang, ppl10k) counts, cumulative over the histogram (value-
+    // domain-bounded, far below doc grain), smallest value reaching
+    // ⌈N/3⌉ / ⌈2N/3⌉ — never a per-language doc sort (a lang-partition
+    // ntile would put corpus/|langs| docs through one task at 100 TB).
+    // Cutoffs broadcast back (langs-bounded); docs excluded only when
+    // unscoreable (< 2 tokens, as q88) ----
+    "q243_ccnet_buckets" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("lang"), posexplode(
+          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+      val biCounts = big.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      val scored = big.join(biCounts, Seq("w", "w2"))
+        .join(uniCounts, Seq("w"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(-avg(col("logp")), 4).as("ppl_bits"))
+        .withColumn("ppl10k", expr("cast(round(ppl_bits * 10000) as bigint)"))
+        .select(col("doc_id"), col("lang"), col("ppl10k"))
+        .localCheckpoint() // heavy lineage feeds the histogram AND assign
+      val hist = scored.groupBy(col("lang"), col("ppl10k"))
+        .agg(count(lit(1)).as("c"))
+      val wl = Window.partitionBy(col("lang")).orderBy(col("ppl10k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cuts = hist.withColumn("cum", sum(col("c")).over(wl))
+        .join(broadcast(hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))),
+          Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("ppl10k")))
+            .as("c33"),
+          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ppl10k")))
+            .as("c66"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket", when(col("ppl10k") <= col("c33"), lit("head"))
+          .when(col("ppl10k") <= col("c66"), lit("middle"))
+          .otherwise(lit("tail")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("ppl10k")).as("ppl_lo"),
+          max(col("ppl10k")).as("ppl_hi"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10221,5 +10276,56 @@ object SparkEntry {
         | CAST(coalesce(s_toks, 0) AS BIGINT) AS sampled_tokens
         |FROM acc LEFT JOIN sel ON acc.source = sel.source
         |ORDER BY acc.source""".stripMargin,
+
+    // CCNet-bucket replay: q88's perplexity CTEs (with lang), the same
+    // 4-decimal integerization, histogram-cumulative tertile cutoffs.
+    "q243_ccnet_buckets" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, lang, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id, lang,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, lang, i - 1 AS pos, ts[CAST(i AS INT)] AS w
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |big AS (
+        | SELECT doc_id, lang, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM tok
+        | QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |sc AS (
+        | SELECT b.doc_id, b.lang,
+        |  CAST(round(round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4)
+        |       * 10000) AS BIGINT) AS ppl10k
+        | FROM big b
+        |  JOIN bi ON bi.w = b.w AND bi.w2 = b.w2
+        |  JOIN uni ON uni.w = b.w
+        |  CROSS JOIN v
+        | GROUP BY b.doc_id, b.lang),
+        |h AS (SELECT lang, ppl10k, count(*) AS c FROM sc GROUP BY 1, 2),
+        |cm AS (
+        | SELECT lang, ppl10k, c,
+        |  sum(c) OVER (PARTITION BY lang ORDER BY ppl10k
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY lang) AS n
+        | FROM h),
+        |ct AS (
+        | SELECT lang,
+        |  min(CASE WHEN cum >= (n + 2) // 3 THEN ppl10k END) AS c33,
+        |  min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl10k END) AS c66
+        | FROM cm GROUP BY 1),
+        |bk AS (
+        | SELECT sc.lang,
+        |  CASE WHEN ppl10k <= c33 THEN 'head'
+        |       WHEN ppl10k <= c66 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  ppl10k
+        | FROM sc JOIN ct ON sc.lang = ct.lang)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(ppl10k) AS BIGINT) AS ppl_lo,
+        | CAST(max(ppl10k) AS BIGINT) AS ppl_hi
+        |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
   )
 }
