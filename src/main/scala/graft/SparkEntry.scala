@@ -5582,6 +5582,49 @@ object SparkEntry {
           max(col("ppl10k")).as("ppl_hi"))
         .orderBy(col("lang"), col("bucket"))
     }),
+
+    // ---- preference-pair mining (the weak-supervision DPO/RLHF pair
+    // construction: within each near-dup cluster the highest-quality
+    // variant is `chosen`, the lowest is `rejected` — near-dups are
+    // the same content, so the quality delta is the only signal and
+    // the pair is a clean preference label): clusters are q210's
+    // simhash Hamming graph + label-prop CC; quality is the q46
+    // stopword-ratio score integer-ized at 4 decimals. ONE window
+    // exchange on cluster_id serves both orderings (two sorts, one
+    // shuffle) + the size count; text never reaches the window.
+    // Output grain = multi-doc clusters; `usable` marks a strict
+    // quality gap (gap-0 clusters stay visible for audit) ----
+    "q244_preference_pairs" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val pairs = Dedup.simhashHammingPairs(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      val cc = Graph.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      val scored = docs
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("q10k", expr("cast(round(q * 10000) as bigint)"))
+        .join(cc, col("doc_id") === col("id"))
+      val part = Window.partitionBy(col("cluster_id"))
+      val oc = part.orderBy(col("q10k").desc, col("doc_id"))
+      val orj = part.orderBy(col("q10k").asc, col("doc_id").desc)
+      scored
+        .withColumn("rc", row_number().over(oc))
+        .withColumn("rr", row_number().over(orj))
+        .withColumn("csz", count(lit(1)).over(part))
+        .filter(col("csz") >= 2)
+        .groupBy(col("cluster_id"))
+        .agg(max(when(col("rc") === 1, col("doc_id"))).as("chosen_doc"),
+          max(when(col("rc") === 1, col("q10k"))).as("chosen_q"),
+          max(when(col("rr") === 1, col("doc_id"))).as("rejected_doc"),
+          max(when(col("rr") === 1, col("q10k"))).as("rejected_q"),
+          max(col("csz")).as("cluster_size"))
+        .select(col("cluster_id"), col("chosen_doc"), col("rejected_doc"),
+          col("chosen_q"), col("rejected_q"),
+          (col("chosen_q") - col("rejected_q")).as("gap"),
+          (col("chosen_q") > col("rejected_q")).as("usable"),
+          col("cluster_size"))
+        .orderBy(col("cluster_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10327,5 +10370,59 @@ object SparkEntry {
         | CAST(min(ppl10k) AS BIGINT) AS ppl_lo,
         | CAST(max(ppl10k) AS BIGINT) AS ppl_hi
         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // preference-pair replay: q210's simhash+CC recursive CTE with the
+    // q46 stopword-ratio score and the same two tie-broken orderings.
+    "q244_preference_pairs" ->
+      s"""WITH RECURSIVE toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes),
+        |s2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM sig),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (SELECT doc_id AS id, doc_id AS c FROM documents
+        | UNION
+        | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst),
+        |cc AS (SELECT id, CAST(min(c) AS BIGINT) AS cluster_id FROM lbl GROUP BY id),
+        |qs AS (
+        | SELECT doc_id, CAST(round((CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |  ELSE round(length(regexp_extract_all(lower(text),
+        |    '\\b(the|a|an|and|of|to|in|is|it|that)\\b'))::DOUBLE /
+        |    array_length(regexp_split_to_array(trim(text), '\\s+')), 4)
+        |  END) * 10000) AS BIGINT) AS q10k
+        | FROM documents),
+        |j AS (SELECT cc.cluster_id, qs.doc_id, qs.q10k,
+        |  row_number() OVER (PARTITION BY cc.cluster_id
+        |    ORDER BY qs.q10k DESC, qs.doc_id) AS rc,
+        |  row_number() OVER (PARTITION BY cc.cluster_id
+        |    ORDER BY qs.q10k ASC, qs.doc_id DESC) AS rr,
+        |  count(*) OVER (PARTITION BY cc.cluster_id) AS csz
+        | FROM cc JOIN qs ON cc.id = qs.doc_id),
+        |ag AS (
+        | SELECT cluster_id,
+        |  max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_doc,
+        |  max(CASE WHEN rc = 1 THEN q10k END) AS chosen_q,
+        |  max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_doc,
+        |  max(CASE WHEN rr = 1 THEN q10k END) AS rejected_q,
+        |  max(csz) AS cluster_size
+        | FROM j WHERE csz >= 2 GROUP BY cluster_id)
+        |SELECT cluster_id, chosen_doc, rejected_doc,
+        | CAST(chosen_q AS BIGINT) AS chosen_q,
+        | CAST(rejected_q AS BIGINT) AS rejected_q,
+        | CAST(chosen_q - rejected_q AS BIGINT) AS gap,
+        | chosen_q > rejected_q AS usable,
+        | CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM ag ORDER BY cluster_id""".stripMargin,
   )
 }
