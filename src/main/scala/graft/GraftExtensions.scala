@@ -158,6 +158,12 @@ object GraftFunctions {
     ("phash",
       columnFn(cs => graft.multimodal.Multimodal.phash(cs(0))),
       classOf[Expression]),
+    ("afp",
+      columnFn(cs => graft.multimodal.Multimodal.afp(cs(0))),
+      classOf[Expression]),
+    ("vfp",
+      columnFn(cs => graft.multimodal.Multimodal.vfp(cs(0))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

@@ -134,6 +134,25 @@ object Multimodal {
         .map(img => PerceptualHash.hex(PerceptualHash.dHash(img))).orNull
     }
 
+  /** 15-bit audio energy-delta fingerprint of a WAV payload (NULL for
+    * non-WAV bytes) — the `afp(content)` SQL surface of
+    * [[PerceptualHash.energyFingerprint]], streaming-safe. */
+  val afp: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(WavCodec.decode)
+        .map(PerceptualHash.energyFingerprint(_))
+    }
+
+  /** 24-bit spatio-temporal video fingerprint of a Y4M payload (NULL
+    * for non-Y4M bytes or single-frame clips) — the `vfp(content)`
+    * SQL surface of [[PerceptualHash.videoFingerprint]],
+    * streaming-safe. */
+  val vfp: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(Y4mCodec.decode).filter(_.frames.size >= 2)
+        .map(PerceptualHash.videoFingerprint)
+    }
+
   /** SQL row shape of [[WavCodec.Stats]] (`wav_stats(content)`). */
   final case class WavStatsRow(sample_rate: Int, channels: Int,
       frames: Int, duration_ms: Long, rms: Double, peak: Int,

@@ -311,4 +311,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(1))
     spark.catalog.dropTempView("phash_sql"): Unit
   }
+
+  test("afp/vfp usable from pure SQL: fingerprints in-modality, NULL across") {
+    import graft.multimodal.{PerceptualHash, SyntheticMedia, WavCodec, Y4mCodec}
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val wav = SyntheticMedia.wavPayload(7L)
+    val y4m = SyntheticMedia.y4mPayload(8L)
+    Seq((1L, wav), (2L, y4m))
+      .toDF("id", "content").createOrReplaceTempView("fp_sql")
+    val rows = spark.sql(
+      "SELECT id, afp(content) AS a, vfp(content) AS v FROM fp_sql " +
+        "ORDER BY id").collect()
+    assert(rows(0).getInt(1) == PerceptualHash.energyFingerprint(
+      WavCodec.decode(wav).get))
+    assert(rows(0).isNullAt(2)) // WAV bytes are not a video
+    assert(rows(1).isNullAt(1)) // Y4M bytes are not audio
+    assert(rows(1).getInt(2) == PerceptualHash.videoFingerprint(
+      Y4mCodec.decode(y4m).get))
+    spark.catalog.dropTempView("fp_sql"): Unit
+  }
 }
