@@ -5625,6 +5625,37 @@ object SparkEntry {
           col("cluster_size"))
         .orderBy(col("cluster_id"))
     }),
+
+    // ---- cross-source duplication matrix (the provenance data card:
+    // which source pairs share near-duplicated content — mirror-site /
+    // scraped-from-each-other detection, and the input to choosing
+    // which source wins q210's canonical selection): q23's MinHash-LSH
+    // transitive clusters reduced to (cluster, source, count) — at
+    // most |sources| rows per cluster — then a cluster-key self-join
+    // whose per-key fan-out is ≤ |sources|², NEVER doc×doc; the
+    // within-source diagonal is pure arithmetic on the same frame.
+    // Output is ≤ |sources|² rows at any corpus size ----
+    "q245_cross_source_dups" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val cc = Dedup.minhashClustersTransitive(docs, "text", "doc_id")
+      val hs = docs.select(col("doc_id"), col("source"))
+        .join(cc, col("doc_id") === col("id"))
+        .groupBy(col("cluster_id"), col("source")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // clustering is expensive; both consumers reuse
+      val cross = hs.as("a").join(hs.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("a.c") * col("b.c")).as("n_pairs"))
+      val within = hs.filter(col("c") >= 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(expr("c * (c - 1) div 2")).as("n_pairs"))
+        .select(col("source").as("src_a"), col("source").as("src_b"),
+          col("n_clusters"), col("n_pairs"))
+      cross.unionByName(within).orderBy(col("src_a"), col("src_b"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10424,5 +10455,29 @@ object SparkEntry {
         | chosen_q > rejected_q AS usable,
         | CAST(cluster_size AS BIGINT) AS cluster_size
         |FROM ag ORDER BY cluster_id""".stripMargin,
+
+    // cross-source matrix replay: the shared minhash clustering CTE,
+    // then the same (cluster, source, count) reduction + pair algebra.
+    "q245_cross_source_dups" ->
+      s"""$minhashClusterCteSql,
+        |cc AS (SELECT id, min(c) AS cluster_id FROM lbl GROUP BY id),
+        |hs AS (
+        | SELECT cc.cluster_id, d.source, count(*) AS c
+        | FROM cc JOIN documents d ON cc.id = d.doc_id
+        | GROUP BY 1, 2),
+        |cross0 AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS n_clusters, sum(a.c * b.c) AS n_pairs
+        | FROM hs a JOIN hs b ON a.cluster_id = b.cluster_id
+        |  AND a.source < b.source
+        | GROUP BY 1, 2),
+        |within0 AS (
+        | SELECT source AS src_a, source AS src_b,
+        |  count(*) AS n_clusters, sum(c * (c - 1) // 2) AS n_pairs
+        | FROM hs WHERE c >= 2 GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_clusters AS BIGINT) AS n_clusters,
+        | CAST(n_pairs AS BIGINT) AS n_pairs
+        |FROM (SELECT * FROM cross0 UNION ALL SELECT * FROM within0)
+        |ORDER BY src_a, src_b""".stripMargin,
   )
 }
