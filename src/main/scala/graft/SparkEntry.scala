@@ -5656,6 +5656,82 @@ object SparkEntry {
           col("n_clusters"), col("n_pairs"))
       cross.unionByName(within).orderBy(col("src_a"), col("src_b"))
     }),
+
+    // ---- quality-proxy calibration card (can the cheap bigram-LM
+    // perplexity stand in for the rule-based quality gate? — the check
+    // a curation pipeline runs before swapping proxies): docs binned
+    // by tenth-of-a-bit perplexity (FIXED value bins via the q243
+    // integer-ized score — never a quantile sort), per-bin gopher-rule
+    // pass rate + lift over the corpus base rate. Two doc-grain frames
+    // join once on doc_id; every later frame is bins-bounded (≤ 13
+    // rows); the base rate is a 1-row broadcast ----
+    "q246_proxy_calibration" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val tok = docs.select(col("doc_id"), posexplode(
+          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+      val biCounts = big.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      val scored = big.join(biCounts, Seq("w", "w2"))
+        .join(uniCounts, Seq("w"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+        .groupBy(col("doc_id"))
+        .agg(expr("cast(round(round(-avg(logp), 4) * 10000) as bigint)")
+          .as("ppl10k"))
+      val gate = TextFunctions.gopherQuality(docs, "text", "doc_id")
+        .select(col("doc_id"), col("keep"))
+      val j = scored.join(gate, Seq("doc_id"))
+        .withColumn("bin", expr("least(ppl10k div 1000, cast(100 as bigint))"))
+      val base = j.agg(sum(when(col("keep"), 1L).otherwise(0L)).as("tp"),
+        count(lit(1)).as("tn"))
+      j.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"))
+        .crossJoin(broadcast(base))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          expr("floor(n_pass * 10000.0 / n_docs + 0.5) / 10000")
+            .as("pass_rate"),
+          expr("case when tp > 0 then floor(n_pass * 10000.0 * tn " +
+            "/ (cast(n_docs as double) * tp) + 0.5) / 10000 end").as("lift"))
+        .orderBy(col("bin"))
+    }),
+
+    // ---- dedup-threshold yield curve (the tuning card for q22/q23's
+    // Jaccard cutoff: how many pairs — and how many DOCS — would be
+    // flagged at each threshold, so the dedup rate is chosen from
+    // evidence, not folklore): exact 3-gram Jaccard over the capped
+    // LSH-style candidate pairs, histogrammed into 10 threshold bands;
+    // the ≥-threshold cumulatives run on the ≤ 11-row band spine, so
+    // nothing after the candidate machinery is corpus-sized ----
+    "q247_dedup_yield_curve" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(tSpread(s, d, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.0, maxShingleFreq = 1000)
+        .withColumn("j4", expr("cast(round(jaccard * 10000) as bigint)"))
+        .localCheckpoint() // candidate machinery feeds both histograms
+      val pairHist = pairs.groupBy(expr("j4 div 1000").as("band"))
+        .agg(count(lit(1)).as("c"))
+      val docHist = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"), col("j4"))
+        .groupBy(col("id")).agg(max(col("j4")).as("mj"))
+        .groupBy(expr("mj div 1000").as("band"))
+        .agg(count(lit(1)).as("c"))
+      val spine = s.range(0, 11).select(col("id").as("k"))
+      val pc = spine.join(pairHist, pairHist("band") >= spine("k"), "left")
+        .groupBy(col("k")).agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs"))
+      val dc = spine.join(docHist, docHist("band") >= spine("k"), "left")
+        .groupBy(col("k")).agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"))
+      pc.join(dc, Seq("k"))
+        .select((col("k") * 1000).cast("bigint").as("threshold_bp"),
+          col("n_pairs"), col("n_docs"))
+        .orderBy(col("threshold_bp"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10479,5 +10555,109 @@ object SparkEntry {
         | CAST(n_pairs AS BIGINT) AS n_pairs
         |FROM (SELECT * FROM cross0 UNION ALL SELECT * FROM within0)
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // calibration replay: q88's perplexity CTEs integer-ized as q243
+    // does, q188's gopher gate, the same fixed bins + lift algebra.
+    "q246_proxy_calibration" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS w
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |big AS (
+        | SELECT doc_id, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM tok
+        | QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |sc AS (
+        | SELECT b.doc_id,
+        |  CAST(round(round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4)
+        |       * 10000) AS BIGINT) AS ppl10k
+        | FROM big b
+        |  JOIN bi ON bi.w = b.w AND bi.w2 = b.w2
+        |  JOIN uni ON uni.w = b.w
+        |  CROSS JOIN v
+        | GROUP BY b.doc_id),
+        |gt AS (
+        | SELECT doc_id,
+        |  (array_length(t) >= 30 AND array_length(t) <= 100000
+        |   AND floor(length(array_to_string(t, '')) * 10000.0
+        |        / array_length(t) + 0.5) / 10000 BETWEEN 3.0 AND 10.0
+        |   AND floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |        * 10000.0 / array_length(t) + 0.5) / 10000 >= 0.8
+        |   AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) >= 2)
+        |   AS keep
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |        list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> lower(x)) AS lt
+        |       FROM documents WHERE length(trim(text)) > 0)),
+        |j AS (
+        | SELECT sc.doc_id, least(ppl10k // 1000, 100) AS bin,
+        |  CASE WHEN keep THEN 1 ELSE 0 END AS k
+        | FROM sc JOIN gt ON sc.doc_id = gt.doc_id),
+        |base AS (SELECT sum(k) AS tp, count(*) AS tn FROM j)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(k) AS BIGINT) AS n_pass,
+        | floor(sum(k) * 10000.0 / count(*) + 0.5) / 10000 AS pass_rate,
+        | CASE WHEN tp > 0 THEN floor(sum(k) * 10000.0 * tn
+        |   / (CAST(count(*) AS DOUBLE) * tp) + 0.5) / 10000 END AS lift
+        |FROM j CROSS JOIN base
+        |GROUP BY bin, tp, tn ORDER BY bin""".stripMargin,
+
+    // yield-curve replay: q22's candidate CTEs without the threshold
+    // filter, the same integer-band histograms and spine cumulatives.
+    "q247_dedup_yield_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        |  WHERE array_length(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shc AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS freq
+        |    FROM sh)
+        |  WHERE freq <= 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |   CAST(round((floor(inter * 10000 / (sa.n + sb.n - inter) + 0.5)
+        |     / 10000) * 10000) AS BIGINT) AS j4
+        |  FROM pairs
+        |   JOIN sizes sa ON sa.doc_id = id_a
+        |   JOIN sizes sb ON sb.doc_id = id_b),
+        |ph AS (SELECT j4 // 1000 AS band, count(*) AS c FROM pj GROUP BY 1),
+        |dm AS (SELECT id, max(j4) AS mj FROM (
+        |  SELECT id_a AS id, j4 FROM pj
+        |  UNION ALL SELECT id_b AS id, j4 FROM pj) GROUP BY id),
+        |dh AS (SELECT mj // 1000 AS band, count(*) AS c FROM dm GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 11)) AS k),
+        |pc AS (SELECT k, coalesce(sum(c), 0) AS n_pairs
+        |       FROM spine LEFT JOIN ph ON band >= k GROUP BY k),
+        |dc AS (SELECT k, coalesce(sum(c), 0) AS n_docs
+        |       FROM spine LEFT JOIN dh ON band >= k GROUP BY k)
+        |SELECT CAST(k * 1000 AS BIGINT) AS threshold_bp,
+        | CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM pc JOIN dc USING (k) ORDER BY threshold_bp""".stripMargin,
   )
 }
