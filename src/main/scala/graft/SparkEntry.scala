@@ -5732,6 +5732,87 @@ object SparkEntry {
           col("n_pairs"), col("n_docs"))
         .orderBy(col("threshold_bp"))
     }),
+
+    // ---- held-out per-source LM perplexity (CCNet's ACTUAL source-
+    // ranking mechanism — q88 scores in-sample, this trains on a
+    // held-out split and scores foreign text): bigram model with add-1
+    // smoothing fit on the doc_id%5!=0 split, eval docs scored with
+    // unseen words/pairs coalesced to zero counts; per-source mean ppl
+    // is an EXACT integer mean of the per-doc integer scores, plus the
+    // OOV token rate. The split is the q213 md5 bucket (doc_id % k
+    // would correlate with the source assignment); model joins key on
+    // the word (Heaps-bounded, shuffle-joined, never broadcast) ----
+    "q248_heldout_source_ppl" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("bigint") % 100
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("bkt"), posexplode(
+          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val train = tok.filter(col("bkt") >= 20)
+      val ev = tok.filter(col("bkt") < 20)
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = train.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("cb"))
+      val uni = train.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val v = train.agg(countDistinct(col("w")).as("v"))
+      val perDoc = ev.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+        .join(bi, Seq("w", "w2"), "left")
+        .join(uni, Seq("w"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("logp",
+          log2((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+            / (coalesce(col("cu"), lit(0L)) + col("v"))))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("cast(round(round(-avg(logp), 4) * 10000) as bigint)")
+          .as("ppl10k"))
+      val oov = ev.join(uni, Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("cu").isNull, 1L).otherwise(0L)).as("n_oov"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(ppl10k) div count(1)").as("mean_ppl10k"))
+        .join(oov, Seq("source"))
+        .select(col("source"), col("n_docs"), col("mean_ppl10k"),
+          col("n_toks"),
+          expr("floor(n_oov * 10000.0 / n_toks + 0.5) / 10000")
+            .as("oov_rate"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- data-constrained scaling card (Muennighoff et al. 2022:
+    // repeating data decays in value — how many effective tokens does
+    // each source contribute at 1/2/4/8 epochs?): epoch i is worth
+    // (3/4)^(i-1) of a fresh pass, computed OVERFLOW-FREE and exactly
+    // in integers as (u div 4^(i-1)) * 3^(i-1) — divide first, so no
+    // intermediate ever exceeds u. One source-grain aggregate; the
+    // epoch grid is an ≤ 8-row broadcast; output ≤ 4·|sources| rows ----
+    "q249_epoch_value_card" -> ((s, d) => {
+      val srcTok = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .groupBy(col("source"))
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+          .as("u"))
+      val epochs = s.range(1, 9).select(col("id").as("i"))
+      val terms = srcTok.crossJoin(broadcast(epochs))
+        .withColumn("term", expr(
+          "(u div cast(pow(4, i - 1) as bigint)) " +
+            "* cast(pow(3, i - 1) as bigint)"))
+      val grid = epochs.filter(col("i").isin(1L, 2L, 4L, 8L))
+        .select(col("i").as("m"))
+      terms.join(broadcast(grid), col("i") <= col("m"))
+        .groupBy(col("source"), col("m"))
+        .agg(max(col("u")).as("u"), sum(col("term")).as("eff_tokens"))
+        .withColumn("raw_tokens", col("u") * col("m"))
+        .select(col("source"), col("m").as("epochs"),
+          col("raw_tokens"), col("eff_tokens"),
+          expr("floor(eff_tokens * 10000.0 / raw_tokens + 0.5) / 10000")
+            .as("efficiency"))
+        .orderBy(col("source"), col("epochs"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10659,5 +10740,76 @@ object SparkEntry {
         |SELECT CAST(k * 1000 AS BIGINT) AS threshold_bp,
         | CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
         |FROM pc JOIN dc USING (k) ORDER BY threshold_bp""".stripMargin,
+
+    // held-out replay: q88's CTEs split on doc_id % 5, left joins with
+    // zero-coalesced counts, the same exact integer source mean.
+    "q248_heldout_source_ppl" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, source, ts,
+        |  unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id, source,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, source, i - 1 AS pos, ts[CAST(i AS INT)] AS w,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+        |   AS bkt
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |tr AS (SELECT * FROM tok WHERE bkt >= 20),
+        |ev AS (SELECT * FROM tok WHERE bkt < 20),
+        |trbig AS (
+        | SELECT doc_id, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM tr QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w, w2, count(*) AS cb FROM trbig GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu FROM tr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tr),
+        |evbig AS (
+        | SELECT doc_id, source, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM ev QUALIFY w2 IS NOT NULL),
+        |sc AS (
+        | SELECT e.doc_id, e.source,
+        |  CAST(round(round(-avg(log2((coalesce(bi.cb, 0) + 1.0)
+        |    / (coalesce(uni.cu, 0) + v.v))), 4) * 10000) AS BIGINT)
+        |   AS ppl10k
+        | FROM evbig e
+        |  LEFT JOIN bi ON bi.w = e.w AND bi.w2 = e.w2
+        |  LEFT JOIN uni ON uni.w = e.w
+        |  CROSS JOIN v
+        | GROUP BY e.doc_id, e.source),
+        |oov AS (
+        | SELECT e.source, count(*) AS n_toks,
+        |  sum(CASE WHEN uni.cu IS NULL THEN 1 ELSE 0 END) AS n_oov
+        | FROM ev e LEFT JOIN uni ON uni.w = e.w
+        | GROUP BY e.source)
+        |SELECT sc.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(ppl10k) // count(*) AS BIGINT) AS mean_ppl10k,
+        | CAST(max(n_toks) AS BIGINT) AS n_toks,
+        | floor(max(n_oov) * 10000.0 / max(n_toks) + 0.5) / 10000 AS oov_rate
+        |FROM sc JOIN oov ON sc.source = oov.source
+        |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
+
+    // epoch-value replay: same divide-first integer decay on the same
+    // whitespace token totals.
+    "q249_epoch_value_card" ->
+      """WITH st AS (
+        | SELECT source,
+        |  sum(array_length(regexp_split_to_array(trim(text), '\s+'))) AS u
+        | FROM documents WHERE length(trim(text)) > 0 GROUP BY 1),
+        |ep AS (SELECT unnest(range(1, 9)) AS i),
+        |terms AS (
+        | SELECT source, u, i,
+        |  (u // CAST(pow(4, i - 1) AS BIGINT))
+        |   * CAST(pow(3, i - 1) AS BIGINT) AS term
+        | FROM st CROSS JOIN ep),
+        |grid AS (SELECT i AS m FROM ep WHERE i IN (1, 2, 4, 8))
+        |SELECT source, CAST(m AS BIGINT) AS epochs,
+        | CAST(max(u) * m AS BIGINT) AS raw_tokens,
+        | CAST(sum(term) AS BIGINT) AS eff_tokens,
+        | floor(sum(term) * 10000.0 / (max(u) * m) + 0.5) / 10000
+        |  AS efficiency
+        |FROM terms JOIN grid ON i <= m
+        |GROUP BY source, m ORDER BY source, epochs""".stripMargin,
   )
 }
