@@ -5813,6 +5813,80 @@ object SparkEntry {
             .as("efficiency"))
         .orderBy(col("source"), col("epochs"))
     }),
+
+    // ---- D4-style cluster-balanced selection (SemDeDup's follow-up:
+    // after dedup, rebalance the embedding space by downsampling
+    // overdense clusters to a uniform per-cluster budget): assignment
+    // is the q86 map-side nearest-of-K centroids (K=16, centroids in
+    // the closure — no shuffle), sizes one cluster-key aggregate, and
+    // the keep decision a 16-row broadcast + md5 hash gate. Acceptance
+    // = min(1, cap/|cluster|) exactly, on a 10k integer grid ----
+    "q250_cluster_balanced_select" -> ((s, d) => {
+      import graft.vector.IvfIndex
+      val emb = tSpread(s, d, "embeddings")
+      val cs = t(s, d, "embeddings").filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      val asg = IvfIndex.build(emb, "embedding", "vec_id", cs)
+        .select(col("vec_id"), col("centroid_id"))
+      val sizes = asg.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = sizes.agg(sum(col("n_vecs")).as("t"))
+      val caps = sizes.crossJoin(broadcast(tot))
+        .withColumn("cap", expr("t div 16"))
+      asg
+        .withColumn("bkt",
+          conv(substring(md5(col("vec_id").cast("string")), 1, 6), 16, 10)
+            .cast("bigint") % 10000)
+        .join(broadcast(caps), Seq("centroid_id"))
+        .withColumn("keep", col("bkt") * col("n_vecs") < col("cap") * 10000)
+        .groupBy(col("centroid_id"))
+        .agg(max(col("n_vecs")).as("n_vecs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("centroid_id").cast("bigint").as("centroid_id"),
+          col("n_vecs"), col("n_kept"),
+          expr("floor(n_kept * 10000.0 / n_vecs + 0.5) / 10000").as("rate"))
+        .orderBy(col("centroid_id"))
+    }),
+
+    // ---- verbatim eval-set contamination spans (the exact-substring
+    // strengthening of q189's n-gram flag: WHICH bytes of which train
+    // docs appear verbatim in the benchmark — q189 says "overlaps",
+    // this says "these 40+ chars leaked"): the benchmark (doc_id%7==0 —
+    // big enough to intersect at every sf) collapses to window hashes
+    // that AQE broadcasts; train text shuffles only its FLAGGED
+    // windows for the island merge ----
+    "q251_contamination_spans" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      Dedup.contaminationSpans(docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+          window = 40)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // ---- adjacent-duplicate-word collapse ("the the" cleaning — the
+    // token-grain stutter fix every HTML-extraction pipeline runs):
+    // pure map-side indexed-lambda filter over the split array, ZERO
+    // exchanges; md5 pins every rewritten byte, and the collapse count
+    // feeds the doc-quality audit ----
+    "q252_stutter_collapse" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+      docs
+        .withColumn("kept", expr(
+          // CASE (not OR) so the i=0 arm never evaluates the 1-based
+          // element_at(ws, 0), which throws under ANSI
+          "filter(ws, (x, i) -> CASE WHEN i = 0 THEN true " +
+            "ELSE x != element_at(ws, i) END)"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("bigint").as("n_words"),
+          (size(col("ws")) - size(col("kept"))).cast("bigint")
+            .as("n_collapsed"),
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10811,5 +10885,96 @@ object SparkEntry {
         |  AS efficiency
         |FROM terms JOIN grid ON i <= m
         |GROUP BY source, m ORDER BY source, epochs""".stripMargin,
+
+    // cluster-balance replay: q86's nearest-of-K assignment CTEs with
+    // K=16, then the same integer-grid acceptance algebra.
+    "q250_cluster_balanced_select" ->
+      """WITH c AS (
+        | SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        | WHERE vec_id < 16),
+        |p AS (
+        | SELECT e.vec_id, c.cid,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS dot,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i])), (x, y) -> x + y)
+        |    AS na,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(c.ce) + 1),
+        |      i -> c.ce[i]::DOUBLE * c.ce[i])), (x, y) -> x + y) AS nc
+        | FROM embeddings e, c),
+        |sc AS (
+        | SELECT vec_id, cid,
+        |  CASE WHEN na = 0 OR nc = 0 THEN 0.0 ELSE dot / sqrt(na * nc) END
+        |    AS s
+        | FROM p),
+        |asg AS (
+        | SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        | FROM sc),
+        |a AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+        |sz AS (SELECT cid, count(*) AS n_vecs FROM a GROUP BY 1),
+        |tt AS (SELECT sum(n_vecs) AS t FROM sz),
+        |k AS (
+        | SELECT a.vec_id, a.cid, sz.n_vecs, tt.t // 16 AS cap,
+        |  ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 6))::BIGINT
+        |    % 10000 AS bkt
+        | FROM a JOIN sz ON a.cid = sz.cid CROSS JOIN tt)
+        |SELECT CAST(cid AS BIGINT) AS centroid_id,
+        | CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+        | CAST(sum(CASE WHEN bkt * n_vecs < cap * 10000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_kept,
+        | floor(sum(CASE WHEN bkt * n_vecs < cap * 10000 THEN 1 ELSE 0 END)
+        |   * 10000.0 / max(n_vecs) + 0.5) / 10000 AS rate
+        |FROM k GROUP BY cid ORDER BY centroid_id""".stripMargin,
+
+    // contamination-span replay: q180's window CTEs with the benchmark
+    // existence set in place of the n_docs > 1 stats.
+    "q251_contamination_spans" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 7 <> 0),
+        |bench AS (
+        | SELECT DISTINCT substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 7 = 0),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN bench b ON b.win = o.win),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        | CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // stutter replay: the same indexed-lambda filter (DuckDB lambdas
+    // are 1-based where Spark's are 0-based; the CASE guards ws[0]).
+    "q252_stutter_collapse" ->
+      """WITH l AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        | FROM documents WHERE length(trim(text)) > 0),
+        |k AS (
+        | SELECT doc_id, ws,
+        |  list_filter(ws, (x, i) -> CASE WHEN i = 1 THEN true
+        |    ELSE x != ws[i - 1] END) AS kept
+        | FROM l)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        | CAST(len(ws) - len(kept) AS BIGINT) AS n_collapsed,
+        | md5(array_to_string(kept, ' ')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

@@ -888,6 +888,32 @@ object Dedup {
     mergeFlaggedWindows(flagged, idCol)
   }
 
+  /** Verbatim-contamination spans: character spans of `corpus` text
+    * that appear verbatim (window-grain, merged to maximal islands)
+    * anywhere in `benchmark` — the exact-substring strengthening of
+    * [[decontaminate]]'s n-gram flag, answering "WHICH bytes leaked",
+    * not just "does this doc overlap".
+    *
+    * Plan shape for 100 TB: both sides' windows explode map-side; the
+    * benchmark collapses to its distinct 8-byte window hashes (eval
+    * sets are MBs — AQE broadcasts the existence set, no forced hint),
+    * so the corpus text shuffles only for the final per-doc island
+    * merge of FLAGGED windows, a vanishing fraction of the corpus.
+    *
+    * @return [[crossDocSpans]]-shaped spans for corpus docs only */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         window: Int = 40, stride: Int = 1): DataFrame = {
+    val occ = windowOccurrences(corpus, textCol, idCol, window, stride,
+      hashKey = true)
+    val bench = windowOccurrences(benchmark, textCol, idCol, window,
+        stride, hashKey = true)
+      .select(col("_win")).distinct()
+    val flagged = occ.join(bench, Seq("_win"))
+      .select(col("_did"), col("_p"), (col("_p") + (window - 1)).as("_e"))
+    mergeFlaggedWindows(flagged, idCol)
+  }
+
   /** Benchmark decontamination by word-n-gram overlap (the GPT-3 /
     * PaLM-style eval-set leakage check): every training document sharing
     * at least one distinct n-gram with the held-out benchmark corpus is

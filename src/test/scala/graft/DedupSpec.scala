@@ -247,6 +247,28 @@ class DedupSpec extends SparkSpec {
     assert(s2._2 == 12L && s2._3 == 71L)
   }
 
+  test("contaminationSpans flags only corpus text verbatim in the " +
+      "benchmark; corpus-corpus dups never flag") {
+    val leaked = "L" * 10 + "benchmark-answer-string-" + "M" * 26 // 60 chars
+    val trainDup = "D" * 60 // shared between two TRAIN docs only
+    val corpus = Seq(
+      // continuation chars differ from the benchmark's so the true
+      // shared region is exactly the 60-char `leaked`
+      (1L, leaked + "Qplus training context xxxx"),
+      (2L, trainDup + " one"),
+      (3L, trainDup + " two"),
+      (4L, "z" * 80)).toDF("doc_id", "text")
+    val bench = Seq((100L, "intro " + leaked + "Zoutro"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(corpus, bench, "text", "doc_id",
+        window = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // ONLY doc 1 is contaminated — the train-train dup (2,3) must NOT
+    // flag (that's crossDocSpans' job, not contamination's)
+    assert(spans.map(_._1) == List(1L))
+    assert(spans.head._2 == 1L && spans.head._3 == 60L) // maximal island
+  }
+
   test("crossDocSpans keepFirst: owner doc keeps, higher ids flagged") {
     val shared = "shared-text-" * 5 // 60 chars
     val d = Seq(
