@@ -5887,6 +5887,95 @@ object SparkEntry {
           md5(array_join(col("kept"), " ")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- p99 length clipping (context-window hygiene: truncate the
+    // pathological long tail so one 2 GB doc can't dominate a packed
+    // batch): the cutoff comes from q212's BINNED VALUE HISTOGRAM
+    // cumulative (bin domain ≈ max_len/50 rows — never a corpus sort),
+    // broadcast back as one row; the clip itself is a map-side
+    // substring with the rewritten bytes pinned by md5 ----
+    "q253_p99_length_clip" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val hist = docs
+        .groupBy((col("n_chars") / lit(50)).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cutoff = hist
+        .withColumn("cum", sum(col("c")).over(wAll))
+        .withColumn("total",
+          sum(col("c")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .filter(col("cum") * lit(100L) >= col("total") * lit(99L))
+        .agg(min(col("bin")).as("th_bin"))
+        .select(((col("th_bin") + 1) * lit(50L)).as("threshold"))
+      docs.crossJoin(broadcast(cutoff))
+        .select(col("doc_id"), col("threshold"),
+          col("n_chars").as("orig_chars"),
+          least(col("n_chars"), col("threshold")).as("clip_chars"),
+          (col("n_chars") > col("threshold")).as("clipped"),
+          md5(expr("substring(text, 1, cast(threshold as int))"))
+            .as("clip_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- eval-set n-gram novelty sweep (the memorization-risk card:
+    // what fraction of the benchmark's n-grams does the training set
+    // already contain, for n = 1, 2, 3 — high containment means eval
+    // scores measure recall of training text, not generalization):
+    // distinct-per-side gram sets (array_distinct BEFORE the explode,
+    // q189's bound), one existence join per n on the gram string;
+    // output is 3 rows ----
+    "q254_novelty_sweep" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) > 0)
+      def grams(df: DataFrame, n: Int) = df
+        .filter(size(col("ts")) >= n)
+        .select(explode(array_distinct(expr(
+          s"transform(sequence(1, size(ts) - ${n - 1}), " +
+            s"i -> array_join(slice(ts, i, $n), ' '))"))).as("g"))
+        .distinct()
+      (1 to 3).map { n =>
+        val ev = grams(docs.filter(col("doc_id") % 7 === 0), n)
+        val tr = grams(docs.filter(col("doc_id") % 7 =!= 0), n)
+          .withColumn("_hit", lit(true))
+        ev.join(tr, Seq("g"), "left")
+          .agg(lit(n.toLong).as("n"),
+            count(lit(1)).as("eval_grams"),
+            sum(when(col("_hit"), 1L).otherwise(0L)).as("hit_grams"))
+          .select(col("n"), col("eval_grams"), col("hit_grams"),
+            expr("floor((eval_grams - hit_grams) * 10000.0 / eval_grams" +
+              " + 0.5) / 10000").as("novelty_rate"))
+      }.reduce(_ unionByName _).orderBy(col("n"))
+    }),
+
+    // ---- Good-Turing unseen-mass + lexical-diversity source card
+    // (how much vocabulary is each source still hiding? P0 = n1/N is
+    // the Good-Turing estimate of unseen-word probability; Guiraud
+    // R = V/√N is the length-robust type-token ratio): ONE
+    // (source, word) aggregate then a sources-grain rollup — the
+    // heavy exchange is word-keyed and linear in corpus tokens ----
+    "q255_unseen_mass_card" -> ((s, d) => {
+      val wc = tSpread(s, d, "documents")
+        .select(col("source"), explode(
+          split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_toks"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_toks"), col("vocab"), col("n1"),
+          col("n2"),
+          expr("floor(n1 * 10000.0 / n_toks + 0.5) / 10000")
+            .as("p0_unseen"),
+          expr("floor(vocab * 10000.0 / sqrt(cast(n_toks as double))" +
+            " + 0.5) / 10000").as("guiraud"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -10976,5 +11065,78 @@ object SparkEntry {
         | CAST(len(ws) - len(kept) AS BIGINT) AS n_collapsed,
         | md5(array_to_string(kept, ' ')) AS clean_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // p99-clip replay: the same 50-char binned cumulative and clip.
+    "q253_p99_length_clip" ->
+      """WITH h AS (
+        | SELECT CAST(n_chars // 50 AS BIGINT) AS bin, count(*) AS c
+        | FROM documents GROUP BY 1),
+        |cm AS (
+        | SELECT bin, c,
+        |  sum(c) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER () AS total
+        | FROM h),
+        |th AS (
+        | SELECT (min(bin) + 1) * 50 AS threshold
+        | FROM cm WHERE cum * 100 >= total * 99)
+        |SELECT doc_id, CAST(threshold AS BIGINT) AS threshold,
+        | CAST(n_chars AS BIGINT) AS orig_chars,
+        | CAST(least(n_chars, threshold) AS BIGINT) AS clip_chars,
+        | n_chars > threshold AS clipped,
+        | md5(substring(text, 1, CAST(threshold AS INT))) AS clip_md5
+        |FROM documents CROSS JOIN th
+        |ORDER BY doc_id""".stripMargin,
+
+    // novelty-sweep replay: q189's distinct-gram CTE per n, existence
+    // joins, same 3-row algebra.
+    "q254_novelty_sweep" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |g1 AS (SELECT DISTINCT doc_id % 7 = 0 AS ev, unnest(t) AS g
+        |       FROM toks),
+        |g2 AS (SELECT DISTINCT doc_id % 7 = 0 AS ev,
+        |        array_to_string(t[i:i+1], ' ') AS g
+        |       FROM toks, unnest(range(1, array_length(t))) AS r(i)
+        |       WHERE array_length(t) >= 2),
+        |g3 AS (SELECT DISTINCT doc_id % 7 = 0 AS ev,
+        |        array_to_string(t[i:i+2], ' ') AS g
+        |       FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        |       WHERE array_length(t) >= 3),
+        |u AS (
+        | SELECT 1 AS n, g, ev FROM g1
+        | UNION ALL SELECT 2, g, ev FROM g2
+        | UNION ALL SELECT 3, g, ev FROM g3),
+        |ev AS (SELECT DISTINCT n, g FROM u WHERE ev),
+        |tr AS (SELECT DISTINCT n, g FROM u WHERE NOT ev),
+        |j AS (
+        | SELECT ev.n, count(*) AS eval_grams,
+        |  sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS hit_grams
+        | FROM ev LEFT JOIN tr ON tr.n = ev.n AND tr.g = ev.g
+        | GROUP BY ev.n)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(eval_grams AS BIGINT)
+        |  AS eval_grams, CAST(hit_grams AS BIGINT) AS hit_grams,
+        | floor((eval_grams - hit_grams) * 10000.0 / eval_grams + 0.5)
+        |  / 10000 AS novelty_rate
+        |FROM j ORDER BY n""".stripMargin,
+
+    // unseen-mass replay: same (source, word) rollup.
+    "q255_unseen_mass_card" ->
+      """WITH wc AS (
+        | SELECT source, w, count(*) AS c FROM (
+        |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '\s+')) AS w
+        |  FROM documents)
+        | WHERE length(w) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_toks,
+        | CAST(count(*) AS BIGINT) AS vocab,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        | floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000.0 / sum(c)
+        |  + 0.5) / 10000 AS p0_unseen,
+        | floor(count(*) * 10000.0 / sqrt(CAST(sum(c) AS DOUBLE)) + 0.5)
+        |  / 10000 AS guiraud
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
   )
 }
