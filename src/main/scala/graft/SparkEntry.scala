@@ -5976,6 +5976,48 @@ object SparkEntry {
             " + 0.5) / 10000").as("guiraud"))
         .orderBy(col("source"))
     }),
+
+    // ---- composed cleaning emit (the whole character-grain
+    // preprocessing pass a user actually ships, as ONE query: stutter
+    // collapse (q252) → p99 length clip on the COLLAPSED text (q253's
+    // histogram cutoff) → gopher keep flag (q188) — with the final
+    // bytes pinned by md5): the corpus is scanned once into a
+    // localCheckpoint that feeds both the length histogram and the
+    // emit; everything else is one broadcast cutoff + codegen
+    // projections. Stage-by-stage oracles exist separately; this one
+    // proves the COMPOSITION byte-exact ----
+    "q256_clean_emit" -> ((s, d) => {
+      val collapsed = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .withColumn("ct", array_join(expr(
+          "filter(ws, (x, i) -> CASE WHEN i = 0 THEN true " +
+            "ELSE x != element_at(ws, i) END)"), " "))
+        .select(col("doc_id"), col("ct"))
+        .localCheckpoint() // feeds the histogram AND the emit
+      val hist = collapsed
+        .groupBy((length(col("ct")) / lit(50)).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cutoff = hist
+        .withColumn("cum", sum(col("c")).over(wAll))
+        .withColumn("total",
+          sum(col("c")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .filter(col("cum") * lit(100L) >= col("total") * lit(99L))
+        .agg(min(col("bin")).as("th_bin"))
+        .select(((col("th_bin") + 1) * lit(50L)).as("threshold"))
+      collapsed.crossJoin(broadcast(cutoff))
+        .withColumn("clean", expr("substring(ct, 1, cast(threshold as int))"))
+        .select(col("doc_id"),
+          length(col("clean")).cast("bigint").as("clean_chars"),
+          TextFunctions.gopherQualityStruct(col("clean"))
+            .getField("keep").as("keep"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11138,5 +11180,56 @@ object SparkEntry {
         | floor(count(*) * 10000.0 / sqrt(CAST(sum(c) AS DOUBLE)) + 0.5)
         |  / 10000 AS guiraud
         |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+
+    // composed-emit replay: q252's collapse, q253's cutoff on the
+    // collapsed length, q188's gate on the clipped text.
+    "q256_clean_emit" ->
+      """WITH l AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        | FROM documents WHERE length(trim(text)) > 0),
+        |cc AS (
+        | SELECT doc_id, array_to_string(
+        |  list_filter(ws, (x, i) -> CASE WHEN i = 1 THEN true
+        |    ELSE x != ws[i - 1] END), ' ') AS ct
+        | FROM l),
+        |h AS (
+        | SELECT CAST(length(ct) // 50 AS BIGINT) AS bin, count(*) AS c
+        | FROM cc GROUP BY 1),
+        |cm AS (
+        | SELECT bin, c,
+        |  sum(c) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER () AS total
+        | FROM h),
+        |th AS (
+        | SELECT (min(bin) + 1) * 50 AS threshold
+        | FROM cm WHERE cum * 100 >= total * 99),
+        |e AS (
+        | SELECT doc_id, substring(ct, 1, CAST(threshold AS INT)) AS clean
+        | FROM cc CROSS JOIN th),
+        |t2 AS (
+        | SELECT doc_id, clean,
+        |  regexp_split_to_array(trim(clean), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(clean), '\s+'),
+        |    x -> lower(x)) AS lt
+        | FROM e)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_chars,
+        | (array_length(t) >= 30 AND array_length(t) <= 100000
+        |  AND floor(length(array_to_string(t, '')) * 10000.0
+        |       / array_length(t) + 0.5) / 10000 BETWEEN 3.0 AND 10.0
+        |  AND floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |       * 10000.0 / array_length(t) + 0.5) / 10000 >= 0.8
+        |  AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) >= 2)
+        |  AS keep,
+        | md5(clean) AS clean_md5
+        |FROM t2 ORDER BY doc_id""".stripMargin,
   )
 }

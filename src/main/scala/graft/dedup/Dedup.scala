@@ -914,6 +914,26 @@ object Dedup {
     mergeFlaggedWindows(flagged, idCol)
   }
 
+  /** [[contaminationSpans]] against a STORED benchmark fingerprint
+    * index (write the eval set once with [[writeWindowFingerprints]],
+    * probe every arriving training micro-batch): existence-only —
+    * within-batch duplicates never flag, exactly as the batch form,
+    * so streamed probes over a partition of the corpus union to the
+    * one-shot batch answer. O(batch text + index bytes) per batch. */
+  def contaminationSpansIncremental(spark: SparkSession,
+                                    indexPath: String, batch: DataFrame,
+                                    textCol: String, idCol: String,
+                                    window: Int = 40,
+                                    stride: Int = 1): DataFrame = {
+    val occ = windowOccurrences(batch, textCol, idCol, window, stride,
+      hashKey = true)
+    val bench = spark.read.parquet(indexPath)
+      .select(col("win_hash").as("_win")).distinct()
+    val flagged = occ.join(bench, Seq("_win"))
+      .select(col("_did"), col("_p"), (col("_p") + (window - 1)).as("_e"))
+    mergeFlaggedWindows(flagged, idCol)
+  }
+
   /** Benchmark decontamination by word-n-gram overlap (the GPT-3 /
     * PaLM-style eval-set leakage check): every training document sharing
     * at least one distinct n-gram with the held-out benchmark corpus is
