@@ -6018,6 +6018,74 @@ object SparkEntry {
           md5(col("clean")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- SentencePiece-style character-coverage card (the
+    // character_coverage parameter every tokenizer build sets blind:
+    // how many distinct characters cover 90/99/99.5/99.95/100% of
+    // corpus bytes): the char explode feeds a groupBy whose key domain
+    // is the ALPHABET — partial aggregation collapses it map-side, so
+    // the shuffle carries |alphabet| rows per partition, not corpus
+    // chars. Everything after is alphabet-grain (the global window is
+    // bounded by the character domain) ----
+    "q257_char_coverage" -> ((s, d) => {
+      import s.implicits._
+      val ch = tSpread(s, d, "documents")
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("ch")).agg(count(lit(1)).as("c"))
+      val tot = ch.agg(sum(col("c")).as("total"),
+        count(lit(1)).as("alphabet"))
+      val w = Window.orderBy(col("c").desc, col("ch"))
+      val cum = ch
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+      val spine = Seq(9000L, 9900L, 9950L, 9995L, 10000L)
+        .toDF("target_bp")
+      spine.join(cum, col("cum") * lit(10000L) >=
+          col("target_bp") * col("total"))
+        .groupBy(col("target_bp"))
+        .agg(min(col("rk")).cast("bigint").as("chars_needed"),
+          max(col("alphabet")).as("alphabet"),
+          max(col("total")).as("total_chars"))
+        .orderBy(col("target_bp"))
+    }),
+
+    // ---- dup-cluster × quality interaction card ("are near-dups
+    // lower quality?" — the classic curation finding that justifies
+    // dedup-before-filter ordering): q244's simhash CC clusters bucket
+    // docs by cluster size; per bucket the EXACT integer mean of the
+    // q46 quality score and the low-quality rate. One window-free
+    // plan: cluster sizes from a cluster-key aggregate, quality a
+    // codegen projection, the rollup ≤ 5 rows ----
+    "q258_dup_quality_card" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val pairs = Dedup.simhashHammingPairs(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      val cc = Graph.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      val csz = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+      docs
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("q10k", expr("cast(round(q * 10000) as bigint)"))
+        .join(cc, col("doc_id") === col("id"))
+        .join(csz, Seq("cluster_id"))
+        .withColumn("size_bucket",
+          when(col("csz") === 1, "1_unique")
+            .when(col("csz") === 2, "2")
+            .when(col("csz") <= 4, "3-4")
+            .when(col("csz") <= 8, "5-8")
+            .otherwise("9+"))
+        .groupBy(col("size_bucket"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          expr("sum(q10k) div count(1)").as("mean_q10k"),
+          expr("floor(sum(case when q10k < 500 then 1 else 0 end)" +
+            " * 10000.0 / count(1) + 0.5) / 10000").as("low_q_rate"))
+        .orderBy(col("size_bucket"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11231,5 +11299,74 @@ object SparkEntry {
         |  AS keep,
         | md5(clean) AS clean_md5
         |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    // char-coverage replay: same alphabet-grain cumulative.
+    "q257_char_coverage" ->
+      """WITH ch AS (
+        | SELECT ch, count(*) AS c FROM (
+        |  SELECT unnest(string_split(text, '')) AS ch FROM documents)
+        | WHERE ch <> '' GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total, count(*) AS alphabet FROM ch),
+        |cum AS (
+        | SELECT ch, c, row_number() OVER (ORDER BY c DESC, ch) AS rk,
+        |  sum(c) OVER (ORDER BY c DESC, ch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM ch),
+        |tg AS (SELECT unnest([9000, 9900, 9950, 9995, 10000]) AS target_bp)
+        |SELECT CAST(target_bp AS BIGINT) AS target_bp,
+        | CAST(min(rk) AS BIGINT) AS chars_needed,
+        | CAST(max(alphabet) AS BIGINT) AS alphabet,
+        | CAST(max(total) AS BIGINT) AS total_chars
+        |FROM tg JOIN cum CROSS JOIN tot
+        | ON cum.cum * 10000 >= target_bp * tot.total
+        |GROUP BY target_bp ORDER BY target_bp""".stripMargin,
+
+    // dup-quality replay: q244's simhash CC CTEs + the same bucket
+    // algebra with exact integer means.
+    "q258_dup_quality_card" ->
+      s"""WITH RECURSIVE toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes),
+        |s2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM sig),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (SELECT doc_id AS id, doc_id AS c FROM documents
+        | UNION
+        | SELECT e.dst, lbl.c FROM lbl JOIN edges e ON lbl.id = e.src WHERE lbl.c < e.dst),
+        |cc AS (SELECT id, CAST(min(c) AS BIGINT) AS cluster_id FROM lbl GROUP BY id),
+        |cz AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY 1),
+        |qs AS (
+        | SELECT doc_id, CAST(round((CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |  ELSE round(length(regexp_extract_all(lower(text),
+        |    '\\b(the|a|an|and|of|to|in|is|it|that)\\b'))::DOUBLE /
+        |    array_length(regexp_split_to_array(trim(text), '\\s+')), 4)
+        |  END) * 10000) AS BIGINT) AS q10k
+        | FROM documents),
+        |j AS (
+        | SELECT CASE WHEN csz = 1 THEN '1_unique'
+        |   WHEN csz = 2 THEN '2'
+        |   WHEN csz <= 4 THEN '3-4'
+        |   WHEN csz <= 8 THEN '5-8' ELSE '9+' END AS size_bucket,
+        |  cc.cluster_id, qs.q10k
+        | FROM cc JOIN cz ON cc.cluster_id = cz.cluster_id
+        |  JOIN qs ON cc.id = qs.doc_id)
+        |SELECT size_bucket,
+        | CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(q10k) // count(*) AS BIGINT) AS mean_q10k,
+        | floor(sum(CASE WHEN q10k < 500 THEN 1 ELSE 0 END) * 10000.0
+        |  / count(*) + 0.5) / 10000 AS low_q_rate
+        |FROM j GROUP BY size_bucket ORDER BY size_bucket""".stripMargin,
   )
 }
