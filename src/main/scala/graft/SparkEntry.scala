@@ -6086,6 +6086,26 @@ object SparkEntry {
             " * 10000.0 / count(1) + 0.5) / 10000").as("low_q_rate"))
         .orderBy(col("size_bucket"))
     }),
+
+    // ---- the DECONTAMINATED corpus itself (q251 tells you which
+    // bytes leaked; this ships the training set with them excised —
+    // surgical removal instead of q189's whole-doc deletion, the
+    // Lee et al. ExactSubstr treatment applied to eval leakage):
+    // q251's spans collapse to one bounded array row per doc, one
+    // join back, a map-side fold stitches the kept segments; md5
+    // makes any stitching error a hash mismatch ----
+    "q259_decontaminated_corpus" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+      val spans = Dedup.contaminationSpans(train, bench, "text", "doc_id",
+        window = 40)
+      Dedup.exciseSpans(train, "text", "doc_id", spans)
+        .select(col("doc_id"),
+          length(col("cleaned")).cast("bigint").as("kept_len"),
+          md5(col("cleaned")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11368,5 +11388,64 @@ object SparkEntry {
         | floor(sum(CASE WHEN q10k < 500 THEN 1 ELSE 0 END) * 10000.0
         |  / count(*) + 0.5) / 10000 AS low_q_rate
         |FROM j GROUP BY size_bucket ORDER BY size_bucket""".stripMargin,
+
+    // decontaminated-corpus replay: q251's span CTEs + q182's segment
+    // stitch, over the train split only.
+    "q259_decontaminated_corpus" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |tr AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM tr d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40),
+        |bench AS (
+        | SELECT DISTINCT substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 7 = 0),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN bench b ON b.win = o.win),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk),
+        |spans AS (
+        | SELECT doc_id, min(p) AS s, max(e) AS e
+        | FROM isl GROUP BY doc_id, island),
+        |segs AS (
+        | SELECT doc_id,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+        |    AS gs,
+        |  s - 1 AS ge
+        | FROM spans
+        | UNION ALL
+        | SELECT doc_id, max(e) + 1 AS gs, NULL AS ge
+        | FROM spans GROUP BY doc_id),
+        |kept AS (
+        | SELECT sp.doc_id,
+        |  string_agg(substring(d.text, CAST(gs AS INT),
+        |    CAST(coalesce(ge, d.n_chars) - gs + 1 AS INT)), ''
+        |    ORDER BY gs) AS cleaned
+        | FROM segs sp JOIN tr d ON d.doc_id = sp.doc_id
+        | WHERE coalesce(ge, d.n_chars) >= gs
+        | GROUP BY sp.doc_id),
+        |cutdocs AS (SELECT DISTINCT doc_id FROM spans)
+        |SELECT d.doc_id,
+        | CAST(length(CASE WHEN c.doc_id IS NULL THEN d.text
+        |                  ELSE coalesce(k.cleaned, '') END) AS BIGINT)
+        |   AS kept_len,
+        | md5(CASE WHEN c.doc_id IS NULL THEN d.text
+        |          ELSE coalesce(k.cleaned, '') END) AS kept_md5
+        |FROM tr d
+        | LEFT JOIN cutdocs c ON c.doc_id = d.doc_id
+        | LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }
