@@ -6106,6 +6106,123 @@ object SparkEntry {
           md5(col("cleaned")).as("kept_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- MinHash estimator accuracy audit (the sketch-parameter
+    // card: how far is the 64-permutation estimate from the exact
+    // shingle Jaccard on the LSH candidate pairs — the evidence for
+    // choosing 64 hashes / 16 bands instead of folklore): est =
+    // matching signature coordinates / 64, exact = set Jaccard over
+    // the SAME distinct-3-gram universe; |err| histogrammed into
+    // 0.05-wide bands. Pairs carry two ~64-slot arrays each — the
+    // candidate frame is LSH-bounded, never doc×doc. (At 100 TB the
+    // bucket self-join would take the sharedKeyPairs frequency cap;
+    // the oracle's uncapped semantics match at test scale) ----
+    "q260_minhash_accuracy" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          split(trim(col("text")), "\\s+").as("ts"))
+      val side = Dedup.minhashSignature(docs, "text", "doc_id")
+        .filter(col("minhash_sig").isNotNull)
+        .select(col("doc_id").as("id"), col("minhash_sig").as("sig"),
+          expr("array_distinct(transform(sequence(1, size(ts) - 2), " +
+            "i -> array_join(slice(ts, i, 3), ' ')))").as("shingles"))
+        .localCheckpoint() // one signature pass feeds buckets + compare
+      val b = Dedup.lshBuckets(side.select(col("id"),
+        col("sig").as("minhash_sig")), "id")
+      val pairs = b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      pairs
+        .join(side.select(col("id").as("id_a"), col("sig").as("sa"),
+          col("shingles").as("ha")), Seq("id_a"))
+        .join(side.select(col("id").as("id_b"), col("sig").as("sb"),
+          col("shingles").as("hb")), Seq("id_b"))
+        .withColumn("est10k", expr(
+          "cast(aggregate(zip_with(sa, sb, (x, y) -> " +
+            "case when x = y then 1 else 0 end), 0, (acc, v) -> acc + v)" +
+            " as bigint) * 10000 div 64"))
+        .withColumn("inter",
+          size(expr("array_intersect(ha, hb)")).cast("bigint"))
+        .withColumn("exact10k", expr(
+          "cast(floor(inter * 10000 / " +
+            "(size(ha) + size(hb) - inter) + 0.5) as bigint)"))
+        .groupBy((abs(col("est10k") - col("exact10k")) / lit(500))
+          .cast("bigint").as("err_band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select((col("err_band") * 500).as("err_band_bp"), col("n_pairs"))
+        .orderBy(col("err_band_bp"))
+    }),
+
+    // ---- padding-waste frontier (q227 measured ONE batch size; this
+    // sweeps B = 8..128 under length-sorted batching — the card that
+    // picks the dynamic-batching bucket size): the ranked frame is
+    // computed ONCE (GlobalOrder, localCheckpoint) and each B is a
+    // ≤2-exchange aggregate over it; output 5 rows ----
+    "q261_padding_frontier" -> ((s, d) => {
+      import graft.operators.GlobalOrder
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.bpeTokenCount(col("text"))
+            .cast("bigint").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val ranked = GlobalOrder.withRowNumber(docs,
+          Seq(col("n_tok"), col("doc_id")), "rn")
+        .localCheckpoint()
+      Seq(8L, 16L, 32L, 64L, 128L).map { bsz =>
+        ranked
+          .withColumn("batch", expr(s"(rn - 1) div $bsz"))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("bsz"), max(col("n_tok")).as("maxlen"),
+            sum(col("n_tok")).as("rt"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("bsz") * col("maxlen")).as("padded_tokens"),
+            sum(col("rt")).as("real_tokens"))
+          .select(lit(bsz).as("batch_size"), col("n_batches"),
+            expr("(padded_tokens - real_tokens) * 1000000L " +
+              "div padded_tokens").as("waste_ppm"))
+      }.reduce(_ unionByName _).orderBy(col("batch_size"))
+    }),
+
+    // ---- embedding isotropy card (anisotropic embedding spaces make
+    // cosine retrieval degenerate — the audit before trusting q18's
+    // ANN stack): mean vector norm and the EXACT mean pairwise dot
+    // via the algebraic identity Σᵢⱼ aᵢ·aⱼ = ‖Σa‖² − Σ‖a‖², so NO
+    // pair is ever materialized — two aggregates over the corpus,
+    // elements quantized to a 1e4 integer grid first (q86's idiom) so
+    // every sum is exact integer arithmetic in any engine ----
+    "q262_isotropy_card" -> ((s, d) => {
+      val q = tSpread(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "v")))
+        .withColumn("vq", expr(
+          "cast(floor(cast(v as double) * 10000 + 0.5) as bigint)"))
+      val perVec = q.groupBy(col("vec_id"))
+        .agg(sum(col("vq") * col("vq")).as("nrm2"))
+      val perDim = q.groupBy(col("dim"))
+        .agg(sum(col("vq")).as("sv"))
+      // DECIMAL accumulators (the q217 lesson): at 100 TB these sums
+      // overflow BIGINT and ANSI mode would throw
+      val a = perVec.agg(count(lit(1)).as("n"),
+        sum(col("nrm2").cast("decimal(38,0)")).as("sum_nrm2"))
+      val bS = perDim.agg(sum((col("sv").cast("decimal(19,0)") *
+        col("sv").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("nrm2_of_sum"))
+      a.crossJoin(bS)
+        .select(col("n"),
+          expr("cast(floor(cast(sum_nrm2 as double) / n) as bigint)")
+            .as("mean_nrm2_q"),
+          expr("case when n > 1 then cast(floor((cast(nrm2_of_sum " +
+            "as double) - cast(sum_nrm2 as double)) / " +
+            "(cast(n as double) * (n - 1))) as bigint) end")
+            .as("mean_pair_dot_q"),
+          expr("floor((cast(nrm2_of_sum as double) - " +
+            "cast(sum_nrm2 as double)) * 10000.0 / " +
+            "(cast(n as double) * (n - 1) * " +
+            "(cast(sum_nrm2 as double) / n)) + 0.5) / 10000")
+            .as("anisotropy"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11447,5 +11564,75 @@ object SparkEntry {
         | LEFT JOIN cutdocs c ON c.doc_id = d.doc_id
         | LEFT JOIN kept k ON k.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // minhash-accuracy replay: the shared signature/bucket CTEs, the
+    // same coordinate-match estimate and distinct-shingle exact.
+    "q260_minhash_accuracy" ->
+      s"""$minhashClusterCteSql,
+        |pj AS (
+        | SELECT p.id_a, p.id_b,
+        |  CAST(list_sum(list_transform(range(1, 65), j ->
+        |    CASE WHEN sa.sg[CAST(j AS INT)] = sb.sg[CAST(j AS INT)]
+        |     THEN 1 ELSE 0 END)) AS BIGINT) * 10000 // 64 AS est10k,
+        |  len(list_intersect(ha.shingles, hb.shingles)) AS inter,
+        |  len(ha.shingles) AS la, len(hb.shingles) AS lb
+        | FROM pairs p
+        |  JOIN sigs sa ON sa.doc_id = p.id_a
+        |  JOIN sigs sb ON sb.doc_id = p.id_b
+        |  JOIN sh ha ON ha.doc_id = p.id_a
+        |  JOIN sh hb ON hb.doc_id = p.id_b),
+        |e AS (
+        | SELECT est10k,
+        |  CAST(floor(inter * 10000 / (la + lb - inter) + 0.5) AS BIGINT)
+        |   AS exact10k
+        | FROM pj)
+        |SELECT CAST((abs(est10k - exact10k) // 500) * 500 AS BIGINT)
+        |  AS err_band_bp,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM e GROUP BY 1 ORDER BY err_band_bp""".stripMargin,
+
+    // padding-frontier replay: q227's length-sorted rank swept over B.
+    "q261_padding_frontier" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(length(regexp_extract_all(text, '\w+|[^\w\s]'))
+        |   AS BIGINT) AS n_tok
+        | FROM documents),
+        |tt AS (SELECT * FROM t WHERE n_tok > 0),
+        |r AS (SELECT n_tok,
+        |  row_number() OVER (ORDER BY n_tok, doc_id) AS rn FROM tt),
+        |bs AS (SELECT unnest([8, 16, 32, 64, 128]) AS batch_size),
+        |g AS (
+        | SELECT batch_size, (rn - 1) // batch_size AS batch,
+        |  count(*) AS bsz, max(n_tok) AS maxlen, sum(n_tok) AS rt
+        | FROM r CROSS JOIN bs GROUP BY 1, 2)
+        |SELECT CAST(batch_size AS BIGINT) AS batch_size,
+        | CAST(count(*) AS BIGINT) AS n_batches,
+        | CAST((sum(bsz * maxlen) - sum(rt)) * 1000000 // sum(bsz * maxlen)
+        |   AS BIGINT) AS waste_ppm
+        |FROM g GROUP BY batch_size ORDER BY batch_size""".stripMargin,
+
+    // isotropy replay: same integer-grid quantization and the
+    // ‖Σa‖² − Σ‖a‖² identity (HUGEINT sums are exact, as the Spark
+    // side's DECIMAL(38,0) accumulators are).
+    "q262_isotropy_card" ->
+      """WITH q AS (
+        | SELECT vec_id, i - 1 AS dim,
+        |  CAST(floor(embedding[CAST(i AS INT)]::DOUBLE * 10000 + 0.5)
+        |    AS BIGINT) AS vq
+        | FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+        |pv AS (SELECT vec_id, sum(vq * vq) AS nrm2 FROM q GROUP BY 1),
+        |pd AS (SELECT dim, sum(vq) AS sv FROM q GROUP BY 1),
+        |a AS (SELECT count(*) AS n, sum(nrm2) AS sum_nrm2 FROM pv),
+        |b AS (SELECT sum(sv * sv) AS nrm2_of_sum FROM pd)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | CAST(floor(CAST(sum_nrm2 AS DOUBLE) / n) AS BIGINT)
+        |  AS mean_nrm2_q,
+        | CASE WHEN n > 1 THEN CAST(floor((CAST(nrm2_of_sum AS DOUBLE)
+        |   - CAST(sum_nrm2 AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1)))
+        |   AS BIGINT) END AS mean_pair_dot_q,
+        | floor((CAST(nrm2_of_sum AS DOUBLE) - CAST(sum_nrm2 AS DOUBLE))
+        |   * 10000.0 / (CAST(n AS DOUBLE) * (n - 1)
+        |   * (CAST(sum_nrm2 AS DOUBLE) / n)) + 0.5) / 10000 AS anisotropy
+        |FROM a CROSS JOIN b""".stripMargin,
   )
 }
