@@ -164,6 +164,10 @@ object GraftFunctions {
     ("vfp",
       columnFn(cs => graft.multimodal.Multimodal.vfp(cs(0))),
       classOf[Expression]),
+    // the q252/q256 cleaning stage: adjacent-duplicate-word collapse
+    ("clean_stutter",
+      columnFn(cs => graft.text.TextFunctions.stutterCollapse(cs(0))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`
@@ -194,12 +198,40 @@ object GraftFunctions {
         .queryExecution.logical
     }
 
+  /** `contamination_spans('train_view', 'bench_view' [, 'text_col'
+    * [, 'id_col' [, window]]])` — verbatim eval-leak spans as a SQL
+    * TABLE function (inherently relational: two corpus scans, a
+    * window-hash existence join, an island merge). The returned plan
+    * is exactly [[graft.dedup.Dedup.contaminationSpans]]'s, so SQL and
+    * DataFrame callers share one definition and one plan shape. */
+  val contaminationSpansTvf
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    exprs => {
+      def str(i: Int, default: String, what: String): String =
+        if (exprs.length <= i) default
+        else exprs(i).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"contamination_spans $what must be a string literal, got $other")
+        }
+      val spark = SparkSession.active
+      graft.dedup.Dedup.contaminationSpans(
+          spark.table(str(0, "", "train table")),
+          spark.table(str(1, "", "benchmark table")),
+          str(2, "text", "text column"), str(3, "doc_id", "id column"),
+          window = intLit(exprs, 4, 40, "contamination_spans window"))
+        .queryExecution.logical
+    }
+
   /** Every (name, builder) the engine exposes as a SQL TABLE function. */
   val allTable: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Class[_])] = Seq(
     ("dsir_weights", dsirWeightsTvf,
       graft.operators.ImportanceSelect.getClass),
+    ("contamination_spans", contaminationSpansTvf,
+      graft.dedup.Dedup.getClass),
   )
 
   /** Register into an already-built session. */

@@ -5875,11 +5875,7 @@ object SparkEntry {
         .filter(length(trim(col("text"))) > 0)
         .withColumn("ws", split(trim(col("text")), "\\s+"))
       docs
-        .withColumn("kept", expr(
-          // CASE (not OR) so the i=0 arm never evaluates the 1-based
-          // element_at(ws, 0), which throws under ANSI
-          "filter(ws, (x, i) -> CASE WHEN i = 0 THEN true " +
-            "ELSE x != element_at(ws, i) END)"))
+        .withColumn("kept", TextFunctions.stutterKept(col("ws")))
         .select(col("doc_id"),
           size(col("ws")).cast("bigint").as("n_words"),
           (size(col("ws")) - size(col("kept"))).cast("bigint")
@@ -5990,9 +5986,8 @@ object SparkEntry {
       val collapsed = tSpread(s, d, "documents")
         .filter(length(trim(col("text"))) > 0)
         .withColumn("ws", split(trim(col("text")), "\\s+"))
-        .withColumn("ct", array_join(expr(
-          "filter(ws, (x, i) -> CASE WHEN i = 0 THEN true " +
-            "ELSE x != element_at(ws, i) END)"), " "))
+        .withColumn("ct",
+          array_join(TextFunctions.stutterKept(col("ws")), " "))
         .select(col("doc_id"), col("ct"))
         .localCheckpoint() // feeds the histogram AND the emit
       val hist = collapsed
@@ -6222,6 +6217,36 @@ object SparkEntry {
             "(cast(n as double) * (n - 1) * " +
             "(cast(sum_nrm2 as double) / n)) + 0.5) / 10000")
             .as("anisotropy"))
+    }),
+
+    // ---- LSH S-curve, measured (the companion to q260: the textbook
+    // candidate probability 1−(1−s^r)^b, VERIFIED against this corpus
+    // — per exact-Jaccard band, what fraction of co-shingle pairs did
+    // the 16×4 banding actually surface?): the universe is q22's
+    // capped co-shingle pairs, candidates are q23's bucket pairs, ONE
+    // two-key join between the two audited frames; output ≤ 11 rows ----
+    "q263_lsh_s_curve" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.0, maxShingleFreq = 1000)
+        .withColumn("j4", expr("cast(round(jaccard * 10000) as bigint)"))
+      val b = Dedup.lshBuckets(
+        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id")
+      val cand = b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        .withColumn("is_cand", lit(true))
+      exact.join(cand, Seq("id_a", "id_b"), "left")
+        .groupBy(expr("j4 div 1000").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"))
+        .select((col("band") * 1000).cast("bigint").as("jaccard_band_bp"),
+          col("n_pairs"), col("n_candidates"),
+          expr("floor(n_candidates * 10000.0 / n_pairs + 0.5) / 10000")
+            .as("candidate_rate"))
+        .orderBy(col("jaccard_band_bp"))
     }),
   )
 
@@ -11634,5 +11659,41 @@ object SparkEntry {
         |   * 10000.0 / (CAST(n AS DOUBLE) * (n - 1)
         |   * (CAST(sum_nrm2 AS DOUBLE) / n)) + 0.5) / 10000 AS anisotropy
         |FROM a CROSS JOIN b""".stripMargin,
+
+    // S-curve replay: the shared signature/bucket CTEs give the
+    // candidates; q22's capped co-shingle pairs give the universe.
+    "q263_lsh_s_curve" ->
+      s"""$minhashClusterCteSql,
+        |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |shc AS (
+        | SELECT doc_id, shingle FROM (
+        |  SELECT doc_id, shingle,
+        |   count(*) OVER (PARTITION BY shingle) AS freq
+        |  FROM shx)
+        | WHERE freq <= 1000),
+        |ep AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM shc a JOIN shc b
+        |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pj AS (
+        | SELECT id_a, id_b,
+        |  CAST(round((floor(inter * 10000 / (sa.n + sb.n - inter) + 0.5)
+        |    / 10000) * 10000) AS BIGINT) AS j4
+        | FROM ep
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b),
+        |j AS (
+        | SELECT pj.j4, CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END
+        |   AS is_cand
+        | FROM pj LEFT JOIN pairs p
+        |  ON p.id_a = pj.id_a AND p.id_b = pj.id_b)
+        |SELECT CAST((j4 // 1000) * 1000 AS BIGINT) AS jaccard_band_bp,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+        | floor(sum(is_cand) * 10000.0 / count(*) + 0.5) / 10000
+        |  AS candidate_rate
+        |FROM j GROUP BY 1 ORDER BY jaccard_band_bp""".stripMargin,
   )
 }

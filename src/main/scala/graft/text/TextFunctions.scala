@@ -286,6 +286,21 @@ object TextFunctions {
           alphaFrac >= 0.8 && stopHits >= 2).as("keep"))
     }
 
+  /** The kept-words array of an adjacent-duplicate-word collapse over
+    * a whitespace-token array: drops every token equal to its
+    * predecessor (the "the the" stutter fix). The i = 0 arm is a CASE
+    * (not OR) so the 1-based element_at(ws, 0) never evaluates under
+    * ANSI. Pure map-side higher-order filter — zero exchanges. */
+  def stutterKept(ws: Column): Column =
+    filter(ws, (x, i) =>
+      when(i === lit(0), lit(true)).otherwise(x =!= element_at(ws, i)))
+
+  /** [[stutterKept]] over raw text, re-joined with single spaces — the
+    * one definition the Column API, the `clean_stutter` SQL function,
+    * and streaming plans share (q252/q256's cleaning stage). */
+  def stutterCollapse(text: Column): Column =
+    array_join(stutterKept(split(trim(text), "\\s+")), " ")
+
   /** DataFrame form of [[gopherQualityStruct]] over non-blank rows:
     * (idCol, n_words, mean_word_len, alpha_word_frac, stop_hits,
     * keep). */

@@ -254,6 +254,45 @@ class ExtensionsSpec extends SparkSpec {
       .foreach(spark.catalog.dropTempView)
   }
 
+  test("clean_stutter and contamination_spans usable from pure SQL, " +
+      "same results as Column API") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the the cat sat sat sat on the mat"),
+      (2L, "no stutter here at all"),
+      (3L, "a a a a a")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("st_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, clean_stutter(text) AS c FROM st_docs ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql(1L) == "the cat sat on the mat")
+    assert(viaSql(2L) == "no stutter here at all")
+    assert(viaSql(3L) == "a")
+    val viaCol = docs
+      .select(col("doc_id"),
+        graft.text.TextFunctions.stutterCollapse(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql == viaCol)
+
+    // contamination_spans TABLE function == Dedup.contaminationSpans
+    val shared = "S" * 30 + "-leaked-benchmark-span-" + "T" * 7 // 60 chars
+    val train = Seq((10L, shared + "Qtrain tail padding padding"),
+      (11L, "x" * 70)).toDF("doc_id", "text")
+    val bench = Seq((90L, "intro " + shared + "Zout")).toDF("doc_id", "text")
+    train.createOrReplaceTempView("ct_train")
+    bench.createOrReplaceTempView("ct_bench")
+    val tvf = spark.sql(
+      """SELECT * FROM contamination_spans('ct_train', 'ct_bench',
+        |  'text', 'doc_id', 20) ORDER BY doc_id, span_start""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val api = graft.dedup.Dedup.contaminationSpans(train, bench,
+        "text", "doc_id", window = 20)
+      .orderBy("doc_id", "span_start").collect().map(_.toString).toSeq
+    assert(tvf == api && tvf.nonEmpty)
+    Seq("st_docs", "ct_train", "ct_bench").foreach(spark.catalog.dropTempView)
+  }
+
   test("media codec functions usable from pure SQL, same results as Column API") {
     import graft.multimodal.{Multimodal, PpmCodec, WavCodec, Y4mCodec}
     GraftFunctions.register(spark)
