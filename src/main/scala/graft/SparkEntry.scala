@@ -6248,6 +6248,45 @@ object SparkEntry {
             .as("candidate_rate"))
         .orderBy(col("jaccard_band_bp"))
     }),
+
+    // ---- dedup attribution funnel (which stage actually removes the
+    // tokens? — the card that settles stage ORDERING debates: exact
+    // hash → MinHash near-dup → ExactSubstr excision, with first-flag
+    // precedence): all three flags come from audited machineries
+    // (q21's hash window, q23's transitive clusters, q181's keep-first
+    // spans) computed on the full corpus and joined doc-grain; the
+    // rollup is 4 rows. Tokens counted once, charged to the FIRST
+    // stage that would have removed the doc ----
+    "q264_dedup_attribution" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val ex = docs
+        .withColumn("chash", md5(lower(trim(col("text")))))
+        .withColumn("ex_min",
+          min(col("doc_id")).over(Window.partitionBy(col("chash"))))
+        .select(col("doc_id"), (col("doc_id") > col("ex_min")).as("f_exact"))
+      val cc = Dedup.minhashClustersTransitive(docs, "text", "doc_id")
+        .select(col("id").as("doc_id"),
+          (col("id") > col("cluster_id")).as("f_near"))
+      val cut = Dedup.crossDocSpans(docs, "text", "doc_id",
+          window = 40, keepFirst = true)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("chars_cut"))
+      docs
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
+        .join(ex, Seq("doc_id"))
+        .join(cc, Seq("doc_id"))
+        .join(cut, Seq("doc_id"), "left")
+        .withColumn("removed_by",
+          when(col("f_exact"), "1_exact")
+            .when(col("f_near"), "2_near_dup")
+            .when(col("chars_cut").isNotNull, "3_substr_excised")
+            .otherwise("4_kept"))
+        .groupBy(col("removed_by"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(coalesce(col("chars_cut"), lit(0L))).as("chars_cut"))
+        .orderBy(col("removed_by"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11695,5 +11734,63 @@ object SparkEntry {
         | floor(sum(is_cand) * 10000.0 / count(*) + 0.5) / 10000
         |  AS candidate_rate
         |FROM j GROUP BY 1 ORDER BY jaccard_band_bp""".stripMargin,
+
+    // attribution replay: q21's hash window + the shared minhash
+    // clusters + q181's keep-first span CTEs, first-flag precedence.
+    "q264_dedup_attribution" ->
+      s"""$minhashClusterCteSql,
+        |cc2 AS (SELECT id, min(c) AS cluster_id FROM lbl GROUP BY id),
+        |ex AS (
+        | SELECT doc_id, doc_id > min(doc_id) OVER (
+        |   PARTITION BY md5(lower(trim(text)))) AS f_exact
+        | FROM documents),
+        |pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40),
+        |stats AS (
+        | SELECT win, min(doc_id) AS min_did FROM occ GROUP BY 1),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN stats st ON st.win = o.win
+        | WHERE o.doc_id > st.min_did),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk),
+        |spans AS (
+        | SELECT doc_id, min(p) AS sp, max(e) AS ep
+        | FROM isl GROUP BY doc_id, island),
+        |cut AS (
+        | SELECT doc_id, sum(ep - sp + 1) AS chars_cut
+        | FROM spans GROUP BY doc_id),
+        |tk AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+        |   AS n_toks
+        | FROM documents),
+        |j AS (
+        | SELECT CASE WHEN ex.f_exact THEN '1_exact'
+        |   WHEN cc2.id > cc2.cluster_id THEN '2_near_dup'
+        |   WHEN cut.chars_cut IS NOT NULL THEN '3_substr_excised'
+        |   ELSE '4_kept' END AS removed_by,
+        |  tk.n_toks, coalesce(cut.chars_cut, 0) AS chars_cut
+        | FROM tk
+        |  JOIN ex ON ex.doc_id = tk.doc_id
+        |  JOIN cc2 ON cc2.id = tk.doc_id
+        |  LEFT JOIN cut ON cut.doc_id = tk.doc_id)
+        |SELECT removed_by, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(sum(chars_cut) AS BIGINT) AS chars_cut
+        |FROM j GROUP BY removed_by ORDER BY removed_by""".stripMargin,
   )
 }
