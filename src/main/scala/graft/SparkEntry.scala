@@ -6287,6 +6287,27 @@ object SparkEntry {
           sum(coalesce(col("chars_cut"), lit(0L))).as("chars_cut"))
         .orderBy(col("removed_by"))
     }),
+
+    // ---- SimHash bit-balance audit (the sketch-health companion to
+    // q260/q263: a biased signature bit carries < 1 bit of Hamming
+    // discrimination and wastes banding power — this measures all 64):
+    // one signature pass, a 64-way bounded explode, a bit-grain
+    // aggregate (map-side combining to 64 rows per partition) ----
+    "q265_simhash_bit_balance" -> ((s, d) => {
+      val sig = Dedup.simhash(tSpread(s, d, "documents"), "text", "doc_id")
+      val n = sig.agg(count(lit(1)).as("n"))
+      sig.select(col("simhash"),
+          explode(sequence(lit(0), lit(63))).as("bit"))
+        .withColumn("one",
+          expr("shiftright(simhash, cast(bit as int)) & cast(1 as bigint)"))
+        .groupBy(col("bit"))
+        .agg(sum(col("one")).as("n_ones"))
+        .crossJoin(broadcast(n))
+        .select(col("bit").cast("bigint").as("bit"), col("n_ones"),
+          expr("n_ones * 10000 div n").as("balance_bp"),
+          expr("abs(n_ones * 2 - n) * 10000 div n").as("bias_bp"))
+        .orderBy(col("bit"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11792,5 +11813,30 @@ object SparkEntry {
         | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         | CAST(sum(chars_cut) AS BIGINT) AS chars_cut
         |FROM j GROUP BY removed_by ORDER BY removed_by""".stripMargin,
+
+    // bit-balance replay: q24's signature CTEs, arithmetic-shift bit
+    // extraction ((s >> b) & 1 — sign-fill only touches positions
+    // above bit 0, so signed shift is exact in both engines).
+    "q265_simhash_bit_balance" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes),
+        |s2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM sig),
+        |nn AS (SELECT count(*) AS n FROM s2),
+        |bits AS (SELECT s, unnest(range(0, 64)) AS bit FROM s2),
+        |g AS (SELECT bit, sum((s >> CAST(bit AS INT)) & 1) AS n_ones
+        |      FROM bits GROUP BY 1)
+        |SELECT CAST(bit AS BIGINT) AS bit, CAST(n_ones AS BIGINT) AS n_ones,
+        | CAST(n_ones * 10000 // n AS BIGINT) AS balance_bp,
+        | CAST(abs(n_ones * 2 - n) * 10000 // n AS BIGINT) AS bias_bp
+        |FROM g CROSS JOIN nn ORDER BY bit""".stripMargin,
   )
 }
