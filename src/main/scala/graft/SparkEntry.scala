@@ -6308,6 +6308,33 @@ object SparkEntry {
           expr("abs(n_ones * 2 - n) * 10000 div n").as("bias_bp"))
         .orderBy(col("bit"))
     }),
+
+    // ---- held-out split balance audit (validates the md5-bucket
+    // split q248 trains on: is the 20% eval share actually 20% per
+    // source, in docs AND tokens? — the check that catches a split
+    // key correlated with a stratum, exactly the doc_id%k trap this
+    // corpus sets): ONE source-grain aggregate, zero joins ----
+    "q266_split_balance_audit" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("bigint") % 100
+      tSpread(s, d, "documents")
+        .withColumn("is_eval", bucket < 20)
+        .withColumn("n_toks", when(length(trim(col("text"))) > 0,
+          size(split(trim(col("text")), "\\s+"))).otherwise(0)
+          .cast("bigint"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(when(col("is_eval"), col("n_toks")).otherwise(0L))
+            .as("eval_tokens"))
+        .select(col("source"), col("n_docs"), col("n_eval"),
+          expr("n_eval * 10000 div n_docs").as("eval_share_bp"),
+          expr("eval_tokens * 10000 div n_tokens")
+            .as("eval_token_share_bp"),
+          expr("abs(n_eval * 10000 div n_docs - 2000)").as("doc_dev_bp"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11838,5 +11865,25 @@ object SparkEntry {
         | CAST(n_ones * 10000 // n AS BIGINT) AS balance_bp,
         | CAST(abs(n_ones * 2 - n) * 10000 // n AS BIGINT) AS bias_bp
         |FROM g CROSS JOIN nn ORDER BY bit""".stripMargin,
+
+    // split-balance replay: same md5 bucket, same source rollup.
+    "q266_split_balance_audit" ->
+      """WITH b AS (
+        | SELECT source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |    % 100 < 20 AS is_eval,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS n_toks
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        | CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) * 10000 // count(*)
+        |   AS BIGINT) AS eval_share_bp,
+        | CAST(sum(CASE WHEN is_eval THEN n_toks ELSE 0 END) * 10000
+        |   // sum(n_toks) AS BIGINT) AS eval_token_share_bp,
+        | CAST(abs(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) * 10000
+        |   // count(*) - 2000) AS BIGINT) AS doc_dev_bp
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
   )
 }
