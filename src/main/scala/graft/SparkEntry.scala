@@ -6335,6 +6335,65 @@ object SparkEntry {
           expr("abs(n_eval * 10000 div n_docs - 2000)").as("doc_dev_bp"))
         .orderBy(col("source"))
     }),
+
+    // ---- PMI collocations (phrase mining for tokenizer/vocab design
+    // — q158 ranks by frequency, PMI ranks by ASSOCIATION: log2 of
+    // observed-over-expected bigram probability): bigram and unigram
+    // counts are q88's audited aggregates; PMI needs only counts and
+    // the 1-row token total, so everything after the token-grain
+    // aggregates is vocabulary-grain (Heaps-sublinear). Top-20 by PMI
+    // among bigrams seen ≥ 5 times, fully tie-broken ----
+    "q267_pmi_collocations" -> ((s, d) => {
+      val tok = tSpread(s, d, "documents")
+        .select(col("doc_id"), posexplode(
+          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val nb = tok.agg(count(lit(1)).as("nt"))
+      big
+        .join(uni, Seq("w"))
+        .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+        .crossJoin(broadcast(nb))
+        .withColumn("pmi4", expr(
+          "cast(round(round(log2(cb * cast(nt as double) / " +
+            "(cast(cu as double) * cu2)), 4) * 10000) as bigint)"))
+        .select(col("w"), col("w2"), col("cb"), col("pmi4"))
+        .orderBy(col("pmi4").desc, col("w"), col("w2"))
+        .limit(20)
+    }),
+
+    // ---- word2vec negative-sampling table (the unigram^0.75
+    // distribution every embedding trainer draws negatives from):
+    // c^0.75 computed as sqrt(sqrt(c³)) — two CORRECTLY-ROUNDED IEEE
+    // sqrts on an exact integer cube, so the weight is bit-identical
+    // in any engine (pow(c, 0.75) is not correctly rounded and may
+    // differ in the last ulp); weights quantized to an integer grid
+    // BEFORE the normalizing sum so the total is exact. Output: the
+    // top-50 vocabulary rows by count with their sampling ppm ----
+    "q268_negative_sampling" -> ((s, d) => {
+      val uni = tSpread(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("wq", expr(
+          "cast(floor(sqrt(sqrt(cast(c as double) * c * c)) * 10000" +
+            " + 0.5) as bigint)"))
+        .localCheckpoint() // feeds the total AND the top-k
+      val tot = uni.agg(sum(col("wq")).as("tw"))
+      uni.crossJoin(broadcast(tot))
+        .select(col("w"), col("c"),
+          // double-space ppm: wq*1e6 can pass 2^63 at extreme counts,
+          // and both engines compute the identical double chain
+          expr("cast(round(cast(wq as double) * 1000000 / tw) as bigint)")
+            .as("weight_ppm"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(50)
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11885,5 +11944,54 @@ object SparkEntry {
         | CAST(abs(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) * 10000
         |   // count(*) - 2000) AS BIGINT) AS doc_dev_bp
         |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    // PMI replay: q88's count CTEs + the same log2 ratio.
+    "q267_pmi_collocations" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS w
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |big AS (
+        | SELECT doc_id, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM tok
+        | QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w, w2, count(*) AS cb FROM big GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+        |nt AS (SELECT count(*) AS nt FROM tok)
+        |SELECT b.w, b.w2, CAST(b.cb AS BIGINT) AS cb,
+        | CAST(round(round(log2(b.cb * CAST(nt.nt AS DOUBLE)
+        |   / (CAST(u1.cu AS DOUBLE) * u2.cu)), 4) * 10000) AS BIGINT)
+        |  AS pmi4
+        |FROM bi b
+        | JOIN uni u1 ON u1.w = b.w
+        | JOIN uni u2 ON u2.w = b.w2
+        | CROSS JOIN nt
+        |ORDER BY pmi4 DESC, b.w, b.w2 LIMIT 20""".stripMargin,
+
+    // negative-sampling replay: sqrt(sqrt(c³)) weights on the same
+    // integer grid, ppm in the same double chain.
+    "q268_negative_sampling" ->
+      """WITH uni AS (
+        | SELECT w, count(*) AS c FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |   AS w FROM documents)
+        | WHERE length(w) > 0 GROUP BY 1),
+        |wq AS (
+        | SELECT w, c,
+        |  CAST(floor(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 10000 + 0.5)
+        |    AS BIGINT) AS wq
+        | FROM uni),
+        |tw AS (SELECT sum(wq) AS tw FROM wq)
+        |SELECT w, CAST(c AS BIGINT) AS c,
+        | CAST(round(CAST(wq AS DOUBLE) * 1000000 / tw) AS BIGINT)
+        |  AS weight_ppm
+        |FROM wq CROSS JOIN tw
+        |ORDER BY c DESC, w LIMIT 50""".stripMargin,
   )
 }
