@@ -6394,6 +6394,59 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w"))
         .limit(50)
     }),
+
+    // ---- proxy ROC sweep (q246 showed calibration; this shows
+    // DISCRIMINATION: tpr/fpr/precision of "keep iff perplexity ≤ t"
+    // against the gopher labels, for t = 4.0..7.0 bits step 0.1):
+    // doc-grain work is the same two audited frames joined once; the
+    // sweep runs on a (hundredth-bit bin × label) HISTOGRAM, so the
+    // 31-point threshold spine never touches doc-grain rows ----
+    "q269_proxy_roc" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val tok = docs.select(col("doc_id"), posexplode(
+          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+        .filter(col("w2").isNotNull)
+      val biCounts = big.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      val scored = big.join(biCounts, Seq("w", "w2"))
+        .join(uniCounts, Seq("w"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+        .groupBy(col("doc_id"))
+        .agg(expr("cast(round(round(-avg(logp), 4) * 10000) as bigint)")
+          .as("ppl10k"))
+      val gate = TextFunctions.gopherQuality(docs, "text", "doc_id")
+        .select(col("doc_id"), col("keep"))
+      val h = scored.join(gate, Seq("doc_id"))
+        .groupBy(expr("ppl10k div 100").as("bin"), col("keep"))
+        .agg(count(lit(1)).as("c"))
+      val tot = h.agg(
+        sum(when(col("keep"), col("c")).otherwise(0L)).as("pos"),
+        sum(when(!col("keep"), col("c")).otherwise(0L)).as("neg"))
+      val spine = s.range(400, 710, 10).select(col("id").as("t"))
+      spine.join(h, col("bin") <= col("t"), "left")
+        .groupBy(col("t"))
+        .agg(sum(when(col("keep"), col("c")).otherwise(0L)).as("tp"),
+          sum(when(!col("keep"), col("c")).otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select((col("t") * 100).cast("bigint").as("ppl10k_threshold"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("fp"), lit(0L)).as("fp"),
+          expr("floor(coalesce(tp, 0) * 10000.0 / pos + 0.5) / 10000")
+            .as("tpr"),
+          expr("floor(coalesce(fp, 0) * 10000.0 / neg + 0.5) / 10000")
+            .as("fpr"),
+          expr("case when coalesce(tp, 0) + coalesce(fp, 0) > 0 then " +
+            "floor(tp * 10000.0 / (tp + fp) + 0.5) / 10000 end")
+            .as("prec"))
+        .orderBy(col("ppl10k_threshold"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -11993,5 +12046,76 @@ object SparkEntry {
         |  AS weight_ppm
         |FROM wq CROSS JOIN tw
         |ORDER BY c DESC, w LIMIT 50""".stripMargin,
+
+    // ROC replay: q246's scored+gate CTEs, the same histogram sweep.
+    "q269_proxy_roc" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, ts, unnest(range(1, array_length(ts) + 1)) AS i
+        | FROM (SELECT doc_id,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |       FROM documents)),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS w
+        | FROM tok0 WHERE length(ts[CAST(i AS INT)]) > 0),
+        |big AS (
+        | SELECT doc_id, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM tok
+        | QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |sc AS (
+        | SELECT b.doc_id,
+        |  CAST(round(round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4)
+        |       * 10000) AS BIGINT) AS ppl10k
+        | FROM big b
+        |  JOIN bi ON bi.w = b.w AND bi.w2 = b.w2
+        |  JOIN uni ON uni.w = b.w
+        |  CROSS JOIN v
+        | GROUP BY b.doc_id),
+        |gt AS (
+        | SELECT doc_id,
+        |  (array_length(t) >= 30 AND array_length(t) <= 100000
+        |   AND floor(length(array_to_string(t, '')) * 10000.0
+        |        / array_length(t) + 0.5) / 10000 BETWEEN 3.0 AND 10.0
+        |   AND floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |        * 10000.0 / array_length(t) + 0.5) / 10000 >= 0.8
+        |   AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) >= 2)
+        |   AS keep
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |        list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> lower(x)) AS lt
+        |       FROM documents WHERE length(trim(text)) > 0)),
+        |h AS (
+        | SELECT ppl10k // 100 AS bin, keep, count(*) AS c
+        | FROM sc JOIN gt ON sc.doc_id = gt.doc_id GROUP BY 1, 2),
+        |tot AS (
+        | SELECT sum(CASE WHEN keep THEN c ELSE 0 END) AS pos,
+        |  sum(CASE WHEN NOT keep THEN c ELSE 0 END) AS neg
+        | FROM h),
+        |sp AS (SELECT unnest(range(400, 710, 10)) AS t),
+        |g AS (
+        | SELECT t,
+        |  sum(CASE WHEN keep THEN c ELSE 0 END) AS tp,
+        |  sum(CASE WHEN NOT keep THEN c ELSE 0 END) AS fp
+        | FROM sp LEFT JOIN h ON bin <= t GROUP BY t)
+        |SELECT CAST(t * 100 AS BIGINT) AS ppl10k_threshold,
+        | CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+        | CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+        | floor(coalesce(tp, 0) * 10000.0 / pos + 0.5) / 10000 AS tpr,
+        | floor(coalesce(fp, 0) * 10000.0 / neg + 0.5) / 10000 AS fpr,
+        | CASE WHEN coalesce(tp, 0) + coalesce(fp, 0) > 0 THEN
+        |  floor(tp * 10000.0 / (tp + fp) + 0.5) / 10000 END AS prec
+        |FROM g CROSS JOIN tot
+        |ORDER BY ppl10k_threshold""".stripMargin,
   )
 }
