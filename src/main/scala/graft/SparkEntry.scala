@@ -6447,6 +6447,69 @@ object SparkEntry {
             .as("prec"))
         .orderBy(col("ppl10k_threshold"))
     }),
+
+    // ---- packed-attention contamination card (GPT-style packing
+    // (q172/q226) lets attention cross document boundaries — this
+    // measures the leak: for context lengths 256..2048, the share of
+    // causal token PAIRS inside a chunk that span two documents,
+    // computed in closed form from span lengths — Σᵢⱼ = m(m−1)/2 −
+    // Σ span(span−1)/2, no pair ever materialized): the GlobalOrder
+    // running sum computes ONCE (localCheckpoint); each L is a
+    // bounded chunk explode + two aggregates ----
+    "q270_attention_contamination" -> ((s, d) => {
+      import graft.operators.GlobalOrder
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.bpeTokenCount(col("text"))
+            .cast("bigint").as("n_tok"))
+      val base = GlobalOrder.withRunningSumLong(docs, Seq(col("doc_id")),
+          col("n_tok"), "cum")
+        .withColumn("off", col("cum") - col("n_tok"))
+        .filter(col("n_tok") > 0)
+        .localCheckpoint()
+      Seq(256L, 512L, 1024L, 2048L).map { l =>
+        base
+          .withColumn("chunk", explode(sequence(
+            expr(s"off div $l"), expr(s"(off + n_tok - 1) div $l"))))
+          .withColumn("span",
+            least((col("chunk") + 1) * l, col("off") + col("n_tok")) -
+              greatest(col("chunk") * l, col("off")))
+          .groupBy(col("chunk"))
+          .agg(sum(col("span")).as("m"),
+            sum(expr("span * (span - 1) div 2")).as("within"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(expr("m * (m - 1) div 2")).as("total_pairs"),
+            sum(col("within")).as("within_pairs"))
+          .select(lit(l).as("context_len"), col("n_chunks"),
+            col("total_pairs"),
+            (col("total_pairs") - col("within_pairs"))
+              .as("cross_doc_pairs"),
+            expr("floor((total_pairs - within_pairs) * 10000.0 " +
+              "/ total_pairs + 0.5) / 10000").as("cross_share"))
+      }.reduce(_ unionByName _).orderBy(col("context_len"))
+    }),
+
+    // ---- shard balance audit (the ops sheet over q218's packing: is
+    // any shard pathologically under-filled? by the exclusive-prefix
+    // construction only the LAST shard can be — this card proves it):
+    // q218's machinery plus a 1-row rollup ----
+    "q271_shard_balance" -> ((s, d) => {
+      import graft.operators.Curation
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_toks"))
+      Curation.shardByTokens(docs, "doc_id", "n_toks",
+          shardBudget = 25000L)
+        .groupBy(col("shard"))
+        .agg(sum(col("n_toks")).as("st"))
+        .agg(count(lit(1)).as("n_shards"), min(col("st")).as("min_tokens"),
+          max(col("st")).as("max_tokens"), sum(col("st")).as("total_tokens"))
+        .select(col("n_shards"), col("min_tokens"), col("max_tokens"),
+          col("total_tokens"),
+          expr("max_tokens * 10000 div (total_tokens div n_shards)")
+            .as("imbalance_bp"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12117,5 +12180,65 @@ object SparkEntry {
         |  floor(tp * 10000.0 / (tp + fp) + 0.5) / 10000 END AS prec
         |FROM g CROSS JOIN tot
         |ORDER BY ppl10k_threshold""".stripMargin,
+
+    // attention-contamination replay: q226's running-sum/chunk CTEs
+    // crossed with the L spine, same closed-form pair algebra.
+    "q270_attention_contamination" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(length(regexp_extract_all(text, '\w+|[^\w\s]'))
+        |   AS BIGINT) AS n_tok
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t),
+        |b AS (SELECT doc_id, n_tok, cum - n_tok AS off
+        |      FROM r WHERE n_tok > 0),
+        |ls AS (SELECT unnest([256, 512, 1024, 2048]) AS L),
+        |e AS (
+        | SELECT L, off, n_tok,
+        |  unnest(range(CAST(off // L AS BIGINT),
+        |    CAST((off + n_tok - 1) // L + 1 AS BIGINT))) AS chunk
+        | FROM b CROSS JOIN ls),
+        |sp AS (
+        | SELECT L, chunk,
+        |  least((chunk + 1) * L, off + n_tok) - greatest(chunk * L, off)
+        |   AS span
+        | FROM e),
+        |c AS (
+        | SELECT L, chunk, sum(span) AS m,
+        |  sum(span * (span - 1) // 2) AS within
+        | FROM sp GROUP BY 1, 2)
+        |SELECT CAST(L AS BIGINT) AS context_len,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(m * (m - 1) // 2) AS BIGINT) AS total_pairs,
+        | CAST(sum(m * (m - 1) // 2) - sum(within) AS BIGINT)
+        |  AS cross_doc_pairs,
+        | floor((sum(m * (m - 1) // 2) - sum(within)) * 10000.0
+        |  / sum(m * (m - 1) // 2) + 0.5) / 10000 AS cross_share
+        |FROM c GROUP BY L ORDER BY context_len""".stripMargin,
+
+    // shard-balance replay: q218's CTEs + the same 1-row rollup.
+    "q271_shard_balance" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS BIGINT) AS n_toks,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS rk
+        | FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |  coalesce(sum(n_toks) OVER (ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        | FROM d),
+        |g AS (SELECT excl // 25000 AS shard, sum(n_toks) AS st
+        |      FROM c GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+        | CAST(min(st) AS BIGINT) AS min_tokens,
+        | CAST(max(st) AS BIGINT) AS max_tokens,
+        | CAST(sum(st) AS BIGINT) AS total_tokens,
+        | CAST(max(st) * 10000 // (sum(st) // count(*)) AS BIGINT)
+        |  AS imbalance_bp
+        |FROM g""".stripMargin,
   )
 }
