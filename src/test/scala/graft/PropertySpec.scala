@@ -219,6 +219,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stutterCollapse property: idempotent, no adjacent equals, " +
+      "equals a plain-Scala fold") {
+    val wordGen = Gen.oneOf("a", "b", "the", "cat", "sat")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val texts = cases(textGen).distinct
+    def model(t: String): String = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      toks.foldLeft(List.empty[String]) { (acc, w) =>
+        if (acc.headOption.contains(w)) acc else w :: acc
+      }.reverse.mkString(" ")
+    }
+    val got = texts.toDF("text")
+      .select(col("text"),
+        graft.text.TextFunctions.stutterCollapse(col("text")).as("c1"))
+      .select(col("text"), col("c1"),
+        graft.text.TextFunctions.stutterCollapse(col("c1")).as("c2"))
+      .collect()
+    got.foreach { r =>
+      val (t, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == model(t), s"model mismatch for '$t': '$c1'")
+      assert(c2 == c1, s"not idempotent for '$t': '$c1' -> '$c2'")
+      val toks = c1.split(" ").filter(_.nonEmpty)
+      toks.sliding(2).foreach { p =>
+        if (p.length == 2) assert(p(0) != p(1), s"adjacent equal in '$c1'")
+      }
+    }
+  }
+
   test("WavCodec property: arbitrary PCM16 clips round-trip byte-exactly") {
     import graft.multimodal.WavCodec
     val clipGen = for {
