@@ -6510,6 +6510,32 @@ object SparkEntry {
           expr("max_tokens * 10000 div (total_tokens div n_shards)")
             .as("imbalance_bp"))
     }),
+
+    // ---- contamination burden by source (which sources leak eval
+    // content — the provenance rollup of q251 that decides whether a
+    // source gets dropped or excised): q251's audited span machinery
+    // collapses to per-doc leaked chars, then ONE source-grain
+    // aggregate over the train split; leak rate in exact integer ppm ----
+    "q272_contamination_by_source" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      val leaked = Dedup.contaminationSpans(train,
+          docs.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+          window = 40)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("leaked"))
+      train.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(leaked, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("leaked").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(coalesce(col("leaked"), lit(0L))).as("leaked_chars"))
+        .withColumn("leak_ppm",
+          expr("leaked_chars * 1000000 div total_chars"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12240,5 +12266,47 @@ object SparkEntry {
         | CAST(max(st) * 10000 // (sum(st) // count(*)) AS BIGINT)
         |  AS imbalance_bp
         |FROM g""".stripMargin,
+
+    // burden replay: q251's span CTEs collapsed per doc, then the
+    // same source rollup over the train split.
+    "q272_contamination_by_source" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, p, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 7 <> 0),
+        |bench AS (
+        | SELECT DISTINCT substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 7 = 0),
+        |fl AS (
+        | SELECT o.doc_id, o.p, o.p + 39 AS e
+        | FROM occ o JOIN bench b ON b.win = o.win),
+        |brk AS (
+        | SELECT doc_id, p, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM fl),
+        |isl AS (
+        | SELECT doc_id, p, e,
+        |  sum(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        | FROM brk),
+        |spans AS (
+        | SELECT doc_id, min(p) AS sp, max(e) AS ep
+        | FROM isl GROUP BY doc_id, island),
+        |lk AS (SELECT doc_id, sum(ep - sp + 1) AS leaked
+        |       FROM spans GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN lk.leaked IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_contaminated,
+        | CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(coalesce(lk.leaked, 0)) AS BIGINT) AS leaked_chars,
+        | CAST(sum(coalesce(lk.leaked, 0)) * 1000000 // sum(d.n_chars)
+        |   AS BIGINT) AS leak_ppm
+        |FROM documents d LEFT JOIN lk ON lk.doc_id = d.doc_id
+        |WHERE d.doc_id % 7 <> 0
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
   )
 }
