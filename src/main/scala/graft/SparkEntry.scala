@@ -6536,6 +6536,32 @@ object SparkEntry {
           expr("leaked_chars * 1000000 div total_chars"))
         .orderBy(col("source"))
     }),
+
+    // ---- benchmark memorization exposure (q251/q272 ask what the
+    // TRAIN side leaked; this asks the reverse — what fraction of the
+    // BENCHMARK's distinct 40-char windows already exist in training
+    // text, i.e. how much of the eval set a perfect memorizer gets
+    // for free): two distinct window-hash sets, one existence join,
+    // 1-row output in exact basis points ----
+    "q273_bench_exposure" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      def wins(df: DataFrame) = df.filter(col("n_chars") >= 40)
+        .select(col("text"), explode(sequence(lit(1L),
+          col("n_chars") - 39)).as("p"))
+        .select(xxhash64(expr("substring(text, cast(p as int), 40)"))
+          .as("wh"))
+        .distinct()
+      val bench = wins(docs.filter(col("doc_id") % 7 === 0))
+      val train = wins(docs.filter(col("doc_id") % 7 =!= 0))
+        .withColumn("_hit", lit(true))
+      bench.join(train, Seq("wh"), "left")
+        .agg(count(lit(1)).as("bench_windows"),
+          sum(when(col("_hit"), 1L).otherwise(0L)).as("windows_found"))
+        .select(col("bench_windows"), col("windows_found"),
+          expr("windows_found * 10000 div bench_windows")
+            .as("exposure_bp"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12308,5 +12334,25 @@ object SparkEntry {
         |FROM documents d LEFT JOIN lk ON lk.doc_id = d.doc_id
         |WHERE d.doc_id % 7 <> 0
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // exposure replay: distinct window STRINGS both sides (the Spark
+    // side hashes — q180's accepted hash-vs-string equivalence).
+    "q273_bench_exposure" ->
+      """WITH pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |bw AS (
+        | SELECT DISTINCT substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 7 = 0),
+        |tw AS (
+        | SELECT DISTINCT substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 7 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS bench_windows,
+        | CAST(sum(CASE WHEN tw.win IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS windows_found,
+        | CAST(sum(CASE WHEN tw.win IS NOT NULL THEN 1 ELSE 0 END) * 10000
+        |   // count(*) AS BIGINT) AS exposure_bp
+        |FROM bw LEFT JOIN tw ON tw.win = bw.win""".stripMargin,
   )
 }
