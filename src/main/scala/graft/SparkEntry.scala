@@ -6562,6 +6562,34 @@ object SparkEntry {
           expr("windows_found * 10000 div bench_windows")
             .as("exposure_bp"))
     }),
+
+    // ---- SimHash Hamming yield curve (q247 tuned the Jaccard
+    // cutoff; this tunes the OTHER near-dup family's threshold: pairs
+    // and docs flagged at each Hamming distance 0..3 — the banded
+    // candidate generator is pigeonhole-complete exactly to distance
+    // nBands−1, so the curve is exact over its provable range): the
+    // audited banded pairs, one histogram, ≤ 4-row spine cumulatives ----
+    "q274_simhash_yield_curve" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val pairs = Dedup.simhashHammingPairs(docs, "text", "doc_id",
+          maxHamming = 3)
+        .localCheckpoint() // feeds the pair and doc histograms
+      val ph = pairs.groupBy(col("hamming").as("hd"))
+        .agg(count(lit(1)).as("c"))
+      val dh = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"),
+          col("hamming"))
+        .groupBy(col("id")).agg(min(col("hamming")).as("mh"))
+        .groupBy(col("mh").as("hd")).agg(count(lit(1)).as("c"))
+      val spine = s.range(0, 4).select(col("id").as("t"))
+      val pc = spine.join(ph, ph("hd") <= spine("t"), "left")
+        .groupBy(col("t")).agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs"))
+      val dc = spine.join(dh, dh("hd") <= spine("t"), "left")
+        .groupBy(col("t")).agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"))
+      pc.join(dc, Seq("t"))
+        .select(col("t").as("hamming_le"), col("n_pairs"), col("n_docs"))
+        .orderBy(col("hamming_le"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12354,5 +12382,41 @@ object SparkEntry {
         | CAST(sum(CASE WHEN tw.win IS NOT NULL THEN 1 ELSE 0 END) * 10000
         |   // count(*) AS BIGINT) AS exposure_bp
         |FROM bw LEFT JOIN tw ON tw.win = bw.win""".stripMargin,
+
+    // simhash-yield replay: q24's signature CTEs, brute all-pairs ≤ 3
+    // (the banded engine path is pigeonhole-complete on that range —
+    // DedupSpec proves banded == brute), same spine cumulatives.
+    "q274_simhash_yield_curve" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |th AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM toks),
+        |votes AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM th),
+        |sig AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM votes),
+        |s2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM sig),
+        |pr AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.s, b.s)) AS hd
+        | FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |ph AS (SELECT hd, count(*) AS c FROM pr GROUP BY 1),
+        |dm AS (SELECT id, min(hd) AS mh FROM (
+        |  SELECT id_a AS id, hd FROM pr
+        |  UNION ALL SELECT id_b AS id, hd FROM pr) GROUP BY id),
+        |dh AS (SELECT mh AS hd, count(*) AS c FROM dm GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 4)) AS t),
+        |pc AS (SELECT t, coalesce(sum(c), 0) AS n_pairs
+        |       FROM sp LEFT JOIN ph ON hd <= t GROUP BY t),
+        |dc AS (SELECT t, coalesce(sum(c), 0) AS n_docs
+        |       FROM sp LEFT JOIN dh ON hd <= t GROUP BY t)
+        |SELECT CAST(t AS BIGINT) AS hamming_le,
+        | CAST(n_pairs AS BIGINT) AS n_pairs,
+        | CAST(n_docs AS BIGINT) AS n_docs
+        |FROM pc JOIN dc USING (t) ORDER BY hamming_le""".stripMargin,
   )
 }
