@@ -6590,6 +6590,67 @@ object SparkEntry {
         .select(col("t").as("hamming_le"), col("n_pairs"), col("n_docs"))
         .orderBy(col("hamming_le"))
     }),
+
+    // ---- dedup-family agreement card (do MinHash-LSH and SimHash
+    // surface the SAME candidate pairs? — the cross-check that catches
+    // a mis-parameterized family before it silently under-dedups):
+    // both audited candidate generators, ONE full-outer join on the
+    // pair key, 1-row counts + agreement in exact basis points ----
+    "q275_dedup_family_agreement" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val b = Dedup.lshBuckets(
+        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id")
+      val mh = b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        .withColumn("in_mh", lit(true))
+      val sh = Dedup.simhashHammingPairs(docs, "text", "doc_id",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b")).distinct()
+        .withColumn("in_sh", lit(true))
+      mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_mh").isNotNull && col("in_sh").isNull, 1L)
+            .otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("in_mh").isNull && col("in_sh").isNotNull, 1L)
+            .otherwise(0L)).as("n_simhash_only"))
+        .select(col("n_both"), col("n_minhash_only"), col("n_simhash_only"),
+          expr("case when n_both + n_minhash_only + n_simhash_only > 0 " +
+            "then n_both * 10000 div " +
+            "(n_both + n_minhash_only + n_simhash_only) end")
+            .as("agreement_bp"))
+    }),
+
+    // ---- token-budget ablation curve (how does selection quality
+    // move as the budget grows? — the card behind "train on the best
+    // X%"): the audited skew-proof selectByBudget at four budgets
+    // over ONE checkpointed scored frame; each point rolls up to one
+    // row with the exact integer mean quality of its selection ----
+    "q276_budget_ablation" -> ((s, d) => {
+      import graft.operators.Curation
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .filter(col("n_tokens") > 0)
+        .localCheckpoint()
+      Seq(6000L, 12000L, 25000L, 50000L).map { bgt =>
+        Curation.selectByBudget(docs, "q", "doc_id", "n_tokens",
+            budget = bgt)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sel_tokens"),
+            expr("case when count(1) > 0 then " +
+              "sum(cast(round(q * 10000) as bigint)) div count(1) end")
+              .as("mean_q4"))
+          .select(lit(bgt).as("budget"), col("n_docs"),
+            col("sel_tokens"), col("mean_q4"))
+      }.reduce(_ unionByName _).orderBy(col("budget"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12418,5 +12479,73 @@ object SparkEntry {
         | CAST(n_pairs AS BIGINT) AS n_pairs,
         | CAST(n_docs AS BIGINT) AS n_docs
         |FROM pc JOIN dc USING (t) ORDER BY hamming_le""".stripMargin,
+
+    // agreement replay: the shared minhash candidate CTEs plus a
+    // suffixed simhash chain (CTE names must not collide), full-outer
+    // joined on the pair key.
+    "q275_dedup_family_agreement" ->
+      s"""$minhashClusterCteSql,
+        |mp AS (SELECT id_a, id_b FROM pairs),
+        |t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+        |h2 AS (SELECT doc_id, list_transform(ts, t -> CAST(${fnvSql("t", "f")} AS UBIGINT)) AS hs FROM t2),
+        |v2 AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |   list_sum(list_transform(hs, h -> CASE WHEN
+        |     ((h >> CAST(b AS UBIGINT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END))) AS vs
+        | FROM h2),
+        |g2 AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+        |   list_transform(range(63, -1, -1), b ->
+        |     CASE WHEN vs[CAST(b AS INT) + 1] > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |   (a, bit) -> a * 2 + bit) AS u FROM v2),
+        |x2 AS (SELECT doc_id, CAST(${toSignedSql("u")} AS BIGINT) AS s FROM g2),
+        |sp AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM x2 a JOIN x2 b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |j AS (
+        | SELECT
+        |  CASE WHEN mp.id_a IS NOT NULL AND sp.id_a IS NOT NULL
+        |   THEN 1 ELSE 0 END AS both_f,
+        |  CASE WHEN mp.id_a IS NOT NULL AND sp.id_a IS NULL
+        |   THEN 1 ELSE 0 END AS mh_f,
+        |  CASE WHEN mp.id_a IS NULL AND sp.id_a IS NOT NULL
+        |   THEN 1 ELSE 0 END AS sh_f
+        | FROM mp FULL OUTER JOIN sp
+        |  ON mp.id_a = sp.id_a AND mp.id_b = sp.id_b)
+        |SELECT CAST(sum(both_f) AS BIGINT) AS n_both,
+        | CAST(sum(mh_f) AS BIGINT) AS n_minhash_only,
+        | CAST(sum(sh_f) AS BIGINT) AS n_simhash_only,
+        | CAST(CASE WHEN sum(both_f) + sum(mh_f) + sum(sh_f) > 0 THEN
+        |  sum(both_f) * 10000 // (sum(both_f) + sum(mh_f) + sum(sh_f))
+        |  END AS BIGINT) AS agreement_bp
+        |FROM j""".stripMargin,
+
+    // ablation replay: q208's greedy cumsum crossed with the budget
+    // spine (count over the LEFT JOIN counts matched docs only).
+    "q276_budget_ablation" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |   ELSE round(length(regexp_extract_all(lower(text),
+        |     '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
+        |     array_length(regexp_split_to_array(trim(text), '\s+')), 4)
+        |   END AS q
+        | FROM documents),
+        |f AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, q
+        |      FROM t WHERE n_tokens > 0),
+        |o AS (SELECT doc_id, n_tokens, q,
+        |  sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM f),
+        |bs AS (SELECT unnest([6000, 12000, 25000, 50000]) AS budget)
+        |SELECT CAST(budget AS BIGINT) AS budget,
+        | CAST(count(o.doc_id) AS BIGINT) AS n_docs,
+        | CAST(sum(o.n_tokens) AS BIGINT) AS sel_tokens,
+        | CAST(CASE WHEN count(o.doc_id) > 0 THEN
+        |   sum(CAST(round(o.q * 10000) AS BIGINT)) // count(o.doc_id)
+        |  END AS BIGINT) AS mean_q4
+        |FROM bs LEFT JOIN o ON o.cum <= budget
+        |GROUP BY budget ORDER BY budget""".stripMargin,
   )
 }
