@@ -6651,6 +6651,44 @@ object SparkEntry {
             col("sel_tokens"), col("mean_q4"))
       }.reduce(_ unionByName _).orderBy(col("budget"))
     }),
+
+    // ---- data-constrained mixture plan (the capstone planning card:
+    // given a token budget of 2× the corpus, α=0.5 temperature shares
+    // (q242) say what each source SHOULD contribute; repeating data
+    // decays (q249) — so how many epochs does each source run, and
+    // what does it actually deliver?): per-source ⌊√u⌋ → exact ppm
+    // shares → integer need → ceil-div epochs (capped 8) → divide-
+    // first decay value; deficit = need − delivered. Every step is
+    // overflow-free integer arithmetic; all frames after the ONE
+    // source-grain aggregate are |sources|-bounded ----
+    "q277_mixture_plan" -> ((s, d) => {
+      val srcTok = tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .groupBy(col("source"))
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+          .as("u"))
+        .withColumn("r", expr("cast(floor(sqrt(cast(u as double))) " +
+          "as bigint)"))
+      val tot = srcTok.agg(sum(col("u")).as("tu"), sum(col("r")).as("tr"))
+      val plan = srcTok.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("r * 1000000 div tr"))
+        .withColumn("need", expr("share_ppm * (2 * tu) div 1000000"))
+        .withColumn("epochs", expr(
+          "least((need + u - 1) div u, cast(8 as bigint))"))
+      val grid = s.range(1, 9).select(col("id").as("i"))
+      plan.join(broadcast(grid), col("i") <= col("epochs"))
+        .withColumn("term", expr(
+          "(u div cast(pow(4, i - 1) as bigint)) " +
+            "* cast(pow(3, i - 1) as bigint)"))
+        .groupBy(col("source"))
+        .agg(max(col("u")).as("u"), max(col("share_ppm")).as("share_ppm"),
+          max(col("need")).as("need_tokens"),
+          max(col("epochs")).as("epochs"),
+          sum(col("term")).as("eff_tokens"))
+        .withColumn("deficit",
+          greatest(col("need_tokens") - col("eff_tokens"), lit(0L)))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12547,5 +12585,37 @@ object SparkEntry {
         |  END AS BIGINT) AS mean_q4
         |FROM bs LEFT JOIN o ON o.cum <= budget
         |GROUP BY budget ORDER BY budget""".stripMargin,
+
+    // mixture-plan replay: same √u ppm ladder, ceil-div epochs, and
+    // divide-first decay (q242 + q249 integer algebra composed).
+    "q277_mixture_plan" ->
+      """WITH st AS (
+        | SELECT source,
+        |  sum(array_length(regexp_split_to_array(trim(text), '\s+'))) AS u
+        | FROM documents WHERE length(trim(text)) > 0 GROUP BY 1),
+        |sr AS (SELECT source, CAST(u AS BIGINT) AS u,
+        |        CAST(floor(sqrt(CAST(u AS DOUBLE))) AS BIGINT) AS r
+        |       FROM st),
+        |tt AS (SELECT sum(u) AS tu, sum(r) AS tr FROM sr),
+        |pl AS (
+        | SELECT source, u, r * 1000000 // tr AS share_ppm,
+        |  (r * 1000000 // tr) * (2 * tu) // 1000000 AS need
+        | FROM sr CROSS JOIN tt),
+        |p2 AS (SELECT source, u, share_ppm, need,
+        |        least((need + u - 1) // u, 8) AS epochs
+        |       FROM pl),
+        |ep AS (SELECT unnest(range(1, 9)) AS i),
+        |terms AS (
+        | SELECT source, u, share_ppm, need, epochs, i,
+        |  (u // CAST(pow(4, i - 1) AS BIGINT))
+        |   * CAST(pow(3, i - 1) AS BIGINT) AS term
+        | FROM p2 JOIN ep ON i <= epochs)
+        |SELECT source, CAST(max(u) AS BIGINT) AS u,
+        | CAST(max(share_ppm) AS BIGINT) AS share_ppm,
+        | CAST(max(need) AS BIGINT) AS need_tokens,
+        | CAST(max(epochs) AS BIGINT) AS epochs,
+        | CAST(sum(term) AS BIGINT) AS eff_tokens,
+        | CAST(greatest(max(need) - sum(term), 0) AS BIGINT) AS deficit
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
   )
 }
