@@ -6689,6 +6689,27 @@ object SparkEntry {
           greatest(col("need_tokens") - col("eff_tokens"), lit(0L)))
         .orderBy(col("source"))
     }),
+
+    // ---- near-dup cluster-size spectrum (the distribution behind
+    // every dedup decision in this corpus: how many clusters of each
+    // size, and what share of documents they hold): q23's transitive
+    // clusters → one cluster-key aggregate → a size-grain histogram
+    // (bounded by the max cluster size); doc share in exact ppm ----
+    "q278_cluster_size_spectrum" -> ((s, d) => {
+      val docs = tSpread(s, d, "documents")
+      val cc = Dedup.minhashClustersTransitive(docs, "text", "doc_id")
+      val sizes = cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csz"))
+      val tot = cc.agg(count(lit(1)).as("nd"))
+      sizes.groupBy(col("csz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          expr("cluster_size * n_clusters * 1000000 div nd")
+            .as("doc_share_ppm"))
+        .orderBy(col("cluster_size"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12617,5 +12638,17 @@ object SparkEntry {
         | CAST(sum(term) AS BIGINT) AS eff_tokens,
         | CAST(greatest(max(need) - sum(term), 0) AS BIGINT) AS deficit
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // spectrum replay: the shared minhash clusters + size histogram.
+    "q278_cluster_size_spectrum" ->
+      s"""$minhashClusterCteSql,
+        |cc AS (SELECT id, min(c) AS cluster_id FROM lbl GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM cc)
+        |SELECT CAST(csz AS BIGINT) AS cluster_size,
+        | CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(csz * count(*) AS BIGINT) AS n_docs,
+        | CAST(csz * count(*) * 1000000 // nd AS BIGINT) AS doc_share_ppm
+        |FROM sz CROSS JOIN nd GROUP BY csz, nd ORDER BY cluster_size""".stripMargin,
   )
 }
