@@ -189,6 +189,9 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"dsir_weights $what must be a string literal, got $other")
         }
+      if (exprs.length < 2) throw new IllegalArgumentException(
+        "dsir_weights requires at least ('raw_table', 'target_table'); " +
+          s"got ${exprs.length} argument(s)")
       val spark = SparkSession.active
       val raw = spark.table(str(0, "", "raw table"))
       val target = spark.table(str(1, "", "target table"))
@@ -215,6 +218,9 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"contamination_spans $what must be a string literal, got $other")
         }
+      if (exprs.length < 2) throw new IllegalArgumentException(
+        "contamination_spans requires at least ('train_table', " +
+          s"'bench_table'); got ${exprs.length} argument(s)")
       val spark = SparkSession.active
       graft.dedup.Dedup.contaminationSpans(
           spark.table(str(0, "", "train table")),

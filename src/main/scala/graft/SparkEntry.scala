@@ -5691,15 +5691,26 @@ object SparkEntry {
         .withColumn("bin", expr("least(ppl10k div 1000, cast(100 as bigint))"))
       val base = j.agg(sum(when(col("keep"), 1L).otherwise(0L)).as("tp"),
         count(lit(1)).as("tn"))
+      // rates as exact BIGINT basis points (the q247/q261 convention —
+      // round-8 lesson: engine-computed fractional columns never leave
+      // a declared query; see PLANS.md "output typing"). lift's
+      // numerator n_pass·tn·10⁴ passes 9.2e18 at 100 TB doc counts, so
+      // it rides decimal(38,0) and narrows only after the div.
       j.groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"))
         .crossJoin(broadcast(base))
         .select(col("bin"), col("n_docs"), col("n_pass"),
-          expr("floor(n_pass * 10000.0 / n_docs + 0.5) / 10000")
-            .as("pass_rate"),
-          expr("case when tp > 0 then floor(n_pass * 10000.0 * tn " +
-            "/ (cast(n_docs as double) * tp) + 0.5) / 10000 end").as("lift"))
+          expr("(n_pass * 10000 + n_docs div 2) div n_docs")
+            .as("pass_rate_bp"),
+          // half-up as (2·num + den) div (2·den): den div 2 would pass
+          // through Spark's Long-typed IntegralDivide mid-expression and
+          // wrap at 100 TB counts; this form's only div is the final
+          // bounded-result one
+          expr("case when tp > 0 then (2 * cast(n_pass as decimal(38,0)) " +
+            "* tn * 10000 + cast(n_docs as decimal(38,0)) * tp) " +
+            "div (2 * cast(n_docs as decimal(38,0)) * tp) end")
+            .as("lift_bp"))
         .orderBy(col("bin"))
     }),
 
@@ -5772,14 +5783,16 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_toks"),
           sum(when(col("cu").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // OOV rate in exact BIGINT basis points (PLANS.md output typing);
+      // n_oov·10⁴ ≤ per-source tokens·10⁴ ~ 1e17 at 100 TB — inside Long
       perDoc.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(ppl10k) div count(1)").as("mean_ppl10k"))
         .join(oov, Seq("source"))
         .select(col("source"), col("n_docs"), col("mean_ppl10k"),
           col("n_toks"),
-          expr("floor(n_oov * 10000.0 / n_toks + 0.5) / 10000")
-            .as("oov_rate"))
+          expr("(n_oov * 10000 + n_toks div 2) div n_toks")
+            .as("oov_rate_bp"))
         .orderBy(col("source"))
     }),
 
@@ -5809,8 +5822,10 @@ object SparkEntry {
         .withColumn("raw_tokens", col("u") * col("m"))
         .select(col("source"), col("m").as("epochs"),
           col("raw_tokens"), col("eff_tokens"),
-          expr("floor(eff_tokens * 10000.0 / raw_tokens + 0.5) / 10000")
-            .as("efficiency"))
+          // exact BIGINT bp (PLANS.md output typing); eff ≤ raw ≤ 8u,
+          // u ~ 1e13 tokens/source at 100 TB → ·10⁴ stays inside Long
+          expr("(eff_tokens * 10000 + raw_tokens div 2) div raw_tokens")
+            .as("efficiency_bp"))
         .orderBy(col("source"), col("epochs"))
     }),
 
@@ -5846,7 +5861,8 @@ object SparkEntry {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .select(col("centroid_id").cast("bigint").as("centroid_id"),
           col("n_vecs"), col("n_kept"),
-          expr("floor(n_kept * 10000.0 / n_vecs + 0.5) / 10000").as("rate"))
+          // acceptance as exact BIGINT bp (PLANS.md output typing)
+          expr("(n_kept * 10000 + n_vecs div 2) div n_vecs").as("rate_bp"))
         .orderBy(col("centroid_id"))
     }),
 
@@ -5942,15 +5958,17 @@ object SparkEntry {
             count(lit(1)).as("eval_grams"),
             sum(when(col("_hit"), 1L).otherwise(0L)).as("hit_grams"))
           .select(col("n"), col("eval_grams"), col("hit_grams"),
-            expr("floor((eval_grams - hit_grams) * 10000.0 / eval_grams" +
-              " + 0.5) / 10000").as("novelty_rate"))
+            // exact BIGINT bp (PLANS.md output typing)
+            expr("((eval_grams - hit_grams) * 10000 + eval_grams div 2)" +
+              " div eval_grams").as("novelty_rate_bp"))
       }.reduce(_ unionByName _).orderBy(col("n"))
     }),
 
     // ---- Good-Turing unseen-mass + lexical-diversity source card
     // (how much vocabulary is each source still hiding? P0 = n1/N is
     // the Good-Turing estimate of unseen-word probability; Guiraud
-    // R = V/√N is the length-robust type-token ratio): ONE
+    // R = V/√N is the length-robust type-token ratio, carried as
+    // R² = V²/N in integer bp so the output replays exactly): ONE
     // (source, word) aggregate then a sources-grain rollup — the
     // heavy exchange is word-keyed and linear in corpus tokens ----
     "q255_unseen_mass_card" -> ((s, d) => {
@@ -5966,10 +5984,15 @@ object SparkEntry {
           sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
         .select(col("source"), col("n_toks"), col("vocab"), col("n1"),
           col("n2"),
-          expr("floor(n1 * 10000.0 / n_toks + 0.5) / 10000")
-            .as("p0_unseen"),
-          expr("floor(vocab * 10000.0 / sqrt(cast(n_toks as double))" +
-            " + 0.5) / 10000").as("guiraud"))
+          // exact BIGINT bp (PLANS.md output typing). Guiraud R = V/√N
+          // has an irrational denominator, so the card carries R² = V²/N
+          // instead — the same monotone diversity ranking, computed
+          // exactly (V² rides decimal(38,0): vocab² passes Long at
+          // web-corpus vocabulary sizes)
+          expr("(n1 * 10000 + n_toks div 2) div n_toks")
+            .as("p0_unseen_bp"),
+          expr("cast((cast(vocab as decimal(38,0)) * vocab * 10000 " +
+            "+ n_toks div 2) div n_toks as bigint)").as("guiraud_sq_bp"))
         .orderBy(col("source"))
     }),
 
@@ -6077,8 +6100,9 @@ object SparkEntry {
         .agg(countDistinct(col("cluster_id")).as("n_clusters"),
           count(lit(1)).as("n_docs"),
           expr("sum(q10k) div count(1)").as("mean_q10k"),
-          expr("floor(sum(case when q10k < 500 then 1 else 0 end)" +
-            " * 10000.0 / count(1) + 0.5) / 10000").as("low_q_rate"))
+          // exact BIGINT bp (PLANS.md output typing)
+          expr("(sum(case when q10k < 500 then 1 else 0 end) * 10000" +
+            " + count(1) div 2) div count(1)").as("low_q_rate_bp"))
         .orderBy(col("size_bucket"))
     }),
 
@@ -6204,19 +6228,27 @@ object SparkEntry {
       val bS = perDim.agg(sum((col("sv").cast("decimal(19,0)") *
         col("sv").cast("decimal(19,0)")).cast("decimal(38,0)"))
         .as("nrm2_of_sum"))
+      // pure decimal integer arithmetic end to end (round-8 lesson —
+      // the old double floors replayed only because the operands were
+      // exact decimals; PLANS.md output typing). The pair-dot numerator
+      // Σᵢ≠ⱼvᵢ·vⱼ = |Σv|² − Σ|v|² can be NEGATIVE, and div truncates
+      // toward zero in both engines, so floor rides the offset trick
+      // floor(a/b) = (a + K·b) div b − K with K = 10¹² ≫ |a/b| (pair
+      // dots of 10⁴-quantized unit vectors are ≤ ~10⁸ by Cauchy-
+      // Schwarz); anisotropy_bp likewise with K = 10⁶ ≫ |bp| and the
+      // half-up numerator (2·num·10⁴ + den) over 2·den
       a.crossJoin(bS)
+        .withColumn("num", expr("nrm2_of_sum - sum_nrm2"))
+        .withColumn("pden", expr("cast(n as decimal(38,0)) * (n - 1)"))
+        .withColumn("aden", expr("(n - 1) * sum_nrm2"))
         .select(col("n"),
-          expr("cast(floor(cast(sum_nrm2 as double) / n) as bigint)")
-            .as("mean_nrm2_q"),
-          expr("case when n > 1 then cast(floor((cast(nrm2_of_sum " +
-            "as double) - cast(sum_nrm2 as double)) / " +
-            "(cast(n as double) * (n - 1))) as bigint) end")
+          expr("cast(sum_nrm2 div n as bigint)").as("mean_nrm2_q"),
+          expr("case when n > 1 then cast((num + 1000000000000 * pden)" +
+            " div pden - 1000000000000 as bigint) end")
             .as("mean_pair_dot_q"),
-          expr("floor((cast(nrm2_of_sum as double) - " +
-            "cast(sum_nrm2 as double)) * 10000.0 / " +
-            "(cast(n as double) * (n - 1) * " +
-            "(cast(sum_nrm2 as double) / n)) + 0.5) / 10000")
-            .as("anisotropy"))
+          expr("case when n > 1 and sum_nrm2 > 0 then " +
+            "cast((2 * num * 10000 + aden + 2000000 * aden) div " +
+            "(2 * aden) - 1000000 as bigint) end").as("anisotropy_bp"))
     }),
 
     // ---- LSH S-curve, measured (the companion to q260: the textbook
@@ -6244,8 +6276,9 @@ object SparkEntry {
           sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"))
         .select((col("band") * 1000).cast("bigint").as("jaccard_band_bp"),
           col("n_pairs"), col("n_candidates"),
-          expr("floor(n_candidates * 10000.0 / n_pairs + 0.5) / 10000")
-            .as("candidate_rate"))
+          // exact BIGINT bp (PLANS.md output typing)
+          expr("(n_candidates * 10000 + n_pairs div 2) div n_pairs")
+            .as("candidate_rate_bp"))
         .orderBy(col("jaccard_band_bp"))
     }),
 
@@ -6435,16 +6468,20 @@ object SparkEntry {
         .agg(sum(when(col("keep"), col("c")).otherwise(0L)).as("tp"),
           sum(when(!col("keep"), col("c")).otherwise(0L)).as("fp"))
         .crossJoin(broadcast(tot))
+        // exact BIGINT bp (PLANS.md output typing); pos/neg guarded so
+        // an all-keep or all-drop corpus yields NULL, not an ANSI throw
         .select((col("t") * 100).cast("bigint").as("ppl10k_threshold"),
           coalesce(col("tp"), lit(0L)).as("tp"),
           coalesce(col("fp"), lit(0L)).as("fp"),
-          expr("floor(coalesce(tp, 0) * 10000.0 / pos + 0.5) / 10000")
-            .as("tpr"),
-          expr("floor(coalesce(fp, 0) * 10000.0 / neg + 0.5) / 10000")
-            .as("fpr"),
+          expr("case when pos > 0 then " +
+            "(coalesce(tp, 0) * 10000 + pos div 2) div pos end")
+            .as("tpr_bp"),
+          expr("case when neg > 0 then " +
+            "(coalesce(fp, 0) * 10000 + neg div 2) div neg end")
+            .as("fpr_bp"),
           expr("case when coalesce(tp, 0) + coalesce(fp, 0) > 0 then " +
-            "floor(tp * 10000.0 / (tp + fp) + 0.5) / 10000 end")
-            .as("prec"))
+            "(tp * 10000 + (tp + fp) div 2) div (tp + fp) end")
+            .as("prec_bp"))
         .orderBy(col("ppl10k_threshold"))
     }),
 
@@ -6480,12 +6517,17 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_chunks"),
             sum(expr("m * (m - 1) div 2")).as("total_pairs"),
             sum(col("within")).as("within_pairs"))
+          // exact BIGINT bp (PLANS.md output typing); total_pairs·10⁴
+          // passes Long at 100 TB chunk counts, so the product rides
+          // decimal(38,0) and narrows after the div
           .select(lit(l).as("context_len"), col("n_chunks"),
             col("total_pairs"),
             (col("total_pairs") - col("within_pairs"))
               .as("cross_doc_pairs"),
-            expr("floor((total_pairs - within_pairs) * 10000.0 " +
-              "/ total_pairs + 0.5) / 10000").as("cross_share"))
+            expr("case when total_pairs > 0 then cast((cast(total_pairs " +
+              "- within_pairs as decimal(38,0)) * 10000 + total_pairs " +
+              "div 2) div cast(total_pairs as decimal(38,0)) as bigint) " +
+              "end").as("cross_share_bp"))
       }.reduce(_ unionByName _).orderBy(col("context_len"))
     }),
 
@@ -6709,6 +6751,101 @@ object SparkEntry {
           expr("cluster_size * n_clusters * 1000000 div nd")
             .as("doc_share_ppm"))
         .orderBy(col("cluster_size"))
+    }),
+
+    // ---- REAL compressed-image decode (PNG through the JDK's actual
+    // zlib — q222/q223's shape for the first COMPRESSED codec,
+    // shrinking the media stub to lossy formats): deterministic RGBA
+    // PNGs are encoded per image doc (pixels from pure integer
+    // arithmetic, scanline y filtered with type y%5 so one decode
+    // exercises None/Sub/Up/Average/Paeth), then channel sums and a
+    // byte-order-pinning weighted checksum are computed by DECODING
+    // the actual IDAT stream through Inflater + defilter + alpha drop.
+    // Zero exchanges before the presentation sort; every output is an
+    // exact BIGINT (the round-9 typing contract), and the oracle
+    // replays each from the generator formula — any wrong byte anywhere
+    // in deflate→inflate→defilter→RGB moves wsum ----
+    "q279_png_image_stats" -> ((s, d) => {
+      import graft.multimodal.{PngCodec, SyntheticMedia}
+      val gen = udf { (d0: Long) => SyntheticMedia.pngPayload(d0) }
+      val st = udf { (bytes: Array[Byte]) =>
+        PngCodec.decode(bytes).map { img =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            val v = img.rgb(i) & 0xff
+            (i % 3) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case _ => sb += v
+            }
+            wsum += v.toLong * (i + 1)
+            i += 1
+          }
+          (img.width.toLong, img.height.toLong,
+            bytes.length.toLong, sr, sg, sb, wsum)
+        }.orNull
+      }
+      tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), st(gen(col("doc_id"))).as("t"))
+        .select(col("doc_id"),
+          col("t._1").as("width"),
+          col("t._2").as("height"),
+          col("t._4").as("sum_r"),
+          col("t._5").as("sum_g"),
+          col("t._6").as("sum_b"),
+          col("t._7").as("wsum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- cross-container perceptual identity (the dedup property
+    // PNG support must buy: the SAME pixels stored as P6 and as PNG
+    // collapse into ONE phash group): each image doc materializes
+    // twice — a P6 built directly from the pixel formula, and the q279
+    // RGBA PNG whose pixels only EXIST after a real inflate + defilter
+    // + alpha drop — then the container-agnostic phash groups them.
+    // n_p6 == n_png per group is earned, not asserted: any wrong byte
+    // in the PNG chain splits the group and the oracle's 2× counts
+    // stop matching. Zero exchanges before the phash groupBy ----
+    "q280_cross_container_phash" -> ((s, d) => {
+      import graft.multimodal.{Multimodal, PpmCodec, SyntheticMedia}
+      val mk = udf { (d0: Long, container: String) =>
+        if (container == "png") SyntheticMedia.pngPayload(d0)
+        else {
+          // independent construction from the SAME RGBA formula, alpha
+          // skipped — NOT derived from the PNG decode
+          val w = (d0 % 12 + 4).toInt
+          val h = (d0 * 5 % 12 + 4).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            var ch = 0
+            while (ch < 3) {
+              rgb(p * 3 + ch) =
+                ((d0 * 37 + (p.toLong * 4 + ch) * 11) % 256).toByte
+              ch += 1
+            }
+            p += 1
+          }
+          PpmCodec.encode(PpmCodec.Image(w, h, rgb))
+        }
+      }
+      tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          explode(array(lit("p6"), lit("png"))).as("container"))
+        .select(col("doc_id"), col("container"),
+          Multimodal.phash(mk(col("doc_id"), col("container")))
+            .as("phash"))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("container") === "p6", 1L).otherwise(0L))
+            .as("n_p6"),
+          sum(when(col("container") === "png", 1L).otherwise(0L))
+            .as("n_png"),
+          min(col("doc_id")).as("rep_doc"))
+        .orderBy(col("phash"))
     }),
   )
 
@@ -11591,9 +11728,11 @@ object SparkEntry {
         |SELECT CAST(bin AS BIGINT) AS bin,
         | CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(k) AS BIGINT) AS n_pass,
-        | floor(sum(k) * 10000.0 / count(*) + 0.5) / 10000 AS pass_rate,
-        | CASE WHEN tp > 0 THEN floor(sum(k) * 10000.0 * tn
-        |   / (CAST(count(*) AS DOUBLE) * tp) + 0.5) / 10000 END AS lift
+        | CAST((sum(k) * 10000 + count(*) // 2) // count(*) AS BIGINT)
+        |   AS pass_rate_bp,
+        | CAST(CASE WHEN tp > 0 THEN (2 * CAST(sum(k) AS HUGEINT) * tn
+        |   * 10000 + CAST(count(*) AS HUGEINT) * tp)
+        |   // (2 * CAST(count(*) AS HUGEINT) * tp) END AS BIGINT) AS lift_bp
         |FROM j CROSS JOIN base
         |GROUP BY bin, tp, tn ORDER BY bin""".stripMargin,
 
@@ -11683,7 +11822,8 @@ object SparkEntry {
         |SELECT sc.source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(ppl10k) // count(*) AS BIGINT) AS mean_ppl10k,
         | CAST(max(n_toks) AS BIGINT) AS n_toks,
-        | floor(max(n_oov) * 10000.0 / max(n_toks) + 0.5) / 10000 AS oov_rate
+        | CAST((max(n_oov) * 10000 + max(n_toks) // 2) // max(n_toks)
+        |   AS BIGINT) AS oov_rate_bp
         |FROM sc JOIN oov ON sc.source = oov.source
         |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
 
@@ -11704,8 +11844,8 @@ object SparkEntry {
         |SELECT source, CAST(m AS BIGINT) AS epochs,
         | CAST(max(u) * m AS BIGINT) AS raw_tokens,
         | CAST(sum(term) AS BIGINT) AS eff_tokens,
-        | floor(sum(term) * 10000.0 / (max(u) * m) + 0.5) / 10000
-        |  AS efficiency
+        | CAST((sum(term) * 10000 + (max(u) * m) // 2) // (max(u) * m)
+        |   AS BIGINT) AS efficiency_bp
         |FROM terms JOIN grid ON i <= m
         |GROUP BY source, m ORDER BY source, epochs""".stripMargin,
 
@@ -11749,8 +11889,8 @@ object SparkEntry {
         | CAST(max(n_vecs) AS BIGINT) AS n_vecs,
         | CAST(sum(CASE WHEN bkt * n_vecs < cap * 10000 THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_kept,
-        | floor(sum(CASE WHEN bkt * n_vecs < cap * 10000 THEN 1 ELSE 0 END)
-        |   * 10000.0 / max(n_vecs) + 0.5) / 10000 AS rate
+        | CAST((sum(CASE WHEN bkt * n_vecs < cap * 10000 THEN 1 ELSE 0 END)
+        |   * 10000 + max(n_vecs) // 2) // max(n_vecs) AS BIGINT) AS rate_bp
         |FROM k GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
     // contamination-span replay: q180's window CTEs with the benchmark
@@ -11851,8 +11991,8 @@ object SparkEntry {
         | GROUP BY ev.n)
         |SELECT CAST(n AS BIGINT) AS n, CAST(eval_grams AS BIGINT)
         |  AS eval_grams, CAST(hit_grams AS BIGINT) AS hit_grams,
-        | floor((eval_grams - hit_grams) * 10000.0 / eval_grams + 0.5)
-        |  / 10000 AS novelty_rate
+        | CAST(((eval_grams - hit_grams) * 10000 + eval_grams // 2)
+        |  // eval_grams AS BIGINT) AS novelty_rate_bp
         |FROM j ORDER BY n""".stripMargin,
 
     // unseen-mass replay: same (source, word) rollup.
@@ -11867,10 +12007,10 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS vocab,
         | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        | floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000.0 / sum(c)
-        |  + 0.5) / 10000 AS p0_unseen,
-        | floor(count(*) * 10000.0 / sqrt(CAST(sum(c) AS DOUBLE)) + 0.5)
-        |  / 10000 AS guiraud
+        | CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+        |  + sum(c) // 2) // sum(c) AS BIGINT) AS p0_unseen_bp,
+        | CAST((CAST(count(*) AS HUGEINT) * count(*) * 10000
+        |  + sum(c) // 2) // sum(c) AS BIGINT) AS guiraud_sq_bp
         |FROM wc GROUP BY source ORDER BY source""".stripMargin,
 
     // composed-emit replay: q252's collapse, q253's cutoff on the
@@ -11989,8 +12129,8 @@ object SparkEntry {
         | CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
         | CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(q10k) // count(*) AS BIGINT) AS mean_q10k,
-        | floor(sum(CASE WHEN q10k < 500 THEN 1 ELSE 0 END) * 10000.0
-        |  / count(*) + 0.5) / 10000 AS low_q_rate
+        | CAST((sum(CASE WHEN q10k < 500 THEN 1 ELSE 0 END) * 10000
+        |  + count(*) // 2) // count(*) AS BIGINT) AS low_q_rate_bp
         |FROM j GROUP BY size_bucket ORDER BY size_bucket""".stripMargin,
 
     // decontaminated-corpus replay: q251's span CTEs + q182's segment
@@ -12110,17 +12250,20 @@ object SparkEntry {
         |pv AS (SELECT vec_id, sum(vq * vq) AS nrm2 FROM q GROUP BY 1),
         |pd AS (SELECT dim, sum(vq) AS sv FROM q GROUP BY 1),
         |a AS (SELECT count(*) AS n, sum(nrm2) AS sum_nrm2 FROM pv),
-        |b AS (SELECT sum(sv * sv) AS nrm2_of_sum FROM pd)
+        |b AS (SELECT sum(sv * sv) AS nrm2_of_sum FROM pd),
+        |d AS (
+        | SELECT n, sum_nrm2, nrm2_of_sum - sum_nrm2 AS num,
+        |  CAST(n AS HUGEINT) * (n - 1) AS pden,
+        |  (n - 1) * sum_nrm2 AS aden
+        | FROM a CROSS JOIN b)
         |SELECT CAST(n AS BIGINT) AS n,
-        | CAST(floor(CAST(sum_nrm2 AS DOUBLE) / n) AS BIGINT)
-        |  AS mean_nrm2_q,
-        | CASE WHEN n > 1 THEN CAST(floor((CAST(nrm2_of_sum AS DOUBLE)
-        |   - CAST(sum_nrm2 AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1)))
-        |   AS BIGINT) END AS mean_pair_dot_q,
-        | floor((CAST(nrm2_of_sum AS DOUBLE) - CAST(sum_nrm2 AS DOUBLE))
-        |   * 10000.0 / (CAST(n AS DOUBLE) * (n - 1)
-        |   * (CAST(sum_nrm2 AS DOUBLE) / n)) + 0.5) / 10000 AS anisotropy
-        |FROM a CROSS JOIN b""".stripMargin,
+        | CAST(sum_nrm2 // n AS BIGINT) AS mean_nrm2_q,
+        | CAST(CASE WHEN n > 1 THEN (num + 1000000000000 * pden) // pden
+        |   - 1000000000000 END AS BIGINT) AS mean_pair_dot_q,
+        | CAST(CASE WHEN n > 1 AND sum_nrm2 > 0 THEN
+        |  (2 * num * 10000 + aden + 2000000 * aden) // (2 * aden)
+        |   - 1000000 END AS BIGINT) AS anisotropy_bp
+        |FROM d""".stripMargin,
 
     // S-curve replay: the shared signature/bucket CTEs give the
     // candidates; q22's capped co-shingle pairs give the universe.
@@ -12154,8 +12297,8 @@ object SparkEntry {
         |SELECT CAST((j4 // 1000) * 1000 AS BIGINT) AS jaccard_band_bp,
         | CAST(count(*) AS BIGINT) AS n_pairs,
         | CAST(sum(is_cand) AS BIGINT) AS n_candidates,
-        | floor(sum(is_cand) * 10000.0 / count(*) + 0.5) / 10000
-        |  AS candidate_rate
+        | CAST((sum(is_cand) * 10000 + count(*) // 2) // count(*)
+        |   AS BIGINT) AS candidate_rate_bp
         |FROM j GROUP BY 1 ORDER BY jaccard_band_bp""".stripMargin,
 
     // attribution replay: q21's hash window + the shared minhash
@@ -12374,10 +12517,15 @@ object SparkEntry {
         |SELECT CAST(t * 100 AS BIGINT) AS ppl10k_threshold,
         | CAST(coalesce(tp, 0) AS BIGINT) AS tp,
         | CAST(coalesce(fp, 0) AS BIGINT) AS fp,
-        | floor(coalesce(tp, 0) * 10000.0 / pos + 0.5) / 10000 AS tpr,
-        | floor(coalesce(fp, 0) * 10000.0 / neg + 0.5) / 10000 AS fpr,
-        | CASE WHEN coalesce(tp, 0) + coalesce(fp, 0) > 0 THEN
-        |  floor(tp * 10000.0 / (tp + fp) + 0.5) / 10000 END AS prec
+        | CAST(CASE WHEN pos > 0 THEN
+        |  (coalesce(tp, 0) * 10000 + pos // 2) // pos END AS BIGINT)
+        |  AS tpr_bp,
+        | CAST(CASE WHEN neg > 0 THEN
+        |  (coalesce(fp, 0) * 10000 + neg // 2) // neg END AS BIGINT)
+        |  AS fpr_bp,
+        | CAST(CASE WHEN coalesce(tp, 0) + coalesce(fp, 0) > 0 THEN
+        |  (tp * 10000 + (tp + fp) // 2) // (tp + fp) END AS BIGINT)
+        |  AS prec_bp
         |FROM g CROSS JOIN tot
         |ORDER BY ppl10k_threshold""".stripMargin,
 
@@ -12415,8 +12563,10 @@ object SparkEntry {
         | CAST(sum(m * (m - 1) // 2) AS BIGINT) AS total_pairs,
         | CAST(sum(m * (m - 1) // 2) - sum(within) AS BIGINT)
         |  AS cross_doc_pairs,
-        | floor((sum(m * (m - 1) // 2) - sum(within)) * 10000.0
-        |  / sum(m * (m - 1) // 2) + 0.5) / 10000 AS cross_share
+        | CAST(CASE WHEN sum(m * (m - 1) // 2) > 0 THEN
+        |  (CAST(sum(m * (m - 1) // 2) - sum(within) AS HUGEINT) * 10000
+        |   + sum(m * (m - 1) // 2) // 2) // sum(m * (m - 1) // 2)
+        |  END AS BIGINT) AS cross_share_bp
         |FROM c GROUP BY L ORDER BY context_len""".stripMargin,
 
     // shard-balance replay: q218's CTEs + the same 1-row rollup.
@@ -12650,5 +12800,64 @@ object SparkEntry {
         | CAST(csz * count(*) AS BIGINT) AS n_docs,
         | CAST(csz * count(*) * 1000000 // nd AS BIGINT) AS doc_share_ppm
         |FROM sz CROSS JOIN nd GROUP BY csz, nd ORDER BY cluster_size""".stripMargin,
+
+    // PNG replay: the generator's RGBA formula, alpha channel dropped
+    // (ch 3), RGB index p*3+ch re-derived for the weighted checksum —
+    // the Spark side earns these numbers by actually inflating and
+    // defiltering the IDAT bytes.
+    "q279_png_image_stats" ->
+      """WITH img AS (
+        | SELECT doc_id, doc_id % 12 + 4 AS w, (doc_id * 5) % 12 + 4 AS h
+        | FROM documents WHERE doc_id % 3 = 0),
+        |v AS (
+        | SELECT doc_id, w, h, c % 4 AS ch, c // 4 AS p,
+        |  (doc_id * 37 + c * 11) % 256 AS val
+        | FROM img, unnest(range(0, CAST(w * h * 4 AS BIGINT))) AS r(c))
+        |SELECT doc_id,
+        | CAST(max(w) AS BIGINT) AS width,
+        | CAST(max(h) AS BIGINT) AS height,
+        | CAST(sum(CASE WHEN ch = 0 THEN val ELSE 0 END) AS BIGINT) AS sum_r,
+        | CAST(sum(CASE WHEN ch = 1 THEN val ELSE 0 END) AS BIGINT) AS sum_g,
+        | CAST(sum(CASE WHEN ch = 2 THEN val ELSE 0 END) AS BIGINT) AS sum_b,
+        | CAST(sum(CASE WHEN ch <= 2 THEN val * (p * 3 + ch + 1) ELSE 0 END)
+        |   AS BIGINT) AS wsum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cross-container replay: q234's dHash algebra over the q279 RGBA
+    // formula (alpha channel skipped: pixel p channel ch lives at RGBA
+    // byte p*4+ch). Both containers carry the same pixels, so each
+    // phash group holds exactly one p6 and one png row per doc — the
+    // 2×/1×/1× counts below only reproduce if the Spark side's PNG
+    // inflate+defilter chain is byte-perfect.
+    "q280_cross_container_phash" ->
+      """WITH img AS (
+        | SELECT doc_id, CAST(doc_id % 12 + 4 AS BIGINT) AS w,
+        |        CAST(doc_id * 5 % 12 + 4 AS BIGINT) AS h
+        | FROM documents WHERE doc_id % 3 = 0),
+        |gr AS (
+        | SELECT doc_id,
+        |  list_transform(range(0::BIGINT, 8::BIGINT), gy ->
+        |   list_transform(range(0::BIGINT, 9::BIGINT), gx ->
+        |    ( ((doc_id*37 + (((gy*h//8)*w + (gx*w//9))*4 + 0)*11) % 256)
+        |    + ((doc_id*37 + (((gy*h//8)*w + (gx*w//9))*4 + 1)*11) % 256)
+        |    + ((doc_id*37 + (((gy*h//8)*w + (gx*w//9))*4 + 2)*11) % 256)) // 3
+        |   )) AS g
+        | FROM img),
+        |bh AS (
+        | SELECT doc_id,
+        |  list_transform(range(0::BIGINT, 8::BIGINT), gy ->
+        |   list_sum(list_transform(range(0::BIGINT, 8::BIGINT), gx ->
+        |    CASE WHEN g[gy+1][gx+2] > g[gy+1][gx+1] THEN 1<<gx ELSE 0 END))) AS bands
+        | FROM gr),
+        |hs AS (
+        | SELECT doc_id,
+        |  array_to_string(list_transform(bands,
+        |    b -> printf('%02x', CAST(b AS INT))), '') AS phash
+        | FROM bh)
+        |SELECT phash, CAST(2 * count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_p6,
+        | CAST(count(*) AS BIGINT) AS n_png,
+        | min(doc_id) AS rep_doc
+        |FROM hs GROUP BY phash ORDER BY phash""".stripMargin,
   )
 }

@@ -764,6 +764,58 @@ object Dedup {
 
   // ------------------------------------------ incremental ExactSubstr
 
+  /** Sidecar metadata a fingerprint index is stamped with at write time
+    * (`_graft_fp_meta.json` under the index dir — underscore-prefixed so
+    * parquet readers ignore it). A probe with a different window/stride
+    * than the index was built with produces silently EMPTY or wrong
+    * spans (hashes never match; span ends are computed from the probe's
+    * window), so writes record the parameters and probes/appends require
+    * they match. */
+  private val FpMetaFile = "_graft_fp_meta.json"
+
+  private def fpMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, FpMetaFile)
+
+  private def writeFpMeta(spark: SparkSession, path: String,
+                          window: Int, stride: Int, nBuckets: Int): Unit = {
+    val p = fpMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write(
+      s"""{"window":$window,"stride":$stride,"nBuckets":$nBuckets}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** (window, stride, nBuckets) the index at `path` was written with;
+    * None for a pre-metadata index (parameters caller-asserted). */
+  def readFpMeta(spark: SparkSession,
+                 path: String): Option[(Int, Int, Int)] = {
+    val p = fpMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+      in.close()
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      def f(k: String) =
+        s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      for (w <- f("window"); st <- f("stride"); nb <- f("nBuckets"))
+        yield (w, st, nb)
+    }
+  }
+
+  private def requireFpMeta(spark: SparkSession, path: String,
+                            window: Int, stride: Int, what: String): Unit =
+    readFpMeta(spark, path).foreach { case (w, st, _) =>
+      require(w == window && st == stride,
+        s"$what: index at $path was written with window=$w stride=$st " +
+          s"but probed with window=$window stride=$stride — spans would " +
+          "be silently empty/wrong; rebuild the index or match the " +
+          "parameters")
+    }
+
   /** Persist the corpus's window-fingerprint index at `path`: one row
     * per distinct window, `(win_hash: long, min_did: long)` — the
     * window's `xxhash64` and its first-owner doc id. 16 bytes per
@@ -784,12 +836,17 @@ object Dedup {
                               window: Int = 40, stride: Int = 1,
                               nBuckets: Int = 64,
                               mode: String = "overwrite"): Unit = {
+    if (mode == "append")
+      requireFpMeta(df.sparkSession, path, window, stride,
+        "appendWindowFingerprints")
     windowOccurrences(df, textCol, idCol, window, stride, hashKey = true)
       .groupBy(col("_win").as("win_hash"))
       .agg(min(col("_did")).as("min_did"))
       .withColumn("bucket", pmod(col("win_hash"), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(path)
+    // stamp AFTER the parquet write: overwrite mode clears the dir
+    writeFpMeta(df.sparkSession, path, window, stride, nBuckets)
   }
 
   /** Append a new batch's fingerprints into a stored index — the
@@ -817,10 +874,19 @@ object Dedup {
     * contamination probe needs. */
   def lookupWindow(spark: SparkSession, path: String, passage: String,
                    nBuckets: Int = 64): DataFrame = {
+    val meta = readFpMeta(spark, path)
+    meta.foreach { case (w, _, _) =>
+      require(passage.length == w,
+        s"lookupWindow: index at $path holds $w-char windows; a " +
+          s"${passage.length}-char passage can never match")
+    }
+    // the stored bucket count wins — a mismatched caller value would
+    // prune to the WRONG directory and return silently empty
+    val nb = meta.map(_._3).getOrElse(nBuckets)
     import spark.implicits._
     val h = Seq(passage).toDF("t")
       .select(xxhash64(col("t"))).head().getLong(0)
-    val bucket = ((h % nBuckets) + nBuckets) % nBuckets
+    val bucket = ((h % nb) + nb) % nb
     spark.read.parquet(path)
       .filter(col("bucket") === bucket && col("win_hash") === h)
       .groupBy("win_hash").agg(min(col("min_did")).as("min_did"))
@@ -835,6 +901,7 @@ object Dedup {
     * more rows than the distinct set. */
   def compactWindowFingerprints(spark: SparkSession, path: String,
                                 nBuckets: Int = 64): Unit = {
+    val meta = readFpMeta(spark, path) // survives the swap
     val staging = path.stripSuffix("/") + "._compact"
     readWindowFingerprints(spark, path)
       .withColumn("bucket", pmod(col("win_hash"), lit(nBuckets.toLong)))
@@ -846,6 +913,9 @@ object Dedup {
     fs.delete(p, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
       s"could not swap compacted fingerprint index into $path")
+    meta.foreach { case (w, st, _) =>
+      writeFpMeta(spark, path, w, st, nBuckets)
+    }
   }
 
   /** Flag an ARRIVING batch's duplicate spans against a stored corpus
@@ -871,6 +941,8 @@ object Dedup {
                                batch: DataFrame, textCol: String,
                                idCol: String, window: Int = 40,
                                stride: Int = 1): DataFrame = {
+    requireFpMeta(spark, indexPath, window, stride,
+      "crossDocSpansIncremental")
     val occ = windowOccurrences(batch, textCol, idCol, window, stride,
       hashKey = true)
     val batchStats = occ.select("_win", "_did").distinct()
@@ -925,6 +997,8 @@ object Dedup {
                                     textCol: String, idCol: String,
                                     window: Int = 40,
                                     stride: Int = 1): DataFrame = {
+    requireFpMeta(spark, indexPath, window, stride,
+      "contaminationSpansIncremental")
     val occ = windowOccurrences(batch, textCol, idCol, window, stride,
       hashKey = true)
     val bench = spark.read.parquet(indexPath)

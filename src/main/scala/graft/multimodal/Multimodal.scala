@@ -62,15 +62,22 @@ object Multimodal {
         (pmod(col("doc_id") * 13, lit(60000))).as("duration_ms")).as("meta"))
   }
 
+  /** The ONE bytes→image decode both raster formats share: P6 (PPM)
+    * or PNG → the same [[PpmCodec.Image]] pixel space, so every
+    * image-consuming stage (features, phash, resize) speaks both. */
+  private[multimodal] def decodeImage(bytes: Array[Byte])
+      : Option[PpmCodec.Image] =
+    PpmCodec.decode(bytes).orElse(PngCodec.decode(bytes))
+
   /** The ONE bytes→features dispatch both the batch and streaming
-    * paths share: P6 images → [[PpmCodec.features]], PCM16 WAVs →
+    * paths share: P6/PNG images → [[PpmCodec.features]], PCM16 WAVs →
     * [[audioFeatures]], Y4M video → [[videoFeatures]], anything else
     * (or a non-16 `dim`, since the real featurizers are 16-wide) →
     * the stub byte-histogram. */
   private[multimodal] def featurize(bytes: Array[Byte], dim: Int,
       stub: StubDecoder): Array[Float] =
     if (dim != 16) stub.decodeAndFeaturize(bytes)
-    else PpmCodec.decode(bytes) match {
+    else decodeImage(bytes) match {
       case Some(img) => PpmCodec.features(img)
       case None => WavCodec.decode(bytes) match {
         case Some(clip) => audioFeatures(clip)
@@ -123,14 +130,16 @@ object Multimodal {
     }
   }
 
-  /** Perceptual dHash of a P6 image payload as its 16-hex-char string
-    * (NULL for non-P6 bytes) — streaming-safe like [[mediaFeatures]],
-    * and the SQL surface (`phash(content)`) of [[PerceptualHash]].
-    * Exact-dup grouping and LSH band derivation both start from this
-    * one canonical rendering. */
+  /** Perceptual dHash of a P6/PNG image payload as its 16-hex-char
+    * string (NULL for non-image bytes) — streaming-safe like
+    * [[mediaFeatures]], and the SQL surface (`phash(content)`) of
+    * [[PerceptualHash]]. Exact-dup grouping and LSH band derivation
+    * both start from this one canonical rendering — a PNG and a P6 of
+    * the SAME pixels hash identically, which is exactly what a
+    * perceptual near-dup stage wants. */
   val phash: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(PpmCodec.decode)
+      Option(bytes).flatMap(decodeImage)
         .map(img => PerceptualHash.hex(PerceptualHash.dHash(img))).orNull
     }
 
@@ -220,17 +229,22 @@ object Multimodal {
     * would re-encode; the plumbing stays honest). */
   def resize(df: DataFrame, maxSide: Int): DataFrame = {
     val resizeImg = udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(PpmCodec.decode).map { img =>
+      Option(bytes).flatMap(decodeImage).map { img =>
         val scale = math.min(1.0,
           maxSide.toDouble / math.max(img.width, img.height))
         val w1 = math.floor(img.width * scale).toInt
         val h1 = math.floor(img.height * scale).toInt
         if (w1 == img.width && h1 == img.height) bytes
-        else PpmCodec.encode(PpmCodec.resizeNearest(img, w1, h1))
+        else {
+          val out = PpmCodec.resizeNearest(img, w1, h1)
+          // format-preserving: a PNG resizes to a PNG, a P6 to a P6
+          if (PngCodec.isPng(bytes)) PngCodec.encode(out)
+          else PpmCodec.encode(out)
+        }
       }.orNull
     }
     val dims = udf { (bytes: Array[Byte]) =>
-      Option(bytes).flatMap(PpmCodec.decode)
+      Option(bytes).flatMap(decodeImage)
         .map(i => (i.width, i.height)).orNull
     }
     // Compute the scale from the ORIGINAL meta once, and use it for both

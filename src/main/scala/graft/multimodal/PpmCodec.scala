@@ -38,8 +38,14 @@ object PpmCodec {
   /** Decode a P6 image; None when the bytes are not a well-formed P6
     * (the dispatch test the multimodal stages use — media payloads are
     * self-describing, so "is it an image" is answered by the bytes, not
-    * by trusted metadata). */
-  def decode(bytes: Array[Byte]): Option[Image] = {
+    * by trusted metadata). Total: decode is the dispatch test inside
+    * UDFs over arbitrary binary content, so a malformed payload must
+    * degrade to None (→ stub featurizer), never fail the Spark task. */
+  def decode(bytes: Array[Byte]): Option[Image] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
     // one header token: skip whitespace and # comments, read digits

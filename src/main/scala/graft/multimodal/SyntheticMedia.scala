@@ -63,4 +63,22 @@ object SyntheticMedia {
     }
     Y4mCodec.encode(Y4mCodec.Video(w, h, fps, 1, frames))
   }
+
+  /** RGBA PNG (color type 6 — the decode drops alpha, so the audited
+    * RGB values are the `c % 4 != 3` bytes): `w = d%12+4`,
+    * `h = d*5%12+4`, RGBA byte `c` is `(d*37 + c*11) mod 256`. The
+    * payload round-trips through REAL zlib (Deflater/Inflater) and,
+    * via the `y % 5` encoder filter schedule, exercises all five
+    * scanline filters on every image taller than 4 rows. */
+  def pngPayload(d0: Long): Array[Byte] = {
+    val w = (d0 % 12 + 4).toInt
+    val h = (d0 * 5 % 12 + 4).toInt
+    val rgba = new Array[Byte](w * h * 4)
+    var c = 0
+    while (c < rgba.length) {
+      rgba(c) = ((d0 * 37 + c.toLong * 11) % 256).toByte
+      c += 1
+    }
+    PngCodec.encodeRgba(w, h, rgba)
+  }
 }

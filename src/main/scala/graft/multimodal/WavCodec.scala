@@ -85,8 +85,13 @@ object WavCodec {
   }
 
   /** Decode a PCM16 WAV; None when the bytes are not one (the dispatch
-    * test the multimodal stages use — payloads are self-describing). */
-  def decode(bytes: Array[Byte]): Option[Clip] = {
+    * test the multimodal stages use — payloads are self-describing).
+    * Total: corrupt payloads degrade to None, never fail the task. */
+  def decode(bytes: Array[Byte]): Option[Clip] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[Clip] = {
     if (bytes.length < 44) return None
     if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
     var pos = 12
@@ -95,7 +100,9 @@ object WavCodec {
     while (pos + 8 <= bytes.length && (data == null || !ok)) {
       val id = tag(bytes, pos)
       val size = rd32(bytes, pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // Long arithmetic: size near 2^31 would wrap `pos + 8 + size`
+      // negative and slip past this bound (then ~2 GB alloc / AIOOBE)
+      if (size < 0 || pos.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -26,6 +26,8 @@ object Y4mCodec {
     require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
       s"C420 needs positive even dimensions, got ${width}x$height")
     require(fpsNum > 0 && fpsDen > 0, s"bad frame rate $fpsNum:$fpsDen")
+    require(width.toLong * height * 3 / 2 <= Int.MaxValue,
+      s"frame too large for a byte array: ${width}x$height")
     val frameBytes: Int = width * height * 3 / 2
     require(frames.forall(_.length == frameBytes),
       s"every frame must be $frameBytes bytes")
@@ -70,8 +72,13 @@ object Y4mCodec {
   }
 
   /** Decode a C420 Y4M; None when the bytes are not one (the
-    * self-describing dispatch test, like the P6/RIFF siblings). */
-  def decode(bytes: Array[Byte]): Option[Video] = {
+    * self-describing dispatch test, like the P6/RIFF siblings). Total:
+    * corrupt payloads degrade to None (→ stub path), never throw. */
+  def decode(bytes: Array[Byte]): Option[Video] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[Video] = {
     val magic = Magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     if (bytes.length < magic.length + 1) return None
     var i = 0
@@ -105,7 +112,13 @@ object Y4mCodec {
     }
     if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 ||
         fn <= 0 || fd <= 0 || !c420) return None
-    val frameBytes = w * h * 3 / 2
+    // geometry in Long: W/H admit 9 digits each, so w*h*3 wraps Int for
+    // crafted headers (frameBytes 0/negative → copyOfRange throws instead
+    // of decode returning None). A frame can never exceed the payload, so
+    // bounding by bytes.length also makes the Int narrowing safe.
+    val fb = w.toLong * h * 3 / 2
+    if (fb > bytes.length) return None
+    val frameBytes = fb.toInt
     val frames = Vector.newBuilder[Array[Byte]]
     var pos = eol + 1
     while (pos < bytes.length) {
@@ -116,7 +129,7 @@ object Y4mCodec {
         return None
       var fe = pos + 5
       while (fe < bytes.length && bytes(fe) != '\n') fe += 1
-      if (fe >= bytes.length || fe + 1 + frameBytes > bytes.length)
+      if (fe >= bytes.length || fe.toLong + 1 + frameBytes > bytes.length)
         return None
       frames += java.util.Arrays.copyOfRange(bytes, fe + 1,
         fe + 1 + frameBytes)

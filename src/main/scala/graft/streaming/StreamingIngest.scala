@@ -8,9 +8,12 @@ import org.apache.spark.sql.types.StructType
 
 /** Event row for stateful ops. */
 case class SessionEvent(user_id: Long, us: Long, value: Double)
-/** Event row for the burst-collapse stream (q221's streaming twin). */
+/** Event row for the burst-collapse stream (q221's streaming twin).
+  * Carries the raw `ts` alongside its integer micros: the watermark is
+  * declared on `ts`, and Spark's event-time-timeout checker requires
+  * the watermarked attribute to reach the stateful operator's input. */
 case class BurstEvent(user_id: Long, event_type: String, event_id: Long,
-    us: Long)
+    us: Long, ts: java.sql.Timestamp)
 /** Per-(user, type) burst state: the last event's timestamp. */
 case class BurstState(lastUs: Long)
 /** Burst decision for one event: `first` = it starts a new burst. */
@@ -119,27 +122,53 @@ object StreamingIngest {
     * micro-batches, so the stream answer equals the batch replay as long
     * as each key's events arrive time-ordered across batches (the gap
     * rule only looks backward — the same contract
-    * `dropDuplicatesWithinWatermark` places on late data). */
-  def burstCollapse(events: DataFrame, gapSeconds: Long): Dataset[BurstDecision] = {
+    * `dropDuplicatesWithinWatermark` places on late data).
+    *
+    * State is BOUNDED: a key whose last event falls `gapSeconds` +
+    * `lateness` behind the event-time watermark expires via
+    * EventTimeTimeout (watermark-driven — no wall-clock waits, so
+    * AvailableNow/once triggers terminate promptly). Expiry cannot
+    * change a decision for any event arriving within `lateness` of the
+    * stream's maximum timestamp: by then the event-time gap to the
+    * expired predecessor exceeds `gapSeconds`, so the event opens a new
+    * burst with or without the stored timestamp — the same lateness
+    * horizon `dropDuplicatesWithinWatermark` contracts on. Without
+    * this, one BurstState per (user, event_type) ever seen is retained
+    * forever. */
+  def burstCollapse(events: DataFrame, gapSeconds: Long,
+                    lateness: String = "1 hour"): Dataset[BurstDecision] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
-    events.select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
       .as[BurstEvent]
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[BurstState, BurstDecision](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, it, state) =>
-          val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
-          var last = state.getOption.map(_.lastUs)
-          val out = evs.map { e =>
-            val first = last.forall(l => e.us - l > gapUs)
-            last = Some(e.us)
-            BurstDecision(e.user_id, e.event_type, e.event_id, e.us, first)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            var last = state.getOption.map(_.lastUs)
+            val out = evs.map { e =>
+              val first = last.forall(l => e.us - l > gapUs)
+              last = Some(e.us)
+              BurstDecision(e.user_id, e.event_type, e.event_id, e.us, first)
+            }
+            last.foreach { l =>
+              state.update(BurstState(l))
+              // never earlier than the current watermark (Spark rejects
+              // that), and always past last + gap
+              state.setTimeoutTimestamp(math.max(
+                l / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs()) + 1L)
+            }
+            out.iterator
           }
-          last.foreach(l => state.update(BurstState(l)))
-          out.iterator
       }
   }
 

@@ -278,6 +278,17 @@ object AbBench {
     driftPair("q59_vocab_topk"),
     driftPair("q56_doc_repetition"),
 
+    // round-9 adjudication of the BENCH_r08 spikes (judge re-measured
+    // q220 at 2.0 s vs the driver's 43.6 s recording — 8-23× one-off
+    // inflation on four queries, far outside the 1.3-1.8× drift band):
+    // same-JVM interleaved runs of the UNCHANGED r7/r8 shapes. Medians
+    // near the judge's re-measurement close the question as machine
+    // contention; ratio ~1.0 by construction.
+    driftPair("q220_bucketed_join"),
+    driftPair("q21_dedup_exact"),
+    driftPair("q225_domain_reweight"),
+    driftPair("q218_token_shards"),
+
     // round-6 change: crossDocSpans' wide shuffle keys on xxhash64 of
     // the window (8 bytes/occurrence) instead of the 40-char substring.
     // A = substring key (the oracle's engine-agnostic plan), B = hashed

@@ -482,4 +482,43 @@ class DedupSpec extends SparkSpec {
     // oriented test->train, and neither 11 (clean) nor 12/13
     // (within-split dup) are reported
   }
+
+  test("fingerprint index records window/stride; mismatched probes and " +
+      "appends fail loudly instead of returning silently-empty spans") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-fp-meta").toString + "/idx"
+    val g1 = Seq((1L, "A" * 60)).toDF("doc_id", "text")
+    Dedup.writeWindowFingerprints(g1, "text", "doc_id", idx, window = 20)
+    assert(Dedup.readFpMeta(spark, idx).contains((20, 1, 64)))
+    val batch = Seq((10L, "A" * 60)).toDF("doc_id", "text")
+    // matching probe works; mismatched window / stride throw
+    assert(Dedup.crossDocSpansIncremental(spark, idx, batch,
+      "text", "doc_id", window = 20).count() > 0)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.crossDocSpansIncremental(spark, idx, batch,
+        "text", "doc_id", window = 40)
+    }
+    assert(e1.getMessage.contains("window=20"))
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationSpansIncremental(spark, idx, batch,
+        "text", "doc_id", window = 20, stride = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendWindowFingerprints(batch, "text", "doc_id", idx,
+        window = 40)
+    }
+    // lookupWindow: passage length must equal the stored window, and
+    // the STORED bucket count wins over a wrong caller value
+    intercept[IllegalArgumentException] {
+      Dedup.lookupWindow(spark, idx, "A" * 40)
+    }
+    assert(Dedup.lookupWindow(spark, idx, "A" * 20, nBuckets = 7)
+      .count() == 1L)
+    // compaction preserves the metadata stamp
+    Dedup.appendWindowFingerprints(
+      Seq((2L, "B" * 60)).toDF("doc_id", "text"), "text", "doc_id", idx,
+      window = 20)
+    Dedup.compactWindowFingerprints(spark, idx)
+    assert(Dedup.readFpMeta(spark, idx).contains((20, 1, 64)))
+  }
 }

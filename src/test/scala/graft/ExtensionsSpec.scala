@@ -290,6 +290,17 @@ class ExtensionsSpec extends SparkSpec {
         "text", "doc_id", window = 20)
       .orderBy("doc_id", "span_start").collect().map(_.toString).toSeq
     assert(tvf == api && tvf.nonEmpty)
+
+    // missing required args → a usage message, not an opaque
+    // spark.table("") parse error
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM contamination_spans()").collect()
+    }
+    assert(e1.getMessage.contains("requires at least"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM dsir_weights('ct_train')").collect()
+    }
+    assert(e2.getMessage.contains("requires at least"))
     Seq("st_docs", "ct_train", "ct_bench").foreach(spark.catalog.dropTempView)
   }
 

@@ -316,4 +316,138 @@ class MultimodalSpec extends SparkSpec {
     assert(batch(2L) == Multimodal.videoFeatures(vid).toSeq)
   }
 
+  test("PngCodec: hand-built PNG bytes decode byte-exactly; round-trip; " +
+      "all five filters; greyscale + RGBA; corrupt/bomb payloads → None") {
+    import graft.multimodal.{PngCodec, PpmCodec}
+    // hand-built 2x2 RGB, filter 0, known zlib stream assembled by the
+    // JDK deflater over hand-laid scanlines — decode must return the
+    // exact pixels (this pins signature/IHDR/IDAT/CRC/inflate/defilter)
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val raw = Array[Byte](0, 10, 20, 30, 40, 50, 60, 0, 70, 80, 90, 100, 110, 120)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val hand = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img = PngCodec.decode(hand).get
+    assert(img.width == 2 && img.height == 2 && img.rgb.toSeq == px.toSeq)
+    // corrupting one IDAT byte breaks the chunk CRC → None
+    val broken = hand.clone()
+    broken(sig.length + 25 + 8 + 2) = (broken(sig.length + 25 + 8 + 2) + 1).toByte
+    assert(PngCodec.decode(broken).isEmpty)
+    // encoder round-trip: y%5 filter schedule covers all five filters
+    // on a 7-row image; pixels reconstruct exactly
+    val w = 6; val h = 7
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val enc = PngCodec.encode(PpmCodec.Image(w, h, rgb))
+    assert(PngCodec.isPng(enc))
+    val back = PngCodec.decode(enc).get
+    assert(back.width == w && back.height == h && back.rgb.toSeq == rgb.toSeq)
+    // RGBA: alpha dropped, RGB exact
+    val rgba = Array.tabulate[Byte](4 * 3 * 4)(i => ((i * 7 + 3) % 256).toByte)
+    val back6 = PngCodec.decode(PngCodec.encodeRgba(4, 3, rgba)).get
+    val wantRgb = (0 until 4 * 3).flatMap(p =>
+      Seq(rgba(p * 4), rgba(p * 4 + 1), rgba(p * 4 + 2)))
+    assert(back6.rgb.toSeq == wantRgb)
+    // greyscale (hand-built, colour type 0): replicated into RGB
+    val graw = Array[Byte](0, 5, 6, 0, 7, 8) // 2x2, filter 0 rows
+    val gd = new java.util.zip.Deflater()
+    gd.setInput(graw); gd.finish()
+    val gz = new java.io.ByteArrayOutputStream()
+    while (!gd.finished()) gz.write(tmp, 0, gd.deflate(tmp))
+    val gihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val grey = sig ++ chunk("IHDR", gihdr) ++ chunk("IDAT", gz.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(grey).get.rgb.toSeq ==
+      Seq[Byte](5, 5, 5, 6, 6, 6, 7, 7, 7, 8, 8, 8))
+    // zip-bomb guard: a 1 GPix header is rejected before any inflate
+    val bomb = java.nio.ByteBuffer.allocate(13)
+      .putInt(40000).putInt(40000).put(8.toByte).put(6.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val bombPng = sig ++ chunk("IHDR", bomb) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(bombPng).isEmpty)
+    // and random garbage after the signature is None, not a throw
+    assert(PngCodec.decode(sig ++ Array.fill[Byte](64)(33)).isEmpty)
+  }
+
+  test("PNG payloads ride every image stage: features == same-pixel P6, " +
+      "phash identical, resize stays PNG") {
+    import graft.multimodal.{Multimodal, PngCodec, PpmCodec, SyntheticMedia}
+    val d0 = 17L
+    val png = SyntheticMedia.pngPayload(d0)
+    val img = PngCodec.decode(png).get
+    val p6 = PpmCodec.encode(img) // same pixels, other container
+    val df = Seq((1L, png), (2L, p6)).toDF("doc_id", "content")
+    val feats = df.select(col("doc_id"),
+        Multimodal.mediaFeatures(col("content")).as("f"),
+        Multimodal.phash(col("content")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Float](1), r.getString(2))).toMap
+    assert(feats(1L) == feats(2L)) // container-invariant features + hash
+    assert(feats(1L)._1 == PpmCodec.features(img).toSeq)
+    // resize: PNG in → PNG out, pixels = nearest-neighbor of the decode
+    val meta = df.withColumn("media_type", lit("image"))
+      .withColumn("meta", struct(lit(img.width).as("width"),
+        lit(img.height).as("height"), lit(0L).as("duration_ms")))
+    val small = Multimodal.resize(meta, 4)
+      .filter(col("doc_id") === 1L).select("content")
+      .head().getAs[Array[Byte]](0)
+    assert(PngCodec.isPng(small))
+    val simg = PngCodec.decode(small).get
+    assert(math.max(simg.width, simg.height) <= 4)
+  }
+
+  test("crafted/corrupt headers degrade to None, never throw: Y4M " +
+      "geometry and WAV chunk sizes near Int overflow") {
+    import graft.multimodal.{WavCodec, Y4mCodec}
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    // W*H*3 wraps Int (65536*65536*3/2 = 0 in Int arithmetic): the old
+    // code built frameBytes=0 and copyOfRange threw downstream
+    def y4m(hdr: String) =
+      (hdr + "\nFRAME\n").getBytes(ascii) ++ Array.fill[Byte](64)(7)
+    assert(Y4mCodec.decode(y4m("YUV4MPEG2 W65536 H65536 F30:1")).isEmpty)
+    assert(Y4mCodec.decode(y4m("YUV4MPEG2 W37838 H37838 F30:1")).isEmpty)
+    assert(Y4mCodec.decode(y4m("YUV4MPEG2 W999999998 H2 F30:1")).isEmpty)
+    // RIFF chunk with size near 2^31: pos + 8 + size wrapped negative
+    // and slipped past the bounds check → ~2 GB alloc / AIOOBE
+    val wav = new Array[Byte](64)
+    "RIFF".getBytes(ascii).copyToArray(wav, 0)
+    "WAVE".getBytes(ascii).copyToArray(wav, 8)
+    "data".getBytes(ascii).copyToArray(wav, 12)
+    val size = Int.MaxValue - 10
+    wav(16) = (size & 0xff).toByte
+    wav(17) = ((size >> 8) & 0xff).toByte
+    wav(18) = ((size >> 16) & 0xff).toByte
+    wav(19) = ((size >> 24) & 0xff).toByte
+    assert(WavCodec.decode(wav).isEmpty)
+    // and the whole dispatch survives both payloads inside the UDF
+    val out = Seq((1L, y4m("YUV4MPEG2 W65536 H65536 F30:1")), (2L, wav))
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), Multimodal.mediaFeatures(col("content")))
+      .collect()
+    assert(out.length == 2) // stub features, no task failure
+  }
+
 }

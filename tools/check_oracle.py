@@ -3,27 +3,83 @@
 DuckDB over the sf parquet tables, load the Spark result parquet, sort
 columns by name, compare row sets. Usage:
     python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Driver parity (round-9 hardening, after the round-8 incident — 10 queries
+shipped gate-green locally and hash-red in the driver):
+
+  * EXACT value comparison — floats by repr (full 17 digits), no
+    round(v, 9); SQL NULL and float NaN are DISTINCT (native fetchall(),
+    not pandas, so NaN is never coerced to NULL);
+  * ASYMMETRIC type canonicalization, modeling the driver: the SPARK
+    result parquet is read type-preserving (a DECIMAL(38,6) value hashes
+    as '0.544500'), while the ORACLE side goes through a float-coercing
+    frame (DECIMAL -> float64 -> '0.5445'). This is exactly why the 10
+    round-8 cards failed: Spark parses `10000.0` as DECIMAL, so
+    `floor(x*10000.0/y+0.5)/10000` emits DECIMAL(38,6) scale-6 strings,
+    while DuckDB's floor() returns DOUBLE. A scale-preserving spark-side
+    decimal only matches when its string form equals the float's repr.
+  * RATCHET: queries declared from round 9 on (>= {RATCHET_FROM}) must
+    emit NO float and NO fractional-scale decimal columns on the Spark
+    side — BIGINT basis points / integer grids only (the q247
+    threshold_bp / q261 ppm convention). Legacy float queries are
+    grandfathered: 8 rounds of driver evidence show exactly-representable
+    doubles (money in 0.01 steps, count ratios of small ints) replay; the
+    exact value compare still guards them.
 """
 import glob
 import json
-import math
 import os
+import re
 import sys
+from decimal import Decimal
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries declared at/after this number fall under the strict
+# output-typing contract (PLANS.md "cross-engine replay rules").
+RATCHET_FROM = 279
 
-def norm(v):
+FLOATY = ("DOUBLE", "FLOAT", "REAL")
+
+
+def canon(v):
+    """Canonical value string. Prefix-free across int/decimal/float so a
+    DECIMAL(12,2) '123.45' matches a float 123.45 — but '0.544500'
+    (scale 6) does NOT match '0.5445', which is the driver's behavior."""
     if v is None:
         return "\x00NULL"
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "\x00NULL"  # pandas represents SQL NULL doubles as NaN
-        return f"{round(v, 9):.9f}"
+        return repr(v)  # exact: repr round-trips IEEE754; NaN stays 'nan'
+    if isinstance(v, Decimal):
+        return str(v)  # scale-preserving: Decimal('0.500000') != 0.5
     return str(v)
+
+
+def fetch(con, sql, coerce_decimal_to_float):
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    if coerce_decimal_to_float:  # the driver's oracle side is a
+        # float-coercing frame: decimals lose their scale
+        sel = ", ".join(
+            f'CAST("{c}" AS DOUBLE) AS "{c}"' if t.startswith("DECIMAL")
+            else f'"{c}"' for c, t in zip(cols, types))
+        rel = rel.project(sel)
+        types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return ([cols[i] for i in order], [types[i] for i in order],
+            [tuple(canon(r[i]) for i in order) for r in rows])
+
+
+def qnum(name):
+    m = re.match(r"q(\d+)", name)
+    return int(m.group(1)) if m else 10**9  # unnumbered: treat as new
 
 
 def main(sf_dir, out_dir):
@@ -43,24 +99,41 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            odf = con.execute(sql).fetchdf()
+            ocols, otypes, orows = fetch(con, sql,
+                                         coerce_decimal_to_float=True)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
-        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+        scols, stypes, srows = fetch(
+            con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')",
+            coerce_decimal_to_float=False)
         if ocols != scols:
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
             n_fail += 1
             continue
-        otypes = [str(odf[c].dtype) for c in ocols]
-        stypes = [str(sdf[c].dtype) for c in ocols]
-        if otypes != stypes:
-            print(f"WARN {name}: dtypes differ {list(zip(ocols, otypes, stypes))}")
-        orows = sorted(tuple(norm(v) for v in r) for r in odf[ocols].itertuples(index=False))
-        srows = sorted(tuple(norm(v) for v in r) for r in sdf[ocols].itertuples(index=False))
+        if qnum(name) >= RATCHET_FROM:
+            bad = [c for c, t in zip(scols, stypes)
+                   if t in FLOATY or
+                   (t.startswith("DECIMAL") and not t.endswith(",0)"))]
+            if bad:
+                print(f"FAIL {name}: output column(s) {bad} are float or "
+                      "fractional decimal — queries >= q{0} must emit "
+                      "BIGINT basis points / integer grids "
+                      "(PLANS.md output-typing contract)".format(RATCHET_FROM))
+                n_fail += 1
+                continue
+        # the round-8 failure class, caught structurally: a Spark-side
+        # fractional decimal can only hash-match a float oracle column by
+        # string luck — flag it loudly even on legacy queries
+        risky = [c for c, st, ot in zip(scols, stypes, otypes)
+                 if st.startswith("DECIMAL") and not st.endswith(",0)")
+                 and ot in FLOATY]
+        if risky:
+            print(f"WARN {name}: spark DECIMAL vs oracle DOUBLE on {risky} "
+                  "— scale-6 strings rarely replay; re-type to BIGINT bp")
+        orows.sort()
+        srows.sort()
         if len(orows) != len(srows):
             print(f"FAIL {name}: row count oracle={len(orows)} spark={len(srows)}")
             n_fail += 1
