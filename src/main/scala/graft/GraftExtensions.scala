@@ -149,6 +149,9 @@ object GraftFunctions {
     ("media_features",
       columnFn(cs => graft.multimodal.Multimodal.mediaFeatures(cs(0))),
       classOf[Expression]),
+    ("img_stats",
+      columnFn(cs => graft.multimodal.Multimodal.imgStats(cs(0))),
+      classOf[Expression]),
     ("wav_stats",
       columnFn(cs => graft.multimodal.Multimodal.wavStats(cs(0))),
       classOf[Expression]),

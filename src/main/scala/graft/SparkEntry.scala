@@ -6847,6 +6847,35 @@ object SparkEntry {
           min(col("doc_id")).as("rep_doc"))
         .orderBy(col("phash"))
     }),
+
+    // ---- pure-SQL image analysis (q48's shape for the raster codecs:
+    // the `img_stats` SQL struct over a mixed P6/PNG corpus — the
+    // container tag and every sum come from the DECODE, so the SQL
+    // surface is verified against the same generator-formula oracle as
+    // the Column API): one scan, a 2-row container rollup ----
+    "q281_img_stats_sql" -> ((s, d) => {
+      import graft.multimodal.SyntheticMedia
+      GraftFunctions.register(s)
+      val gen = udf { (d0: Long, c: String) =>
+        if (c == "png") SyntheticMedia.pngPayload(d0)
+        else SyntheticMedia.ppmPayload(d0)
+      }
+      tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          explode(array(lit("p6"), lit("png"))).as("container"))
+        .select(gen(col("doc_id"), col("container")).as("content"))
+        .createOrReplaceTempView("q281_media")
+      s.sql(
+        """SELECT st.container AS container,
+          | count(*) AS n_imgs,
+          | sum(st.n_pixels) AS n_pixels,
+          | sum(st.sum_r) AS sum_r,
+          | sum(st.sum_g) AS sum_g,
+          | sum(st.sum_b) AS sum_b
+          |FROM (SELECT img_stats(content) AS st FROM q281_media)
+          |GROUP BY 1 ORDER BY container""".stripMargin)
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12859,5 +12888,45 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_png,
         | min(doc_id) AS rep_doc
         |FROM hs GROUP BY phash ORDER BY phash""".stripMargin,
+
+    // img_stats replay: both containers' channel sums from their
+    // generator pixel formulas (P6: (d*31 + i*7) mod 256 over RGB index
+    // i; PNG: (d*37 + c*11) mod 256 over RGBA index c, alpha dropped).
+    "q281_img_stats_sql" ->
+      """WITH d6 AS (
+        | SELECT doc_id,
+        |  CAST(doc_id % 16 + 4 AS BIGINT) * CAST(doc_id * 7 % 16 + 4
+        |    AS BIGINT) AS np
+        | FROM documents WHERE doc_id % 3 = 0),
+        |p6v AS (
+        | SELECT doc_id, unnest(range(0, np)) AS p FROM d6),
+        |p6a AS (
+        | SELECT sum((doc_id*31 + (p*3+0)*7) % 256) AS sr,
+        |        sum((doc_id*31 + (p*3+1)*7) % 256) AS sg,
+        |        sum((doc_id*31 + (p*3+2)*7) % 256) AS sb
+        | FROM p6v),
+        |p6n AS (SELECT count(*) AS n_imgs, sum(np) AS n_pixels FROM d6),
+        |dp AS (
+        | SELECT doc_id,
+        |  CAST(doc_id % 12 + 4 AS BIGINT) * CAST(doc_id * 5 % 12 + 4
+        |    AS BIGINT) AS np
+        | FROM documents WHERE doc_id % 3 = 0),
+        |pgv AS (
+        | SELECT doc_id, unnest(range(0, np)) AS p FROM dp),
+        |pga AS (
+        | SELECT sum((doc_id*37 + (p*4+0)*11) % 256) AS sr,
+        |        sum((doc_id*37 + (p*4+1)*11) % 256) AS sg,
+        |        sum((doc_id*37 + (p*4+2)*11) % 256) AS sb
+        | FROM pgv),
+        |pgn AS (SELECT count(*) AS n_imgs, sum(np) AS n_pixels FROM dp)
+        |SELECT 'p6' AS container, CAST(n_imgs AS BIGINT) AS n_imgs,
+        | CAST(n_pixels AS BIGINT) AS n_pixels, CAST(sr AS BIGINT) AS sum_r,
+        | CAST(sg AS BIGINT) AS sum_g, CAST(sb AS BIGINT) AS sum_b
+        |FROM p6n CROSS JOIN p6a
+        |UNION ALL
+        |SELECT 'png', CAST(n_imgs AS BIGINT), CAST(n_pixels AS BIGINT),
+        | CAST(sr AS BIGINT), CAST(sg AS BIGINT), CAST(sb AS BIGINT)
+        |FROM pgn CROSS JOIN pga
+        |ORDER BY container""".stripMargin,
   )
 }

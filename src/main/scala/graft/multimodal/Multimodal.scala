@@ -162,6 +162,32 @@ object Multimodal {
         .map(PerceptualHash.videoFingerprint)
     }
 
+  /** SQL row shape of the decoded-image stats (`img_stats(content)`):
+    * container tag + geometry + exact per-channel byte sums (integers,
+    * so an oracle can replay them regardless of accumulation order). */
+  final case class ImgStatsRow(container: String, width: Int, height: Int,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decoded-image stats as a struct Column (NULL for non-image
+    * bytes) — the SQL surface of the raster codecs, P6 and PNG alike:
+    * the image-modality sibling of `wav_stats`/`y4m_stats`. */
+  val imgStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap(decodeImage).map { img =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.rgb.length) {
+          sr += img.rgb(i) & 0xff
+          sg += img.rgb(i + 1) & 0xff
+          sb += img.rgb(i + 2) & 0xff
+          i += 3
+        }
+        ImgStatsRow(if (PngCodec.isPng(bytes)) "png" else "p6",
+          img.width, img.height, img.width.toLong * img.height,
+          sr, sg, sb)
+      }
+    }
+
   /** SQL row shape of [[WavCodec.Stats]] (`wav_stats(content)`). */
   final case class WavStatsRow(sample_rate: Int, channels: Int,
       frames: Int, duration_ms: Long, rms: Double, peak: Int,

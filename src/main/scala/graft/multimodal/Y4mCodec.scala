@@ -114,10 +114,11 @@ object Y4mCodec {
         fn <= 0 || fd <= 0 || !c420) return None
     // geometry in Long: W/H admit 9 digits each, so w*h*3 wraps Int for
     // crafted headers (frameBytes 0/negative → copyOfRange throws instead
-    // of decode returning None). A frame can never exceed the payload, so
-    // bounding by bytes.length also makes the Int narrowing safe.
+    // of decode returning None). Only the Int-range bound lives here — a
+    // zero-frame clip's payload is legitimately shorter than one frame,
+    // so the per-frame Long bounds check below does the size rejection.
     val fb = w.toLong * h * 3 / 2
-    if (fb > bytes.length) return None
+    if (fb > Int.MaxValue) return None
     val frameBytes = fb.toInt
     val frames = Vector.newBuilder[Array[Byte]]
     var pos = eol + 1

@@ -341,6 +341,27 @@ class ExtensionsSpec extends SparkSpec {
         Multimodal.mediaFeatures(c("content")).getItem(0).as("f0"))
       .orderBy("id").collect().map(_.getFloat(1))
     assert(sqlRows.map(_.getFloat(5)).toSeq == apiF0.toSeq)
+
+    // img_stats: the image-modality sibling — exact channel sums for
+    // P6 AND PNG of the same pixels (container tag differs, sums don't)
+    import graft.multimodal.PngCodec
+    val decoded = PpmCodec.decode(img).get
+    Seq((1L, img), (2L, PngCodec.encode(decoded)), (3L, wav))
+      .toDF("id", "content").createOrReplaceTempView("img_sql")
+    val ist = spark.sql(
+      """SELECT id, img_stats(content).container AS c,
+        | img_stats(content).sum_r AS sr, img_stats(content).sum_g AS sg,
+        | img_stats(content).n_pixels AS np
+        |FROM img_sql ORDER BY id""".stripMargin).collect()
+    val wantR = decoded.rgb.grouped(3).map(p => p(0) & 0xff).sum.toLong
+    val wantG = decoded.rgb.grouped(3).map(p => p(1) & 0xff).sum.toLong
+    assert(ist(0).getString(1) == "p6" && ist(1).getString(1) == "png")
+    Seq(0, 1).foreach { i =>
+      assert(ist(i).getLong(2) == wantR && ist(i).getLong(3) == wantG &&
+        ist(i).getLong(4) == 4L)
+    }
+    assert(ist(2).isNullAt(1)) // a wav is not an image
+    spark.catalog.dropTempView("img_sql")
     spark.catalog.dropTempView("media_sql"): Unit
   }
 
