@@ -7,7 +7,8 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQ
 import org.apache.spark.sql.types.StructType
 
 /** Event row for stateful ops. */
-case class SessionEvent(user_id: Long, us: Long, value: Double)
+case class SessionEvent(user_id: Long, us: Long, value: Double,
+    ts: java.sql.Timestamp)
 /** Event row for the burst-collapse stream (q221's streaming twin).
   * Carries the raw `ts` alongside its integer micros: the watermark is
   * declared on `ts`, and Spark's event-time-timeout checker requires
@@ -85,32 +86,59 @@ object StreamingIngest {
     * The batch `Serving.sessionize` window plan can't do this across an
     * unbounded stream — this is the KeyValueGroupedDataset custom-state
     * form. State per user is O(1) (one open session), so 10⁹ users fit
-    * comfortably in the state store. */
-  def statefulSessionize(events: DataFrame, gapMinutes: Int): Dataset[ClosedSession] = {
+    * comfortably in the state store.
+    *
+    * `idleClose = true` is the PRODUCTION mode: a session idle past the
+    * gap (by event-time watermark, `lateness` allowance) is flushed as
+    * closed with `start_gap_us = -1` (no successor event measured the
+    * gap) and its state evicted — trailing sessions emit without
+    * waiting for a user who never returns, and the store is bounded by
+    * ACTIVE users, not users ever seen. The default keeps the original
+    * close-on-next-event contract (state retained indefinitely; a
+    * trailing session is never emitted) for replay-identity with the
+    * batch window form. */
+  def statefulSessionize(events: DataFrame, gapMinutes: Int,
+                         idleClose: Boolean = false,
+                         lateness: String = "1 hour"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    events.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val src = if (idleClose) events.withWatermark("ts", lateness) else events
+    val timeoutConf = if (idleClose) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    src.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"),
+        col("ts"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid, it, state) =>
-          val evs = it.toSeq.sortBy(e => (e.us, e.value))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
-          val closed = Seq.newBuilder[ClosedSession]
-          evs.foreach { e =>
-            if (st.n == 0L) {
-              st = SessionState(st.sessionId + 1, e.us, 1L, e.value)
-            } else if (e.us - st.lastUs > gapUs) {
-              closed += ClosedSession(uid, st.sessionId, st.n, st.v, e.us - st.lastUs)
-              st = SessionState(st.sessionId + 1, e.us, 1L, e.value)
-            } else {
-              st = SessionState(st.sessionId, e.us, st.n + 1, st.v + e.value)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, st.sessionId, st.n, st.v, -1L))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.us, e.value))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+            val closed = Seq.newBuilder[ClosedSession]
+            evs.foreach { e =>
+              if (st.n == 0L) {
+                st = SessionState(st.sessionId + 1, e.us, 1L, e.value)
+              } else if (e.us - st.lastUs > gapUs) {
+                closed += ClosedSession(uid, st.sessionId, st.n, st.v, e.us - st.lastUs)
+                st = SessionState(st.sessionId + 1, e.us, 1L, e.value)
+              } else {
+                st = SessionState(st.sessionId, e.us, st.n + 1, st.v + e.value)
+              }
             }
+            state.update(st)
+            if (idleClose && st.n > 0L)
+              state.setTimeoutTimestamp(math.max(
+                st.lastUs / 1000L + gapUs / 1000L,
+                state.getCurrentWatermarkMs()) + 1L)
+            closed.result().iterator
           }
-          state.update(st)
-          closed.result().iterator
       }
   }
 

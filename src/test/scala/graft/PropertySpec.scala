@@ -305,4 +305,32 @@ class PropertySpec extends SparkSpec {
       assert(st.durationMs == v.frames.size.toLong * 1000L * v.fpsDen / v.fpsNum)
     }
   }
+
+  test("PngCodec property: arbitrary RGB images round-trip byte-exactly " +
+      "through real zlib; RGBA round-trips modulo alpha") {
+    import graft.multimodal.{PngCodec, PpmCodec}
+    val imgGen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24) // > 5 rows exercises all five y%5 filters
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield PpmCodec.Image(w, h, px.map(_.toByte).toArray)
+    cases(imgGen).foreach { img =>
+      val enc = PngCodec.encode(img)
+      assert(PngCodec.isPng(enc))
+      val back = PngCodec.decode(enc).get
+      assert(back.width == img.width && back.height == img.height)
+      assert(back.rgb.toSeq == img.rgb.toSeq)
+    }
+    val rgbaGen = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(1, 16)
+      px <- Gen.listOfN(w * h * 4, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    cases(rgbaGen).foreach { case (w, h, rgba) =>
+      val back = PngCodec.decode(PngCodec.encodeRgba(w, h, rgba)).get
+      val want = (0 until w * h).flatMap(p =>
+        Seq(rgba(p * 4), rgba(p * 4 + 1), rgba(p * 4 + 2)))
+      assert(back.rgb.toSeq == want)
+    }
+  }
 }

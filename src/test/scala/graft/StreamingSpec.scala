@@ -66,6 +66,54 @@ class StreamingSpec extends SparkSpec {
     assert(r.n_events == 2L && r.session_value == 3.0)
   }
 
+  test("statefulSessionize(idleClose): trailing sessions flush on " +
+      "event-time idle timeout and state is evicted") {
+    val dir = Files.createTempDirectory("graft-sessidle-src")
+    val ckpt = Files.createTempDirectory("graft-sessidle-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: user 7 opens a 2-event session; user 9 opens a 1-event one
+    Seq((7L, ts("2024-01-05 10:00:00"), 1.0),
+        (7L, ts("2024-01-05 10:10:00"), 2.0),
+        (9L, ts("2024-01-05 10:00:00"), 4.0))
+      .toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val collected = scala.collection.mutable.ArrayBuffer[graft.streaming.ClosedSession]()
+    def runOnce(): Unit = {
+      val q = StreamingIngest.statefulSessionize(
+          StreamingIngest.readStream(spark, dir.toString, schema),
+          gapMinutes = 30, idleClose = true)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.ClosedSession], _: Long) =>
+            collected.synchronized { collected ++= b.collect() }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(collected.isEmpty) // watermark hasn't passed anyone's gap yet
+
+    // batch 2: user 9 returns 3 h later. That event (a) closes user 9's
+    // first session by the gap rule, and (b) advances the watermark to
+    // 12:00 (1 h lateness), which fires user 7's idle timeout — the
+    // trailing session flushes with start_gap_us = -1 and 7's state is
+    // gone, WITHOUT user 7 ever returning.
+    Seq((9L, ts("2024-01-05 13:00:00"), 8.0)).toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+    val byUser = collected.groupBy(_.user_id)
+    val u9 = byUser(9L).head
+    assert(u9.session_id == 1L && u9.n_events == 1L &&
+      u9.session_value == 4.0 && u9.start_gap_us == 3L * 3600L * 1000000L)
+    val u7 = byUser(7L).head
+    assert(u7.session_id == 1L && u7.n_events == 2L &&
+      u7.session_value == 3.0 && u7.start_gap_us == -1L)
+    assert(collected.length == 2)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-src")
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString

@@ -90,6 +90,14 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # declared-surface hygiene: q-numbers must be unique (a duplicated
+    # number means two queries silently share an identity in the docs;
+    # missing result dirs / rows-only dirs are reported per-query below)
+    nums = [qnum(n) for n in oracle if qnum(n) < 10**9]
+    dup_nums = sorted({n for n in nums if nums.count(n) > 1})
+    if dup_nums:
+        print(f"FAIL <surface>: duplicated query numbers {dup_nums}")
+        n_fail += 1
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = os.path.join(out_dir, name)
