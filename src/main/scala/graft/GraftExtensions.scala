@@ -171,6 +171,13 @@ object GraftFunctions {
     ("clean_stutter",
       columnFn(cs => graft.text.TextFunctions.stutterCollapse(cs(0))),
       classOf[Expression]),
+    // compressed text columns (WARC/WET-style payloads): real JDK zlib
+    ("gzip_text",
+      columnFn(cs => graft.text.GzipText.gzip(cs(0))),
+      classOf[Expression]),
+    ("gunzip_text",
+      columnFn(cs => graft.text.GzipText.gunzip(cs(0))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

@@ -6876,6 +6876,25 @@ object SparkEntry {
           |FROM (SELECT img_stats(content) AS st FROM q281_media)
           |GROUP BY 1 ORDER BY container""".stripMargin)
     }),
+
+    // ---- compressed text columns (the container 100 TB web corpora
+    // arrive in — WARC/WET members, .jsonl.gz shards): every document
+    // round-trips through REAL gzip (JDK zlib both directions), and
+    // the md5 of the INFLATED text is pinned against the oracle's md5
+    // of the original — any wrong byte in deflate→inflate moves it.
+    // Compressed sizes are zlib-version-dependent and deliberately not
+    // emitted (the PLANS.md replay rules). Zero exchanges before the
+    // presentation sort ----
+    "q282_gzip_text_roundtrip" -> ((s, d) => {
+      import graft.text.GzipText
+      tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          GzipText.gunzip(GzipText.gzip(col("text"))).as("t"))
+        .select(col("doc_id"),
+          length(col("t")).cast("bigint").as("n_chars"),
+          md5(col("t")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12928,5 +12947,12 @@ object SparkEntry {
         | CAST(sr AS BIGINT), CAST(sg AS BIGINT), CAST(sb AS BIGINT)
         |FROM pgn CROSS JOIN pga
         |ORDER BY container""".stripMargin,
+
+    // gzip replay: the oracle reads the ORIGINAL text — the Spark side
+    // only matches if deflate→inflate reproduced every byte.
+    "q282_gzip_text_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
