@@ -306,6 +306,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("offset-trick floor property: (a + K·b) div b − K == floorDiv " +
+      "for either sign of a (the q262 negative-numerator contract)") {
+    // div truncates toward zero in Spark AND DuckDB, so the engine
+    // floors negative quotients via the constant offset; this pins the
+    // identity against the JVM's floorDiv over both signs in one pass
+    val gen = for {
+      a <- Gen.choose(-2000000L, 2000000L)
+      b <- Gen.choose(1L, 99999L)
+    } yield (a, b)
+    val rows = cases(gen)
+    val got = rows.toDF("a", "b")
+      .selectExpr("a", "b",
+        "(cast(a as decimal(38,0)) + 100000000 * b) div b - 100000000 " +
+          "as f")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == Math.floorDiv(a, b),
+        s"floor($a / $b): got ${got((a, b))}")
+    }
+  }
+
   test("PngCodec property: arbitrary RGB images round-trip byte-exactly " +
       "through real zlib; RGBA round-trips modulo alpha") {
     import graft.multimodal.{PngCodec, PpmCodec}
