@@ -6895,6 +6895,27 @@ object SparkEntry {
           md5(col("t")).as("text_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- lossless BPE detokenization (the serving-side property every
+    // tokenizer deployment depends on and few pipelines actually test:
+    // segment → merge-replay → REASSEMBLE reproduces the normalized
+    // text byte-for-byte): q197's 20-merge tokenizer with the standard
+    // end-of-word marker on each word's final piece, inverted by
+    // detokenize; n_pieces pins the SEGMENTATION against the oracle's
+    // full 20-iteration SQL replay (so a tokenizer that degenerates to
+    // whole words cannot pass), detok_md5 pins the INVERSION against
+    // the normalized original ----
+    "q283_bpe_detok_roundtrip" -> ((s, d) => {
+      import graft.text.BpeTrainer
+      val docs = tSpread(s, d, "documents")
+      val merges = BpeTrainer.train(docs, "text", 20)
+      BpeTrainer.tokenizeEow(docs.filter(length(trim(col("text"))) > 0),
+          "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_pieces"),
+          md5(BpeTrainer.detokenize(col("tokens"))).as("detok_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -6972,7 +6993,8 @@ object SparkEntry {
     * twice (pair count + rewrite) and inlining would blow up
     * exponentially. substr()/length() count codepoints, matching
     * [[graft.text.BpeTrainer.applyMerges]]'s codepoint segmentation. */
-  private def bpeTokenizeOracle(n: Int): String = {
+  private def bpeTokenizeOracle(n: Int,
+                                finalSelect: Option[String] = None): String = {
     val sb = new StringBuilder
     sb ++= """WITH words AS (
       | SELECT w, count(*) AS wf FROM (
@@ -7011,13 +7033,13 @@ object SparkEntry {
       | SELECT doc_id,
       |  replace(seg, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS seg
       | FROM d${i - 1}, b$i b)""".stripMargin
-    sb ++= s"""
+    sb ++= finalSelect.getOrElse(s"""
       |SELECT doc_id,
       | CAST(len(regexp_split_to_array(trim(seg), '\\s+')) AS BIGINT)
       |   AS n_tokens,
       | md5(array_to_string(regexp_split_to_array(trim(seg), '\\s+'), ' '))
       |   AS tok_md5
-      |FROM d$n ORDER BY doc_id""".stripMargin
+      |FROM d$n ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -12954,5 +12976,21 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         | md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // detok replay: the full 20-iteration BPE SQL replay gives the
+    // piece counts (marker pieces count 1-for-1 with plain pieces); the
+    // detok md5 is the md5 of the NORMALIZED original (lowercased,
+    // single-space words) — the Spark side earns it through
+    // segment→merge→reassemble.
+    "q283_bpe_detok_roundtrip" -> bpeTokenizeOracle(20, Some(
+      """
+        |SELECT dd.doc_id,
+        | CAST(len(regexp_split_to_array(trim(dd.seg), '\s+')) AS BIGINT)
+        |   AS n_pieces,
+        | md5(array_to_string(list_filter(
+        |   regexp_split_to_array(trim(lower(doc.text)), '\s+'),
+        |   x -> x <> ''), ' ')) AS detok_md5
+        |FROM d20 dd JOIN documents doc ON doc.doc_id = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin)),
   )
 }

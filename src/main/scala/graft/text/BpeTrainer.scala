@@ -106,4 +106,41 @@ object BpeTrainer {
     df.withColumn("tokens",
       applyU(split(trim(lower(col(textCol))), "\\s+")))
   }
+
+  /** End-of-word marker (U+241F SYMBOL FOR UNIT SEPARATOR — outside
+    * every natural vocabulary): appended to a word's FINAL piece so
+    * the token stream is losslessly invertible, the boundary-marking
+    * convention every production BPE uses (Sennrich's `</w>`,
+    * SentencePiece's `▁` — same role, different placement). */
+  val Eow = "␟"
+
+  /** [[tokenize]] with the [[Eow]] marker on each word's last piece —
+    * same piece COUNT as tokenize (the marker rides an existing piece),
+    * but the stream now round-trips through [[detokenize]]. */
+  def tokenizeEow(df: DataFrame, textCol: String,
+                  merges: Seq[Merge]): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val applyU = udf { (ws: Seq[String]) =>
+      if (ws == null) Array.empty[String]
+      else ws.iterator.filter(_.nonEmpty).flatMap { w =>
+        val ps = applyMerges(w, pairs)
+        ps(ps.length - 1) += Eow
+        ps
+      }.toArray
+    }
+    df.withColumn("tokens",
+      applyU(split(trim(lower(col(textCol))), "\\s+")))
+  }
+
+  /** Invert an [[tokenizeEow]] stream back to the normalized text
+    * (lowercased, single-space words) — the lossless-detokenization
+    * property a serving pipeline depends on. */
+  def detokenizeStr(tokens: Seq[String]): String =
+    tokens.mkString("").replace(Eow, " ").stripSuffix(" ")
+
+  /** Column form of [[detokenizeStr]]. */
+  val detokenize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ts: Seq[String]) =>
+      if (ts == null) null else detokenizeStr(ts)
+    }
 }

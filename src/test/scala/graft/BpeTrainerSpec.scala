@@ -113,4 +113,35 @@ class BpeTrainerSpec extends SparkSpec {
     val merged = BpeTrainer.applyMerges(word, Seq(("a", emoji)))
     assert(merged.toSeq == Seq("a" + emoji, "b"))
   }
+
+  test("tokenizeEow + detokenize: lossless inversion to normalized " +
+      "text; piece counts equal plain tokenize") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick  brown   fox the the quick"),
+      (2L, "  MiXeD Case   WHITESPACE  "),
+      (3L, "single"),
+      (4L, "aa aa aa bb aabb aab"))
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", 6)
+    val eow = BpeTrainer.tokenizeEow(docs, "text", merges)
+      .select(col("doc_id"), col("tokens"),
+        BpeTrainer.detokenize(col("tokens")).as("detok"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getString(2))).toMap
+    val plain = BpeTrainer.tokenize(docs, "text", merges)
+      .select(col("doc_id"), size(col("tokens")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val norm = r.getString(1).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(eow(id)._2 == norm, s"doc $id detok mismatch")
+      // marker rides an existing piece: counts identical
+      assert(eow(id)._1.length == plain(id), s"doc $id piece count")
+      // every word contributes exactly one marker
+      assert(eow(id)._1.count(_.endsWith(BpeTrainer.Eow)) ==
+        norm.split(" ").length)
+    }
+  }
 }
