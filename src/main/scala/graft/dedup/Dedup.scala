@@ -807,13 +807,22 @@ object Dedup {
   }
 
   private def requireFpMeta(spark: SparkSession, path: String,
-                            window: Int, stride: Int, what: String): Unit =
-    readFpMeta(spark, path).foreach { case (w, st, _) =>
+                            window: Int, stride: Int, what: String,
+                            nBuckets: Option[Int] = None): Unit =
+    readFpMeta(spark, path).foreach { case (w, st, nb) =>
       require(w == window && st == stride,
         s"$what: index at $path was written with window=$w stride=$st " +
           s"but probed with window=$window stride=$stride — spans would " +
           "be silently empty/wrong; rebuild the index or match the " +
           "parameters")
+      // an APPEND must also match the bucket layout: old rows are
+      // partitioned pmod(hash, stored nb); stamping a different count
+      // would make bucket-pruned lookups silently miss pre-append rows
+      nBuckets.foreach(n => require(n == nb,
+        s"$what: index at $path is bucketed pmod(win_hash, $nb) but the " +
+          s"append asked for nBuckets=$n — old rows would be silently " +
+          "missed by pruned lookups; match nBuckets or rebuild with " +
+          "mode=overwrite"))
     }
 
   /** Persist the corpus's window-fingerprint index at `path`: one row
@@ -838,7 +847,7 @@ object Dedup {
                               mode: String = "overwrite"): Unit = {
     if (mode == "append")
       requireFpMeta(df.sparkSession, path, window, stride,
-        "appendWindowFingerprints")
+        "appendWindowFingerprints", nBuckets = Some(nBuckets))
     windowOccurrences(df, textCol, idCol, window, stride, hashKey = true)
       .groupBy(col("_win").as("win_hash"))
       .agg(min(col("_did")).as("min_did"))

@@ -29,6 +29,10 @@ object PngCodec {
   /** Decompressed-scanline budget: 64 MPix RGBA + filter bytes. */
   val MaxPixelBytes: Long = 1L << 28
 
+  /** Per-dimension bound checked straight off IHDR, before any
+    * geometry product — keeps all Long arithmetic overflow-free. */
+  val MaxDim: Long = 1L << 24
+
   /** Cheap signature test (format preservation in resize paths). */
   def isPng(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= Sig.length &&
@@ -168,6 +172,13 @@ object PngCodec {
               (colorType != 0 && colorType != 2 && colorType != 6) ||
               compression != 0 || filterMethod != 0 || interlace != 0)
             return None
+          // bound each dimension BEFORE any product: rd32 can return up
+          // to 2^32-1 and h*(1+w*bpp) on unbounded Longs can wrap
+          // negative, sailing past the MaxPixelBytes cap into a ~2 GiB
+          // inflateExact allocation (OOM is not NonFatal — it would
+          // escape decode()'s catch and kill the task). With both
+          // ≤ 2^24 every later product is ≤ ~2^51: overflow-free.
+          if (w > MaxDim || h > MaxDim) return None
         case "IDAT" =>
           if (!sawIhdr) return None
           idat.write(bytes, dataStart, dataLen)

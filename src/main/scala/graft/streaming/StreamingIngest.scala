@@ -91,9 +91,12 @@ object StreamingIngest {
     * `idleClose = true` is the PRODUCTION mode: a session idle past the
     * gap (by event-time watermark, `lateness` allowance) is flushed as
     * closed with `start_gap_us = -1` (no successor event measured the
-    * gap) and its state evicted — trailing sessions emit without
-    * waiting for a user who never returns, and the store is bounded by
-    * ACTIVE users, not users ever seen. The default keeps the original
+    * gap) and its accumulators released — trailing sessions emit without
+    * waiting for a user who never returns. A small CLOSED marker
+    * (sessionId only, n = 0) is retained per user so session ids stay
+    * monotone when the user returns; state is therefore one tiny record
+    * per user ever seen plus full accumulators for ACTIVE users only.
+    * The default keeps the original
     * close-on-next-event contract (state retained indefinitely; a
     * trailing session is never emitted) for replay-identity with the
     * batch window form. */
@@ -115,7 +118,13 @@ object StreamingIngest {
         (uid, it, state) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            // keep a CLOSED marker (n = 0) instead of remove(): dropping
+            // the state would reset the per-user counter, so a returning
+            // user would re-emit session_id = 1 and duplicate
+            // (user_id, session_id) keys. The marker is one small record
+            // per user ever seen (no accumulators, no timeout), and the
+            // n == 0 branch below resumes the monotone numbering.
+            state.update(SessionState(st.sessionId, st.lastUs, 0L, 0.0))
             Iterator.single(
               ClosedSession(uid, st.sessionId, st.n, st.v, -1L))
           } else {
@@ -152,29 +161,36 @@ object StreamingIngest {
     * rule only looks backward — the same contract
     * `dropDuplicatesWithinWatermark` places on late data).
     *
-    * State is BOUNDED: a key whose last event falls `gapSeconds` +
-    * `lateness` behind the event-time watermark expires via
+    * The DEFAULT keeps the original contract: a BurstDecision for EVERY
+    * event, however late, with one BurstState per (user, event_type)
+    * ever seen retained forever (replay-identity with the batch lag
+    * window). `bounded = true` is the opt-in production mode — it
+    * declares a watermark, so events more than `lateness` behind it are
+    * DROPPED before the operator, and a key whose last event falls
+    * `gapSeconds` + `lateness` behind the watermark expires via
     * EventTimeTimeout (watermark-driven — no wall-clock waits, so
     * AvailableNow/once triggers terminate promptly). Expiry cannot
-    * change a decision for any event arriving within `lateness` of the
-    * stream's maximum timestamp: by then the event-time gap to the
-    * expired predecessor exceeds `gapSeconds`, so the event opens a new
-    * burst with or without the stored timestamp — the same lateness
-    * horizon `dropDuplicatesWithinWatermark` contracts on. Without
-    * this, one BurstState per (user, event_type) ever seen is retained
-    * forever. */
+    * change a decision for any event that survives the lateness gate:
+    * by then the event-time gap to the expired predecessor exceeds
+    * `gapSeconds`, so the event opens a new burst with or without the
+    * stored timestamp — the same lateness horizon
+    * `dropDuplicatesWithinWatermark` contracts on. */
   def burstCollapse(events: DataFrame, gapSeconds: Long,
+                    bounded: Boolean = false,
                     lateness: String = "1 hour"): Dataset[BurstDecision] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
-    events.withWatermark("ts", lateness)
+    val src = if (bounded) events.withWatermark("ts", lateness) else events
+    val timeoutConf = if (bounded) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    src
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("ts"))
       .as[BurstEvent]
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[BurstState, BurstDecision](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, it, state) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -191,9 +207,10 @@ object StreamingIngest {
               state.update(BurstState(l))
               // never earlier than the current watermark (Spark rejects
               // that), and always past last + gap
-              state.setTimeoutTimestamp(math.max(
-                l / 1000L + gapSeconds * 1000L,
-                state.getCurrentWatermarkMs()) + 1L)
+              if (bounded)
+                state.setTimeoutTimestamp(math.max(
+                  l / 1000L + gapSeconds * 1000L,
+                  state.getCurrentWatermarkMs()) + 1L)
             }
             out.iterator
           }

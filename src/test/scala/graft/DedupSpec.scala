@@ -507,6 +507,15 @@ class DedupSpec extends SparkSpec {
       Dedup.appendWindowFingerprints(batch, "text", "doc_id", idx,
         window = 40)
     }
+    // an append with a different BUCKET count must throw too: old rows
+    // sit in pmod(hash, 64) directories, and re-stamping nBuckets=8
+    // would make pruned lookups silently miss them
+    val eNb = intercept[IllegalArgumentException] {
+      Dedup.appendWindowFingerprints(batch, "text", "doc_id", idx,
+        window = 20, nBuckets = 8)
+    }
+    assert(eNb.getMessage.contains("nBuckets=8"))
+    assert(Dedup.readFpMeta(spark, idx).contains((20, 1, 64))) // unstamped
     // lookupWindow: passage length must equal the stored window, and
     // the STORED bucket count wins over a wrong caller value
     intercept[IllegalArgumentException] {

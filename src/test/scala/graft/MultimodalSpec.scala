@@ -388,6 +388,15 @@ class MultimodalSpec extends SparkSpec {
     val bombPng = sig ++ chunk("IHDR", bomb) ++ chunk("IDAT", zbuf.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
     assert(PngCodec.decode(bombPng).isEmpty)
+    // overflow-crafted dimensions: w=2^32-2, h=2^31+1 would wrap
+    // h*(1+w*bpp) negative on Long and truncate toInt into a ~2 GiB
+    // allocation — the per-dimension MaxDim bound rejects it up front
+    val huge = java.nio.ByteBuffer.allocate(13)
+      .putInt(0xFFFFFFFE).putInt(0x80000001).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val hugePng = sig ++ chunk("IHDR", huge) ++
+      chunk("IDAT", zbuf.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(hugePng).isEmpty)
     // and random garbage after the signature is None, not a throw
     assert(PngCodec.decode(sig ++ Array.fill[Byte](64)(33)).isEmpty)
   }

@@ -112,6 +112,21 @@ class StreamingSpec extends SparkSpec {
     assert(u7.session_id == 1L && u7.n_events == 2L &&
       u7.session_value == 3.0 && u7.start_gap_us == -1L)
     assert(collected.length == 2)
+
+    // batch 3: user 7 RETURNS after the idle flush. The closed marker
+    // (n = 0) kept the counter, so the new session is session_id = 2 —
+    // never a duplicate of the already-emitted (7, 1). A later user-9
+    // event pushes the watermark far enough to idle-flush it.
+    Seq((7L, ts("2024-01-05 14:00:00"), 6.0),
+        (9L, ts("2024-01-05 18:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+    val u7b = collected.filter(_.user_id == 7L).sortBy(_.session_id)
+    assert(u7b.map(_.session_id) == Seq(1L, 2L),
+      s"returning user must continue the monotone counter: $u7b")
+    assert(u7b(1).n_events == 1L && u7b(1).session_value == 6.0 &&
+      u7b(1).start_gap_us == -1L)
   }
 
   test("streaming dedup drops duplicate keys within the watermark") {
@@ -765,7 +780,7 @@ class StreamingSpec extends SparkSpec {
     def runOnce(): Unit = {
       val q = StreamingIngest.burstCollapse(
           StreamingIngest.readStream(spark, dir.toString, schema),
-          gapSeconds = 600L)
+          gapSeconds = 600L, bounded = true)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -798,6 +813,53 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("burstCollapse default (unbounded) emits a decision for " +
+      "arbitrarily late events; bounded=true is the opt-in drop mode") {
+    // the round-10 contract split: without bounded=true there is NO
+    // watermark, so an event arriving far behind the stream's max
+    // timestamp still gets its BurstDecision (replay-identity with the
+    // batch lag window); bounded=true trades that for bounded state.
+    val dir = Files.createTempDirectory("graft-burstlate-src")
+    val ckpt = Files.createTempDirectory("graft-burstlate-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "view", 10L, ts("2024-01-05 10:00:00")),
+        (1L, "view", 11L, ts("2024-01-09 10:00:00")))
+      .toDF("user_id", "event_type", "event_id", "ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val collected =
+      scala.collection.mutable.ArrayBuffer[graft.streaming.BurstDecision]()
+    def runOnce(): Unit = {
+      val q = StreamingIngest.burstCollapse(
+          StreamingIngest.readStream(spark, dir.toString, schema),
+          gapSeconds = 600L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.BurstDecision],
+           _: Long) =>
+            collected.synchronized { collected ++= b.collect() }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(collected.size == 2) // both open their own bursts (4-day gap)
+    // event 12 arrives 4 days LATE (event time 10:05 on Jan 5, long
+    // behind the Jan 9 max). Default mode still decides it.
+    Seq((1L, "view", 12L, ts("2024-01-05 10:05:00")))
+      .toDF("user_id", "event_type", "event_id", "ts")
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+    assert(collected.size == 3, s"late event must not be dropped: $collected")
+    val late = collected.find(_.event_id == 12L).get
+    // state only looks backward: vs the stored predecessor (Jan 9) the
+    // gap is "negative", |gap| computation: us - last < 0 <= gapUs → not
+    // first (joined the most recent burst per the backward-only rule)
+    assert(!late.first)
   }
 
   test("streaming media decode: mediaFeatures over a file stream equals batch") {
