@@ -6916,6 +6916,113 @@ object SparkEntry {
           md5(BpeTrainer.detokenize(col("tokens"))).as("detok_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- the STREAMING curation funnel under the driver's gate: the
+    // reference's production mode is a daily incremental Map over dates
+    // (its step function fans one task out per date), so the funnel must
+    // hold per-arrival, not just one-shot. Here the held-out third of
+    // the corpus (doc_id % 3 == 0) arrives as three ascending-id "days"
+    // through a REAL Structured Streaming file source (one AvailableNow
+    // pass per day against a persistent checkpoint — each pass processes
+    // only the new arrivals), and each micro-batch is funneled inside
+    // foreachBatch: per-doc gopher repetition + quality gates, the
+    // probe-then-APPEND window-fingerprint near-dup check against the
+    // LSM index seeded from the HISTORICAL corpus (each day probes the
+    // accumulated index, then appends its own windows — the q183
+    // maintenance path running live), 3-gram decontamination against the
+    // frozen eval-gram set, and DSIR scoring against the frozen ratio
+    // frame. Flags append to a parquet sink per micro-batch; nothing
+    // rescans or retrains on history per day. Ascending-id arrival makes
+    // the union of the per-day outputs equal the one-shot batch run
+    // (probe-then-append ⇒ a window's owner is its globally-first
+    // streamed doc), which is exactly what the oracle replays in SQL.
+    // 100 TB shape: per day this is O(day bytes + index bytes), the
+    // whole point of the incremental form ----
+    "q284_streaming_funnel" -> ((s, d) => {
+      import graft.operators.ImportanceSelect
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).cache()
+      val evalSet = hist.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text")).cache()
+      val ratio = ImportanceSelect.dsirRatio(hist,
+        hist.filter(col("lang") === "en"), "text").cache()
+      ratio.count(); evalSet.count()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q284").toString
+      val idx = s"$tmp/fp_idx"
+      Dedup.writeWindowFingerprints(hist, "text", "doc_id", idx,
+        window = 40)
+      val streamed = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text"))
+      val maxId = streamed.agg(max(col("doc_id"))).head().getLong(0)
+      val srcDir = s"$tmp/arrivals"; val outDir = s"$tmp/flags"
+      val ckpt = s"$tmp/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def funnel(batch: DataFrame): DataFrame = {
+        val rep = TextFunctions.gopherRepetition(batch, "text", "doc_id")
+          .select(col("doc_id"), col("keep").as("_k1"))
+        val qual = TextFunctions.gopherQuality(batch, "text", "doc_id")
+          .select(col("doc_id"), col("keep").as("_k2"))
+        val nd = Dedup.crossDocSpansIncremental(s, idx, batch,
+            "text", "doc_id", window = 40)
+          .select(col("doc_id")).distinct()
+          .withColumn("_nd", lit(true))
+        val contam = Dedup.decontaminate(batch, evalSet, "text", "doc_id",
+            n = 3)
+          .select(col("doc_id"), lit(true).as("_c"))
+        val dsir = ImportanceSelect.scoreWith(ratio, batch, "text",
+            "doc_id")
+          .select(col("doc_id"), col("selected").as("_k5"))
+        batch.select(col("doc_id"))
+          .join(rep, Seq("doc_id"), "left")
+          .join(qual, Seq("doc_id"), "left")
+          .join(nd, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .join(dsir, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_k1"), lit(false)).as("k_rep"),
+            coalesce(col("_k2"), lit(false)).as("k_qual"),
+            col("_nd").isNull.as("k_nodup"),
+            col("_c").isNull.as("k_clean"),
+            coalesce(col("_k5"), lit(false)).as("k_dsir"))
+          .withColumn("selected",
+            col("k_rep") && col("k_qual") && col("k_nodup") &&
+              col("k_clean") && col("k_dsir"))
+      }
+      val (b1, b2) = (maxId / 3, 2L * maxId / 3)
+      val days = Seq(
+        streamed.filter(col("doc_id") <= b1),
+        streamed.filter(col("doc_id") > b1 && col("doc_id") <= b2),
+        streamed.filter(col("doc_id") > b2))
+      days.foreach { day =>
+        day.coalesce(1).write.mode("append").parquet(srcDir)
+        val q = StreamingIngest.readStream(s, srcDir, schema)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // the funnel reads the batch once per stage — pin it so the
+            // file source isn't re-scanned 7× per day
+            val day = batch.persist()
+            // flags FIRST (materializes the probe against the index as
+            // of yesterday), THEN the day's windows append to the index
+            funnel(day).write.mode("append").parquet(outDir)
+            Dedup.appendWindowFingerprints(day, "text", "doc_id", idx,
+              window = 40)
+            day.unpersist()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      hist.unpersist(); evalSet.unpersist(); ratio.unpersist()
+      s.read.parquet(outDir).orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -12992,5 +13099,124 @@ object SparkEntry {
         |   x -> x <> ''), ' ')) AS detok_md5
         |FROM d20 dd JOIN documents doc ON doc.doc_id = dd.doc_id
         |ORDER BY dd.doc_id""".stripMargin)),
+
+    // streaming funnel replay: the ONE-SHOT batch run over the streamed
+    // third (doc_id % 3 = 0), every frozen artifact derived from the
+    // historical corpus (% 3 <> 0). Stage replays are q187 (repetition),
+    // q188 (quality), q183's window logic with corp = historical windows
+    // and the batch-min rule over ALL streamed docs (≡ probe-then-append
+    // over ascending-id days), q189 (3-gram decontamination, eval = the
+    // historical % 97 = 0 slice), q191 (DSIR, ratio from history only).
+    "q284_streaming_funnel" ->
+      """WITH tok0 AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS lt
+        | FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (SELECT * FROM tok0 WHERE doc_id % 3 = 0),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM
+        |  (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t))) AS r(i)
+        | WHERE array_length(t) >= 2),
+        |g2c AS (SELECT doc_id, max(c) AS topg, sum(c) AS ng FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |g3c AS (SELECT doc_id, count(DISTINCT g) AS d3, count(*) AS n3
+        | FROM g3 GROUP BY 1),
+        |rep AS (
+        | SELECT t.doc_id,
+        |  (floor(wc.topw * 10000.0 / array_length(t.t) + 0.5) / 10000 <= 0.15
+        |   AND (CASE WHEN g2c.doc_id IS NULL THEN 0.0
+        |    ELSE floor(g2c.topg * 10000.0 / g2c.ng + 0.5) / 10000 END) <= 0.08
+        |   AND (CASE WHEN g3c.doc_id IS NULL THEN 0.0
+        |    ELSE floor((g3c.n3 - g3c.d3) * 10000.0 / g3c.n3 + 0.5) / 10000
+        |    END) <= 0.01) AS k1
+        | FROM toks t JOIN wc ON wc.doc_id = t.doc_id
+        |  LEFT JOIN g2c ON g2c.doc_id = t.doc_id
+        |  LEFT JOIN g3c ON g3c.doc_id = t.doc_id),
+        |qual AS (
+        | SELECT doc_id,
+        |  (array_length(t) >= 30 AND array_length(t) <= 100000
+        |   AND floor(length(array_to_string(t, '')) * 10000.0
+        |     / array_length(t) + 0.5) / 10000 >= 3.0
+        |   AND floor(length(array_to_string(t, '')) * 10000.0
+        |     / array_length(t) + 0.5) / 10000 <= 10.0
+        |   AND floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |     * 10000.0 / array_length(t) + 0.5) / 10000 >= 0.8
+        |   AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) >= 2)
+        |   AS k2
+        | FROM toks),
+        |pos AS (
+        | SELECT unnest(range(1, (SELECT max(n_chars) FROM documents))) AS p),
+        |occ AS (
+        | SELECT doc_id, substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 3 = 0),
+        |corp AS (
+        | SELECT DISTINCT substring(text, CAST(p AS INT), 40) AS win
+        | FROM documents d JOIN pos ON p <= d.n_chars - 39
+        | WHERE d.n_chars >= 40 AND doc_id % 3 <> 0),
+        |bmin AS (SELECT win, min(doc_id) AS first_id FROM occ GROUP BY 1),
+        |nd AS (SELECT DISTINCT o.doc_id
+        | FROM occ o JOIN bmin b ON b.win = o.win
+        |  LEFT JOIN corp c ON c.win = o.win
+        | WHERE c.win IS NOT NULL OR o.doc_id > b.first_id),
+        |gg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM tok0, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |ev AS (SELECT DISTINCT g FROM gg
+        | WHERE doc_id % 3 <> 0 AND doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT gg.doc_id FROM gg JOIN ev USING (g)
+        | WHERE gg.doc_id % 3 = 0),
+        |dtok AS (SELECT doc_id, lang, w FROM (
+        |  SELECT doc_id, lang,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0) WHERE w <> ''),
+        |cr AS (SELECT w, count(*) AS c_r FROM dtok
+        | WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |ct2 AS (SELECT w, count(*) AS c_t FROM dtok
+        | WHERE doc_id % 3 <> 0 AND lang = 'en' GROUP BY 1),
+        |tot AS (SELECT sum(c_r) AS n_r, count(*) AS v FROM cr),
+        |ttot AS (SELECT count(*) AS n_t FROM dtok
+        | WHERE doc_id % 3 <> 0 AND lang = 'en'),
+        |lr AS (SELECT cr.w,
+        |  ln((coalesce(ct2.c_t, 0) + 1) * 1.0 /
+        |     ((SELECT n_t FROM ttot) + (SELECT v FROM tot)))
+        |  - ln((cr.c_r + 1) * 1.0 /
+        |     ((SELECT n_r FROM tot) + (SELECT v FROM tot))) AS lr
+        | FROM cr LEFT JOIN ct2 ON ct2.w = cr.w),
+        |dsel AS (SELECT st.doc_id,
+        |  (floor(avg(lr.lr) * 10000 + 0.5) / 10000 > 0) AS k5
+        | FROM dtok st JOIN lr ON lr.w = st.w
+        | WHERE st.doc_id % 3 = 0 GROUP BY 1),
+        |flags AS (
+        | SELECT d.doc_id,
+        |  coalesce(rep.k1, false) AS k_rep,
+        |  coalesce(qual.k2, false) AS k_qual,
+        |  (nd.doc_id IS NULL) AS k_nodup,
+        |  (contam.doc_id IS NULL) AS k_clean,
+        |  coalesce(dsel.k5, false) AS k_dsir
+        | FROM documents d
+        |  LEFT JOIN rep ON rep.doc_id = d.doc_id
+        |  LEFT JOIN qual ON qual.doc_id = d.doc_id
+        |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+        |  LEFT JOIN contam ON contam.doc_id = d.doc_id
+        |  LEFT JOIN dsel ON dsel.doc_id = d.doc_id
+        | WHERE d.doc_id % 3 = 0)
+        |SELECT doc_id, k_rep, k_qual, k_nodup, k_clean, k_dsir,
+        | (k_rep AND k_qual AND k_nodup AND k_clean AND k_dsir) AS selected
+        |FROM flags ORDER BY doc_id""".stripMargin,
   )
 }
