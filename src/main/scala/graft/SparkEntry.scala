@@ -7023,6 +7023,28 @@ object SparkEntry {
       hist.unpersist(); evalSet.unpersist(); ratio.unpersist()
       s.read.parquet(outDir).orderBy(col("doc_id"))
     }),
+
+    // ---- BYTE-level BPE with lossless detokenization — q283's
+    // production twin. Every production tokenizer (GPT-2/LLaMA family)
+    // works at byte grain through a bytes↔unicode bijection: any UTF-8
+    // input is in-alphabet by construction (OOV-free — no unknown
+    // symbol path exists), case and every byte are PRESERVED (byte-level
+    // tokenizers don't normalize), and detok inverts byte-for-byte.
+    // n_pieces pins the segmentation against the oracle's full
+    // 20-iteration byte-grain SQL replay (codepoint→UTF-8-byte integer
+    // math + the bijection in SQL); detok_md5 pins the inversion against
+    // the case-preserving single-space-joined original ----
+    "q285_byte_bpe_roundtrip" -> ((s, d) => {
+      import graft.text.BpeTrainer
+      val docs = tSpread(s, d, "documents")
+      val merges = BpeTrainer.trainBytes(docs, "text", 20)
+      BpeTrainer.tokenizeBytesEow(docs.filter(length(trim(col("text"))) > 0),
+          "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_pieces"),
+          md5(BpeTrainer.detokenizeBytes(col("tokens"))).as("detok_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -7122,6 +7144,20 @@ object SparkEntry {
       |      i -> substr(w, CAST(i AS INT), 1)), '  ') || ' '),
       |   chr(10)) AS seg
       | FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    bpeMergeLoopSql(sb, n)
+    sb ++= finalSelect.getOrElse(s"""
+      |SELECT doc_id,
+      | CAST(len(regexp_split_to_array(trim(seg), '\\s+')) AS BIGINT)
+      |   AS n_tokens,
+      | md5(array_to_string(regexp_split_to_array(trim(seg), '\\s+'), ' '))
+      |   AS tok_md5
+      |FROM d$n ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
+  /** The shared n-iteration argmax+replace merge loop over the st/d
+    * double-space segmentation CTEs (see [[bpeTokenizeOracle]]'s doc). */
+  private def bpeMergeLoopSql(sb: StringBuilder, n: Int): Unit =
     for (i <- 1 to n) sb ++= s""",
       |p$i AS MATERIALIZED (
       | SELECT s[j] AS l, s[j+1] AS r, wf FROM
@@ -7140,13 +7176,52 @@ object SparkEntry {
       | SELECT doc_id,
       |  replace(seg, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS seg
       | FROM d${i - 1}, b$i b)""".stripMargin
-    sb ++= finalSelect.getOrElse(s"""
-      |SELECT doc_id,
-      | CAST(len(regexp_split_to_array(trim(seg), '\\s+')) AS BIGINT)
-      |   AS n_tokens,
-      | md5(array_to_string(regexp_split_to_array(trim(seg), '\\s+'), ' '))
-      |   AS tok_md5
-      |FROM d$n ORDER BY doc_id""".stripMargin)
+
+  /** Per-word BYTE-grain segmentation SQL: codepoints → UTF-8 bytes by
+    * integer math → the GPT-2 bytes↔unicode bijection char per byte
+    * ([[graft.text.BpeTrainer.ByteToChar]]'s SQL twin: visible ASCII and
+    * Latin-1-minus-NBSP/SHY map to themselves, the 68 shifted bytes to
+    * 256+rank), double-space joined like the codepoint form. */
+  private def byteSegSql(w: String): String =
+    s"""' ' || array_to_string(list_transform(
+      |    flatten(list_transform(
+      |      list_transform(range(1, length($w)+1),
+      |        ci -> unicode(substr($w, CAST(ci AS INT), 1))),
+      |      u -> CASE WHEN u < 128 THEN [u]
+      |       WHEN u < 2048 THEN [192 + u//64, 128 + u%64]
+      |       WHEN u < 65536 THEN [224 + u//4096, 128 + (u//64)%64,
+      |        128 + u%64]
+      |       ELSE [240 + u//262144, 128 + (u//4096)%64, 128 + (u//64)%64,
+      |        128 + u%64] END)),
+      |    b -> chr(CAST(CASE WHEN (b BETWEEN 33 AND 126)
+      |       OR (b BETWEEN 161 AND 172) OR (b BETWEEN 174 AND 255) THEN b
+      |      ELSE 256 + least(b, 33) + greatest(0, least(b, 161) - 127)
+      |       + (CASE WHEN b > 173 THEN 1 ELSE 0 END) END AS INT))),
+      |   '  ') || ' '""".stripMargin
+
+  /** [[bpeTokenizeOracle]]'s byte-grain twin: words keep their case
+    * (byte-level tokenizers don't normalize), st0/d0 segment at UTF-8
+    * byte grain via [[byteSegSql]], and the merge loop is shared. */
+  private def bpeByteTokenizeOracle(n: Int, finalSelect: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH words AS (
+      | SELECT w, count(*) AS wf FROM (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |  FROM documents)
+      | WHERE length(w) > 0 GROUP BY 1),
+      |st0 AS MATERIALIZED (
+      | SELECT w, wf, ${byteSegSql("w")} AS seg
+      | FROM words),
+      |d0 AS MATERIALIZED (
+      | SELECT doc_id,
+      |  array_to_string(list_transform(
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |      x -> x <> ''),
+      |    w -> ${byteSegSql("w")}),
+      |   chr(10)) AS seg
+      | FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    bpeMergeLoopSql(sb, n)
+    sb ++= finalSelect
     sb.toString
   }
 
@@ -13218,5 +13293,20 @@ object SparkEntry {
         |SELECT doc_id, k_rep, k_qual, k_nodup, k_clean, k_dsir,
         | (k_rep AND k_qual AND k_nodup AND k_clean AND k_dsir) AS selected
         |FROM flags ORDER BY doc_id""".stripMargin,
+
+    // byte-grain detok replay: piece counts from the byte-level merge
+    // replay; detok md5 = md5 of the CASE-PRESERVING single-space-joined
+    // original words — the Spark side earns it byte-for-byte through
+    // segment→merge→reassemble→bijection-inverse→UTF-8-decode.
+    "q285_byte_bpe_roundtrip" -> bpeByteTokenizeOracle(20,
+      """
+        |SELECT dd.doc_id,
+        | CAST(len(regexp_split_to_array(trim(dd.seg), '\s+')) AS BIGINT)
+        |   AS n_pieces,
+        | md5(array_to_string(list_filter(
+        |   regexp_split_to_array(trim(doc.text), '\s+'),
+        |   x -> x <> ''), ' ')) AS detok_md5
+        |FROM d20 dd JOIN documents doc ON doc.doc_id = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin),
   )
 }

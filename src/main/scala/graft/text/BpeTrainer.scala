@@ -21,22 +21,63 @@ object BpeTrainer {
 
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
-  /** Apply a merge sequence to a word's character segmentation — the
-    * greedy in-order replay every BPE implementation uses. The initial
-    * segmentation is one CODEPOINT per symbol (not UTF-16 code units —
-    * surrogate halves of non-BMP characters must never be split, and
-    * the DuckDB oracle's substr() counts codepoints). */
-  def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms: Array[String] = {
-      val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        out += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      out.toArray
+  /** One CODEPOINT per symbol (not UTF-16 code units — surrogate halves
+    * of non-BMP characters must never be split, and the DuckDB oracle's
+    * substr() counts codepoints). */
+  private def initCodepoints(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
     }
+    out.toArray
+  }
+
+  /** The GPT-2 bytes↔unicode bijection: every byte 0-255 maps to ONE
+    * printable BMP codepoint — visible ASCII (33-126) and the Latin-1
+    * block minus NBSP/SHY (161-172, 174-255) map to themselves; the 68
+    * remaining bytes (controls, space, DEL, 127-160, 173) shift to
+    * 256+n in byte order, so byte 32 is the famous 'Ġ' (U+0120). Makes
+    * byte-level segmentation OOV-free over arbitrary UTF-8 while every
+    * symbol stays a plain 1-codepoint string the SQL oracle can
+    * segment with substr()/chr(). */
+  private[text] val ByteToChar: Array[Char] = {
+    val arr = new Array[Char](256)
+    var shifted = 0
+    var b = 0
+    while (b < 256) {
+      if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+          (b >= 174 && b <= 255)) arr(b) = b.toChar
+      else { arr(b) = (256 + shifted).toChar; shifted += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  private[text] val CharToByte: Map[Char, Int] =
+    ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** One UTF-8 BYTE per symbol, each byte carried as its bijection
+    * character. */
+  private def initBytes(word: String): Array[String] = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      out(i) = String.valueOf(ByteToChar(bs(i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** Greedy in-order merge replay over an initial segmentation — the
+    * loop every BPE implementation uses (left-to-right, non-overlapping,
+    * one pass per merge rank). */
+  private def runMerges(init: Array[String],
+                        merges: Seq[(String, String)]): Array[String] = {
+    var syms = init
     merges.foreach { case (l, r) =>
       if (syms.length >= 2) {
         val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
@@ -52,23 +93,29 @@ object BpeTrainer {
     syms
   }
 
-  /** Learn `nMerges` merges from the corpus. */
-  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    val vocab = TextFunctions.unigrams(df, textCol)
-      .groupBy(col("_w").as("w")).agg(count(lit(1)).as("wf"))
-      // the vocabulary is tiny relative to the corpus (types, not
-      // tokens); packing it into few partitions trims the per-merge
-      // task-launch overhead (3.9 s → 3.3 s for 20 merges at sf0.1 —
-      // the remaining floor is one pair-grain aggregate job per merge)
-      .coalesce(4)
-      .persist()
+  /** Apply a merge sequence to a word's CODEPOINT segmentation. */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] =
+    runMerges(initCodepoints(word), merges)
+
+  /** Apply a merge sequence to a word's BYTE segmentation (UTF-8 bytes
+    * through [[ByteToChar]]) — the GPT-2/LLaMA-family grain. */
+  def applyMergesBytes(word: String,
+                       merges: Seq[(String, String)]): Array[String] =
+    runMerges(initBytes(word), merges)
+
+  /** The per-iteration loop shared by both grains: segment every vocab
+    * word under the merges learned so far, explode adjacent pairs
+    * weighted by word frequency, ONE pair-grain aggregate, argmax. */
+  private def trainLoop(vocab: DataFrame, nMerges: Int,
+                        apply: (String, Seq[(String, String)]) => Array[String])
+      : Seq[Merge] = {
     try {
       vocab.count()
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var rank = 1
       while (rank <= nMerges) {
         val sofar = merges.map(m => (m.left, m.right)).toSeq
-        val seg = udf((w: String) => applyMerges(w, sofar))
+        val seg = udf((w: String) => apply(w, sofar))
         val top = vocab
           .select(col("wf"), seg(col("w")).as("_s"))
           .filter(size(col("_s")) >= 2)
@@ -88,6 +135,35 @@ object BpeTrainer {
       }
       merges.toSeq
     } finally { vocab.unpersist(); () }
+  }
+
+  /** Learn `nMerges` merges from the corpus (codepoint grain, lowercased
+    * words — the q89/q195/q197 tokenizer family). */
+  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val vocab = TextFunctions.unigrams(df, textCol)
+      .groupBy(col("_w").as("w")).agg(count(lit(1)).as("wf"))
+      // the vocabulary is tiny relative to the corpus (types, not
+      // tokens); packing it into few partitions trims the per-merge
+      // task-launch overhead (3.9 s → 3.3 s for 20 merges at sf0.1 —
+      // the remaining floor is one pair-grain aggregate job per merge)
+      .coalesce(4)
+      .persist()
+    trainLoop(vocab, nMerges, applyMerges)
+  }
+
+  /** Learn `nMerges` merges at BYTE grain — no lowercasing, no
+    * normalization beyond whitespace word-splitting: the production
+    * byte-level contract (GPT-2 family) where ANY UTF-8 input is
+    * in-alphabet by construction. Same vocabulary-grain cost shape as
+    * [[train]]. */
+  def trainBytes(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val vocab = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .coalesce(4)
+      .persist()
+    trainLoop(vocab, nMerges, applyMergesBytes)
   }
 
   /** Tokenize text under a learned merge list: (original columns...,
@@ -142,5 +218,46 @@ object BpeTrainer {
   val detokenize: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (ts: Seq[String]) =>
       if (ts == null) null else detokenizeStr(ts)
+    }
+
+  /** Byte-grain [[tokenizeEow]]: words split on whitespace (case and
+    * every byte PRESERVED — no lower()), segmented at UTF-8 byte grain
+    * through [[ByteToChar]], merges replayed, [[Eow]] on each word's
+    * final piece. OOV-free over arbitrary UTF-8 by construction. */
+  def tokenizeBytesEow(df: DataFrame, textCol: String,
+                       merges: Seq[Merge]): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val applyU = udf { (ws: Seq[String]) =>
+      if (ws == null) Array.empty[String]
+      else ws.iterator.filter(_.nonEmpty).flatMap { w =>
+        val ps = applyMergesBytes(w, pairs)
+        ps(ps.length - 1) += Eow
+        ps
+      }.toArray
+    }
+    df.withColumn("tokens", applyU(split(trim(col(textCol)), "\\s+")))
+  }
+
+  /** Invert a [[tokenizeBytesEow]] stream byte-for-byte: pieces
+    * concatenate, [[Eow]] closes each word, bijection characters map
+    * back to their bytes, and the bytes UTF-8-decode to the original
+    * words (single-space joined — exactly the whitespace class the
+    * word split normalized, nothing else). Total: a piece character
+    * outside the bijection alphabet cannot occur in a tokenizeBytesEow
+    * stream, so CharToByte is total over real inputs. */
+  def detokenizeBytesStr(tokens: Seq[String]): String = {
+    val joined = tokens.mkString("")
+    joined.split(Eow.charAt(0)).map { w =>
+      val bs = new Array[Byte](w.length)
+      var i = 0
+      while (i < w.length) { bs(i) = CharToByte(w.charAt(i)).toByte; i += 1 }
+      new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+    }.mkString(" ")
+  }
+
+  /** Column form of [[detokenizeBytesStr]]. */
+  val detokenizeBytes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ts: Seq[String]) =>
+      if (ts == null) null else detokenizeBytesStr(ts)
     }
 }

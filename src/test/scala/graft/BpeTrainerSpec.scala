@@ -114,6 +114,80 @@ class BpeTrainerSpec extends SparkSpec {
     assert(merged.toSeq == Seq("a" + emoji, "b"))
   }
 
+  test("byte grain: trainBytes == train on an already-lowercase ASCII " +
+      "corpus (byte == codepoint there), and merges replay") {
+    val docs = Seq(
+      (1L, "ababc ababc abd"),
+      (2L, "ababc ababc abd"),
+    ).toDF("id", "text")
+    val byteMerges = BpeTrainer.trainBytes(docs, "text", 3)
+    assert(byteMerges.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("ab", "ab"), ("abab", "c")))
+    assert(BpeTrainer.applyMergesBytes("ababcabd",
+      byteMerges.map(m => (m.left, m.right))).toSeq ==
+      Seq("ababc", "ab", "d"))
+  }
+
+  test("byte grain: every byte is in-alphabet — NUL, controls, SHY, " +
+      "NBSP, non-BMP emoji all segment and round-trip byte-for-byte") {
+    import org.apache.spark.sql.functions._
+    val emoji = new String(Character.toChars(0x1F600)) // 4 UTF-8 bytes
+    val nasty = Seq(
+      (1L, "a\u0000b nul\u0000embedded"),            // NUL inside a word
+      (2L, "soft\u00ADhyphen and\u00A0nbsp stay"), // bytes 173/160 class
+      (3L, s"mixed ${emoji}CASE Präzision 中文"), // 2/3/4-byte UTF-8
+      (4L, "  \t tabs\u000Band\ffeeds \r\n  "),  // ASCII \s collapses
+      (5L, "the marker ␟ itself is data"),      // Eow char as INPUT
+      (6L, "plain ascii words survive too"))
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.trainBytes(nasty, "text", 8)
+    val got = BpeTrainer.tokenizeBytesEow(nasty, "text", merges)
+      .select(col("doc_id"), col("tokens"),
+        BpeTrainer.detokenizeBytes(col("tokens")).as("detok"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getString(2))).toMap
+    nasty.collect().foreach { r =>
+      val id = r.getLong(0)
+      // byte-level contract: case preserved, every non-ASCII-whitespace
+      // byte preserved; ONLY the \s+ word split normalizes
+      // mirror the engine exactly: Spark SQL trim strips ONLY spaces
+      // (Java's trim would also strip edge control chars); the \s+
+      // split plus nonEmpty filter is what actually normalizes
+      val norm = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      assert(got(id)._2 == norm.mkString(" "), s"doc $id detok mismatch")
+      assert(got(id)._1.count(_.endsWith(BpeTrainer.Eow)) == norm.length,
+        s"doc $id marker count")
+    }
+    // the raw Eow char can never appear INSIDE a byte-level piece body:
+    // its UTF-8 bytes ride bijection chars, so markers stay unambiguous
+    // even when the input text contains the marker codepoint itself
+    assert(got(5L)._1.forall(p => !p.dropRight(1).contains(BpeTrainer.Eow)))
+  }
+
+  test("property: byte-level detok ∘ tokenizeBytesEow == whitespace-" +
+      "normalized identity on random byte-dense strings") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(97)
+    val alphabet: IndexedSeq[String] =
+      (0 until 256).map(b => new String(Array(b.toByte), "ISO-8859-1")) ++
+        Seq(new String(Character.toChars(0x1F600)), "中", "␟", "é")
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until (1 + rng.nextInt(30)))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val merges = BpeTrainer.trainBytes(docs, "text", 5)
+    val got = BpeTrainer.tokenizeBytesEow(docs, "text", merges)
+      .select(col("doc_id"),
+        BpeTrainer.detokenizeBytes(col("tokens")).as("detok"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().foreach { r =>
+      val want = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
+      assert(got(r.getLong(0)) == want,
+        s"doc ${r.getLong(0)}: ${got(r.getLong(0))} != $want")
+    }
+  }
+
   test("tokenizeEow + detokenize: lossless inversion to normalized " +
       "text; piece counts equal plain tokenize") {
     import org.apache.spark.sql.functions._
