@@ -7045,6 +7045,61 @@ object SparkEntry {
           md5(BpeTrainer.detokenizeBytes(col("tokens"))).as("detok_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- the round-10 PNG decode arms (q279's harness over the three
+    // real-web shapes the codec previously stubbed): every image doc
+    // materializes THREE more PNG containers — 8-bit PALETTE (PLTE
+    // indirection), 16-bit RGB (big-endian samples, decoder keeps the
+    // high byte), and Adam7 INTERLACE (7 independently-filtered passes
+    // whose de-interlace must reproduce the natural-order pixels) —
+    // and each decodes through the full inflate → per-pass defilter →
+    // sample-extract → scatter chain. Channel sums + the byte-order-
+    // pinning weighted checksum per (doc, arm); all BIGINT; the oracle
+    // replays every value from the generator formulas, so a wrong
+    // byte anywhere in any arm moves wsum ----
+    "q286_png_decode_arms" -> ((s, d) => {
+      import graft.multimodal.{PngCodec, SyntheticMedia}
+      val gen = udf { (d0: Long, arm: String) =>
+        arm match {
+          case "palette" => SyntheticMedia.pngPalettePayload(d0)
+          case "rgb16" => SyntheticMedia.png16Payload(d0)
+          case _ => SyntheticMedia.pngAdam7Payload(d0)
+        }
+      }
+      val st = udf { (bytes: Array[Byte]) =>
+        PngCodec.decode(bytes).map { img =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            val v = img.rgb(i) & 0xff
+            (i % 3) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case _ => sb += v
+            }
+            wsum += v.toLong * (i + 1)
+            i += 1
+          }
+          (img.width.toLong, img.height.toLong, sr, sg, sb, wsum)
+        }.orNull
+      }
+      val arms = s.createDataFrame(Seq(
+        Tuple1("adam7"), Tuple1("palette"), Tuple1("rgb16")))
+        .toDF("arm")
+      tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .crossJoin(broadcast(arms))
+        .select(col("doc_id"), col("arm"),
+          st(gen(col("doc_id"), col("arm"))).as("t"))
+        .select(col("doc_id"), col("arm"),
+          col("t._1").as("width"),
+          col("t._2").as("height"),
+          col("t._3").as("sum_r"),
+          col("t._4").as("sum_g"),
+          col("t._5").as("sum_b"),
+          col("t._6").as("wsum"))
+        .orderBy(col("doc_id"), col("arm"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -13308,5 +13363,62 @@ object SparkEntry {
         |   x -> x <> ''), ' ')) AS detok_md5
         |FROM d20 dd JOIN documents doc ON doc.doc_id = dd.doc_id
         |ORDER BY dd.doc_id""".stripMargin),
+
+    // PNG decode-arm replay: every value from the generator formulas —
+    // palette indirection, 16-bit high byte (integer // 256), and the
+    // Adam7 arm's natural-order bytes (de-interlacing must reproduce
+    // them exactly or wsum moves).
+    "q286_png_decode_arms" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |pd AS (SELECT doc_id, (doc_id % 10 + 3) AS w,
+        |  (doc_id * 3 % 10 + 3) AS h, (2 + doc_id % 14) AS n FROM d),
+        |ppx AS (SELECT doc_id, n, p
+        | FROM pd, unnest(range(0, w * h)) AS r(p)),
+        |pv AS (SELECT doc_id, p,
+        |  (doc_id*13 + ((doc_id*31 + p*7) % n)*17) % 256 AS v0,
+        |  (doc_id*13 + ((doc_id*31 + p*7) % n)*17 + 5) % 256 AS v1,
+        |  (doc_id*13 + ((doc_id*31 + p*7) % n)*17 + 10) % 256 AS v2
+        | FROM ppx),
+        |pa AS (SELECT doc_id, sum(v0) AS sr, sum(v1) AS sg,
+        |  sum(v2) AS sb,
+        |  sum(v0*(3*p+1) + v1*(3*p+2) + v2*(3*p+3)) AS ws
+        | FROM pv GROUP BY 1),
+        |sd AS (SELECT doc_id, (doc_id % 9 + 3) AS w,
+        |  (doc_id * 7 % 9 + 3) AS h FROM d),
+        |spx AS (SELECT doc_id, s
+        | FROM sd, unnest(range(0, w * h * 3)) AS r(s)),
+        |sv AS (SELECT doc_id, s,
+        |  ((doc_id*37 + s*257) % 65536) // 256 AS v FROM spx),
+        |sa AS (SELECT doc_id,
+        |  sum(CASE WHEN s % 3 = 0 THEN v ELSE 0 END) AS sr,
+        |  sum(CASE WHEN s % 3 = 1 THEN v ELSE 0 END) AS sg,
+        |  sum(CASE WHEN s % 3 = 2 THEN v ELSE 0 END) AS sb,
+        |  sum(v * (s + 1)) AS ws FROM sv GROUP BY 1),
+        |ad AS (SELECT doc_id, (doc_id % 11 + 9) AS w,
+        |  (doc_id * 3 % 11 + 9) AS h FROM d),
+        |apx AS (SELECT doc_id, c
+        | FROM ad, unnest(range(0, w * h * 3)) AS r(c)),
+        |av AS (SELECT doc_id, c, (doc_id*41 + c*13) % 256 AS v FROM apx),
+        |aa AS (SELECT doc_id,
+        |  sum(CASE WHEN c % 3 = 0 THEN v ELSE 0 END) AS sr,
+        |  sum(CASE WHEN c % 3 = 1 THEN v ELSE 0 END) AS sg,
+        |  sum(CASE WHEN c % 3 = 2 THEN v ELSE 0 END) AS sb,
+        |  sum(v * (c + 1)) AS ws FROM av GROUP BY 1)
+        |SELECT ad.doc_id, 'adam7' AS arm, CAST(ad.w AS BIGINT) AS width,
+        | CAST(ad.h AS BIGINT) AS height, CAST(aa.sr AS BIGINT) AS sum_r,
+        | CAST(aa.sg AS BIGINT) AS sum_g, CAST(aa.sb AS BIGINT) AS sum_b,
+        | CAST(aa.ws AS BIGINT) AS wsum
+        |FROM ad JOIN aa ON aa.doc_id = ad.doc_id
+        |UNION ALL
+        |SELECT pd.doc_id, 'palette', CAST(pd.w AS BIGINT),
+        | CAST(pd.h AS BIGINT), CAST(pa.sr AS BIGINT),
+        | CAST(pa.sg AS BIGINT), CAST(pa.sb AS BIGINT), CAST(pa.ws AS BIGINT)
+        |FROM pd JOIN pa ON pa.doc_id = pd.doc_id
+        |UNION ALL
+        |SELECT sd.doc_id, 'rgb16', CAST(sd.w AS BIGINT),
+        | CAST(sd.h AS BIGINT), CAST(sa.sr AS BIGINT),
+        | CAST(sa.sg AS BIGINT), CAST(sa.sb AS BIGINT), CAST(sa.ws AS BIGINT)
+        |FROM sd JOIN sa ON sa.doc_id = sd.doc_id
+        |ORDER BY doc_id, arm""".stripMargin,
   )
 }

@@ -7,14 +7,17 @@ package graft.multimodal
   * behind loaders (fest-vibes-ai-ETL `src/loader/service.py`); here
   * decode is real pixel math end to end.
   *
-  * Decode supports the overwhelmingly-common web shape: 8-bit
-  * greyscale (color type 0), truecolor RGB (2) and RGBA (6),
-  * non-interlaced, all five scanline filters (None/Sub/Up/Average/
-  * Paeth), multiple IDAT chunks, CRC-validated. Everything else
-  * (palette, 16-bit, Adam7) returns None — the dispatch contract: a
-  * payload the codec doesn't speak degrades to the stub featurizer,
-  * never fails the task. Alpha is dropped on decode (the featurizers
-  * are RGB-space); greyscale replicates into RGB.
+  * Decode supports every legal (color type, bit depth) combination:
+  * greyscale (0) at 1/2/4/8/16 bits, truecolor RGB (2) and RGBA (6)
+  * at 8/16, palette (3) at 1/2/4/8 via PLTE, grey+alpha (4) at 8/16 —
+  * each both straight and Adam7-interlaced — with all five scanline
+  * filters (None/Sub/Up/Average/Paeth), multiple IDAT chunks,
+  * CRC-validated. A malformed payload returns None — the dispatch
+  * contract: a payload the codec can't prove well-formed degrades to
+  * the stub featurizer, never fails the task. Output is always 8-bit
+  * RGB: alpha is dropped (the featurizers are RGB-space), greyscale
+  * replicates into RGB (sub-byte samples scale to 0-255), and 16-bit
+  * samples keep their high byte.
   *
   * Scale guards (the 100 TB story — these UDFs run over arbitrary
   * corpus bytes): geometry arithmetic is Long end to end, and the
@@ -43,32 +46,98 @@ object PngCodec {
     * of an encoded image exercises all five filter reconstructions),
     * one IDAT, default Deflater. */
   def encode(img: PpmCodec.Image): Array[Byte] =
-    encodeRaw(img.width, img.height, colorType = 2, img.rgb)
+    writePng(img.width, img.height, bitDepth = 8, colorType = 2,
+      interlace = 0, plte = None,
+      filterRows(img.rgb, img.height, img.width * 3, 3))
 
   /** 8-bit RGBA (color type 6) encoding — `rgba` is w*h*4 bytes. */
   def encodeRgba(width: Int, height: Int, rgba: Array[Byte]): Array[Byte] = {
     require(rgba.length == width * height * 4,
       s"RGBA payload ${rgba.length} != $width*$height*4")
-    encodeRaw(width, height, colorType = 6, rgba)
+    writePng(width, height, bitDepth = 8, colorType = 6, interlace = 0,
+      plte = None, filterRows(rgba, height, width * 4, 4))
   }
 
-  private def encodeRaw(w: Int, h: Int, colorType: Int,
-                        px: Array[Byte]): Array[Byte] = {
-    val bpp = if (colorType == 6) 4 else 3
-    val rowLen = w * bpp
-    val raw = new Array[Byte](h * (1 + rowLen))
+  /** Paletted (color type 3, 8-bit indices) encoding: `indices` is
+    * w*h bytes into `palette` (3 bytes per entry, ≤ 256 entries). */
+  def encodePalette(width: Int, height: Int, indices: Array[Byte],
+                    palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height,
+      s"index payload ${indices.length} != $width*$height")
+    require(palette.length % 3 == 0 && palette.length <= 768,
+      s"palette must be 3 bytes per entry, <= 256 entries")
+    writePng(width, height, bitDepth = 8, colorType = 3, interlace = 0,
+      plte = Some(palette), filterRows(indices, height, width, 1))
+  }
+
+  /** 16-bit RGB (color type 2, depth 16) encoding: `samples` is w*h*3
+    * 16-bit values in row-major RGB order, stored big-endian. */
+  def encode16(width: Int, height: Int, samples: Array[Int]): Array[Byte] = {
+    require(samples.length == width * height * 3,
+      s"sample payload ${samples.length} != $width*$height*3")
+    val content = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      content(i * 2) = (samples(i) >>> 8).toByte
+      content(i * 2 + 1) = samples(i).toByte
+      i += 1
+    }
+    writePng(width, height, bitDepth = 16, colorType = 2, interlace = 0,
+      plte = None, filterRows(content, height, width * 6, 6))
+  }
+
+  /** Adam7-interlaced 8-bit RGB encoding: identical pixels to
+    * [[encode]], stored as the 7 interlace passes (each pass filtered
+    * independently with the y%5 schedule, per spec). */
+  def encodeAdam7(img: PpmCodec.Image): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { case (x0, y0, dx, dy) =>
+      val wp = if (img.width > x0) (img.width - x0 + dx - 1) / dx else 0
+      val hp = if (img.height > y0) (img.height - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val content = new Array[Byte](wp * hp * 3)
+        var y = 0
+        while (y < hp) {
+          var x = 0
+          while (x < wp) {
+            val src = ((y0 + y * dy) * img.width + (x0 + x * dx)) * 3
+            val dst = (y * wp + x) * 3
+            content(dst) = img.rgb(src)
+            content(dst + 1) = img.rgb(src + 1)
+            content(dst + 2) = img.rgb(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        out.write(filterRows(content, hp, wp * 3, 3))
+      }
+    }
+    writePng(img.width, img.height, bitDepth = 8, colorType = 2,
+      interlace = 1, plte = None, out.toByteArray)
+  }
+
+  /** The Adam7 pass grid: (x0, y0, dx, dy) per pass. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Filter `nRows` scanlines of `rowLen` raw bytes with the `y % 5`
+    * schedule; predictors read the RAW (unfiltered) neighbors, per
+    * spec. `bpp` is the filter unit (whole bytes per pixel, min 1). */
+  private def filterRows(content: Array[Byte], nRows: Int, rowLen: Int,
+                         bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](nRows * (1 + rowLen))
     var y = 0
-    while (y < h) {
+    while (y < nRows) {
       val filter = y % 5
-      raw(y * (1 + rowLen)) = filter.toByte
+      out(y * (1 + rowLen)) = filter.toByte
       var x = 0
       while (x < rowLen) {
-        val orig = px(y * rowLen + x) & 0xff
-        // predictors read the RAW (unfiltered) neighbors, per spec
-        val a = if (x >= bpp) px(y * rowLen + x - bpp) & 0xff else 0
-        val b = if (y > 0) px((y - 1) * rowLen + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) px((y - 1) * rowLen + x - bpp) & 0xff
-                else 0
+        val orig = content(y * rowLen + x) & 0xff
+        val a = if (x >= bpp) content(y * rowLen + x - bpp) & 0xff else 0
+        val b = if (y > 0) content((y - 1) * rowLen + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0)
+          content((y - 1) * rowLen + x - bpp) & 0xff else 0
         val pred = filter match {
           case 0 => 0
           case 1 => a
@@ -80,11 +149,17 @@ object PngCodec {
             val pc = math.abs(p - c)
             if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
         }
-        raw(y * (1 + rowLen) + 1 + x) = ((orig - pred) & 0xff).toByte
+        out(y * (1 + rowLen) + 1 + x) = ((orig - pred) & 0xff).toByte
         x += 1
       }
       y += 1
     }
+    out
+  }
+
+  private def writePng(w: Int, h: Int, bitDepth: Int, colorType: Int,
+                       interlace: Int, plte: Option[Array[Byte]],
+                       raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw)
     defl.finish()
@@ -94,12 +169,14 @@ object PngCodec {
     defl.end()
     val ihdr = new Array[Byte](13)
     be32(ihdr, 0, w); be32(ihdr, 4, h)
-    ihdr(8) = 8 // bit depth
+    ihdr(8) = bitDepth.toByte
     ihdr(9) = colorType.toByte
-    // compression 0, filter 0, interlace 0 already zero
+    ihdr(12) = interlace.toByte
+    // compression 0, filter 0 already zero
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     writeChunk(out, "IHDR", ihdr)
+    plte.foreach(p => writeChunk(out, "PLTE", p))
     writeChunk(out, "IDAT", buf.toByteArray)
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -136,6 +213,15 @@ object PngCodec {
     try decodeImpl(bytes)
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Legal (colorType, bitDepth) combinations, per the PNG spec. */
+  private def validCombo(ct: Int, depth: Int): Boolean = ct match {
+    case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 ||
+      depth == 16
+    case 2 | 4 | 6 => depth == 8 || depth == 16
+    case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+    case _ => false
+  }
+
   private def decodeImpl(bytes: Array[Byte]): Option[PpmCodec.Image] = {
     if (bytes.length < Sig.length + 12) return None
     var i = 0
@@ -145,6 +231,8 @@ object PngCodec {
     }
     var pos = Sig.length
     var w = -1L; var h = -1L; var colorType = -1
+    var bitDepth = -1; var interlace = -1
+    var palette: Array[Byte] = null
     var sawIhdr = false; var sawIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (pos + 8 <= bytes.length && !sawIend) {
@@ -163,22 +251,27 @@ object PngCodec {
           sawIhdr = true
           w = rd32(bytes, dataStart)
           h = rd32(bytes, dataStart + 4)
-          val bitDepth = bytes(dataStart + 8) & 0xff
+          bitDepth = bytes(dataStart + 8) & 0xff
           colorType = bytes(dataStart + 9) & 0xff
           val compression = bytes(dataStart + 10) & 0xff
           val filterMethod = bytes(dataStart + 11) & 0xff
-          val interlace = bytes(dataStart + 12) & 0xff
-          if (w <= 0 || h <= 0 || bitDepth != 8 ||
-              (colorType != 0 && colorType != 2 && colorType != 6) ||
-              compression != 0 || filterMethod != 0 || interlace != 0)
+          interlace = bytes(dataStart + 12) & 0xff
+          if (w <= 0 || h <= 0 || !validCombo(colorType, bitDepth) ||
+              compression != 0 || filterMethod != 0 ||
+              (interlace != 0 && interlace != 1))
             return None
           // bound each dimension BEFORE any product: rd32 can return up
-          // to 2^32-1 and h*(1+w*bpp) on unbounded Longs can wrap
+          // to 2^32-1 and the raw-length Long products can wrap
           // negative, sailing past the MaxPixelBytes cap into a ~2 GiB
           // inflateExact allocation (OOM is not NonFatal — it would
           // escape decode()'s catch and kill the task). With both
           // ≤ 2^24 every later product is ≤ ~2^51: overflow-free.
           if (w > MaxDim || h > MaxDim) return None
+        case "PLTE" =>
+          if (!sawIhdr || palette != null || dataLen % 3 != 0 ||
+              dataLen == 0 || dataLen > 768) return None
+          palette = java.util.Arrays.copyOfRange(bytes, dataStart,
+            dataStart + dataLen)
         case "IDAT" =>
           if (!sawIhdr) return None
           idat.write(bytes, dataStart, dataLen)
@@ -189,64 +282,110 @@ object PngCodec {
       pos = dataStart + dataLen + 4
     }
     if (!sawIhdr || !sawIend) return None
-    val bpp = colorType match {
-      case 0 => 1
-      case 2 => 3
-      case _ => 4
+    if (colorType == 3 && palette == null) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
     }
-    val expected = h * (1 + w * bpp) // Long geometry throughout
+    val bitsPerPx = bitDepth * channels
+    val fbpp = math.max(1, bitsPerPx / 8) // filter unit, whole bytes
+    def rowBytesOf(wp: Long): Long = (wp * bitsPerPx + 7) / 8
+    // interlace passes: (x0, y0, dx, dy, wp, hp); nonempty only
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1, w.toInt, h.toInt))
+      else Adam7.toSeq.flatMap { case (x0, y0, dx, dy) =>
+        val wp = if (w > x0) ((w - x0 + dx - 1) / dx).toInt else 0
+        val hp = if (h > y0) ((h - y0 + dy - 1) / dy).toInt else 0
+        if (wp > 0 && hp > 0) Some((x0, y0, dx, dy, wp, hp)) else None
+      }
+    val expected = passes // Long geometry throughout
+      .map(p => p._6.toLong * (1 + rowBytesOf(p._5.toLong))).sum
     if (expected > MaxPixelBytes || w * h * 3 > Int.MaxValue) return None
     val raw = inflateExact(idat.toByteArray, expected.toInt)
       .getOrElse(return None)
     val wid = w.toInt; val hei = h.toInt
-    val stride = 1 + wid * bpp
-    // defilter in place: prior = reconstructed scanline above
-    var y = 0
-    while (y < hei) {
-      val row = y * stride
-      val filter = raw(row) & 0xff
-      if (filter > 4) return None
-      var x = 1
-      while (x < stride) {
-        val a = if (x > bpp) raw(row + x - bpp) & 0xff else 0 // left
-        val b = if (y > 0) raw(row - stride + x) & 0xff else 0 // up
-        val c = if (x > bpp && y > 0) raw(row - stride + x - bpp) & 0xff
-                else 0 // upper-left
-        val add = filter match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => // Paeth predictor
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-        }
-        raw(row + x) = (((raw(row + x) & 0xff) + add) & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    // expand to RGB (drop alpha; replicate grey)
     val rgb = new Array[Byte](wid * hei * 3)
-    var p = 0
-    y = 0
-    while (y < hei) {
-      val row = y * stride + 1
-      var px = 0
-      while (px < wid) {
-        if (bpp == 1) {
-          val g = raw(row + px)
-          rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
-        } else {
-          val s = row + px * bpp
-          rgb(p) = raw(s); rgb(p + 1) = raw(s + 1); rgb(p + 2) = raw(s + 2)
+    val maxSub = (1 << bitDepth) - 1 // sub-byte grey scale divisor
+    var off = 0
+    passes.foreach { case (x0, y0, dx, dy, wp, hp) =>
+      val rb = rowBytesOf(wp.toLong).toInt
+      val stride = 1 + rb
+      var y = 0
+      while (y < hp) {
+        val row = off + y * stride
+        val filter = raw(row) & 0xff
+        if (filter > 4) return None
+        // defilter in place: prior = reconstructed scanline above
+        // (within THIS pass — each pass filters independently)
+        var x = 1
+        while (x <= rb) {
+          val a = if (x > fbpp) raw(row + x - fbpp) & 0xff else 0 // left
+          val b = if (y > 0) raw(row - stride + x) & 0xff else 0 // up
+          val c = if (x > fbpp && y > 0) raw(row - stride + x - fbpp) & 0xff
+                  else 0 // upper-left
+          val add = filter match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => // Paeth predictor
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(row + x) = (((raw(row + x) & 0xff) + add) & 0xff).toByte
+          x += 1
         }
-        p += 3
-        px += 1
+        // scatter this scanline's pixels into the output grid
+        val base = row + 1
+        var px = 0
+        while (px < wp) {
+          var r = 0; var g = 0; var bl = 0
+          colorType match {
+            case 2 => // truecolor RGB, depth 8 or 16 (keep the high byte)
+              val s = if (bitDepth == 16) base + px * 6 else base + px * 3
+              val step = if (bitDepth == 16) 2 else 1
+              r = raw(s) & 0xff; g = raw(s + step) & 0xff
+              bl = raw(s + 2 * step) & 0xff
+            case 6 => // RGBA: alpha dropped
+              val s = if (bitDepth == 16) base + px * 8 else base + px * 4
+              val step = if (bitDepth == 16) 2 else 1
+              r = raw(s) & 0xff; g = raw(s + step) & 0xff
+              bl = raw(s + 2 * step) & 0xff
+            case 4 => // grey + alpha: alpha dropped, grey replicated
+              val s = if (bitDepth == 16) base + px * 4 else base + px * 2
+              r = raw(s) & 0xff; g = r; bl = r
+            case 0 => // greyscale, all depths; sub-byte scales to 0-255
+              if (bitDepth == 16) { r = raw(base + px * 2) & 0xff }
+              else if (bitDepth == 8) { r = raw(base + px) & 0xff }
+              else {
+                val bitOff = px * bitDepth
+                val shift = 8 - bitDepth - (bitOff % 8)
+                val v = (raw(base + bitOff / 8) >> shift) & maxSub
+                r = v * 255 / maxSub
+              }
+              g = r; bl = r
+            case _ => // palette indices, depths 1/2/4/8
+              val idxv =
+                if (bitDepth == 8) raw(base + px) & 0xff
+                else {
+                  val bitOff = px * bitDepth
+                  val shift = 8 - bitDepth - (bitOff % 8)
+                  (raw(base + bitOff / 8) >> shift) & maxSub
+                }
+              if (idxv * 3 + 2 >= palette.length) return None // bad index
+              r = palette(idxv * 3) & 0xff
+              g = palette(idxv * 3 + 1) & 0xff
+              bl = palette(idxv * 3 + 2) & 0xff
+          }
+          val dest = ((y0 + y * dy) * wid + (x0 + px * dx)) * 3
+          rgb(dest) = r.toByte; rgb(dest + 1) = g.toByte
+          rgb(dest + 2) = bl.toByte
+          px += 1
+        }
+        y += 1
       }
-      y += 1
+      off += hp * stride
     }
     Some(PpmCodec.Image(wid, hei, rgb))
   }

@@ -81,4 +81,66 @@ object SyntheticMedia {
     }
     PngCodec.encodeRgba(w, h, rgba)
   }
+
+  /** Paletted PNG (color type 3, 8-bit indices): `w = d%10+3`,
+    * `h = d*3%10+3`, `n = 2 + d%14` palette entries, entry `j` channel
+    * `c` is `(d*13 + j*17 + c*5) mod 256`, pixel `p`'s index is
+    * `(d*31 + p*7) mod n` — so decoded pixel `p` channel `c` is
+    * `(d*13 + ((d*31 + p*7) mod n)*17 + c*5) mod 256`, a pure integer
+    * formula the oracle replays without materializing the palette. */
+  def pngPalettePayload(d0: Long): Array[Byte] = {
+    val w = (d0 % 10 + 3).toInt
+    val h = (d0 * 3 % 10 + 3).toInt
+    val n = (2 + d0 % 14).toInt
+    val pal = new Array[Byte](n * 3)
+    var j = 0
+    while (j < n) {
+      var c = 0
+      while (c < 3) {
+        pal(j * 3 + c) = ((d0 * 13 + j.toLong * 17 + c.toLong * 5) % 256).toByte
+        c += 1
+      }
+      j += 1
+    }
+    val idx = new Array[Byte](w * h)
+    var p = 0
+    while (p < idx.length) {
+      idx(p) = ((d0 * 31 + p.toLong * 7) % n).toByte
+      p += 1
+    }
+    PngCodec.encodePalette(w, h, idx, pal)
+  }
+
+  /** 16-bit RGB PNG (color type 2, depth 16): `w = d%9+3`,
+    * `h = d*7%9+3`, sample `s` (row-major RGB) is
+    * `(d*37 + s*257) mod 65536`; the decoder keeps the HIGH byte, so
+    * decoded byte `s` is that value integer-divided by 256. */
+  def png16Payload(d0: Long): Array[Byte] = {
+    val w = (d0 % 9 + 3).toInt
+    val h = (d0 * 7 % 9 + 3).toInt
+    val s16 = new Array[Int](w * h * 3)
+    var s = 0
+    while (s < s16.length) {
+      s16(s) = ((d0 * 37 + s.toLong * 257) % 65536).toInt
+      s += 1
+    }
+    PngCodec.encode16(w, h, s16)
+  }
+
+  /** Adam7-interlaced 8-bit RGB PNG: `w = d%11+9`, `h = d*3%11+9`
+    * (≥ 9 on both axes so all seven passes are nonempty), byte `c` is
+    * `(d*41 + c*13) mod 256`. The PIXELS are the plain row-major
+    * formula — interlacing only permutes storage, so a correct
+    * de-interlace must reproduce exactly the natural-order bytes. */
+  def pngAdam7Payload(d0: Long): Array[Byte] = {
+    val w = (d0 % 11 + 9).toInt
+    val h = (d0 * 3 % 11 + 9).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var c = 0
+    while (c < rgb.length) {
+      rgb(c) = ((d0 * 41 + c.toLong * 13) % 256).toByte
+      c += 1
+    }
+    PngCodec.encodeAdam7(PpmCodec.Image(w, h, rgb))
+  }
 }

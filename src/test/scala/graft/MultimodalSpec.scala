@@ -401,6 +401,105 @@ class MultimodalSpec extends SparkSpec {
     assert(PngCodec.decode(sig ++ Array.fill[Byte](64)(33)).isEmpty)
   }
 
+  test("PngCodec round 10 arms: palette (8/4/1-bit), 16-bit, grey+alpha, " +
+      "Adam7 — hand-built fixtures decode byte-exactly; encoders round-trip") {
+    import graft.multimodal.{PngCodec, PpmCodec}
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
+    def ihdr(w: Int, h: Int, depth: Int, ct: Int, il: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(depth.toByte).put(ct.toByte)
+        .put(0.toByte).put(0.toByte).put(il.toByte).array()
+    def zlib(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val t = new Array[Byte](256)
+      while (!d.finished()) o.write(t, 0, d.deflate(t))
+      o.toByteArray
+    }
+    def png(hdr: Array[Byte], raw: Array[Byte],
+            plte: Option[Array[Byte]] = None): Array[Byte] =
+      sig ++ chunk("IHDR", hdr) ++
+        plte.map(p => chunk("PLTE", p)).getOrElse(Array.emptyByteArray) ++
+        chunk("IDAT", zlib(raw)) ++ chunk("IEND", Array.emptyByteArray)
+
+    // 8-bit palette 2x2: indices 0,1,2,1 into a 3-entry palette
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val pal8 = png(ihdr(2, 2, 8, 3, 0),
+      Array[Byte](0, 0, 1, 0, 2, 1), Some(pal))
+    assert(PngCodec.decode(pal8).get.rgb.toSeq ==
+      Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 40, 50, 60))
+    // an out-of-range index is None, not a crash
+    val palBad = png(ihdr(2, 2, 8, 3, 0),
+      Array[Byte](0, 0, 3, 0, 2, 1), Some(pal))
+    assert(PngCodec.decode(palBad).isEmpty)
+    // missing PLTE for color type 3 is None
+    assert(PngCodec.decode(png(ihdr(2, 2, 8, 3, 0),
+      Array[Byte](0, 0, 1, 0, 2, 1))).isEmpty)
+
+    // 4-bit palette 3x2: packed two indices per byte, high nibble first
+    // row 1: 0,1,2 → bytes 0x01, 0x20 ; row 2: 2,1,0 → 0x21, 0x00
+    val pal4 = png(ihdr(3, 2, 4, 3, 0),
+      Array[Byte](0, 0x01, 0x20, 0, 0x21, 0x00), Some(pal))
+    assert(PngCodec.decode(pal4).get.rgb.toSeq == Seq[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90,
+      70, 80, 90, 40, 50, 60, 10, 20, 30))
+
+    // 1-bit greyscale 3x1: bits 1,0,1 → 0b101 in the top bits → 0xA0;
+    // samples scale to 255/0/255
+    val g1 = png(ihdr(3, 1, 1, 0, 0), Array[Byte](0, 0xA0.toByte))
+    assert(PngCodec.decode(g1).get.rgb.map(_ & 0xff).toSeq ==
+      Seq(255, 255, 255, 0, 0, 0, 255, 255, 255))
+
+    // 16-bit RGB 1x2: high bytes survive, low bytes drop
+    val rgb16raw = Array[Byte](0,
+        0x12, 0x34, 0x56, 0x78, 0x9A.toByte, 0xBC.toByte,
+      0, 0x01, 0xFF.toByte, 0x02, 0xFE.toByte, 0x03, 0xFD.toByte)
+    val px16 = png(ihdr(1, 2, 16, 2, 0), rgb16raw)
+    assert(PngCodec.decode(px16).get.rgb.map(_ & 0xff).toSeq ==
+      Seq(0x12, 0x56, 0x9A, 0x01, 0x02, 0x03))
+
+    // grey+alpha 2x1 (8-bit): alpha dropped, grey replicated
+    val ga = png(ihdr(2, 1, 8, 4, 0), Array[Byte](0, 7, 100, 9, 0))
+    assert(PngCodec.decode(ga).get.rgb.toSeq == Seq[Byte](7, 7, 7, 9, 9, 9))
+
+    // hand-built 2x2 Adam7 RGB: pass 1 = (0,0); pass 6 = (1,0);
+    // pass 7 = (0,1),(1,1); passes 2-5 empty at this size
+    val adamRaw = Array[Byte](
+      0, 1, 2, 3, // pass 1: pixel (0,0)
+      0, 4, 5, 6, // pass 6: pixel (1,0)
+      0, 7, 8, 9, 10, 11, 12) // pass 7: pixels (0,1),(1,1)
+    val adam = png(ihdr(2, 2, 8, 2, 1), adamRaw)
+    assert(PngCodec.decode(adam).get.rgb.toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+
+    // encoder round-trips across all new arms (y%5 schedule exercises
+    // every filter; sizes chosen so every Adam7 pass is nonempty)
+    val rng = new scala.util.Random(11)
+    val w = 11; val h = 9
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val backA = PngCodec.decode(PngCodec.encodeAdam7(PpmCodec.Image(w, h, rgb))).get
+    assert(backA.width == w && backA.height == h && backA.rgb.toSeq == rgb.toSeq)
+    val idxs = Array.tabulate[Byte](w * h)(i => (i % 3).toByte)
+    val backP = PngCodec.decode(PngCodec.encodePalette(w, h, idxs, pal)).get
+    assert(backP.rgb.toSeq == idxs.toSeq.flatMap(ix =>
+      Seq(pal(ix * 3), pal(ix * 3 + 1), pal(ix * 3 + 2))))
+    val s16 = Array.tabulate(w * h * 3)(_ => rng.nextInt(65536))
+    val back16 = PngCodec.decode(PngCodec.encode16(w, h, s16)).get
+    assert(back16.rgb.map(_ & 0xff).toSeq == s16.map(_ >>> 8).toSeq)
+  }
+
   test("PNG payloads ride every image stage: features == same-pixel P6, " +
       "phash identical, resize stays PNG") {
     import graft.multimodal.{Multimodal, PngCodec, PpmCodec, SyntheticMedia}
