@@ -7100,6 +7100,45 @@ object SparkEntry {
           col("t._6").as("wsum"))
         .orderBy(col("doc_id"), col("arm"))
     }),
+
+    // ---- REAL compressed-audio decode (FLAC — the lossless arm where
+    // the exact-round-trip oracle harness works, closing compressed
+    // audio the way q279 closed images): deterministic noise PCM is
+    // FLAC-encoded per audio doc (fixed/LPC/verbatim subframe schedule,
+    // stereo frames cycling all four channel assignments, Rice
+    // partition order alternating 0/2), then sample sums and the
+    // order-pinning weighted checksum are computed by DECODING the
+    // actual bitstream — Rice quotients, predictor replay, channel
+    // de-correlation, CRC-8/16 gates. The oracle replays every value
+    // from the generator formula: one wrong residual bit anywhere
+    // moves wsum ----
+    "q287_flac_roundtrip" -> ((s, d) => {
+      import graft.multimodal.{FlacCodec, SyntheticMedia}
+      val gen = udf { (d0: Long) => SyntheticMedia.flacPayload(d0) }
+      val st = udf { (bytes: Array[Byte]) =>
+        FlacCodec.decode(bytes).map { c =>
+          var ss = 0L; var ws = 0L
+          var j = 0
+          while (j < c.samples.length) {
+            val v = c.samples(j).toLong
+            ss += v; ws += v * (j + 1)
+            j += 1
+          }
+          (c.channels.toLong, c.sampleRate.toLong,
+            c.samples.length.toLong, ss, ws)
+        }.orNull
+      }
+      tSpread(s, d, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), st(gen(col("doc_id"))).as("t"))
+        .select(col("doc_id"),
+          col("t._1").as("channels"),
+          col("t._2").as("rate"),
+          col("t._3").as("n_samples"),
+          col("t._4").as("sum_s"),
+          col("t._5").as("wsum"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -13420,5 +13459,24 @@ object SparkEntry {
         | CAST(sa.sg AS BIGINT), CAST(sa.sb AS BIGINT), CAST(sa.ws AS BIGINT)
         |FROM sd JOIN sa ON sa.doc_id = sd.doc_id
         |ORDER BY doc_id, arm""".stripMargin,
+
+    // FLAC replay: every value from the wavPayload-family noise formula
+    // — the Spark side only matches if encode→decode reproduced every
+    // PCM sample in order.
+    "q287_flac_roundtrip" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |fd AS (SELECT doc_id, (8000 + (doc_id % 7) * 1000) AS rate,
+        |  (1 + doc_id % 2) AS ch,
+        |  (1 + doc_id % 2) * (3000 + (doc_id * 17) % 6000) AS ns FROM d),
+        |fs AS (SELECT doc_id, j,
+        |  (doc_id*31 + j*7919) % 65536 - 32768 AS v
+        | FROM fd, unnest(range(0, ns)) AS r(j)),
+        |fa AS (SELECT doc_id, sum(v) AS ss, sum(v * (j + 1)) AS ws
+        | FROM fs GROUP BY 1)
+        |SELECT fd.doc_id, CAST(fd.ch AS BIGINT) AS channels,
+        | CAST(fd.rate AS BIGINT) AS rate, CAST(fd.ns AS BIGINT) AS n_samples,
+        | CAST(fa.ss AS BIGINT) AS sum_s, CAST(fa.ws AS BIGINT) AS wsum
+        |FROM fd JOIN fa ON fa.doc_id = fd.doc_id
+        |ORDER BY fd.doc_id""".stripMargin,
   )
 }

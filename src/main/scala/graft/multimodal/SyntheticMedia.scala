@@ -127,6 +127,24 @@ object SyntheticMedia {
     PngCodec.encode16(w, h, s16)
   }
 
+  /** FLAC clip: rate `8000 + (d%7)*1000`, channels `1 + d%2`,
+    * `3000 + (d*17)%6000` frames (1-3 blocks → the subframe-type and
+    * stereo-assignment schedules all fire), interleaved sample `j` is
+    * `(d*31 + j*7919) mod 65536 - 32768` — the wavPayload noise formula
+    * at FLAC scale, so the oracle replays the decoded PCM exactly. */
+  def flacPayload(d0: Long): Array[Byte] = {
+    val rate = (8000L + (d0 % 7) * 1000L).toInt
+    val ch = (1 + d0 % 2).toInt
+    val ns = ch * (3000L + (d0 * 17) % 6000L).toInt
+    val smp = new Array[Short](ns)
+    var j = 0
+    while (j < ns) {
+      smp(j) = (((d0 * 31 + j.toLong * 7919) % 65536L) - 32768L).toShort
+      j += 1
+    }
+    FlacCodec.encode(WavCodec.Clip(rate, ch, smp))
+  }
+
   /** Adam7-interlaced 8-bit RGB PNG: `w = d%11+9`, `h = d*3%11+9`
     * (≥ 9 on both axes so all seven passes are nonempty), byte `c` is
     * `(d*41 + c*13) mod 256`. The PIXELS are the plain row-major
