@@ -83,7 +83,8 @@ object SparkEntry {
       | ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, c.cid
       | LIMIT 4)
       |SELECT cl.vec_id,
-      | round(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
+      | CAST(floor(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]),
+      |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
       |FROM cells cl, q WHERE cl.cid IN (SELECT cid FROM probe)
       |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
       | cl.vec_id
@@ -127,6 +128,24 @@ object SparkEntry {
   private def cents(c: Column): Column =
     floor(c * lit(100d) + lit(0.5d)).cast("bigint")
 
+  /** Integer-grid twin of [[ratioQ]] (the round-10 UNIVERSAL
+    * output-typing contract: no float/fractional-decimal output
+    * columns anywhere): the quantized ratio emitted AS the BIGINT
+    * k-decimal fixed-point value instead of dividing back to a double.
+    * SQL twin: `CAST(floor(num * 10^k / den + 0.5) AS BIGINT)`. */
+  private def ratioBp(num: Column, den: Column, k: Int): Column = {
+    val scale = math.pow(10, k).toLong
+    floor(num * lit(scale) / den + lit(0.5d)).cast("bigint")
+  }
+
+  /** Integer-grid twin of [[floorQ]] — the k-decimal grid of an
+    * engine-identical double, emitted as BIGINT. SQL twin:
+    * `CAST(floor(x * 10^k + 0.5) AS BIGINT)`. */
+  private def floorBp(c: Column, k: Int): Column = {
+    val scale = math.pow(10, k).toLong
+    floor(c * lit(scale.toDouble) + lit(0.5d)).cast("bigint")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.4, §2.5) ----
     "q01_pricing_summary" -> ((s, d) => {
@@ -134,13 +153,17 @@ object SparkEntry {
         .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          // l_quantity is integer-valued: exact-ratio avg, so quantize
-          // via bigint sums (round() decimal-tie hazard)
-          ratioQ(sum(col("l_quantity").cast("bigint")), count(lit(1)), 4)
-            .as("avg_qty"),
+          // l_quantity is integer-valued: the sum is an exact bigint
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          // money lands as exact integer CENTS (universal typing
+          // contract: no float output anywhere); the discounted price
+          // quantizes per row AFTER the same IEEE product both engines
+          // compute, so the cents are engine-identical
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price_cents"),
+          ratioBp(sum(col("l_quantity").cast("bigint")), count(lit(1)), 4)
+            .as("avg_qty_bp"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -150,9 +173,9 @@ object SparkEntry {
         .join(broadcast(t(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
           count(lit(1)).as("n_orders"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(10)
     }),
 
@@ -163,7 +186,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_revenue"))
+          sum(cents(col("o_totalprice"))).as("total_revenue_cents"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -184,11 +207,11 @@ object SparkEntry {
         .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"),
-          // money avg: exact integer cents, then one quantized division
-          // (a 10-part group with a cents-sum ending in 5 is a true
-          // 3rd-decimal tie that round() resolves differently per engine)
-          (ratioQ(sum(cents(col("p_retailprice"))), count(lit(1)), 0)
-            / lit(100d)).as("avg_price"))
+          // money avg: exact integer cents end to end (a 10-part group
+          // with a cents-sum ending in 5 is a true 3rd-decimal tie that
+          // round() resolves differently per engine)
+          ratioBp(sum(cents(col("p_retailprice"))), count(lit(1)), 0)
+            .as("avg_price_cents"))
         .orderBy(col("p_brand"))
     }),
 
@@ -211,9 +234,11 @@ object SparkEntry {
         .orderBy(unix_micros(col("ts")), col("event_id"))
       Tables.events(s, d)
         .withColumn("rn", row_number().over(w).cast("bigint"))
-        .withColumn("running_value",
-          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
-        .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
+        .withColumn("running_cents",
+          sum(cents(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("rn"),
+          col("running_cents"))
         .orderBy(col("event_id"))
     }),
 
@@ -237,7 +262,7 @@ object SparkEntry {
         .withColumn("bucket", Parsers.capacityBucket(col("o_totalprice") / 1000.0))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_price"))
+          sum(cents(col("o_totalprice"))).as("total_price_cents"))
         .orderBy(col("bucket"))
     }),
 
@@ -253,7 +278,8 @@ object SparkEntry {
             .otherwise(round(col("c_acctbal") + 100, 2)).as("acctbal"),
           lit(null).cast("string").as("mktsegment"))
       CoalesceMerge.upsert(target, source, Seq("c_custkey"))
-        .withColumn("acctbal", round(col("acctbal"), 2))
+        .withColumn("acctbal_cents", cents(col("acctbal")))
+        .drop("acctbal")
         .orderBy(col("c_custkey"))
     }),
 
@@ -307,7 +333,7 @@ object SparkEntry {
       val emb = tSpread(s, d, "embeddings")
       val q = queryVec(s, d)
       VectorFunctions.topK(emb, "embedding", "vec_id", q, 20)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- text analysis ----
@@ -318,7 +344,7 @@ object SparkEntry {
           TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"),
           TextFunctions.punctCount(col("text")).cast("bigint").as("n_punct"),
           TextFunctions.stopwordCount(col("text")).cast("bigint").as("n_stop"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+          floorBp(TextFunctions.qualityScore(col("text")), 4).as("quality_bp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -340,6 +366,8 @@ object SparkEntry {
       // oracle SQL applies the identical cap
       Dedup.ngramJaccardPairs(tSpread(s, d, "documents"), "text", "doc_id",
         n = 3, threshold = 0.2, maxShingleFreq = 1000)
+        .select(col("id_a"), col("id_b"),
+          floorBp(col("jaccard"), 4).as("jaccard_bp"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -363,7 +391,7 @@ object SparkEntry {
     "q26_embed_documents" -> ((s, d) => {
       val emb = EmbedStage.embedColumn(tSpread(s, d, "documents"), "text", "emb")
       emb.select(col("doc_id"), size(col("emb")).cast("bigint").as("dim"),
-          round(element_at(col("emb"), 1).cast("double"), 4).as("c0"))
+          floorBp(element_at(col("emb"), 1).cast("double"), 4).as("c0_bp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -372,7 +400,7 @@ object SparkEntry {
       val q = queryVec(s, d)
       VectorFunctions.annTopK(emb, "embedding", "vec_id", q, 20, dim = q.length,
         nPlanes = 6)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- full loader pipeline end-to-end (§3.3: P10→A1→A2→A3→J2/J3→A4) ----
@@ -393,7 +421,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_revenue"))
+          sum(cents(col("o_totalprice"))).as("total_revenue_cents"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
@@ -460,7 +488,9 @@ object SparkEntry {
         round(lit(-90.0715) - col("s_suppkey") * 0.0001, 6).as("lon"))
       Geocode.enrich(base, cache, "full_address", to_date(lit(Today)))
         .select(col("s_suppkey"), col("full_address"),
-          col("latitude"), col("longitude"))
+          // microdegrees: the 6dp geocode grid as exact BIGINT
+          floorBp(col("latitude"), 6).as("lat_ud"),
+          floorBp(col("longitude"), 6).as("lon_ud"))
         .orderBy(col("s_suppkey"))
     }),
 
@@ -483,7 +513,7 @@ object SparkEntry {
       t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_price"))
+          sum(cents(col("o_totalprice"))).as("total_price_cents"))
         .orderBy(asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority"))
     }),
@@ -492,6 +522,7 @@ object SparkEntry {
     "q42_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(tSpread(s, d, "embeddings"), "embedding", "vec_id",
         col("label"), threshold = 0.3)
+        .select(col("id_a"), col("id_b"), floorBp(col("cos"), 4).as("cos_bp"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -499,9 +530,11 @@ object SparkEntry {
     "q41_percentiles" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(round(expr("percentile(value, 0.5)"), 2).as("p50"),
-          round(expr("percentile(value, 0.95)"), 2).as("p95"),
-          round(avg(col("value")), 2).as("avg_value"),
+        .agg(floorBp(expr("percentile(value, 0.5)"), 2).as("p50_cents"),
+          floorBp(expr("percentile(value, 0.95)"), 2).as("p95_cents"),
+          // mean over exact per-row cents: no summation-order float luck
+          ratioBp(sum(cents(col("value"))), count(lit(1)), 0)
+            .as("avg_value_cents"),
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))
     }),
@@ -512,7 +545,8 @@ object SparkEntry {
         t(s, d, n).createOrReplaceTempView(n))
       s.sql(
         """SELECT o_orderkey,
-          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          | sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+          |   AS BIGINT)) AS revenue_cents,
           | date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
           |FROM customer
           | JOIN orders ON c_custkey = o_custkey
@@ -521,7 +555,7 @@ object SparkEntry {
           | AND o_orderdate < timestamp '1998-03-15'
           | AND l_shipdate > timestamp '1998-03-15'
           |GROUP BY o_orderkey, o_orderdate
-          |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+          |ORDER BY revenue_cents DESC, o_orderkey LIMIT 20""".stripMargin)
     }),
 
     // ---- IVF ANN (closed-form centroid pick → SQL-replayable) ----
@@ -534,7 +568,7 @@ object SparkEntry {
       val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding", "vec_id", 16)
       val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
       IvfIndex.search(index, "embedding", "vec_id", cs, q, k = 20, nProbe = 4)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- per-group top-k via custom TypedImperativeAggregate ----
@@ -547,7 +581,8 @@ object SparkEntry {
         .agg(topk_by_score(col("s"), col("vec_id"), 5).as("top"))
         .select(col("label"), posexplode(col("top")))
         .select(col("label"), (col("pos") + 1).cast("bigint").as("rank"),
-          col("col.id").as("vec_id"), round(col("col.score"), 4).as("score"))
+          col("col.id").as("vec_id"),
+          floorBp(col("col.score"), 4).as("score_bp"))
         .orderBy(col("label"), col("rank"))
     }),
 
@@ -577,7 +612,8 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.height").as("height"),
           length(col("content")).cast("bigint").as("n_bytes"),
           size(col("features")).cast("bigint").as("feat_dim"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          floorBp(element_at(col("features"), 1).cast("double"), 4)
+            .as("f0_bp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2897,7 +2933,7 @@ object SparkEntry {
       graft.vector.HnswIndex.searchTopK(emb, "embedding", "vec_id", q, 20,
         graft.vector.HnswIndex.Params(m = 8, efConstruction = 128,
           efSearch = 1 << 20))
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- HNSW THROUGH THE AT-REST INDEX (q74's round-trip pattern):
@@ -2916,7 +2952,7 @@ object SparkEntry {
           Seq(0L -> queryVec(s, d)), 20,
           graft.vector.HnswIndex.Params(efSearch = 1 << 20))
         .drop("query_id")
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- TRANSPARENT ANN PLANNING (the reference planner's contract:
@@ -2948,7 +2984,7 @@ object SparkEntry {
         AnnCatalog.IvfEntry(s"$tmp/ivf", "embedding", "vec_id", cs, nProbe = 4))
       VectorFunctions.topK(s.read.parquet(s"$tmp/base"),
           "embedding", "vec_id", queryVec(s, d), 20)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- transparent ANN planning, HNSW flavor: same rule, registered
@@ -2973,7 +3009,7 @@ object SparkEntry {
           graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
       VectorFunctions.topK(s.read.parquet(s"$tmp/base"),
           "embedding", "vec_id", queryVec(s, d), 20)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- FILTERED transparent ANN planning — pgvector's dominant
@@ -3007,7 +3043,7 @@ object SparkEntry {
           VectorFunctions.cosine_sim(col("embedding"),
             lit(queryVec(s, d))).as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(20)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- PAYLOAD columns through the transparent planner: `SELECT *`-
@@ -3034,7 +3070,7 @@ object SparkEntry {
           VectorFunctions.cosine_sim(col("embedding"),
             lit(queryVec(s, d))).as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(20)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- RUNTIME FALLBACK under the oracle: the predicate keeps fewer
@@ -3121,7 +3157,7 @@ object SparkEntry {
         graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
       RoutedHnsw.search(s, dir, "vec_id", cs, queryVec(s, d), k = 20,
           nProbe = 4, graft.vector.HnswIndex.Params(efSearch = 1 << 20))
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- transparent planning onto a registered ROUTED index (q169's
@@ -3147,7 +3183,7 @@ object SparkEntry {
           graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
       VectorFunctions.topK(s.read.parquet(s"$tmp/base"),
           "embedding", "vec_id", queryVec(s, d), 20)
-        .withColumn("score", round(col("score"), 4))
+        .withColumn("score_bp", floorBp(col("score"), 4)).drop("score")
     }),
 
     // ---- CROSS-DOCUMENT exact-substring duplicate spans (ExactSubstr,
@@ -7596,25 +7632,31 @@ object SparkEntry {
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | floor(sum(CAST(l_quantity AS BIGINT)) * 10000 / count(*) + 0.5) / 10000 AS avg_qty,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |   AS sum_base_price_cents,
+        | sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   AS BIGINT)) AS sum_disc_price_cents,
+        | CAST(floor(sum(CAST(l_quantity AS BIGINT)) * 10000 / count(*)
+        |   + 0.5) AS BIGINT) AS avg_qty_bp,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_top_customers" ->
-      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT c_custkey, c_name,
+        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS revenue_cents,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 10""".stripMargin,
 
     "q03_region_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS total_revenue
+        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS total_revenue_cents
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -7630,7 +7672,8 @@ object SparkEntry {
 
     "q05_parts_in_lineitem" ->
       """SELECT p_brand, count(*) AS n_parts,
-        | floor(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) / count(*) + 0.5) / 100 AS avg_price
+        | CAST(floor(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        |   * 1 / count(*) + 0.5) AS BIGINT) AS avg_price_cents
         |FROM part WHERE p_size > 30
         | AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -7644,8 +7687,9 @@ object SparkEntry {
     "q07_window_running" ->
       """SELECT event_id, user_id,
         | row_number() OVER w AS rn,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY event_id""".stripMargin,
@@ -7664,13 +7708,14 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
-        | min(us) AS start_us, max(us) AS end_us, round(sum(value), 2) AS session_value
+        | min(us) AS start_us, max(us) AS end_us,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS session_value_cents
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q09_per_date_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n_events,
-        | round(sum(value), 2) AS sum_value
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
         |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
 
     "q10_ttl_tiers" ->
@@ -7684,7 +7729,9 @@ object SparkEntry {
     "q11_price_bucket" ->
       """SELECT CASE WHEN o_totalprice / 1000.0 < 100 THEN 'intimate'
         |  WHEN o_totalprice / 1000.0 < 500 THEN 'medium' ELSE 'large' END AS bucket,
-        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        | count(*) AS n_orders,
+        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS total_price_cents
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q12_merge_coalesce" ->
@@ -7700,11 +7747,12 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 2 = 0)
         |SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
         | coalesce(s.name, t.name) AS name,
-        | round(coalesce(s.acctbal, t.acctbal), 2) AS acctbal,
         | coalesce(s.mktsegment, t.mktsegment) AS mktsegment,
         | CASE WHEN t.c_custkey IS NULL THEN 'insert'
         |      WHEN s.c_custkey IS NOT NULL THEN 'update'
-        |      ELSE 'keep' END AS _action
+        |      ELSE 'keep' END AS _action,
+        | CAST(floor(coalesce(s.acctbal, t.acctbal) * 100 + 0.5) AS BIGINT)
+        |   AS acctbal_cents
         |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
         |ORDER BY c_custkey""".stripMargin,
 
@@ -7746,9 +7794,10 @@ object SparkEntry {
 
     "q16_serve_events_by_date" ->
       """SELECT event_id, epoch_us(ts) AS perf_us, user_id, event_type,
-        | round(value, 2) AS value,
+        | CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
         | count(*) OVER (PARTITION BY user_id) AS user_day_events,
-        | round(sum(value) OVER (PARTITION BY user_id), 2) AS user_day_value,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY user_id) AS user_day_value_cents,
         | CAST(CASE WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') < 0 THEN 604800
         |   WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') = 0 THEN 3600
         |   WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') <= 7 THEN 43200
@@ -7759,7 +7808,7 @@ object SparkEntry {
     "q17_user_day_digest" ->
       """SELECT user_id, count(*) AS n_events,
         | array_to_string(list_sort(list(event_type)), ',') AS event_types,
-        | round(sum(value), 2) AS total_value,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents,
         | min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -7767,8 +7816,8 @@ object SparkEntry {
     "q18_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
-        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM embeddings e CROSS JOIN q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
@@ -7782,10 +7831,11 @@ object SparkEntry {
         | length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
         | length(regexp_extract_all(lower(text),
         |   '\b(the|a|an|and|of|to|in|is|it|that)\b')) AS n_stop,
-        | CASE WHEN length(trim(text)) = 0 THEN 0.0
-        |  ELSE round(length(regexp_extract_all(lower(text),
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE CAST(floor(length(regexp_extract_all(lower(text),
         |    '\b(the|a|an|and|of|to|in|is|it|that)\b'))::DOUBLE /
-        |    array_length(regexp_split_to_array(trim(text), '\s+')), 4) END AS quality
+        |    array_length(regexp_split_to_array(trim(text), '\s+'))
+        |    * 10000 + 0.5) AS BIGINT) END AS quality_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q20_lang_id" ->
@@ -7833,7 +7883,8 @@ object SparkEntry {
         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        | floor(inter * 10000 / (sa.n + sb.n - inter) + 0.5) / 10000 AS jaccard
+        | CAST(floor(floor(inter * 10000 / (sa.n + sb.n - inter) + 0.5)
+        |   / 10000 * 10000 + 0.5) AS BIGINT) AS jaccard_bp
         |FROM pairs
         | JOIN sizes sa ON sa.doc_id = id_a
         | JOIN sizes sb ON sb.doc_id = id_b
@@ -7891,8 +7942,10 @@ object SparkEntry {
         |SELECT d.doc_id,
         | CAST(CASE WHEN a.doc_id IS NULL THEN NULL ELSE 64 END AS BIGINT) AS dim,
         | CASE WHEN a.doc_id IS NULL THEN NULL
-        |      ELSE round(CAST(CAST(a.v0 AS FLOAT) * CAST(1.0 / sqrt(a.n2) AS FLOAT) AS DOUBLE), 4)
-        | END AS c0
+        |      ELSE CAST(floor(CAST(CAST(a.v0 AS FLOAT) *
+        |        CAST(1.0 / sqrt(a.n2) AS FLOAT) AS DOUBLE) * 10000 + 0.5)
+        |        AS BIGINT)
+        | END AS c0_bp
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -7918,7 +7971,8 @@ object SparkEntry {
         |probe AS (SELECT b AS pb FROM qb
         | UNION ALL SELECT xor(b, CAST(1 AS BIGINT) << CAST(p AS INT)) FROM qb, range(0, 6) r(p))
         |SELECT v.vec_id,
-        | round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM vb v, q WHERE v.bucket IN (SELECT pb FROM probe)
         |ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
         | v.vec_id
@@ -8435,7 +8489,8 @@ object SparkEntry {
         | FROM avr),
         |avo AS (SELECT doc_id, media_type, width, height,
         |  CAST(n_bytes AS BIGINT) AS n_bytes, CAST(16 AS BIGINT) AS feat_dim,
-        |  round(CAST(CAST(cnt0 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 4) AS f0
+        |  CAST(floor(CAST(CAST(cnt0 AS FLOAT) / CAST(n_bytes AS FLOAT)
+        |    AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS f0_bp
         | FROM avf),
         |im AS (
         | SELECT doc_id, w0i AS w0, h0i AS h0,
@@ -8450,11 +8505,11 @@ object SparkEntry {
         |    CAST(h1 AS VARCHAR) || chr(10) || '255' || chr(10))
         |    + 3 * w1 * h1 AS BIGINT) AS n_bytes,
         |  CAST(16 AS BIGINT) AS feat_dim,
-        |  round(CAST(CAST(
+        |  CAST(floor(CAST(CAST(
         |    list_avg(list_transform(range(0, CAST(w1 AS BIGINT) * h1), i ->
         |      (doc_id * 31 + 7 * 3 * (((i // w1) * h0 // h1) * w0
         |        + ((i % w1) * w0 // w1))) % 256))
-        |    / 255.0 AS FLOAT) AS DOUBLE), 4) AS f0
+        |    / 255.0 AS FLOAT) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS f0_bp
         | FROM imd)
         |SELECT * FROM (SELECT * FROM avo UNION ALL SELECT * FROM imo)
         |ORDER BY doc_id""".stripMargin,
@@ -8479,7 +8534,8 @@ object SparkEntry {
 
     "q29_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS total_revenue
+        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS total_revenue_cents
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -8702,7 +8758,8 @@ object SparkEntry {
 
     "q33_hourly_windows" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
-        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        | count(*) AS n_events,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
@@ -8711,10 +8768,12 @@ object SparkEntry {
         | CASE WHEN s_suppkey % 10 = 0 THEN ''
         |      WHEN s_suppkey % 10 = 1 THEN s_name || '.Streaming'
         |      ELSE s_name || ' St' END AS full_address,
-        | CASE WHEN s_suppkey % 10 IN (0, 1) THEN 29.9511
-        |      ELSE round(29.9511 + s_suppkey * 0.0001, 6) END AS latitude,
-        | CASE WHEN s_suppkey % 10 IN (0, 1) THEN -90.0715
-        |      ELSE round(-90.0715 - s_suppkey * 0.0001, 6) END AS longitude
+        | CAST(floor((CASE WHEN s_suppkey % 10 IN (0, 1) THEN 29.9511
+        |      ELSE round(29.9511 + s_suppkey * 0.0001, 6) END) * 1000000
+        |      + 0.5) AS BIGINT) AS lat_ud,
+        | CAST(floor((CASE WHEN s_suppkey % 10 IN (0, 1) THEN -90.0715
+        |      ELSE round(-90.0715 - s_suppkey * 0.0001, 6) END) * 1000000
+        |      + 0.5) AS BIGINT) AS lon_ud
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "q35_quarantine" ->
@@ -8725,8 +8784,8 @@ object SparkEntry {
 
     "q42_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        | CAST(floor(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) * 10000 + 0.5) AS BIGINT) AS cos_bp
         |FROM embeddings a
         | JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -8735,22 +8794,27 @@ object SparkEntry {
 
     "q43_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS total_price
+        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS total_price_cents
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q41_percentiles" ->
       """SELECT event_type,
-        | round(quantile_cont(value, 0.5), 2) AS p50,
-        | round(quantile_cont(value, 0.95), 2) AS p95,
-        | round(avg(value), 2) AS avg_value,
+        | CAST(floor(quantile_cont(value, 0.5) * 100 + 0.5) AS BIGINT)
+        |   AS p50_cents,
+        | CAST(floor(quantile_cont(value, 0.95) * 100 + 0.5) AS BIGINT)
+        |   AS p95_cents,
+        | CAST(floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 1
+        |   / count(*) + 0.5) AS BIGINT) AS avg_value_cents,
         | count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q40_sql_surface" ->
       """SELECT o_orderkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   AS BIGINT)) AS revenue_cents,
         | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer
         | JOIN orders ON c_custkey = o_custkey
@@ -8759,7 +8823,7 @@ object SparkEntry {
         | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
         | AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q38_topk_per_group" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -8768,7 +8832,8 @@ object SparkEntry {
         |   list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |                          CAST(qe AS DOUBLE[])) AS s
         |  FROM embeddings CROSS JOIN q)
-        |SELECT label, rn AS rank, vec_id, round(s, 4) AS score
+        |SELECT label, rn AS rank, vec_id,
+        | CAST(floor(s * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM (SELECT *, row_number() OVER (PARTITION BY label
         |        ORDER BY s DESC, vec_id) AS rn FROM scored)
         |WHERE rn <= 5 ORDER BY label, rank""".stripMargin,
@@ -10219,7 +10284,8 @@ object SparkEntry {
         | ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, c.cid
         | LIMIT 4)
         |SELECT cl.vec_id,
-        | round(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]),
+      |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM cells cl, q WHERE cl.cid IN (SELECT cid FROM probe)
         |ORDER BY list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
         | cl.vec_id
@@ -10267,8 +10333,8 @@ object SparkEntry {
     "q171_ann_auto_hnsw" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
-        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM embeddings e CROSS JOIN q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
@@ -10281,8 +10347,8 @@ object SparkEntry {
     "q174_ann_filtered" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
-        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM embeddings e CROSS JOIN q
         |WHERE e.vec_id % 3 = 0
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -10293,8 +10359,8 @@ object SparkEntry {
     "q175_ann_payload" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,
-        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM embeddings e CROSS JOIN q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
@@ -10346,8 +10412,8 @@ object SparkEntry {
     "q167_hnsw_at_rest" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
-        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM embeddings e CROSS JOIN q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
@@ -10359,8 +10425,8 @@ object SparkEntry {
     "q166_hnsw_ann" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
-        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                              CAST(q.qe AS DOUBLE[])), 4) AS score
+        | CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM embeddings e CROSS JOIN q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |                                CAST(q.qe AS DOUBLE[])) DESC, e.vec_id

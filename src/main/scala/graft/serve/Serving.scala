@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Serving {
 
+  /** Exact integer cents of a ~2dp money double — the same engine-
+    * portable quantization SparkEntry's oracles replay as
+    * `CAST(floor(x*100 + 0.5) AS BIGINT)`. Money stays bigint cents in
+    * every output column (universal output-typing contract). */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100d) + lit(0.5d)).cast("bigint")
+
   /** Per-event serving rows for one day: each event with its user's
     * same-day activity eagerly attached (the "no N+1" join shape). */
   def eventsByDate(events: DataFrame, date: String, today: String): DataFrame = {
@@ -24,11 +31,12 @@ object Serving {
     day
       .withColumn("perf_us", unix_micros(col("ts")))
       .withColumn("user_day_events", count(lit(1)).over(perUser))
-      .withColumn("user_day_value", round(sum(col("value")).over(perUser), 2))
+      .withColumn("user_day_value_cents",
+        sum(cents(col("value"))).over(perUser))
       .withColumn("ttl_s", Parsers.ttlSeconds(to_date(lit(date)), to_date(lit(today))))
       .select(col("event_id"), col("perf_us"), col("user_id"), col("event_type"),
-        round(col("value"), 2).as("value"), col("user_day_events"),
-        col("user_day_value"), col("ttl_s"))
+        cents(col("value")).as("value_cents"), col("user_day_events"),
+        col("user_day_value_cents"), col("ttl_s"))
       .orderBy(col("perf_us"), col("event_id"))
   }
 
@@ -40,7 +48,7 @@ object Serving {
       .agg(
         count(lit(1)).as("n_events"),
         concat_ws(",", sort_array(collect_list(col("event_type")))).as("event_types"),
-        round(sum(col("value")), 2).as("total_value"),
+        sum(cents(col("value"))).as("total_value_cents"),
         min(unix_micros(col("ts"))).as("first_us"),
         max(unix_micros(col("ts"))).as("last_us"))
       .orderBy(col("user_id"))
@@ -49,7 +57,8 @@ object Serving {
   /** A-agg3 — per-date event counts over a range (cache warm plan). */
   def perDateCounts(events: DataFrame): DataFrame =
     events.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_value_cents"))
       .orderBy(col("event_date"))
 
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
@@ -69,7 +78,7 @@ object Serving {
       .agg(count(lit(1)).as("n_events"),
         min(col("_us")).as("start_us"),
         max(col("_us")).as("end_us"),
-        round(sum(col("value")), 2).as("session_value"))
+        sum(cents(col("value"))).as("session_value_cents"))
       .orderBy(col("user_id"), col("session_id"))
   }
 }

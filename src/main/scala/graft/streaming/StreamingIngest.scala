@@ -67,9 +67,11 @@ object StreamingIngest {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("bigint"))
+          .as("sum_value_cents"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"), col("sum_value_cents"))
 
   /** Streaming exact dedup: duplicates dropped within the watermark
     * horizon (state per key is evicted once the watermark passes — the
