@@ -659,8 +659,10 @@ object SparkEntry {
           when(col("quality") < 0.05, lit("low_stopword")),
           when(col("punct_ratio") > 0.2, lit("punct_heavy"))))
         .withColumn("keep", (col("reason") === "").cast("boolean"))
-        .select(col("doc_id"), col("n_tokens"), col("quality"),
-          col("punct_ratio"), col("reason"), col("keep"))
+        .select(col("doc_id"), col("n_tokens"),
+          floorBp(col("quality"), 4).as("quality_bp"),
+          floorBp(col("punct_ratio"), 4).as("punct_ratio_bp"),
+          col("reason"), col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -687,7 +689,8 @@ object SparkEntry {
         """SELECT lang, lang_id(text) AS predicted,
           | count(*) AS n_docs,
           | sum(token_count(text)) AS total_tokens,
-          | round(avg(quality_score(text)), 4) AS avg_quality
+          | CAST(floor(sum(CAST(floor(quality_score(text) * 10000 + 0.5)
+          |   AS BIGINT)) * 1 / count(*) + 0.5) AS BIGINT) AS avg_quality_bp
           |FROM documents
           |GROUP BY lang, lang_id(text)
           |ORDER BY lang, predicted""".stripMargin)
@@ -747,7 +750,7 @@ object SparkEntry {
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
       SaltedJoin.join(o, c, Seq("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
@@ -760,7 +763,7 @@ object SparkEntry {
         .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
       BloomPrune.semiJoin(big, small.select(col("p_partkey")), "p_partkey")
         .groupBy(col("p_partkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        .agg(sum(col("l_quantity")).cast("bigint").as("total_qty"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("p_partkey"))
     }),
@@ -777,8 +780,8 @@ object SparkEntry {
       tSpread(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("dim"))
-        .agg((floor(sum(q) / count(lit(1)) + lit(0.5d)) / lit(10000d))
-            .as("centroid"),
+        .agg(floor(sum(q) / count(lit(1)) + lit(0.5d)).cast("bigint")
+            .as("centroid_bp"),
           count(lit(1)).as("n_vecs"))
         .orderBy(col("label"), col("dim"))
     }),
@@ -830,12 +833,12 @@ object SparkEntry {
           countDistinct(col("bigram")).as("dbi"))
         .filter(col("tbi") > 0)
         .select(col("doc_id"), col("n_tokens"),
-          ratioQ(col("mx"), col("n_tokens"), 4).as("top_token_frac"),
+          ratioBp(col("mx"), col("n_tokens"), 4).as("top_token_frac_bp"),
           // 1 - dbi/tbi = (tbi-dbi)/tbi, kept as one exact ratio
-          ratioQ(col("tbi") - col("dbi"), col("tbi"), 4)
-            .as("dup_bigram_frac"))
+          ratioBp(col("tbi") - col("dbi"), col("tbi"), 4)
+            .as("dup_bigram_frac_bp"))
         .withColumn("flagged",
-          col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.4)
+          col("top_token_frac_bp") > 2000 || col("dup_bigram_frac_bp") > 4000)
         .orderBy(col("doc_id"))
     }),
 
@@ -902,10 +905,12 @@ object SparkEntry {
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term"))
       withDf.crossJoin(broadcast(total))
-        .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("tfidf_bp",
+          floorBp(col("tf") * log(col("n_docs").cast("double") / col("df")),
+            4))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf_bp"))
         .orderBy(col("doc_id"), col("term"))
     }),
 
@@ -946,10 +951,10 @@ object SparkEntry {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          round(hist_quantile(col("value"), 0.5, 0.0, 500.0, 256), 4)
-            .as("p50_est"),
-          round(hist_quantile(col("value"), 0.95, 0.0, 500.0, 256), 4)
-            .as("p95_est"),
+          floorBp(hist_quantile(col("value"), 0.5, 0.0, 500.0, 256), 4)
+            .as("p50_est_bp"),
+          floorBp(hist_quantile(col("value"), 0.95, 0.0, 500.0, 256), 4)
+            .as("p95_est_bp"),
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))
     }),
@@ -1097,7 +1102,8 @@ object SparkEntry {
         .filter(col("value").between(50.0, 300.0) &&
           col("user_id").between(2, 90))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy(col("event_type"))
     }),
 
@@ -1161,8 +1167,8 @@ object SparkEntry {
         .withColumn("decile", col("decile").cast("bigint"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
-          round(min(col("quality")), 4).as("min_q"),
-          round(max(col("quality")), 4).as("max_q"),
+          floorBp(min(col("quality")), 4).as("min_q_bp"),
+          floorBp(max(col("quality")), 4).as("max_q_bp"),
           sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("decile"))
     }),
@@ -1200,11 +1206,11 @@ object SparkEntry {
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
           col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("session_value"))
+          sum(cents(col("value"))).as("session_value_cents"))
         .select(col("user_id"),
           unix_micros(col("sw.start")).as("start_us"),
           unix_micros(col("sw.end")).as("end_us"),
-          col("n_events"), col("session_value"))
+          col("n_events"), col("session_value_cents"))
         .orderBy(col("user_id"), col("start_us"))
     }),
 
@@ -1242,8 +1248,8 @@ object SparkEntry {
           VectorFunctions.cosine_sim(col("embedding"), lit(q)))
         .orderBy(col("cos_native").desc, col("vec_id"))
         .limit(50)
-        .select(col("vec_id"), round(col("cos_hof"), 4).as("cos_hof"),
-          round(col("cos_native"), 4).as("cos_native"))
+        .select(col("vec_id"), floorBp(col("cos_hof"), 4).as("cos_hof_bp"),
+          floorBp(col("cos_native"), 4).as("cos_native_bp"))
     }),
 
     // ---- hard-negative mining for contrastive training: per anchor,
@@ -1266,7 +1272,8 @@ object SparkEntry {
         .select(col("a_id"), col("is_pos"), posexplode(col("top")))
         .select(col("a_id"), col("is_pos").cast("bigint").as("is_pos"),
           (col("pos") + 1).cast("bigint").as("rank"),
-          col("col.id").as("vec_id"), round(col("col.score"), 4).as("score"))
+          col("col.id").as("vec_id"),
+          floorBp(col("col.score"), 4).as("score_bp"))
         .orderBy(col("a_id"), col("is_pos").desc, col("rank"))
     }),
 
@@ -1296,7 +1303,7 @@ object SparkEntry {
         .createOrReplaceTempView("ev_gs")
       s.sql(
         """SELECT event_date, event_type, count(*) AS n,
-          | round(sum(value), 2) AS sum_value,
+          | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
           | CAST(grouping_id(event_date, event_type) AS BIGINT) AS gid
           |FROM ev_gs
           |GROUP BY GROUPING SETS ((event_date, event_type), (event_type), ())
@@ -1315,11 +1322,12 @@ object SparkEntry {
         .rangeBetween(-3600000000L, 0L)
       val seq_ = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
-      e.withColumn("hour_sum", round(sum(col("value")).over(hour), 2))
+      e.withColumn("hour_sum_cents",
+          sum(cents(col("value"))).over(hour))
         .withColumn("prev_id", lag(col("event_id"), 1).over(seq_))
         .withColumn("next_id", lead(col("event_id"), 1).over(seq_))
         .select(col("user_id"), col("event_id"), col("us"),
-          col("hour_sum"), col("prev_id"), col("next_id"))
+          col("hour_sum_cents"), col("prev_id"), col("next_id"))
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
@@ -1360,8 +1368,9 @@ object SparkEntry {
       t(s, d, "orders").createOrReplaceTempView("orders_q84")
       s.sql(
         """SELECT c.c_custkey, c.c_name,
-          | round((SELECT sum(o.o_totalprice) FROM orders_q84 o
-          |        WHERE o.o_custkey = c.c_custkey), 2) AS total
+          | (SELECT sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+          |  FROM orders_q84 o
+          |  WHERE o.o_custkey = c.c_custkey) AS total_cents
           |FROM customer_q84 c
           |WHERE EXISTS (
           |  SELECT 1 FROM orders_q84 o
@@ -1388,13 +1397,13 @@ object SparkEntry {
         .groupBy(col("centroid_id"), col("pos"))
         // q52's idiom: quantize elements to fixed-point, exact bigint
         // sums — avg-then-round on floats is accumulation-order-dependent
-        .agg(ratioQ(
+        .agg(ratioBp(
             sum(floor(col("col").cast("double") * lit(10000d) + lit(0.5d))
               .cast("bigint")),
-            count(lit(1)) * lit(10000L), 4).as("mean_val"),
+            count(lit(1)), 0).as("mean_val_bp"),
           count(lit(1)).as("n"))
         .select(col("centroid_id").cast("bigint").as("centroid_id"),
-          col("pos").cast("bigint").as("dim"), col("mean_val"), col("n"))
+          col("pos").cast("bigint").as("dim"), col("mean_val_bp"), col("n"))
         .orderBy(col("centroid_id"), col("dim"))
     }),
 
@@ -1435,12 +1444,12 @@ object SparkEntry {
             .as("n_no_lang"),
           // exact-ratio avgs (ints / booleans): bigint sums + quantized
           // division, not round() (decimal-tie hazard)
-          ratioQ(sum(length(col("text")).cast("bigint")), count(lit(1)), 2)
-            .as("avg_chars"),
+          ratioBp(sum(length(col("text")).cast("bigint")), count(lit(1)), 2)
+            .as("avg_chars_c"),
           min(length(col("text"))).cast("bigint").as("min_chars"),
           max(length(col("text"))).cast("bigint").as("max_chars"),
-          ratioQ(sum((col("n_chars") =!= length(col("text"))).cast("bigint")),
-            count(lit(1)), 4).as("meta_mismatch_rate"))
+          ratioBp(sum((col("n_chars") =!= length(col("text"))).cast("bigint")),
+            count(lit(1)), 4).as("meta_mismatch_rate_bp"))
         .orderBy(col("source"))
     }),
 
@@ -1459,7 +1468,7 @@ object SparkEntry {
           max_by(col("event_id"), valueKey).as("top_value_event"),
           min_by(col("event_id"), timeKey).as("first_event"),
           max_by(col("event_type"), timeKey).as("last_type"),
-          round(max(col("value")), 2).as("top_value"))
+          cents(max(col("value"))).as("top_value_cents"))
         .orderBy(col("user_id"))
     }),
 
@@ -1505,7 +1514,8 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("quality").isNull.cast("long")).as("n_pre_schema"),
-          round(avg(col("quality")), 4).as("avg_quality_new"))
+          ratioBp(sum(floorBp(col("quality"), 4)),
+            count(col("quality")), 0).as("avg_quality_new_bp"))
         .orderBy(col("source"))
     }),
 
@@ -1549,7 +1559,8 @@ object SparkEntry {
       js.select(from_json(col("payload"), schema).as("p"))
         .select(col("p.cust").as("cust"), explode(col("p.totals")).as("t"))
         .groupBy(col("cust"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("t")), 2).as("sum_t"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("t"))).as("sum_t_cents"))
         .orderBy(col("cust"))
     }),
 
@@ -1562,8 +1573,10 @@ object SparkEntry {
           | count(*) FILTER (WHERE value > 250) AS n_high,
           | bool_or(value > 400) AS any_gt400,
           | bool_and(value >= 0) AS all_nonneg,
-          | round(avg(value) FILTER (WHERE user_id % 2 = 0), 2)
-          |   AS avg_even_users
+          | CAST(floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+          |     FILTER (WHERE user_id % 2 = 0) * 1
+          |   / count(*) FILTER (WHERE user_id % 2 = 0) + 0.5) AS BIGINT)
+          |   AS avg_even_users_cents
           |FROM ev_q98 GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
     }),
@@ -1577,11 +1590,11 @@ object SparkEntry {
         .select(col("event_type"), col("event_id"), col("value"))
         // percent_rank/cume_dist are exact ratios (k/(n-1), k/n): floor
         // quantization on the identical IEEE double, not round()
-        .withColumn("pr", floorQ(percent_rank().over(w), 4))
-        .withColumn("cd", floorQ(cume_dist().over(w), 4))
+        .withColumn("pr_bp", floorBp(percent_rank().over(w), 4))
+        .withColumn("cd_bp", floorBp(cume_dist().over(w), 4))
         .withColumn("quartile", ntile(4).over(w).cast("bigint"))
-        .select(col("event_type"), col("event_id"), col("pr"), col("cd"),
-          col("quartile"))
+        .select(col("event_type"), col("event_id"), col("pr_bp"),
+          col("cd_bp"), col("quartile"))
         .orderBy(col("event_type"), col("event_id"))
     }),
 
@@ -4177,12 +4190,13 @@ object SparkEntry {
       big.join(biCounts, Seq("w", "w2"))
         .join(uniCounts, Seq("w"))
         .crossJoin(broadcast(vocab))
-        .withColumn("logp",
-          log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+        .withColumn("lp_bp", floorBp(
+          log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))), 4))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(-avg(col("logp")), 4).as("ppl_bits"))
-        .withColumn("keep", col("ppl_bits") < 7.0)
+          (-ratioBp(sum(col("lp_bp")), count(lit(1)), 0))
+            .as("ppl_bits_bp"))
+        .withColumn("keep", col("ppl_bits_bp") < 70000L)
         .orderBy(col("doc_id"))
     }),
 
@@ -8595,20 +8609,23 @@ object SparkEntry {
 
     "q54_bloom_semijoin" ->
       """SELECT l_partkey AS p_partkey,
-        | round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+        | CAST(sum(l_quantity) AS BIGINT) AS total_qty, count(*) AS n_lines
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
         |GROUP BY 1 ORDER BY p_partkey""".stripMargin,
 
     "q53_salted_join" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT c_mktsegment,
+        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS revenue_cents,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "q52_label_centroids" ->
       """SELECT label, i AS dim,
-        | floor(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 10000 AS centroid,
+        | CAST(floor(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000
+        |   + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) AS centroid_bp,
         | count(*) AS n_vecs
         |FROM embeddings, unnest(range(1, array_length(embedding) + 1)) AS r(i)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
@@ -8648,7 +8665,9 @@ object SparkEntry {
         |   CASE WHEN n_tokens = 0 THEN 1.0
         |        ELSE floor(n_punct * 10000 / n_tokens + 0.5) / 10000 END AS punct_ratio
         |  FROM m)
-        |SELECT doc_id, n_tokens, quality, punct_ratio,
+        |SELECT doc_id, n_tokens,
+        | CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_bp,
+        | CAST(floor(punct_ratio * 10000 + 0.5) AS BIGINT) AS punct_ratio_bp,
         | concat_ws(',',
         |   CASE WHEN n_tokens < 10 THEN 'too_short' END,
         |   CASE WHEN n_tokens > 2000 THEN 'too_long' END,
@@ -8689,7 +8708,8 @@ object SparkEntry {
         | FROM m)
         |SELECT lang, predicted, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        | round(avg(quality), 4) AS avg_quality
+        | CAST(floor(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT))
+        |   * 1 / count(*) + 0.5) AS BIGINT) AS avg_quality_bp
         |FROM pred GROUP BY lang, predicted
         |ORDER BY lang, predicted""".stripMargin,
 
@@ -8893,10 +8913,11 @@ object SparkEntry {
         |  array_length(list_distinct(bs)) AS dbi, array_length(bs) AS tbi
         | FROM bi)
         |SELECT t.doc_id, t.n AS n_tokens,
-        | floor(t.mx * 10000 / t.n + 0.5) / 10000 AS top_token_frac,
-        | floor((b.tbi - b.dbi) * 10000 / b.tbi + 0.5) / 10000 AS dup_bigram_frac,
-        | (floor(t.mx * 10000 / t.n + 0.5) / 10000 > 0.2 OR
-        |  floor((b.tbi - b.dbi) * 10000 / b.tbi + 0.5) / 10000 > 0.4) AS flagged
+        | CAST(floor(t.mx * 10000 / t.n + 0.5) AS BIGINT) AS top_token_frac_bp,
+        | CAST(floor((b.tbi - b.dbi) * 10000 / b.tbi + 0.5) AS BIGINT)
+        |   AS dup_bigram_frac_bp,
+        | (floor(t.mx * 10000 / t.n + 0.5) > 2000 OR
+        |  floor((b.tbi - b.dbi) * 10000 / b.tbi + 0.5) > 4000) AS flagged
         |FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
@@ -8950,11 +8971,12 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |sc AS (
         | SELECT doc_id, term, tf, df,
-        |  round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf,
+        |  CAST(floor(tf * ln(n_docs::DOUBLE / df) * 10000 + 0.5) AS BIGINT)
+        |    AS tfidf_bp,
         |  row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tf DESC, df ASC, term) AS rk
         | FROM tf JOIN df USING (term), n)
-        |SELECT doc_id, term, tf, df, tfidf FROM sc
+        |SELECT doc_id, term, tf, df, tfidf_bp FROM sc
         |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
 
     // replays q24's simhash signature, then exact popcount(xor) pairs —
@@ -9023,10 +9045,12 @@ object SparkEntry {
         | FROM ranked WHERE cumc >= rank),
         |est AS (
         | SELECT h.event_type, h.q,
-        |  round(lo + ((hi - lo) / bins) *
-        |    (h.bin + (h.rank - (h.cumc - h.c))::DOUBLE / h.c), 4) AS e
+        |  CAST(floor((lo + ((hi - lo) / bins) *
+        |    (h.bin + (h.rank - (h.cumc - h.c))::DOUBLE / h.c)) * 10000 + 0.5)
+        |    AS BIGINT) AS e
         | FROM hit h, params WHERE rn = 1)
-        |SELECT e1.event_type, e1.e AS p50_est, e2.e AS p95_est, t.n AS n_events
+        |SELECT e1.event_type, e1.e AS p50_est_bp, e2.e AS p95_est_bp,
+        | t.n AS n_events
         |FROM est e1
         | JOIN est e2 ON e1.event_type = e2.event_type
         |   AND e1.q = 0.5 AND e2.q = 0.95
@@ -9202,7 +9226,7 @@ object SparkEntry {
     // hash-mismatch
     "q70_zorder" ->
       """SELECT event_type, count(*) AS n,
-        | round(sum(value), 2) AS sum_value
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
         |FROM events
         |WHERE value BETWEEN 50.0 AND 300.0 AND user_id BETWEEN 2 AND 90
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
@@ -9306,7 +9330,8 @@ object SparkEntry {
         |  ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
         | FROM m)
         |SELECT decile, count(*) AS n_docs,
-        | round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q,
+        | CAST(floor(min(quality) * 10000 + 0.5) AS BIGINT) AS min_q_bp,
+        | CAST(floor(max(quality) * 10000 + 0.5) AS BIGINT) AS max_q_bp,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
 
@@ -9340,7 +9365,8 @@ object SparkEntry {
         | FROM marked)
         |SELECT user_id, min(us) AS start_us,
         | max(us) + 1800000000 AS end_us,
-        | count(*) AS n_events, round(sum(value), 2) AS session_value
+        | count(*) AS n_events,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS session_value_cents
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
 
@@ -9376,7 +9402,9 @@ object SparkEntry {
         |  CASE WHEN na = 0 OR nq = 0 THEN 0.0 ELSE dot / sqrt(na * nq) END
         |    AS cos
         | FROM m)
-        |SELECT vec_id, round(cos, 4) AS cos_hof, round(cos, 4) AS cos_native
+        |SELECT vec_id,
+        | CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_hof_bp,
+        | CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_native_bp
         |FROM c ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
 
     "q78_hard_negatives" ->
@@ -9410,7 +9438,8 @@ object SparkEntry {
         |    ORDER BY s DESC, vec_id) AS rank
         | FROM c)
         |SELECT a_id, CAST(is_pos AS BIGINT) AS is_pos,
-        | CAST(rank AS BIGINT) AS rank, vec_id, round(s, 4) AS score
+        | CAST(rank AS BIGINT) AS rank, vec_id,
+        | CAST(floor(s * 10000 + 0.5) AS BIGINT) AS score_bp
         |FROM r WHERE rank <= 3
         |ORDER BY a_id, is_pos DESC, rank""".stripMargin,
 
@@ -9425,7 +9454,8 @@ object SparkEntry {
 
     "q80_grouping_sets" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
-        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | count(*) AS n,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
         | CAST(GROUPING(strftime(ts, '%Y-%m-%d')) * 2
         |   + GROUPING(event_type) AS BIGINT) AS gid
         |FROM events
@@ -9436,9 +9466,10 @@ object SparkEntry {
 
     "q81_range_window" ->
       """SELECT user_id, event_id, epoch_us(ts) AS us,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
-        |   AS hour_sum,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |   AS hour_sum_cents,
         | lag(event_id, 1) OVER w AS prev_id,
         | lead(event_id, 1) OVER w AS next_id
         |FROM events
@@ -9460,8 +9491,9 @@ object SparkEntry {
 
     "q84_correlated_subquery" ->
       """SELECT c.c_custkey, c.c_name,
-        | round((SELECT sum(o.o_totalprice) FROM orders o
-        |        WHERE o.o_custkey = c.c_custkey), 2) AS total
+        | (SELECT sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) AS total_cents
         |FROM customer c
         |WHERE EXISTS (
         |  SELECT 1 FROM orders o
@@ -10696,7 +10728,8 @@ object SparkEntry {
 
     "q97_json_elt" ->
       """SELECT o_custkey AS cust, count(*) AS n_orders,
-        | round(sum(round(o_totalprice, 2)), 2) AS sum_t
+        | sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT))
+        |   AS sum_t_cents
         |FROM orders GROUP BY 1 ORDER BY cust""".stripMargin,
 
     "q98_filtered_aggs" ->
@@ -10704,15 +10737,18 @@ object SparkEntry {
         | count(*) FILTER (WHERE value > 250) AS n_high,
         | bool_or(value > 400) AS any_gt400,
         | bool_and(value >= 0) AS all_nonneg,
-        | round(avg(value) FILTER (WHERE user_id % 2 = 0), 2)
-        |   AS avg_even_users
+        | CAST(floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |     FILTER (WHERE user_id % 2 = 0) * 1
+        |   / count(*) FILTER (WHERE user_id % 2 = 0) + 0.5) AS BIGINT)
+        |   AS avg_even_users_cents
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
     "q99_relative_ranks" ->
       """SELECT event_type, event_id,
-        | floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pr,
-        | floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cd,
+        | CAST(floor((percent_rank() OVER w) * 10000 + 0.5) AS BIGINT)
+        |   AS pr_bp,
+        | CAST(floor((cume_dist() OVER w) * 10000 + 0.5) AS BIGINT) AS cd_bp,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM events WHERE user_id < 5
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
@@ -10750,7 +10786,8 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs,
         | CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_pre_schema,
-        | round(avg(quality), 4) AS avg_quality_new
+        | CAST(floor(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT))
+        |   * 1 / count(quality) + 0.5) AS BIGINT) AS avg_quality_new_bp
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "q92_profile_sources" ->
@@ -10759,11 +10796,12 @@ object SparkEntry {
         |   AS BIGINT) AS n_empty,
         | CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_no_lang,
-        | floor(sum(CAST(length(text) AS BIGINT)) * 100 / count(*) + 0.5) / 100 AS avg_chars,
+        | CAST(floor(sum(CAST(length(text) AS BIGINT)) * 100 / count(*)
+        |   + 0.5) AS BIGINT) AS avg_chars_c,
         | CAST(min(length(text)) AS BIGINT) AS min_chars,
         | CAST(max(length(text)) AS BIGINT) AS max_chars,
-        | floor(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
-        |   * 10000 / count(*) + 0.5) / 10000 AS meta_mismatch_rate
+        | CAST(floor(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |   * 10000 / count(*) + 0.5) AS BIGINT) AS meta_mismatch_rate_bp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q93_argmax" ->
@@ -10775,7 +10813,7 @@ object SparkEntry {
         |   AS first_event,
         | arg_max(event_type, printf('%020d|%010d', epoch_us(ts), event_id))
         |   AS last_type,
-        | round(max(value), 2) AS top_value
+        | CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS top_value_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q91_chunk_dedup_pairs" ->
@@ -10875,8 +10913,11 @@ object SparkEntry {
         |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
         |v AS (SELECT count(DISTINCT w) AS v FROM tok)
         |SELECT b.doc_id, count(*) AS n_bigrams,
-        | round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4) AS ppl_bits,
-        | round(-avg(log2((bi.cb + 1.0) / (uni.cu + v.v))), 4) < 7.0 AS keep
+        | -CAST(floor(sum(CAST(floor(log2((bi.cb + 1.0) / (uni.cu + v.v))
+        |    * 10000 + 0.5) AS BIGINT)) * 1 / count(*) + 0.5) AS BIGINT)
+        |   AS ppl_bits_bp,
+        | -floor(sum(CAST(floor(log2((bi.cb + 1.0) / (uni.cu + v.v))
+        |    * 10000 + 0.5) AS BIGINT)) * 1 / count(*) + 0.5) < 70000 AS keep
         |FROM big b
         | JOIN bi ON bi.w = b.w AND bi.w2 = b.w2
         | JOIN uni ON uni.w = b.w
@@ -10938,7 +10979,8 @@ object SparkEntry {
         | SELECT cid, i - 1 AS dim, emb[CAST(i AS INT)]::DOUBLE AS v
         | FROM a, range(1, 9) r(i))
         |SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(dim AS BIGINT) AS dim,
-        | floor(sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) / 10000 AS mean_val, count(*) AS n
+        | CAST(floor(sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) * 1
+        |   / count(*) + 0.5) AS BIGINT) AS mean_val_bp, count(*) AS n
         |FROM x GROUP BY 1, 2
         |ORDER BY centroid_id, dim""".stripMargin,
 
