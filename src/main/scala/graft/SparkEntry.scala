@@ -1688,7 +1688,7 @@ object SparkEntry {
         .groupBy(date_trunc("WEEK", col("ts")).cast("date").cast("string")
           .as("week_start"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("sum_value"))
+          sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy(col("week_start"), col("event_type"))
     }),
 
@@ -1747,12 +1747,12 @@ object SparkEntry {
     "q108_stats_aggs" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(round(corr(col("value"), col("user_id").cast("double")), 4)
-            .as("corr_vu"),
-          round(covar_samp(col("value"), col("user_id").cast("double")), 2)
-            .as("covar_vu"),
-          round(stddev_samp(col("value")), 4).as("sd_value"),
-          round(var_samp(col("value")), 2).as("var_value"))
+        .agg(floorBp(corr(col("value"), col("user_id").cast("double")), 4)
+            .as("corr_vu_bp"),
+          floorBp(covar_samp(col("value"), col("user_id").cast("double")), 2)
+            .as("covar_vu_c"),
+          floorBp(stddev_samp(col("value")), 4).as("sd_value_bp"),
+          floorBp(var_samp(col("value")), 2).as("var_value_c"))
         .orderBy(col("event_type"))
     }),
 
@@ -1821,7 +1821,8 @@ object SparkEntry {
             .when(col("value") < col("p95"), "mid")
             .otherwise("high"))
         .groupBy(col("event_type"), col("bucket"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_value_cents"))
         .orderBy(col("event_type"), col("bucket"))
     }),
 
@@ -1932,8 +1933,8 @@ object SparkEntry {
       e.join(broadcast(medians), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
         .groupBy(col("event_type"))
-        .agg(round(first(col("med")), 4).as("median"),
-          round(expr("percentile(adev, 0.5)"), 4).as("mad"),
+        .agg(floorBp(first(col("med")), 4).as("median_bp"),
+          floorBp(expr("percentile(adev, 0.5)"), 4).as("mad_bp"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
@@ -1963,10 +1964,10 @@ object SparkEntry {
         .filter(col("digit") =!= "")
         .groupBy(col("digit"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("frac",
-          ratioQ(col("n"), sum(col("n")).over(
+        .withColumn("frac_bp",
+          ratioBp(col("n"), sum(col("n")).over(
             Window.partitionBy(lit(1))), 4))
-        .select(col("digit"), col("n"), col("frac"))
+        .select(col("digit"), col("n"), col("frac_bp"))
         .orderBy(col("digit"))
     }),
 
@@ -1994,7 +1995,7 @@ object SparkEntry {
       val daily = ev
         .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
         .groupBy(col("user_id"), col("day"))
-        .agg(round(sum(col("value")), 2).as("day_value"))
+        .agg(sum(cents(col("value"))).as("day_value"))
       val span = ev.agg(min(to_date(col("ts"))).as("d0"),
         max(to_date(col("ts"))).as("d1"))
       val spine = ev.select(col("user_id")).distinct()
@@ -2004,10 +2005,11 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(daily, Seq("user_id", "day"), "left")
-        .withColumn("filled",
+        .withColumn("filled_cents",
           last(col("day_value"), ignoreNulls = true).over(w))
         .select(col("user_id"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"), col("filled"))
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("filled_cents"))
         .orderBy(col("user_id"), col("day"))
     }),
 
@@ -2081,7 +2083,7 @@ object SparkEntry {
     "q126_skyline" -> ((s, d) => {
       Skyline.pareto2d(t(s, d, "part"), "p_retailprice", "p_size")
         .select(col("p_partkey"), col("p_size"),
-          round(col("p_retailprice"), 2).as("price"))
+          cents(col("p_retailprice")).as("price_cents"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -2117,10 +2119,10 @@ object SparkEntry {
             col("event_id")).as("k"))
         .filter(col("user_id") < 30)
       ev.groupBy(col("user_id"), col("day"))
-        .agg(round(min_by(col("value"), col("k")), 2).as("open"),
-          round(max(col("value")), 2).as("high"),
-          round(min(col("value")), 2).as("low"),
-          round(max_by(col("value"), col("k")), 2).as("close"),
+        .agg(cents(min_by(col("value"), col("k"))).as("open_cents"),
+          cents(max(col("value"))).as("high_cents"),
+          cents(min(col("value"))).as("low_cents"),
+          cents(max_by(col("value"), col("k"))).as("close_cents"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"), col("day"))
     }),
@@ -2137,14 +2139,14 @@ object SparkEntry {
         col("o_totalprice").as("tp"),
         to_date(col("o_orderdate")).as("day"))
       def partials(df: DataFrame) = df.groupBy(col("month"), col("prio"))
-        .agg(sum(col("tp")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(cents(col("tp"))).as("s"), count(lit(1)).as("n"))
       val stored = partials(o.filter(col("day") < lit("2001-06-01").cast("date")))
       val delta = partials(o.filter(col("day") >= lit("2001-06-01").cast("date")))
       stored.union(delta)
         .groupBy(col("month"), col("prio"))
         .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
         .groupBy(col("prio"))
-        .agg(round(sum(col("s")), 2).as("revenue"),
+        .agg(sum(col("s")).as("revenue_cents"),
           sum(col("n")).as("n_orders"),
           countDistinct(col("month")).as("n_months"))
         .orderBy(col("prio"))
@@ -2159,7 +2161,7 @@ object SparkEntry {
       Tables.events(s, d)
         .withColumn("w", (col("user_id") % 5 + 1).cast("double"))
         .groupBy(col("event_type"))
-        .agg(round(wm(col("value"), col("w")), 4).as("wmean"),
+        .agg(floorBp(wm(col("value"), col("w")), 4).as("wmean_bp"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
@@ -2179,9 +2181,9 @@ object SparkEntry {
       SpatialJoin.radius2d(cust, supp, "c_lat", "c_lon",
           "s_lat", "s_lon", 5.0)
         .select(col("c_custkey"), col("s_suppkey"),
-          round((col("c_lat") - col("s_lat")) * (col("c_lat") - col("s_lat")) +
+          floorBp((col("c_lat") - col("s_lat")) * (col("c_lat") - col("s_lat")) +
             (col("c_lon") - col("s_lon")) * (col("c_lon") - col("s_lon")),
-            4).as("d2"))
+            4).as("d2_bp"))
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
@@ -2195,7 +2197,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       daily.withColumn("pv", lag(col("v"), 1).over(w))
         .groupBy(col("event_type"))
-        .agg(round(corr(col("v"), col("pv")), 4).as("lag1_corr"),
+        .agg(floorBp(corr(col("v"), col("pv")), 4).as("lag1_corr_bp"),
           count(lit(1)).as("n_days"))
         .orderBy(col("event_type"))
     }),
@@ -2210,7 +2212,7 @@ object SparkEntry {
       counts.join(totals, "source")
         .withColumn("p", col("c") / col("tot"))
         .groupBy(col("source"))
-        .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+        .agg(floorBp(-sum(col("p") * log(col("p"))), 4).as("entropy_bp"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy(col("source"))
     }),
@@ -2226,10 +2228,10 @@ object SparkEntry {
         .select(col("event_type"), col("value"), col("event_id"))
         .withColumn("i", row_number().over(w))
         .groupBy(col("event_type"))
-        .agg(round(
+        .agg(floorBp(
           (lit(2) * sum(col("i") * col("value")) -
             (count(lit(1)) + 1) * sum(col("value"))) /
-            (count(lit(1)) * sum(col("value"))), 4).as("gini"),
+            (count(lit(1)) * sum(col("value"))), 4).as("gini_bp"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
@@ -2250,10 +2252,10 @@ object SparkEntry {
           col("n").as("n2"))
       a.join(b, "event_type")
         .select(col("event_type"),
-          round(col("m1") - col("m2"), 4).as("mean_diff"),
-          round((col("m1") - col("m2")) /
+          floorBp(col("m1") - col("m2"), 4).as("mean_diff_bp"),
+          floorBp((col("m1") - col("m2")) /
             sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4)
-            .as("t_stat"),
+            .as("t_stat_bp"),
           col("n1"), col("n2"))
         .orderBy(col("event_type"))
     }),
@@ -2286,9 +2288,9 @@ object SparkEntry {
         .agg(sum(col("o_totalprice")).as("rev"))
       val w = Window.orderBy(col("month"))
       monthly.withColumn("prev", lag(col("rev"), 1).over(w))
-        .select(col("month"), round(col("rev"), 2).as("revenue"),
-          round(col("rev") - col("prev"), 2).as("mom_delta"),
-          round(col("rev") / col("prev"), 4).as("mom_ratio"))
+        .select(col("month"), cents(col("rev")).as("revenue_cents"),
+          cents(col("rev") - col("prev")).as("mom_delta_cents"),
+          floorBp(col("rev") / col("prev"), 4).as("mom_ratio_bp"))
         .orderBy(col("month"))
     }),
 
@@ -2339,10 +2341,10 @@ object SparkEntry {
         .select(col("b1"), col("b2"), col("nab"),
           // all three are exact integer ratios — quantized division
           // (scaled numerators stay well inside bigint: ≤ ~1e14)
-          ratioQ(col("nab"), col("n_orders"), 4).as("support"),
-          ratioQ(col("nab"), col("nb1"), 4).as("confidence"),
-          ratioQ(col("nab") * col("n_orders"), col("nb1") * col("nb2"), 4)
-            .as("lift"))
+          ratioBp(col("nab"), col("n_orders"), 4).as("support_bp"),
+          ratioBp(col("nab"), col("nb1"), 4).as("confidence_bp"),
+          ratioBp(col("nab") * col("n_orders"), col("nb1") * col("nb2"), 4)
+            .as("lift_bp"))
         .orderBy(col("b1"), col("b2"))
     }),
 
@@ -2355,7 +2357,7 @@ object SparkEntry {
         .agg(datediff(lit("2001-08-02").cast("date"),
           max(to_date(col("o_orderdate")))).as("rec_days"),
           count(lit(1)).as("freq"),
-          round(sum(col("o_totalprice")), 2).as("monetary"))
+          sum(cents(col("o_totalprice"))).as("monetary_cents"))
       // three exact global quartiles, each a scalable range sort
       // (GlobalOrder) instead of a single-partition ntile window
       val withR = GlobalOrder.withNtile(agg,
@@ -2363,10 +2365,10 @@ object SparkEntry {
       val withF = GlobalOrder.withNtile(withR,
         Seq(col("freq").desc, col("o_custkey")), 4, "f")
       GlobalOrder.withNtile(withF,
-          Seq(col("monetary").desc, col("o_custkey")), 4, "m")
+          Seq(col("monetary_cents").desc, col("o_custkey")), 4, "m")
         .filter(col("o_custkey") < 200)
         .select(col("o_custkey"), col("rec_days").cast("bigint").as("rec_days"),
-          col("freq"), col("monetary"),
+          col("freq"), col("monetary_cents"),
           col("r").cast("bigint").as("r"), col("f").cast("bigint").as("f"),
           col("m").cast("bigint").as("m"),
           concat_ws("-", col("r"), col("f"), col("m")).as("segment"))
@@ -2392,7 +2394,7 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("change_day"),
-          round(col("cusum"), 4).as("peak_cusum"))
+          floorBp(col("cusum"), 4).as("peak_cusum_bp"))
         .orderBy(col("event_type"))
     }),
 
@@ -2401,9 +2403,9 @@ object SparkEntry {
     "q142_percentile_bands" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(round(percentile(col("value"), lit(0.1)), 4).as("p10"),
-          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        .agg(floorBp(percentile(col("value"), lit(0.1)), 4).as("p10_bp"),
+          floorBp(percentile(col("value"), lit(0.5)), 4).as("p50_bp"),
+          floorBp(percentile(col("value"), lit(0.9)), 4).as("p90_bp"),
           count(lit(1)).as("n"))
         .orderBy(col("day"))
     }),
@@ -2421,9 +2423,9 @@ object SparkEntry {
       val my = joint.groupBy("y").agg(sum(col("c")).as("cy"))
       joint.join(broadcast(mx), "x").join(broadcast(my), "y")
         .crossJoin(broadcast(tot))
-        .agg(round(sum((col("c") / col("n")) *
+        .agg(floorBp(sum((col("c") / col("n")) *
             log((col("c") * col("n")) / (col("cx") * col("cy")))), 6)
-          .as("mi_nats"),
+          .as("mi_unats"),
           max(col("n")).as("n"))
     }),
 
@@ -2451,8 +2453,8 @@ object SparkEntry {
           min(when(col("cum_c") * 5 >= col("t_c") * 4, col("rn")))
             .cast("bigint").as("customers_for_80pct"),
           max(col("nc")).as("n_customers"),
-          ratioQ(min(when(col("cum_c") * 5 >= col("t_c") * 4, col("rn"))),
-            max(col("nc")), 4).as("frac"))
+          ratioBp(min(when(col("cum_c") * 5 >= col("t_c") * 4, col("rn"))),
+            max(col("nc")), 4).as("frac_bp"))
     }),
 
     // ---- rolling z-score anomaly flags: trailing-week mean/stddev per
@@ -2471,7 +2473,7 @@ object SparkEntry {
           abs((col("v") - col("mu")) / col("sd")) > 1.5)
         .select(col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("day"),
-          round((col("v") - col("mu")) / col("sd"), 4).as("z"))
+          floorBp((col("v") - col("mu")) / col("sd"), 4).as("z_bp"))
         .orderBy(col("event_type"), col("day"))
     }),
 
@@ -2485,11 +2487,7 @@ object SparkEntry {
           to_date(col("o_orderdate"))) / 10.0).cast("bigint"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
-          // sum, not avg: the inputs are 2-decimal values, so the true
-          // sum is exactly 2-decimal and round(·, 2) can never sit on a
-          // half-cent boundary (an avg can, and then HALF_UP vs
-          // half-even rounding diverges between engines)
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
         .orderBy(col("bucket"))
     }),
 
@@ -2524,8 +2522,8 @@ object SparkEntry {
         .groupBy(col("order_no"))
         .agg(count(lit(1)).as("n_customers"),
           // money avg over tiny groups: exact cents, quantized division
-          (ratioQ(sum(cents(col("o_totalprice"))), count(lit(1)), 0)
-            / lit(100d)).as("avg_order_value"))
+          ratioBp(sum(cents(col("o_totalprice"))), count(lit(1)), 0)
+            .as("avg_order_value_cents"))
         .orderBy(col("order_no"))
     }),
 
@@ -2547,8 +2545,8 @@ object SparkEntry {
         .withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 3)
         .select(col("n_name"), col("c_custkey"),
-          round(col("rev"), 2).as("revenue"),
-          round(col("share"), 4).as("share"))
+          cents(col("rev")).as("revenue_cents"),
+          floorBp(col("share"), 4).as("share_bp"))
         .orderBy(col("n_name"), col("rk"))
     }),
 
@@ -2568,8 +2566,8 @@ object SparkEntry {
       // floor the same IEEE value; caught by the sf0.1 gate)
       cell.crossJoin(broadcast(tot))
         .select(col("isodow"), col("hr"), col("n"),
-          (floor(col("n") * lit(10000L) / col("tot") + lit(0.5d)) / lit(10000d))
-            .as("share"))
+          floor(col("n") * lit(10000L) / col("tot") + lit(0.5d))
+            .cast("bigint").as("share_bp"))
         .orderBy(col("isodow"), col("hr"))
     }),
 
@@ -2583,9 +2581,9 @@ object SparkEntry {
         .withColumn("xi", datediff(col("day"),
           lit("2024-01-01").cast("date")).cast("double"))
       daily.groupBy(col("event_type"))
-        .agg(round(regr_slope(col("v"), col("xi")), 4).as("slope"),
-          round(regr_intercept(col("v"), col("xi")), 4).as("intercept"),
-          round(regr_r2(col("v"), col("xi")), 4).as("r2"),
+        .agg(floorBp(regr_slope(col("v"), col("xi")), 4).as("slope_bp"),
+          floorBp(regr_intercept(col("v"), col("xi")), 4).as("intercept_bp"),
+          floorBp(regr_r2(col("v"), col("xi")), 4).as("r2_bp"),
           regr_count(col("v"), col("xi")).as("n"))
         .orderBy(col("event_type"))
     }),
@@ -2600,9 +2598,9 @@ object SparkEntry {
           percentile(col("value"), lit(0.95)).as("hi"))
       ev.join(broadcast(q), "event_type")
         .groupBy(col("event_type"))
-        .agg(round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 4)
-          .as("winsorized_mean"),
-          round(avg(col("value")), 4).as("raw_mean"),
+        .agg(floorBp(avg(least(greatest(col("value"), col("lo")), col("hi"))),
+            4).as("winsorized_mean_bp"),
+          floorBp(avg(col("value")), 4).as("raw_mean_bp"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
@@ -9521,7 +9519,8 @@ object SparkEntry {
         | SELECT digit, count(*) AS n FROM digits
         | WHERE digit <> '' GROUP BY 1)
         |SELECT digit, n,
-        | floor(n * 10000 / (SELECT sum(n) FROM counts) + 0.5) / 10000 AS frac
+        | CAST(floor(n * 10000 / (SELECT sum(n) FROM counts) + 0.5) AS BIGINT)
+        |   AS frac_bp
         |FROM counts ORDER BY digit""".stripMargin,
 
     "q121_scd2_history" ->
@@ -9543,7 +9542,7 @@ object SparkEntry {
     "q122_gap_fill" ->
       """WITH daily AS (
         | SELECT user_id, CAST(ts AS DATE) AS d,
-        |  round(sum(value), 2) AS day_value
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_value
         | FROM events GROUP BY 1, 2),
         |span AS (
         | SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
@@ -9560,7 +9559,7 @@ object SparkEntry {
         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
         | last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
         |   ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS filled
+        |   AS filled_cents
         |FROM j ORDER BY user_id, day""".stripMargin,
 
     "q123_pit_join" ->
@@ -9651,7 +9650,8 @@ object SparkEntry {
         |SELECT id, pr FROM r3 ORDER BY id""".stripMargin,
 
     "q126_skyline" ->
-      """SELECT p_partkey, p_size, round(p_retailprice, 2) AS price
+      """SELECT p_partkey, p_size,
+        | CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM part q
         | WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
@@ -9678,8 +9678,10 @@ object SparkEntry {
         |  printf('%020d:%012d', epoch_us(ts), event_id) AS k
         | FROM events)
         |SELECT user_id, day,
-        | round(min_by(value, k), 2) AS open, round(max(value), 2) AS high,
-        | round(min(value), 2) AS low, round(max_by(value, k), 2) AS close,
+        | CAST(floor(min_by(value, k) * 100 + 0.5) AS BIGINT) AS open_cents,
+        | CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS high_cents,
+        | CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS low_cents,
+        | CAST(floor(max_by(value, k) * 100 + 0.5) AS BIGINT) AS close_cents,
         | count(*) AS n
         |FROM ev WHERE user_id < 30
         |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
@@ -9690,21 +9692,23 @@ object SparkEntry {
         |  o_orderpriority AS prio, o_totalprice AS tp,
         |  CAST(o_orderdate AS DATE) AS day
         | FROM orders),
-        |stored AS (SELECT month, prio, sum(tp) AS s, count(*) AS n FROM base
-        | WHERE day < DATE '2001-06-01' GROUP BY 1, 2),
-        |delta AS (SELECT month, prio, sum(tp) AS s, count(*) AS n FROM base
-        | WHERE day >= DATE '2001-06-01' GROUP BY 1, 2),
+        |stored AS (SELECT month, prio,
+        |  sum(CAST(floor(tp * 100 + 0.5) AS BIGINT)) AS s, count(*) AS n
+        | FROM base WHERE day < DATE '2001-06-01' GROUP BY 1, 2),
+        |delta AS (SELECT month, prio,
+        |  sum(CAST(floor(tp * 100 + 0.5) AS BIGINT)) AS s, count(*) AS n
+        | FROM base WHERE day >= DATE '2001-06-01' GROUP BY 1, 2),
         |merged AS (SELECT month, prio, sum(s) AS s, sum(n) AS n FROM
         | (SELECT * FROM stored UNION ALL SELECT * FROM delta) GROUP BY 1, 2)
-        |SELECT prio, round(sum(s), 2) AS revenue,
+        |SELECT prio, CAST(sum(s) AS BIGINT) AS revenue_cents,
         | CAST(sum(n) AS BIGINT) AS n_orders,
         | count(DISTINCT month) AS n_months
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q130_typed_aggregator" ->
       """SELECT event_type,
-        | round(sum(value * (user_id % 5 + 1)) / sum(user_id % 5 + 1), 4)
-        |   AS wmean,
+        | CAST(floor(sum(value * (user_id % 5 + 1)) / sum(user_id % 5 + 1)
+        |   * 10000 + 0.5) AS BIGINT) AS wmean_bp,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -9718,8 +9722,9 @@ object SparkEntry {
         |  (s_suppkey * 104729 % 3600) / 10.0 - 180.0 AS s_lon
         | FROM supplier)
         |SELECT c_custkey, s_suppkey,
-        | round((c_lat - s_lat) * (c_lat - s_lat)
-        |   + (c_lon - s_lon) * (c_lon - s_lon), 4) AS d2
+        | CAST(floor(((c_lat - s_lat) * (c_lat - s_lat)
+        |   + (c_lon - s_lon) * (c_lon - s_lon)) * 10000 + 0.5) AS BIGINT)
+        |   AS d2_bp
         |FROM c JOIN s
         | ON (c_lat - s_lat) * (c_lat - s_lat)
         |    + (c_lon - s_lon) * (c_lon - s_lon) <= 25.0
@@ -9733,7 +9738,8 @@ object SparkEntry {
         | SELECT event_type, v,
         |  lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS pv
         | FROM daily)
-        |SELECT event_type, round(corr(v, pv), 4) AS lag1_corr,
+        |SELECT event_type,
+        | CAST(floor(corr(v, pv) * 10000 + 0.5) AS BIGINT) AS lag1_corr_bp,
         | count(*) AS n_days
         |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -9742,7 +9748,8 @@ object SparkEntry {
         | SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
         |tot AS (SELECT source, sum(c) AS tot FROM counts GROUP BY 1)
         |SELECT counts.source,
-        | round(-sum((c / tot) * ln(c / tot)), 4) AS entropy,
+        | CAST(floor(-sum((c / tot) * ln(c / tot)) * 10000 + 0.5) AS BIGINT)
+        |   AS entropy_bp,
         | count(DISTINCT lang) AS n_langs
         |FROM counts JOIN tot ON counts.source = tot.source
         |GROUP BY counts.source ORDER BY counts.source""".stripMargin,
@@ -9754,8 +9761,8 @@ object SparkEntry {
         |    ORDER BY value, event_id) AS i
         | FROM events)
         |SELECT event_type,
-        | round((2 * sum(i * value) - (count(*) + 1) * sum(value))
-        |   / (count(*) * sum(value)), 4) AS gini,
+        | CAST(floor((2 * sum(i * value) - (count(*) + 1) * sum(value))
+        |   / (count(*) * sum(value)) * 10000 + 0.5) AS BIGINT) AS gini_bp,
         | count(*) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -9764,8 +9771,10 @@ object SparkEntry {
         | SELECT event_type, CAST(user_id % 2 = 0 AS INT) AS grp,
         |  avg(value) AS m, var_samp(value) AS v, count(*) AS n
         | FROM events GROUP BY 1, 2)
-        |SELECT a.event_type, round(a.m - b.m, 4) AS mean_diff,
-        | round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+        |SELECT a.event_type,
+        | CAST(floor((a.m - b.m) * 10000 + 0.5) AS BIGINT) AS mean_diff_bp,
+        | CAST(floor((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) * 10000 + 0.5)
+        |   AS BIGINT) AS t_stat_bp,
         | a.n AS n1, b.n AS n2
         |FROM m a JOIN m b
         | ON a.event_type = b.event_type AND a.grp = 1 AND b.grp = 0
@@ -9789,9 +9798,12 @@ object SparkEntry {
         | SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  sum(o_totalprice) AS rev
         | FROM orders GROUP BY 1)
-        |SELECT month, round(rev, 2) AS revenue,
-        | round(rev - lag(rev) OVER (ORDER BY month), 2) AS mom_delta,
-        | round(rev / lag(rev) OVER (ORDER BY month), 4) AS mom_ratio
+        |SELECT month,
+        | CAST(floor(rev * 100 + 0.5) AS BIGINT) AS revenue_cents,
+        | CAST(floor((rev - lag(rev) OVER (ORDER BY month)) * 100 + 0.5)
+        |   AS BIGINT) AS mom_delta_cents,
+        | CAST(floor(rev / lag(rev) OVER (ORDER BY month) * 10000 + 0.5)
+        |   AS BIGINT) AS mom_ratio_bp
         |FROM m ORDER BY month""".stripMargin,
 
     "q138_cumulative_users" ->
@@ -9816,10 +9828,11 @@ object SparkEntry {
         | FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
         | GROUP BY 1, 2)
         |SELECT b1, b2, nab,
-        | floor(nab * 10000 / (SELECT n_orders FROM n) + 0.5) / 10000 AS support,
-        | floor(nab * 10000 / f1.nb + 0.5) / 10000 AS confidence,
-        | floor(nab * (SELECT n_orders FROM n) * 10000 / (f1.nb * f2.nb) + 0.5) / 10000
-        |   AS lift
+        | CAST(floor(nab * 10000 / (SELECT n_orders FROM n) + 0.5) AS BIGINT)
+        |   AS support_bp,
+        | CAST(floor(nab * 10000 / f1.nb + 0.5) AS BIGINT) AS confidence_bp,
+        | CAST(floor(nab * (SELECT n_orders FROM n) * 10000
+        |   / (f1.nb * f2.nb) + 0.5) AS BIGINT) AS lift_bp
         |FROM pairs JOIN bf f1 ON pairs.b1 = f1.b JOIN bf f2 ON pairs.b2 = f2.b
         |WHERE nab >= 20
         |ORDER BY b1, b2""".stripMargin,
@@ -9828,15 +9841,17 @@ object SparkEntry {
       """WITH agg AS (
         | SELECT o_custkey, datediff('day', max(CAST(o_orderdate AS DATE)),
         |   DATE '2001-08-02') AS rec_days,
-        |  count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+        |  count(*) AS freq,
+        |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS monetary_cents
         | FROM orders GROUP BY 1),
         |sc AS (
-        | SELECT o_custkey, rec_days, freq, monetary,
+        | SELECT o_custkey, rec_days, freq, monetary_cents,
         |  ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r,
         |  ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
-        |  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        |  ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
         | FROM agg)
-        |SELECT o_custkey, rec_days, freq, monetary, r, f, m,
+        |SELECT o_custkey, rec_days, freq, monetary_cents, r, f, m,
         | r || '-' || f || '-' || m AS segment
         |FROM sc WHERE o_custkey < 200 ORDER BY o_custkey""".stripMargin,
 
@@ -9859,14 +9874,17 @@ object SparkEntry {
         |    ORDER BY abs(cusum) DESC, day) AS rn
         | FROM cs)
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
-        | round(cusum, 4) AS peak_cusum
+        | CAST(floor(cusum * 10000 + 0.5) AS BIGINT) AS peak_cusum_bp
         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q142_percentile_bands" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        | round(quantile_cont(value, 0.1), 4) AS p10,
-        | round(quantile_cont(value, 0.5), 4) AS p50,
-        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | CAST(floor(quantile_cont(value, 0.1) * 10000 + 0.5) AS BIGINT)
+        |   AS p10_bp,
+        | CAST(floor(quantile_cont(value, 0.5) * 10000 + 0.5) AS BIGINT)
+        |   AS p50_bp,
+        | CAST(floor(quantile_cont(value, 0.9) * 10000 + 0.5) AS BIGINT)
+        |   AS p90_bp,
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
@@ -9878,8 +9896,8 @@ object SparkEntry {
         |tot AS (SELECT sum(c) AS n FROM joint),
         |mx AS (SELECT x, sum(c) AS cx FROM joint GROUP BY 1),
         |my AS (SELECT y, sum(c) AS cy FROM joint GROUP BY 1)
-        |SELECT round(sum((c / n) * ln((c * n)::DOUBLE / (cx * cy))), 6)
-        |   AS mi_nats,
+        |SELECT CAST(floor(sum((c / n) * ln((c * n)::DOUBLE / (cx * cy)))
+        |   * 1000000 + 0.5) AS BIGINT) AS mi_unats,
         | CAST(max(n) AS BIGINT) AS n
         |FROM joint JOIN tot ON true JOIN mx ON joint.x = mx.x
         | JOIN my ON joint.y = my.y""".stripMargin,
@@ -9899,8 +9917,9 @@ object SparkEntry {
         |SELECT CAST(min(CASE WHEN cum_c * 5 >= 4 * (SELECT t_c FROM tot)
         |   THEN rn END) AS BIGINT) AS customers_for_80pct,
         | (SELECT CAST(nc AS BIGINT) FROM tot) AS n_customers,
-        | floor(min(CASE WHEN cum_c * 5 >= 4 * (SELECT t_c FROM tot) THEN rn END)
-        |   * 10000 / (SELECT nc FROM tot) + 0.5) / 10000 AS frac
+        | CAST(floor(min(CASE WHEN cum_c * 5 >= 4 * (SELECT t_c FROM tot)
+        |   THEN rn END) * 10000 / (SELECT nc FROM tot) + 0.5) AS BIGINT)
+        |   AS frac_bp
         |FROM rk""".stripMargin,
 
     "q145_rolling_zscore" ->
@@ -9914,7 +9933,7 @@ object SparkEntry {
         | WINDOW w AS (PARTITION BY event_type ORDER BY day
         |   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
-        | round((v - mu) / sd, 4) AS z
+        | CAST(floor((v - mu) / sd * 10000 + 0.5) AS BIGINT) AS z_bp
         |FROM roll WHERE sd IS NOT NULL AND abs((v - mu) / sd) > 1.5
         |ORDER BY event_type, day""".stripMargin,
 
@@ -9922,7 +9941,8 @@ object SparkEntry {
       """SELECT CAST(floor(datediff('day', CAST(o_orderdate AS DATE),
         |   CAST(l_shipdate AS DATE)) / 10.0) AS BIGINT) AS bucket,
         | count(*) AS n,
-        | round(sum(l_extendedprice), 2) AS sum_price
+        | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |   AS sum_price_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
@@ -9947,7 +9967,8 @@ object SparkEntry {
         |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS order_no
         | FROM orders)
         |SELECT order_no, count(*) AS n_customers,
-        | floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / count(*) + 0.5) / 100 AS avg_order_value
+        | CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) * 1
+        |   / count(*) + 0.5) AS BIGINT) AS avg_order_value_cents
         |FROM seq WHERE order_no <= 10 GROUP BY 1 ORDER BY order_no""".stripMargin,
 
     "q149_share_of_wallet" ->
@@ -9961,8 +9982,9 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY n_name
         |   ORDER BY rev DESC, c_custkey) AS rk
         | FROM cr)
-        |SELECT n_name, c_custkey, round(rev, 2) AS revenue,
-        | round(share, 4) AS share
+        |SELECT n_name, c_custkey,
+        | CAST(floor(rev * 100 + 0.5) AS BIGINT) AS revenue_cents,
+        | CAST(floor(share * 10000 + 0.5) AS BIGINT) AS share_bp
         |FROM sw WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
 
     "q150_activity_heatmap" ->
@@ -9972,7 +9994,8 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2),
         |tot AS (SELECT sum(n) AS tot FROM cell)
         |SELECT CAST(isodow AS INT) AS isodow, hr, n,
-        | floor(n * 10000 / (SELECT tot FROM tot) + 0.5) / 10000 AS share
+        | CAST(floor(n * 10000 / (SELECT tot FROM tot) + 0.5) AS BIGINT)
+        |   AS share_bp
         |FROM cell ORDER BY isodow, hr""".stripMargin,
 
     "q151_regr_slope" ->
@@ -9984,9 +10007,10 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE) AS xi, v
         | FROM daily)
         |SELECT event_type,
-        | round(regr_slope(v, xi), 4) AS slope,
-        | round(regr_intercept(v, xi), 4) AS intercept,
-        | round(regr_r2(v, xi), 4) AS r2,
+        | CAST(floor(regr_slope(v, xi) * 10000 + 0.5) AS BIGINT) AS slope_bp,
+        | CAST(floor(regr_intercept(v, xi) * 10000 + 0.5) AS BIGINT)
+        |   AS intercept_bp,
+        | CAST(floor(regr_r2(v, xi) * 10000 + 0.5) AS BIGINT) AS r2_bp,
         | CAST(regr_count(v, xi) AS BIGINT) AS n
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -9996,9 +10020,10 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS hi
         | FROM events GROUP BY 1)
         |SELECT e.event_type,
-        | round(avg(least(greatest(e.value, q.lo), q.hi)), 4)
-        |   AS winsorized_mean,
-        | round(avg(e.value), 4) AS raw_mean, count(*) AS n
+        | CAST(floor(avg(least(greatest(e.value, q.lo), q.hi)) * 10000 + 0.5)
+        |   AS BIGINT) AS winsorized_mean_bp,
+        | CAST(floor(avg(e.value) * 10000 + 0.5) AS BIGINT) AS raw_mean_bp,
+        | count(*) AS n
         |FROM events e JOIN q ON e.event_type = q.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
@@ -10479,8 +10504,10 @@ object SparkEntry {
       """WITH med AS (
         | SELECT event_type, quantile_cont(value, 0.5) AS med
         | FROM events GROUP BY 1)
-        |SELECT e.event_type, round(any_value(m.med), 4) AS median,
-        | round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+        |SELECT e.event_type,
+        | CAST(floor(any_value(m.med) * 10000 + 0.5) AS BIGINT) AS median_bp,
+        | CAST(floor(quantile_cont(abs(e.value - m.med), 0.5) * 10000 + 0.5)
+        |   AS BIGINT) AS mad_bp,
         | count(*) AS n
         |FROM events e JOIN med m USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
@@ -10574,7 +10601,8 @@ object SparkEntry {
         |SELECT ev.event_type,
         | CASE WHEN ev.value < c.p50 THEN 'low'
         |      WHEN ev.value < c.p95 THEN 'mid' ELSE 'high' END AS bucket,
-        | count(*) AS n, round(sum(ev.value), 2) AS sum_value
+        | count(*) AS n,
+        | sum(CAST(floor(ev.value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
         |FROM events ev JOIN cuts c ON c.event_type = ev.event_type
         |GROUP BY 1, 2 ORDER BY ev.event_type, bucket""".stripMargin,
 
@@ -10630,10 +10658,13 @@ object SparkEntry {
 
     "q108_stats_aggs" ->
       """SELECT event_type,
-        | round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
-        | round(covar_samp(value, CAST(user_id AS DOUBLE)), 2) AS covar_vu,
-        | round(stddev_samp(value), 4) AS sd_value,
-        | round(var_samp(value), 2) AS var_value
+        | CAST(floor(corr(value, CAST(user_id AS DOUBLE)) * 10000 + 0.5)
+        |   AS BIGINT) AS corr_vu_bp,
+        | CAST(floor(covar_samp(value, CAST(user_id AS DOUBLE)) * 100 + 0.5)
+        |   AS BIGINT) AS covar_vu_c,
+        | CAST(floor(stddev_samp(value) * 10000 + 0.5) AS BIGINT)
+        |   AS sd_value_bp,
+        | CAST(floor(var_samp(value) * 100 + 0.5) AS BIGINT) AS var_value_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q103_union_by_name" ->
@@ -10654,7 +10685,8 @@ object SparkEntry {
 
     "q104_weekly_rollup" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
-        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        | event_type, count(*) AS n,
+        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
         |FROM events GROUP BY 1, 2
         |ORDER BY week_start, event_type""".stripMargin,
 
