@@ -2725,9 +2725,14 @@ object SparkEntry {
         .join(broadcast(dfreq), "w")
         .crossJoin(broadcast(n))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("tf") * log(col("n") / col("df"))), 4).as("score"),
+        // quantize per TERM (tf/n/df are ints, so each term's double is
+        // engine-identical), then sum exact bigints — a quantized SUM of
+        // doubles would ride the partition-dependent addition order onto
+        // grid boundaries (observed: one doc flipping between runs)
+        .agg(sum(floorBp(col("tf") * log(col("n") / col("df")), 4))
+            .as("score_bp"),
           count(lit(1)).as("n_terms"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .orderBy(col("score_bp").desc, col("doc_id"))
         .limit(10)
     }),
 
@@ -2755,7 +2760,8 @@ object SparkEntry {
           }
         }
         .toDF("user_id", "event_id", "balance")
-        .withColumn("balance", round(col("balance"), 4))
+        .withColumn("balance_bp", floorBp(col("balance"), 4))
+        .drop("balance")
         .orderBy(col("user_id"), col("event_id"))
     }),
 
@@ -2922,11 +2928,11 @@ object SparkEntry {
           "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")),
           "id_b")
-        .withColumn("cont_a", ratioQ(col("n_shared"), col("n_a"), 4))
-        .withColumn("cont_b", ratioQ(col("n_shared"), col("n_b"), 4))
-        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+        .withColumn("cont_a_bp", ratioBp(col("n_shared"), col("n_a"), 4))
+        .withColumn("cont_b_bp", ratioBp(col("n_shared"), col("n_b"), 4))
+        .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= 8000L)
         .select(col("id_a"), col("id_b"), col("n_shared"),
-          col("cont_a"), col("cont_b"))
+          col("cont_a_bp"), col("cont_b_bp"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3110,7 +3116,7 @@ object SparkEntry {
           VectorFunctions.cosine_dist(col("embedding"),
             lit(queryVec(s, d))).as("dist"))
         .orderBy(col("dist").asc_nulls_last, col("vec_id")).limit(20)
-        .withColumn("dist", round(col("dist"), 4))
+        .withColumn("dist_bp", floorBp(col("dist"), 4)).drop("dist")
     }),
 
     // ---- MULTI-VECTOR (lateral) transparent ANN planning: top-k per
@@ -3144,7 +3150,7 @@ object SparkEntry {
             .orderBy(col("score").desc, col("vec_id"))))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vec_id"),
-          round(col("score"), 4).as("score"), col("rn"))
+          floorBp(col("score"), 4).as("score_bp"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
 
@@ -3499,7 +3505,7 @@ object SparkEntry {
             .orderBy(col("score").desc, col("vec_id"))))
         .filter(col("neg_rank") <= 5)
         .select(col("qid"), col("vec_id"), col("label"),
-          round(col("score"), 4).as("score"), col("neg_rank"))
+          floorBp(col("score"), 4).as("score_bp"), col("neg_rank"))
         .orderBy(col("qid"), col("neg_rank"))
     }),
 
@@ -3612,8 +3618,8 @@ object SparkEntry {
           .orderBy(col("score0").desc, col("doc_id"))))
         .filter(col("rn") <= 10)
         .select(col("qid"), col("doc_id"), col("n_terms"),
-          (floor(col("score0") * lit(10000.0d) + lit(0.5d)) /
-            lit(10000.0d)).as("score"),
+          floor(col("score0") * lit(10000.0d) + lit(0.5d)).cast("bigint")
+            .as("score_bp"),
           col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
@@ -3719,8 +3725,8 @@ object SparkEntry {
             .orderBy(col("rrf").desc, col("doc_id"))))
         .filter(col("frank") <= 10)
         .select(col("qid"), col("doc_id"), col("lrank"), col("vrank"),
-          (floor(col("rrf") * lit(1000000.0d) + lit(0.5d)) /
-            lit(1000000.0d)).as("rrf"),
+          floor(col("rrf") * lit(1000000.0d) + lit(0.5d)).cast("bigint")
+            .as("rrf_upoints"),
           col("frank"))
         .orderBy(col("qid"), col("frank"))
     }),
@@ -3789,7 +3795,8 @@ object SparkEntry {
           | g.r.keep AS rep_keep,
           | g.q.stop_hits AS stop_hits,
           | g.q.keep AS qual_keep,
-          | dw.weight, dw.selected
+          | CAST(floor(dw.weight * 10000 + 0.5) AS BIGINT) AS weight_bp,
+          | dw.selected
           |FROM (
           | SELECT doc_id, gopher_repetition(text) AS r,
           |  gopher_quality(text) AS q
@@ -3866,8 +3873,9 @@ object SparkEntry {
         floor(c * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
       ranked.groupBy(col("source"))
         .agg(count(lit(1)).as("n_types"),
-          q4(regr_slope(log(col("f")), log(col("r")))).as("zipf_slope"),
-          q4(regr_r2(log(col("f")), log(col("r")))).as("r2"))
+          floorBp(regr_slope(log(col("f")), log(col("r"))), 4)
+            .as("zipf_slope_bp"),
+          floorBp(regr_r2(log(col("f")), log(col("r"))), 4).as("r2_bp"))
         .orderBy(col("source"))
     }),
 
@@ -3961,6 +3969,8 @@ object SparkEntry {
       val docs = tSpread(s, d, "documents")
       ImportanceSelect.dsirWeights(docs, docs.filter(col("lang") === "en"),
           "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          floorBp(col("weight"), 4).as("weight_bp"), col("selected"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3972,6 +3982,11 @@ object SparkEntry {
     "q187_gopher_repetition" -> ((s, d) => {
       TextFunctions.gopherRepetition(tSpread(s, d, "documents"),
           "text", "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          floorBp(col("top_word_frac"), 4).as("top_word_frac_bp"),
+          floorBp(col("top_2gram_frac"), 4).as("top_2gram_frac_bp"),
+          floorBp(col("dup_3gram_frac"), 4).as("dup_3gram_frac_bp"),
+          col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3981,6 +3996,10 @@ object SparkEntry {
     "q188_gopher_quality" -> ((s, d) => {
       TextFunctions.gopherQuality(tSpread(s, d, "documents"),
           "text", "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          floorBp(col("mean_word_len"), 4).as("mean_word_len_bp"),
+          floorBp(col("alpha_word_frac"), 4).as("alpha_word_frac_bp"),
+          col("stop_hits"), col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3993,6 +4012,8 @@ object SparkEntry {
       val docs = tSpread(s, d, "documents")
       Dedup.decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
           docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_hits"),
+          floorBp(col("contam_frac"), 4).as("contam_frac_bp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4334,7 +4355,7 @@ object SparkEntry {
       val lambda = 0.7d; val oneMinusLambda = 0.3d
       val remaining = scala.collection.mutable.ArrayBuffer(cand.toSeq: _*)
       val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-      val sel = Seq.newBuilder[(Int, Long, Double, Double)]
+      val sel = Seq.newBuilder[(Int, Long, Long, Long)]
       var rank = 1
       while (rank <= 5 && remaining.nonEmpty) {
         var bi = -1; var bmmr = Double.NegativeInfinity
@@ -4360,11 +4381,11 @@ object SparkEntry {
         }
         val (id, emb, rel) = remaining.remove(bi)
         chosen += emb
-        sel += ((rank, id, math.floor(rel * 1e4 + 0.5) / 1e4,
-          math.floor(bmmr * 1e4 + 0.5) / 1e4))
+        sel += ((rank, id, math.floor(rel * 1e4 + 0.5).toLong,
+          math.floor(bmmr * 1e4 + 0.5).toLong))
         rank += 1
       }
-      sel.result().toDF("rank", "vec_id", "rel", "mmr")
+      sel.result().toDF("rank", "vec_id", "rel_bp", "mmr_bp")
         .orderBy(col("rank"))
     }),
 
@@ -4387,6 +4408,8 @@ object SparkEntry {
         .filter(col("n_tokens") > 0)
       Curation.selectByBudget(docs, "q", "doc_id", "n_tokens",
         budget = 12000L)
+        .select(col("doc_id"), col("n_tokens"),
+          floorBp(col("q"), 4).as("q_bp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4413,11 +4436,11 @@ object SparkEntry {
           sum(col("sq")).as("ssq"),
           sum(col("sd") * col("sd")).as("cnorm"))
         .select(col("label"), col("n_vecs"),
-          (floor((col("ssq").cast("double") / col("n_vecs") -
+          floor((col("ssq").cast("double") / col("n_vecs") -
             col("cnorm").cast("double") /
               (col("n_vecs") * col("n_vecs"))) /
-            lit(1.0e8) * lit(1000000d) + lit(0.5d)) / lit(1000000d))
-            .as("dispersion"))
+            lit(1.0e8) * lit(1000000d) + lit(0.5d)).cast("bigint")
+            .as("dispersion_up"))
         .orderBy(col("label"))
     }),
 
@@ -4820,8 +4843,8 @@ object SparkEntry {
           col("t._1").as("sample_rate"),
           col("t._2").as("n_frames"),
           col("t._3").as("duration_ms"),
-          (floor(col("t._4") * lit(10000.0d) + lit(0.5d)) /
-            lit(10000.0d)).as("rms"),
+          floor(col("t._4") * lit(10000.0d) + lit(0.5d)).cast("bigint")
+            .as("rms_bp"),
           col("t._5").as("peak"),
           col("t._6").as("n_clipped"))
         .orderBy(col("doc_id"))
@@ -4851,10 +4874,10 @@ object SparkEntry {
         .select(col("doc_id"),
           col("t._1").as("n_frames"),
           col("t._2").as("duration_ms"),
-          (floor(col("t._3") * lit(10000.0d) + lit(0.5d)) /
-            lit(10000.0d)).as("luma_mean"),
-          (floor(col("t._4") * lit(10000.0d) + lit(0.5d)) /
-            lit(10000.0d)).as("motion_mean"),
+          floor(col("t._3") * lit(10000.0d) + lit(0.5d)).cast("bigint")
+            .as("luma_mean_bp"),
+          floor(col("t._4") * lit(10000.0d) + lit(0.5d)).cast("bigint")
+            .as("motion_mean_bp"),
           col("t._5").as("n_bytes"))
         .orderBy(col("doc_id"))
     }),
@@ -7439,7 +7462,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC,
         |    vec_id) AS neg_rank
         | FROM sc WHERE rn <= 20 AND label <> qlabel)
-        |SELECT qid, vec_id, label, round(score, 4) AS score,
+        |SELECT qid, vec_id, label,
+        | CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp,
         | CAST(neg_rank AS INT) AS neg_rank
         |FROM neg WHERE neg_rank <= 5
         |ORDER BY qid, neg_rank""".stripMargin,
@@ -7504,8 +7528,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid
         |    ORDER BY score0 DESC, doc_id) AS rn FROM sc)
         |SELECT qid, doc_id, n_terms,
-        | floor(score0 * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
-        |   AS score,
+        | CAST(floor(score0 * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+        |   AS score_bp,
         | CAST(rn AS INT) AS rn
         |FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
 
@@ -7560,8 +7584,8 @@ object SparkEntry {
         |    ORDER BY rrf DESC, doc_id) AS frank FROM fu)
         |SELECT qid, doc_id, CAST(lrank AS INT) AS lrank,
         | CAST(vrank AS INT) AS vrank,
-        | floor(rrf * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
-        |   AS rrf,
+        | CAST(floor(rrf * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+        |   AS rrf_upoints,
         | CAST(frank AS INT) AS frank
         |FROM fr WHERE frank <= 10 ORDER BY qid, frank""".stripMargin,
 
@@ -7636,7 +7660,8 @@ object SparkEntry {
         | FROM dt2 JOIN lr ON lr.w = dt2.w GROUP BY 1)
         |SELECT rep.doc_id, CAST(rep.nw AS BIGINT) AS n_words, rep.rep_keep,
         | CAST(qual.stops AS BIGINT) AS stop_hits, qual.qual_keep,
-        | floor(per.aw * 10000 + 0.5) / 10000 AS weight,
+        | CAST(floor(floor(per.aw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+        |   AS BIGINT) AS weight_bp,
         | (floor(per.aw * 10000 + 0.5) / 10000 > 0) AS selected
         |FROM rep JOIN qual ON qual.doc_id = rep.doc_id
         | JOIN per ON per.doc_id = rep.doc_id
@@ -8216,8 +8241,9 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY f DESC, w) AS r
         | FROM freq)
         |SELECT source, count(*) AS n_types,
-        | floor(regr_slope(ln(f), ln(r)) * 10000 + 0.5) / 10000 AS zipf_slope,
-        | floor(regr_r2(ln(f), ln(r)) * 10000 + 0.5) / 10000 AS r2
+        | CAST(floor(regr_slope(ln(f), ln(r)) * 10000 + 0.5) AS BIGINT)
+        |   AS zipf_slope_bp,
+        | CAST(floor(regr_r2(ln(f), ln(r)) * 10000 + 0.5) AS BIGINT) AS r2_bp
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the four stage definitions are verbatim the q187/q188/q189/q191
@@ -8342,7 +8368,7 @@ object SparkEntry {
         |per AS (SELECT t2.doc_id, count(*) AS n_tokens, avg(lr.lr) AS aw
         | FROM t2 JOIN lr ON lr.w = t2.w GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        | floor(aw * 10000 + 0.5) / 10000 AS weight,
+        | CAST(floor(aw * 10000 + 0.5) AS BIGINT) AS weight_bp,
         | (floor(aw * 10000 + 0.5) / 10000 > 0) AS selected
         |FROM per ORDER BY doc_id""".stripMargin,
 
@@ -8380,8 +8406,13 @@ object SparkEntry {
         | FROM toks t JOIN wc ON wc.doc_id = t.doc_id
         |  LEFT JOIN g2c ON g2c.doc_id = t.doc_id
         |  LEFT JOIN g3c ON g3c.doc_id = t.doc_id)
-        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, top_word_frac,
-        | top_2gram_frac, dup_3gram_frac,
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        | CAST(floor(top_word_frac * 10000 + 0.5) AS BIGINT)
+        |   AS top_word_frac_bp,
+        | CAST(floor(top_2gram_frac * 10000 + 0.5) AS BIGINT)
+        |   AS top_2gram_frac_bp,
+        | CAST(floor(dup_3gram_frac * 10000 + 0.5) AS BIGINT)
+        |   AS dup_3gram_frac_bp,
         | (top_word_frac <= 0.15 AND top_2gram_frac <= 0.08
         |  AND dup_3gram_frac <= 0.01) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
@@ -8407,8 +8438,12 @@ object SparkEntry {
         |   + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
         |   + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) AS stops
         | FROM toks)
-        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_word_len,
-        | alpha_word_frac, CAST(stops AS BIGINT) AS stop_hits,
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        | CAST(floor(mean_word_len * 10000 + 0.5) AS BIGINT)
+        |   AS mean_word_len_bp,
+        | CAST(floor(alpha_word_frac * 10000 + 0.5) AS BIGINT)
+        |   AS alpha_word_frac_bp,
+        | CAST(stops AS BIGINT) AS stop_hits,
         | (nw >= 30 AND nw <= 100000 AND mean_word_len >= 3.0
         |  AND mean_word_len <= 10.0 AND alpha_word_frac >= 0.8
         |  AND stops >= 2) AS keep
@@ -8429,7 +8464,8 @@ object SparkEntry {
         |h AS (SELECT doc_id, count(*) AS n_hits
         | FROM cg JOIN ev USING (g) GROUP BY 1)
         |SELECT h.doc_id, nd.n_grams, h.n_hits,
-        | floor(h.n_hits * 10000.0 / nd.n_grams + 0.5) / 10000 AS contam_frac
+        | CAST(floor(floor(h.n_hits * 10000.0 / nd.n_grams + 0.5) / 10000
+        |   * 10000 + 0.5) AS BIGINT) AS contam_frac_bp
         |FROM h JOIN nd ON nd.doc_id = h.doc_id
         |ORDER BY h.doc_id""".stripMargin,
 
@@ -10087,12 +10123,13 @@ object SparkEntry {
         |qt AS (SELECT unnest(['dup', 'key', 'vector']) AS w),
         |scores AS (
         | SELECT tf.doc_id,
-        |  sum(tf.tf * ln((SELECT n FROM n)::DOUBLE / df.df)) AS score,
+        |  sum(CAST(floor(tf.tf * ln((SELECT n FROM n)::DOUBLE / df.df)
+        |    * 10000 + 0.5) AS BIGINT)) AS score_bp,
         |  count(*) AS n_terms
         | FROM tf JOIN df ON tf.w = df.w JOIN qt ON tf.w = qt.w
         | GROUP BY tf.doc_id)
-        |SELECT doc_id, round(score, 4) AS score, n_terms
-        |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+        |SELECT doc_id, score_bp, n_terms
+        |FROM scores ORDER BY score_bp DESC, doc_id LIMIT 10""".stripMargin,
 
     "q157_clamped_balance" ->
       """WITH RECURSIVE src AS (
@@ -10109,7 +10146,8 @@ object SparkEntry {
         | SELECT s.user_id, s.event_id, s.rn, greatest(0, w.bal + s.delta)
         | FROM walk w JOIN src s
         |   ON s.user_id = w.user_id AND s.rn = w.rn + 1)
-        |SELECT user_id, event_id, round(bal, 4) AS balance
+        |SELECT user_id, event_id,
+        | CAST(floor(bal * 10000 + 0.5) AS BIGINT) AS balance_bp
         |FROM walk ORDER BY user_id, event_id""".stripMargin,
 
     "q158_trigram_mining" ->
@@ -10273,13 +10311,15 @@ object SparkEntry {
         | GROUP BY 1, 2),
         |sc AS (
         | SELECT id_a, id_b, n_shared,
-        |  floor(n_shared * 10000 / sa.n_sh + 0.5) / 10000 AS cont_a,
-        |  floor(n_shared * 10000 / sb.n_sh + 0.5) / 10000 AS cont_b
+        |  CAST(floor(n_shared * 10000 / sa.n_sh + 0.5) AS BIGINT)
+        |    AS cont_a_bp,
+        |  CAST(floor(n_shared * 10000 / sb.n_sh + 0.5) AS BIGINT)
+        |    AS cont_b_bp
         | FROM pairs
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b)
-        |SELECT id_a, id_b, n_shared, cont_a, cont_b
-        |FROM sc WHERE greatest(cont_a, cont_b) >= 0.8
+        |SELECT id_a, id_b, n_shared, cont_a_bp, cont_b_bp
+        |FROM sc WHERE greatest(cont_a_bp, cont_b_bp) >= 8000
         |ORDER BY id_a, id_b""".stripMargin,
 
     // replays sampleFrames/chunkAudio arithmetic over byte lengths:
@@ -10428,8 +10468,8 @@ object SparkEntry {
     "q176_ann_fallback" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,
-        | round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                  CAST(q.qe AS DOUBLE[])), 4) AS dist
+        | CAST(floor((1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.qe AS DOUBLE[]))) * 10000 + 0.5) AS BIGINT) AS dist_bp
         |FROM embeddings e CROSS JOIN q
         |WHERE e.vec_id % 97 = 0
         |ORDER BY 1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -10451,7 +10491,9 @@ object SparkEntry {
         |                           CAST(q.qemb AS DOUBLE[])) DESC,
         |    e.vec_id) AS rn
         | FROM embeddings e CROSS JOIN q)
-        |SELECT qid, vec_id, round(sim, 4) AS score, CAST(rn AS INT) AS rn
+        |SELECT qid, vec_id,
+        | CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS score_bp,
+        | CAST(rn AS INT) AS rn
         |FROM s WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
 
@@ -11091,10 +11133,10 @@ object SparkEntry {
         |s5 AS (SELECT vec_id, emb, rel, mmr FROM c5
         |       ORDER BY mmr DESC, vec_id LIMIT 1)
         |SELECT CAST(r AS INT) AS rank, vec_id,
-        | floor(rel * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
-        |   AS rel,
-        | floor(mmr * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
-        |   AS mmr
+        | CAST(floor(rel * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+        |   AS rel_bp,
+        | CAST(floor(mmr * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+        |   AS mmr_bp
         |FROM (SELECT 1 AS r, vec_id, rel, mmr FROM s1
         | UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
         | UNION ALL SELECT 3, vec_id, rel, mmr FROM s3
@@ -11122,7 +11164,8 @@ object SparkEntry {
         |  sum(n_tokens) OVER (ORDER BY q DESC, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         | FROM f)
-        |SELECT doc_id, n_tokens, q FROM o
+        |SELECT doc_id, n_tokens,
+        | CAST(floor(q * 10000 + 0.5) AS BIGINT) AS q_bp FROM o
         |WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
 
     // exact-int operands end to end (the q52 idiom): per-element 4dp
@@ -11138,10 +11181,10 @@ object SparkEntry {
         |  count(*) AS n
         | FROM x GROUP BY label, dim)
         |SELECT label, max(n) AS n_vecs,
-        | floor((sum(sq)::DOUBLE / max(n) -
+        | CAST(floor((sum(sq)::DOUBLE / max(n) -
         |   sum(sd * sd)::DOUBLE / (max(n) * max(n))) /
-        |   100000000.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE) /
-        |   1000000.0::DOUBLE AS dispersion
+        |   100000000.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE)
+        |   AS BIGINT) AS dispersion_up
         |FROM dims GROUP BY label
         |ORDER BY label""".stripMargin,
 
@@ -11376,8 +11419,8 @@ object SparkEntry {
         |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
         | CAST(n AS BIGINT) AS n_frames,
         | CAST(n * 1000 // sample_rate AS BIGINT) AS duration_ms,
-        | floor(sqrt(CAST(list_sum(list_transform(smp, x -> x * x))
-        |   AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS rms,
+        | CAST(floor(sqrt(CAST(list_sum(list_transform(smp, x -> x * x))
+        |   AS DOUBLE) / n) * 10000 + 0.5) AS BIGINT) AS rms_bp,
         | CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
         | CAST(length(list_filter(smp, x -> abs(x) >= 32767)) AS BIGINT)
         |   AS n_clipped
@@ -11402,11 +11445,11 @@ object SparkEntry {
         | FROM v)
         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
         | CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
-        | floor(CAST(list_sum(ys) AS DOUBLE) / (nf * w * h) * 10000 + 0.5)
-        |   / 10000 AS luma_mean,
-        | floor(CAST(list_sum(list_transform(range(0, (nf - 1) * w * h),
+        | CAST(floor(CAST(list_sum(ys) AS DOUBLE) / (nf * w * h) * 10000
+        |   + 0.5) AS BIGINT) AS luma_mean_bp,
+        | CAST(floor(CAST(list_sum(list_transform(range(0, (nf - 1) * w * h),
         |     j -> abs(ys[j + w * h + 1] - ys[j + 1]))) AS DOUBLE)
-        |   / ((nf - 1) * w * h) * 10000 + 0.5) / 10000 AS motion_mean,
+        |   / ((nf - 1) * w * h) * 10000 + 0.5) AS BIGINT) AS motion_mean_bp,
         | CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F' || fps ||
         |   ':1 Ip A1:1 C420' || chr(10)) +
         |   nf * (6 + w * h * 3 // 2) AS BIGINT) AS n_bytes

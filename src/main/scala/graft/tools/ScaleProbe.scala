@@ -4,32 +4,142 @@ import graft.dedup.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measures the composed dedup pipeline (exact-first, then fuzzy) on the
-  * scaled dataset — the production-shape counterpoint to running n-gram
-  * Jaccard directly over a corpus full of exact duplicates. */
+/** Scale probes for the flagship linearity claims. Modes (arg 1):
+  *
+  *  - `dedup` (default): the composed exact-first-then-fuzzy dedup
+  *    pipeline over the scaled dataset at arg 0 — the production-shape
+  *    counterpoint to running n-gram Jaccard directly over a corpus
+  *    full of exact duplicates.
+  *  - `xsubstr`: ExactSubstr window-fingerprint BUILD over a fully
+  *    synthetic corpus (md5-block text — every 40-char window distinct,
+  *    so distinct-window work scales with bytes) at 1× / 10× / 100×.
+  *    Claim: bytes-linear.
+  *  - `contam`: incremental contamination probe of a FIXED 500-doc
+  *    batch against indexes built from 1× / 10× / 100× corpora.
+  *    Claim: O(batch text + index bytes) — probe time must grow far
+  *    slower than the corpus, because only the 16-byte-per-window
+  *    hash index is read, never corpus text.
+  *  - `hnsw`: routed-HNSW probe against stored indexes of 1× / 10× /
+  *    100× vector counts. Claim: a WARM probe is manifest-bounded —
+  *    it scans routed cells' (centroid_id, seg_hash) manifest columns
+  *    and walks cached graphs, so probe latency is governed by cells
+  *    probed, not corpus size.
+  *
+  * Synthetic generators are pure integer/md5 formulas (no RNG), so
+  * runs are reproducible and the 100× corpus never has to exist on
+  * disk. */
 object ScaleProbe {
+
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  /** `n` docs of `words` md5 blocks each — every 40-char window is
+    * globally distinct (block content depends on (doc, pos)). */
+  private def synthDocs(spark: SparkSession, n: Long,
+                        words: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n).repartition(32)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until words).map(j =>
+          md5(concat(col("id"), lit(":" + j)))): _*).as("text"))
+
+  /** `n` synthetic 64-dim unit-ish vectors from integer hash math. */
+  private def synthVecs(spark: SparkSession,
+                        n: Long): org.apache.spark.sql.DataFrame =
+    spark.range(n).repartition(32)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "cast(pmod(id * 2654435761 + j * 40503, 1000) as float) " +
+          "/ 1000.0f - 0.5f)").as("embedding"))
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/tmp/graft-sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000L).selectExpr("sum(id)").collect()
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(32)
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
-    time("exact-dedup survivors") {
-      Dedup.exact(docs, "text", "doc_id").count()
-    }
-    time("exact-first THEN ngram-jaccard") {
-      val surv = Dedup.exact(docs, "text", "doc_id")
-      Dedup.ngramJaccardPairs(surv, "text", "doc_id",
-        n = 3, threshold = 0.2, maxShingleFreq = 1000).count()
+    val mode = args.lift(1).getOrElse("dedup")
+
+    mode match {
+      case "dedup" =>
+        val sfDir = args.headOption.getOrElse("/tmp/graft-sf1")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(32)
+        time("exact-dedup survivors") {
+          Dedup.exact(docs, "text", "doc_id").count()
+        }
+        time("exact-first THEN ngram-jaccard") {
+          val surv = Dedup.exact(docs, "text", "doc_id")
+          Dedup.ngramJaccardPairs(surv, "text", "doc_id",
+            n = 3, threshold = 0.2, maxShingleFreq = 1000).count()
+        }
+
+      case "xsubstr" =>
+        // 1× = 1k docs × ~990 chars ≈ 1 MB of text; 100× ≈ 100 MB with
+        // ~100M distinct windows hashed + aggregated
+        Seq(1L, 10L, 100L).foreach { m =>
+          val docs = synthDocs(spark, 1000L * m, words = 30).cache()
+          docs.count() // pin input; exclude generation from the timing
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-xs$m").toString + "/idx"
+          time(s"xsubstr build ${m}x") {
+            Dedup.writeWindowFingerprints(docs, "text", "doc_id", dir,
+              window = 40)
+          }
+          docs.unpersist()
+        }
+
+      case "contam" =>
+        val batch = synthDocs(spark, 500L, words = 30).cache()
+        batch.count()
+        Seq(1L, 10L, 100L).foreach { m =>
+          // corpus ids offset past the batch so hits come only from the
+          // first 500 overlapping ids' formulas (fixed hit mass)
+          val corpus = synthDocs(spark, 1000L * m, words = 30)
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-ct$m").toString + "/idx"
+          Dedup.writeWindowFingerprints(corpus, "text", "doc_id", dir,
+            window = 40)
+          time(s"contam probe ${m}x (fixed 500-doc batch)") {
+            Dedup.contaminationSpansIncremental(spark, dir, batch,
+              "text", "doc_id", window = 40).count()
+          }
+        }
+        batch.unpersist()
+
+      case "hnsw" =>
+        import graft.vector.{HnswIndex, IvfIndex, RoutedHnsw}
+        Seq(1L, 10L, 100L).foreach { m =>
+          val vecs = synthVecs(spark, 2000L * m).cache()
+          vecs.count()
+          val cs = IvfIndex.centroids(vecs, "embedding", "vec_id",
+            math.max(16, (m * 16).toInt))
+          val p = HnswIndex.Params(m = 4, efConstruction = 16,
+            efSearch = 32)
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-hn$m").toString + "/idx"
+          time(s"hnsw build ${m}x") {
+            RoutedHnsw.writeRoutedIndex(vecs, "embedding", "vec_id", dir,
+              cs, p)
+          }
+          val q = vecs.filter(col("vec_id") === 7)
+            .head().getSeq[Float](1).toArray
+          time(s"hnsw COLD probe ${m}x") {
+            RoutedHnsw.search(spark, dir, "vec_id", cs, q, k = 20,
+              nProbe = 4, p).count()
+          }
+          time(s"hnsw WARM probe ${m}x") {
+            RoutedHnsw.search(spark, dir, "vec_id", cs, q, k = 20,
+              nProbe = 4, p).count()
+          }
+          vecs.unpersist()
+        }
+
+      case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
   }

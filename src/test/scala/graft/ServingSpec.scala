@@ -24,7 +24,7 @@ class ServingSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).sameElements(Array(1L, 4L, 2L, 3L))) // time order
     val first = out(0)
     assert(first.getLong(5) == 3L)   // user 7 has 3 events that day
-    assert(first.getDouble(6) == 6.0)
+    assert(first.getLong(6) == 600L) // 6.00 in exact cents
     assert(first.getLong(7) == 43200L) // 4 days ahead -> 12h TTL
   }
 

@@ -18,13 +18,13 @@ shipped gate-green locally and hash-red in the driver):
     `floor(x*10000.0/y+0.5)/10000` emits DECIMAL(38,6) scale-6 strings,
     while DuckDB's floor() returns DOUBLE. A scale-preserving spark-side
     decimal only matches when its string form equals the float's repr.
-  * RATCHET: queries declared from round 9 on (>= {RATCHET_FROM}) must
+  * RATCHET (UNIVERSAL since round 10): every query must
     emit NO float and NO fractional-scale decimal columns on the Spark
     side — BIGINT basis points / integer grids only (the q247
-    threshold_bp / q261 ppm convention). Legacy float queries are
-    grandfathered: 8 rounds of driver evidence show exactly-representable
-    doubles (money in 0.01 steps, count ratios of small ints) replay; the
-    exact value compare still guards them.
+    threshold_bp / q261 ppm convention). The round-9
+    grandfather clause is GONE: the whole surface was migrated to exact
+    cents/basis-point integers in round 10, removing the last
+    environment-sensitivity class (float repr and summation-order luck).
 """
 import glob
 import json
@@ -40,7 +40,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # Queries declared at/after this number fall under the strict
 # output-typing contract (PLANS.md "cross-engine replay rules").
-RATCHET_FROM = 279
+RATCHET_FROM = 1
 
 FLOATY = ("DOUBLE", "FLOAT", "REAL")
 
