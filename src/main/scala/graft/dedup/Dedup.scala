@@ -685,22 +685,86 @@ object Dedup {
     mergeFlaggedWindows(flagged, idCol)
   }
 
+  /** All window hashes of one document in ONE O(bytes) pass — the
+    * values are bit-identical to `xxhash64(substr(txt, p, window))`
+    * (same UTF-8 bytes, same seed-42 XXH64), but the per-window cost is
+    * O(window bytes) instead of the expression path's O(p): `substr`
+    * counts CODEPOINTS, so every window pays an offset scan from the
+    * string start and a document costs O(len²) chars — fine at web-page
+    * lengths, a scale-killer on book-length docs (measured 27× time for
+    * 10× bytes at 100 MB synthetic corpus; linear after this change).
+    * One codepoint-offset table per doc, then each hash reads its byte
+    * range directly. */
+  private def windowHashArray(txt: String, window: Int,
+                              stride: Int): Array[Long] = {
+    if (txt == null) return Array.emptyLongArray
+    val bytes = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // byte start of each codepoint (UTF8String's char grain)
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      val v = bytes(b) & 0xff
+      b += (if (v < 0x80) 1 else if (v < 0xE0) 2 else if (v < 0xF0) 3
+            else 4)
+      nChars += 1
+    }
+    if (nChars < window) return Array.emptyLongArray
+    val starts = new Array[Int](nChars + 1)
+    b = 0; var c = 0
+    while (b < bytes.length) {
+      starts(c) = b
+      val v = bytes(b) & 0xff
+      b += (if (v < 0x80) 1 else if (v < 0xE0) 2 else if (v < 0xF0) 3
+            else 4)
+      c += 1
+    }
+    starts(nChars) = bytes.length
+    val nW = (nChars - window) / stride + 1
+    val out = new Array[Long](nW)
+    var w = 0
+    while (w < nW) {
+      val p = w * stride
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + starts(p),
+          starts(p + window) - starts(p), 42L)
+      w += 1
+    }
+    out
+  }
+
   /** Every fixed-width window occurrence of `df`'s text:
     * (`_did`, `_p`, `_win`) where `_win` is the window's `xxhash64`
     * (`hashKey = true`) or the substring itself. Map-side only — the
-    * explode never shuffles. */
+    * explode never shuffles. The hashed path runs [[windowHashArray]]'s
+    * single-pass walk; the substring path keeps the expression form
+    * (it is only used where the raw window text must survive). */
   private def windowOccurrences(df: DataFrame, textCol: String,
                                 idCol: String, window: Int, stride: Int,
                                 hashKey: Boolean): DataFrame = {
-    val win = col("_txt").substr(col("_p"), lit(window))
-    df.filter(length(col(textCol)) >= window)
-      .select(col(idCol).cast("long").as("_did"),
-        explode(sequence(lit(1), length(col(textCol)) - (window - 1),
-          lit(stride))).as("_p"),
-        col(textCol).as("_txt"))
-      .select(col("_did"), col("_p"),
-        (if (hashKey) xxhash64(win) else win).as("_win"))
+    if (hashKey) {
+      val wh = udf { (t: String) => windowHashArray(t, window, stride) }
+      df.filter(length(col(textCol)) >= window)
+        .select(col(idCol).cast("long").as("_did"),
+          posexplode(wh(col(textCol))).as(Seq("_i", "_win")))
+        .select(col("_did"), (col("_i") * stride + 1).as("_p"), col("_win"))
+    } else {
+      val win = col("_txt").substr(col("_p"), lit(window))
+      df.filter(length(col(textCol)) >= window)
+        .select(col(idCol).cast("long").as("_did"),
+          explode(sequence(lit(1), length(col(textCol)) - (window - 1),
+            lit(stride))).as("_p"),
+          col(textCol).as("_txt"))
+        .select(col("_did"), col("_p"), win.as("_win"))
+    }
   }
+
+  /** Distinct hashed windows in the corpus — the at-rest index row
+    * count (diagnostics / tools.ScaleProbe stage timing). */
+  def distinctWindowCount(df: DataFrame, textCol: String, idCol: String,
+                          window: Int, stride: Int = 1): Long =
+    windowOccurrences(df, textCol, idCol, window, stride, hashKey = true)
+      .select("_win").distinct().count()
 
   /** Gaps-and-islands merge of flagged windows (`_did`, `_p`, `_e`) into
     * maximal per-document spans — the shared tail of [[crossDocSpans]]
@@ -885,9 +949,13 @@ object Dedup {
                    nBuckets: Int = 64): DataFrame = {
     val meta = readFpMeta(spark, path)
     meta.foreach { case (w, _, _) =>
-      require(passage.length == w,
+      // CODEPOINTS, not UTF-16 units: windows are codepoint-grain (the
+      // substr/xxhash64 char grain), so a non-BMP passage of w
+      // codepoints is w+k UTF-16 chars and must still be accepted
+      val n = passage.codePointCount(0, passage.length)
+      require(n == w,
         s"lookupWindow: index at $path holds $w-char windows; a " +
-          s"${passage.length}-char passage can never match")
+          s"$n-char passage can never match")
     }
     // the stored bucket count wins — a mismatched caller value would
     // prune to the WRONG directory and return silently empty

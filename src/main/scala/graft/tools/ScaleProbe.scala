@@ -52,8 +52,8 @@ object ScaleProbe {
     spark.range(n).repartition(32)
       .select(col("id").as("vec_id"),
         expr("transform(sequence(0, 63), j -> " +
-          "cast(pmod(id * 2654435761 + j * 40503, 1000) as float) " +
-          "/ 1000.0f - 0.5f)").as("embedding"))
+          "cast(pmod(id * 2654435761 + j * 40503, 1000) / 1000.0 - 0.5 " +
+          "as float))").as("embedding"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -86,6 +86,9 @@ object ScaleProbe {
           docs.count() // pin input; exclude generation from the timing
           val dir = java.nio.file.Files
             .createTempDirectory(s"graft-probe-xs$m").toString + "/idx"
+          time(s"xsubstr window-agg ${m}x") {
+            Dedup.distinctWindowCount(docs, "text", "doc_id", 40)
+          }
           time(s"xsubstr build ${m}x") {
             Dedup.writeWindowFingerprints(docs, "text", "doc_id", dir,
               window = 40)

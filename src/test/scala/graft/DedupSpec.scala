@@ -307,6 +307,44 @@ class DedupSpec extends SparkSpec {
     assert(hashedSpans.nonEmpty) // the corpus genuinely exercises the path
   }
 
+  test("single-pass window hasher == xxhash64(substr) on multibyte text, " +
+      "and lookupWindow still matches the expression hash") {
+    // round 10 rewrote the hashed path as one O(bytes) walk per doc
+    // (substr counts codepoints, so the expression path is O(len²) per
+    // doc). The walk must produce BIT-IDENTICAL xxhash64 values on any
+    // UTF-8 — pin it against the substring path on 2/3/4-byte
+    // codepoints, combining marks and ASCII mixes.
+    val emoji = new String(Character.toChars(0x1F600))
+    val base = s"padding ${emoji}中文序列 Präzisionstext eàé${emoji} " +
+      "shared-tail-0123456789-abcdefghijklmnopqrstuvwxyz"
+    val docs = Seq(
+      (1L, base + " unique-one"),
+      (2L, base + " unique-two"),
+      (3L, s"ascii only corpus line with the shared-tail-0123456789-" +
+        s"abcdefghijklmnopqrstuvwxyz body"))
+      .toDF("doc_id", "text")
+    def run(hashed: Boolean) =
+      Dedup.crossDocSpans(docs, "text", "doc_id", window = 12,
+          keepFirst = false, hashKey = hashed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val spans = run(hashed = true)
+    assert(spans == run(hashed = false))
+    assert(spans.nonEmpty)
+    // lookupWindow hashes the passage with the xxhash64 EXPRESSION; the
+    // stored index rows come from the single-pass walk — a point lookup
+    // of a multibyte window only hits if the two hashes agree
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-uniwin").toString + "/idx"
+    Dedup.writeWindowFingerprints(docs, "text", "doc_id", idx, window = 12)
+    val passage = base.substring(
+      base.offsetByCodePoints(0, 8),
+      base.offsetByCodePoints(0, 20))
+    assert(passage.codePointCount(0, passage.length) == 12)
+    assert(Dedup.lookupWindow(spark, idx, passage).count() == 1L)
+  }
+
   test("incremental ExactSubstr: stored fingerprints == full keep-first " +
       "run restricted to the batch (monotone ids)") {
     val docs = spark.read
