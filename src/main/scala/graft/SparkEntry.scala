@@ -7210,6 +7210,126 @@ object SparkEntry {
           col("t._5").as("wsum"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- URL canonicalization dedup (the dedup grain ABOVE content:
+    // the same logical page surfaces under scheme/host case, default
+    // ports, fragments, tracking params, param order and trailing
+    // slashes — here four messy variants per logical URL collapse to
+    // ONE canonical key; the oracle computes that key straight from
+    // the generator formula while the Spark side EARNS it by parsing
+    // and normalizing the messy string. At 100 TB this is the cheapest
+    // dedup in the pipeline: a projection over 100-byte keys before
+    // any 100 KB document is fetched or hashed) ----
+    "q288_url_canonical_dedup" -> ((s, d) => {
+      import graft.text.UrlCanon
+      val g = expr("doc_id div 4")
+      val k = g % 97
+      val m = g % 7
+      val v = col("doc_id") % 4
+      val messy = when(v === 0, format_string(
+          "http://www.Site%d.EXAMPLE.com/p/%d?b=%d&a=1#frag", k, g, m))
+        .when(v === 1, format_string(
+          "HTTP://www.site%d.example.com:80/p/%d?a=1&b=%d", k, g, m))
+        .when(v === 2, format_string(
+          "http://www.site%d.example.com/p/%d" +
+            "?utm_source=feed&a=1&utm_campaign=x&b=%d", k, g, m))
+        .otherwise(format_string(
+          "http://www.site%d.example.com/p/%d/?a=1&b=%d", k, g, m))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), UrlCanon.canon(messy).as("u"))
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("doc_id")).as("min_doc_id"))
+        .select(col("u").as("canonical_url"), col("n_dups"),
+          col("min_doc_id"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // ---- WARC record framing round-trip (the container web corpora
+    // arrive in: CRLF headers + Content-Length-delimited BYTE payload.
+    // Documents are serialized into per-file blobs — 16 "files", the
+    // binaryFile grain a real deployment parallelizes on — then the
+    // splitter walks each blob once, resyncing past garbage, and every
+    // doc must come back byte-identical: the oracle reads the fields
+    // straight off the table, so any framing/slicing bug (chars vs
+    // bytes, off-by-one at the blank line, missing trailing CRLF)
+    // shows as a hash mismatch) ----
+    "q289_warc_roundtrip" -> ((s, d) => {
+      import graft.ingest.Warc
+      val rec = Warc.record(col("doc_id"),
+        format_string("http://docs.example.com/d/%d", col("doc_id")),
+        encode(col("text"), "UTF-8"))
+      tSpread(s, d, "documents")
+        .select((col("doc_id") % 16).as("file_id"),
+          struct(col("doc_id"), rec.as("rec")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .select(Warc.concatBlobs(expr("transform(rs, x -> x.rec)"))
+          .as("blob"))
+        .select(explode(Warc.splitUdf(col("blob"))).as("rec"))
+        .select(col("rec._1").as("doc_id"),
+          col("rec._2").as("uri"),
+          length(col("rec._3")).cast("bigint").as("n_bytes"),
+          md5(col("rec._3")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Unicode normalization (the projection every text-dedup
+    // stage must run FIRST: composed vs decomposed forms of the same
+    // visible string hash differently at every dedup grain unless the
+    // corpus is normalized to one form). Each doc gets a DECOMPOSED
+    // prefix (base letter + combining mark); NFC must compose it
+    // (n_nfc = n_raw - 1 per doc) and the md5s pin the exact composed
+    // bytes against DuckDB's nfc_normalize; the fold key adds
+    // strip-accents + casefold, the accent-insensitive join key ----
+    "q290_unicode_normalize" -> ((s, d) => {
+      import graft.text.UnicodeNorm
+      // DECOMPOSED on purpose: base letter + combining mark (NFC
+      // composes each to one codepoint: é ü ñ Ç Å)
+      val prefixes = array(lit("e\u0301"), lit("u\u0308"),
+        lit("n\u0303"), lit("C\u0327"), lit("A\u030A"))
+      val dec = concat(
+        element_at(prefixes, (col("doc_id") % 5 + 1).cast("int")),
+        lit(" "), col("text"))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          length(dec).cast("bigint").as("n_raw"),
+          length(UnicodeNorm.nfc(dec)).cast("bigint").as("n_nfc"),
+          md5(UnicodeNorm.nfc(dec)).as("nfc_md5"),
+          md5(UnicodeNorm.foldKey(dec)).as("fold_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- registered-domain (eTLD+1) extraction: domain caps and
+    // per-site crawl budgets group on "one more label than the longest
+    // matching public suffix" (the publicsuffix.org algorithm), NOT on
+    // the raw host — www./cdn.a. subdomains of one site must pool, and
+    // multi-label suffixes must beat their single-label tails (the set
+    // here contains both `uk` and `co.uk`, `io` and `github.io`, so a
+    // shortest-match bug changes the key and fails the hash) ----
+    "q291_registered_domain" -> ((s, d) => {
+      import graft.text.UrlCanon
+      val suffixes = Set("com", "org", "net", "uk", "co.uk",
+        "io", "github.io")
+      val k = expr("doc_id div 3")
+      val sub = element_at(array(lit(""), lit("www."), lit("cdn.a.")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val sfx = element_at(array(lit("com"), lit("co.uk"), lit("org"),
+        lit("github.io")), (k % 4 + 1).cast("int"))
+      val host = concat(sub, lit("site"), (k % 53).cast("string"),
+        lit("."), sfx)
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .select(col("doc_id"), col("host"),
+          UrlCanon.registeredDomainUdf(suffixes)(col("host")).as("rd"))
+        .groupBy(col("rd"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          min(col("doc_id")).as("min_doc_id"))
+        .select(col("rd").as("registered_domain"), col("n_docs"),
+          col("n_hosts"), col("min_doc_id"))
+        .orderBy(col("registered_domain"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -13661,5 +13781,68 @@ object SparkEntry {
         | CAST(fa.ss AS BIGINT) AS sum_s, CAST(fa.ws AS BIGINT) AS wsum
         |FROM fd JOIN fa ON fa.doc_id = fd.doc_id
         |ORDER BY fd.doc_id""".stripMargin,
+
+    // canonical-URL replay: the oracle computes the canonical key
+    // DIRECTLY from the variant generator's formula (doc_id div 4 is
+    // the logical page); the Spark side earns the same key by parsing
+    // and normalizing the four messy surface forms.
+    "q288_url_canonical_dedup" ->
+      """WITH c AS (SELECT doc_id, doc_id // 4 AS g FROM documents)
+        |SELECT 'http://www.site' || (g % 97) || '.example.com/p/' || g
+        |   || '?a=1&b=' || (g % 7) AS canonical_url,
+        | CAST(count(*) AS BIGINT) AS n_dups,
+        | min(doc_id) AS min_doc_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // WARC round-trip: fields read straight off the table — the Spark
+    // side must reproduce them through serialize -> concat -> split.
+    // Content-Length counts BYTES, so n_bytes is octet_length.
+    "q289_warc_roundtrip" ->
+      """SELECT doc_id,
+        | 'http://docs.example.com/d/' || doc_id AS uri,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // NFC replay via DuckDB's nfc_normalize/strip_accents/lower over
+    // the SAME decomposed construction (chr codes are the combining
+    // marks: 769 acute, 776 diaeresis, 771 tilde, 807 cedilla,
+    // 778 ring above).
+    "q290_unicode_normalize" ->
+      """WITH px AS (SELECT doc_id,
+        |  (CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'e' || chr(769) WHEN 1 THEN 'u' || chr(776)
+        |    WHEN 2 THEN 'n' || chr(771) WHEN 3 THEN 'C' || chr(807)
+        |    ELSE 'A' || chr(778) END) || ' ' || text AS dec
+        | FROM documents)
+        |SELECT doc_id, CAST(length(dec) AS BIGINT) AS n_raw,
+        | CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_nfc,
+        | md5(nfc_normalize(dec)) AS nfc_md5,
+        | md5(lower(strip_accents(nfc_normalize(dec)))) AS fold_md5
+        |FROM px ORDER BY doc_id""".stripMargin,
+
+    // registered-domain replay: the oracle computes eTLD+1 from the
+    // generator formula; the Spark side earns it by longest-suffix
+    // matching the host against a list containing both `uk`/`co.uk`
+    // and `io`/`github.io` (shortest-match would change the key).
+    "q291_registered_domain" ->
+      """WITH h AS (SELECT doc_id, doc_id // 3 AS k,
+        |  CAST(doc_id % 3 AS INT) AS v FROM documents),
+        |f AS (SELECT doc_id,
+        |  (CASE v WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.a.' END)
+        |    || 'site' || (k % 53) || '.' ||
+        |    (CASE CAST(k % 4 AS INT) WHEN 0 THEN 'com'
+        |      WHEN 1 THEN 'co.uk' WHEN 2 THEN 'org'
+        |      ELSE 'github.io' END) AS host,
+        |  'site' || (k % 53) || '.' ||
+        |    (CASE CAST(k % 4 AS INT) WHEN 0 THEN 'com'
+        |      WHEN 1 THEN 'co.uk' WHEN 2 THEN 'org'
+        |      ELSE 'github.io' END) AS rd
+        | FROM h)
+        |SELECT rd AS registered_domain,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        | min(doc_id) AS min_doc_id
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

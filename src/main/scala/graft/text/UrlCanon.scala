@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** URL canonicalization — the dedup grain ABOVE content: a crawl-scale
+  * corpus (reference: the scraper's URL builders, `src/utils/helpers.py`
+  * buildVenueUrl/buildArtistUrl family) sees the same page under many
+  * surface forms (scheme/host case, default ports, fragments, tracking
+  * params, param order, trailing slashes). Canonicalizing BEFORE fetch
+  * and before content dedup removes whole duplicate fetches for the
+  * cost of a projection — at 100 TB the cheapest dedup is the one that
+  * runs on the 100-byte key instead of the 100 KB document.
+  *
+  * Rules applied (each documented where it deviates from a plain
+  * parse):
+  *   1. scheme and host lowercased; userinfo (`user:pw@`) dropped;
+  *   2. default ports stripped (http:80, https:443);
+  *   3. fragment dropped;
+  *   4. tracking params removed — names starting with `utm_` plus the
+  *      exact set [[TrackingExact]] (case-insensitive name match);
+  *   5. remaining query params sorted byte-wise by their full `k=v`
+  *      text (a STABLE total order; real-world equal-key repeats keep a
+  *      deterministic form);
+  *   6. trailing `/` stripped from a non-root path; empty path becomes
+  *      `/` so `http://h` and `http://h/` unify;
+  *   7. empty query drops its `?`.
+  *
+  * NOT done (documented limits, each a deliberate no-risk default):
+  * percent-decoding (decoding can change semantics for reserved chars),
+  * IDN/punycode folding, path `//` collapsing, `index.html` stripping.
+  *
+  * Returns None (SQL NULL) for strings with no `scheme://host` shape —
+  * the NULL-dispatch contract every cell-level decoder in this repo
+  * follows: one malformed URL must never fail a scan.
+  */
+object UrlCanon {
+
+  /** Exact tracking-param names (checked lowercased), beyond `utm_*`. */
+  val TrackingExact: Set[String] =
+    Set("fbclid", "gclid", "msclkid", "igshid", "mc_cid", "mc_eid", "ref")
+
+  private def isTracking(name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    n.startsWith("utm_") || TrackingExact.contains(n)
+  }
+
+  /** Canonical form, or None when `url` has no scheme://host shape. */
+  def canonicalize(url: String): Option[String] = {
+    if (url == null) return None
+    val sep = url.indexOf("://")
+    if (sep <= 0) return None
+    val scheme = url.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    if (!scheme.forall(c => c.isLetter || c.isDigit || c == '+' || c == '-' || c == '.')) return None
+    val rest = url.substring(sep + 3)
+    // authority ends at the first /, ? or #
+    var aEnd = rest.length
+    var i = 0
+    while (i < aEnd) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') { aEnd = i } else i += 1
+    }
+    var auth = rest.substring(0, aEnd)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1) // drop userinfo
+    if (auth.isEmpty) return None
+    val colon = auth.indexOf(':')
+    var host = if (colon >= 0) auth.substring(0, colon) else auth
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    if (host.isEmpty) return None
+    val port: Option[Int] =
+      if (colon < 0) None
+      else {
+        val p = auth.substring(colon + 1)
+        if (p.isEmpty || !p.forall(_.isDigit)) return None
+        try Some(p.toInt) catch { case _: NumberFormatException => return None }
+      }
+    val keepPort = port match {
+      case Some(80) if scheme == "http"   => None
+      case Some(443) if scheme == "https" => None
+      case other                          => other
+    }
+    // path [?query] [#fragment]
+    val tail = rest.substring(aEnd)
+    val hash = tail.indexOf('#')
+    val noFrag = if (hash >= 0) tail.substring(0, hash) else tail
+    val q = noFrag.indexOf('?')
+    var path = if (q >= 0) noFrag.substring(0, q) else noFrag
+    val query = if (q >= 0) noFrag.substring(q + 1) else ""
+    if (path.isEmpty) path = "/"
+    if (path.length > 1 && path.endsWith("/")) path = path.dropRight(1)
+    val params = query.split("&").iterator
+      .filter(_.nonEmpty)
+      .filterNot(p => isTracking(p.takeWhile(_ != '=')))
+      .toArray
+    java.util.Arrays.sort(params, java.util.Comparator.naturalOrder[String]())
+    val qs = if (params.isEmpty) "" else "?" + params.mkString("&")
+    val ps = keepPort.map(":" + _).getOrElse("")
+    Some(s"$scheme://$host$ps$path$qs")
+  }
+
+  /** Registered domain (eTLD+1) by longest-suffix match against a
+    * suffix list — the key domain caps and per-site budgets group on
+    * ("one more label than the longest matching public suffix", the
+    * publicsuffix.org algorithm). `suffixes` ships as a plain Set the
+    * closure broadcasts with the task — the real list is ~9k entries,
+    * still trivially a broadcast variable at scale.
+    *
+    * None when the host IS a bare suffix or matches nothing — callers
+    * decide whether unmatched hosts group as themselves.
+    */
+  def registeredDomain(host: String, suffixes: Set[String]): Option[String] = {
+    if (host == null || host.isEmpty) return None
+    val h = host.toLowerCase(java.util.Locale.ROOT)
+    val labels = h.split('.')
+    if (labels.exists(_.isEmpty)) return None
+    // a host that IS a public suffix has no registered domain
+    // (publicsuffix.org: github.io itself registers nothing)
+    if (suffixes.contains(h)) return None
+    // longest suffix in the list that is a proper suffix of the host
+    var best = -1 // number of labels in the matched suffix
+    var k = 1
+    while (k < labels.length) { // proper: at least one label remains
+      val cand = labels.takeRight(k).mkString(".")
+      if (suffixes.contains(cand)) best = k
+      k += 1
+    }
+    if (best < 0) None
+    else Some(labels.takeRight(best + 1).mkString("."))
+  }
+
+  /** `url_canon(url)` — canonical URL, NULL for unparseable cells. */
+  val canon: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => canonicalize(s).orNull }
+
+  /** `registered_domain(host)` with a fixed suffix set (curried so the
+    * set is captured once per plan, broadcast with the closure). */
+  def registeredDomainUdf(suffixes: Set[String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (h: String) => registeredDomain(h, suffixes).orNull }
+
+  /** Host part of a canonical URL (after [[canonicalize]]); NULL when
+    * the URL is unparseable. */
+  val host: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      canonicalize(s).map { c =>
+        val a = c.indexOf("://") + 3
+        var e = a
+        while (e < c.length && c.charAt(e) != '/' && c.charAt(e) != '?') e += 1
+        val h = c.substring(a, e)
+        val colon = h.indexOf(':')
+        if (colon >= 0) h.substring(0, colon) else h
+      }.orNull
+    }
+}
