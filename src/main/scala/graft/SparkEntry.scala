@@ -7330,6 +7330,51 @@ object SparkEntry {
           col("n_hosts"), col("min_doc_id"))
         .orderBy(col("registered_domain"))
     }),
+
+    // ---- blocklist scan via Aho-Corasick (term blocklists carry
+    // hundreds of patterns; the automaton matches ALL of them in ONE
+    // linear walk instead of one corpus pass per pattern). The pattern
+    // set nests on purpose — tab⊂table, an⊂scan, al⊂value, rde⊂order,
+    // plus a phrase and an absent term — so an automaton that drops
+    // the failure-output merge undercounts and fails the hash; the
+    // oracle counts each pattern independently by position scan ----
+    "q292_blocklist_scan" -> ((s, d) => {
+      import graft.text.AhoCorasick
+      val pats = Seq("scan", "can", "an", "table", "tab", "ab",
+        "le", "order", "rde", "value", "al", "fast sort", "zebra")
+      tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          AhoCorasick.countsUdf(pats)(col("text")).as("m"))
+        .select(col("doc_id"),
+          col("m._1").as("n_matches"),
+          col("m._2").as("n_patterns"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- content-defined chunking dedup (storage-grain: boundaries
+    // are a pure function of the trailing 8-char window's FNV hash, so
+    // an edit disturbs only its own chunk while fixed blocks would all
+    // shift — the rsync/LBFS property, spec-pinned in ChunkerSpec).
+    // Chunks dedup corpus-wide on their md5: the per-doc dup counts
+    // quantify how much of each document is redundant storage. Scale
+    // shape: chunking is one linear pass per doc; the dedup is ONE
+    // shuffle of 16-byte hashes (chunk text never shuffles twice) ----
+    "q293_cdc_chunk_dedup" -> ((s, d) => {
+      import graft.text.Chunker
+      val ch = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          explode(Chunker.chunksUdf()(col("text"))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          octet_length(col("chunk")).as("nb"))
+      val g = ch.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      ch.join(g, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("c") > 1, col("nb").cast("long"))
+            .otherwise(0L)).as("dup_bytes"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -13844,5 +13889,49 @@ object SparkEntry {
         | CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         | min(doc_id) AS min_doc_id
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // blocklist replay: each pattern counted INDEPENDENTLY by position
+    // scan (overlaps and nested matches included) — the semantics the
+    // one-pass automaton must reproduce across its failure-output
+    // links.
+    "q292_blocklist_scan" ->
+      """WITH p(pat) AS (VALUES ('scan'), ('can'), ('an'), ('table'),
+        |  ('tab'), ('ab'), ('le'), ('order'), ('rde'), ('value'),
+        |  ('al'), ('fast sort'), ('zebra')),
+        |c AS (SELECT doc_id, pat,
+        |  len(list_filter(range(1, length(text) - length(pat) + 2),
+        |    i -> substr(text, i, length(pat)) = pat)) AS n
+        | FROM documents, p)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_matches,
+        | CAST(count(*) FILTER (n > 0) AS BIGINT) AS n_patterns
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // CDC replay: boundary positions are position-independent (no
+    // min/max clamps), so the oracle computes them per position with
+    // the exact FNV emulation, rebuilds chunks by list indexing, and
+    // dedups on chunk content.
+    "q293_cdc_chunk_dedup" ->
+      s"""WITH b AS (
+        | SELECT doc_id, i
+        | FROM documents, unnest(range(8, length(text))) t(i)
+        | WHERE (${fnvSql("substr(text, i - 7, 8)", "c")} % 64) = 0),
+        |bl AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY 1),
+        |d2 AS (SELECT d.doc_id, d.text, coalesce(bl.bs, []) AS bs
+        | FROM documents d LEFT JOIN bl ON bl.doc_id = d.doc_id),
+        |ch AS (SELECT doc_id,
+        |  substr(text,
+        |    CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END,
+        |    (CASE WHEN j = len(bs) + 1 THEN length(text) ELSE bs[j] END)
+        |      - (CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END) + 1)
+        |    AS chunk
+        | FROM d2, unnest(range(1, len(bs) + 2)) t(j)),
+        |g AS (SELECT chunk, count(*) AS c FROM ch GROUP BY 1),
+        |per AS (SELECT ch.doc_id, ch.chunk, g.c
+        | FROM ch JOIN g ON g.chunk = ch.chunk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(count(*) FILTER (c > 1) AS BIGINT) AS n_dup_chunks,
+        | CAST(coalesce(sum(octet_length(encode(chunk)))
+        |   FILTER (c > 1), 0) AS BIGINT) AS dup_bytes
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
