@@ -7375,6 +7375,39 @@ object SparkEntry {
             .otherwise(0L)).as("dup_bytes"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- robots.txt evaluation (the crawl-permission gate): per doc,
+    // a synthetic robots body (host-stamped) is evaluated for agent
+    // `graftbot` against one of five path shapes. The five verdicts
+    // exercise the RFC 9309 rules naive evaluators get wrong — group
+    // selection must NOT fall through to the deny-all `*` group when a
+    // specific group exists (v0), longest-match must let a longer
+    // Allow beat a shorter Disallow (v2), and `*`/`$` metacharacters
+    // must match bytes, not be treated literally (v3 vs v4). The
+    // oracle states each verdict from the generator formula; the
+    // Spark side earns it through the full parse + evaluate path ----
+    "q294_robots_gate" -> ((s, d) => {
+      import graft.ingest.Robots
+      val h = expr("doc_id div 5")
+      val robots = concat(lit("# host "), h, lit("\n"),
+        lit("User-agent: graftbot\n" +
+          "Disallow: /private/\n" +
+          "Allow: /private/public*\n" +
+          "Disallow: /data/*.json$\n" +
+          "\n" +
+          "User-agent: *\n" +
+          "Disallow: /\n"))
+      val v = col("doc_id") % 5
+      val path = when(v === 0, format_string("/public/%d", h))
+        .when(v === 1, format_string("/private/%d", h))
+        .when(v === 2, format_string("/private/public%d", h))
+        .when(v === 3, format_string("/data/%d.json", h))
+        .otherwise(format_string("/data/%d.json2", h))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), path.as("path"),
+          Robots.allowedUdf(robots, lit("graftbot"), path).as("allowed"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -13933,5 +13966,20 @@ object SparkEntry {
         | CAST(coalesce(sum(octet_length(encode(chunk)))
         |   FILTER (c > 1), 0) AS BIGINT) AS dup_bytes
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // robots replay: verdicts stated from the path-shape formula (v0
+    // no rule matches -> allow; v1 Disallow prefix -> deny; v2 longer
+    // Allow beats shorter Disallow -> allow; v3 wildcard+anchor
+    // matches -> deny; v4 anchor blocks the suffix -> allow).
+    "q294_robots_gate" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 5 AS INT)
+        |  WHEN 0 THEN '/public/' || (doc_id // 5)
+        |  WHEN 1 THEN '/private/' || (doc_id // 5)
+        |  WHEN 2 THEN '/private/public' || (doc_id // 5)
+        |  WHEN 3 THEN '/data/' || (doc_id // 5) || '.json'
+        |  ELSE '/data/' || (doc_id // 5) || '.json2' END AS path,
+        | (CAST(doc_id % 5 AS INT) IN (0, 2, 4)) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
