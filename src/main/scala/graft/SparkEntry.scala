@@ -7408,6 +7408,44 @@ object SparkEntry {
           Robots.allowedUdf(robots, lit("graftbot"), path).as("allowed"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- CDC containment join: which documents are mostly MADE OF
+    // another document's bytes? Candidate pairs come from sharing a
+    // chunk (the chunk-hash join IS the blocking — never all-pairs),
+    // with a document-frequency cap df<=20 dropping boilerplate chunks
+    // every doc shares (the frequent-shingle guard, same role as LSH
+    // band caps; at 100x corpus the cap is what keeps the top chunk
+    // from contributing C(df,2) pairs). Per doc: the best-covering
+    // partner by shared chunk bytes over own bytes, integer basis
+    // points, ties broken by partner id ----
+    "q295_cdc_containment" -> ((s, d) => {
+      import graft.text.Chunker
+      import org.apache.spark.sql.expressions.Window
+      val docs = tSpread(s, d, "documents")
+      val ch = docs.select(col("doc_id"),
+          explode(Chunker.chunksUdf()(col("text"))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          octet_length(col("chunk")).cast("long").as("nb"))
+        .distinct()
+      val dfc = ch.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val kept = ch.join(dfc.filter(col("df") <= 20), "h")
+      val pair = kept.select(col("h"), col("doc_id").as("da"), col("nb"))
+        .join(kept.select(col("h"), col("doc_id").as("db")), Seq("h"))
+        .filter(col("da") =!= col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(sum(col("nb")).as("shared_bytes"))
+      val base = docs.select(col("doc_id").as("da"),
+        octet_length(col("text")).cast("long").as("tb"))
+      val scored = pair.join(base, "da")
+        .withColumn("cont_bp", expr("shared_bytes * 10000 div tb"))
+      val w = Window.partitionBy(col("da"))
+        .orderBy(col("cont_bp").desc, col("db").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("da").as("doc_id"), col("db").as("best_match"),
+          col("shared_bytes"), col("cont_bp"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -7440,6 +7478,25 @@ object SparkEntry {
       s"${p}i -> CAST($emb[${p}i] AS DOUBLE) * $sv[${p}i])), (${p}a, ${p}b) -> ${p}a + ${p}b)"
 
   private val MinhashP = 2038074743L
+
+  /** Shared DuckDB replay of content-defined chunking (q293/q295):
+    * FNV-masked boundary positions → chunk substrings. Ends after the
+    * `ch` CTE (doc_id, chunk); callers append further CTEs. */
+  private lazy val cdcChunkCteSql: String =
+    s"""WITH b AS (
+      | SELECT doc_id, i
+      | FROM documents, unnest(range(8, length(text))) t(i)
+      | WHERE (${fnvSql("substr(text, i - 7, 8)", "c")} % 64) = 0),
+      |bl AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY 1),
+      |d2 AS (SELECT d.doc_id, d.text, coalesce(bl.bs, []) AS bs
+      | FROM documents d LEFT JOIN bl ON bl.doc_id = d.doc_id),
+      |ch AS (SELECT doc_id,
+      |  substr(text,
+      |    CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END,
+      |    (CASE WHEN j = len(bs) + 1 THEN length(text) ELSE bs[j] END)
+      |      - (CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END) + 1)
+      |    AS chunk
+      | FROM d2, unnest(range(1, len(bs) + 2)) t(j))""".stripMargin
 
   /** Shared DuckDB replay of the MinHash-LSH transitive clustering
     * (shingle → minhash signature → banded buckets → candidate pairs →
@@ -13944,20 +14001,7 @@ object SparkEntry {
     // the exact FNV emulation, rebuilds chunks by list indexing, and
     // dedups on chunk content.
     "q293_cdc_chunk_dedup" ->
-      s"""WITH b AS (
-        | SELECT doc_id, i
-        | FROM documents, unnest(range(8, length(text))) t(i)
-        | WHERE (${fnvSql("substr(text, i - 7, 8)", "c")} % 64) = 0),
-        |bl AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY 1),
-        |d2 AS (SELECT d.doc_id, d.text, coalesce(bl.bs, []) AS bs
-        | FROM documents d LEFT JOIN bl ON bl.doc_id = d.doc_id),
-        |ch AS (SELECT doc_id,
-        |  substr(text,
-        |    CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END,
-        |    (CASE WHEN j = len(bs) + 1 THEN length(text) ELSE bs[j] END)
-        |      - (CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END) + 1)
-        |    AS chunk
-        | FROM d2, unnest(range(1, len(bs) + 2)) t(j)),
+      s"""$cdcChunkCteSql,
         |g AS (SELECT chunk, count(*) AS c FROM ch GROUP BY 1),
         |per AS (SELECT ch.doc_id, ch.chunk, g.c
         | FROM ch JOIN g ON g.chunk = ch.chunk)
@@ -13981,5 +14025,32 @@ object SparkEntry {
         |  ELSE '/data/' || (doc_id // 5) || '.json2' END AS path,
         | (CAST(doc_id % 5 AS INT) IN (0, 2, 4)) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // CDC containment replay: distinct chunks per doc, df-capped
+    // chunk-equality pairs, shared bytes over own bytes in integer
+    // basis points, best partner by (cont_bp DESC, partner ASC) —
+    // a total order, so row_number picks the same winner everywhere.
+    "q295_cdc_containment" ->
+      s"""$cdcChunkCteSql,
+        |dch AS (SELECT DISTINCT doc_id, chunk FROM ch),
+        |dfq AS (SELECT chunk, count(*) AS df FROM dch GROUP BY 1),
+        |kept AS (SELECT dch.doc_id, dch.chunk FROM dch
+        | JOIN dfq ON dfq.chunk = dch.chunk WHERE dfq.df <= 20),
+        |pair AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  sum(octet_length(encode(a.chunk))) AS shared
+        | FROM kept a JOIN kept b
+        |   ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2),
+        |base AS (SELECT doc_id, octet_length(encode(text)) AS tb
+        | FROM documents),
+        |scored AS (SELECT da, db, shared,
+        |  (shared * 10000) // tb AS cont_bp
+        | FROM pair JOIN base ON base.doc_id = da),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY da
+        |  ORDER BY cont_bp DESC, db ASC) AS rn FROM scored)
+        |SELECT da AS doc_id, db AS best_match,
+        | CAST(shared AS BIGINT) AS shared_bytes,
+        | CAST(cont_bp AS BIGINT) AS cont_bp
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }
