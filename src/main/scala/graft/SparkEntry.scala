@@ -7446,6 +7446,43 @@ object SparkEntry {
           col("shared_bytes"), col("cont_bp"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- block-level boilerplate removal (justext-shape): each doc
+    // is wrapped in a synthetic page — nav link bar, the text's two
+    // halves as paragraphs, an ad strip, a footer — and the extractor
+    // must segment the blocks and keep exactly the content ones by
+    // the density rule (>= 10 words AND link chars < half the text).
+    // Docs span 10..100 words, so a HALF can drop under the word bar:
+    // the oracle replays the keep decision per half from the word
+    // count, making both branches of the rule load-bearing. The
+    // cross-document complement is CCNet line-frequency dedup
+    // (q200/q201); this one is corpus-state-free — pure projection ----
+    "q296_boilerplate_extract" -> ((s, d) => {
+      import graft.extract.Boilerplate
+      val ws = split(trim(col("text")), "\\s+")
+      val html = concat(
+        lit("<html><head><title>doc"), col("doc_id"),
+        lit("</title></head><body><div class=\"nav\">" +
+          "<a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+          "<a href=\"/contact\">contact</a></div><p>"),
+        col("h1"),
+        lit("</p><div class=\"ads\">buy now best cheap deals</div><p>"),
+        col("h2"),
+        lit("</p><footer>copyright example site all rights reserved" +
+          "</footer></body></html>"))
+      tSpread(s, d, "documents")
+        .withColumn("ws", ws)
+        .withColumn("h1", array_join(expr("slice(ws, 1, (size(ws) + 1) div 2)"), " "))
+        .withColumn("h2", array_join(
+          expr("slice(ws, (size(ws) + 1) div 2 + 1, size(ws) - (size(ws) + 1) div 2)"), " "))
+        .select(col("doc_id"),
+          Boilerplate.extractUdf()(html).as("e"))
+        .select(col("doc_id"),
+          col("e._1").as("n_blocks"),
+          col("e._2").as("n_kept"),
+          md5(col("e._3")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14052,5 +14089,30 @@ object SparkEntry {
         | CAST(shared AS BIGINT) AS shared_bytes,
         | CAST(cont_bp AS BIGINT) AS cont_bp
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // boilerplate replay: the generator wraps each doc's two word
+    // halves in a fixed 5-block page; the oracle states the keep
+    // decision per half from its word count (the >= 10 rule; the
+    // nav/ads/footer blocks fail it or the link-density rule by
+    // construction) and md5s the newline-joined kept text.
+    "q296_boilerplate_extract" ->
+      """WITH ws AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |h AS (SELECT doc_id, w, len(w) AS n,
+        |  (len(w) + 1) // 2 AS k FROM ws),
+        |parts AS (SELECT doc_id,
+        |  array_to_string(w[1:k], ' ') AS h1,
+        |  array_to_string(w[k+1:n], ' ') AS h2,
+        |  k, n - k AS k2 FROM h),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN k >= 10 AND k2 >= 10 THEN h1 || chr(10) || h2
+        |       WHEN k >= 10 THEN h1
+        |       WHEN k2 >= 10 THEN h2 ELSE '' END AS kept,
+        |  (CASE WHEN k >= 10 THEN 1 ELSE 0 END
+        |    + CASE WHEN k2 >= 10 THEN 1 ELSE 0 END) AS n_kept
+        | FROM parts)
+        |SELECT doc_id, CAST(5 AS BIGINT) AS n_blocks,
+        | CAST(n_kept AS BIGINT) AS n_kept, md5(kept) AS kept_md5
+        |FROM sel ORDER BY doc_id""".stripMargin,
   )
 }
