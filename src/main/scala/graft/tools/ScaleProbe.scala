@@ -142,6 +142,34 @@ object ScaleProbe {
           vecs.unpersist()
         }
 
+      case "cdc" =>
+        // chunker bytes-linearity + automaton pattern-count invariance
+        // (q292/q293's scale claims): 1x = 1k docs x ~990 chars.
+        import graft.text.{AhoCorasick, Chunker}
+        import org.apache.spark.sql.functions.{count => fcount, _}
+        Seq(1L, 10L, 100L).foreach { m =>
+          val docs = synthDocs(spark, 1000L * m, words = 30).cache()
+          docs.count()
+          time(s"cdc chunk+dedup ${m}x") {
+            val ch = docs.select(col("doc_id"),
+                explode(Chunker.chunksUdf()(col("text"))).as("chunk"))
+              .select(col("doc_id"), md5(col("chunk")).as("h"))
+            val g = ch.groupBy(col("h")).agg(fcount(lit(1)).as("c"))
+            ch.join(g, "h").groupBy(col("doc_id"))
+              .agg(fcount(lit(1)).as("n")).count()
+          }
+          // same corpus, 10 vs 100 patterns: the walk is ONE pass per
+          // doc either way — time must track bytes, not pattern count
+          Seq(10, 100).foreach { np =>
+            val pats = (0 until np).map(i => f"$i%02x")
+            time(s"aho scan ${m}x with $np patterns") {
+              docs.select(AhoCorasick.countsUdf(pats)(col("text"))
+                .as("m")).agg(sum(col("m._1"))).collect()
+            }
+          }
+          docs.unpersist()
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
