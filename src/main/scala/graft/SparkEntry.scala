@@ -7483,6 +7483,36 @@ object SparkEntry {
           md5(col("e._3")).as("kept_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- ustar member round-trip (the third container next to WARC
+    // and gzip: file-per-document corpora ship as tar shards). Docs
+    // serialize into per-archive blobs at the binaryFile grain, the
+    // splitter walks the 512-byte block grid validating the
+    // spaces-as-checksum-field header checksum and OCTAL size fields,
+    // and every doc must come back byte-identical — the oracle reads
+    // the fields off the table, so octal-termination or padding
+    // off-by-ones mismatch. System-tar authenticity is spec-pinned ----
+    "q297_tar_roundtrip" -> ((s, d) => {
+      import graft.ingest.Tar
+      val e = Tar.entry(format_string("docs/doc%d.txt", col("doc_id")),
+        encode(col("text"), "UTF-8"))
+      tSpread(s, d, "documents")
+        .select((col("doc_id") % 16).as("file_id"),
+          struct(col("doc_id"), e.as("ent")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .select(Tar.concatEntries(expr("transform(rs, x -> x.ent)"))
+          .as("blob"))
+        .select(explode(Tar.splitUdf(col("blob"))).as("rec"))
+        .select(col("rec._1").as("name"),
+          expr("cast(regexp_extract(rec._1, 'doc(\\\\d+)\\\\.txt', 1) " +
+            "as bigint)").as("doc_id"),
+          length(col("rec._2")).cast("bigint").as("n_bytes"),
+          md5(col("rec._2")).as("payload_md5"))
+        .select(col("doc_id"), col("name"), col("n_bytes"),
+          col("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14114,5 +14144,15 @@ object SparkEntry {
         |SELECT doc_id, CAST(5 AS BIGINT) AS n_blocks,
         | CAST(n_kept AS BIGINT) AS n_kept, md5(kept) AS kept_md5
         |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // tar replay: fields straight off the table — earned through
+    // serialize -> concat -> block-grid split with checksum + octal
+    // validation on the Spark side.
+    "q297_tar_roundtrip" ->
+      """SELECT doc_id,
+        | 'docs/doc' || doc_id || '.txt' AS name,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
