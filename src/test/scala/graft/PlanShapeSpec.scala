@@ -128,4 +128,40 @@ class PlanShapeSpec extends SparkSpec {
       assert(count(p, "Exchange hashpartitioning") == 0, s"$q:\n${p.take(1200)}")
     }
   }
+
+  test("crawl projections (q290/q292/q294/q296): no join, no shuffle before the sort") {
+    Seq("q290_unicode_normalize", "q292_blocklist_scan",
+        "q294_robots_gate", "q296_boilerplate_extract").foreach { q =>
+      val p = executedPlan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q:\n${p.take(1200)}")
+      // pure per-row work: the only exchange is the presentation
+      // sort's range partitioning
+      assert(count(p, "Exchange hashpartitioning") == 0,
+        s"$q:\n${p.take(1200)}")
+    }
+  }
+
+  test("q288/q291: one hash shuffle each (the dedup groupBy), no join") {
+    Seq("q288_url_canonical_dedup", "q291_registered_domain").foreach { q =>
+      val p = executedPlan(q)
+      assert(!p.contains("Join"), s"$q:\n${p.take(1200)}")
+      // partial_count map-side + ONE exchange on the canonical key
+      assert(count(p, "Exchange hashpartitioning") <= 2,
+        s"$q:\n${p.take(1200)}")
+      assert(p.contains("partial_count") || p.contains("partial_min"),
+        s"$q:\n${p.take(1200)}")
+    }
+  }
+
+  test("q293: chunk dedup shuffles HASHES — chunk text never reaches an exchange") {
+    val p = executedPlan("q293_cdc_chunk_dedup")
+    // every hash exchange keys on the md5 (h) or doc_id — never the
+    // chunk string itself
+    val exLines = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.nonEmpty, p.take(1200))
+    assert(exLines.forall(l => !l.contains("chunk#")),
+      exLines.mkString("\n"))
+  }
 }
