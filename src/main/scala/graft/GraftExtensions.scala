@@ -100,6 +100,17 @@ object GraftFunctions {
         s"$what must be an integer literal, got $other")
     }
 
+  private def strLit(exprs: Seq[Expression], idx: Int,
+      what: String): String =
+    if (exprs.length <= idx) throw new IllegalArgumentException(
+      s"$what is required (argument ${idx + 1})")
+    else exprs(idx).eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+
   val cmsAggBuilder: Seq[Expression] => Expression = exprs =>
     graft.sketch.CmsAgg(exprs(0),
       intLit(exprs, 1, 4, "cms_agg depth"),
@@ -178,6 +189,64 @@ object GraftFunctions {
     ("gunzip_text",
       columnFn(cs => graft.text.GzipText.gunzip(cs(0))),
       classOf[Expression]),
+    // the crawl-ingestion layer (q288-q297): one definition shared
+    // between the Column API and SQL
+    ("url_canon",
+      columnFn(cs => graft.text.UrlCanon.canon(cs(0))),
+      classOf[Expression]),
+    ("url_host",
+      columnFn(cs => graft.text.UrlCanon.host(cs(0))),
+      classOf[Expression]),
+    // registered_domain(host, 'com,co.uk,...') — the suffix list is a
+    // plan-time literal, so the lookup set builds ONCE per plan
+    ("registered_domain", exprs => {
+      val sfx = strLit(exprs, 1, "registered_domain suffix list")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      columnFn(cs =>
+        graft.text.UrlCanon.registeredDomainUdf(sfx)(cs(0)))(exprs.take(1))
+    }, classOf[Expression]),
+    ("nfc",
+      columnFn(cs => graft.text.UnicodeNorm.nfc(cs(0))),
+      classOf[Expression]),
+    ("nfkc",
+      columnFn(cs => graft.text.UnicodeNorm.nfkc(cs(0))),
+      classOf[Expression]),
+    ("strip_accents",
+      columnFn(cs => graft.text.UnicodeNorm.stripAccents(cs(0))),
+      classOf[Expression]),
+    ("fold_key",
+      columnFn(cs => graft.text.UnicodeNorm.foldKey(cs(0))),
+      classOf[Expression]),
+    ("robots_allowed",
+      columnFn(cs => graft.ingest.Robots.allowedUdf(cs(0), cs(1), cs(2))),
+      classOf[Expression]),
+    // multi_match(text, 'p1,p2,...') — the automaton builds ONCE per
+    // plan from the literal pattern list
+    ("multi_match", exprs => {
+      val pats = strLit(exprs, 1, "multi_match pattern list")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      columnFn(cs =>
+        graft.text.AhoCorasick.countsUdf(pats)(cs(0)))(exprs.take(1))
+    }, classOf[Expression]),
+    // cdc_chunks(text [, window [, maskBits]])
+    ("cdc_chunks", exprs => {
+      val w = intLit(exprs, 1, 8, "cdc_chunks window")
+      val bits = intLit(exprs, 2, 6, "cdc_chunks mask bits")
+      columnFn(cs =>
+        graft.text.Chunker.chunksUdf(w, bits)(cs(0)))(exprs.take(1))
+    }, classOf[Expression]),
+    ("warc_split",
+      columnFn(cs => graft.ingest.Warc.splitUdf(cs(0))),
+      classOf[Expression]),
+    ("tar_split",
+      columnFn(cs => graft.ingest.Tar.splitUdf(cs(0))),
+      classOf[Expression]),
+    // boilerplate_extract(html [, min_words])
+    ("boilerplate_extract", exprs => {
+      val mw = intLit(exprs, 1, 10, "boilerplate_extract min words")
+      columnFn(cs =>
+        graft.extract.Boilerplate.extractUdf(mw)(cs(0)))(exprs.take(1))
+    }, classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

@@ -402,4 +402,35 @@ class ExtensionsSpec extends SparkSpec {
       Y4mCodec.decode(y4m).get))
     spark.catalog.dropTempView("fp_sql"): Unit
   }
+
+  test("crawl-ingestion surface usable from pure SQL (one shared definition)") {
+    GraftFunctions.register(spark)
+    Seq((1L,
+      "HTTP://User@WWW.Ex.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "cdn.a.site7.co.uk",
+      "Cafe\u0301 \uFB01ne"))
+      .toDF("id", "url", "host", "txt").createOrReplaceTempView("crawl_sql")
+    val r = spark.sql(
+      """SELECT url_canon(url) AS cu, url_host(url) AS h,
+        |  registered_domain(host, 'uk,co.uk,com') AS rd,
+        |  nfc(txt) AS n, nfkc(txt) AS nk, fold_key(txt) AS fk,
+        |  robots_allowed('User-agent: *' || chr(10) || 'Disallow: /a',
+        |    'bot', '/a/b') AS blocked,
+        |  multi_match(txt, 'ne,e') AS mm
+        |FROM crawl_sql""".stripMargin).collect().head
+    assert(r.getString(0) == "http://www.ex.com/a/b?a=1&b=2")
+    assert(r.getString(1) == "www.ex.com")
+    assert(r.getString(2) == "site7.co.uk")
+    assert(r.getString(3) == "Caf\u00e9 \uFB01ne") // NFC composes, keeps ligature
+    assert(r.getString(4) == "Caf\u00e9 fine") // NFKC folds the ligature
+    assert(r.getString(5) == "cafe \uFB01ne") // strip accent + casefold
+    assert(!r.getBoolean(6))                  // Disallow /a matches
+    // "Café ﬁne" raw: 'e' x2 ('e'+combining, plain 'e'), "ne" x1
+    assert(r.getStruct(7).getLong(0) == 3L)
+    val chunks = spark.sql(
+      "SELECT cdc_chunks(repeat('word soup ', 40)) AS c").collect()
+      .head.getSeq[String](0)
+    assert(chunks.mkString == "word soup " * 40)
+    spark.catalog.dropTempView("crawl_sql"): Unit
+  }
 }
