@@ -7355,16 +7355,18 @@ object SparkEntry {
     // are a pure function of the trailing 8-char window's FNV hash, so
     // an edit disturbs only its own chunk while fixed blocks would all
     // shift — the rsync/LBFS property, spec-pinned in ChunkerSpec).
-    // Chunks dedup corpus-wide on their md5: the per-doc dup counts
-    // quantify how much of each document is redundant storage. Scale
-    // shape: chunking is one linear pass per doc; the dedup is ONE
-    // shuffle of 16-byte hashes (chunk text never shuffles twice) ----
+    // Chunks dedup corpus-wide on a 64-bit content key: the per-doc
+    // dup counts quantify how much of each document is redundant
+    // storage. Scale shape: chunking is one linear pass per doc; the
+    // dedup is ONE shuffle of 8-byte xxhash64 keys (codegen'd, no
+    // crypto cost — AB_r10's cdc_chunk_join_key pair is the measured
+    // basis; chunk text never shuffles twice) ----
     "q293_cdc_chunk_dedup" -> ((s, d) => {
       import graft.text.Chunker
       val ch = tSpread(s, d, "documents")
         .select(col("doc_id"),
           explode(Chunker.chunksUdf()(col("text"))).as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("h"),
+        .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
           octet_length(col("chunk")).as("nb"))
       val g = ch.groupBy(col("h")).agg(count(lit(1)).as("c"))
       ch.join(g, "h")
@@ -7424,7 +7426,7 @@ object SparkEntry {
       val docs = tSpread(s, d, "documents")
       val ch = docs.select(col("doc_id"),
           explode(Chunker.chunksUdf()(col("text"))).as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("h"),
+        .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
           octet_length(col("chunk")).cast("long").as("nb"))
         .distinct()
       val dfc = ch.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -311,6 +311,62 @@ object AbBench {
             window = 40, keepFirst = true, hashKey = hashed)
         (() => run(hashed = false), () => run(hashed = true))
       }),
+
+    // round-10 change: q293/q295 shuffle 8-byte xxhash64 keys for the
+    // CDC chunk dedup instead of the chunk strings. A = join/group on
+    // the raw chunk text, B = the shipped hash-keyed plan (chunk text
+    // never crosses an exchange — PlanShapeSpec asserts it). This pair
+    // is WHY the key is xxhash64 and not md5: an earlier md5 variant
+    // measured 1.24x SLOWER than text keying at sf0.1 — the crypto
+    // hash cost more than a 32-hex key saved over ~64-char chunks.
+    Pair("cdc_chunk_join_key", "chunk_text_key", "xxhash64_key",
+      (s, d) => {
+        import graft.text.Chunker
+        def base = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
+          .select(col("doc_id"),
+            explode(Chunker.chunksUdf()(col("text"))).as("chunk"))
+        def byText: DataFrame = {
+          val ch = base
+          val g = ch.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
+          ch.join(g, "chunk").groupBy(col("doc_id"))
+            .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+        }
+        def byHash: DataFrame = {
+          val ch = base.select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+          val g = ch.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          ch.join(g, "h").groupBy(col("doc_id"))
+            .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+        }
+        (() => byText, () => byHash)
+      }),
+
+    // round-10 feature: q292 matches the whole blocklist in ONE
+    // automaton walk. A = the naive plan — one codegen'd position-scan
+    // HOF per pattern, summed (13 scans of every byte); B = the
+    // Aho-Corasick UDF (one walk). The crossover moves further toward
+    // B as the pattern list grows (the cdc ScaleProbe shows B's cost
+    // is pattern-count-invariant).
+    Pair("blocklist_multi_match", "per_pattern_scans", "aho_corasick",
+      (s, d) => {
+        import graft.text.AhoCorasick
+        val pats = Seq("scan", "can", "an", "table", "tab", "ab",
+          "le", "order", "rde", "value", "al", "fast sort", "zebra")
+        def docs = s.read.parquet(s"$d/documents.parquet").repartition(32)
+        def naive: DataFrame = {
+          val counts = pats.map { p =>
+            val lp = p.length
+            expr(s"size(filter(sequence(1, greatest(length(text) - " +
+              s"$lp + 1, 1)), i -> substring(text, i, $lp) = '$p'))")
+          }.reduce(_ + _)
+          docs.select(counts.cast("long").as("n"))
+            .agg(sum(col("n")).as("total"))
+        }
+        def aho: DataFrame =
+          docs.select(AhoCorasick.countsUdf(pats)(col("text")).as("m"))
+            .agg(sum(col("m._1")).as("total"))
+        (() => naive, () => aho)
+      }),
   )
 
   /** Interleaved self-pair of a shipped query: both sides run the same
