@@ -66,26 +66,33 @@ object Robots {
     groups.toSeq
   }
 
-  /** `pattern` against `path`: prefix match with `*`/`$`. Greedy-star
-    * with backtracking (patterns are short; paths bounded). */
+  /** `pattern` against `path`: prefix match with `*`/`$`. Greedy
+    * last-star matching — O(|pattern|·|path|) WORST case, linear in
+    * practice — never the exponential recursive backtracking a
+    * crafted robots.txt (a `*a*a*a*a…$` rule against a long path)
+    * could weaponize into a per-row DoS inside a corpus scan
+    * (RobotsSpec pins the adversarial case). An unanchored pattern
+    * matches a PREFIX of the path, which is exactly full-matching
+    * `pattern + "*"`. */
   private[graft] def patternMatches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
-    val pat = if (anchored) pattern.dropRight(1) else pattern
-    def m(pi: Int, si: Int): Boolean = {
-      if (pi == pat.length) if (anchored) si == path.length else true
-      else pat.charAt(pi) match {
-        case '*' =>
-          var k = si
-          while (k <= path.length) {
-            if (m(pi + 1, k)) return true
-            k += 1
-          }
-          false
-        case c =>
-          si < path.length && path.charAt(si) == c && m(pi + 1, si + 1)
-      }
+    val base = if (anchored) pattern.dropRight(1) else pattern
+    val pat = if (anchored) base else base + "*"
+    var pi = 0
+    var si = 0
+    var star = -1
+    var mark = 0
+    while (si < path.length) {
+      if (pi < pat.length && pat.charAt(pi) == '*') {
+        star = pi; mark = si; pi += 1
+      } else if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) {
+        pi += 1; si += 1
+      } else if (star >= 0) {
+        mark += 1; si = mark; pi = star + 1
+      } else return false
     }
-    m(0, 0)
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
   }
 
   /** The allow/deny verdict for (robots body, agent token, path). */

@@ -62,6 +62,16 @@ class RobotsSpec extends SparkSpec {
     assert(!ok("GraftBot", "/private/a"))
   }
 
+  test("adversarial wildcard pattern completes fast (no exponential backtracking)") {
+    val pat = "/" + ("*a" * 20) + "$"
+    val path = "/" + ("a" * 2000) + "b" // the $ anchor fails on the 'b'
+    val t0 = System.nanoTime()
+    assert(!Robots.patternMatches(pat, path))
+    assert(Robots.patternMatches("/" + ("*a" * 20), "/" + ("a" * 2000)))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1000.0, s"wildcard match took ${ms}ms — backtracking blow-up")
+  }
+
   test("rules before any User-agent line are ignored, not crashed on") {
     val r = "Disallow: /\nUser-agent: *\nAllow: /\n"
     assert(Robots.isAllowed(r, "any", "/page"))
