@@ -7226,8 +7226,10 @@ object SparkEntry {
       val k = g % 97
       val m = g % 7
       val v = col("doc_id") % 4
+      // v0's path letter is %-encoded (%70 = 'p'): safe percent
+      // decoding is part of what the oracle's clean formula earns
       val messy = when(v === 0, format_string(
-          "http://www.Site%d.EXAMPLE.com/p/%d?b=%d&a=1#frag", k, g, m))
+          "http://www.Site%d.EXAMPLE.com/%%70/%d?b=%d&a=1#frag", k, g, m))
         .when(v === 1, format_string(
           "HTTP://www.site%d.example.com:80/p/%d?a=1&b=%d", k, g, m))
         .when(v === 2, format_string(

@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions.udf
   *      `/` so `http://h` and `http://h/` unify;
   *   7. empty query drops its `?`.
   *
+  *   8. SAFE percent-decoding in path and query (RFC 3986 §2.3: a
+  *      %-encoded UNRESERVED octet — ALPHA / DIGIT / `-._~` — is
+  *      equivalent to the raw char, so `%70` ≡ `p`); reserved or
+  *      non-ASCII octets stay encoded with their hex UPPERCASED
+  *      (`%2f` → `%2F`), and malformed sequences pass through
+  *      untouched. Both directions keep idempotence.
+  *
   * NOT done (documented limits, each a deliberate no-risk default):
-  * percent-decoding (decoding can change semantics for reserved chars),
-  * IDN/punycode folding, path `//` collapsing, `index.html` stripping.
+  * decoding reserved octets (that CAN change semantics), IDN/punycode
+  * folding, path `//` collapsing, `index.html` stripping.
   *
   * Returns None (SQL NULL) for strings with no `scheme://host` shape —
   * the NULL-dispatch contract every cell-level decoder in this repo
@@ -43,6 +50,38 @@ object UrlCanon {
   private def isTracking(name: String): Boolean = {
     val n = name.toLowerCase(java.util.Locale.ROOT)
     n.startsWith("utm_") || TrackingExact.contains(n)
+  }
+
+  private def isUnreserved(b: Int): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+      (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' || b == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Decode %-encoded UNRESERVED octets, uppercase the hex of the
+    * rest, pass malformed sequences through. Idempotent. */
+  private[graft] def normalizePercent(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val h1 = if (c == '%' && i + 2 < s.length) hexVal(s.charAt(i + 1)) else -1
+      val h2 = if (h1 >= 0) hexVal(s.charAt(i + 2)) else -1
+      if (h1 >= 0 && h2 >= 0) {
+        val b = h1 * 16 + h2
+        if (isUnreserved(b)) out.append(b.toChar)
+        else out.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { out.append(c); i += 1 } // malformed or bare %: pass through
+    }
+    out.toString
   }
 
   /** Canonical form, or None when `url` has no scheme://host shape. */
@@ -85,12 +124,17 @@ object UrlCanon {
     val hash = tail.indexOf('#')
     val noFrag = if (hash >= 0) tail.substring(0, hash) else tail
     val q = noFrag.indexOf('?')
-    var path = if (q >= 0) noFrag.substring(0, q) else noFrag
+    var path = if (q >= 0) normalizePercent(noFrag.substring(0, q))
+               else normalizePercent(noFrag)
     val query = if (q >= 0) noFrag.substring(q + 1) else ""
     if (path.isEmpty) path = "/"
     if (path.length > 1 && path.endsWith("/")) path = path.dropRight(1)
+    // percent-normalize BEFORE the tracking filter and the sort, so an
+    // encoded `ut%6D_source` cannot sneak past the filter and the
+    // canonical order is over decoded forms
     val params = query.split("&").iterator
       .filter(_.nonEmpty)
+      .map(normalizePercent)
       .filterNot(p => isTracking(p.takeWhile(_ != '=')))
       .toArray
     java.util.Arrays.sort(params, java.util.Comparator.naturalOrder[String]())

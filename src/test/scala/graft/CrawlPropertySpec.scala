@@ -21,7 +21,8 @@ class CrawlPropertySpec extends SparkSpec {
     scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
     host <- Gen.oneOf("Ex.COM", "www.site.org", "a.b.c.io", "H-3.net")
     port <- Gen.oneOf("", ":80", ":443", ":8080", ":1")
-    path <- Gen.oneOf("", "/", "/a", "/a/b/", "/a//b", "/x.y/")
+    path <- Gen.oneOf("", "/", "/a", "/a/b/", "/a//b", "/x.y/",
+      "/%70x", "/a%2fb", "/a%zz%4")
     nq <- Gen.choose(0, 4)
     keys <- Gen.listOfN(nq, Gen.oneOf("a", "b", "zz", "utm_source",
       "utm_x", "fbclid", "ref", "A"))

@@ -34,6 +34,16 @@ class UrlCanonSpec extends SparkSpec {
     assert(c("http://h.com/p?z&a=2&a=10") == Some("http://h.com/p?a=10&a=2&z"))
   }
 
+  test("safe percent-decoding: unreserved decodes, reserved uppercases, junk passes") {
+    assert(c("http://h.com/%70ath/%41") == Some("http://h.com/path/A"))
+    assert(c("http://h.com/a%2fb") == Some("http://h.com/a%2Fb")) // '/' stays encoded
+    assert(c("http://h.com/a%zz%4") == Some("http://h.com/a%zz%4")) // malformed untouched
+    assert(c("http://h.com/p?x=%7Evalue&a=%31") ==
+      Some("http://h.com/p?a=1&x=~value"))
+    // an encoded tracking-param name cannot sneak past the filter
+    assert(c("http://h.com/p?ut%6D_source=x&a=1") == Some("http://h.com/p?a=1"))
+  }
+
   test("idempotent: canonicalize(canonicalize(u)) == canonicalize(u)") {
     val us = Seq(
       "HTTP://A.B:80/x/?b=2&a=1#f",
