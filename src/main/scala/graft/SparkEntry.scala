@@ -7517,6 +7517,90 @@ object SparkEntry {
           col("payload_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- the crawl-funnel yield card: the q288/q294/q296 operators
+    // COMPOSED end-to-end — canonical-URL dedup (keep each logical
+    // page's first fetch), then the robots permission gate, then
+    // block-level content extraction — with per-stage survivor counts
+    // and bytes, the report every ingestion pipeline publishes. Each
+    // stage is EARNED through the real operator (parse+groupBy+join,
+    // rule evaluation, tag-scan density classify); the oracle states
+    // each stage's survivors from the generator formulas the three
+    // parent queries already pin ----
+    "q298_crawl_funnel" -> ((s, d) => {
+      import graft.text.UrlCanon
+      import graft.ingest.Robots
+      import graft.extract.Boilerplate
+      val docs0 = tSpread(s, d, "documents")
+      // stage 1: canonical-URL dedup (q288's variants incl. %70)
+      val g = expr("doc_id div 4")
+      val k = g % 97
+      val m = g % 7
+      val v = col("doc_id") % 4
+      val messy = when(v === 0, format_string(
+          "http://www.Site%d.EXAMPLE.com/%%70/%d?b=%d&a=1#frag", k, g, m))
+        .when(v === 1, format_string(
+          "HTTP://www.site%d.example.com:80/p/%d?a=1&b=%d", k, g, m))
+        .when(v === 2, format_string(
+          "http://www.site%d.example.com/p/%d" +
+            "?utm_source=feed&a=1&utm_campaign=x&b=%d", k, g, m))
+        .otherwise(format_string(
+          "http://www.site%d.example.com/p/%d/?a=1&b=%d", k, g, m))
+      val keep1 = docs0.select(col("doc_id"), UrlCanon.canon(messy).as("u"))
+        .groupBy(col("u")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val s1 = docs0.join(keep1, "doc_id")
+      // stage 2: robots permission (q294's body and path shapes)
+      val h5 = expr("doc_id div 5")
+      val robots = concat(lit("# host "), h5, lit("\n"),
+        lit("User-agent: graftbot\n" +
+          "Disallow: /private/\n" +
+          "Allow: /private/public*\n" +
+          "Disallow: /data/*.json$\n" +
+          "\n" +
+          "User-agent: *\n" +
+          "Disallow: /\n"))
+      val v5 = col("doc_id") % 5
+      val path = when(v5 === 0, format_string("/public/%d", h5))
+        .when(v5 === 1, format_string("/private/%d", h5))
+        .when(v5 === 2, format_string("/private/public%d", h5))
+        .when(v5 === 3, format_string("/data/%d.json", h5))
+        .otherwise(format_string("/data/%d.json2", h5))
+      val s2 = s1.filter(Robots.allowedUdf(robots, lit("graftbot"), path))
+      // stage 3: block-level content extraction (q296's 5-block page)
+      val html = concat(
+        lit("<html><head><title>doc"), col("doc_id"),
+        lit("</title></head><body><div class=\"nav\">" +
+          "<a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+          "<a href=\"/contact\">contact</a></div><p>"),
+        col("h1"),
+        lit("</p><div class=\"ads\">buy now best cheap deals</div><p>"),
+        col("h2"),
+        lit("</p><footer>copyright example site all rights reserved" +
+          "</footer></body></html>"))
+      val s3 = s2
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .withColumn("h1",
+          array_join(expr("slice(ws, 1, (size(ws) + 1) div 2)"), " "))
+        .withColumn("h2", array_join(expr(
+          "slice(ws, (size(ws) + 1) div 2 + 1, " +
+            "size(ws) - (size(ws) + 1) div 2)"), " "))
+        .select(col("doc_id"), Boilerplate.extractUdf()(html).as("e"))
+        .filter(col("e._2") >= 1)
+      def stageRow(df: DataFrame, id: Int, name: String,
+                   bytes: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(bytes.cast("long")), lit(0L)).as("n_bytes"))
+          .select(lit(id.toLong).as("stage"), lit(name).as("name"),
+            col("n_docs"), col("n_bytes"))
+      stageRow(docs0, 1, "fetched", octet_length(col("text")))
+        .unionAll(stageRow(s1, 2, "url_unique", octet_length(col("text"))))
+        .unionAll(stageRow(s2, 3, "robots_allowed",
+          octet_length(col("text"))))
+        .unionAll(stageRow(s3, 4, "content_extracted",
+          octet_length(col("e._3"))))
+        .orderBy(col("stage"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14158,5 +14242,47 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // funnel replay: stage survivors stated from the three parent
+    // queries' pinned formulas — url-unique = each div-4 group's min
+    // (contiguous ids => doc_id % 4 = 0), robots-allowed = path shape
+    // in (0,2,4), content = at least one half clears the 10-word bar;
+    // stage-4 bytes are the kept halves joined by newline.
+    "q298_crawl_funnel" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, text, ws, len(ws) AS n,
+        |  (len(ws) + 1) // 2 AS k,
+        |  len(ws) - (len(ws) + 1) // 2 AS k2,
+        |  doc_id % 4 = 0 AS u1,
+        |  (doc_id % 4 = 0)
+        |    AND (CAST(doc_id % 5 AS INT) IN (0, 2, 4)) AS u2
+        | FROM w),
+        |sel AS (SELECT doc_id, u1, u2,
+        |  CASE WHEN k >= 10 AND k2 >= 10
+        |    THEN array_to_string(ws[1:k], ' ') || chr(10)
+        |      || array_to_string(ws[k+1:n], ' ')
+        |   WHEN k >= 10 THEN array_to_string(ws[1:k], ' ')
+        |   WHEN k2 >= 10 THEN array_to_string(ws[k+1:n], ' ')
+        |   ELSE '' END AS kept,
+        |  (CASE WHEN k >= 10 THEN 1 ELSE 0 END
+        |    + CASE WHEN k2 >= 10 THEN 1 ELSE 0 END) AS n_kept,
+        |  octet_length(encode(text)) AS tb
+        | FROM f)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS stage, 'fetched' AS name,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(tb), 0) AS BIGINT) AS n_bytes FROM sel
+        | UNION ALL
+        | SELECT 2, 'url_unique', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(tb), 0) AS BIGINT) FROM sel WHERE u1
+        | UNION ALL
+        | SELECT 3, 'robots_allowed', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(tb), 0) AS BIGINT) FROM sel WHERE u2
+        | UNION ALL
+        | SELECT 4, 'content_extracted', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(octet_length(encode(kept))), 0) AS BIGINT)
+        | FROM sel WHERE u2 AND n_kept >= 1
+        |) ORDER BY stage""".stripMargin,
   )
 }
