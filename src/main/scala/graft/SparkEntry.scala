@@ -7566,7 +7566,6 @@ object SparkEntry {
         .when(v5 === 2, format_string("/private/public%d", h5))
         .when(v5 === 3, format_string("/data/%d.json", h5))
         .otherwise(format_string("/data/%d.json2", h5))
-      val s2 = s1.filter(Robots.allowedUdf(robots, lit("graftbot"), path))
       // stage 3: block-level content extraction (q296's 5-block page)
       val html = concat(
         lit("<html><head><title>doc"), col("doc_id"),
@@ -7578,27 +7577,42 @@ object SparkEntry {
         col("h2"),
         lit("</p><footer>copyright example site all rights reserved" +
           "</footer></body></html>"))
-      val s3 = s2
+      // ONE corpus pass: per-doc stage flags, a single aggregate, a
+      // stack unpivot — the 4-branch union form re-scanned the
+      // lineage once per stage (measured 4.8x at 10x; this shape is
+      // scan-once + the url groupBy/join shuffle + one 1-row agg)
+      val flags = docs0
+        .join(keep1.withColumn("u1", lit(true)), Seq("doc_id"), "left")
+        .withColumn("u1", coalesce(col("u1"), lit(false)))
+        .withColumn("ok2", col("u1") &&
+          Robots.allowedUdf(robots, lit("graftbot"), path))
         .withColumn("ws", split(trim(col("text")), "\\s+"))
         .withColumn("h1",
           array_join(expr("slice(ws, 1, (size(ws) + 1) div 2)"), " "))
         .withColumn("h2", array_join(expr(
           "slice(ws, (size(ws) + 1) div 2 + 1, " +
             "size(ws) - (size(ws) + 1) div 2)"), " "))
-        .select(col("doc_id"), Boilerplate.extractUdf()(html).as("e"))
-        .filter(col("e._2") >= 1)
-      def stageRow(df: DataFrame, id: Int, name: String,
-                   bytes: Column): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(bytes.cast("long")), lit(0L)).as("n_bytes"))
-          .select(lit(id.toLong).as("stage"), lit(name).as("name"),
-            col("n_docs"), col("n_bytes"))
-      stageRow(docs0, 1, "fetched", octet_length(col("text")))
-        .unionAll(stageRow(s1, 2, "url_unique", octet_length(col("text"))))
-        .unionAll(stageRow(s2, 3, "robots_allowed",
-          octet_length(col("text"))))
-        .unionAll(stageRow(s3, 4, "content_extracted",
-          octet_length(col("e._3"))))
+        .withColumn("e",
+          when(col("ok2"), Boilerplate.extractUdf()(html)))
+        .select(octet_length(col("text")).cast("long").as("tb"),
+          col("u1"), col("ok2"),
+          (col("ok2") && col("e._2") >= 1).as("ok3"),
+          when(col("ok2"), octet_length(col("e._3")).cast("long"))
+            .otherwise(0L).as("kb"))
+      flags.agg(
+          count(lit(1)).as("n1"), sum(col("tb")).as("b1"),
+          sum(when(col("u1"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("u1"), col("tb")).otherwise(0L)).as("b2"),
+          sum(when(col("ok2"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("ok2"), col("tb")).otherwise(0L)).as("b3"),
+          sum(when(col("ok3"), 1L).otherwise(0L)).as("n4"),
+          sum(when(col("ok3"), col("kb")).otherwise(0L)).as("b4"))
+        .selectExpr("stack(4, " +
+          "1L, 'fetched', n1, b1, " +
+          "2L, 'url_unique', n2, b2, " +
+          "3L, 'robots_allowed', n3, b3, " +
+          "4L, 'content_extracted', n4, b4) " +
+          "AS (stage, name, n_docs, n_bytes)")
         .orderBy(col("stage"))
     }),
   )
