@@ -8094,10 +8094,10 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS sum_base_price_cents,
-        | sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-        |   AS BIGINT)) AS sum_disc_price_cents,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         | CAST(floor(sum(CAST(l_quantity AS BIGINT)) * 10000 / count(*)
         |   + 0.5) AS BIGINT) AS avg_qty_bp,
         | count(*) AS count_order
@@ -8107,7 +8107,7 @@ object SparkEntry {
 
     "q02_top_customers" ->
       """SELECT c_custkey, c_name,
-        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS revenue_cents,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -8116,7 +8116,7 @@ object SparkEntry {
 
     "q03_region_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS total_revenue_cents
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
@@ -8148,9 +8148,9 @@ object SparkEntry {
     "q07_window_running" ->
       """SELECT event_id, user_id,
         | row_number() OVER w AS rn,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
         |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY event_id""".stripMargin,
@@ -8170,13 +8170,13 @@ object SparkEntry {
         | FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(us) AS start_us, max(us) AS end_us,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS session_value_cents
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS session_value_cents
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q09_per_date_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n_events,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
 
     "q10_ttl_tiers" ->
@@ -8191,7 +8191,7 @@ object SparkEntry {
       """SELECT CASE WHEN o_totalprice / 1000.0 < 100 THEN 'intimate'
         |  WHEN o_totalprice / 1000.0 < 500 THEN 'medium' ELSE 'large' END AS bucket,
         | count(*) AS n_orders,
-        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS total_price_cents
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
@@ -8257,8 +8257,8 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS perf_us, user_id, event_type,
         | CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
         | count(*) OVER (PARTITION BY user_id) AS user_day_events,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
-        |   OVER (PARTITION BY user_id) AS user_day_value_cents,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY user_id) AS BIGINT) AS user_day_value_cents,
         | CAST(CASE WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') < 0 THEN 604800
         |   WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') = 0 THEN 3600
         |   WHEN date_diff('day', DATE '2024-01-01', DATE '2024-01-05') <= 7 THEN 43200
@@ -8269,7 +8269,7 @@ object SparkEntry {
     "q17_user_day_digest" ->
       """SELECT user_id, count(*) AS n_events,
         | array_to_string(list_sort(list(event_type)), ',') AS event_types,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents,
         | min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -9006,7 +9006,7 @@ object SparkEntry {
 
     "q29_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS total_revenue_cents
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
@@ -9074,7 +9074,7 @@ object SparkEntry {
 
     "q53_salted_join" ->
       """SELECT c_mktsegment,
-        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS revenue_cents,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -9237,7 +9237,7 @@ object SparkEntry {
     "q33_hourly_windows" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         | count(*) AS n_events,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
@@ -9272,7 +9272,7 @@ object SparkEntry {
 
     "q43_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        | sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS total_price_cents
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -9291,8 +9291,8 @@ object SparkEntry {
 
     "q40_sql_surface" ->
       """SELECT o_orderkey,
-        | sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-        |   AS BIGINT)) AS revenue_cents,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
         | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer
         | JOIN orders ON c_custkey = o_custkey
@@ -9684,7 +9684,7 @@ object SparkEntry {
     // hash-mismatch
     "q70_zorder" ->
       """SELECT event_type, count(*) AS n,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events
         |WHERE value BETWEEN 50.0 AND 300.0 AND user_id BETWEEN 2 AND 90
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
@@ -9824,7 +9824,7 @@ object SparkEntry {
         |SELECT user_id, min(us) AS start_us,
         | max(us) + 1800000000 AS end_us,
         | count(*) AS n_events,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS session_value_cents
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS session_value_cents
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
 
@@ -9913,7 +9913,7 @@ object SparkEntry {
     "q80_grouping_sets" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
         | count(*) AS n,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         | CAST(GROUPING(strftime(ts, '%Y-%m-%d')) * 2
         |   + GROUPING(event_type) AS BIGINT) AS gid
         |FROM events
@@ -9924,9 +9924,9 @@ object SparkEntry {
 
     "q81_range_window" ->
       """SELECT user_id, event_id, epoch_us(ts) AS us,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
         |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS hour_sum_cents,
         | lag(event_id, 1) OVER w AS prev_id,
         | lead(event_id, 1) OVER w AS next_id
@@ -9949,9 +9949,9 @@ object SparkEntry {
 
     "q84_correlated_subquery" ->
       """SELECT c.c_custkey, c.c_name,
-        | (SELECT sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        | CAST((SELECT sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
         |  FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey) AS total_cents
+        |  WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS total_cents
         |FROM customer c
         |WHERE EXISTS (
         |  SELECT 1 FROM orders o
@@ -10002,7 +10002,7 @@ object SparkEntry {
     "q122_gap_fill" ->
       """WITH daily AS (
         | SELECT user_id, CAST(ts AS DATE) AS d,
-        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_value
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_value
         | FROM events GROUP BY 1, 2),
         |span AS (
         | SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
@@ -10302,7 +10302,7 @@ object SparkEntry {
         | SELECT o_custkey, datediff('day', max(CAST(o_orderdate AS DATE)),
         |   DATE '2001-08-02') AS rec_days,
         |  count(*) AS freq,
-        |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS monetary_cents
         | FROM orders GROUP BY 1),
         |sc AS (
@@ -10401,7 +10401,7 @@ object SparkEntry {
       """SELECT CAST(floor(datediff('day', CAST(o_orderdate AS DATE),
         |   CAST(l_shipdate AS DATE)) / 10.0) AS BIGINT) AS bucket,
         | count(*) AS n,
-        | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS sum_price_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
@@ -10547,8 +10547,8 @@ object SparkEntry {
         |qt AS (SELECT unnest(['dup', 'key', 'vector']) AS w),
         |scores AS (
         | SELECT tf.doc_id,
-        |  sum(CAST(floor(tf.tf * ln((SELECT n FROM n)::DOUBLE / df.df)
-        |    * 10000 + 0.5) AS BIGINT)) AS score_bp,
+        |  CAST(sum(CAST(floor(tf.tf * ln((SELECT n FROM n)::DOUBLE / df.df)
+        |    * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS score_bp,
         |  count(*) AS n_terms
         | FROM tf JOIN df ON tf.w = df.w JOIN qt ON tf.w = qt.w
         | GROUP BY tf.doc_id)
@@ -11068,7 +11068,7 @@ object SparkEntry {
         | CASE WHEN ev.value < c.p50 THEN 'low'
         |      WHEN ev.value < c.p95 THEN 'mid' ELSE 'high' END AS bucket,
         | count(*) AS n,
-        | sum(CAST(floor(ev.value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+        | CAST(sum(CAST(floor(ev.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events ev JOIN cuts c ON c.event_type = ev.event_type
         |GROUP BY 1, 2 ORDER BY ev.event_type, bucket""".stripMargin,
 
@@ -11152,7 +11152,7 @@ object SparkEntry {
     "q104_weekly_rollup" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
         | event_type, count(*) AS n,
-        | sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2
         |ORDER BY week_start, event_type""".stripMargin,
 
@@ -11226,7 +11226,7 @@ object SparkEntry {
 
     "q97_json_elt" ->
       """SELECT o_custkey AS cust, count(*) AS n_orders,
-        | sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT))
+        | CAST(sum(CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |   AS sum_t_cents
         |FROM orders GROUP BY 1 ORDER BY cust""".stripMargin,
 

@@ -42,6 +42,11 @@ object Tar {
   /** One ustar member: 512-byte header + payload + zero padding. */
   def writeEntry(name: String, payload: Array[Byte]): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100, s"name too long: $name")
+    // write/read symmetry: split() rejects members over MaxMemberBytes,
+    // so an archive this engine WRITES with a larger payload would
+    // silently lose that member at read time — fail loudly here instead
+    require(payload.length <= MaxMemberBytes,
+      s"member too large: ${payload.length} bytes > $MaxMemberBytes")
     val header = new Array[Byte](Block)
     val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     System.arraycopy(nameB, 0, header, 0, nameB.length)

@@ -38,7 +38,10 @@ object Warc {
 
   /** Serialize one response record. Header names/order are fixed so
     * round-trip tests are byte-deterministic; Content-Length is the
-    * payload's BYTE length. */
+    * payload's BYTE length. Headers are UTF-8 on the wire (ISO 28500
+    * §4: WARC named fields are UTF-8) so a non-ASCII Target-URI
+    * round-trips instead of mangling to '?' — the parser decodes with
+    * the same charset. */
   def writeRecord(id: Long, uri: String, payload: Array[Byte]): Array[Byte] = {
     val head = new StringBuilder()
       .append(Magic).append(CRLF)
@@ -47,7 +50,7 @@ object Warc {
       .append("WARC-Target-URI: ").append(uri).append(CRLF)
       .append("Content-Length: ").append(payload.length).append(CRLF)
       .append(CRLF)
-      .toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new Array[Byte](head.length + payload.length + 4)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(payload, 0, out, head.length, payload.length)
@@ -105,7 +108,7 @@ object Warc {
       if (eol == pos) { done = true; pos += 2 } // empty line
       else {
         val line = new String(blob, pos, eol - pos,
-          java.nio.charset.StandardCharsets.ISO_8859_1)
+          java.nio.charset.StandardCharsets.UTF_8)
         pos = eol + 2
         val c = line.indexOf(':')
         if (c > 0) {

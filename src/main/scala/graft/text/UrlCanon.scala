@@ -43,13 +43,18 @@ import org.apache.spark.sql.functions.udf
   */
 object UrlCanon {
 
-  /** Exact tracking-param names (checked lowercased), beyond `utm_*`. */
+  /** Exact tracking-param names (checked lowercased), beyond `utm_*`.
+    * Deliberately EXCLUDES "ref": on many real sites `?ref=` is a
+    * semantic routing/branch parameter (e.g. `?ref=main` on a code
+    * host) — stripping it would conflate genuinely distinct URLs.
+    * Callers that know their corpus uses `ref` for attribution can
+    * pass an extended set to [[canonicalize]]. */
   val TrackingExact: Set[String] =
-    Set("fbclid", "gclid", "msclkid", "igshid", "mc_cid", "mc_eid", "ref")
+    Set("fbclid", "gclid", "msclkid", "igshid", "mc_cid", "mc_eid")
 
-  private def isTracking(name: String): Boolean = {
+  private def isTracking(name: String, exact: Set[String]): Boolean = {
     val n = name.toLowerCase(java.util.Locale.ROOT)
-    n.startsWith("utm_") || TrackingExact.contains(n)
+    n.startsWith("utm_") || exact.contains(n)
   }
 
   private def isUnreserved(b: Int): Boolean =
@@ -85,7 +90,12 @@ object UrlCanon {
   }
 
   /** Canonical form, or None when `url` has no scheme://host shape. */
-  def canonicalize(url: String): Option[String] = {
+  def canonicalize(url: String): Option[String] =
+    canonicalize(url, TrackingExact)
+
+  /** As [[canonicalize]] with a caller-supplied exact tracking-name
+    * set (checked lowercased; `utm_*` prefixes are always stripped). */
+  def canonicalize(url: String, trackingExact: Set[String]): Option[String] = {
     if (url == null) return None
     val sep = url.indexOf("://")
     if (sep <= 0) return None
@@ -103,10 +113,25 @@ object UrlCanon {
     val at = auth.lastIndexOf('@')
     if (at >= 0) auth = auth.substring(at + 1) // drop userinfo
     if (auth.isEmpty) return None
-    val colon = auth.indexOf(':')
+    // an IPv6 literal authority is bracketed ([::1]:8080) — the port
+    // colon is the one AFTER ']', never a colon inside the brackets
+    val colon =
+      if (auth.charAt(0) == '[') {
+        val close = auth.indexOf(']')
+        if (close < 0) return None // unterminated bracket: malformed
+        if (close + 1 < auth.length) {
+          if (auth.charAt(close + 1) != ':') return None // "[..]junk"
+          close + 1
+        } else -1
+      } else auth.indexOf(':')
     var host = if (colon >= 0) auth.substring(0, colon) else auth
     host = host.toLowerCase(java.util.Locale.ROOT)
     if (host.isEmpty) return None
+    if (host.charAt(0) == '[' &&
+        (host.length < 3 || host.last != ']' ||
+         !host.view.slice(1, host.length - 1)
+              .forall(c => hexVal(c) >= 0 || c == ':' || c == '.')))
+      return None // bracketed host must be a plausible IPv6 literal
     val port: Option[Int] =
       if (colon < 0) None
       else {
@@ -135,7 +160,7 @@ object UrlCanon {
     val params = query.split("&").iterator
       .filter(_.nonEmpty)
       .map(normalizePercent)
-      .filterNot(p => isTracking(p.takeWhile(_ != '=')))
+      .filterNot(p => isTracking(p.takeWhile(_ != '='), trackingExact))
       .toArray
     java.util.Arrays.sort(params, java.util.Comparator.naturalOrder[String]())
     val qs = if (params.isEmpty) "" else "?" + params.mkString("&")
@@ -192,7 +217,11 @@ object UrlCanon {
         var e = a
         while (e < c.length && c.charAt(e) != '/' && c.charAt(e) != '?') e += 1
         val h = c.substring(a, e)
-        val colon = h.indexOf(':')
+        // bracketed IPv6: the port colon is after ']', inner ones bind
+        val colon = if (h.startsWith("[")) {
+          val close = h.indexOf(']')
+          if (close >= 0 && close + 1 < h.length) close + 1 else -1
+        } else h.indexOf(':')
         if (colon >= 0) h.substring(0, colon) else h
       }.orNull
     }

@@ -45,8 +45,13 @@ class CrawlPropertySpec extends SparkSpec {
     cases(urlGen).foreach { u =>
       val c = UrlCanon.canonicalize(u).get
       assert(!c.contains("#"), c)
-      assert(!c.contains("utm_") && !c.contains("fbclid") &&
-        !c.contains("ref="), c)
+      assert(!c.contains("utm_") && !c.contains("fbclid"), c)
+      // "ref" is SEMANTIC by default (?ref=main routes on real sites):
+      // preserved unless the caller opts into stripping it
+      if (u.toLowerCase.contains("ref="))
+        assert(c.contains("ref="), s"$u -> $c")
+      assert(!UrlCanon.canonicalize(u,
+        UrlCanon.TrackingExact + "ref").get.contains("ref="), c)
       assert(!(c.startsWith("http://") && c.contains(":80/")) &&
         !(c.startsWith("https://") && c.contains(":443/")), c)
       // scheme and host are lowercase
@@ -55,6 +60,24 @@ class CrawlPropertySpec extends SparkSpec {
       assert(c.substring(0, hostEnd) ==
         c.substring(0, hostEnd).toLowerCase(java.util.Locale.ROOT), c)
     }
+  }
+
+  test("UrlCanon: bracketed IPv6 authorities parse; port rules apply after ']'") {
+    assert(UrlCanon.canonicalize("http://[::1]:8080/x")
+      .contains("http://[::1]:8080/x"))
+    assert(UrlCanon.canonicalize("http://[::1]:80/x")
+      .contains("http://[::1]/x")) // default port drops
+    assert(UrlCanon.canonicalize("https://[2001:DB8::1]/p?b=2&a=1")
+      .contains("https://[2001:db8::1]/p?a=1&b=2"))
+    assert(UrlCanon.canonicalize("http://[::ffff:192.0.2.1]/")
+      .contains("http://[::ffff:192.0.2.1]/"))
+    // malformed brackets stay NULL under the NULL-dispatch contract
+    assert(UrlCanon.canonicalize("http://[::1/x").isEmpty)
+    assert(UrlCanon.canonicalize("http://[::1]junk/x").isEmpty)
+    assert(UrlCanon.canonicalize("http://[not-hex]/x").isEmpty)
+    // idempotence holds on the bracketed forms too
+    val c = UrlCanon.canonicalize("HTTP://[2001:DB8::1]:8080/a/?z=1#f").get
+    assert(UrlCanon.canonicalize(c).contains(c))
   }
 
   private val bytesGen: Gen[Array[Byte]] = for {
@@ -77,6 +100,25 @@ class CrawlPropertySpec extends SparkSpec {
         assert(java.util.Arrays.equals(r.payload, p))
       }
     }
+  }
+
+  test("Warc: non-ASCII Target-URIs round-trip byte-exact (UTF-8 headers)") {
+    val uris = Seq("https://ex.com/café", "https://пример.рф/путь",
+      "https://ex.jp/ページ?q=値", "https://e.com/a b")
+    uris.zipWithIndex.foreach { case (u, i) =>
+      val rec = Warc.writeRecord(i.toLong, u, Array[Byte](1, 2, 3))
+      val got = Warc.split(rec)
+      assert(got.size == 1)
+      assert(got.head.uri == u, s"mangled: ${got.head.uri}")
+      assert(got.head.id == i.toLong)
+    }
+  }
+
+  test("Tar: writeEntry rejects payloads over MaxMemberBytes (write/read symmetry)") {
+    // split() drops over-budget members; the writer must fail loudly
+    // instead of producing an archive whose member vanishes at read
+    val big = new Array[Byte]((Tar.MaxMemberBytes + 1).toInt)
+    intercept[IllegalArgumentException] { Tar.writeEntry("big", big) }
   }
 
   test("Tar: split(archive(entries)) inverts on arbitrary binary payloads") {

@@ -120,6 +120,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
             n_fail += 1
             continue
+        # Type IDENTITY (round-11 hardening, after the round-10 incident —
+        # 25 queries shipped value-identical but driver-hash-red because
+        # DuckDB widens sum(BIGINT) to HUGEINT and the driver formats
+        # HUGEINT differently from BIGINT). The round-8 DECIMAL-vs-DOUBLE
+        # incident was the same class. Close the CLASS: the oracle's
+        # declared output types must equal the Spark parquet's types
+        # column-for-column; any drift (HUGEINT, DECIMAL scale, INT32 vs
+        # INT64) fails here instead of at the driver.
+        if otypes != stypes:
+            diff = [(c, o, s) for c, o, s in zip(ocols, otypes, stypes)
+                    if o != s]
+            print(f"FAIL {name}: oracle/spark type mismatch {diff} — "
+                  "cast the oracle column (e.g. CAST(sum(..) AS BIGINT); "
+                  "DuckDB widens integer sums to HUGEINT)")
+            n_fail += 1
+            continue
         if qnum(name) >= RATCHET_FROM:
             bad = [c for c, t in zip(scols, stypes)
                    if t in FLOATY or
