@@ -7615,6 +7615,130 @@ object SparkEntry {
           "AS (stage, name, n_docs, n_bytes)")
         .orderBy(col("stage"))
     }),
+
+    // ---- charset sniff + transcode (the decode stage between WARC
+    // framing and UnicodeNorm: archived bodies arrive as raw bytes in
+    // the origin's charset, and a large share of archived web bytes is
+    // not UTF-8). Six generator arms, one per resolution rung: plain
+    // UTF-8 (heuristic), BOM'd UTF-8 under a LYING latin-1 header
+    // (BOM must win), cp1252 by header, cp1252 via
+    // <meta charset="latin1"> (WHATWG label folding: latin-1 labels
+    // MEAN windows-1252), UTF-16LE by BOM, and undeclared cp1252
+    // punctuation caught by the strict UTF-8-validity heuristic.
+    // The oracle states each arm's decoded text from the generator
+    // formula; md5 pins every decoded byte ----
+    "q299_charset_decode" -> ((s, d) => {
+      import graft.ingest.CharsetSniff
+      val arm = col("doc_id") % 6
+      val utf8 = encode(col("text"), "UTF-8")
+      val bomU8 = lit(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      val bomLe = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
+      // cp1252 bytes of " €’—é" (20 80 92 97 E9)
+      val specials = lit(Array[Byte](0x20, 0x80.toByte, 0x92.toByte,
+        0x97.toByte, 0xE9.toByte))
+      // cp1252 curly-quoted "q" (93 71 94) — invalid as UTF-8
+      val curly = lit(Array[Byte](0x93.toByte, 0x71, 0x94.toByte))
+      val meta = lit("<meta charset=\"latin1\">")
+      val body = when(arm === 0, utf8)
+        .when(arm === 1, concat(bomU8, utf8))
+        .when(arm === 2, concat(utf8, specials))
+        .when(arm === 3,
+          concat(encode(concat(meta, col("text")), "UTF-8"), specials))
+        .when(arm === 4, concat(bomLe, encode(col("text"), "UTF-16LE")))
+        .otherwise(concat(utf8, curly))
+      val ct = when(arm === 1, lit("text/html; charset=iso-8859-1"))
+        .when(arm === 2, lit("text/html; charset=Windows-1252"))
+        .otherwise(lit("text/html"))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), ct.as("ct"), body.as("body"))
+        .select(col("doc_id"),
+          CharsetSniff.sniffUdf(col("ct"), col("body")).as("charset"),
+          CharsetSniff.decodeUdf(col("ct"), col("body")).as("dec"))
+        .select(col("doc_id"), col("charset"),
+          length(col("dec")).cast("bigint").as("n_chars"),
+          md5(encode(col("dec"), "UTF-8")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- HTML entity decoding before hashing/dedup: the same visible
+    // string arrives plain, named (&eacute;), decimal (&#233;), and
+    // hex + legacy-bare (&#xE9; / &amp) — four RAW forms per div-4
+    // group that must collapse to ONE content hash after decode while
+    // the raw hashes stay distinct. BeautifulSoup does this implicitly
+    // on parse; a byte-level engine does it here, explicitly ----
+    "q300_entity_dedup" -> ((s, d) => {
+      import graft.text.HtmlEntities
+      val g = expr("doc_id div 4")
+      val v = col("doc_id") % 4
+      val gtext = format_string("doc group %d", g)
+      val raw = when(v === 0, concat(gtext, lit(" café & bar")))
+        .when(v === 1, concat(gtext, lit(" caf&eacute; &amp; bar")))
+        .when(v === 2, concat(gtext, lit(" caf&#233; &#38; bar")))
+        .otherwise(concat(gtext, lit(" caf&#xE9; &amp bar")))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          HtmlEntities.decodeUdf(col("raw")).as("dec"))
+        .groupBy(md5(encode(col("dec"), "UTF-8")).as("content_md5"))
+        .agg(count(lit(1)).as("n_dups"),
+          countDistinct(md5(encode(col("raw"), "UTF-8"))).as("n_raw_forms"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy(col("min_doc_id"))
+    }),
+
+    // ---- sitemap frontier coverage: per host (div-10 of doc_id), a
+    // root <sitemapindex> fans out to two child urlsets advertising
+    // pages 0-4 and 5-8 of the host's ten; the crawl fetched pages
+    // {0..5, 9}. Exercises index expansion, loc unescape (&amp; in
+    // the advertised query string must become '&' BEFORE the param
+    // split strips utm_*/fbclid), and the canonical-URL join against
+    // the crawl — q288's dedup grain as the audit key. Coverage
+    // counts per host are the frontier report every crawl publishes ----
+    "q301_sitemap_coverage" -> ((s, d) => {
+      import graft.ingest.Sitemap
+      import graft.text.UrlCanon
+      val docs = tSpread(s, d, "documents")
+      val hosts = docs.select(expr("doc_id div 10").as("h")).distinct()
+      val root = format_string(
+        "<sitemapindex><sitemap><loc>https://site%d.example.com/sm-0.xml" +
+          "</loc></sitemap><sitemap><loc>https://site%d.example.com/sm-1.xml" +
+          "</loc></sitemap></sitemapindex>", col("h"), col("h"))
+      val withChild = hosts
+        .select(col("h"), explode(Sitemap.childrenUdf(root)).as("curl"))
+        .withColumn("c", regexp_extract(col("curl"), "sm-(\\d)\\.xml", 1)
+          .cast("int"))
+      val childXml = concat(lit("<urlset>"),
+        expr("concat_ws('', transform(sequence(5*c, least(5*c+4, 8)), " +
+          "j -> concat('<url><loc>https://site', h, '.example.com/p/', " +
+          "h*10+j, '?utm_source=sm&amp;fbclid=abc</loc><lastmod>2024-01-0', " +
+          "j+1, '</lastmod></url>')))"),
+        lit("</urlset>"))
+      val adv = withChild
+        .select(col("h"), explode(Sitemap.urlsUdf(childXml)).as("e"))
+        .select(col("h"), UrlCanon.canon(col("e._1")).as("u"),
+          col("e._2").as("lastmod"))
+      val crawled = docs
+        .filter(col("doc_id") % 10 <= 5 || col("doc_id") % 10 === 9)
+        .select(expr("doc_id div 10").as("h"),
+          UrlCanon.canon(format_string("https://site%d.example.com/p/%d",
+            expr("doc_id div 10"), col("doc_id"))).as("u"))
+      adv.withColumn("a", lit(1))
+        .join(crawled.withColumn("cr", lit(1)), Seq("h", "u"), "full_outer")
+        .groupBy(col("h"))
+        .agg(count(col("a")).as("n_advertised"),
+          count(col("cr")).as("n_crawled"),
+          count(when(col("a").isNotNull && col("cr").isNotNull, 1))
+            .as("n_both"),
+          count(when(col("a").isNotNull && col("cr").isNull, 1))
+            .as("n_sitemap_only"),
+          count(when(col("a").isNull && col("cr").isNotNull, 1))
+            .as("n_crawl_only"),
+          max(col("lastmod")).as("last_lastmod"))
+        .select(col("h").as("host_id"), col("n_advertised"),
+          col("n_crawled"), col("n_both"), col("n_sitemap_only"),
+          col("n_crawl_only"), col("last_lastmod"))
+        .orderBy(col("host_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14298,5 +14422,62 @@ object SparkEntry {
         |  CAST(coalesce(sum(octet_length(encode(kept))), 0) AS BIGINT)
         | FROM sel WHERE u2 AND n_kept >= 1
         |) ORDER BY stage""".stripMargin,
+
+    // charset replay: the oracle states each arm's decoded string from
+    // the generator formula — arm 2/3 append cp1252 " euro rsquo
+    // mdash eacute" (chr 8364/8217/8212/233), arm 3 keeps its meta
+    // prefix, arm 5 appends curly-quoted q (chr 8220/8221); arms
+    // 0/1/4 decode back to the text itself
+    "q299_charset_decode" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 6 AS INT)
+        |  WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8' WHEN 4 THEN 'utf-16le'
+        |  ELSE 'windows-1252' END AS charset,
+        | CAST(length(dec) AS BIGINT) AS n_chars,
+        | md5(dec) AS text_md5
+        |FROM (SELECT doc_id,
+        | CASE CAST(doc_id % 6 AS INT)
+        |  WHEN 2 THEN text || ' ' || chr(8364) || chr(8217)
+        |    || chr(8212) || chr(233)
+        |  WHEN 3 THEN '<meta charset="latin1">' || text || ' '
+        |    || chr(8364) || chr(8217) || chr(8212) || chr(233)
+        |  WHEN 5 THEN text || chr(8220) || 'q' || chr(8221)
+        |  ELSE text END AS dec
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // entity replay: all four raw variants of a div-4 group decode to
+    // 'doc group G caf(e-acute) & bar'; raw forms stay distinct
+    "q300_entity_dedup" ->
+      """WITH g AS (SELECT doc_id, doc_id // 4 AS g FROM documents)
+        |SELECT md5('doc group ' || CAST(g AS VARCHAR) || ' caf'
+        |   || chr(233) || ' & bar') AS content_md5,
+        | count(*) AS n_dups,
+        | CAST(count(DISTINCT CAST(doc_id % 4 AS INT)) AS BIGINT)
+        |   AS n_raw_forms,
+        | min(doc_id) AS min_doc_id
+        |FROM g GROUP BY g ORDER BY min_doc_id""".stripMargin,
+
+    // sitemap replay: every host advertises pages 0-8 (9 urls via the
+    // two children); the crawl holds the host's ACTUAL docs with
+    // j in {0..5, 9}; both = advertised AND crawled = docs with j<=5
+    "q301_sitemap_coverage" ->
+      """WITH docs AS (SELECT doc_id, doc_id // 10 AS h,
+        |  CAST(doc_id % 10 AS INT) AS j FROM documents),
+        |hosts AS (SELECT DISTINCT h FROM docs),
+        |cr AS (SELECT h, j FROM docs WHERE j <= 5 OR j = 9),
+        |agg AS (SELECT h, count(*) AS n_crawled,
+        |  count(*) FILTER (WHERE j <= 5) AS n_both,
+        |  count(*) FILTER (WHERE j = 9) AS n_crawl_only
+        | FROM cr GROUP BY h)
+        |SELECT hosts.h AS host_id,
+        | CAST(9 AS BIGINT) AS n_advertised,
+        | CAST(coalesce(agg.n_crawled, 0) AS BIGINT) AS n_crawled,
+        | CAST(coalesce(agg.n_both, 0) AS BIGINT) AS n_both,
+        | CAST(9 - coalesce(agg.n_both, 0) AS BIGINT) AS n_sitemap_only,
+        | CAST(coalesce(agg.n_crawl_only, 0) AS BIGINT) AS n_crawl_only,
+        | '2024-01-09' AS last_lastmod
+        |FROM hosts LEFT JOIN agg ON hosts.h = agg.h
+        |ORDER BY host_id""".stripMargin,
   )
 }
