@@ -247,6 +247,22 @@ object GraftFunctions {
       columnFn(cs =>
         graft.extract.Boilerplate.extractUdf(mw)(cs(0)))(exprs.take(1))
     }, classOf[Expression]),
+    // round-11 crawl additions (q299-q301)
+    ("sniff_charset",
+      columnFn(cs => graft.ingest.CharsetSniff.sniffUdf(cs(0), cs(1))),
+      classOf[Expression]),
+    ("decode_text",
+      columnFn(cs => graft.ingest.CharsetSniff.decodeUdf(cs(0), cs(1))),
+      classOf[Expression]),
+    ("decode_entities",
+      columnFn(cs => graft.text.HtmlEntities.decodeUdf(cs(0))),
+      classOf[Expression]),
+    ("sitemap_urls",
+      columnFn(cs => graft.ingest.Sitemap.urlsUdf(cs(0))),
+      classOf[Expression]),
+    ("sitemap_children",
+      columnFn(cs => graft.ingest.Sitemap.childrenUdf(cs(0))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

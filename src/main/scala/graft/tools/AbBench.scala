@@ -367,6 +367,44 @@ object AbBench {
             .agg(sum(col("m._1")).as("total"))
         (() => naive, () => aho)
       }),
+
+    // round-11: the q16 serving read (the reference's one production
+    // read path) against two at-rest layouts of the SAME 400x events
+    // corpus (40M rows — big enough that the scan, not the one-day
+    // window+sort, dominates; at 50x the delta sat under machine
+    // noise). A = unpartitioned parquet — the day filter can only be a
+    // row-group min/max check, and a randomly-laid-out corpus defeats
+    // it (every row group spans every day), so the scan reads all 400x.
+    // B = date-partitioned (`partitionBy(event_date)`) — the day
+    // filter prunes at PLANNING time to 1 of 30 directories, the
+    // SURVEY §4 layout claim. At 100 TB this is the difference between
+    // scanning a day and scanning three years. PlanShapeSpec asserts
+    // B's pruned plan shape; this pair records the wall-clock win.
+    Pair("serve_date_layout", "flat_parquet", "date_partitioned",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-servelayout").toString
+        val OFF = 100000000L
+        val base = graft.Tables.events(s, d)
+          .crossJoin(s.range(400).select(col("id").as("_copy")))
+          .select((col("event_id") + col("_copy") * OFF).as("event_id"),
+            col("ts"), col("user_id"), col("event_type"), col("value"))
+        base.repartition(32) // random layout: row groups span all days
+          .write.mode("overwrite").parquet(s"$tmp/flat")
+        base.withColumn("event_date", to_date(col("ts")))
+          .repartition(col("event_date"))
+          .write.mode("overwrite").partitionBy("event_date")
+          .parquet(s"$tmp/bydate")
+        val day = "2024-01-05"
+        def flat: DataFrame = graft.serve.Serving.eventsByDate(
+          s.read.parquet(s"$tmp/flat"), date = day, today = day)
+        def pruned: DataFrame = graft.serve.Serving.eventsByDate(
+          s.read.parquet(s"$tmp/bydate")
+            .filter(col("event_date") === to_date(lit(day)))
+            .drop("event_date"),
+          date = day, today = day)
+        (() => flat, () => pruned)
+      }),
   )
 
   /** Interleaved self-pair of a shipped query: both sides run the same

@@ -170,6 +170,71 @@ object ScaleProbe {
           docs.unpersist()
         }
 
+      case "funnel" =>
+        // q284's claim, measured END-TO-END: the per-day incremental
+        // cost of the FULL streaming curation funnel (gopher flags,
+        // incremental near-dup probe, decontamination, DSIR score,
+        // flag join, index append) against a history index built from
+        // 1x / 10x / 100x corpora, with a FIXED 500-doc day. Day-local
+        // stages are corpus-independent by construction; the only
+        // history-proportional term is the fingerprint-index probe
+        // (index bytes, never corpus text) — so per-day cost must stay
+        // near-flat while the corpus grows 100x. Day/eval ids live in
+        // disjoint ranges from the corpus, so the probe's hit mass is
+        // fixed (zero) at every scale.
+        import graft.operators.ImportanceSelect
+        import graft.text.TextFunctions
+        val OFF = 1000000000L
+        val day = synthDocs(spark, 500L, words = 30)
+          .select((col("doc_id") + OFF).as("doc_id"), col("text")).cache()
+        day.count()
+        val evalSet = synthDocs(spark, 50L, words = 30)
+          .select((col("doc_id") + 2 * OFF).as("doc_id"), col("text"))
+          .cache()
+        evalSet.count()
+        // ratio frame is vocabulary-bounded (fixed): built once from 1x
+        val hist1 = synthDocs(spark, 1000L, words = 30)
+          .withColumn("lang", when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("en")).otherwise(lit("de")))
+        val ratio = ImportanceSelect.dsirRatio(hist1,
+          hist1.filter(col("lang") === "en"), "text").cache()
+        ratio.count()
+        Seq(1L, 10L, 100L).foreach { m =>
+          val corpus = synthDocs(spark, 1000L * m, words = 30)
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-fn$m").toString + "/idx"
+          time(s"funnel index build ${m}x") {
+            Dedup.writeWindowFingerprints(corpus, "text", "doc_id", dir,
+              window = 40)
+          }
+          time(s"funnel FULL day ${m}x (fixed 500-doc day)") {
+            val rep = TextFunctions.gopherRepetition(day, "text", "doc_id")
+              .select(col("doc_id"), col("keep").as("_k1"))
+            val qual = TextFunctions.gopherQuality(day, "text", "doc_id")
+              .select(col("doc_id"), col("keep").as("_k2"))
+            val nd = Dedup.crossDocSpansIncremental(spark, dir, day,
+                "text", "doc_id", window = 40)
+              .select(col("doc_id")).distinct()
+              .withColumn("_nd", lit(true))
+            val contam = Dedup.decontaminate(day, evalSet, "text",
+                "doc_id", n = 3)
+              .select(col("doc_id"), lit(true).as("_c"))
+            val dsir = ImportanceSelect.scoreWith(ratio, day, "text",
+                "doc_id")
+              .select(col("doc_id"), col("selected").as("_k5"))
+            day.select(col("doc_id"))
+              .join(rep, Seq("doc_id"), "left")
+              .join(qual, Seq("doc_id"), "left")
+              .join(nd, Seq("doc_id"), "left")
+              .join(contam, Seq("doc_id"), "left")
+              .join(dsir, Seq("doc_id"), "left")
+              .count()
+            Dedup.appendWindowFingerprints(day, "text", "doc_id", dir,
+              window = 40)
+          }
+        }
+        day.unpersist(); evalSet.unpersist(); ratio.unpersist()
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

@@ -433,4 +433,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(chunks.mkString == "word soup " * 40)
     spark.catalog.dropTempView("crawl_sql"): Unit
   }
+
+  test("round-11 crawl surface usable from pure SQL: charset, entities, sitemap") {
+    import graft.GraftFunctions
+    GraftFunctions.register(spark)
+    // charset: cp1252 curly quotes under a latin1 label (WHATWG folds
+    // the label to windows-1252); binary literal via unhex
+    val cs = spark.sql(
+      """SELECT sniff_charset('text/html; charset=latin1', unhex('937194')) AS c,
+        |  decode_text('text/html; charset=latin1', unhex('937194')) AS t
+        |""".stripMargin).collect().head
+    assert(cs.getString(0) == "windows-1252")
+    assert(cs.getString(1) == "“q”")
+    val ent = spark.sql(
+      "SELECT decode_entities('caf&eacute; &amp; bar &#147;x&#148;') AS e")
+      .collect().head.getString(0)
+    assert(ent == "café & bar “x”")
+    val sm = spark.sql(
+      """SELECT sitemap_urls('<urlset><url><loc>https://e.com/a?x=1&amp;y=2</loc>
+        |<lastmod>2024-01-01</lastmod></url></urlset>') AS u,
+        |  sitemap_children('<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>
+        |</sitemap></sitemapindex>') AS ch""".stripMargin).collect().head
+    val u = sm.getSeq[org.apache.spark.sql.Row](0)
+    assert(u.size == 1 && u.head.getString(0) == "https://e.com/a?x=1&y=2" &&
+      u.head.getString(1) == "2024-01-01")
+    assert(sm.getSeq[String](1) == Seq("https://e.com/s1.xml"))
+  }
 }

@@ -82,6 +82,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "PushedFilters: \\[[^\\]]") >= 1, p.take(800))
   }
 
+  test("q16 layout A/B: date-partitioned serving read prunes to ONE partition") {
+    // the AB_r11 `serve_date_layout` pair's B side, shape-asserted:
+    // with events at rest partitioned by event_date, the day filter
+    // becomes a PLANNING-time partition filter — the scan touches one
+    // directory of thirty, which at 100 TB is a day instead of years
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q16-layout").toString
+    graft.Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$tmp/bydate")
+    val day = "2024-01-05"
+    val df = graft.serve.Serving.eventsByDate(
+      spark.read.parquet(s"$tmp/bydate")
+        .filter(col("event_date") === to_date(lit(day)))
+        .drop("event_date"),
+      date = day, today = "2024-01-01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val pf = p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(pf.contains("event_date"), p.take(1200))
+    // the scan reads exactly the one matching partition (sparkPlan:
+    // AQE wraps leaves in query stages, but partition listing is a
+    // planning-time property, identical in the pre-adaptive plan)
+    val scanned = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1), scanned.toString)
+    // and the pruned result matches the shipped q16 on the same day
+    val shipped = SparkEntry.queries("q16_serve_events_by_date")(spark, sf)
+      .collect()
+    assert(rows.map(_.toString).toSeq == shipped.map(_.toString).toSeq)
+  }
+
   test("q216: blocklist pass is scan-rate — no join, no window, no data sort") {
     val p = executedPlan("q216_blocklist_filter")
     assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
