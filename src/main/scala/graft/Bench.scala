@@ -49,7 +49,14 @@ object Bench {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None => SparkEntry.queries
     }
+    // noise isolation for committed artifacts: queries that run right
+    // after a memory-heavy block inherit its GC pressure and can read
+    // 4-5x their isolated cost (round-10's q29/q30/q32 artifact). With
+    // SPARK_GRAFT_BENCH_GC=1 a full GC runs before each query's timing
+    // so each number reflects the query, not its alphabetical neighbor.
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (gcBetween) { System.gc(); Thread.sleep(200) }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
