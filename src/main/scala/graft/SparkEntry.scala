@@ -7647,7 +7647,7 @@ object SparkEntry {
         .when(arm === 4, concat(bomLe, encode(col("text"), "UTF-16LE")))
         .otherwise(concat(utf8, curly))
       val ct = when(arm === 1, lit("text/html; charset=iso-8859-1"))
-        .when(arm === 2, lit("text/html; charset=Windows-1252"))
+        .when(arm === 2, lit("text/html; charset=windows-1252"))
         .otherwise(lit("text/html"))
       tSpread(s, d, "documents")
         .select(col("doc_id"), ct.as("ct"), body.as("body"))
@@ -7738,6 +7738,43 @@ object SparkEntry {
           col("n_crawled"), col("n_both"), col("n_sitemap_only"),
           col("n_crawl_only"), col("last_lastmod"))
         .orderBy(col("host_id"))
+    }),
+
+    // ---- the byte-grain decode chain COMPOSED (q299+q296+q300+q290
+    // in one pass, the order a real ingest runs them): raw cp1252
+    // bytes --charset decode--> html --boilerplate--> block text
+    // --entity decode--> content --NFC fold--> dedup key. The body
+    // carries a link-dense nav (dropped), named + numeric-C1 entities
+    // AND raw cp1252 punctuation bytes in the same <p> block — each
+    // decode stage must fire exactly once, in order, or the md5s
+    // diverge. Per-row projections end to end: no shuffle until the
+    // presentation sort ----
+    "q302_decode_chain" -> ((s, d) => {
+      import graft.ingest.CharsetSniff
+      import graft.text.{HtmlEntities, UnicodeNorm}
+      import graft.extract.Boilerplate
+      val nav = "<div class=\"nav\"><a href=\"/\">home</a> " +
+        "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></div>"
+      val part1 = concat(lit(nav + "<p>"), col("text"),
+        lit(" caf&eacute; &amp; bar &#147;ok&#148; "))
+      // raw cp1252 punctuation: 0x80 euro, 0x92 rsquo
+      val specials = lit(Array[Byte](0x80.toByte, 0x92.toByte))
+      val bytes = concat(encode(part1, "UTF-8"), specials,
+        encode(lit("</p>"), "UTF-8"))
+      val ct = lit("text/html; charset=windows-1252")
+      tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          CharsetSniff.decodeUdf(ct, bytes).as("html"))
+        .select(col("doc_id"),
+          Boilerplate.extractUdf(3)(col("html")).as("x"))
+        .select(col("doc_id"), col("x._2").cast("bigint").as("n_kept"),
+          HtmlEntities.decodeUdf(col("x._3")).as("content"))
+        .select(col("doc_id"), col("n_kept"),
+          length(col("content")).cast("bigint").as("n_chars"),
+          md5(encode(col("content"), "UTF-8")).as("content_md5"),
+          md5(encode(UnicodeNorm.foldKey(col("content")), "UTF-8"))
+            .as("fold_md5"))
+        .orderBy(col("doc_id"))
     }),
   )
 
@@ -14479,5 +14516,19 @@ object SparkEntry {
         | '2024-01-09' AS last_lastmod
         |FROM hosts LEFT JOIN agg ON hosts.h = agg.h
         |ORDER BY host_id""".stripMargin,
+
+    // decode-chain replay: content stated from the generator formula —
+    // cp1252 0x80/0x92 AND the entity refs both land as the final
+    // unicode punctuation; the nav block never reaches the content
+    "q302_decode_chain" ->
+      """WITH c AS (SELECT doc_id,
+        |  text || ' caf' || chr(233) || ' & bar ' || chr(8220) || 'ok'
+        |    || chr(8221) || ' ' || chr(8364) || chr(8217) AS content
+        | FROM documents)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS n_kept,
+        | CAST(length(content) AS BIGINT) AS n_chars,
+        | md5(content) AS content_md5,
+        | md5(lower(strip_accents(nfc_normalize(content)))) AS fold_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -166,9 +166,10 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("crawl projections (q290/q292/q294/q296): no join, no shuffle before the sort") {
+  test("crawl projections (q290/q292/q294/q296/q299/q302): no join, no shuffle before the sort") {
     Seq("q290_unicode_normalize", "q292_blocklist_scan",
-        "q294_robots_gate", "q296_boilerplate_extract").foreach { q =>
+        "q294_robots_gate", "q296_boilerplate_extract",
+        "q299_charset_decode", "q302_decode_chain").foreach { q =>
       val p = executedPlan(q)
       assert(!p.contains("Join") && !p.contains("Window"),
         s"$q:\n${p.take(1200)}")
@@ -179,8 +180,9 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q288/q291: one hash shuffle each (the dedup groupBy), no join") {
-    Seq("q288_url_canonical_dedup", "q291_registered_domain").foreach { q =>
+  test("q288/q291/q300: one hash shuffle each (the dedup groupBy), no join") {
+    Seq("q288_url_canonical_dedup", "q291_registered_domain",
+        "q300_entity_dedup").foreach { q =>
       val p = executedPlan(q)
       assert(!p.contains("Join"), s"$q:\n${p.take(1200)}")
       // partial_count map-side + ONE exchange on the canonical key
