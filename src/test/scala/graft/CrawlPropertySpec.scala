@@ -104,7 +104,7 @@ class CrawlPropertySpec extends SparkSpec {
 
   test("Warc: non-ASCII Target-URIs round-trip byte-exact (UTF-8 headers)") {
     val uris = Seq("https://ex.com/café", "https://пример.рф/путь",
-      "https://ex.jp/ページ?q=値", "https://e.com/a b")
+      "https://ex.jp/ページ?q=値", "https://e.com/a\u00A0b")
     uris.zipWithIndex.foreach { case (u, i) =>
       val rec = Warc.writeRecord(i.toLong, u, Array[Byte](1, 2, 3))
       val got = Warc.split(rec)
@@ -142,7 +142,7 @@ class CrawlPropertySpec extends SparkSpec {
     n <- Gen.choose(0, 400)
     cs <- Gen.listOfN(n, Gen.frequency(
       (20, Gen.alphaNumChar), (5, Gen.const(' ')),
-      (1, Gen.oneOf('é', 'π', ' '))))
+      (1, Gen.oneOf('é', 'π', '\u00A0'))))
   } yield cs.mkString
 
   test("Chunker: chunks concatenate to the input; boundaries stable under prefix edits") {
@@ -156,6 +156,42 @@ class CrawlPropertySpec extends SparkSpec {
       if (cs.length > 1) {
         val tail = cs.tail
         assert(csE.takeRight(tail.length) == tail, t.take(60))
+      }
+    }
+  }
+
+  // cp1252-codable alphabet: ascii printable + latin-1 letters + the
+  // cp1252 high-block punctuation the decoder maps from 0x80-0x9F
+  private val cp1252TextGen: Gen[String] = for {
+    n <- Gen.choose(0, 300)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (20, Gen.choose(' ', '~')),
+      (3, Gen.choose('\u00A0', 'ÿ')),
+      (2, Gen.oneOf('€', '’', '“', '”', '—',
+        '…', 'š', 'Ÿ'))))
+  } yield cs.mkString
+
+  test("CharsetSniff: encode/decode round-trips every cp1252-codable string") {
+    import graft.ingest.CharsetSniff
+    cases(cp1252TextGen).foreach { t =>
+      val bytes = CharsetSniff.encodeCp1252(t)
+      assert(CharsetSniff.decode("t/h; charset=windows-1252", bytes) == t,
+        t.take(60))
+    }
+  }
+
+  test("CharsetSniff: decode is TOTAL on arbitrary bytes under every header") {
+    import graft.ingest.CharsetSniff
+    val headers = Seq(null, "text/html", "t/h; charset=utf-8",
+      "t/h; charset=latin1", "t/h; charset=utf-16le")
+    cases(bytesGen).foreach { bs =>
+      headers.foreach { h =>
+        val d = CharsetSniff.decode(h, bs)
+        assert(d != null)
+        // result is valid unicode: encoding back to UTF-8 never throws
+        // and round-trips through Java's strict decoder
+        val u = d.getBytes(UTF_8)
+        assert(new String(u, UTF_8) == d, String.valueOf(h))
       }
     }
   }
