@@ -23,9 +23,18 @@ object Bench {
     // factor so codegen compilation and JIT are paid before timing — the
     // timed numbers then measure data-proportional work at the target sf
     spark.range(2000000L).selectExpr("sum(id)").collect()
+    // optional comma-separated query filter for local iteration —
+    // applied to the warmup too (warming all 300 queries to time 4
+    // costs ten minutes for nothing)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
+      case None => SparkEntry.queries
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
@@ -42,13 +51,6 @@ object Bench {
     // ±30%; the min of two runs is a far more stable estimate of the
     // query's actual cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    // optional comma-separated query filter for local iteration
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
-      case None => SparkEntry.queries
-    }
     // noise isolation for committed artifacts: queries that run right
     // after a memory-heavy block inherit its GC pressure and can read
     // 4-5x their isolated cost (round-10's q29/q30/q32 artifact). With
