@@ -263,6 +263,12 @@ object GraftFunctions {
     ("sitemap_children",
       columnFn(cs => graft.ingest.Sitemap.childrenUdf(cs(0))),
       classOf[Expression]),
+    ("robots_sitemaps",
+      columnFn(cs => graft.ingest.Robots.sitemapsUdf(cs(0))),
+      classOf[Expression]),
+    ("crawl_delay",
+      columnFn(cs => graft.ingest.Robots.crawlDelayUdf(cs(0), cs(1))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

@@ -7776,6 +7776,73 @@ object SparkEntry {
             .as("fold_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- robots directives beyond allow/deny: Sitemap: lines are
+    // GLOBAL (position-independent — one sits between the two groups,
+    // even hosts append another after them) and Crawl-delay is
+    // per-group with the SAME specific-wins-no-merge selection as the
+    // permission verdict. These feed the two frontier subsystems:
+    // sitemap discovery (q301's input comes from exactly here on the
+    // real web) and the per-host politeness budget a fetch scheduler
+    // divides by ----
+    "q303_robots_directives" -> ((s, d) => {
+      import graft.ingest.Robots
+      val docs = tSpread(s, d, "documents")
+      val hosts = docs.select(expr("doc_id div 5").as("h")).distinct()
+      val robots = concat(
+        lit("# host "), col("h"), lit("\n"),
+        lit("Sitemap: https://s"), col("h"),
+        lit(".example.com/sitemap.xml\n"),
+        lit("User-agent: graftbot\nDisallow: /private/\n" +
+          "Crawl-delay: 1.5\n\n"),
+        lit("Sitemap: https://s"), col("h"),
+        lit(".example.com/sitemap-mid.xml\n"),
+        lit("User-agent: *\nDisallow: /\nCrawl-delay: 10\n"),
+        when(col("h") % 2 === 0,
+          concat(lit("Sitemap: https://s"), col("h"),
+            lit(".example.com/sitemap-extra.xml\n")))
+          .otherwise(lit("")))
+      hosts.select(col("h").as("host_id"), robots.as("r"))
+        .select(col("host_id"),
+          size(Robots.sitemapsUdf(col("r"))).cast("bigint")
+            .as("n_sitemaps"),
+          element_at(Robots.sitemapsUdf(col("r")), 1).as("first_sitemap"),
+          (Robots.crawlDelayUdf(col("r"), lit("GraftBot")) * 1000)
+            .cast("bigint").as("bot_delay_ms"),
+          (Robots.crawlDelayUdf(col("r"), lit("otherbot")) * 1000)
+            .cast("bigint").as("other_delay_ms"),
+          Robots.allowedUdf(col("r"), lit("graftbot"), lit("/public/x"))
+            .as("bot_allowed"),
+          Robots.allowedUdf(col("r"), lit("otherbot"), lit("/public/x"))
+            .as("other_allowed"))
+        .orderBy(col("host_id"))
+    }),
+
+    // ---- redirect-chain resolution BEFORE URL dedup: the canonical
+    // identity of a fetched page is its 301-chain's FINAL target.
+    // Five arms per div-5 group: terminal, 1/2/3-hop chains onto the
+    // group's terminal, and a self-loop that must quarantine as
+    // unresolved (NULL final) rather than mis-assign. Pointer-doubling
+    // joins — ⌈log2(hops)⌉ shuffle rounds, no driver loop over rows ----
+    "q304_redirect_resolve" -> ((s, d) => {
+      import graft.graph.Redirects
+      val docs = tSpread(s, d, "documents")
+      val arm = col("doc_id") % 5
+      val edges = docs.filter(arm >= 1)
+        .select(col("doc_id").as("src"),
+          when(arm === 4, col("doc_id"))
+            .otherwise(col("doc_id") - 1).as("dst"))
+      val resolved = Redirects.resolve(edges, maxHops = 4)
+      docs.select(col("doc_id"))
+        .join(resolved.withColumnRenamed("src", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("unresolved"), lit(null))
+            .otherwise(coalesce(col("final_id"), col("doc_id")))
+            .cast("bigint").as("final_id"),
+          coalesce(col("unresolved"), lit(false)).as("unresolved"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14530,5 +14597,31 @@ object SparkEntry {
         | md5(content) AS content_md5,
         | md5(lower(strip_accents(nfc_normalize(content)))) AS fold_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // directives replay: counts/values stated from the generator —
+    // global sitemap collection order, per-group delay selection, the
+    // two permission verdicts
+    "q303_robots_directives" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id // 5 AS h FROM documents)
+        |SELECT h AS host_id,
+        | CAST(CASE WHEN h % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |   AS n_sitemaps,
+        | 'https://s' || CAST(h AS VARCHAR) || '.example.com/sitemap.xml'
+        |   AS first_sitemap,
+        | CAST(1500 AS BIGINT) AS bot_delay_ms,
+        | CAST(10000 AS BIGINT) AS other_delay_ms,
+        | true AS bot_allowed,
+        | false AS other_allowed
+        |FROM hosts ORDER BY host_id""".stripMargin,
+
+    // redirect replay: arm a in 1..3 walks a hops down to the group
+    // terminal; arm 4 is a self-loop -> NULL + unresolved
+    "q304_redirect_resolve" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN a = 4 THEN NULL ELSE doc_id - a END AS final_id,
+        | a = 4 AS unresolved
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

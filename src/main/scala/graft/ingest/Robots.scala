@@ -28,16 +28,19 @@ import org.apache.spark.sql.functions.udf
 object Robots {
 
   private final case class Rule(allow: Boolean, pattern: String)
-  private final case class Group(agents: Seq[String], rules: Seq[Rule])
+  private final case class Group(agents: Seq[String], rules: Seq[Rule],
+                                 delay: Option[Double])
 
   private def parse(txt: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = List.empty[String]
     var rules = List.empty[Rule]
+    var delay = Option.empty[Double]
     var inHeader = true // consecutive UA lines accumulate
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse)
-      agents = Nil; rules = Nil
+      if (agents.nonEmpty)
+        groups += Group(agents.reverse, rules.reverse, delay)
+      agents = Nil; rules = Nil; delay = None
     }
     txt.split('\n').foreach { raw =>
       val line = {
@@ -58,7 +61,13 @@ object Robots {
             inHeader = false
             // empty Disallow => allow-all: representable as no rule
             if (value.nonEmpty) rules ::= Rule(field == "allow", value)
-          case _ => () // sitemap, crawl-delay, unknown: ignored
+          case "crawl-delay" if agents.nonEmpty =>
+            // non-standard but ubiquitous; numeric seconds (fractional
+            // allowed); a malformed value is ignored like any unknown
+            inHeader = false
+            delay = value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+              .orElse(delay)
+          case _ => () // sitemap (global, see sitemaps()), unknown: ignored
         }
       }
     }
@@ -118,6 +127,53 @@ object Robots {
     }
     if (bestLen < 0) true else bestAllow
   }
+
+  /** `Sitemap:` directive values — GLOBAL per the sitemaps.org
+    * protocol (they belong to no User-agent group), collected in
+    * document order, verbatim (they are absolute URLs). The link from
+    * the permission file to the frontier-coverage audit (q301/q303):
+    * real crawlers discover most sitemaps exactly here. */
+  def sitemaps(robotsTxt: String): Seq[String] = {
+    if (robotsTxt == null) return Seq.empty
+    robotsTxt.split('\n').iterator.flatMap { raw =>
+      val noCr = raw.stripSuffix("\r")
+      val hash = noCr.indexOf('#')
+      val line = (if (hash >= 0) noCr.substring(0, hash) else noCr).trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
+  }
+
+  /** Per-agent `Crawl-delay` seconds, with the SAME group selection as
+    * [[isAllowed]] (specific group wins, `*` fallback, no merge); None
+    * when the chosen group declares none. The per-host politeness
+    * budget a frontier scheduler divides fetches by. */
+  def crawlDelay(robotsTxt: String, agent: String): Option[Double] = {
+    if (robotsTxt == null) return None
+    val groups = parse(robotsTxt)
+    val a = if (agent == null) "" else agent.toLowerCase(java.util.Locale.ROOT)
+    val specific = groups.filter(_.agents.contains(a))
+    val chosen =
+      if (specific.nonEmpty) specific
+      else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.delay).headOption
+  }
+
+  /** `robots_sitemaps(robots)` column form. */
+  val sitemapsUdf: UserDefinedFunction =
+    udf { (robots: String) => sitemaps(robots) }
+
+  /** `crawl_delay(robots, agent)` column form (NULL = none declared). */
+  val crawlDelayUdf: UserDefinedFunction =
+    udf { (robots: String, agent: String) =>
+      crawlDelay(robots, agent)
+        .map(java.lang.Double.valueOf).orNull
+    }
 
   /** `robots_allowed(robots, agent, path)` column form. */
   val allowedUdf: UserDefinedFunction =

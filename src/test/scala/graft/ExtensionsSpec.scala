@@ -458,5 +458,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(u.size == 1 && u.head.getString(0) == "https://e.com/a?x=1&y=2" &&
       u.head.getString(1) == "2024-01-01")
     assert(sm.getSeq[String](1) == Seq("https://e.com/s1.xml"))
+    // robots directives: global sitemap collection + per-group delay
+    val rb = spark.sql(
+      """SELECT robots_sitemaps('Sitemap: https://e.com/s.xml' || chr(10)
+        |  || 'User-agent: *' || chr(10) || 'Crawl-delay: 2.5') AS sm,
+        |  crawl_delay('User-agent: *' || chr(10) || 'Crawl-delay: 2.5',
+        |    'anybot') AS cd""".stripMargin).collect().head
+    assert(rb.getSeq[String](0) == Seq("https://e.com/s.xml"))
+    assert(rb.getDouble(1) == 2.5)
   }
 }

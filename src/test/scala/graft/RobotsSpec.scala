@@ -76,4 +76,34 @@ class RobotsSpec extends SparkSpec {
     val r = "Disallow: /\nUser-agent: *\nAllow: /\n"
     assert(Robots.isAllowed(r, "any", "/page"))
   }
+
+  test("Sitemap: directives are global — collected regardless of group position") {
+    val r = "Sitemap: https://a.com/s1.xml\n" +
+      "User-agent: graftbot\nDisallow: /x\n" +
+      "Sitemap: https://a.com/s2.xml # trailing comment\n" +
+      "User-agent: *\nDisallow: /\n" +
+      "sitemap: https://a.com/s3.xml\r\n" // case-insensitive field, CR
+    assert(Robots.sitemaps(r) == Seq("https://a.com/s1.xml",
+      "https://a.com/s2.xml", "https://a.com/s3.xml"))
+    assert(Robots.sitemaps(null).isEmpty)
+    assert(Robots.sitemaps("User-agent: *\nDisallow:\n").isEmpty)
+  }
+
+  test("Crawl-delay: per-group, same selection as isAllowed, malformed ignored") {
+    val r = "User-agent: graftbot\nDisallow: /x\nCrawl-delay: 1.5\n\n" +
+      "User-agent: *\nDisallow: /\nCrawl-delay: 10\n"
+    assert(Robots.crawlDelay(r, "GraftBot").contains(1.5)) // case-insensitive
+    assert(Robots.crawlDelay(r, "otherbot").contains(10.0)) // * fallback
+    // specific group WITHOUT a delay does not inherit the * group's
+    val r2 = "User-agent: graftbot\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    assert(Robots.crawlDelay(r2, "graftbot").isEmpty)
+    assert(Robots.crawlDelay(r2, "other").contains(10.0))
+    // malformed / negative values ignored
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: soon\n", "x").isEmpty)
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: -3\n", "x").isEmpty)
+    assert(Robots.crawlDelay(null, "x").isEmpty)
+  }
 }
