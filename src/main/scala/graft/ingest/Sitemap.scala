@@ -109,6 +109,36 @@ object Sitemap {
     out.toSeq
   }
 
+  /** XML five escape for loc/lastmod text on the write side. */
+  private def escape(s: String): String =
+    if (!s.exists(c => c == '&' || c == '<' || c == '>' || c == '"' || c == '\''))
+      s
+    else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  /** Deterministic urlset writer (the round-trip counterpart of
+    * [[parseUrlset]], the same convention as Warc/Tar: archives this
+    * engine emits are a pure function of their entries). Empty lastmod
+    * omits the element. Enforces the caps the reader enforces, so a
+    * written document always reads back whole. */
+  def writeUrlset(entries: Seq[Entry]): String = {
+    require(entries.size <= MaxEntries,
+      s"urlset too large: ${entries.size} > $MaxEntries")
+    val sb = new java.lang.StringBuilder()
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+    entries.foreach { e =>
+      sb.append(" <url><loc>").append(escape(e.loc)).append("</loc>")
+      if (e.lastmod.nonEmpty)
+        sb.append("<lastmod>").append(escape(e.lastmod)).append("</lastmod>")
+      sb.append("</url>\n")
+    }
+    sb.append("</urlset>\n")
+    val out = sb.toString
+    require(out.length <= MaxBytes, s"urlset too large: ${out.length} bytes")
+    out
+  }
+
   /** `sitemap_urls(xml)` — array of `[loc, lastmod]` pairs. */
   val urlsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (xml: String) =>

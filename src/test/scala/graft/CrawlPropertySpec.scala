@@ -160,6 +160,27 @@ class CrawlPropertySpec extends SparkSpec {
     }
   }
 
+  private val urlTextGen: Gen[String] = for {
+    n <- Gen.choose(1, 60)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (20, Gen.alphaNumChar),
+      (3, Gen.oneOf('/', '?', '=', '.', '-', ':')),
+      (2, Gen.oneOf('&', '<', '>', '"', '\'')))) // the XML five
+  } yield "https://" + cs.mkString
+
+  test("Sitemap: parse(writeUrlset(entries)) inverts, incl. XML-five locs") {
+    import graft.ingest.Sitemap
+    val entriesGen = for {
+      k <- Gen.choose(0, 8)
+      locs <- Gen.listOfN(k, urlTextGen)
+      mods <- Gen.listOfN(k, Gen.oneOf("", "2024-01-05", "2024-12-31"))
+    } yield locs.zip(mods).map { case (l, m) => Sitemap.Entry(l, m) }
+    cases(entriesGen).foreach { es =>
+      val got = Sitemap.parseUrlset(Sitemap.writeUrlset(es))
+      assert(got == es, es.take(2).toString)
+    }
+  }
+
   // cp1252-codable alphabet: ascii printable + latin-1 letters + the
   // cp1252 high-block punctuation the decoder maps from 0x80-0x9F
   private val cp1252TextGen: Gen[String] = for {

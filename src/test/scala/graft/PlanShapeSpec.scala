@@ -193,6 +193,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q304: redirect resolution is bounded joins — no cartesian, no window, no driver loop") {
+    val p = executedPlan("q304_redirect_resolve")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"),
+      p.take(1200))
+    // pointer doubling at maxHops=4 = 1 self-join + the out-edge probe
+    // + the left join back to docs: all equi-joins on 8-byte keys
+    assert(count(p, "Join") >= 3, p.take(1200))
+  }
+
   test("q293: chunk dedup shuffles HASHES — chunk text never reaches an exchange") {
     val p = executedPlan("q293_cdc_chunk_dedup")
     // every hash exchange keys on the md5 (h) or doc_id — never the
