@@ -7843,6 +7843,33 @@ object SparkEntry {
           coalesce(col("unresolved"), lit(false)).as("unresolved"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- politeness fetch schedule: each host's URLs get serial
+    // slots spaced by ITS OWN Crawl-delay (earned through the robots
+    // parser, not assumed), then the per-host timelines merge into
+    // global 1-second fetch waves — the throughput report a frontier
+    // scheduler publishes (how many fetches land in each second, how
+    // many hosts are concurrently active). The per-host window is
+    // partitioned (never a global sort of the frontier) ----
+    "q305_fetch_schedule" -> ((s, d) => {
+      import graft.ingest.Robots
+      import org.apache.spark.sql.expressions.Window
+      val h = expr("doc_id div 10")
+      val robots = concat(lit("User-agent: *\nCrawl-delay: "),
+        format_string("%.1f", (h % 4 + 1) * lit(0.5)), lit("\n"))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), h.as("h"),
+          (Robots.crawlDelayUdf(robots, lit("graftbot")) * 1000)
+            .cast("bigint").as("delay_ms"))
+        .withColumn("start_ms",
+          (row_number().over(w) - 1) * col("delay_ms"))
+        .select(expr("start_ms div 1000").as("wave"), col("h"))
+        .groupBy(col("wave"))
+        .agg(count(lit(1)).as("n_fetches"),
+          countDistinct(col("h")).as("n_hosts"))
+        .orderBy(col("wave"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14623,5 +14650,18 @@ object SparkEntry {
         | CASE WHEN a = 4 THEN NULL ELSE doc_id - a END AS final_id,
         | a = 4 AS unresolved
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // schedule replay: per-host serial slots at the host's delay,
+    // merged into 1-second waves
+    "q305_fetch_schedule" ->
+      """WITH d AS (SELECT doc_id, doc_id // 10 AS h,
+        |  ((doc_id // 10) % 4 + 1) * 500 AS delay_ms FROM documents),
+        |r AS (SELECT h, (row_number() OVER
+        |  (PARTITION BY h ORDER BY doc_id) - 1) * delay_ms AS start_ms
+        | FROM d)
+        |SELECT start_ms // 1000 AS wave,
+        | count(*) AS n_fetches,
+        | CAST(count(DISTINCT h) AS BIGINT) AS n_hosts
+        |FROM r GROUP BY 1 ORDER BY wave""".stripMargin,
   )
 }
