@@ -7870,6 +7870,52 @@ object SparkEntry {
           countDistinct(col("h")).as("n_hosts"))
         .orderBy(col("wave"))
     }),
+
+    // ---- frontier identity COMPOSED (q304 into q288): a fetched
+    // page's identity is canonical_url(redirect_final_target). Five
+    // arms per div-5 group: a plain fetch of page P, a messy URL
+    // variant of P (case/port/utm/fragment), a 1-hop and a 2-hop 301
+    // chain landing on the variant, and a self-loop that must
+    // QUARANTINE (identity NULL) rather than join any group. Dedup on
+    // either key alone gets this wrong: URL-only sees the redirect
+    // sources as distinct pages; redirect-only sees the two surface
+    // forms of P as distinct. Composed, each group collapses to ONE
+    // identity with n_merged=4 ----
+    "q306_frontier_identity" -> ((s, d) => {
+      import graft.graph.Redirects
+      import graft.text.UrlCanon
+      val docs0 = tSpread(s, d, "documents")
+      val arm = col("doc_id") % 5
+      val g = expr("doc_id div 5")
+      val k = g % 53
+      val url = when(arm === 0, format_string(
+          "http://www.site%d.example.com/p/%d?a=1", k, g))
+        .when(arm === 1, format_string(
+          "HTTP://www.Site%d.example.com:80/p/%d?utm_source=x&a=1#f", k, g))
+        .otherwise(format_string(
+          "http://www.site%d.example.com/r/%d", k, col("doc_id")))
+      val docs = docs0.select(col("doc_id"), url.as("url"))
+      val edges = docs0.filter(arm === 2 || arm === 3 || arm === 4)
+        .select(col("doc_id").as("src"),
+          when(arm === 4, col("doc_id"))
+            .otherwise(col("doc_id") - 1).as("dst"))
+      val resolved = Redirects.resolve(edges, maxHops = 4)
+      val withFinal = docs
+        .join(resolved.withColumnRenamed("src", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("unresolved"), lit(false)), lit(null))
+            .otherwise(coalesce(col("final_id"), col("doc_id")))
+            .as("fid"))
+      // identity = canonical URL of the FINAL doc (join back for its url)
+      withFinal
+        .join(docs.select(col("doc_id").as("fid"),
+          UrlCanon.canon(col("url")).as("canonical_url")), Seq("fid"), "left")
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_merged"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy(col("canonical_url"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14663,5 +14709,20 @@ object SparkEntry {
         | count(*) AS n_fetches,
         | CAST(count(DISTINCT h) AS BIGINT) AS n_hosts
         |FROM r GROUP BY 1 ORDER BY wave""".stripMargin,
+
+    // identity replay: arms 0-3 of a group share one canonical key
+    // (the terminal page's canonical URL); arm 4 quarantines as NULL
+    "q306_frontier_identity" ->
+      """WITH d AS (SELECT doc_id, doc_id // 5 AS g,
+        |  CAST(doc_id % 5 AS INT) AS a FROM documents)
+        |SELECT * FROM (
+        | SELECT 'http://www.site' || CAST(g % 53 AS VARCHAR)
+        |   || '.example.com/p/' || CAST(g AS VARCHAR) || '?a=1'
+        |   AS canonical_url,
+        |  count(*) AS n_merged, min(doc_id) AS min_doc_id
+        | FROM d WHERE a <= 3 GROUP BY g
+        | UNION ALL
+        | SELECT NULL, count(*), min(doc_id) FROM d WHERE a = 4
+        |) ORDER BY canonical_url""".stripMargin,
   )
 }
