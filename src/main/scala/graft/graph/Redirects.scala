@@ -41,6 +41,13 @@ object Redirects {
       t = t.join(step, t("tgt") === step("_s2"), "left")
         .select(col("src"), coalesce(col("_t2"), col("tgt")).as("tgt"))
       hops *= 2
+      // MATERIALIZE each round (truncate lineage): without this, the
+      // self-join references its own unexecuted subtree TWICE, so the
+      // plan doubles per round — 2^rounds copies of the base scan (the
+      // ScaleProbe `redirects` depth-64 arm read 100 s before this
+      // line, 3 s after). localCheckpoint keeps the frame usable by
+      // the caller with no explicit unpersist contract.
+      if (hops < maxHops) t = t.localCheckpoint(true)
     }
     // a target that still redirects after the budget = cycle/too-deep
     val outs = edges.select(col("src").as("_o")).distinct()

@@ -235,6 +235,34 @@ object ScaleProbe {
         }
         day.unpersist(); evalSet.unpersist(); ratio.unpersist()
 
+      case "redirects" =>
+        // q304's two scale claims, measured: (a) at fixed chain depth,
+        // resolution is LINEAR in edge count (shuffle-join work only);
+        // (b) at fixed edge count, deepening chains 16x costs only the
+        // extra log2 rounds (2 -> 6 self-joins), never 16x. Edges:
+        // node i -> i-1 except every D-th node is a terminal.
+        import graft.graph.Redirects
+        def chainEdges(n: Long, depth: Long) =
+          spark.range(n).repartition(32)
+            .filter(pmod(col("id"), lit(depth)) =!= 0)
+            .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        Seq(1L, 10L, 100L).foreach { m =>
+          val edges = chainEdges(100000L * m, 4L).cache()
+          edges.count()
+          time(s"redirects resolve ${m}x edges (depth 4)") {
+            Redirects.resolve(edges, maxHops = 4).count()
+          }
+          edges.unpersist()
+        }
+        Seq(4L, 64L).foreach { d =>
+          val edges = chainEdges(1000000L, d).cache()
+          edges.count()
+          time(s"redirects resolve 1M edges (depth $d, ${64 - java.lang.Long.numberOfLeadingZeros(d - 1)} rounds)") {
+            Redirects.resolve(edges, maxHops = d.toInt).count()
+          }
+          edges.unpersist()
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
