@@ -7914,7 +7914,11 @@ object SparkEntry {
         .groupBy(col("canonical_url"))
         .agg(count(lit(1)).as("n_merged"),
           min(col("doc_id")).as("min_doc_id"))
-        .orderBy(col("canonical_url"))
+        // nulls LAST to match DuckDB's ASC default (Spark's is nulls
+        // first) — the driver sorts rows before hashing so either
+        // passes the gate, but the emitted order should match the
+        // oracle's for any order-sensitive consumer
+        .orderBy(col("canonical_url").asc_nulls_last)
     }),
   )
 

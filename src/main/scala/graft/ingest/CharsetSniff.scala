@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.udf
   * once, here, with deterministic rules.
   *
   * The reference gets this for free from `requests`/BeautifulSoup
-  * (`/root/reference/src/scraper/service.py` response handling decodes
+  * (`/root/reference/src/extractor/service.py` response handling decodes
   * via the HTTP header + meta sniff); at 100 TB the engine needs the
   * same resolution ladder as an explicit, oracle-replayable operator.
   *
@@ -86,16 +86,80 @@ object CharsetSniff {
 
   /** HTML5 prescan: `<meta charset=X>` or
     * `<meta http-equiv="content-type" content="..; charset=X">` in the
-    * first [[SniffBytes]] bytes. */
+    * first [[SniffBytes]] bytes.
+    *
+    * Only two meta shapes are honored, mirroring the HTML5 prescan
+    * algorithm: a BARE `charset` ATTRIBUTE on the tag, or `charset=`
+    * inside the `content` attribute VALUE of an
+    * `http-equiv=content-type` meta. The string `charset=` appearing
+    * inside any other attribute value (`<meta name=description
+    * content="... charset=utf-16le ...">`) is prose, not a
+    * declaration — a per-tag attribute scan (not a whole-head regex)
+    * is what keeps that false positive out.
+    *
+    * A meta-sourced UTF-16 label folds to UTF-8 (WHATWG "get an
+    * encoding from a meta element" step 2): the prescan could only
+    * have READ the meta if the document is ASCII-compatible, so a
+    * self-declared utf-16/utf-16le/utf-16be page is lying about
+    * itself — honoring it literally decodes the whole page to
+    * interleaved-NUL garbage. */
   private[ingest] def fromMeta(bytes: Array[Byte]): Option[String] = {
     val n = math.min(bytes.length, SniffBytes)
     val sb = new java.lang.StringBuilder(n)
     var i = 0
     while (i < n) { sb.append((bytes(i) & 0xff).toChar); i += 1 }
     val head = sb.toString
-    val direct = "(?is)<meta\\s[^>]*?charset\\s*=\\s*([^\\s;\"'/>]+|\"[^\"]*\"|'[^']*')".r
-      .findFirstMatchIn(head)
-    direct.flatMap(g => fold(g.group(1)))
+    val metaTag = "(?is)<meta[\\s/]([^>]*)".r
+    metaTag.findAllMatchIn(head).flatMap { m =>
+      val attrs = parseAttrs(m.group(1))
+      attrs.get("charset").flatMap(fold).orElse {
+        if (attrs.get("http-equiv").exists(
+            _.equalsIgnoreCase("content-type")))
+          attrs.get("content").flatMap(fromContentType)
+        else None
+      }
+    }.map(cs => if (cs.startsWith("utf-16")) "utf-8" else cs)
+      .nextOption()
+  }
+
+  /** Lowercased attribute name → raw value for one tag's attribute
+    * text. Handles `name="v"`, `name='v'`, `name=v`, and bare `name`
+    * (value ""); a quoted value may contain spaces, `=` and `>`-free
+    * text — which is exactly why a per-attribute scan beats a regex
+    * over the whole tag. */
+  private def parseAttrs(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && (s.charAt(i).isWhitespace || s.charAt(i) == '/')) i += 1
+      val name0 = i
+      while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' &&
+        s.charAt(i) != '/') i += 1
+      if (i == name0) { i += 1 }
+      else {
+        val name = s.substring(name0, i).toLowerCase(java.util.Locale.ROOT)
+        while (i < n && s.charAt(i).isWhitespace) i += 1
+        var value = ""
+        if (i < n && s.charAt(i) == '=') {
+          i += 1
+          while (i < n && s.charAt(i).isWhitespace) i += 1
+          if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+            val q = s.charAt(i); i += 1
+            val v0 = i
+            while (i < n && s.charAt(i) != q) i += 1
+            value = s.substring(v0, i)
+            if (i < n) i += 1
+          } else {
+            val v0 = i
+            while (i < n && !s.charAt(i).isWhitespace) i += 1
+            value = s.substring(v0, i)
+          }
+        }
+        if (!out.contains(name)) out(name) = value
+      }
+    }
+    out.toMap
   }
 
   /** Strict UTF-8 validity: rejects overlongs, surrogates, > U+10FFFF,

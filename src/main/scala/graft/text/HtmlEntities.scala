@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions.udf
   *   - Anything else (`&unknown;`, `&#;`, `&#xZZ;`, bare `&`) passes
   *     through VERBATIM — a malformed reference must never lose bytes.
   *
+  * NOT done (documented deviation from the full HTML5 tokenizer):
+  * LONGEST-PREFIX matching of bare names. The browser tokenizer
+  * consumes the longest table prefix of an alphanumeric run, so
+  * `&ampx` decodes to `&x` in text content; this decoder requires the
+  * ENTIRE run to be a known legacy name, so `&ampx` passes through
+  * verbatim. Stricter-than-spec is the right default for a dedup
+  * key — it never invents characters that weren't visibly intended —
+  * but a user diffing output against a browser DOM will see this
+  * class differ. Spec-pinned in HtmlEntitiesSpec ("&ampx passthrough").
+  *
   * One linear pass, no allocation when the input has no `&`. A pure
   * per-row projection: rides the scan's partitioning, no shuffle.
   */

@@ -49,12 +49,44 @@ class CharsetSniffSpec extends SparkSpec {
     assert(cs(null, b("<html><META CharSet=\"latin1\"><body>")) ==
       "windows-1252")
     assert(cs(null, b("<meta http-equiv=\"Content-Type\" " +
-      "content=\"text/html; charset=utf-16be\">")) == "utf-16be")
+      "content=\"text/html; charset=windows-1252\">")) == "windows-1252")
     // header beats meta
     assert(cs("t/h; charset=utf-8", b("<meta charset=latin1>")) == "utf-8")
     // past the window: ignored
     val far = " " * 1100 + "<meta charset=latin1>"
     assert(cs(null, b(far)) == "utf-8")
+  }
+
+  test("meta-sourced UTF-16 labels fold to UTF-8 (WHATWG meta step 2)") {
+    def b(s: String) = s.getBytes(UTF_8)
+    // the prescan could only READ the meta if the doc is
+    // ASCII-compatible, so a self-declared utf-16 page is lying —
+    // honoring it literally would decode the page to NUL-interleaved
+    // garbage. Header-sourced utf-16 stays honored (the header is
+    // out-of-band).
+    assert(cs(null, b("<meta charset=utf-16le>")) == "utf-8")
+    assert(cs(null, b("<meta charset=utf-16be>")) == "utf-8")
+    assert(cs(null, b("<meta http-equiv=content-type " +
+      "content=\"t/h; charset=utf-16\">")) == "utf-8")
+    assert(cs("t/h; charset=utf-16le", b("x")) == "utf-16le")
+  }
+
+  test("meta prescan honors only real charset declarations (HTML5 shape)") {
+    def b(s: String) = s.getBytes(UTF_8)
+    // charset= inside a non-content-type attribute value is PROSE,
+    // not a declaration — the false positive the per-tag attribute
+    // scan exists to exclude
+    assert(cs(null, b("<meta name=\"description\" content=\"how to " +
+      "set charset=windows-1252 in html\">")) == "utf-8")
+    // a content attr only counts under http-equiv=content-type
+    assert(cs(null, b("<meta name=\"keywords\" " +
+      "content=\"charset=latin1\">")) == "utf-8")
+    // unquoted attr values and attr order both work
+    assert(cs(null, b("<meta content=\"text/html; charset=latin1\" " +
+      "http-equiv=content-type>")) == "windows-1252")
+    // a LATER real declaration still wins over an earlier prose one
+    assert(cs(null, b("<meta name=d content=\"charset=utf-16le\">" +
+      "<meta charset=latin1>")) == "windows-1252")
   }
 
   test("heuristic: strict UTF-8 validation, cp1252 fallback") {

@@ -42,6 +42,16 @@ class RedirectsSpec extends SparkSpec {
     assert(deep(9L) == (Some(0L), false))
   }
 
+  test("non-power-of-two budgets are exact, not rounded up to the horizon") {
+    // doubling with maxHops=5 runs 3 rounds (horizon 8); the walked-hop
+    // column is what keeps 6..8-hop chains from resolving past the
+    // stated budget
+    val chain = (1L to 8L).map(i => (i, i - 1)) // depth of src i = i
+    val m = resolveMap(chain, 5)
+    (1L to 5L).foreach(i => assert(m(i) == (Some(0L), false), s"depth $i"))
+    (6L to 8L).foreach(i => assert(m(i) == (None, true), s"depth $i"))
+  }
+
   test("pointer doubling: a 2^k-hop chain resolves in k rounds (maxHops = 2^k)") {
     val chain = (1L to 8L).map(i => (i, i - 1))
     val m = resolveMap(chain, 8)
