@@ -7920,6 +7920,69 @@ object SparkEntry {
         // oracle's for any order-sensitive consumer
         .orderBy(col("canonical_url").asc_nulls_last)
     }),
+
+    // ---- the WARC→HTTP→charset ingest chain COMPOSED: a WARC
+    // response record's payload is an HTTP MESSAGE (status line +
+    // headers + body), and nothing downstream can run until the
+    // envelope is split off — the Content-Type header feeds the
+    // charset sniff (q299's ladder), the Location header feeds the
+    // redirect map (q304's edges), the status class gates the funnel.
+    // Four arms per div-4 group: 200 with plain Content-Length
+    // framing, 200 CHUNKED (multi-chunk: bodies exceed the 64-byte
+    // write chunk), 301 with Location and an empty body, 404 with a
+    // cp1252-labelled body whose 0x80/0x92 bytes are invalid UTF-8 —
+    // the arm that proves the header really reached the sniffer.
+    // Write→concat→split→parse→decode, all per-row projections around
+    // one 16-file groupBy ----
+    "q307_http_envelope" -> ((s, d) => {
+      import graft.ingest.{Warc, HttpMessage, CharsetSniff}
+      val arm = col("doc_id") % 4
+      // cp1252 punctuation (0x80 euro, 0x92 rsquo): invalid as UTF-8
+      val specials = lit(Array[Byte](0x80.toByte, 0x92.toByte))
+      val utf8 = encode(col("text"), "UTF-8")
+      val status = when(arm === 2, lit(301))
+        .when(arm === 3, lit(404)).otherwise(lit(200))
+      val reason = when(arm === 2, lit("Moved Permanently"))
+        .when(arm === 3, lit("Not Found")).otherwise(lit("OK"))
+      val ct = when(arm === 0, lit("text/html; charset=utf-8"))
+        .when(arm === 1, lit("text/html"))
+        .when(arm === 3, lit("text/html; charset=windows-1252"))
+        .otherwise(lit(null).cast("string"))
+      val loc = when(arm === 2, format_string(
+        "http://www.example.com/final/%d", expr("doc_id div 4")))
+        .otherwise(lit(null).cast("string"))
+      val body = when(arm === 2, lit(Array.emptyByteArray))
+        .when(arm === 3, concat(encode(lit("not found "), "UTF-8"), specials))
+        .otherwise(utf8)
+      val payload = HttpMessage.writeUdf(status, reason, ct, loc,
+        body, arm === 1)
+      val rec = Warc.record(col("doc_id"),
+        format_string("http://www.example.com/p/%d", col("doc_id")), payload)
+      tSpread(s, d, "documents")
+        .select((col("doc_id") % 16).as("file_id"),
+          struct(col("doc_id"), rec.as("rec")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .select(Warc.concatBlobs(expr("transform(rs, x -> x.rec)"))
+          .as("blob"))
+        .select(explode(Warc.splitUdf(col("blob"))).as("rec"))
+        .select(col("rec._1").as("doc_id"),
+          HttpMessage.parseUdf(col("rec._3")).as("h"))
+        .select(col("doc_id"),
+          col("h._1").as("status"),
+          coalesce(expr("h._2['transfer-encoding']") === "chunked",
+            lit(false)).as("chunked"),
+          expr("h._2['location']").as("location"),
+          CharsetSniff.sniffUdf(expr("h._2['content-type']"), col("h._3"))
+            .as("charset"),
+          CharsetSniff.decodeUdf(expr("h._2['content-type']"), col("h._3"))
+            .as("dec"))
+        .select(col("doc_id"), col("status"), col("chunked"),
+          col("location"), col("charset"),
+          length(col("dec")).cast("bigint").as("n_chars"),
+          md5(encode(col("dec"), "UTF-8")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14728,5 +14791,28 @@ object SparkEntry {
         | UNION ALL
         | SELECT NULL, count(*), min(doc_id) FROM d WHERE a = 4
         |) ORDER BY canonical_url""".stripMargin,
+
+    // envelope replay: statuses/framing/decoded content stated from
+    // the generator arms — arm 2's body is empty, arm 3's cp1252
+    // bytes decode to the euro/rsquo punctuation, arms 0/1 carry the
+    // document text through either framing unchanged
+    "q307_http_envelope" ->
+      """SELECT doc_id,
+        | CAST(CASE CAST(doc_id % 4 AS INT) WHEN 2 THEN 301
+        |   WHEN 3 THEN 404 ELSE 200 END AS INT) AS status,
+        | doc_id % 4 = 1 AS chunked,
+        | CASE WHEN doc_id % 4 = 2 THEN 'http://www.example.com/final/'
+        |   || CAST(doc_id // 4 AS VARCHAR) END AS location,
+        | CASE WHEN doc_id % 4 = 3 THEN 'windows-1252'
+        |   ELSE 'utf-8' END AS charset,
+        | CAST(length(dec) AS BIGINT) AS n_chars,
+        | md5(dec) AS content_md5
+        |FROM (SELECT doc_id,
+        | CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 2 THEN ''
+        |  WHEN 3 THEN 'not found ' || chr(8364) || chr(8217)
+        |  ELSE text END AS dec
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }
