@@ -7983,6 +7983,48 @@ object SparkEntry {
           md5(encode(col("dec"), "UTF-8")).as("content_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- outlink discovery: the frontier's GROWTH edge, composed
+    // end-to-end — generic <a href> extraction (Outlinks), RFC 3986
+    // resolution against the page's own URL (UrlResolve), canonical
+    // form (UrlCanon), robots gate (Robots). Seven links per page
+    // exercise every resolution class: nested relative, ../ climb,
+    // rooted with an &amp; entity in the query, scheme-relative onto
+    // another host, absolute with case/port/fragment mess for canon,
+    // query-only self-link, and a /private/ link the robots policy
+    // blocks. One anchor has no href (dropped before numbering).
+    // All per-row projections — the frontier loop costs no shuffle
+    // until its dedup ----
+    "q308_outlink_frontier" -> ((s, d) => {
+      import graft.extract.Outlinks
+      import graft.text.{UrlCanon, UrlResolve}
+      import graft.ingest.Robots
+      val k = col("doc_id") % 31
+      val base = format_string(
+        "http://www.site%d.example.com/a/b/page.html", k)
+      val html = concat(
+        lit("<div><a href=\"c/d.html\">1</a> <a href='../up.html'>2</a> "),
+        lit("<A HREF=\"/rooted?b=2&amp;a=1\">3</A> "),
+        lit("<a href=//cdn.example.com/lib.js>4</a> "),
+        lit("<a href=\"HTTPS://Abs.example.com:443/y#frag\">5</a> "),
+        format_string("<a href=\"?q=%d\">6</a> ", col("doc_id")),
+        format_string("<a href=\"/private/p%d\">7</a>", col("doc_id")),
+        lit("<a name=\"no-href\">skip</a></div>"))
+      val robots = lit("User-agent: *\nDisallow: /private/\n")
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), base.as("base"),
+          posexplode(Outlinks.hrefsUdf(html)))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("link_no"),
+          UrlCanon.canon(
+            UrlResolve.resolveUdf(col("base"), col("col"))).as("url"))
+        .withColumn("path", coalesce(nullif(
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)?$", 1), lit("")),
+          lit("/")))
+        .select(col("doc_id"), col("link_no"), col("url"),
+          Robots.allowedUdf(robots, lit("graftbot"), col("path"))
+            .as("allowed"))
+        .orderBy(col("doc_id"), col("link_no"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14814,5 +14856,29 @@ object SparkEntry {
         |  ELSE text END AS dec
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // frontier replay: each link's resolved+canonical form stated from
+    // the RFC 3986 merge rules and the canon rules the parent specs
+    // pin (lowercased host, default port stripped, fragment dropped,
+    // params sorted); only the /private/ link is robots-blocked
+    "q308_outlink_frontier" ->
+      """WITH d AS (SELECT doc_id,
+        |  'http://www.site' || CAST(doc_id % 31 AS VARCHAR)
+        |    || '.example.com' AS h FROM documents),
+        |l AS (
+        | SELECT doc_id, 1 AS link_no, h || '/a/b/c/d.html' AS url,
+        |   true AS allowed FROM d
+        | UNION ALL SELECT doc_id, 2, h || '/a/up.html', true FROM d
+        | UNION ALL SELECT doc_id, 3, h || '/rooted?a=1&b=2', true FROM d
+        | UNION ALL SELECT doc_id, 4, 'http://cdn.example.com/lib.js',
+        |   true FROM d
+        | UNION ALL SELECT doc_id, 5, 'https://abs.example.com/y',
+        |   true FROM d
+        | UNION ALL SELECT doc_id, 6, h || '/a/b/page.html?q='
+        |   || CAST(doc_id AS VARCHAR), true FROM d
+        | UNION ALL SELECT doc_id, 7, h || '/private/p'
+        |   || CAST(doc_id AS VARCHAR), false FROM d)
+        |SELECT doc_id, CAST(link_no AS INT) AS link_no, url, allowed
+        |FROM l ORDER BY doc_id, link_no""".stripMargin,
   )
 }
