@@ -7699,12 +7699,20 @@ object SparkEntry {
       import graft.text.UrlCanon
       val docs = tSpread(s, d, "documents")
       val hosts = docs.select(expr("doc_id div 10").as("h")).distinct()
+      // third child is a CROSS-HOST decoy: the same-host guard must
+      // drop it (followed, it would double the page-0..4 adverts and
+      // break every n_advertised below — the card fails loudly if the
+      // guard disappears)
       val root = format_string(
         "<sitemapindex><sitemap><loc>https://site%d.example.com/sm-0.xml" +
           "</loc></sitemap><sitemap><loc>https://site%d.example.com/sm-1.xml" +
+          "</loc></sitemap><sitemap><loc>https://evil.example.com/sm-0.xml" +
           "</loc></sitemap></sitemapindex>", col("h"), col("h"))
+      val parent = format_string(
+        "https://site%d.example.com/sitemap.xml", col("h"))
       val withChild = hosts
-        .select(col("h"), explode(Sitemap.childrenUdf(root)).as("curl"))
+        .select(col("h"),
+          explode(Sitemap.childrenCheckedUdf(parent, root)).as("curl"))
         .withColumn("c", regexp_extract(col("curl"), "sm-(\\d)\\.xml", 1)
           .cast("int"))
       val childXml = concat(lit("<urlset>"),
@@ -7849,21 +7857,25 @@ object SparkEntry {
     // parser, not assumed), then the per-host timelines merge into
     // global 1-second fetch waves — the throughput report a frontier
     // scheduler publishes (how many fetches land in each second, how
-    // many hosts are concurrently active). The per-host window is
-    // partitioned (never a global sort of the frontier) ----
+    // many hosts are concurrently active). Slot assignment goes
+    // through HostSlots.assign — a probed choice between the per-host
+    // window (one shuffle; serializes a mega-host onto ONE task) and
+    // GlobalOrder's two-phase rank (skew-proof; a hot host spans
+    // range partitions). The AB host_slot_* pairs measured the window
+    // form 3.1× faster uniform and 2.7× slower at 90%-one-host skew —
+    // neither dominates, so the operator probes max-host size first ----
     "q305_fetch_schedule" -> ((s, d) => {
       import graft.ingest.Robots
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.HostSlots
       val h = expr("doc_id div 10")
       val robots = concat(lit("User-agent: *\nCrawl-delay: "),
         format_string("%.1f", (h % 4 + 1) * lit(0.5)), lit("\n"))
-      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-      tSpread(s, d, "documents")
+      val base = tSpread(s, d, "documents")
         .select(col("doc_id"), h.as("h"),
           (Robots.crawlDelayUdf(robots, lit("graftbot")) * 1000)
             .cast("bigint").as("delay_ms"))
-        .withColumn("start_ms",
-          (row_number().over(w) - 1) * col("delay_ms"))
+      HostSlots.assign(base, "h", Seq(col("doc_id")), "slot")
+        .withColumn("start_ms", (col("slot") - 1) * col("delay_ms"))
         .select(expr("start_ms div 1000").as("wave"), col("h"))
         .groupBy(col("wave"))
         .agg(count(lit(1)).as("n_fetches"),

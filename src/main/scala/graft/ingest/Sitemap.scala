@@ -148,4 +148,40 @@ object Sitemap {
   val childrenUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (xml: String) =>
       if (isIndex(xml)) parseIndex(xml) else Seq.empty[String] }
+
+  /** scheme://host[:port] of a URL, lowercased — the sitemaps.org
+    * "same site" grain (the protocol's location rule is
+    * path-prefix-scoped too, but cross-HOST references are the attack
+    * the guard exists for: an index must not be able to enlist a
+    * foreign host's fetch budget). None for non-absolute locs. */
+  private[graft] def siteOf(url: String): Option[String] = {
+    if (url == null) return None
+    val sep = url.indexOf("://")
+    if (sep <= 0) return None
+    var e = sep + 3
+    while (e < url.length && url.charAt(e) != '/' && url.charAt(e) != '?' &&
+      url.charAt(e) != '#') e += 1
+    if (e == sep + 3) None
+    else Some(url.substring(0, e).toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** `sitemap_children_checked(parent_url, xml)` — child locs of an
+    * index, SAME-HOST ONLY (sitemaps.org: a Sitemap index file can
+    * only reference Sitemaps on its own site; a cross-host loc is
+    * dropped, never followed). Empty for urlset docs and for a parent
+    * URL with no host. Depth is the CALLER's contract: the protocol
+    * forbids an index referencing another index, so expansion is one
+    * level — enforce it by taking entries from children only via
+    * [[urlsUdf]] (which returns empty for an index doc, so a nested
+    * index contributes NOTHING rather than recursing). Spec-pinned in
+    * SitemapSpec (cross-host rejection, nested-index rejection). */
+  val childrenCheckedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (parentUrl: String, xml: String) =>
+      siteOf(parentUrl) match {
+        case None => Seq.empty[String]
+        case Some(site) =>
+          if (!isIndex(xml)) Seq.empty[String]
+          else parseIndex(xml).filter(c => siteOf(c).contains(site))
+      }
+    }
 }

@@ -141,6 +141,58 @@ object GlobalOrder {
       .drop(Pid, Lrn, Off, rn, Tot)
   }
 
+  /** Exact `row_number() OVER (PARTITION BY keys ORDER BY order)`
+    * without the per-key single-task ceiling: `Window.partitionBy(h)`
+    * sends EVERY row of a key to ONE task, so a mega-host with 10^7
+    * frontier URLs serializes on one core (the q305 politeness-skew
+    * hazard). Here the data is range-partitioned by (keys ++ order) —
+    * a hot key SPANS partitions — and the per-key rank is rebuilt
+    * from per-(partition, key) segment stats:
+    *
+    *   1. range shuffle + in-partition sort on (keys ++ order): rows
+    *      of a key are contiguous within each partition, so the
+    *      per-partition local row number (from the id decomposition)
+    *      increments by exactly 1 inside a (partition, key) segment;
+    *   2. one aggregate builds the SEGMENT frame — one row per
+    *      (partition id, key): row count + first local row number.
+    *      A 10^7-row host spanning 100 partitions contributes 100
+    *      rows here, not 10^7;
+    *   3. the per-key exclusive prefix over that frame (a window
+    *      partitioned BY KEY over segment rows — bounded by the
+    *      partition count per key, never by data);
+    *   4. join back on (partition id, keys) — uniform by construction
+    *      (a partition id's rows are one shuffle partition), so the
+    *      join reintroduces no skew; rank = prefix + (local row
+    *      number - segment start) + 1.
+    *
+    * Two shuffles of the data (range + the segment join) vs the
+    * window form's one — the price of removing the per-key ceiling.
+    * Equality with `row_number().over(Window.partitionBy...)` is
+    * spec-pinned (GlobalOrderSpec), including single-row keys and a
+    * key spanning many partitions.
+    *
+    * `keys` are column NAMES (they survive the groupBy/join round
+    * trip); `order` must make (keys ++ order) a total order. */
+  def withGroupedRowNumber(df: DataFrame, keys: Seq[String],
+                           order: Seq[Column], out: String,
+                           partitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "withGroupedRowNumber needs at least one key")
+    guard(df)
+    val t = ranked(df, keys.map(col) ++ order, partitions)
+    val segs = t.groupBy((col(Pid) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as(Cnt), min(col(Lrn)).as(SOff))
+    val wKey = Window.partitionBy(keys.map(col): _*).orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = segs
+      .withColumn(Off, coalesce(sum(col(Cnt)).over(wKey), lit(0L)))
+      .select((col(Pid) +: keys.map(col)) :+ col(Off) :+ col(SOff): _*)
+    t.join(offs, Pid +: keys)
+      .withColumn(out, col(Off) + (col(Lrn) - col(SOff)) + lit(1L))
+      // the using-columns join moved the keys first; restore the
+      // caller's column order
+      .select((df.columns :+ out).map(col): _*)
+  }
+
   /** Exact running total `sum(value) OVER (ORDER BY order ROWS BETWEEN
     * UNBOUNDED PRECEDING AND CURRENT ROW)` for an integral value, plus
     * (optionally) the row number from the same single shuffle.

@@ -267,6 +267,18 @@ object AbBench {
         (() => windowForm(), () => globalOrderForm())
       }),
 
+    // round-12 change: q305's per-host slot assignment moved from
+    // Window.partitionBy(h) to GlobalOrder.withGroupedRowNumber. Two
+    // pairs, same 2M-row frontier, same downstream wave aggregate:
+    // uniform hosts (the window form's best case — its one hash
+    // shuffle vs the two-phase's two) and 90%-one-host skew (the case
+    // the window form serializes onto one task). The claim that ships:
+    // B degrades gracefully at 1× and wins under skew — at 100 TB the
+    // skew arm is the only one that exists (every real frontier has a
+    // CDN-sized host).
+    hostSlotPair("host_slot_uniform_2m", skewed = false),
+    hostSlotPair("host_slot_skew_2m", skewed = true),
+
     // round-7 bench recorded nominal regressions on these four queries
     // (q78 2.40×, q92 2.12×, q59 1.93×, q56 1.54×) with no commit
     // touching them; an interleaved SELF-pair gives the same-session
@@ -415,6 +427,40 @@ object AbBench {
       (s, d) => {
         def run(): DataFrame = graft.SparkEntry.queries(q)(s, d)
         (() => run(), () => run())
+      })
+
+  /** A = per-host window rank, B = GlobalOrder two-phase rank, same
+    * 2M-row frontier and the q305 wave aggregate downstream. `skewed`
+    * puts 90% of rows on one host (the window form's one-task arm). */
+  private def hostSlotPair(name: String, skewed: Boolean): Pair =
+    Pair(name, "single_task_window", "grouped_two_phase",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ab-hostslot").toString
+        val host =
+          if (skewed) when(col("id") % 10 =!= 0L, lit(0L))
+            .otherwise(col("id") / 10L % 5000L + 1L)
+          else col("id") / 10L
+        s.range(2000000L)
+          .select(col("id"), host.as("h"),
+            (col("id") % 4L + 1L) * lit(500L))
+          .toDF("id", "h", "delay_ms")
+          .repartition(32).write.mode("overwrite").parquet(s"$tmp/frontier")
+        val frontier = s.read.parquet(s"$tmp/frontier")
+        def waves(slotted: DataFrame): DataFrame =
+          slotted.withColumn("start_ms", (col("slot") - 1) * col("delay_ms"))
+            .select(expr("start_ms div 1000").as("wave"), col("h"))
+            .groupBy(col("wave"))
+            .agg(count(lit(1)).as("n_fetches"),
+              countDistinct(col("h")).as("n_hosts"))
+        def windowForm(): DataFrame =
+          waves(frontier.withColumn("slot", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("id"))).cast("bigint")))
+        def groupedForm(): DataFrame =
+          waves(graft.operators.GlobalOrder.withGroupedRowNumber(
+            frontier, Seq("h"), Seq(col("id")), "slot"))
+        (() => windowForm(), () => groupedForm())
       })
 
   private def annPair(name: String, copies: Int, kind: String = "hnsw",

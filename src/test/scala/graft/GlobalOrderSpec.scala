@@ -57,6 +57,44 @@ class GlobalOrderSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("withGroupedRowNumber equals per-key window row_number") {
+    // key sizes from 1 row to ~dominant; unique id makes order total
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") < 1200, lit(0L))          // one hot key: 60% of rows
+        .otherwise(pmod(col("id"), lit(37L))).as("h"),
+      (col("id") * 31 % 1000).as("ts"))
+      .repartition(8).cache()
+    val got = GlobalOrder.withGroupedRowNumber(df, Seq("h"),
+      Seq(col("ts"), col("id")), "rn", partitions = 8)
+    val want = df.withColumn("rn", row_number().over(
+      Window.partitionBy(col("h")).orderBy(col("ts"), col("id")))
+      .cast("bigint"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    df.unpersist()
+  }
+
+  test("withGroupedRowNumber: a hot key spans partitions; no data-sized window") {
+    val df = spark.range(4000).select(col("id"), lit(7L).as("h"))
+    val out = GlobalOrder.withGroupedRowNumber(df, Seq("h"),
+      Seq(col("id")), "rn", partitions = 8)
+    // the single key's rows still occupy all 8 range partitions — the
+    // whole point vs Window.partitionBy(h), which would use one task
+    val ranked = df.repartitionByRange(8, col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+    assert(ranked.rdd.mapPartitions(it => Iterator(it.size))
+      .collect().count(_ > 0) == 8)
+    // ranks are exact 1..n
+    import spark.implicits._
+    val rns = out.select("rn").as[Long].collect().sorted
+    assert(rns.head == 1L && rns.last == 4000L && rns.distinct.length == 4000)
+    // the only window in the plan runs over the segment frame (keyed
+    // on _go_pid), never the data
+    val plan = out.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_go_pid")),
+      s"unexpected data-sized window in:\n${windowLines.mkString("\n")}")
+  }
+
   test("deterministic across runs and input partitionings") {
     val a = GlobalOrder.withRowNumber(data(500), ord, "rn", partitions = 8)
     val b = GlobalOrder.withRowNumber(data(500).repartition(3), ord, "rn",

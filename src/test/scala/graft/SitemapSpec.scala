@@ -63,4 +63,36 @@ class SitemapSpec extends SparkSpec {
     assert(Sitemap.parseUrlset(many).size == 100)
     assert(Sitemap.MaxEntries == 50000 && Sitemap.MaxBytes == 50 << 20)
   }
+
+  test("index expansion guard: cross-host children are dropped") {
+    val parent = "https://www.a.com/sitemap.xml"
+    val xml = "<sitemapindex>" +
+      "<sitemap><loc>https://www.a.com/sm-1.xml</loc></sitemap>" +
+      "<sitemap><loc>HTTPS://WWW.A.COM/sm-2.xml</loc></sitemap>" + // case folds
+      "<sitemap><loc>https://evil.example.com/sm.xml</loc></sitemap>" +
+      "<sitemap><loc>https://www.a.com:8443/sm.xml</loc></sitemap>" + // port differs
+      "<sitemap><loc>http://www.a.com/sm.xml</loc></sitemap>" + // scheme differs
+      "<sitemap><loc>/relative/sm.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    val checked = Sitemap.siteOf(parent) match {
+      case Some(site) => Sitemap.parseIndex(xml)
+        .filter(c => Sitemap.siteOf(c).contains(site))
+      case None => Seq.empty
+    }
+    assert(checked == Seq("https://www.a.com/sm-1.xml",
+      "HTTPS://WWW.A.COM/sm-2.xml"))
+    // no-host parent expands nothing
+    assert(Sitemap.siteOf("not-a-url").isEmpty)
+    assert(Sitemap.siteOf("https://").isEmpty)
+  }
+
+  test("index expansion guard: a NESTED index contributes no entries") {
+    // the protocol forbids index->index; the one-level contract holds
+    // because entries only come from parseUrlset, which returns empty
+    // for an index document
+    val nested = "<sitemapindex><sitemap>" +
+      "<loc>https://a.com/deeper.xml</loc></sitemap></sitemapindex>"
+    assert(Sitemap.isIndex(nested))
+    assert(Sitemap.parseUrlset(nested).isEmpty)
+  }
 }
