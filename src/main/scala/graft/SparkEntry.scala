@@ -8037,6 +8037,144 @@ object SparkEntry {
             .as("allowed"))
         .orderBy(col("doc_id"), col("link_no"))
     }),
+
+    // ---- the FULL frontier planner in ONE plan — the query a crawl
+    // operator actually runs, composing every stage the pairwise cards
+    // verify separately: redirect resolution (q304) → canonical
+    // identity dedup (q288/q306) → robots permission + crawl-delay
+    // (q294/q303) → politeness slots and waves (q305). Five arms per
+    // div-5 group: clean page, messy variant of the SAME page, a 301
+    // source landing on the variant (all three must merge to one
+    // fetch), a /private/ page the gate blocks, and a self-loop that
+    // quarantines before scheduling. Per-host report: candidates,
+    // allowed, blocked, the host's own delay, makespan, wave count.
+    // Plan shape pinned in PlanShapeSpec: no cartesian, no
+    // single-task data-sized window, no global sort before the 7-row
+    // presentation sort ----
+    "q309_frontier_planner" -> ((s, d) => {
+      import graft.graph.Redirects
+      import graft.text.UrlCanon
+      import graft.ingest.Robots
+      import graft.operators.HostSlots
+      val docs0 = tSpread(s, d, "documents")
+      val arm = col("doc_id") % 5
+      val g = expr("doc_id div 5")
+      val k = g % 7
+      val url = when(arm === 0, format_string(
+          "http://www.site%d.example.com/p/%d?x=1", k, g))
+        .when(arm === 1, format_string(
+          "HTTP://www.Site%d.example.com:80/p/%d?utm_source=f&x=1#top", k, g))
+        .when(arm === 3, format_string(
+          "http://www.site%d.example.com/private/%d", k, g))
+        .otherwise(format_string(
+          "http://www.site%d.example.com/r/%d", k, col("doc_id")))
+      val docs = docs0.select(col("doc_id"), url.as("url"))
+      // stage 1: redirect resolution (arm 2: one hop onto the arm-1
+      // variant; arm 4: self-loop -> quarantined before scheduling)
+      val edges = docs0.filter(arm === 2 || arm === 4)
+        .select(col("doc_id").as("src"),
+          when(arm === 4, col("doc_id"))
+            .otherwise(col("doc_id") - 1).as("dst"))
+      val resolved = Redirects.resolve(edges, maxHops = 4)
+      val withFinal = docs
+        .join(resolved.withColumnRenamed("src", "doc_id"),
+          Seq("doc_id"), "left")
+        .filter(!coalesce(col("unresolved"), lit(false)))
+        .select(col("doc_id"),
+          coalesce(col("final_id"), col("doc_id")).as("fid"))
+      // stage 2: canonical identity of the FINAL fetch; dedup keeps
+      // the earliest fetch as the group representative
+      val canon = withFinal
+        .join(docs.select(col("doc_id").as("fid"),
+          UrlCanon.canon(col("url")).as("curl")), Seq("fid"))
+        .groupBy(col("curl")).agg(min(col("doc_id")).as("first_doc"))
+      // stage 3: host + path EARNED from the canonical URL, then the
+      // robots verdict and the host's own crawl-delay
+      val hosted = canon
+        .withColumn("host_id",
+          regexp_extract(col("curl"), "site(\\d+)\\.example", 1)
+            .cast("bigint"))
+        .withColumn("path",
+          regexp_extract(col("curl"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+        format_string("%.1f", (col("host_id") % 4 + 1) * lit(0.5)),
+        lit("\n"))
+      val gated = hosted.select(col("curl"), col("host_id"),
+        col("first_doc"),
+        Robots.allowedUdf(robots, lit("graftbot"), col("path"))
+          .as("allowed"),
+        (Robots.crawlDelayUdf(robots, lit("graftbot")) * 1000)
+          .cast("bigint").as("delay_ms"))
+      // stage 4: politeness schedule over the allowed frontier
+      val sched = HostSlots.assign(gated.filter(col("allowed")),
+          "host_id", Seq(col("first_doc")), "slot")
+        .withColumn("start_ms", (col("slot") - 1) * col("delay_ms"))
+      val rep = sched.groupBy(col("host_id"))
+        .agg(count(lit(1)).as("n_allowed"),
+          max(col("delay_ms")).as("delay_ms"),
+          max(col("start_ms")).as("makespan_ms"),
+          countDistinct(expr("start_ms div 1000")).as("n_waves"))
+      // stage 5: the per-host planner report
+      gated.groupBy(col("host_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(!col("allowed"), 1)).as("n_blocked"))
+        .join(rep, Seq("host_id"))
+        .select(col("host_id"), col("n_candidates"), col("n_allowed"),
+          col("n_blocked"), col("delay_ms"), col("makespan_ms"),
+          col("n_waves"))
+        .orderBy(col("host_id"))
+    }),
+
+    // ---- lastmod-driven recrawl: the freshness loop the sitemap
+    // card left unconsumed — each host's sitemap advertises its pages
+    // WITH lastmod (written by the deterministic writer, re-parsed by
+    // the reader: the round trip earns the dates), the crawl state
+    // holds each page's fetched_at, and a page whose lastmod is newer
+    // than its fetch is STALE. The stale set becomes the re-fetch
+    // frontier, ordered freshest-change-first within each host and
+    // spaced into politeness waves by the host's own crawl-delay
+    // (q305's machinery, HostSlots under it). ISO dates compare as
+    // strings — no timestamp parsing in the hot path ----
+    "q310_recrawl_schedule" -> ((s, d) => {
+      import graft.ingest.{Robots, Sitemap}
+      import graft.operators.HostSlots
+      val docs = tSpread(s, d, "documents")
+      val h = expr("doc_id div 10")
+      val j = col("doc_id") % 10
+      val url = format_string(
+        "https://site%d.example.com/p/%d", h, col("doc_id"))
+      val lastmod = format_string("2024-01-%02d", j + 1)
+      // per-host sitemap: write the entries, read them back
+      val sm = docs
+        .select(h.as("host_id"),
+          struct(col("doc_id"), url.as("loc"), lastmod.as("lastmod"))
+            .as("e"))
+        .groupBy(col("host_id"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("host_id"), Sitemap.writeUrlsetUdf(
+          expr("transform(es, x -> struct(x.loc, x.lastmod))")).as("xml"))
+      val adv = sm
+        .select(col("host_id"), explode(Sitemap.urlsUdf(col("xml"))).as("e"))
+        .select(col("host_id"), col("e._1").as("url"),
+          col("e._2").as("lastmod"))
+      // crawl state: fetch days 2/5/8 by j%3
+      val crawl = docs.select(col("doc_id"), h.as("host_id"), url.as("url"),
+        format_string("2024-01-%02d", (j % 3) * 3 + 2).as("fetched_at"))
+      val stale = crawl.join(adv, Seq("host_id", "url"))
+        .filter(col("lastmod") > col("fetched_at"))
+      val robots = concat(lit("User-agent: *\nCrawl-delay: "),
+        format_string("%.1f", (col("host_id") % 4 + 1) * lit(0.5)),
+        lit("\n"))
+      HostSlots.assign(stale, "host_id",
+          Seq(col("lastmod").desc, col("doc_id")), "slot")
+        .withColumn("delay_ms",
+          (Robots.crawlDelayUdf(robots, lit("graftbot")) * 1000)
+            .cast("bigint"))
+        .select(col("doc_id"), col("host_id"), col("lastmod"), col("slot"),
+          expr("((slot - 1) * delay_ms) div 1000").as("wave"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -14892,5 +15030,40 @@ object SparkEntry {
         |   || CAST(doc_id AS VARCHAR), false FROM d)
         |SELECT doc_id, CAST(link_no AS INT) AS link_no, url, allowed
         |FROM l ORDER BY doc_id, link_no""".stripMargin,
+
+    // planner replay: per group, arms 0-2 merge to one /p/ page and
+    // arm 3 is one blocked /private/ page (arm 4 quarantines), so a
+    // host with n groups has 2n candidates, n allowed, n blocked;
+    // slots step by the host's delay, so makespan = (n-1)*delay and
+    // the wave count is the distinct count of (slot-1)*delay // 1000
+    "q309_frontier_planner" ->
+      """WITH grp AS (SELECT DISTINCT doc_id // 5 AS g,
+        |  (doc_id // 5) % 7 AS k FROM documents),
+        |h AS (SELECT k, count(*) AS n FROM grp GROUP BY k)
+        |SELECT k AS host_id,
+        | CAST(2 * n AS BIGINT) AS n_candidates,
+        | CAST(n AS BIGINT) AS n_allowed,
+        | CAST(n AS BIGINT) AS n_blocked,
+        | CAST((k % 4 + 1) * 500 AS BIGINT) AS delay_ms,
+        | CAST((n - 1) * (k % 4 + 1) * 500 AS BIGINT) AS makespan_ms,
+        | CAST(len(list_distinct(list_transform(range(0, n),
+        |   s -> (s * (k % 4 + 1) * 500) // 1000))) AS BIGINT) AS n_waves
+        |FROM h ORDER BY host_id""".stripMargin,
+
+    // recrawl replay: stale iff lastmod day j+1 exceeds fetch day
+    // (j%3)*3+2 (j in {3,6,7,8,9}); slots rank lastmod DESC per host,
+    // waves step by the host's delay
+    "q310_recrawl_schedule" ->
+      """WITH d AS (SELECT doc_id, doc_id // 10 AS h,
+        |  CAST(doc_id % 10 AS INT) AS j FROM documents),
+        |st AS (SELECT doc_id, h, j FROM d
+        |  WHERE j + 1 > (j % 3) * 3 + 2),
+        |r AS (SELECT doc_id, h, j, row_number() OVER
+        |  (PARTITION BY h ORDER BY j DESC, doc_id) AS slot FROM st)
+        |SELECT doc_id, h AS host_id,
+        | '2024-01-' || lpad(CAST(j + 1 AS VARCHAR), 2, '0') AS lastmod,
+        | CAST(slot AS BIGINT) AS slot,
+        | ((slot - 1) * (h % 4 + 1) * 500) // 1000 AS wave
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -149,6 +149,14 @@ object Sitemap {
     udf { (xml: String) =>
       if (isIndex(xml)) parseIndex(xml) else Seq.empty[String] }
 
+  /** `sitemap_write(array<struct<loc,lastmod>>)` — a deterministic
+    * urlset document ([[writeUrlset]]; callers sort_array the entries
+    * so the bytes are a pure function of the set). */
+  val writeUrlsetUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (entries: Seq[(String, String)]) =>
+      writeUrlset(entries.map(e => Entry(e._1, e._2)))
+    }
+
   /** scheme://host[:port] of a URL, lowercased — the sitemaps.org
     * "same site" grain (the protocol's location rule is
     * path-prefix-scoped too, but cross-HOST references are the attack

@@ -203,6 +203,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Join") >= 3, p.take(1200))
   }
 
+  test("q309: composed frontier planner — no cartesian, no data-sized window, no data sort") {
+    val p = executedPlan("q309_frontier_planner")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the only windows allowed are PARTITIONED ones: the per-host slot
+    // rank (keyed on host_id when the probe picks the window form) or
+    // GlobalOrder's segment-frame prefix (keyed on _go_pid) — never an
+    // empty partitionBy over the data
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(l =>
+      l.contains("host_id#") || l.contains("_go_pid")),
+      winLines.mkString("\n"))
+    // the only GLOBAL sort is the per-host-report presentation ORDER
+    // BY (host grain, 7 rows at this sf) — no stage sorts the frontier
+    // globally; the slot rank's sorts are partition-local (", false")
+    val globalSorts = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true")).toSeq
+    assert(globalSorts.nonEmpty && globalSorts.forall(_.contains("host_id#")),
+      globalSorts.mkString("\n"))
+  }
+
   test("q293: chunk dedup shuffles HASHES — chunk text never reaches an exchange") {
     val p = executedPlan("q293_cdc_chunk_dedup")
     // every hash exchange keys on the md5 (h) or doc_id — never the
