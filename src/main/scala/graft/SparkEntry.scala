@@ -8175,6 +8175,133 @@ object SparkEntry {
           expr("((slot - 1) * delay_ms) div 1000").as("wave"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- one full frontier ROUND — the feedback loop that makes a
+    // crawler a crawler, composed from the operators the pairwise
+    // cards verify: every FETCHED page's anchors are extracted
+    // (Outlinks), resolved against the page URL (UrlResolve),
+    // canonicalized (UrlCanon), matched against the already-fetched
+    // set (the dedup anti-join that stops re-crawling), robots-gated,
+    // and the surviving NEW URLs scheduled into politeness waves.
+    // Four links per page: a tracking-param variant of an
+    // already-fetched page (must collapse onto the crawl state and be
+    // dropped as known), a relative NEW page, a /private/ page the
+    // gate blocks, and a scheme-relative link onto the NEIGHBOR host
+    // (discovered links cross hosts; the schedule must land it on the
+    // TARGET host's budget). Per-host report ----
+    "q311_frontier_round" -> ((s, d) => {
+      import graft.extract.Outlinks
+      import graft.text.{UrlCanon, UrlResolve}
+      import graft.ingest.Robots
+      import graft.operators.HostSlots
+      val docs = tSpread(s, d, "documents")
+      val k = col("doc_id") % 13
+      val base = format_string(
+        "http://www.site%d.example.com/p/%d", k, col("doc_id"))
+      val html = concat(
+        format_string("<p><a href=\"/p/%d?utm_source=x\">s</a> ",
+          col("doc_id")),
+        format_string("<a href=\"new/%d.html\">n</a> ", col("doc_id")),
+        format_string("<a href=\"/private/x%d\">b</a> ", col("doc_id")),
+        format_string("<a href=\"//www.site%d.example.com/ext/%d\">e</a></p>",
+          (k + 1) % 13, col("doc_id")))
+      val fetched = docs.select(UrlCanon.canon(base).as("url"),
+        lit(true).as("known0"))
+      val discovered = docs
+        .select(base.as("base"), explode(Outlinks.hrefsUdf(html)).as("href"))
+        .select(UrlCanon.canon(
+          UrlResolve.resolveUdf(col("base"), col("href"))).as("url"))
+      val robots = lit("User-agent: *\nDisallow: /private/\n")
+      val flagged = discovered
+        .join(fetched, Seq("url"), "left")
+        .withColumn("known", coalesce(col("known0"), lit(false)))
+        .withColumn("host_id",
+          regexp_extract(col("url"), "site(\\d+)\\.example", 1)
+            .cast("bigint"))
+        .withColumn("path",
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+        .withColumn("allowed",
+          Robots.allowedUdf(robots, lit("graftbot"), col("path")))
+      val sched = HostSlots.assign(
+          flagged.filter(!col("known") && col("allowed")),
+          "host_id", Seq(col("url")), "slot")
+        .withColumn("start_ms",
+          (col("slot") - 1) * (col("host_id") % 4 + 1) * 500)
+        .groupBy(col("host_id"))
+        .agg(count(lit(1)).as("n_new_allowed"),
+          max(col("start_ms")).as("makespan_ms"))
+      flagged.groupBy(col("host_id"))
+        .agg(count(lit(1)).as("n_discovered"),
+          count(when(col("known"), 1)).as("n_known"),
+          count(when(!col("known") && !col("allowed"), 1))
+            .as("n_new_blocked"))
+        .join(sched, Seq("host_id"))
+        .select(col("host_id"), col("n_discovered"), col("n_known"),
+          col("n_new_blocked"), col("n_new_allowed"), col("makespan_ms"))
+        .orderBy(col("host_id"))
+    }),
+
+    // ---- redirect edges EARNED from the wire: q304 takes (src, dst)
+    // as a given table; a real archive replay derives it from 301
+    // responses — WARC split, HTTP envelope parse, status gate, and
+    // the Location header (RELATIVE, as RFC 7231 allows) resolved
+    // against the fetched URI, canonicalized, then pointer-doubled to
+    // the chain's terminal. Four arms per div-4 group: a 200 terminal,
+    // a 1-hop and a 2-hop 301 chain landing on it (relative
+    // Locations), and a self-Location loop that must quarantine.
+    // The card closes the claim in q307's charter: "the Location
+    // header feeds the redirect map" — here it actually does ----
+    "q312_location_redirects" -> ((s, d) => {
+      import graft.ingest.{Warc, HttpMessage}
+      import graft.text.{UrlCanon, UrlResolve}
+      import graft.graph.Redirects
+      val arm = col("doc_id") % 4
+      val g = expr("doc_id div 4")
+      val m = g % 11
+      val uri = format_string(
+        "http://www.h%d.example.com/u/%d", m, col("doc_id"))
+      val locTarget = when(arm === 3, col("doc_id"))
+        .otherwise(col("doc_id") - 1)
+      val loc = when(arm >= 1, format_string("/u/%d", locTarget))
+        .otherwise(lit(null).cast("string"))
+      val status = when(arm === 0, lit(200)).otherwise(lit(301))
+      val reason = when(arm === 0, lit("OK"))
+        .otherwise(lit("Moved Permanently"))
+      val ct = when(arm === 0, lit("text/html; charset=utf-8"))
+        .otherwise(lit(null).cast("string"))
+      val body = when(arm === 0, encode(col("text"), "UTF-8"))
+        .otherwise(lit(Array.emptyByteArray))
+      val payload = HttpMessage.writeUdf(status, reason, ct, loc,
+        body, lit(false))
+      val rec = Warc.record(col("doc_id"), uri, payload)
+      val parsed = tSpread(s, d, "documents")
+        .select((col("doc_id") % 16).as("file_id"),
+          struct(col("doc_id"), rec.as("rec")).as("r"))
+        .groupBy(col("file_id"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .select(Warc.concatBlobs(expr("transform(rs, x -> x.rec)"))
+          .as("blob"))
+        .select(explode(Warc.splitUdf(col("blob"))).as("rec"))
+        .select(col("rec._1").as("doc_id"),
+          UrlCanon.canon(col("rec._2")).as("url"),
+          HttpMessage.parseUdf(col("rec._3")).as("h"))
+        .select(col("doc_id"), col("url"), col("h._1").as("status"),
+          expr("h._2['location']").as("location"))
+      val edges = parsed
+        .filter(col("status") === 301 && col("location").isNotNull)
+        .select(col("url").as("src"),
+          UrlCanon.canon(
+            UrlResolve.resolveUdf(col("url"), col("location"))).as("dst"))
+      val resolved = Redirects.resolve(edges, maxHops = 4)
+      parsed
+        .join(resolved.withColumnRenamed("src", "url"), Seq("url"), "left")
+        .select(col("doc_id"), col("status"),
+          when(coalesce(col("unresolved"), lit(false)), lit(null))
+            .otherwise(coalesce(col("final_id"), col("url")))
+            .as("final_url"),
+          coalesce(col("unresolved"), lit(false)).as("unresolved"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -15065,5 +15192,36 @@ object SparkEntry {
         | CAST(slot AS BIGINT) AS slot,
         | ((slot - 1) * (h % 4 + 1) * 500) // 1000 AS wave
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // round replay: host k's discoveries are its own pages' self/new/
+    // blocked links plus the neighbor host's ext links; the self link
+    // collapses onto the crawl state (known), the new set schedules
+    // at the host's delay
+    "q311_frontier_round" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 AS k FROM documents),
+        |c AS (SELECT k, count(*) AS n FROM d GROUP BY k),
+        |j AS (SELECT a.k, a.n AS n_own, coalesce(b.n, 0) AS n_ext
+        |  FROM c a LEFT JOIN c b ON b.k = (a.k + 12) % 13)
+        |SELECT k AS host_id,
+        | CAST(3 * n_own + n_ext AS BIGINT) AS n_discovered,
+        | CAST(n_own AS BIGINT) AS n_known,
+        | CAST(n_own AS BIGINT) AS n_new_blocked,
+        | CAST(n_own + n_ext AS BIGINT) AS n_new_allowed,
+        | CAST((n_own + n_ext - 1) * (k % 4 + 1) * 500 AS BIGINT)
+        |   AS makespan_ms
+        |FROM j ORDER BY host_id""".stripMargin,
+
+    // location replay: arms 0-2 land on the group terminal (doc 4g =
+    // doc_id - a), the self-Location arm quarantines
+    "q312_location_redirects" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g,
+        |  CAST(doc_id % 4 AS INT) AS a FROM documents)
+        |SELECT doc_id,
+        | CAST(CASE WHEN a = 0 THEN 200 ELSE 301 END AS INT) AS status,
+        | CASE WHEN a = 3 THEN NULL ELSE
+        |  'http://www.h' || CAST(g % 11 AS VARCHAR) || '.example.com/u/'
+        |    || CAST(doc_id - a AS VARCHAR) END AS final_url,
+        | a = 3 AS unresolved
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -262,6 +262,17 @@ object ScaleProbe {
           }
           edges.unpersist()
         }
+        // breadth x rounds: at 10M edges the claim that matters at
+        // 100 TB is that deepening 16x costs the extra rounds (2 -> 6,
+        // ~3x), never 16x — the log2 claim measured AT breadth
+        Seq(4L, 64L).foreach { d =>
+          val edges = chainEdges(10000000L, d).cache()
+          edges.count()
+          time(s"redirects resolve 10M edges (depth $d, ${64 - java.lang.Long.numberOfLeadingZeros(d - 1)} rounds)") {
+            Redirects.resolve(edges, maxHops = d.toInt).count()
+          }
+          edges.unpersist()
+        }
 
       case other => sys.error(s"unknown probe mode: $other")
     }
