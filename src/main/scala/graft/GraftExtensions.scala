@@ -269,6 +269,19 @@ object GraftFunctions {
     ("crawl_delay",
       columnFn(cs => graft.ingest.Robots.crawlDelayUdf(cs(0), cs(1))),
       classOf[Expression]),
+    // round 12: the crawl-loop closers
+    ("http_parse",
+      columnFn(cs => graft.ingest.HttpMessage.parseUdf(cs(0))),
+      classOf[Expression]),
+    ("url_resolve",
+      columnFn(cs => graft.text.UrlResolve.resolveUdf(cs(0), cs(1))),
+      classOf[Expression]),
+    ("outlinks",
+      columnFn(cs => graft.extract.Outlinks.hrefsUdf(cs(0))),
+      classOf[Expression]),
+    ("sitemap_children_checked",
+      columnFn(cs => graft.ingest.Sitemap.childrenCheckedUdf(cs(0), cs(1))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

@@ -467,4 +467,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(rb.getSeq[String](0) == Seq("https://e.com/s.xml"))
     assert(rb.getDouble(1) == 2.5)
   }
+
+  test("round-12 crawl surface usable from pure SQL: http, resolve, outlinks") {
+    import graft.GraftFunctions
+    GraftFunctions.register(spark)
+    // http_parse: status/headers/body off a wire literal
+    val h = spark.sql(
+      """SELECT http_parse(cast('HTTP/1.1 301 Moved' || chr(13) || chr(10)
+        |  || 'Location: /next' || chr(13) || chr(10)
+        |  || 'Content-Length: 2' || chr(13) || chr(10)
+        |  || chr(13) || chr(10) || 'ok' AS BINARY)) AS r""".stripMargin)
+      .selectExpr("r._1 AS status", "r._2['location'] AS loc",
+        "cast(r._3 AS STRING) AS body")
+      .collect().head
+    assert(h.getInt(0) == 301 && h.getString(1) == "/next" &&
+      h.getString(2) == "ok")
+    // url_resolve: the RFC merge + dot-segment rules
+    val r = spark.sql(
+      "SELECT url_resolve('http://a/b/c/d;p?q', '../g') AS u")
+      .collect().head.getString(0)
+    assert(r == "http://a/b/g")
+    // outlinks: entity-decoded hrefs in document order
+    val links = spark.sql(
+      """SELECT outlinks('<a href="/x?a=1&amp;b=2">1</a><a href=y>2</a>')
+        | AS ls""".stripMargin).collect().head.getSeq[String](0)
+    assert(links == Seq("/x?a=1&b=2", "y"))
+    // sitemap_children_checked: the same-host guard from SQL
+    val ch = spark.sql(
+      """SELECT sitemap_children_checked('https://a.com/sm.xml',
+        |  '<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>
+        |   <sitemap><loc>https://evil.com/s2.xml</loc></sitemap>
+        |  </sitemapindex>') AS ch""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(ch == Seq("https://a.com/s1.xml"))
+  }
 }
