@@ -8302,6 +8302,185 @@ object SparkEntry {
           coalesce(col("unresolved"), lit(false)).as("unresolved"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- frontier PRIORITY from the link graph: a crawl budget fetches
+    // important pages first, and "important" is link-graph rank —
+    // OPIC/PageRank-style scheduling. The edge list is EARNED through
+    // the discovery stack (outlinks → resolve → canon → url→id join,
+    // q308's machinery): arms 1-4 of each group link to the group hub,
+    // the hub links onward, so rank concentrates on hubs
+    // deterministically. Integer fixed-point PageRank (bit-reproducible
+    // across engines), then the global priority order through
+    // GlobalOrder — one range shuffle, never a single-task window ----
+    "q313_frontier_priority" -> ((s, d) => {
+      import graft.extract.Outlinks
+      import graft.text.{UrlCanon, UrlResolve}
+      import graft.graph.Graph
+      import graft.operators.GlobalOrder
+      val docs0 = tSpread(s, d, "documents")
+      val arm = col("doc_id") % 5
+      val g = expr("doc_id div 5")
+      val k = g % 9
+      val base = format_string(
+        "http://www.s%d.example.com/p/%d", k, col("doc_id"))
+      val target = when(arm === 0, g * 5 + 1).otherwise(g * 5)
+      val html = format_string(
+        "<p>see <a href=\"/p/%d\">link</a></p>", target)
+      val docs = docs0.select(col("doc_id"), base.as("base"),
+        html.as("html"))
+      val urlToId = docs.select(UrlCanon.canon(col("base")).as("url"),
+        col("doc_id").as("dst"))
+      val edges = docs
+        .select(col("doc_id").as("src"), col("base"),
+          explode(Outlinks.hrefsUdf(col("html"))).as("href"))
+        .select(col("src"), UrlCanon.canon(
+          UrlResolve.resolveUdf(col("base"), col("href"))).as("url"))
+        .join(urlToId, Seq("url"))
+        .select(col("src"), col("dst")).distinct()
+      val ranks = Graph.pageRankFixedPoint(edges, iterations = 2)
+        .select(col("id"), col("rank").as("pr"))
+      GlobalOrder.withRowNumber(ranks,
+          Seq(col("pr").desc, col("id")), "priority")
+        .orderBy(col("id"))
+    }),
+
+    // ---- conditional revalidation: the recrawl's cheap path — a
+    // fetch with If-Modified-Since earns a 304 (keep the stored
+    // content, near-zero bytes) or a 200 (replace). The third arm is
+    // the wasted fetch every crawl audits for: a 200 whose body
+    // hashes identical to the stored content (the server ignored the
+    // conditional). Status and body come off the parsed envelope,
+    // never assumed ----
+    "q314_conditional_revalidation" -> ((s, d) => {
+      import graft.ingest.{CharsetSniff, HttpMessage}
+      val arm = col("doc_id") % 3
+      val newBody = when(arm === 1,
+          encode(concat(col("text"), lit(" v2")), "UTF-8"))
+        .when(arm === 2, encode(col("text"), "UTF-8"))
+        .otherwise(lit(Array.emptyByteArray))
+      val status = when(arm === 0, lit(304)).otherwise(lit(200))
+      val reason = when(arm === 0, lit("Not Modified")).otherwise(lit("OK"))
+      val ct = when(arm === 0, lit(null).cast("string"))
+        .otherwise(lit("text/html; charset=utf-8"))
+      val payload = HttpMessage.writeUdf(status, reason, ct,
+        lit(null).cast("string"), newBody, lit(false))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), col("text").as("old_content"),
+          HttpMessage.parseUdf(payload).as("h"))
+        .select(col("doc_id"), col("h._1").as("status"),
+          col("old_content"),
+          when(col("h._1") === 304, col("old_content"))
+            .otherwise(CharsetSniff.decodeUdf(
+              lit("text/html; charset=utf-8"), col("h._3"))).as("content"))
+        .select(col("doc_id"), col("status"),
+          when(col("status") === 304, lit("revalidated"))
+            .when(col("content") === col("old_content"), lit("wasted"))
+            .otherwise(lit("updated")).as("outcome"),
+          md5(encode(col("content"), "UTF-8")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- content-type dispatch: the multimodal router — an archive
+    // carries html, images, audio and opaque bytes in ONE stream, and
+    // the Content-Type header (off the parsed envelope) routes each
+    // body to its decoder: html → charset decode, P6 → PpmCodec,
+    // WAV → WavCodec, anything unclaimed → quarantine kind 'unknown'
+    // with NULL stats (the NULL-dispatch contract at the modality
+    // grain). Each decoder's stats replay from the generator formulas ----
+    "q315_content_dispatch" -> ((s, d) => {
+      import graft.ingest.{CharsetSniff, HttpMessage}
+      import graft.multimodal.{PpmCodec, WavCodec}
+      val arm = col("doc_id") % 4
+      val ppmGen = udf { (id: Long) =>
+        val w = 2 + (id % 3).toInt
+        val h = 2
+        val v = (id % 256).toByte
+        val head = s"P6\n$w $h\n255\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        head ++ Array.fill(w * h * 3)(v)
+      }
+      val wavGen = udf { (id: Long) =>
+        WavCodec.encode(WavCodec.Clip(8000, 1,
+          Array.fill(4)((id % 100).toShort)))
+      }
+      val imgStats = udf { (b: Array[Byte]) =>
+        PpmCodec.decode(b).map(im =>
+          (im.width.toLong * im.height, (im.rgb(0) & 0xff).toLong)).orNull
+      }
+      val wavStats = udf { (b: Array[Byte]) =>
+        WavCodec.decode(b).map(c =>
+          (c.frames.toLong, WavCodec.stats(c).peak.toLong)).orNull
+      }
+      val ct = when(arm === 0, lit("text/html; charset=utf-8"))
+        .when(arm === 1, lit("image/x-portable-pixmap"))
+        .when(arm === 2, lit("audio/wav"))
+        .otherwise(lit("application/octet-stream"))
+      val body = when(arm === 0, encode(col("text"), "UTF-8"))
+        .when(arm === 1, ppmGen(col("doc_id")))
+        .when(arm === 2, wavGen(col("doc_id")))
+        .otherwise(encode(lit("opaque"), "UTF-8"))
+      val payload = HttpMessage.writeUdf(lit(200), lit("OK"), ct,
+        lit(null).cast("string"), body, lit(false))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), HttpMessage.parseUdf(payload).as("h"))
+        .select(col("doc_id"),
+          expr("h._2['content-type']").as("content_type"), col("h._3").as("b"))
+        .withColumn("kind",
+          when(col("content_type").startsWith("text/html"), "text")
+            .when(col("content_type") === "image/x-portable-pixmap", "image")
+            .when(col("content_type") === "audio/wav", "audio")
+            .otherwise("unknown"))
+        .select(col("doc_id"), col("content_type"), col("kind"),
+          when(col("kind") === "text",
+            length(CharsetSniff.decodeUdf(col("content_type"), col("b")))
+              .cast("bigint"))
+            .when(col("kind") === "image", imgStats(col("b"))("_1"))
+            .when(col("kind") === "audio", wavStats(col("b"))("_1"))
+            .as("units"),
+          when(col("kind") === "text", lit(0L))
+            .when(col("kind") === "image", imgStats(col("b"))("_2"))
+            .when(col("kind") === "audio", wavStats(col("b"))("_2"))
+            .as("value"),
+          when(col("kind") === "text", md5(col("b"))).as("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Content-Encoding: most archived responses are gzipped on
+    // the wire, so the decode chain grows a rung BEFORE charset:
+    // envelope → (gunzip when Content-Encoding: gzip) → charset →
+    // text. Three arms: gzipped (must round-trip to the same md5 as
+    // the identity arm), identity, and a LYING encoding header over
+    // corrupt bytes — the inflate NULL-dispatches and the row
+    // quarantines instead of failing the scan ----
+    "q316_content_encoding" -> ((s, d) => {
+      import graft.ingest.{CharsetSniff, HttpMessage}
+      import graft.text.GzipText
+      val arm = col("doc_id") % 3
+      val gz = udf { (s0: String) => GzipText.gzipBytes(s0) }
+      val body = when(arm === 0, gz(col("text")))
+        .when(arm === 1, encode(col("text"), "UTF-8"))
+        .otherwise(concat(lit(Array[Byte](0x1f.toByte, 0x8b.toByte)),
+          encode(lit("corrupt"), "UTF-8")))
+      val enc = when(arm === 1, lit("identity")).otherwise(lit("gzip"))
+      val headers = map(
+        lit("Content-Type"), lit("text/html; charset=utf-8"),
+        lit("Content-Encoding"), enc)
+      val payload = HttpMessage.writeWithHeadersUdf(lit(200), lit("OK"),
+        headers, body, lit(false))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), HttpMessage.parseUdf(payload).as("h"))
+        .select(col("doc_id"),
+          expr("h._2['content-encoding']").as("encoding"),
+          when(expr("h._2['content-encoding']") === "gzip",
+            GzipText.gunzip(col("h._3")))
+            .otherwise(CharsetSniff.decodeUdf(
+              expr("h._2['content-type']"), col("h._3"))).as("content"))
+        .select(col("doc_id"), col("encoding"),
+          col("content").isNotNull.as("decoded"),
+          length(col("content")).cast("bigint").as("n_chars"),
+          md5(encode(col("content"), "UTF-8")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -15223,5 +15402,86 @@ object SparkEntry {
         |    || CAST(doc_id - a AS VARCHAR) END AS final_url,
         | a = 3 AS unresolved
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // priority replay: edges from the link formula (arms 1-4 -> hub
+    // 5g, hub -> 5g+1), two fixed-point iterations in exact integer
+    // arithmetic (the q125 replay shape), then the global priority
+    // rank
+    "q313_frontier_priority" ->
+      """WITH d AS (SELECT doc_id, doc_id // 5 AS g,
+        |  CAST(doc_id % 5 AS INT) AS a FROM documents),
+        |edges AS (
+        | SELECT doc_id AS src, g * 5 AS dst FROM d WHERE a >= 1
+        | UNION ALL
+        | SELECT doc_id, doc_id + 1 FROM d WHERE a = 0),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM nn)
+        |  AS BIGINT) AS pr FROM nodes),
+        |tp AS (SELECT CAST(((1000000000000 // (SELECT n FROM nn)) * 15)
+        |  // 100 AS BIGINT) AS t),
+        |r1 AS (
+        | SELECT nodes.id, CAST((SELECT t FROM tp)
+        |   + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        | FROM nodes LEFT JOIN (
+        |   SELECT e.dst AS id, sum(r.pr // o.deg) AS m
+        |   FROM edges e JOIN r0 r ON e.src = r.id
+        |   JOIN outdeg o ON e.src = o.src
+        |   GROUP BY e.dst) s ON nodes.id = s.id),
+        |r2 AS (
+        | SELECT nodes.id, CAST((SELECT t FROM tp)
+        |   + (coalesce(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        | FROM nodes LEFT JOIN (
+        |   SELECT e.dst AS id, sum(r.pr // o.deg) AS m
+        |   FROM edges e JOIN r1 r ON e.src = r.id
+        |   JOIN outdeg o ON e.src = o.src
+        |   GROUP BY e.dst) s ON nodes.id = s.id)
+        |SELECT id, pr,
+        | CAST(row_number() OVER (ORDER BY pr DESC, id) AS BIGINT)
+        |   AS priority
+        |FROM r2 ORDER BY id""".stripMargin,
+
+    // revalidation replay: outcome and final content per arm
+    "q314_conditional_revalidation" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 304 ELSE 200 END AS INT)
+        |   AS status,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'revalidated'
+        |   WHEN 1 THEN 'updated' ELSE 'wasted' END AS outcome,
+        | md5(CASE WHEN doc_id % 3 = 1 THEN text || ' v2' ELSE text END)
+        |   AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // dispatch replay: per-modality stats from the generator formulas
+    "q315_content_dispatch" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST(doc_id % 4 AS INT) AS a FROM documents)
+        |SELECT doc_id,
+        | CASE a WHEN 0 THEN 'text/html; charset=utf-8'
+        |  WHEN 1 THEN 'image/x-portable-pixmap'
+        |  WHEN 2 THEN 'audio/wav'
+        |  ELSE 'application/octet-stream' END AS content_type,
+        | CASE a WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+        |  WHEN 2 THEN 'audio' ELSE 'unknown' END AS kind,
+        | CAST(CASE a WHEN 0 THEN length(text)
+        |  WHEN 1 THEN (2 + doc_id % 3) * 2
+        |  WHEN 2 THEN 4 END AS BIGINT) AS units,
+        | CAST(CASE a WHEN 0 THEN 0 WHEN 1 THEN doc_id % 256
+        |  WHEN 2 THEN doc_id % 100 END AS BIGINT) AS value,
+        | CASE WHEN a = 0 THEN md5(text) END AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // encoding replay: gzip and identity arms carry the text through,
+    // the lying-header arm quarantines NULL
+    "q316_content_encoding" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 1 THEN 'identity' ELSE 'gzip' END
+        |   AS encoding,
+        | doc_id % 3 <> 2 AS decoded,
+        | CASE WHEN doc_id % 3 <> 2 THEN CAST(length(text) AS BIGINT) END
+        |   AS n_chars,
+        | CASE WHEN doc_id % 3 <> 2 THEN md5(text) END AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

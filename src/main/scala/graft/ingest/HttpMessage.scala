@@ -245,6 +245,17 @@ object HttpMessage {
       parse(payload).map(r => (r.status, r.headers.toMap, r.body))
     }
 
+  /** `http_response_h(status, reason, headers, body, chunked)` — the
+    * writer with an arbitrary header map (small maps keep insertion
+    * order through Spark's map data, so the bytes stay deterministic
+    * for the ≤4-header responses the cards build). */
+  val writeWithHeadersUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (status: Int, reason: String, headers: Map[String, String],
+           body: Array[Byte], chunked: Boolean) =>
+      write(status, reason,
+        if (headers == null) Seq.empty else headers.toSeq, body, chunked)
+    }
+
   /** `http_response(status, reason, content_type, location, body,
     * chunked)` — the writer with the two headers the crawl cards set;
     * NULL content_type/location omit the header. */
