@@ -274,6 +274,40 @@ object ScaleProbe {
           edges.unpersist()
         }
 
+      case "frontier" =>
+        // the q309 planner composition at synthetic scale, with the
+        // skew arm a real frontier always has: one CDN-sized host
+        // holding 90% of URLs. Claims measured: (a) the planner is
+        // near-linear in frontier size (projections + 8-byte-ish
+        // joins + host-grain aggregates); (b) the HostSlots probe
+        // switches to the grouped rank under skew, so the mega-host
+        // never serializes one task.
+        import graft.operators.HostSlots
+        import org.apache.spark.sql.DataFrame
+        def planner(n: Long, skewed: Boolean): DataFrame = {
+          val host =
+            if (skewed) when(col("id") % 10L =!= 0L, lit(0L))
+              .otherwise(col("id") / 10L % 5000L + 1L)
+            else col("id") / 10L
+          val fr = spark.range(n).repartition(32)
+            .select(col("id"), host.as("host_id"),
+              concat(lit("http://www.s"), host,
+                lit(".example.com/p/"), col("id")).as("url"),
+              (col("id") % 7L === 0L).as("blocked"),
+              ((host % 4L + 1L) * 500L).as("delay_ms"))
+          val sched = HostSlots.assign(fr.filter(!col("blocked")),
+              "host_id", Seq(col("id")), "slot")
+            .withColumn("start_ms", (col("slot") - 1) * col("delay_ms"))
+          sched.groupBy(col("host_id"))
+            .agg(count(lit(1)).as("n_allowed"),
+              max(col("start_ms")).as("makespan_ms"))
+        }
+        for (m <- Seq(1L, 10L); skewed <- Seq(false, true)) {
+          time(s"frontier planner ${m}x (1M base${if (skewed) ", 90% one host" else ""})") {
+            planner(1000000L * m, skewed).count()
+          }
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

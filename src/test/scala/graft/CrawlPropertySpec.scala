@@ -216,4 +216,106 @@ class CrawlPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- round-12 additions: HTTP envelope, URL resolution, outlinks ----
+
+  private val headerGen: Gen[Seq[(String, String)]] = for {
+    n <- Gen.choose(0, 5)
+    hs <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("Content-Type", "X-Custom", "ETag", "Server", "Vary")
+      v <- Gen.oneOf("text/html", "a, b", "\"abc123\"", "x=1; y=2", "ok")
+    } yield (k, v))
+  } yield hs.distinctBy(_._1.toLowerCase)
+
+  private val bodyGen: Gen[Array[Byte]] =
+    Gen.choose(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+
+  test("HttpMessage: parse(write(...)) inverts for both framings on arbitrary bodies") {
+    import graft.ingest.HttpMessage
+    val gen = for {
+      status <- Gen.choose(100, 599)
+      hs <- headerGen
+      body <- bodyGen
+      chunked <- Gen.oneOf(true, false)
+    } yield (status, hs, body, chunked)
+    cases(gen).foreach { case (status, hs, body, chunked) =>
+      val wire = HttpMessage.write(status, "R", hs, body, chunked)
+      val r = HttpMessage.parse(wire)
+      assert(r.isDefined, s"$status $hs chunked=$chunked")
+      assert(r.get.status == status)
+      assert(java.util.Arrays.equals(r.get.body, body),
+        s"body mismatch at $status chunked=$chunked len=${body.length}")
+      hs.foreach { case (k, v) =>
+        assert(HttpMessage.header(r.get, k).contains(v), k)
+      }
+    }
+  }
+
+  test("HttpMessage: parse is TOTAL on arbitrary bytes (None or a response, never a throw)") {
+    import graft.ingest.HttpMessage
+    cases(bodyGen).foreach { bytes =>
+      HttpMessage.parse(bytes) // must not throw
+    }
+    // and on byte-corrupted valid messages
+    val base = HttpMessage.write(200, "OK",
+      Seq("Content-Type" -> "text/html"), "hello world".getBytes(UTF_8),
+      chunked = true)
+    (0 until base.length).foreach { i =>
+      val corrupt = base.clone()
+      corrupt(i) = (corrupt(i) ^ 0x5A).toByte
+      HttpMessage.parse(corrupt) // must not throw for any single flip
+    }
+  }
+
+  test("UrlResolve: resolving an ABSOLUTE ref ignores the base; resolve is stable") {
+    import graft.text.UrlResolve
+    cases(urlGen).foreach { u =>
+      // an absolute URL resolved against any base is itself (modulo
+      // dot-segment removal, which these generated paths don't need)
+      val r = UrlResolve.resolve("http://other.example/x/y", u)
+      assert(r.isDefined, u)
+      if (!u.contains("/.") && !u.contains("./"))
+        assert(r.get == u, u)
+      // resolving the result against the same base is a fixed point
+      assert(UrlResolve.resolve("http://other.example/x/y", r.get) == r, u)
+    }
+  }
+
+  test("UrlResolve: resolve BEFORE canon — the pipeline order is load-bearing") {
+    import graft.text.{UrlCanon, UrlResolve}
+    // canon strips a non-root trailing slash, and RFC 3986 merge
+    // resolves relative refs against the base path UP TO ITS LAST
+    // SLASH — so canonicalizing the base first CHANGES where relative
+    // links land. This pins why q308/q311 resolve against the RAW
+    // fetched URL and canonicalize only the result.
+    val base = "http://ex.com/a/b/"
+    val direct = UrlResolve.resolve(base, "c")
+      .flatMap(UrlCanon.canonicalize(_))
+    assert(direct.contains("http://ex.com/a/b/c"))
+    val cb = UrlCanon.canonicalize(base).get
+    assert(cb == "http://ex.com/a/b") // slash stripped
+    val viaCanon = UrlResolve.resolve(cb, "c")
+      .flatMap(UrlCanon.canonicalize(_))
+    assert(viaCanon.contains("http://ex.com/a/c")) // WRONG target
+    assert(direct != viaCanon)
+    // for rooted / absolute / scheme-relative refs the order is
+    // immaterial — those never consult the base path
+    for (r <- Seq("/rooted", "//h2.example/p", "https://abs.io/q"))
+      assert(UrlResolve.resolve(base, r).flatMap(UrlCanon.canonicalize(_))
+        == UrlResolve.resolve(cb, r).flatMap(UrlCanon.canonicalize(_)), r)
+  }
+
+  test("Outlinks: extraction is TOTAL and capped on arbitrary text") {
+    import graft.extract.Outlinks
+    val junkGen = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('<', '>', 'a', ' ', '"', '\'', '=',
+        'h', 'r', 'e', 'f', '/', '&', ';')).map(_.mkString))
+    cases(junkGen).foreach { s =>
+      val out = Outlinks.hrefs(s) // must not throw
+      assert(out.size <= Outlinks.MaxLinks)
+      out.foreach(h => assert(h.nonEmpty))
+    }
+  }
 }
