@@ -151,6 +151,27 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL score"))
   }
 
+  test("scrub-before-dedup collapses PII-only variants (q317 stage order)") {
+    import graft.text.Pii
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // two crawls of the same page differing ONLY in the injected
+    // contact line — the q317 dup arm in miniature
+    val docs = Seq(
+      (1L, "the same body text contact alice@a.example.com ip 10.0.0.1"),
+      (8L, "the same body text contact bob.b@b.example.org ip 10.9.9.9"))
+      .toDF("doc_id", "text")
+    val scrubbed = docs.select(col("doc_id"), Pii.redact(col("text")).as("clean"))
+    // raw hashes distinct: dedup-before-scrub would keep BOTH copies
+    assert(docs.select(countDistinct(md5(col("text")))).head().getLong(0) == 2L)
+    // scrubbed hashes collide; keep-first retains the earlier doc_id
+    val kept = scrubbed
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(col("clean"))).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("selectByBudget keeps everything when the corpus fits") {
     val docs = (1L to 50L).map(i => (i, (i % 10) / 10.0, 5L))
       .toDF("id", "score", "tokens")

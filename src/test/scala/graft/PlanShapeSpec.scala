@@ -224,6 +224,26 @@ class PlanShapeSpec extends SparkSpec {
       globalSorts.mkString("\n"))
   }
 
+  test("q317: curation pipeline — windows only on bounded grains, no cartesian, no data sort") {
+    val p = executedPlan("q317_training_shards")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the only windows are the dedup keep-first rank (keyed on the
+    // content hash — group size = dup count) and shardByTokens' 256-band
+    // prefix sum (keyed on _band) — never an empty partitionBy
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("_h#") || l.contains("_band#")),
+      winLines.mkString("\n"))
+    // the only GLOBAL sort is the presentation ORDER BY shard (shard
+    // grain — bounded by corpus_tokens/budget); gate joins, dedup and
+    // packing never sort the corpus globally
+    val globalSorts = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true")).toSeq
+    assert(globalSorts.forall(_.contains("shard#")),
+      globalSorts.mkString("\n"))
+  }
+
   test("q293: chunk dedup shuffles HASHES — chunk text never reaches an exchange") {
     val p = executedPlan("q293_cdc_chunk_dedup")
     // every hash exchange keys on the md5 (h) or doc_id — never the
