@@ -308,6 +308,57 @@ object ScaleProbe {
           }
         }
 
+      case "curation" =>
+        // the q317 composed curation pipeline (gates → scrub → dedup
+        // on the scrubbed hash → token packing) over a synthetic
+        // corpus built to PASS the Gopher gates (stopwords interleaved
+        // with distinct 8-char blocks: ≥30 words, mean len in bounds,
+        // zero duplicate 3-grams), with the PII-only dup arm. Claim:
+        // corpus-linear — the gates+scrub are one codegen pass, and
+        // nothing downstream grows super-linearly (dedup shuffles
+        // hashes, packing is the 256-band prefix).
+        import graft.operators.Curation
+        import graft.text.{Pii, TextFunctions}
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        val stops = Seq("the", "of", "and", "to", "a")
+        def pipeline(n: Long): DataFrame = {
+          val base = spark.range(n).repartition(32)
+            .select(col("id").as("doc_id"),
+              concat_ws(" ", (0 until 40).flatMap(j =>
+                Seq(lit(stops(j % stops.size)),
+                  substring(md5(concat(col("id"), lit(":" + j))), 1, 8)
+                    .cast("string"))): _*).as("text"))
+          val corpus = base.unionByName(
+            base.filter(col("doc_id") % 7 === 0)
+              .select((col("doc_id") + n * 2).as("doc_id"), col("text")))
+          val inj = corpus.select(col("doc_id"),
+            concat(col("text"), lit(" Contact: user"),
+              col("doc_id").cast("string"),
+              lit("@mail.example.com at 192.168."),
+              (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+          val gated = inj
+            .filter(TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
+              TextFunctions.gopherQualityStruct(col("text"))("keep"))
+          val kept = gated
+            .select(col("doc_id"), Pii.redact(col("text")).as("clean"))
+            .withColumn("_h", md5(col("clean")))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+            .filter(col("_rn") === 1)
+            .select(col("doc_id"),
+              TextFunctions.tokenCount(col("clean")).cast("bigint")
+                .as("n_toks"))
+          Curation.shardByTokens(kept, "doc_id", "n_toks", 1000000L)
+            .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+        }
+        for (m <- Seq(1L, 10L)) {
+          time(s"curation pipeline ${m}x (100k docs base, +1/7 dups)") {
+            val shards = pipeline(100000L * m)
+            println(s"[probe]   shards=${shards.count()}")
+          }
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

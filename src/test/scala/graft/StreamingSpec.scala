@@ -1028,4 +1028,100 @@ class StreamingSpec extends SparkSpec {
       dupIds.contains(359L)) // cross-batch dup caught by batch-1 append
     assert(spark.read.parquet(seenPath).distinct().count() == seenSet.size)
   }
+
+  test("streaming frontier: per-batch discovery anti-joins the seen set " +
+    "across waves (q311's loop run continuously)") {
+    // the crawl loop as it actually runs: fetch results arrive in
+    // waves; each wave's outlinks resolve→canon→robots-gate, then
+    // anti-join the accumulated seen set (fetched ∪ already-emitted),
+    // and only the NOVEL urls are emitted as the next frontier. Wave 2
+    // fetches urls wave 1 emitted and re-discovers wave-1 links — the
+    // cross-batch state must swallow both.
+    import graft.extract.Outlinks
+    import graft.text.{UrlCanon, UrlResolve}
+    import graft.ingest.Robots
+    import org.apache.spark.sql.DataFrame
+    val dir = Files.createTempDirectory("graft-frontier-src")
+    val ckpt = Files.createTempDirectory("graft-frontier-ckpt").toString
+    val seenPath = Files.createTempDirectory("graft-frontier-seen")
+      .toString + "/seen"
+    val robots = "User-agent: *\nDisallow: /private/\n"
+
+    def page(host: Int, id: String, hrefs: Seq[String]): (String, String) = (
+      s"http://www.site$host.example.com/p/$id",
+      hrefs.map(h => s"""<a href="$h">x</a>""").mkString(" "))
+
+    def fetchedUrls(b: DataFrame): DataFrame =
+      b.select(UrlCanon.canon(col("base")).as("url")).distinct()
+    def discovered(b: DataFrame): DataFrame = b
+      .select(col("base"), explode(Outlinks.hrefsUdf(col("html"))).as("href"))
+      .select(UrlCanon.canon(
+        UrlResolve.resolveUdf(col("base"), col("href"))).as("url"))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+      .filter(Robots.allowedUdf(lit(robots), lit("graftbot"), col("path")))
+      .select("url").distinct()
+
+    Seq.empty[String].toDF("url").write.parquet(seenPath)
+    val emitted = scala.collection.mutable.ArrayBuffer[String]()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("base", "string").add("html", "string")
+    def runOnce(): Unit = {
+      val q = StreamingIngest.readStream(spark, dir.toString, schema)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val seen = spark.read.parquet(seenPath)
+            val fetched = fetchedUrls(b)
+            val fresh = discovered(b)
+              .join(seen.unionByName(fetched).distinct(),
+                Seq("url"), "left_anti")
+              .collect().map(_.getString(0)).sorted
+            emitted.synchronized { emitted ++= fresh }: Unit
+            fetched.unionByName(
+                fresh.toSeq.toDF("url"))
+              .write.mode("append").parquet(seenPath)
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // wave 1: two fetched pages; /private/ blocked; the utm variant,
+    // the relative new/3.html and a scheme-relative cross-host link
+    val wave1 = Seq(
+      page(1, "1", Seq("/p/2?utm_source=a", "new/3.html", "/private/x1")),
+      page(2, "9", Seq("//www.site1.example.com/p/2", "/p/10")))
+    wave1.toDF("base", "html").write.mode("overwrite").parquet(dir.toString)
+    runOnce()
+    val wave1Emitted = emitted.toList
+    assert(wave1Emitted.size == 3, wave1Emitted) // s1/p/2, s1/p/new/3.html, s2/p/10
+
+    // wave 2 fetches two urls wave 1 emitted; re-discovers /p/2 and
+    // new/3.html (must NOT re-emit), self-links its own page (now
+    // fetched), and finds two genuinely new urls
+    val wave2 = Seq(
+      page(1, "2", Seq("/p/2", "/p/4", "new/3.html")),
+      page(2, "10", Seq("/private/y", "/p/11")))
+    wave2.toDF("base", "html").write.mode("append").parquet(dir.toString)
+    runOnce()
+    val wave2Emitted = emitted.toList.drop(wave1Emitted.size)
+    assert(wave2Emitted.size == 2, wave2Emitted) // s1/p/4, s2/p/11
+    assert(wave2Emitted.exists(_.endsWith("/p/4")) &&
+      wave2Emitted.exists(_.endsWith("/p/11")), wave2Emitted)
+    // no url ever emitted twice across waves
+    assert(emitted.distinct.size == emitted.size, emitted)
+    assert(emitted.count(_.endsWith("site1.example.com/p/2")) == 1)
+
+    // the streamed seen set equals the batch-mode computation over all
+    // four pages at once: fetched ∪ allowed-discovered
+    val all = (wave1 ++ wave2).toDF("base", "html")
+    val want = fetchedUrls(all).unionByName(discovered(all)).distinct()
+      .as[String].collect().toSet
+    val got = spark.read.parquet(seenPath).distinct()
+      .as[String].collect().toSet
+    assert(got == want, s"got=$got want=$want")
+  }
 }
