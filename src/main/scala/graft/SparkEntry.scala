@@ -8542,6 +8542,36 @@ object SparkEntry {
           col("pii_masked").cast("bigint").as("pii_masked"))
         .orderBy(col("shard"))
     }),
+
+    // ---- context-window chunking: the sequence-creation step between
+    // curation and packing — every doc's token stream splits into
+    // L=32-token windows at stride S=24 (8-token overlap, the
+    // HF-tokenizers `stride` convention: windows start at 0, S, 2S, …
+    // while start < n; the last window runs short instead of padding).
+    // Chunk CONTENT is pinned, not just counts: each row carries the
+    // md5 of its exact token slice, so an off-by-one in either the
+    // start arithmetic or the slice bounds flips every hash. Pure
+    // map-side explode — one codegen pass, no shuffle until the
+    // presentation sort; at 100 TB this is the scan-shaped stage
+    // between q317's gates and q218's packing ----
+    "q318_context_windows" -> ((s, d) => {
+      val L = 32
+      val S = 24
+      tSpread(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0),
+            floor((size(col("t")) - lit(1)) / lit(S)).cast("int")))
+            .as("k"))
+        .select(col("doc_id"), col("k").cast("bigint").as("chunk_id"),
+          least(lit(L), size(col("t")) - col("k") * S).cast("bigint")
+            .as("n_tokens"),
+          md5(concat_ws(" ", slice(col("t"), col("k") * S + 1,
+            least(lit(L), size(col("t")) - col("k") * S))))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -15636,5 +15666,19 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
         | CAST(sum(n_pii) AS BIGINT) AS pii_masked
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q318_context_windows" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE length(trim(text)) > 0),
+        |ch AS (SELECT doc_id, t,
+        |  unnest(range(0, (array_length(t) - 1) // 24 + 1)) AS k
+        | FROM toks)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        | CAST(least(32, array_length(t) - k * 24) AS BIGINT) AS n_tokens,
+        | md5(array_to_string(
+        |   t[k * 24 + 1 : least(k * 24 + 32, array_length(t))], ' '))
+        |   AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }
