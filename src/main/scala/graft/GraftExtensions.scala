@@ -182,6 +182,16 @@ object GraftFunctions {
     ("clean_stutter",
       columnFn(cs => graft.text.TextFunctions.stutterCollapse(cs(0))),
       classOf[Expression]),
+    // the q55/q317 scrubbing stage: mask emails/phones/IPv4s; count
+    // gives the masked-span total a curation audit sums per shard
+    ("pii_redact",
+      columnFn(cs => graft.text.Pii.redact(cs(0))),
+      classOf[Expression]),
+    ("pii_count",
+      columnFn(cs => (graft.text.Pii.emailCount(cs(0)) +
+        graft.text.Pii.phoneCount(cs(0)) +
+        graft.text.Pii.ipCount(cs(0))).cast("bigint")),
+      classOf[Expression]),
     // compressed text columns (WARC/WET-style payloads): real JDK zlib
     ("gzip_text",
       columnFn(cs => graft.text.GzipText.gzip(cs(0))),

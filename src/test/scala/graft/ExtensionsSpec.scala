@@ -254,6 +254,30 @@ class ExtensionsSpec extends SparkSpec {
       .foreach(spark.catalog.dropTempView)
   }
 
+  test("pii_redact / pii_count usable from pure SQL, same as Column API") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "mail me at a.b@example.com or 504-555-0123 from 10.0.0.1"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pii_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, pii_redact(text) AS c, pii_count(text) AS n
+        |FROM pii_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(viaSql(0)._2 == "mail me at <EMAIL> or <PHONE> from <IP>")
+    assert(viaSql(0)._3 == 3L && viaSql(1)._3 == 0L)
+    val viaCol = docs.select(col("doc_id"),
+        graft.text.Pii.redact(col("text")).as("c"),
+        (graft.text.Pii.emailCount(col("text")) +
+          graft.text.Pii.phoneCount(col("text")) +
+          graft.text.Pii.ipCount(col("text"))).cast("bigint").as("n"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    spark.catalog.dropTempView("pii_docs"): Unit
+  }
+
   test("clean_stutter and contamination_spans usable from pure SQL, " +
       "same results as Column API") {
     import org.apache.spark.sql.functions._
