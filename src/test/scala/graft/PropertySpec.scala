@@ -355,4 +355,49 @@ class PropertySpec extends SparkSpec {
       assert(back.rgb.toSeq == want)
     }
   }
+
+  test("context-window chunking property (q318): chunks cover the stream, " +
+    "overlap by L-S, and stitch back losslessly") {
+    // the q318 expression pipeline over arbitrary token streams,
+    // checked against the HF-stride model: starts at 0,S,2S,… while
+    // start < n; chunk k holds tokens [kS, min(kS+L, n)); dropping the
+    // first L-S tokens of every chunk after the first reconstructs
+    // the stream exactly
+    val L = 32
+    val S = 24
+    val docGen = for {
+      n <- Gen.choose(1, 200)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d4", "e_5", "ß"))
+    } yield toks
+    val docs = cases(docGen).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - lit(1)) / lit(S)).cast("int"))).as("k"))
+      .select(col("doc_id"), col("k"),
+        slice(col("t"), col("k") * S + 1,
+          least(lit(L), size(col("t")) - col("k") * S)).as("chunk"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getSeq[String](2).toList).toList
+      }
+    cases(docGen).zipWithIndex.foreach { case (ts, i) =>
+      val chunks = got(i.toLong)
+      val starts = chunks.indices.map(_ * S)
+      // model: every start < n, last start covers the tail
+      assert(starts.last < ts.size && starts.last + L >= ts.size ||
+        chunks.size == 1 && ts.size <= L)
+      chunks.zip(starts).foreach { case (c, st) =>
+        assert(c == ts.slice(st, math.min(st + L, ts.size)))
+      }
+      // lossless stitch: first chunk whole, then each chunk minus the
+      // L-S overlap tokens it shares with its predecessor
+      val stitched = chunks.head ++ chunks.tail.flatMap(_.drop(L - S))
+      assert(stitched == ts, s"doc $i stitch mismatch")
+    }
+  }
 }
