@@ -8543,6 +8543,77 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // ---- the WHOLE product path in ONE plan: web archive bytes in,
+    // training shards out. Composes the wire chain (q307: HTTP
+    // envelope, Content-Type reaches the sniffer), the decode chain
+    // (q302: cp1252 charset → boilerplate → entities, each stage must
+    // fire exactly once in order) and the curation chain (q317: Gopher
+    // gates → PII scrub → scrubbed-hash dedup → token packing). The
+    // page body carries a link-dense nav (dropped), named + numeric-C1
+    // entities AND raw cp1252 bytes (é “ ” € ’ survive only if decode
+    // order holds), and the PII contact line INSIDE the kept block —
+    // the dup arm again differs only in its minted email/IP, so the
+    // shard manifest is wrong unless every rung of all three chains
+    // fires. Scale shape: wire+decode+gates+scrub are one per-row
+    // codegen+UDF pass; first corpus shuffle is the dedup hash ----
+    "q319_web_to_shards" -> ((s, d) => {
+      import graft.ingest.{CharsetSniff, HttpMessage}
+      import graft.text.{HtmlEntities, Pii, TextFunctions}
+      import graft.extract.Boilerplate
+      import graft.operators.Curation
+      val docs = tSpread(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val nav = "<div class=\"nav\"><a href=\"/\">home</a> " +
+        "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></div>"
+      val part1 = concat(lit(nav + "<p>"), col("text"),
+        lit(" caf&eacute; &amp; bar &#147;ok&#148; Contact: user"),
+        col("doc_id").cast("string"),
+        lit("@mail.example.com at 192.168."),
+        (col("doc_id") % 256).cast("string"), lit(".7 "))
+      val specials = lit(Array[Byte](0x80.toByte, 0x92.toByte))
+      val body = concat(encode(part1, "UTF-8"), specials,
+        encode(lit("</p>"), "UTF-8"))
+      val payload = HttpMessage.writeUdf(lit(200), lit("OK"),
+        lit("text/html; charset=windows-1252"), lit(null).cast("string"),
+        body, lit(false))
+      val content = corpus
+        .select(col("doc_id"), HttpMessage.parseUdf(payload).as("h"))
+        .select(col("doc_id"),
+          CharsetSniff.decodeUdf(expr("h._2['content-type']"), col("h._3"))
+            .as("html"))
+        .select(col("doc_id"),
+          HtmlEntities.decodeUdf(Boilerplate.extractUdf(3)(col("html"))("_3"))
+            .as("text"))
+      val gated = content
+        .filter(length(trim(col("text"))) > 0)
+        .filter(TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
+          TextFunctions.gopherQualityStruct(col("text"))("keep"))
+      val scrub = gated.select(col("doc_id"),
+        Pii.redact(col("text")).as("clean"),
+        (Pii.emailCount(col("text")) + Pii.phoneCount(col("text")) +
+          Pii.ipCount(col("text"))).cast("bigint").as("n_pii"))
+      val kept = scrub
+        .withColumn("_h", md5(col("clean")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1)
+        .select(col("doc_id"), col("n_pii"),
+          TextFunctions.tokenCount(col("clean")).cast("bigint")
+            .as("n_toks"))
+      Curation.shardByTokens(kept, "doc_id", "n_toks",
+          shardBudget = 5000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("shard_tokens"),
+          sum(col("n_pii")).as("pii_masked"))
+        .select(col("shard"), col("n_docs"),
+          col("shard_tokens").cast("bigint").as("shard_tokens"),
+          col("pii_masked").cast("bigint").as("pii_masked"))
+        .orderBy(col("shard"))
+    }),
+
     // ---- context-window chunking: the sequence-creation step between
     // curation and packing — every doc's token stream splits into
     // L=32-token windows at stride S=24 (8-token overlap, the
@@ -15586,6 +15657,99 @@ object SparkEntry {
         |  '@mail.example.com or 504-555-' ||
         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
         |  ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        | FROM corpus),
+        |toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS lt
+        | FROM inj WHERE length(trim(text)) > 0),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wc AS (SELECT doc_id, max(c) AS topw FROM
+        |  (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t))) AS r(i)
+        | WHERE array_length(t) >= 2),
+        |g2c AS (SELECT doc_id, max(c) AS topg, sum(c) AS ng FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        | FROM toks, unnest(range(1, array_length(t) - 1)) AS r(i)
+        | WHERE array_length(t) >= 3),
+        |g3c AS (SELECT doc_id, count(DISTINCT g) AS d3, count(*) AS n3
+        | FROM g3 GROUP BY 1),
+        |rep AS (
+        | SELECT t.doc_id,
+        |  (floor(wc.topw * 10000.0 / array_length(t.t) + 0.5) / 10000 <= 0.15
+        |   AND CASE WHEN g2c.doc_id IS NULL THEN 0.0
+        |    ELSE floor(g2c.topg * 10000.0 / g2c.ng + 0.5) / 10000 END <= 0.08
+        |   AND CASE WHEN g3c.doc_id IS NULL THEN 0.0
+        |    ELSE floor((g3c.n3 - g3c.d3) * 10000.0 / g3c.n3 + 0.5) / 10000
+        |    END <= 0.01) AS k1
+        | FROM toks t JOIN wc ON wc.doc_id = t.doc_id
+        |  LEFT JOIN g2c ON g2c.doc_id = t.doc_id
+        |  LEFT JOIN g3c ON g3c.doc_id = t.doc_id),
+        |qual AS (
+        | SELECT doc_id,
+        |  (array_length(t) >= 30 AND array_length(t) <= 100000
+        |   AND floor(length(array_to_string(t, '')) * 10000.0 /
+        |     array_length(t) + 0.5) / 10000 BETWEEN 3.0 AND 10.0
+        |   AND floor(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |     * 10000.0 / array_length(t) + 0.5) / 10000 >= 0.8
+        |   AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(lt, 'a') THEN 1 ELSE 0 END) >= 2) AS k2
+        | FROM toks),
+        |gated AS (SELECT i.doc_id, i.text FROM inj i
+        | JOIN rep ON rep.doc_id = i.doc_id
+        | JOIN qual ON qual.doc_id = i.doc_id
+        | WHERE rep.k1 AND qual.k2),
+        |scrub AS (SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
+        | CAST(length(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + length(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |  + length(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_pii
+        | FROM gated),
+        |kept AS (SELECT doc_id, n_pii, clean FROM (
+        |  SELECT doc_id, n_pii, clean,
+        |   row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+        |  FROM scrub) WHERE rn = 1),
+        |d AS (SELECT doc_id, n_pii,
+        |  CAST(CASE WHEN length(trim(clean)) = 0 THEN 0
+        |    ELSE array_length(regexp_split_to_array(trim(clean), '\s+'))
+        |    END AS BIGINT) AS n_toks,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS rk
+        | FROM kept),
+        |c AS (SELECT doc_id, n_pii, n_toks,
+        |  coalesce(sum(n_toks) OVER (ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        | FROM d)
+        |SELECT CAST(excl // 5000 AS BIGINT) AS shard,
+        | count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
+        | CAST(sum(n_pii) AS BIGINT) AS pii_masked
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q319_web_to_shards" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 7 = 0),
+        |inj AS (SELECT doc_id,
+        |  text || ' caf' || chr(233) || ' & bar ' || chr(8220) || 'ok'
+        |   || chr(8221) || ' Contact: user' || CAST(doc_id AS VARCHAR)
+        |   || '@mail.example.com at 192.168.'
+        |   || CAST(doc_id % 256 AS VARCHAR) || '.7 '
+        |   || chr(8364) || chr(8217) AS text
         | FROM corpus),
         |toks AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,

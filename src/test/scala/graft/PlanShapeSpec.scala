@@ -244,6 +244,20 @@ class PlanShapeSpec extends SparkSpec {
       globalSorts.mkString("\n"))
   }
 
+  test("q319: web→shards — the wire+decode+curation pass stays per-row up to the dedup hash") {
+    val p = executedPlan("q319_web_to_shards")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("_h#") || l.contains("_band#")),
+      winLines.mkString("\n"))
+    val globalSorts = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true")).toSeq
+    assert(globalSorts.forall(_.contains("shard#")),
+      globalSorts.mkString("\n"))
+  }
+
   test("q293: chunk dedup shuffles HASHES — chunk text never reaches an exchange") {
     val p = executedPlan("q293_cdc_chunk_dedup")
     // every hash exchange keys on the md5 (h) or doc_id — never the
