@@ -8614,6 +8614,45 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // ---- incremental shard packing — shard IMMUTABILITY under corpus
+    // growth: a production training set is built in epochs (each crawl
+    // round appends), and already-shipped shards must never be
+    // rewritten (a training run resumes against them by content
+    // address). Epoch-1 docs pack exactly as they would alone —
+    // bit-identical manifest, which the oracle replays separately —
+    // and epoch-2 docs pack into FRESH shard ids starting after
+    // epoch 1's last (append-only, the LSM idea applied to shards),
+    // rather than re-balancing the whole corpus the way a naive
+    // re-run of q218 would. The epoch-1 offset rides a broadcast
+    // 1-row aggregate — no driver round trip in the plan ----
+    "q320_incremental_shards" -> ((s, d) => {
+      import graft.operators.Curation
+      import graft.text.TextFunctions
+      val docs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint")
+            .as("n_toks"))
+      val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 5 === 0)
+      val p1 = Curation.shardByTokens(v1, "doc_id", "n_toks",
+        shardBudget = 5000L)
+      val base = p1.agg((max(col("shard")) + 1).as("_base"))
+      val p2 = Curation.shardByTokens(v2, "doc_id", "n_toks",
+          shardBudget = 5000L)
+        .crossJoin(broadcast(base))
+        .select(col("doc_id"), col("n_toks"),
+          (col("shard") + col("_base")).as("shard"))
+      p1.select(col("doc_id"), col("n_toks"), col("shard"))
+        .withColumn("epoch", lit(1L))
+        .unionByName(p2.withColumn("epoch", lit(2L)))
+        .groupBy(col("shard"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("shard_tokens"))
+        .select(col("shard"), col("epoch"), col("n_docs"),
+          col("shard_tokens").cast("bigint").as("shard_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // ---- context-window chunking: the sequence-creation step between
     // curation and packing — every doc's token stream splits into
     // L=32-token windows at stride S=24 (8-token overlap, the
@@ -15830,6 +15869,35 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
         | CAST(sum(n_pii) AS BIGINT) AS pii_masked
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q320_incremental_shards" ->
+      """WITH d0 AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+        |       END AS BIGINT) AS n_toks,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS rk
+        | FROM documents),
+        |c1 AS (SELECT doc_id, n_toks,
+        |  coalesce(sum(n_toks) OVER (ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        | FROM d0 WHERE doc_id % 5 <> 0),
+        |p1 AS (SELECT doc_id, n_toks,
+        |  CAST(excl // 5000 AS BIGINT) AS shard FROM c1),
+        |b AS (SELECT max(shard) + 1 AS base FROM p1),
+        |c2 AS (SELECT doc_id, n_toks,
+        |  coalesce(sum(n_toks) OVER (ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        | FROM d0 WHERE doc_id % 5 = 0),
+        |p2 AS (SELECT doc_id, n_toks,
+        |  CAST(excl // 5000 + (SELECT base FROM b) AS BIGINT) AS shard
+        | FROM c2),
+        |u AS (
+        | SELECT shard, CAST(1 AS BIGINT) AS epoch, doc_id, n_toks FROM p1
+        | UNION ALL
+        | SELECT shard, CAST(2 AS BIGINT) AS epoch, doc_id, n_toks FROM p2)
+        |SELECT shard, epoch, count(*) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+        |FROM u GROUP BY 1, 2 ORDER BY shard""".stripMargin,
 
     "q318_context_windows" ->
       """WITH toks AS (
