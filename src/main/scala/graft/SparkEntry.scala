@@ -8645,11 +8645,22 @@ object SparkEntry {
       p1.select(col("doc_id"), col("n_toks"), col("shard"))
         .withColumn("epoch", lit(1L))
         .unionByName(p2.withColumn("epoch", lit(2L)))
+        // the shard's CONTENT ADDRESS: md5 over its doc ids in pack
+        // order (the rank key) — what a resuming training run checks
+        // against the manifest before trusting an already-built shard
+        .withColumn("_rk",
+          md5(concat_ws(":", lit("shard"), col("doc_id").cast("string"))))
         .groupBy(col("shard"), col("epoch"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("shard_tokens"))
+          sum(col("n_toks")).as("shard_tokens"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(struct(col("_rk"),
+                col("doc_id")))),
+              x => x("doc_id").cast("string")))).as("manifest_md5"))
         .select(col("shard"), col("epoch"), col("n_docs"),
-          col("shard_tokens").cast("bigint").as("shard_tokens"))
+          col("shard_tokens").cast("bigint").as("shard_tokens"),
+          col("manifest_md5"))
         .orderBy(col("shard"))
     }),
 
@@ -15892,11 +15903,15 @@ object SparkEntry {
         |  CAST(excl // 5000 + (SELECT base FROM b) AS BIGINT) AS shard
         | FROM c2),
         |u AS (
-        | SELECT shard, CAST(1 AS BIGINT) AS epoch, doc_id, n_toks FROM p1
+        | SELECT shard, CAST(1 AS BIGINT) AS epoch, doc_id, n_toks,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS rk FROM p1
         | UNION ALL
-        | SELECT shard, CAST(2 AS BIGINT) AS epoch, doc_id, n_toks FROM p2)
+        | SELECT shard, CAST(2 AS BIGINT) AS epoch, doc_id, n_toks,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS rk FROM p2)
         |SELECT shard, epoch, count(*) AS n_docs,
-        | CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+        | CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
+        | md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |   ORDER BY rk, doc_id)) AS manifest_md5
         |FROM u GROUP BY 1, 2 ORDER BY shard""".stripMargin,
 
     "q318_context_windows" ->
