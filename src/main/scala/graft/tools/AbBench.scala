@@ -59,6 +59,98 @@ object AbBench {
         (() => variant(hinted = true), () => variant(hinted = false))
       }),
 
+    // round-12 change: q317/q319's Gopher gates moved from join-back
+    // gate frames (two corpus-grain shuffles of (doc_id, text)) to
+    // inline struct evaluation in the scan pass (zero gate shuffles).
+    // A = the draft's join form, B = the shipped inline form; the
+    // regex work is identical on both sides, so the pair isolates the
+    // shuffle cost. Replicated corpus so the variable term dominates.
+    Pair("curation_gate_form", "gate_joins", "inline_structs",
+      (s, d) => {
+        import graft.text.{Pii, TextFunctions}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("ab-curation").toString + "/docs"
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .select(explode(expr("sequence(0, 19)")).as("c"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("c") * 10000000L).as("doc_id"),
+            col("text"))
+          .write.mode("overwrite").parquet(tmp)
+        def inj(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), concat(col("text"),
+            lit(" Contact: user"), col("doc_id").cast("string"),
+            lit("@mail.example.com")).as("text"))
+        def downstream(gated: DataFrame): DataFrame =
+          gated.select(col("doc_id"), Pii.redact(col("text")).as("clean"))
+            .withColumn("_h", md5(col("clean")))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+            .filter(col("_rn") === 1)
+            .groupBy().agg(count(lit(1)).as("n"),
+              sum(length(col("clean"))).as("b"))
+        val a = () => {
+          val docs = inj(s.read.parquet(tmp).repartition(32))
+          val rep = TextFunctions.gopherRepetition(docs, "text", "doc_id")
+            .select(col("doc_id"), col("keep").as("_k1"))
+          val qual = TextFunctions.gopherQuality(docs, "text", "doc_id")
+            .select(col("doc_id"), col("keep").as("_k2"))
+          downstream(docs
+            .join(rep, Seq("doc_id")).join(qual, Seq("doc_id"))
+            .filter(col("_k1") && col("_k2"))
+            .select(col("doc_id"), col("text")))
+        }
+        val b = () => {
+          val docs = inj(s.read.parquet(tmp).repartition(32))
+          downstream(docs
+            .filter(length(trim(col("text"))) > 0)
+            .filter(
+              TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
+              TextFunctions.gopherQualityStruct(col("text"))("keep")))
+        }
+        (a, b)
+      }),
+
+    // diagnostic for the pair above: same inline gates, but with an
+    // explicit round-robin exchange AFTER the inj projection so the
+    // computed text column is MATERIALIZED once instead of re-derived
+    // at every alias reference downstream. If this side wins, the
+    // join form's advantage was never the join — it was the free
+    // materialization its shuffle provides.
+    Pair("curation_gate_inline_mat", "inline_structs", "inline_materialized",
+      (s, d) => {
+        import graft.text.{Pii, TextFunctions}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("ab-curation2").toString + "/docs"
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .select(explode(expr("sequence(0, 19)")).as("c"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("c") * 10000000L).as("doc_id"),
+            col("text"))
+          .write.mode("overwrite").parquet(tmp)
+        def inj(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), concat(col("text"),
+            lit(" Contact: user"), col("doc_id").cast("string"),
+            lit("@mail.example.com")).as("text"))
+        def rest(docs: DataFrame): DataFrame = docs
+          .filter(length(trim(col("text"))) > 0)
+          .filter(
+            TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
+            TextFunctions.gopherQualityStruct(col("text"))("keep"))
+          .select(col("doc_id"), Pii.redact(col("text")).as("clean"))
+          .withColumn("_h", md5(col("clean")))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+          .filter(col("_rn") === 1)
+          .groupBy().agg(count(lit(1)).as("n"),
+            sum(length(col("clean"))).as("b"))
+        val a = () => rest(inj(s.read.parquet(tmp).repartition(32)))
+        val b = () => rest(inj(s.read.parquet(tmp).repartition(32))
+          .repartition(32))
+        (a, b)
+      }),
+
     // round-6 feature: filtered top-k through the transparent ANN
     // planner. A = brute force (catalog cleared), B = stored-HNSW probe
     // + join-back. Index build is part of prepare(), not the timing —
