@@ -354,6 +354,42 @@ object GraftFunctions {
         .queryExecution.logical
     }
 
+  /** `shard_by_tokens('docs_view' [, 'id_col' [, 'tokens_col'
+    * [, shard_budget]]])` — token-balanced contiguous shard packing
+    * as a SQL TABLE function. Inherently relational AND inherently
+    * engine-assisted (the exact global prefix sum without a global
+    * sort is GlobalOrder's 256-band construction — not writable as a
+    * scalar), so this is the one curation stage a pure-SQL user could
+    * not compose by hand. The returned plan is exactly
+    * [[graft.operators.Curation.shardByTokens]]'s. */
+  val shardByTokensTvf
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    exprs => {
+      def str(i: Int, default: String, what: String): String =
+        if (exprs.length <= i) default
+        else exprs(i).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"shard_by_tokens $what must be a string literal, got $other")
+        }
+      if (exprs.length < 1) throw new IllegalArgumentException(
+        "shard_by_tokens requires at least ('docs_table'); got 0 arguments")
+      val budget =
+        if (exprs.length <= 3) 25000L
+        else exprs(3).eval(null) match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"shard_by_tokens budget must be an integer literal, got $other")
+        }
+      val spark = SparkSession.active
+      graft.operators.Curation.shardByTokens(
+          spark.table(str(0, "", "docs table")),
+          str(1, "doc_id", "id column"),
+          str(2, "n_toks", "tokens column"), budget)
+        .queryExecution.logical
+    }
+
   /** Every (name, builder) the engine exposes as a SQL TABLE function. */
   val allTable: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -362,6 +398,8 @@ object GraftFunctions {
       graft.operators.ImportanceSelect.getClass),
     ("contamination_spans", contaminationSpansTvf,
       graft.dedup.Dedup.getClass),
+    ("shard_by_tokens", shardByTokensTvf,
+      graft.operators.Curation.getClass),
   )
 
   /** Register into an already-built session. */

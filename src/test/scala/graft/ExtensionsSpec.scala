@@ -278,6 +278,28 @@ class ExtensionsSpec extends SparkSpec {
     spark.catalog.dropTempView("pii_docs"): Unit
   }
 
+  test("shard_by_tokens TABLE function == Curation.shardByTokens") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val docs = (1L to 400L).map(i => (i, 100L + i % 37))
+      .toDF("doc_id", "n_toks")
+    docs.createOrReplaceTempView("sbt_docs")
+    val tvf = spark.sql(
+      "SELECT doc_id, shard FROM shard_by_tokens('sbt_docs', 'doc_id', " +
+        "'n_toks', 5000) ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val api = graft.operators.Curation
+      .shardByTokens(docs, "doc_id", "n_toks", 5000L)
+      .select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tvf == api && tvf.values.toSet.size > 1)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM shard_by_tokens()").collect()
+    }
+    assert(e.getMessage.contains("requires at least"))
+    spark.catalog.dropTempView("sbt_docs"): Unit
+  }
+
   test("clean_stutter and contamination_spans usable from pure SQL, " +
       "same results as Column API") {
     import org.apache.spark.sql.functions._
