@@ -8517,8 +8517,7 @@ object SparkEntry {
       val inj = corpus.select(col("doc_id"), contact.as("text"))
       val gated = inj
         .filter(length(trim(col("text"))) > 0)
-        .filter(TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
-          TextFunctions.gopherQualityStruct(col("text"))("keep"))
+        .filter(TextFunctions.gopherGateKeep(col("text")))
       val scrub = gated.select(col("doc_id"),
         Pii.redact(col("text")).as("clean"),
         (Pii.emailCount(col("text")) + Pii.phoneCount(col("text")) +
@@ -8588,8 +8587,7 @@ object SparkEntry {
             .as("text"))
       val gated = content
         .filter(length(trim(col("text"))) > 0)
-        .filter(TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
-          TextFunctions.gopherQualityStruct(col("text"))("keep"))
+        .filter(TextFunctions.gopherGateKeep(col("text")))
       val scrub = gated.select(col("doc_id"),
         Pii.redact(col("text")).as("clean"),
         (Pii.emailCount(col("text")) + Pii.phoneCount(col("text")) +

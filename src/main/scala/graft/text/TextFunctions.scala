@@ -214,23 +214,44 @@ object TextFunctions {
   def gopherRepetitionStruct(text: Column, topWordMax: Double = 0.15,
                              top2GramMax: Double = 0.08,
                              dup3GramMax: Double = 0.01): Column =
-    bound(split(trim(text), "\\s+")) { t =>
-      bound(shinglesFromTokens(t, 2)) { g2 =>
-        bound(shinglesFromTokens(t, 3)) { g3 =>
-          val topWord = rq4(maxMultiplicity(t), size(t))
-          val top2 = when(size(g2) === 0, 0.0)
-            .otherwise(rq4(maxMultiplicity(g2), size(g2)))
-          val dup3 = when(size(g3) === 0, 0.0)
-            .otherwise(rq4(size(g3) - size(array_distinct(g3)), size(g3)))
-          struct(
-            size(t).cast("long").as("n_words"),
-            topWord.as("top_word_frac"),
-            top2.as("top_2gram_frac"),
-            dup3.as("dup_3gram_frac"),
-            (topWord <= topWordMax && top2 <= top2GramMax &&
-              dup3 <= dup3GramMax).as("keep"))
-        }
+    bound(split(trim(text), "\\s+"))(t =>
+      gopherRepetitionStructFromTokens(t, topWordMax, top2GramMax,
+        dup3GramMax))
+
+  /** [[gopherRepetitionStruct]] over an ALREADY-BOUND token array —
+    * the form composition points use to share one tokenization with
+    * the quality rules (see [[gopherGateKeep]]). */
+  def gopherRepetitionStructFromTokens(t: Column,
+                                       topWordMax: Double = 0.15,
+                                       top2GramMax: Double = 0.08,
+                                       dup3GramMax: Double = 0.01): Column =
+    bound(shinglesFromTokens(t, 2)) { g2 =>
+      bound(shinglesFromTokens(t, 3)) { g3 =>
+        val topWord = rq4(maxMultiplicity(t), size(t))
+        val top2 = when(size(g2) === 0, 0.0)
+          .otherwise(rq4(maxMultiplicity(g2), size(g2)))
+        val dup3 = when(size(g3) === 0, 0.0)
+          .otherwise(rq4(size(g3) - size(array_distinct(g3)), size(g3)))
+        struct(
+          size(t).cast("long").as("n_words"),
+          topWord.as("top_word_frac"),
+          top2.as("top_2gram_frac"),
+          dup3.as("dup_3gram_frac"),
+          (topWord <= topWordMax && top2 <= top2GramMax &&
+            dup3 <= dup3GramMax).as("keep"))
       }
+    }
+
+  /** BOTH Gopher gates (repetition + quality) over ONE tokenization —
+    * the curation scan-pass form (q317/q319): evaluating the two
+    * struct forms separately splits the text twice per row; this
+    * binds the token array once and extracts only the two keep flags
+    * (Catalyst reduces struct-field-of-literal-struct to the flag
+    * expressions, so nothing else is computed). */
+  def gopherGateKeep(text: Column): Column =
+    bound(split(trim(text), "\\s+")) { t =>
+      gopherRepetitionStructFromTokens(t)("keep") &&
+        gopherQualityStructFromTokens(t)("keep")
     }
 
   /** DataFrame form of [[gopherRepetitionStruct]] over non-blank rows:
@@ -265,26 +286,32 @@ object TextFunctions {
     */
   def gopherQualityStruct(text: Column, minWords: Long = 30,
                           maxWords: Long = 100000): Column =
-    bound(split(trim(text), "\\s+")) { t =>
-      val stopHits = bound(transform(t, x => lower(x))) { lt =>
-        GopherStopwords
-          .map(w => when(array_contains(lt, w), 1).otherwise(0))
-          .reduce(_ + _)
-      }
-      // total non-space chars / words; tokens are whitespace-split so
-      // concatenating them drops exactly the separators
-      val meanLen = rq4(length(concat_ws("", t)), size(t))
-      val alphaFrac = rq4(size(filter(t, x => x.rlike("[A-Za-z]"))), size(t))
-      struct(
-        size(t).cast("long").as("n_words"),
-        meanLen.as("mean_word_len"),
-        alphaFrac.as("alpha_word_frac"),
-        stopHits.cast("long").as("stop_hits"),
-        (size(t).cast("long") >= minWords &&
-          size(t).cast("long") <= maxWords &&
-          meanLen >= 3.0 && meanLen <= 10.0 &&
-          alphaFrac >= 0.8 && stopHits >= 2).as("keep"))
+    bound(split(trim(text), "\\s+"))(t =>
+      gopherQualityStructFromTokens(t, minWords, maxWords))
+
+  /** [[gopherQualityStruct]] over an ALREADY-BOUND token array (the
+    * [[gopherGateKeep]] sharing point). */
+  def gopherQualityStructFromTokens(t: Column, minWords: Long = 30,
+                                    maxWords: Long = 100000): Column = {
+    val stopHits = bound(transform(t, x => lower(x))) { lt =>
+      GopherStopwords
+        .map(w => when(array_contains(lt, w), 1).otherwise(0))
+        .reduce(_ + _)
     }
+    // total non-space chars / words; tokens are whitespace-split so
+    // concatenating them drops exactly the separators
+    val meanLen = rq4(length(concat_ws("", t)), size(t))
+    val alphaFrac = rq4(size(filter(t, x => x.rlike("[A-Za-z]"))), size(t))
+    struct(
+      size(t).cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (size(t).cast("long") >= minWords &&
+        size(t).cast("long") <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        alphaFrac >= 0.8 && stopHits >= 2).as("keep"))
+  }
 
   /** The kept-words array of an adjacent-duplicate-word collapse over
     * a whitespace-token array: drops every token equal to its

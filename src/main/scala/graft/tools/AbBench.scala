@@ -111,13 +111,10 @@ object AbBench {
         (a, b)
       }),
 
-    // diagnostic for the pair above: same inline gates, but with an
-    // explicit round-robin exchange AFTER the inj projection so the
-    // computed text column is MATERIALIZED once instead of re-derived
-    // at every alias reference downstream. If this side wins, the
-    // join form's advantage was never the join — it was the free
-    // materialization its shuffle provides.
-    Pair("curation_gate_inline_mat", "inline_structs", "inline_materialized",
+    // second pair: the two-separate-structs inline filter (each
+    // tokenizes the text itself) vs the shipped fused gate
+    // (gopherGateKeep — ONE tokenization shared by both rule sets).
+    Pair("curation_gate_fused", "two_structs", "fused_gate",
       (s, d) => {
         import graft.text.{Pii, TextFunctions}
         val tmp = java.nio.file.Files
@@ -133,11 +130,7 @@ object AbBench {
           df.select(col("doc_id"), concat(col("text"),
             lit(" Contact: user"), col("doc_id").cast("string"),
             lit("@mail.example.com")).as("text"))
-        def rest(docs: DataFrame): DataFrame = docs
-          .filter(length(trim(col("text"))) > 0)
-          .filter(
-            TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
-            TextFunctions.gopherQualityStruct(col("text"))("keep"))
+        def rest(gated: DataFrame): DataFrame = gated
           .select(col("doc_id"), Pii.redact(col("text")).as("clean"))
           .withColumn("_h", md5(col("clean")))
           .withColumn("_rn", row_number().over(
@@ -145,9 +138,14 @@ object AbBench {
           .filter(col("_rn") === 1)
           .groupBy().agg(count(lit(1)).as("n"),
             sum(length(col("clean"))).as("b"))
-        val a = () => rest(inj(s.read.parquet(tmp).repartition(32)))
+        val a = () => rest(inj(s.read.parquet(tmp).repartition(32))
+          .filter(length(trim(col("text"))) > 0)
+          .filter(
+            TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
+            TextFunctions.gopherQualityStruct(col("text"))("keep")))
         val b = () => rest(inj(s.read.parquet(tmp).repartition(32))
-          .repartition(32))
+          .filter(length(trim(col("text"))) > 0)
+          .filter(TextFunctions.gopherGateKeep(col("text"))))
         (a, b)
       }),
 

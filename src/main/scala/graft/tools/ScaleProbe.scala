@@ -338,8 +338,7 @@ object ScaleProbe {
               lit("@mail.example.com at 192.168."),
               (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
           val gated = inj
-            .filter(TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
-              TextFunctions.gopherQualityStruct(col("text"))("keep"))
+            .filter(TextFunctions.gopherGateKeep(col("text")))
           val kept = gated
             .select(col("doc_id"), Pii.redact(col("text")).as("clean"))
             .withColumn("_h", md5(col("clean")))

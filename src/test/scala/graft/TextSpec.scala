@@ -151,4 +151,23 @@ class TextSpec extends SparkSpec {
     assert(rows.forall(_.getString(2) == "via sql"))
     spark.catalog.dropTempView("gz_sql"): Unit
   }
+
+  test("gopherGateKeep == repetition.keep AND quality.keep on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+    val got = docs.select(col("doc_id"),
+        TextFunctions.gopherGateKeep(col("text")).as("fused"),
+        (TextFunctions.gopherRepetitionStruct(col("text"))("keep") &&
+          TextFunctions.gopherQualityStruct(col("text"))("keep"))
+          .as("separate"))
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getBoolean(1) == r.getBoolean(2)))
+    // both gate outcomes occur on the corpus (the equality is not
+    // vacuous)
+    assert(got.exists(_.getBoolean(1)) && got.exists(!_.getBoolean(1)))
+  }
 }
