@@ -292,6 +292,19 @@ object GraftFunctions {
     ("sitemap_children_checked",
       columnFn(cs => graft.ingest.Sitemap.childrenCheckedUdf(cs(0), cs(1))),
       classOf[Expression]),
+    // round-12 continuation: the archive-index layer + anchor signal
+    ("surt_key",
+      columnFn(cs => graft.ingest.Cdx.surtUdf(cs(0))),
+      classOf[Expression]),
+    ("cdx_index",
+      columnFn(cs => graft.ingest.Cdx.indexUdf(cs(0))),
+      classOf[Expression]),
+    ("cdx_fetch",
+      columnFn(cs => graft.ingest.Cdx.fetchUdf(cs(0), cs(1), cs(2))),
+      classOf[Expression]),
+    ("anchor_pairs",
+      columnFn(cs => graft.extract.Outlinks.anchorsUdf(cs(0))),
+      classOf[Expression]),
   )
 
   /** `dsir_weights('raw_view', 'target_view' [, 'text_col' [, 'id_col']])`

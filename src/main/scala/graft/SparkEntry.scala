@@ -8691,6 +8691,148 @@ object SparkEntry {
             .as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
+
+    // ---- CDX capture index: the random-access layer an archive
+    // publishes next to its WARC shards (Common Crawl's cc-index
+    // convention). Per doc, a 3-member shard: the SAME page captured
+    // twice under two URL spellings (https+WWW+:443+/P/+reordered
+    // query vs plain http) and a second page — the SURT key must
+    // collate both spellings to ONE urlkey while offsets/lengths
+    // stay byte-exact (the oracle recomputes every member's extent
+    // from the WARC framing arithmetic: a one-byte drift anywhere in
+    // writeRecord breaks every row after it). Index rows are ~60
+    // bytes vs ~100 KB of payload — the grain every archive query
+    // below joins on INSTEAD of the archive ----
+    "q321_cdx_index" -> ((s, d) => {
+      import graft.ingest.{Cdx, Warc}
+      val g = col("doc_id")
+      val n = col("doc_id") % 50
+      val uri0 = format_string(
+        "https://WWW.Site%d.example.com:443/P/%d?b=2&a=1", n, g)
+      val uri1 = format_string(
+        "http://site%d.example.com/p/%d?a=1&b=2", n, g)
+      val uri2 = format_string("https://site%d.example.com/q/%d", n, g)
+      val p0 = encode(col("text"), "UTF-8")
+      val p1 = encode(concat(col("text"), lit(" v2")), "UTF-8")
+      val p2 = encode(format_string("other %d", g), "UTF-8")
+      val blob = Warc.concatBlobs(array(
+        Warc.record(g * 3, uri0, p0),
+        Warc.record(g * 3 + 1, uri1, p1),
+        Warc.record(g * 3 + 2, uri2, p2)))
+      tSpread(s, d, "documents")
+        .select(g.as("g"), blob.as("blob"))
+        .select(explode(Cdx.indexUdf(col("blob"))).as("e"))
+        .select(col("e._1").as("cdx_id"), col("e._3").as("urlkey"),
+          col("e._4").as("rec_offset"), col("e._5").as("rec_len"),
+          col("e._6").as("digest"))
+        .orderBy(col("cdx_id"))
+    }),
+
+    // ---- latest-capture + revisit audit on the index grain: per
+    // urlkey, which capture is current (max id = newest) and how many
+    // captures were revisits (same payload digest as an earlier
+    // capture of the same key — CDX's revisit semantics, the dedup
+    // that makes archives affordable). Every doc's /p/ page has two
+    // captures; a third of them (g%3==0) didn't change between
+    // crawls, so the second capture is a revisit. Runs ENTIRELY on
+    // the index — no payload is touched, which is the point ----
+    "q322_cdx_latest" -> ((s, d) => {
+      import graft.ingest.{Cdx, Warc}
+      val g = col("doc_id")
+      val n = col("doc_id") % 50
+      val uri0 = format_string(
+        "https://WWW.Site%d.example.com:443/P/%d?b=2&a=1", n, g)
+      val uri1 = format_string(
+        "http://site%d.example.com/p/%d?a=1&b=2", n, g)
+      val uri2 = format_string("https://site%d.example.com/q/%d", n, g)
+      val p0 = encode(col("text"), "UTF-8")
+      val p1 = when(g % 3 === 0, p0)
+        .otherwise(encode(concat(col("text"), lit(" v2")), "UTF-8"))
+      val p2 = encode(format_string("other %d", g), "UTF-8")
+      val blob = Warc.concatBlobs(array(
+        Warc.record(g * 3, uri0, p0),
+        Warc.record(g * 3 + 1, uri1, p1),
+        Warc.record(g * 3 + 2, uri2, p2)))
+      tSpread(s, d, "documents")
+        .select(g.as("g"), blob.as("blob"))
+        .select(explode(Cdx.indexUdf(col("blob"))).as("e"))
+        .groupBy(col("e._3").as("urlkey"))
+        .agg(count(lit(1)).as("n_captures"),
+          (count(lit(1)) - countDistinct(col("e._6"))).as("n_revisits"),
+          max(col("e._1")).as("latest_id"),
+          expr("max_by(e._6, e._1)").as("latest_digest"))
+        .orderBy(col("urlkey"))
+    }),
+
+    // ---- crawl-epoch delta from two CDX files: the diff every
+    // incremental crawl starts from — what's new, gone, changed,
+    // unchanged since last time, decided by digest comparison on the
+    // index grain (q314's revalidation tells you what a 304 SAVED;
+    // this tells you what to schedule at all). Epoch 1 misses g%5==4
+    // (those are 'new'), epoch 2 misses g%5==0 ('gone'), g%5==1
+    // changed content. One shuffle join at index grain (~60 B/row) —
+    // deliberately NOT broadcast: both sides scale with the archive ----
+    "q323_crawl_delta" -> ((s, d) => {
+      import graft.ingest.{Cdx, Warc}
+      val docs = tSpread(s, d, "documents")
+      val g = col("doc_id")
+      val a = col("doc_id") % 5
+      val uri = format_string("https://site%d.example.com/d/%d",
+        col("doc_id") % 50, g)
+      val e1 = docs.filter(a =!= 4)
+        .select(explode(Cdx.indexUdf(
+          Warc.record(g, uri, encode(col("text"), "UTF-8")))).as("e"))
+        .select(col("e._3").as("urlkey"), col("e._6").as("e1_digest"))
+      val e2 = docs.filter(a =!= 0)
+        .select(explode(Cdx.indexUdf(Warc.record(g, uri,
+          encode(when(a === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")), "UTF-8")))).as("e"))
+        .select(col("e._3").as("urlkey"), col("e._6").as("e2_digest"))
+      e1.join(e2, Seq("urlkey"), "full_outer")
+        .select(col("urlkey"), col("e1_digest"), col("e2_digest"),
+          when(col("e1_digest").isNull, lit("new"))
+            .when(col("e2_digest").isNull, lit("gone"))
+            .when(col("e1_digest") === col("e2_digest"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy(col("urlkey"))
+    }),
+
+    // ---- anchor-text index: what OTHER pages call a target — the
+    // classic link-signal aggregation (search ranking's oldest
+    // feature, and a quality signal LLM curation borrows). The full
+    // chain per anchor: extract (href, text) → RFC 3986 resolve
+    // against the linking page → canon (tracking params off) → SURT
+    // (capture key) → group by target. Texts exercise entity decode
+    // ('skip &amp; go'), nested-markup strip ('<b>bold</b>\n link'),
+    // and dot-segment resolution ('../p/N#s'); two spellings of the
+    // same target (plain and utm-tracked) must land on ONE key.
+    // Shuffle on the target key only — anchor rows are tiny ----
+    "q324_anchor_index" -> ((s, d) => {
+      import graft.extract.Outlinks
+      import graft.ingest.Cdx
+      import graft.text.{UrlCanon, UrlResolve}
+      val g = col("doc_id")
+      val base = format_string("https://www.example.com/p/%d", g)
+      val html = format_string(
+        "<html><body><a href=\"/p/%d\">next page</a>" +
+          "<a href=\"/p/%d?utm_source=x&amp;fbclid=z\">continue</a>" +
+          "<a href=\"../p/%d#s\">skip &amp; go</a>" +
+          "<p><a href=\"/p/%d\"><b>bold</b>\n link</a></p></body></html>",
+        g + 1, g + 1, g + 2, g + 3)
+      tSpread(s, d, "documents")
+        .select(g.as("g"), base.as("base"), html.as("html"))
+        .select(col("g"), col("base"),
+          explode(Outlinks.anchorsUdf(col("html"))).as("a"))
+        .select(col("g"),
+          Cdx.surtUdf(UrlCanon.canon(
+            UrlResolve.resolveUdf(col("base"), col("a._1")))).as("urlkey"),
+          col("a._2").as("txt"))
+        .groupBy(col("urlkey"))
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("g")).as("n_linkers"),
+          concat_ws("|", sort_array(collect_set(col("txt")))).as("texts"))
+        .orderBy(col("urlkey"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -15925,5 +16067,101 @@ object SparkEntry {
         |   t[k * 24 + 1 : least(k * 24 + 32, array_length(t))], ' '))
         |   AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // CDX replay: every member's byte extent restated from the WARC
+    // framing arithmetic — 104 fixed framing bytes (magic + 3 fixed
+    // headers + separators + trailing CRLFCRLF) plus the id digits,
+    // the uri length, the Content-Length digits, and the payload
+    // itself; offsets are the running sum. The urlkey states the SURT
+    // collapse: both /p/ spellings key identically.
+    "q321_cdx_index" ->
+      """WITH m AS (
+        | SELECT doc_id AS g, CAST(doc_id % 50 AS VARCHAR) AS n,
+        |   octet_length(encode(text)) AS pl0, text
+        | FROM documents),
+        |l AS (
+        | SELECT g, n, text, pl0,
+        |  104 + length(CAST(g*3 AS VARCHAR))
+        |      + length('https://www.site' || n || '.example.com:443/p/'
+        |          || CAST(g AS VARCHAR) || '?b=2&a=1')
+        |      + length(CAST(pl0 AS VARCHAR)) + pl0 AS len0,
+        |  104 + length(CAST(g*3+1 AS VARCHAR))
+        |      + length('http://site' || n || '.example.com/p/'
+        |          || CAST(g AS VARCHAR) || '?a=1&b=2')
+        |      + length(CAST(pl0+3 AS VARCHAR)) + pl0 + 3 AS len1,
+        |  104 + length(CAST(g*3+2 AS VARCHAR))
+        |      + length('https://site' || n || '.example.com/q/'
+        |          || CAST(g AS VARCHAR))
+        |      + length(CAST(6 + length(CAST(g AS VARCHAR)) AS VARCHAR))
+        |      + 6 + length(CAST(g AS VARCHAR)) AS len2
+        | FROM m),
+        |x AS (SELECT unnest([0, 1, 2]) AS k)
+        |SELECT g*3 + k AS cdx_id,
+        | CASE WHEN k = 2
+        |   THEN 'com,example,site' || n || ')/q/' || CAST(g AS VARCHAR)
+        |   ELSE 'com,example,site' || n || ')/p/' || CAST(g AS VARCHAR)
+        |     || '?a=1&b=2' END AS urlkey,
+        | CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN len0
+        |   ELSE len0 + len1 END AS BIGINT) AS rec_offset,
+        | CAST(CASE k WHEN 0 THEN len0 WHEN 1 THEN len1
+        |   ELSE len2 END AS BIGINT) AS rec_len,
+        | CASE k WHEN 0 THEN md5(text) WHEN 1 THEN md5(text || ' v2')
+        |   ELSE md5('other ' || CAST(g AS VARCHAR)) END AS digest
+        |FROM l, x
+        |ORDER BY cdx_id""".stripMargin,
+
+    // latest/revisit replay: the /p/ key always has 2 captures whose
+    // second is a revisit exactly when g%3=0 (payload unchanged); the
+    // /q/ key has one capture, never a revisit.
+    "q322_cdx_latest" ->
+      """WITH m AS (SELECT doc_id AS g, CAST(doc_id % 50 AS VARCHAR) AS n,
+        |  text FROM documents)
+        |SELECT 'com,example,site' || n || ')/p/' || CAST(g AS VARCHAR)
+        |   || '?a=1&b=2' AS urlkey,
+        | CAST(2 AS BIGINT) AS n_captures,
+        | CAST(CASE WHEN g % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS n_revisits,
+        | g*3 + 1 AS latest_id,
+        | CASE WHEN g % 3 = 0 THEN md5(text)
+        |   ELSE md5(text || ' v2') END AS latest_digest
+        |FROM m
+        |UNION ALL
+        |SELECT 'com,example,site' || n || ')/q/' || CAST(g AS VARCHAR),
+        | CAST(1 AS BIGINT), CAST(0 AS BIGINT), g*3 + 2,
+        | md5('other ' || CAST(g AS VARCHAR))
+        |FROM m
+        |ORDER BY urlkey""".stripMargin,
+
+    // epoch-delta replay: membership and digests stated from the
+    // generator arms — a=4 absent from epoch 1 (new), a=0 absent from
+    // epoch 2 (gone), a=1 re-captured with changed content.
+    "q323_crawl_delta" ->
+      """WITH d AS (SELECT doc_id AS g, CAST(doc_id % 50 AS VARCHAR) AS n,
+        |  CAST(doc_id % 5 AS INT) AS a, text FROM documents)
+        |SELECT 'com,example,site' || n || ')/d/' || CAST(g AS VARCHAR)
+        |   AS urlkey,
+        | CASE WHEN a = 4 THEN NULL ELSE md5(text) END AS e1_digest,
+        | CASE WHEN a = 0 THEN NULL WHEN a = 1 THEN md5(text || ' v2')
+        |   ELSE md5(text) END AS e2_digest,
+        | CASE WHEN a = 4 THEN 'new' WHEN a = 0 THEN 'gone'
+        |   WHEN a = 1 THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM d ORDER BY urlkey""".stripMargin,
+
+    // anchor-index replay: each doc's four anchors restated as
+    // (target, text) contributions — t gets 'next page'+'continue'
+    // from t-1 (the utm spelling collapses onto the same key),
+    // 'skip & go' from t-2, 'bold link' from t-3.
+    "q324_anchor_index" ->
+      """WITH d AS (SELECT doc_id AS g FROM documents),
+        |c AS (
+        | SELECT g, g + 1 AS t, 'next page' AS txt FROM d
+        | UNION ALL SELECT g, g + 1, 'continue' FROM d
+        | UNION ALL SELECT g, g + 2, 'skip & go' FROM d
+        | UNION ALL SELECT g, g + 3, 'bold link' FROM d)
+        |SELECT 'com,example)/p/' || CAST(t AS VARCHAR) AS urlkey,
+        | count(*) AS n_anchors,
+        | CAST(count(DISTINCT g) AS BIGINT) AS n_linkers,
+        | string_agg(DISTINCT txt, '|' ORDER BY txt) AS texts
+        |FROM c GROUP BY t ORDER BY urlkey""".stripMargin,
   )
 }

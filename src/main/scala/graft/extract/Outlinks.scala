@@ -117,4 +117,80 @@ object Outlinks {
   /** `outlinks(html)` — array of href strings, document order. */
   val hrefsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (html: String) => hrefs(html) }
+
+  /** Per-anchor visible-text budget (raw chars collected before
+    * decode — a link farm wrapping the whole page in one `<a>` costs
+    * bounded work, the [[MaxLinks]] precedent at char grain). */
+  val MaxTextChars: Int = 4096
+
+  /** `(href, text)` pairs for every href-carrying anchor, document
+    * order — the signal half of an anchor-text index: what OTHER
+    * pages call a target is a ranking/quality feature the href alone
+    * doesn't carry.
+    *
+    * Text rules (same deterministic-subset discipline as [[hrefs]]):
+    *   - the text region runs from the opening tag's `>` to the first
+    *     `</a` close tag OR the next `<a` open tag (HTML5's implicit
+    *     close — anchors never nest) OR end of input;
+    *   - markup inside the region is stripped (quote-aware, the
+    *     [[tagEnd]] scanner), character data is kept;
+    *   - the collected text gets character references decoded, then
+    *     ASCII whitespace runs collapse to one space and ends trim —
+    *     `<b>bold</b>\n  link` reads "bold link";
+    *   - an anchor with an href but no visible text yields `""` (an
+    *     image link is real signal for the frontier even with no
+    *     text — callers filter, this never drops the href);
+    *   - region collection caps at [[MaxTextChars]] raw chars.
+    *
+    * Invariant (property-pinned): `anchors(h).map(_._1) == hrefs(h)`
+    * — adding text never changes link discovery. */
+  def anchors(html: String): Seq[(String, String)] = {
+    if (html == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    val n = html.length
+    while (i < n && out.size < MaxLinks) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 2 > n) return out.toSeq
+      val c1 = if (lt + 1 < n) html.charAt(lt + 1) else ' '
+      val c2 = if (lt + 2 < n) html.charAt(lt + 2) else '>'
+      if ((c1 == 'a' || c1 == 'A') &&
+        (c2.isWhitespace || c2 == '/' || c2 == '>')) {
+        val end = tagEnd(html, lt + 2)
+        hrefOf(html, lt + 2, end).foreach { raw =>
+          val v = graft.text.HtmlEntities.decode(raw).trim
+          if (v.nonEmpty) out += ((v, anchorText(html, end)))
+        }
+        i = end
+      } else i = lt + 1
+    }
+    out.toSeq
+  }
+
+  /** Collect character data from `from` to the anchor's close (see
+    * [[anchors]] rules), strip tags, decode, collapse whitespace. */
+  private def anchorText(s: String, from: Int): String = {
+    val sb = new StringBuilder
+    var i = from
+    var done = false
+    while (!done && i < s.length && sb.length < MaxTextChars) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val c1 = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+        val c2 = if (i + 2 < s.length) s.charAt(i + 2) else '>'
+        if (c1 == '/' && (c2 == 'a' || c2 == 'A') &&
+          (i + 3 >= s.length || s.charAt(i + 3) == '>' ||
+            s.charAt(i + 3).isWhitespace)) done = true // explicit close
+        else if ((c1 == 'a' || c1 == 'A') &&
+          (c2.isWhitespace || c2 == '/' || c2 == '>')) done = true // implicit
+        else i = tagEnd(s, i + 1) // strip inner markup
+      } else { sb.append(c); i += 1 }
+    }
+    graft.text.HtmlEntities.decode(sb.toString)
+      .replaceAll("\\s+", " ").trim
+  }
+
+  /** `anchor_pairs(html)` — array of `(href, text)` structs. */
+  val anchorsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (html: String) => anchors(html) }
 }

@@ -1,0 +1,176 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions.udf
+
+/** CDX capture indexing + SURT keys — the random-access index layer a
+  * web archive publishes next to its WARC shards (Common Crawl's
+  * `cc-index` CDXJ files; the pywb/OpenWayback convention). The
+  * reference re-fetches every page from the origin on each run
+  * (`/root/reference/src/extractor/service.py` fetch loop); an
+  * archive-scale replay instead fetches ONE member out of a multi-GB
+  * WARC shard by `(offset, length)` looked up in the index — the
+  * difference between seeking 100 KB and scanning 100 TB.
+  *
+  * Three pieces, each its own contract:
+  *   - [[surt]] — Sort-friendly URI Reordering Transform: the capture
+  *     key under which all spellings of one page collate adjacently
+  *     (`https://WWW.Example.com:443/A?b=2&a=1` and
+  *     `http://example.com/a?a=1&b=2` both key as
+  *     `com,example)/a?a=1&b=2`), so "latest capture of this page" is
+  *     a groupBy, and a key-range scan of the index is a crawl of one
+  *     site section.
+  *   - [[index]] — one linear pass over a WARC blob emitting per
+  *     member `(urlkey, offset, length, digest)`; rides
+  *     [[Warc.splitIndexed]]'s resync contract, so a corrupt member
+  *     indexes its good neighbors rather than failing the shard.
+  *   - [[fetch]] — the read path the index exists for: parse exactly
+  *     the `[offset, offset+length)` slice; never touches bytes
+  *     outside the slice (CdxSpec proves slice-parse == full-scan
+  *     member byte-for-byte).
+  *
+  * Scale: the index is ~60 bytes/capture vs ~100 KB/capture of
+  * payload — it broadcast-joins or sort-merges at a grain 1000×
+  * smaller than the archive, which is why every archive query below
+  * (latest-capture, revisit audit, epoch delta) runs on the index
+  * alone and only [[fetch]]es winners.
+  *
+  * Deviations from the classic tools (deliberate, each documented):
+  *   - digest is lowercase-hex MD5 of the payload bytes (classic CDX
+  *     ships base32 SHA-1; MD5 is the digest this repo's whole oracle
+  *     corpus replays in DuckDB);
+  *   - [[surt]] lowercases the entire URL up front (pywb's default
+  *     canonicalizer does) and strips exactly one leading `www.`
+  *     label; no per-site canonicalization rules;
+  *   - IP-literal hosts (dotted-quad, bracketed IPv6) are NOT
+  *     label-reversed — reversing `10.0.0.1` would collate it under
+  *     a meaningless key (the surt library's behavior).
+  */
+object Cdx {
+
+  /** One capture line: `id`/`uri` from the member's WARC headers,
+    * `urlkey` = [[surt]] of the uri, `offset`/`length` the member's
+    * byte extent in the shard, `digest` = md5-hex of the payload. */
+  final case class Entry(id: Long, uri: String, urlkey: String,
+                         offset: Long, length: Long, digest: String)
+
+  /** SURT form of a URL. Null/empty/unparseable-to-empty input keys
+    * as "" (the quarantine key — callers group it away, never throw).
+    * Fragment dropped; userinfo dropped; default ports (http:80,
+    * https:443) elided, others kept; empty path becomes "/"; query
+    * params sorted bytewise and empty params dropped (a bare trailing
+    * `?` keys identically to no query). */
+  def surt(url: String): String = {
+    if (url == null) return ""
+    var s = url.trim.toLowerCase(java.util.Locale.ROOT)
+    if (s.isEmpty) return ""
+    val hash = s.indexOf('#')
+    if (hash >= 0) s = s.substring(0, hash)
+    var scheme = ""
+    var rest = s
+    val ss = s.indexOf("://")
+    if (ss > 0) { scheme = s.substring(0, ss); rest = s.substring(ss + 3) }
+    else if (s.startsWith("//")) rest = s.substring(2)
+    val cut = rest.indexWhere(c => c == '/' || c == '?')
+    var auth = if (cut < 0) rest else rest.substring(0, cut)
+    val pq = if (cut < 0) "" else rest.substring(cut)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    var host = auth
+    var port = ""
+    if (auth.startsWith("[")) {
+      val rb = auth.indexOf(']')
+      if (rb >= 0) {
+        host = auth.substring(0, rb + 1)
+        if (rb + 1 < auth.length && auth.charAt(rb + 1) == ':')
+          port = auth.substring(rb + 2)
+      }
+    } else {
+      val c = auth.lastIndexOf(':')
+      if (c >= 0) { host = auth.substring(0, c); port = auth.substring(c + 1) }
+    }
+    val defaultPort = port.isEmpty ||
+      (scheme == "http" && port == "80") ||
+      (scheme == "https" && port == "443")
+    val ipLike = host.startsWith("[") ||
+      (host.nonEmpty && host.forall(c => c.isDigit || c == '.'))
+    val keyHost =
+      if (ipLike) host
+      else {
+        val h = if (host.startsWith("www.") && host.length > 4)
+          host.substring(4)
+        else host
+        h.split('.').reverse.mkString(",")
+      }
+    val hostPort = if (defaultPort) keyHost else keyHost + ":" + port
+    var path = pq
+    var query = ""
+    val qm = pq.indexOf('?')
+    if (qm >= 0) { path = pq.substring(0, qm); query = pq.substring(qm + 1) }
+    if (path.isEmpty) path = "/"
+    val qkey =
+      if (query.isEmpty) ""
+      else {
+        val parts = query.split('&').filter(_.nonEmpty).sorted
+        if (parts.isEmpty) "" else "?" + parts.mkString("&")
+      }
+    if (keyHost.isEmpty) "" else hostPort + ")" + path + qkey
+  }
+
+  private def md5hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+    val sb = new StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      sb.append(Character.forDigit(v >> 4, 16))
+      sb.append(Character.forDigit(v & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Index a WARC blob: one [[Entry]] per parseable member, blob
+    * order. Inherits [[Warc.splitIndexed]]'s resync-on-corrupt
+    * contract (a bad member is absent from the index, its neighbors
+    * are not). */
+  def index(blob: Array[Byte]): Seq[Entry] =
+    Warc.splitIndexed(blob).map { m =>
+      Entry(m.id, m.uri, surt(m.uri), m.offset, m.length, md5hex(m.payload))
+    }
+
+  /** Random access: parse exactly `[offset, offset+length)`. None on
+    * an out-of-bounds extent or a slice that doesn't parse to exactly
+    * one member — a stale index row quarantines instead of returning
+    * a misframed record. */
+  def fetch(blob: Array[Byte], offset: Long,
+            length: Long): Option[Warc.Record] = {
+    if (blob == null || offset < 0 || length <= 0 ||
+        offset + length > blob.length) return None
+    val slice = java.util.Arrays.copyOfRange(
+      blob, offset.toInt, (offset + length).toInt)
+    Warc.split(slice) match {
+      case Seq(one) => Some(one)
+      case _        => None
+    }
+  }
+
+  /** `surt_key(url)` — the capture key as a SQL scalar. */
+  val surtUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (u: String) => surt(u) }
+
+  /** `cdx_index(blob)` — array of
+    * `(id, uri, urlkey, offset, length, digest)` structs, blob
+    * order. */
+  val indexUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (blob: Array[Byte]) =>
+      index(blob).map(e =>
+        (e.id, e.uri, e.urlkey, e.offset, e.length, e.digest))
+    }
+
+  /** `cdx_fetch(blob, offset, length)` — the indexed member as an
+    * `(id, uri, payload)` struct, or NULL when the extent is stale. */
+  val fetchUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (blob: Array[Byte], off: Long, len: Long) =>
+      fetch(blob, off, len).map(r => (r.id, r.uri, r.payload))
+    }
+}

@@ -72,26 +72,42 @@ object Warc {
     true
   }
 
-  /** Split a concatenated-record blob into records. One linear pass;
-    * anything that fails to parse (missing Content-Length, truncated
-    * payload, over-budget length, non-numeric length) is skipped by
-    * resyncing to the next `WARC/` magic — a corrupt member yields its
-    * good records, never an exception. */
-  def split(blob: Array[Byte]): Seq[Record] = {
+  /** One record plus its byte position in the blob: `offset` is where
+    * its `WARC/` magic starts, `length` runs through the trailing
+    * CRLFCRLF (when present) — i.e. `blob.slice(offset, offset+length)`
+    * re-parses to exactly this record. The member grain a CDX capture
+    * index records (see [[graft.ingest.Cdx]]). */
+  final case class Indexed(id: Long, uri: String, offset: Long,
+                           length: Long, payload: Array[Byte])
+
+  /** [[split]] with byte positions. One linear pass; anything that
+    * fails to parse (missing Content-Length, truncated payload,
+    * over-budget length, non-numeric length) is skipped by resyncing
+    * to the next `WARC/` magic — a corrupt member yields its good
+    * records, never an exception. */
+  def splitIndexed(blob: Array[Byte]): Seq[Indexed] = {
     if (blob == null) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Indexed]
     var pos = 0
     while (pos < blob.length) {
       if (!matchesAt(blob, pos)) { pos += 1 }
       else {
         parseOne(blob, pos) match {
-          case Some((rec, next)) => out += rec; pos = next
-          case None              => pos += 1 // resync past this magic
+          case Some((rec, next)) =>
+            out += Indexed(rec.id, rec.uri, pos.toLong, (next - pos).toLong,
+              rec.payload)
+            pos = next
+          case None => pos += 1 // resync past this magic
         }
       }
     }
     out.toSeq
   }
+
+  /** Split a concatenated-record blob into records (the offset-free
+    * view of [[splitIndexed]] — same resync contract). */
+  def split(blob: Array[Byte]): Seq[Record] =
+    splitIndexed(blob).map(m => Record(m.id, m.uri, m.payload))
 
   /** Parse one record starting at a magic offset; returns the record
     * and the offset just past its trailing blank line. */

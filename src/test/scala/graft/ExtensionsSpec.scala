@@ -547,4 +547,38 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(ch == Seq("https://a.com/s1.xml"))
   }
+
+  test("archive-index surface usable from pure SQL: surt, cdx, anchors") {
+    import graft.GraftFunctions
+    GraftFunctions.register(spark)
+    // surt_key: spelling collapse as a SQL scalar
+    val k = spark.sql(
+      """SELECT surt_key('https://WWW.Example.com:443/A?b=2&a=1') AS k1,
+        |  surt_key('http://example.com/a?a=1&b=2') AS k2""".stripMargin)
+      .collect().head
+    assert(k.getString(0) == "com,example)/a?a=1&b=2")
+    assert(k.getString(1) == k.getString(0))
+    // cdx_index → cdx_fetch round-trip entirely in SQL: index a
+    // two-member blob, fetch the SECOND member by its recorded extent
+    val blob = graft.ingest.Warc.writeRecord(1L, "http://a/1",
+      "one".getBytes("UTF-8")) ++
+      graft.ingest.Warc.writeRecord(2L, "http://a/2",
+        "two".getBytes("UTF-8"))
+    spark.createDataFrame(Seq(Tuple1(blob))).toDF("blob")
+      .createOrReplaceTempView("shard")
+    val f = spark.sql(
+      """SELECT cast(f._3 AS STRING) AS body, f._2 AS uri FROM (
+        |  SELECT cdx_fetch(blob, e._4, e._5) AS f
+        |  FROM (SELECT blob, explode(cdx_index(blob)) AS e FROM shard)
+        |  WHERE e._1 = 2)""".stripMargin).collect().head
+    assert(f.getString(0) == "two" && f.getString(1) == "http://a/2")
+    // anchor_pairs: text alongside the href
+    val a = spark.sql(
+      """SELECT anchor_pairs(
+        |  '<a href="/x"><b>bold</b> link</a><a href="/y">b &amp; c</a>')
+        | AS ps""".stripMargin).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(a.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("/x", "bold link"), ("/y", "b & c")))
+  }
 }

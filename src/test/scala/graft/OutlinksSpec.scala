@@ -53,4 +53,60 @@ class OutlinksSpec extends SparkSpec {
     assert(out.size == graft.extract.Outlinks.MaxLinks)
     assert(out.head == "/p0" && out.last == "/p9999")
   }
+
+  // ---- anchors: (href, text) pairs ----
+
+  private def anchors(h: String) = graft.extract.Outlinks.anchors(h)
+
+  test("anchor text: nested markup stripped, whitespace collapsed") {
+    assert(anchors("""<a href="/x"><b>bold</b>
+        |  link</a>""".stripMargin) == Seq(("/x", "bold link")))
+  }
+
+  test("anchor text: entities decode AFTER tag strip") {
+    assert(anchors("""<a href="/x">skip &amp; go</a>""") ==
+      Seq(("/x", "skip & go")))
+    // an entity-encoded <b> is TEXT, not markup — it must survive
+    assert(anchors("""<a href="/x">&lt;b&gt;literal</a>""") ==
+      Seq(("/x", "<b>literal")))
+  }
+
+  test("anchor with no visible text yields empty string, href kept") {
+    assert(anchors("""<a href="/img"><img src="i.png"/></a>""") ==
+      Seq(("/img", "")))
+  }
+
+  test("implicit close: a new <a> ends the previous anchor's text") {
+    assert(anchors("""<a href="/1">one <a href="/2">two</a>""") ==
+      Seq(("/1", "one"), ("/2", "two")))
+  }
+
+  test("unclosed trailing anchor collects to end of input") {
+    assert(anchors("""<a href="/1">tail text""") ==
+      Seq(("/1", "tail text")))
+  }
+
+  test("quoted > inside an inner tag does not end the strip") {
+    assert(anchors("""<a href="/1">a <span title=">">mid</span> b</a>""") ==
+      Seq(("/1", "a mid b")))
+  }
+
+  test("anchor-text budget caps a wrapping link farm") {
+    val big = "<a href=\"/x\">" + ("y" * 10000) + "</a>"
+    val out = anchors(big)
+    assert(out.size == 1)
+    assert(out.head._2.length == graft.extract.Outlinks.MaxTextChars)
+  }
+
+  test("invariant: anchors(h).map(_._1) == hrefs(h) on every fixture") {
+    val fixtures = Seq(
+      """<a href="/x">3</a><a href='/y'>4</a><a href=/z>5</a>""",
+      """<a name="no"></a><a href="">e</a><a href="/k">k</a>""",
+      """<a href="/1">one <a href="/2">two</a>""",
+      """<a href="/unclosed""",
+      "plain text & no tags", "", "<a", "<")
+    fixtures.foreach { h =>
+      assert(anchors(h).map(_._1) == hrefs(h), s"fixture: $h")
+    }
+  }
 }
