@@ -1124,4 +1124,91 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("streaming capture index: WARC shard waves append CDX rows; " +
+    "latest/revisit state converges to the batch index (q322 continuously)") {
+    // how an archive actually grows: crawl waves land as WARC shards;
+    // each shard appends its CDX rows (a CDX file IS append-only —
+    // captures are immutable, only the 'latest' VIEW changes), and the
+    // latest-capture/revisit answer is recomputed from the accumulated
+    // index without ever re-reading payload bytes.
+    import graft.ingest.{Cdx, Warc}
+    import org.apache.spark.sql.DataFrame
+    val dir = Files.createTempDirectory("graft-cdx-src")
+    val ckpt = Files.createTempDirectory("graft-cdx-ckpt").toString
+    val cdxPath = Files.createTempDirectory("graft-cdx-idx")
+      .toString + "/cdx"
+
+    def rec(id: Long, uri: String, body: String): Array[Byte] =
+      Warc.writeRecord(id, uri, body.getBytes("UTF-8"))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("blob", "binary")
+    def runOnce(): Unit = {
+      val q = StreamingIngest.readStream(spark, dir.toString, schema)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            b.select(explode(Cdx.indexUdf(col("blob"))).as("e"))
+              .select(col("e._1").as("id"), col("e._3").as("urlkey"),
+                col("e._6").as("digest"))
+              .write.mode("append").parquet(cdxPath)
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def latest(): Map[String, (Long, Long, String)] =
+      spark.read.parquet(cdxPath)
+        .groupBy("urlkey")
+        .agg((count(lit(1)) - countDistinct(col("digest")))
+          .as("n_revisits"),
+          max(col("id")).as("latest_id"),
+          expr("max_by(digest, id)").as("latest_digest"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(1), r.getString(3)))).toMap
+
+    // wave 1: pages A and B, one shard
+    val wave1 = Seq(
+      rec(1L, "http://www.a.com/x", "A v1") ++ rec(2L, "http://b.com/y", "B v1"))
+    wave1.map(Tuple1(_)).toDF("blob")
+      .write.mode("overwrite").parquet(dir.toString)
+    runOnce()
+    val s1 = latest()
+    assert(s1("com,a)/x")._1 == 1L) // latest = capture 1
+    assert(s1.size == 2 && s1.values.forall(_._2 == 0L)) // no revisits yet
+
+    // wave 2: A unchanged (revisit), B changed, C new — two shards
+    val wave2 = Seq(
+      rec(3L, "https://a.com/x", "A v1") ++ rec(4L, "http://b.com/y", "B v2"),
+      rec(5L, "http://c.com/z", "C v1"))
+    wave2.map(Tuple1(_)).toDF("blob")
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+    val s2 = latest()
+    assert(s2.size == 3)
+    // A: the https spelling keys with the http one; same digest → revisit
+    assert(s2("com,a)/x")._1 == 3L && s2("com,a)/x")._2 == 1L)
+    // B: changed content → latest digest differs from wave 1's, no revisit
+    assert(s2("com,b)/y")._1 == 4L && s2("com,b)/y")._2 == 0L)
+    assert(s2("com,b)/y")._3 != s1("com,b)/y")._3)
+    // C: new page, single capture
+    assert(s2("com,c)/z") == ((5L, 0L, s2("com,c)/z")._3)))
+
+    // append-only: wave 1's rows are still present verbatim (5 total)
+    val allRows = spark.read.parquet(cdxPath)
+    assert(allRows.count() == 5L)
+
+    // the streamed accumulated index equals the batch index over all
+    // three shards at once
+    val batch = (wave1 ++ wave2).map(Tuple1(_)).toDF("blob")
+      .select(explode(Cdx.indexUdf(col("blob"))).as("e"))
+      .select(col("e._1").as("id"), col("e._3").as("urlkey"),
+        col("e._6").as("digest"))
+    assert(allRows.orderBy("id").collect().toSeq ==
+      batch.orderBy("id").collect().toSeq)
+  }
 }
