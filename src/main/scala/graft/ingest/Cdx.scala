@@ -116,7 +116,7 @@ object Cdx {
     if (keyHost.isEmpty) "" else hostPort + ")" + path + qkey
   }
 
-  private def md5hex(b: Array[Byte]): String = {
+  private[graft] def md5hex(b: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(b)
     val sb = new StringBuilder(32)
     var i = 0
