@@ -358,6 +358,75 @@ object ScaleProbe {
           }
         }
 
+      case "archive" =>
+        // the WarcArchiveSource read paths against 1x / 10x archives
+        // on real disk. Claims: (a) a POINT fetch (urlkey equality)
+        // is flat in archive size — sidecar pushdown + one seek;
+        // (b) a site-section seek scales with MATCHES, not archive;
+        // (c) the metadata-only variant never opens a shard; (d) the
+        // full scan is the only archive-linear path.
+        import graft.ingest.Warc
+        import graft.sources.WarcArchive
+        def build(n: Long): String = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-archive-probe").toString
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$dir/shards"))
+          val uri = format_string("https://site%d.example.com/p/%d",
+            col("id") % 50, col("id"))
+          val member = Warc.record(col("id"), uri,
+            encode(concat_ws(" ", (0 until 6).map(j =>
+              md5(concat(col("id"), lit(":" + j)))): _*), "UTF-8"))
+          spark.range(n).repartition(32)
+            .select((col("id") % 32).as("shard"),
+              struct(col("id").as("i"), member.as("m")).as("sm"))
+            .groupBy(col("shard"))
+            .agg(Warc.concatBlobs(transform(
+              sort_array(collect_list(col("sm"))), x => x("m")))
+              .as("blob"))
+            .collect().foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(
+                  f"$dir/shards/s${r.getLong(0)}%02d.warc"),
+                r.getAs[Array[Byte]](1))
+            }
+          time(s"index $n members") { WarcArchive.indexShards(spark, dir) }
+          dir
+        }
+        for (m <- Seq(1L, 10L)) {
+          val n = 20000L * m
+          val dir = build(n)
+          def reader = spark.read
+            .format("graft.sources.WarcArchiveSource")
+            .option("path", dir).load()
+          time(s"${m}x sidecar prune alone (collect matches)") {
+            println("[probe]   matches=" + WarcArchive.cdx(spark, dir)
+              .filter(col("urlkey") === "com,example,site7)/p/7")
+              .collect().length)
+          }
+          for (rep <- 1 to 2)
+            time(s"${m}x point fetch rep$rep (1 member, payload)") {
+              println("[probe]   bytes=" + reader
+                .filter(col("urlkey") === "com,example,site7)/p/7")
+                .select(sum(length(col("payload")))).head().getLong(0))
+            }
+          WarcArchive.filesOpened.set(0L)
+          time(s"${m}x metadata-only site section (n/50 rows)") {
+            println("[probe]   rows=" + reader
+              .filter(col("urlkey").startsWith("com,example,site7)"))
+              .select("id", "digest").count() +
+              " opens=" + WarcArchive.filesOpened.get())
+          }
+          time(s"${m}x payload seek site section (n/50 members)") {
+            println("[probe]   bytes=" + reader
+              .filter(col("urlkey").startsWith("com,example,site7)"))
+              .select(sum(length(col("payload")))).head().getLong(0))
+          }
+          time(s"${m}x full archive scan") {
+            println("[probe]   rows=" + reader.count())
+          }
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
