@@ -199,6 +199,12 @@ object GraftFunctions {
     ("gunzip_text",
       columnFn(cs => graft.text.GzipText.gunzip(cs(0))),
       classOf[Expression]),
+    ("zstd_text",
+      columnFn(cs => graft.text.ZstdText.zstd(cs(0))),
+      classOf[Expression]),
+    ("unzstd_text",
+      columnFn(cs => graft.text.ZstdText.unzstd(cs(0))),
+      classOf[Expression]),
     // the crawl-ingestion layer (q288-q297): one definition shared
     // between the Column API and SQL
     ("url_canon",

@@ -8833,6 +8833,98 @@ object SparkEntry {
           concat_ws("|", sort_array(collect_set(col("txt")))).as("texts"))
         .orderBy(col("urlkey"))
     }),
+
+    // ---- the archive connector under the oracle gate: build a real
+    // 16-shard WARC archive from the corpus (members packed per shard
+    // in id order), index it with WarcArchive.indexShards, then read
+    // ONE site section back THROUGH graft.sources.WarcArchiveSource
+    // with a urlkey-prefix pushdown — the connector's seek path, its
+    // sidecar build, and the SURT keying all sit between the corpus
+    // and the answer, and the oracle replays every member's offset as
+    // a per-shard running sum of the WARC framing arithmetic. A drift
+    // in shard packing, sidecar indexing, pushdown pruning, or seek
+    // framing shifts rows or hashes ----
+    "q325_archive_section" -> ((s, d) => {
+      import graft.ingest.Warc
+      import graft.sources.WarcArchive
+      val g = col("doc_id")
+      val uri = format_string("https://site%d.example.com/p/%d",
+        g % 50, g)
+      val member = Warc.record(g, uri, encode(col("text"), "UTF-8"))
+      val shards = tSpread(s, d, "documents")
+        .select((g % 16).as("shard"),
+          struct(g.as("id"), member.as("m")).as("sm"))
+        .groupBy(col("shard"))
+        .agg(Warc.concatBlobs(transform(
+          sort_array(collect_list(col("sm"))), x => x("m"))).as("blob"))
+        .collect()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-q325-archive").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/shards"))
+      shards.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(
+            f"$dir/shards/shard-${r.getLong(0)}%02d.warc"),
+          r.getAs[Array[Byte]](1))
+      }
+      WarcArchive.indexShards(s, dir)
+      s.read.format("graft.sources.WarcArchiveSource")
+        .option("path", dir).load()
+        .filter(col("urlkey").startsWith("com,example,site7)"))
+        .select(col("id").as("doc_id"), col("urlkey"),
+          col("rec_offset"), col("rec_len"),
+          md5(col("payload")).as("body_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- content negotiation with the MODERN codec set: zstd (RFC
+    // 8878 — what Common Crawl's index and every 2024+ CDN actually
+    // ship) joins gzip and identity on the Content-Encoding rung.
+    // Five arms: zstd and gzip round-trip to the same text as
+    // identity; a corrupt zstd frame NULL-dispatches; and the
+    // MISLABELED arm — valid zstd bytes under a gzip header — must
+    // NULL out too (the decoder believes the header, not the magic:
+    // trusting sniffed magic over the declared encoding would mask
+    // real server bugs the crawl needs to surface) ----
+    "q326_encoding_negotiation" -> ((s, d) => {
+      import graft.ingest.{CharsetSniff, HttpMessage}
+      import graft.text.{GzipText, ZstdText}
+      val arm = col("doc_id") % 5
+      val gz = udf { (s0: String) => GzipText.gzipBytes(s0) }
+      val zs = udf { (s0: String) => ZstdText.zstdBytes(s0) }
+      // zstd magic (28 B5 2F FD little-endian) over garbage
+      val corrupt = concat(lit(Array[Byte](0x28.toByte, 0xB5.toByte,
+        0x2F.toByte, 0xFD.toByte)), encode(lit("corrupt"), "UTF-8"))
+      val body = when(arm === 0, zs(col("text")))
+        .when(arm === 1, gz(col("text")))
+        .when(arm === 2, encode(col("text"), "UTF-8"))
+        .when(arm === 3, corrupt)
+        .otherwise(zs(col("text"))) // arm 4: zstd bytes, gzip header
+      val enc = when(arm === 1 || arm === 4, lit("gzip"))
+        .when(arm === 2, lit("identity"))
+        .otherwise(lit("zstd"))
+      val headers = map(
+        lit("Content-Type"), lit("text/html; charset=utf-8"),
+        lit("Content-Encoding"), enc)
+      val payload = HttpMessage.writeWithHeadersUdf(lit(200), lit("OK"),
+        headers, body, lit(false))
+      tSpread(s, d, "documents")
+        .select(col("doc_id"), HttpMessage.parseUdf(payload).as("h"))
+        .select(col("doc_id"),
+          expr("h._2['content-encoding']").as("encoding"),
+          when(expr("h._2['content-encoding']") === "gzip",
+            GzipText.gunzip(col("h._3")))
+            .when(expr("h._2['content-encoding']") === "zstd",
+              ZstdText.unzstd(col("h._3")))
+            .otherwise(CharsetSniff.decodeUdf(
+              expr("h._2['content-type']"), col("h._3"))).as("content"))
+        .select(col("doc_id"), col("encoding"),
+          col("content").isNotNull.as("decoded"),
+          length(col("content")).cast("bigint").as("n_chars"),
+          md5(encode(col("content"), "UTF-8")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -16163,5 +16255,53 @@ object SparkEntry {
         | CAST(count(DISTINCT g) AS BIGINT) AS n_linkers,
         | string_agg(DISTINCT txt, '|' ORDER BY txt) AS texts
         |FROM c GROUP BY t ORDER BY urlkey""".stripMargin,
+
+    // archive-section replay: member lengths from the WARC framing
+    // arithmetic, offsets as per-shard running sums in id order (the
+    // packing order the generator uses), site-7 membership from the
+    // uri formula. The Spark side reads these THROUGH the connector's
+    // sidecar + seek path; this restates them from documents alone.
+    "q325_archive_section" ->
+      """WITH m AS (
+        | SELECT doc_id AS g, CAST(doc_id % 50 AS VARCHAR) AS n,
+        |   CAST(doc_id % 16 AS INT) AS shard,
+        |   octet_length(encode(text)) AS pl, text
+        | FROM documents),
+        |l AS (
+        | SELECT g, n, shard, pl, text,
+        |  104 + length(CAST(g AS VARCHAR))
+        |      + length('https://site' || n || '.example.com/p/'
+        |          || CAST(g AS VARCHAR))
+        |      + length(CAST(pl AS VARCHAR)) + pl AS len
+        | FROM m),
+        |o AS (
+        | SELECT g, n, len, text,
+        |  COALESCE(SUM(len) OVER (PARTITION BY shard ORDER BY g
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS rec_offset
+        | FROM l)
+        |SELECT g AS doc_id,
+        | 'com,example,site' || n || ')/p/' || CAST(g AS VARCHAR)
+        |   AS urlkey,
+        | CAST(rec_offset AS BIGINT) AS rec_offset,
+        | CAST(len AS BIGINT) AS rec_len,
+        | md5(text) AS body_md5
+        |FROM o WHERE n = '7'
+        |ORDER BY doc_id""".stripMargin,
+
+    // negotiation replay: arms 0-2 decode to the text, the corrupt
+    // frame and the zstd-under-gzip-header arm both NULL out.
+    "q326_encoding_negotiation" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 5 AS INT)
+        |  WHEN 1 THEN 'gzip' WHEN 4 THEN 'gzip'
+        |  WHEN 2 THEN 'identity' ELSE 'zstd' END AS encoding,
+        | CAST(doc_id % 5 AS INT) <= 2 AS decoded,
+        | CASE WHEN CAST(doc_id % 5 AS INT) <= 2
+        |   THEN CAST(length(text) AS BIGINT) ELSE NULL END AS n_chars,
+        | CASE WHEN CAST(doc_id % 5 AS INT) <= 2
+        |   THEN md5(text) ELSE NULL END AS content_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }
