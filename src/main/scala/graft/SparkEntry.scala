@@ -8925,6 +8925,60 @@ object SparkEntry {
           md5(encode(col("content"), "UTF-8")).as("content_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- the archive REFRESH loop composed in one plan — what an
+    // incremental crawl actually does to its archive: epoch-1 CDX
+    // state + epoch-2 observations → delta (q323) → fetch ONLY
+    // new/changed (an unchanged page is the 304 skip — no new
+    // capture, the q314 saving realized at archive grain) → appended
+    // captures under fresh ids (captures are immutable; the id-offset
+    // append is q320's epoch discipline) → the NEXT latest-capture
+    // state per urlkey, with gone pages tombstoned rather than
+    // silently dropped. Runs entirely on index grain; the single
+    // full-outer join is the q323 shape ----
+    "q327_archive_refresh" -> ((s, d) => {
+      import graft.ingest.{Cdx, Warc}
+      val docs = tSpread(s, d, "documents")
+      val g = col("doc_id")
+      val a = col("doc_id") % 5
+      val uri = format_string("https://site%d.example.com/d/%d",
+        col("doc_id") % 50, g)
+      val e1 = docs.filter(a =!= 4)
+        .select(explode(Cdx.indexUdf(
+          Warc.record(g, uri, encode(col("text"), "UTF-8")))).as("e"))
+        .select(col("e._3").as("urlkey"), col("e._1").as("e1_id"),
+          col("e._6").as("e1_digest"))
+      val e2 = docs.filter(a =!= 0)
+        .select(g.as("g2"), explode(Cdx.indexUdf(Warc.record(
+          g + 10000000L, uri,
+          encode(when(a === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")), "UTF-8")))).as("e"))
+        .select(col("e._3").as("urlkey"), col("e._1").as("e2_id"),
+          col("e._6").as("e2_digest"))
+      e1.join(e2, Seq("urlkey"), "full_outer")
+        .select(col("urlkey"), col("e1_id"), col("e1_digest"),
+          col("e2_id"), col("e2_digest"),
+          when(col("e1_digest").isNull, lit("new"))
+            .when(col("e2_digest").isNull, lit("gone"))
+            .when(col("e1_digest") === col("e2_digest"),
+              lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+        .select(col("urlkey"), col("status"),
+          // fetched = a new capture was appended (new/changed only)
+          (col("status") === "new" || col("status") === "changed")
+            .as("fetched"),
+          // the archive's next latest state: unchanged keeps the
+          // epoch-1 capture (304 — nothing appended), new/changed
+          // take the appended id, gone tombstones with NULLs
+          when(col("status") === "unchanged", col("e1_id"))
+            .when(col("status") === "gone", lit(null).cast("long"))
+            .otherwise(col("e2_id")).as("latest_id"),
+          when(col("status") === "unchanged", col("e1_digest"))
+            .when(col("status") === "gone",
+              lit(null).cast("string"))
+            .otherwise(col("e2_digest")).as("latest_digest"))
+        .orderBy(col("urlkey"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -16303,5 +16357,25 @@ object SparkEntry {
         |   THEN md5(text) ELSE NULL END AS content_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // refresh replay: status arms from the q323 formula; the next
+    // latest state keeps the epoch-1 id for unchanged (the 304 —
+    // nothing appended), takes the offset-appended id for
+    // new/changed, and tombstones gone with NULLs.
+    "q327_archive_refresh" ->
+      """WITH d AS (SELECT doc_id AS g,
+        |  CAST(doc_id % 50 AS VARCHAR) AS n,
+        |  CAST(doc_id % 5 AS INT) AS a, text FROM documents)
+        |SELECT 'com,example,site' || n || ')/d/' || CAST(g AS VARCHAR)
+        |   AS urlkey,
+        | CASE WHEN a = 4 THEN 'new' WHEN a = 0 THEN 'gone'
+        |   WHEN a = 1 THEN 'changed' ELSE 'unchanged' END AS status,
+        | a IN (4, 1) AS fetched,
+        | CASE WHEN a = 0 THEN NULL
+        |   WHEN a IN (4, 1) THEN g + 10000000 ELSE g END AS latest_id,
+        | CASE WHEN a = 0 THEN NULL
+        |   WHEN a = 1 THEN md5(text || ' v2')
+        |   ELSE md5(text) END AS latest_digest
+        |FROM d ORDER BY urlkey""".stripMargin,
   )
 }
