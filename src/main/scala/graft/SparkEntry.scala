@@ -8979,6 +8979,45 @@ object SparkEntry {
             .otherwise(col("e2_digest")).as("latest_digest"))
         .orderBy(col("urlkey"))
     }),
+
+    // ---- WET derivation: the text-conversion sibling every WARC
+    // archive publishes (Common Crawl's .wet files — WARC conversion
+    // records holding extracted text, offset-id'd against their
+    // response originals). The chain: response HTML → boilerplate
+    // (link-dense nav dropped) → entity decode → RE-SERIALIZED as
+    // conversion members → shard-packed → SPLIT BACK, and the output
+    // reads from the round-tripped members, so the container write,
+    // the member framing, and the extraction are all load-bearing —
+    // a drift in any of them shifts every hash ----
+    "q328_wet_derivation" -> ((s, d) => {
+      import graft.ingest.Warc
+      import graft.extract.Boilerplate
+      import graft.text.HtmlEntities
+      val g = col("doc_id")
+      val nav = "<div class=\"nav\"><a href=\"/\">home</a> " +
+        "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></div>"
+      val html = concat(lit(nav + "<p>"), col("text"),
+        lit(" x &amp; y</p>"))
+      val uri = format_string("https://site%d.example.com/p/%d",
+        g % 50, g)
+      val convText = HtmlEntities.decodeUdf(
+        Boilerplate.extractUdf(3)(html).getField("_3"))
+      tSpread(s, d, "documents")
+        .select((g % 8).as("shard"),
+          struct((g + 50000000L).as("cid"),
+            Warc.record(g + 50000000L, uri,
+              encode(convText, "UTF-8")).as("m")).as("sm"))
+        .groupBy(col("shard"))
+        .agg(Warc.concatBlobs(transform(
+          sort_array(collect_list(col("sm"))), x => x("m"))).as("blob"))
+        .select(explode(Warc.splitUdf(col("blob"))).as("r"))
+        .select((col("r._1") - 50000000L).as("doc_id"),
+          col("r._2").as("uri"),
+          length(decode(col("r._3"), "UTF-8")).cast("bigint")
+            .as("n_chars"),
+          md5(col("r._3")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -16377,5 +16416,20 @@ object SparkEntry {
         |   WHEN a = 1 THEN md5(text || ' v2')
         |   ELSE md5(text) END AS latest_digest
         |FROM d ORDER BY urlkey""".stripMargin,
+
+    // WET replay: conversion text stated from the generator formula
+    // (nav dropped by link density, the <p> block kept verbatim,
+    // entities decoded) — the Spark side reads it back out of
+    // round-tripped conversion members.
+    "q328_wet_derivation" ->
+      """WITH c AS (SELECT doc_id AS g,
+        |  CAST(doc_id % 50 AS VARCHAR) AS n,
+        |  text || ' x & y' AS content FROM documents)
+        |SELECT g AS doc_id,
+        | 'https://site' || n || '.example.com/p/' || CAST(g AS VARCHAR)
+        |   AS uri,
+        | CAST(length(content) AS BIGINT) AS n_chars,
+        | md5(content) AS text_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }
