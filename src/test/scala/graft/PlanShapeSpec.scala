@@ -268,4 +268,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(exLines.forall(l => !l.contains("chunk#")),
       exLines.mkString("\n"))
   }
+
+  test("q321/q328: archive index build and WET derivation are scan-shaped " +
+    "— no join, no window, no shuffle before the presentation sort") {
+    Seq("q321_cdx_index", "q328_wet_derivation").foreach { q =>
+      val p = executedPlan(q)
+      assert(!p.contains("Join") && !p.contains("Window"), s"$q:\n" +
+        p.take(1200))
+      // the ONLY exchanges are the fixed repartition of the corpus
+      // read (tSpread), the bounded shard groupBy (q328), and the
+      // presentation sort's range exchange — never a hash exchange on
+      // a data-grain string key
+      val exLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exLines.forall(l => !l.contains("urlkey#") &&
+        !l.contains("uri#")), s"$q:\n" + exLines.mkString("\n"))
+    }
+  }
+
+  test("q323/q327: epoch diff joins at INDEX grain — one SMJ on urlkey, " +
+    "no cartesian, digests never broadcast") {
+    Seq("q323_crawl_delta", "q327_archive_refresh").foreach { q =>
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n" + p.take(1200))
+      // the full-outer epoch join MUST be a sort-merge join — neither
+      // side of an archive diff is broadcastable by definition
+      assert(count(p, "SortMergeJoin") == 1, s"$q:\n" + p.take(1500))
+      assert(!p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(1500))
+    }
+  }
 }
