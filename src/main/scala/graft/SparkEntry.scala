@@ -9018,6 +9018,111 @@ object SparkEntry {
           md5(col("r._3")).as("text_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- change-rate recrawl scheduling from capture history — the
+    // Cho & Garcia-Molina result the CDX makes actionable: a page's
+    // observed change rate across its captures estimates how often
+    // re-fetching it pays. Four captures per page; consecutive-digest
+    // changes (a WINDOW over the bounded 4-row capture grain, never
+    // the corpus) bucket each urlkey hot/warm/cold — the priority the
+    // frontier's politeness waves consume. Four deterministic change
+    // patterns (never / always / once / twice) pin the arithmetic ----
+    "q329_change_rate" -> ((s, d) => {
+      import graft.ingest.{Cdx, Warc}
+      import org.apache.spark.sql.expressions.Window
+      val g = col("doc_id")
+      val a = col("doc_id") % 4
+      val uri = format_string("https://site%d.example.com/d/%d",
+        col("doc_id") % 50, g)
+      def body(k: Int) = {
+        val c = lit(k)
+        when(a === 0, col("text"))
+          .when(a === 1, concat(col("text"), lit(" v"), c))
+          .when(a === 2,
+            when(c >= 2, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .otherwise( // a=3: d e e f
+            when(c === 0, col("text"))
+              .when(c === 3, concat(col("text"), lit(" v3")))
+              .otherwise(concat(col("text"), lit(" v1"))))
+      }
+      val blob = Warc.concatBlobs(array((0 until 4).map(k =>
+        Warc.record(g * 4 + k, uri, encode(body(k), "UTF-8"))): _*))
+      val w = Window.partitionBy(col("urlkey")).orderBy(col("id"))
+      tSpread(s, d, "documents")
+        .select(blob.as("blob"))
+        .select(explode(Cdx.indexUdf(col("blob"))).as("e"))
+        .select(col("e._3").as("urlkey"), col("e._1").as("id"),
+          col("e._6").as("digest"))
+        .withColumn("changed",
+          when(lag(col("digest"), 1).over(w).isNull, lit(0))
+            .when(lag(col("digest"), 1).over(w) =!= col("digest"),
+              lit(1))
+            .otherwise(lit(0)))
+        .groupBy(col("urlkey"))
+        .agg(count(lit(1)).as("n_captures"),
+          sum(col("changed")).cast("bigint").as("n_changes"))
+        .select(col("urlkey"), col("n_captures"), col("n_changes"),
+          // integer basis points (PLANS.md output-typing contract)
+          (col("n_changes") * 10000 / (col("n_captures") - 1))
+            .cast("bigint").as("rate_bp"),
+          when(col("n_changes") >= 2, lit("hot"))
+            .when(col("n_changes") === 1, lit("warm"))
+            .otherwise(lit("cold")).as("bucket"))
+        .orderBy(col("urlkey"))
+    }),
+
+    // ---- URL-parameter significance mining — learning the canon
+    // rules instead of hard-coding them: a param is STRIPPABLE when,
+    // across all capture groups that differ ONLY in that param's
+    // value, the content digest never changes (session ids), and
+    // SIGNIFICANT when it does (real routing params). The evidence
+    // grain is (context, param) where context = path + the OTHER
+    // params — the classic crawler-dedup mining that turns the
+    // capture index into better URL canonicalization. Here `sid`
+    // varies twice per page with identical digests (strippable) and
+    // `p` varies once with differing digests (significant) ----
+    "q330_param_mining" -> ((s, d) => {
+      import graft.ingest.{Cdx, Warc}
+      val g = col("doc_id")
+      val n = col("doc_id") % 50
+      def uri(q: String) = format_string(
+        "https://site%d.example.com/i/%d" + q, n, g)
+      def body(p: Int) =
+        encode(concat(col("text"), lit(" p" + p)), "UTF-8")
+      val blob = Warc.concatBlobs(array(
+        Warc.record(g * 4, uri("?p=1&sid=aaa"), body(1)),
+        Warc.record(g * 4 + 1, uri("?p=1&sid=bbb"), body(1)),
+        Warc.record(g * 4 + 2, uri("?p=2&sid=aaa"), body(2)),
+        Warc.record(g * 4 + 3, uri("?p=2&sid=ccc"), body(2))))
+      tSpread(s, d, "documents")
+        .select(blob.as("blob"))
+        .select(explode(Cdx.indexUdf(col("blob"))).as("e"))
+        .select(col("e._2").as("uri"), col("e._6").as("digest"))
+        .select(col("digest"),
+          substring_index(col("uri"), "?", 1).as("page"),
+          split(substring_index(col("uri"), "?", -1), "&").as("params"))
+        .select(col("page"), col("digest"), col("params"),
+          explode(col("params")).as("kv"))
+        .select(col("digest"),
+          substring_index(col("kv"), "=", 1).as("param"),
+          substring_index(col("kv"), "=", -1).as("value"),
+          concat(col("page"), lit("?"), concat_ws("&",
+            sort_array(array_remove(col("params"), col("kv")))))
+            .as("context"))
+        .groupBy(col("context"), col("param"))
+        .agg(countDistinct(col("value")).as("n_vals"),
+          countDistinct(col("digest")).as("n_digs"))
+        .filter(col("n_vals") > 1)
+        .withColumn("host", regexp_extract(col("context"),
+          "https://site(\\d+)\\.", 1).cast("bigint"))
+        .groupBy(col("host"), col("param"))
+        .agg(count(lit(1)).as("n_varying"),
+          sum(when(col("n_digs") === 1, 1L).otherwise(0L))
+            .cast("bigint").as("n_clean"))
+        .withColumn("strippable", col("n_clean") === col("n_varying"))
+        .orderBy(col("host"), col("param"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -16431,5 +16536,37 @@ object SparkEntry {
         | CAST(length(content) AS BIGINT) AS n_chars,
         | md5(content) AS text_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // change-rate replay: the four deterministic patterns (never /
+    // always / once / twice) state n_changes directly.
+    "q329_change_rate" ->
+      """WITH d AS (SELECT doc_id AS g,
+        |  CAST(doc_id % 50 AS VARCHAR) AS n,
+        |  CAST(doc_id % 4 AS INT) AS a FROM documents),
+        |c AS (SELECT g, n,
+        |  CASE a WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |    ELSE 2 END AS n_changes
+        | FROM d)
+        |SELECT 'com,example,site' || n || ')/d/' || CAST(g AS VARCHAR)
+        |   AS urlkey,
+        | CAST(4 AS BIGINT) AS n_captures,
+        | CAST(n_changes AS BIGINT) AS n_changes,
+        | CAST(n_changes * 10000 // 3 AS BIGINT) AS rate_bp,
+        | CASE WHEN n_changes >= 2 THEN 'hot'
+        |   WHEN n_changes = 1 THEN 'warm' ELSE 'cold' END AS bucket
+        |FROM c ORDER BY urlkey""".stripMargin,
+
+    // param-mining replay: per host with cnt pages, `sid` yields two
+    // clean varying groups per page (p=1 and p=2 contexts), `p` one
+    // dirty varying group (only sid=aaa pairs across p values).
+    "q330_param_mining" ->
+      """WITH h AS (SELECT CAST(doc_id % 50 AS BIGINT) AS host,
+        |  count(*) AS cnt FROM documents GROUP BY 1)
+        |SELECT host, 'p' AS param, CAST(cnt AS BIGINT) AS n_varying,
+        | CAST(0 AS BIGINT) AS n_clean, false AS strippable FROM h
+        |UNION ALL
+        |SELECT host, 'sid', CAST(2 * cnt AS BIGINT),
+        | CAST(2 * cnt AS BIGINT), true FROM h
+        |ORDER BY host, param""".stripMargin,
   )
 }

@@ -126,10 +126,13 @@ class WarcArchiveTable(path: String) extends Table with SupportsRead {
 }
 
 class WarcArchiveScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = WarcArchive.schema
   private var pushed: Array[Filter] = Array.empty
+  private var hadResidual = false
+  private var countStar = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -138,6 +141,7 @@ class WarcArchiveScanBuilder(path: String) extends ScanBuilder
       case _ => false
     }
     pushed = supported
+    hadResidual = rest.nonEmpty
     rest // residuals Spark evaluates on returned rows
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -146,8 +150,54 @@ class WarcArchiveScanBuilder(path: String) extends ScanBuilder
     requiredSchema = required
   }
 
+  /** Ungrouped COUNT(*) is a SIDECAR aggregation — "how many captures
+    * of this site section" over a 100 TB archive is a parquet agg on
+    * the ~60 B/row index, zero shard bytes. Refused when a residual
+    * filter exists (Spark must post-filter rows, a sidecar count
+    * would overcount — the [[PagesScanBuilder]] rule). */
+  private def canAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    !hadResidual && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = canAnswer(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!canAnswer(agg)) return false
+    countStar = true
+    true
+  }
+
   override def build(): Scan =
-    new WarcArchiveScan(path, requiredSchema, pushed)
+    if (countStar) new WarcArchiveCountScan(path, pushed)
+    else new WarcArchiveScan(path, requiredSchema, pushed)
+}
+
+/** Completely-pushed COUNT(*): one sidecar aggregation (itself a
+  * pruned parquet scan), one result partition, zero shard opens. */
+class WarcArchiveCountScan(path: String, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-warc-archive-agg path=$path, pushedAggregates=[COUNT(*)], " +
+      s"pushedFilters=[${pushed.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val base = WarcArchive.cdx(spark, path)
+    val cnt = WarcArchive.filterColumn(pushed)
+      .map(base.filter).getOrElse(base).count()
+    Array(AggResultPartition(Array[Any](cnt)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AggResultReaderFactory
 }
 
 class WarcArchiveScan(path: String, requiredSchema: StructType,

@@ -124,6 +124,26 @@ class WarcArchiveSpec extends SparkSpec {
     assert(got == Seq(1L, 2L)) // member 5 dropped, not garbage
   }
 
+  test("COUNT(*) pushes to the sidecar: no shard opened, no row planned") {
+    val dir = buildArchive()
+    WarcArchive.filesOpened.set(0L)
+    val section = load(dir)
+      .filter(col("urlkey").startsWith("com,example,site1)"))
+    assert(section.count() == 3L)
+    assert(load(dir).count() == 6L)
+    assert(WarcArchive.filesOpened.get() == 0L)
+    // the aggregate reached the connector (complete pushdown)
+    val agg = section.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-warc-archive-agg") ||
+      plan.contains("pushedAggregates"), plan)
+    // a residual (non-pushable) filter refuses the sidecar count and
+    // still answers correctly through the row path
+    val resid = load(dir).filter(col("digest") ===
+      Cdx.md5hex("s1 p2".getBytes("UTF-8"))).count()
+    assert(resid == 1L)
+  }
+
   test("indexShards sidecar equals Cdx.index over each shard") {
     val dir = buildArchive()
     val got = WarcArchive.cdx(spark, dir)
