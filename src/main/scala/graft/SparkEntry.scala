@@ -9123,6 +9123,65 @@ object SparkEntry {
         .withColumn("strippable", col("n_clean") === col("n_varying"))
         .orderBy(col("host"), col("param"))
     }),
+
+    // ---- archive repack (GC) end-to-end: the VACUUM that closes the
+    // archive lifecycle — build an archive holding epoch-1 captures
+    // plus q327's appended refreshes, then WarcArchive.repack keeps
+    // only each page's latest capture, drops the tombstoned (gone)
+    // pages, rewrites fresh shards id-sorted, and REBUILDS the
+    // sidecar. The output reads from the rebuilt sidecar, so the
+    // latest-pick window, the tombstone anti-join, the re-serialize,
+    // and the re-index are all load-bearing — the oracle restates
+    // every post-repack extent from the framing arithmetic ----
+    "q331_archive_repack" -> ((s, d) => {
+      import graft.ingest.Warc
+      import graft.sources.WarcArchive
+      val g = col("doc_id")
+      val a = col("doc_id") % 5
+      val uri = format_string("https://site%d.example.com/d/%d",
+        col("doc_id") % 50, g)
+      // source members per arm: epoch-1 capture (id=g) for a!=4, an
+      // appended refresh (id=g+10M) for a in {1 changed, 4 new}
+      val e1 = Warc.record(g, uri, encode(col("text"), "UTF-8"))
+      val ap = Warc.record(g + 10000000L, uri,
+        encode(when(a === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")), "UTF-8"))
+      val memberBlob = when(a === 1, Warc.concatBlobs(array(e1, ap)))
+        .when(a === 4, ap)
+        .otherwise(e1)
+      val docs = tSpread(s, d, "documents")
+      val srcShards = docs
+        .select((g % 16).as("shard"),
+          struct(g.as("i"), memberBlob.as("m")).as("sm"))
+        .groupBy(col("shard"))
+        .agg(Warc.concatBlobs(transform(
+          sort_array(collect_list(col("sm"))), x => x("m"))).as("blob"))
+        .collect()
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-q331-src").toString
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft-q331-dst").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$src/shards"))
+      srcShards.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(
+            f"$src/shards/shard-${r.getLong(0)}%02d.warc"),
+          r.getAs[Array[Byte]](1))
+      }
+      WarcArchive.indexShards(s, src)
+      val tombstones = docs.filter(a === 0)
+        .select(format_string("com,example,site%d)/d/%d",
+          col("doc_id") % 50, g).as("urlkey"))
+      WarcArchive.repack(s, src, dst,
+        pmod(regexp_extract(col("uri"), "/d/(\\d+)", 1).cast("bigint"),
+          lit(8)),
+        Some(tombstones))
+      WarcArchive.cdx(s, dst)
+        .select(col("urlkey"), col("id").as("kept_id"),
+          col("rec_offset"), col("rec_len"), col("digest"))
+        .orderBy(col("kept_id"))
+    }),
   )
 
   /** Typed row for the q110 Dataset-API demonstration. */
@@ -16568,5 +16627,42 @@ object SparkEntry {
         |SELECT host, 'sid', CAST(2 * cnt AS BIGINT),
         | CAST(2 * cnt AS BIGINT), true FROM h
         |ORDER BY host, param""".stripMargin,
+
+    // repack replay: kept set = non-tombstoned pages at their latest
+    // capture; every post-repack extent restated from the framing
+    // arithmetic with offsets as per-shard (g%8) running sums in
+    // kept-id order — the order repack packs.
+    "q331_archive_repack" ->
+      """WITH k AS (
+        | SELECT doc_id AS g, CAST(doc_id % 50 AS VARCHAR) AS n,
+        |  CAST(doc_id % 5 AS INT) AS a, text,
+        |  octet_length(encode(text)) AS pl0
+        | FROM documents WHERE CAST(doc_id % 5 AS INT) <> 0),
+        |m AS (
+        | SELECT g, n, a, text,
+        |  CASE WHEN a IN (1, 4) THEN g + 10000000 ELSE g END AS kept_id,
+        |  CASE WHEN a = 1 THEN pl0 + 3 ELSE pl0 END AS pl
+        | FROM k),
+        |l AS (
+        | SELECT g, n, a, text, kept_id, pl,
+        |  104 + length(CAST(kept_id AS VARCHAR))
+        |      + length('https://site' || n || '.example.com/d/'
+        |          || CAST(g AS VARCHAR))
+        |      + length(CAST(pl AS VARCHAR)) + pl AS len
+        | FROM m),
+        |o AS (
+        | SELECT g, n, a, text, kept_id, len,
+        |  COALESCE(SUM(len) OVER (PARTITION BY g % 8 ORDER BY kept_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS rec_offset
+        | FROM l)
+        |SELECT 'com,example,site' || n || ')/d/' || CAST(g AS VARCHAR)
+        |   AS urlkey,
+        | kept_id,
+        | CAST(rec_offset AS BIGINT) AS rec_offset,
+        | CAST(len AS BIGINT) AS rec_len,
+        | CASE WHEN a = 1 THEN md5(text || ' v2')
+        |   ELSE md5(text) END AS digest
+        |FROM o ORDER BY kept_id""".stripMargin,
   )
 }

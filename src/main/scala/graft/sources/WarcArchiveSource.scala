@@ -100,6 +100,56 @@ object WarcArchive {
   def cdx(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/cdx")
 
+  /** Archive GC — the VACUUM of the capture store: rewrite `src` into
+    * `dst` keeping only each urlkey's LATEST capture (max id) and
+    * dropping `tombstones` urlkeys (pages the crawl observed gone,
+    * q327's delta), then rebuild the sidecar. Captures being
+    * immutable, this is the ONLY operation that ever removes bytes.
+    *
+    * `shardCol` assigns each kept member its destination shard
+    * (evaluated against the member columns: id/uri/urlkey/...);
+    * members pack id-sorted within a shard, so the layout is a pure
+    * function of the kept set — re-running repack is idempotent.
+    *
+    * Plan shape: one full source scan (a compaction is archive-linear
+    * by nature), a per-urlkey window over the BOUNDED capture grain,
+    * an optional anti-join against tombstones, and a per-shard
+    * serialization. The final shard rows are collected to write the
+    * files — bounded by the shard count at test scale; a deployment
+    * streams the same rows to a binary-file sink instead. */
+  def repack(spark: SparkSession, src: String, dst: String,
+             shardCol: org.apache.spark.sql.Column,
+             tombstones: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val members = spark.read.format("graft.sources.WarcArchiveSource")
+      .option("path", src).load()
+    val latest = members
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("urlkey")).orderBy(col("id").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val kept = tombstones
+      .map(t => latest.join(t, Seq("urlkey"), "left_anti"))
+      .getOrElse(latest)
+    val shards = kept
+      .select(shardCol.cast("long").as("shard"),
+        struct(col("id"),
+          graft.ingest.Warc.record(col("id"), col("uri"),
+            col("payload")).as("m")).as("sm"))
+      .groupBy(col("shard"))
+      .agg(graft.ingest.Warc.concatBlobs(transform(
+        sort_array(collect_list(col("sm"))), x => x("m"))).as("blob"))
+      .collect()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dst/shards"))
+    shards.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          f"$dst/shards/shard-${r.getLong(0)}%04d.warc"),
+        r.getAs[Array[Byte]](1))
+    }
+    indexShards(spark, dst)
+  }
+
   private[sources] def filterColumn(pushed: Array[Filter])
       : Option[org.apache.spark.sql.Column] =
     pushed.foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, f) =>

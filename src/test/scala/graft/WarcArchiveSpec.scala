@@ -144,6 +144,37 @@ class WarcArchiveSpec extends SparkSpec {
     assert(resid == 1L)
   }
 
+  test("repack keeps latest-per-urlkey, drops tombstones, and is idempotent") {
+    import org.apache.spark.sql.Row
+    val dir = buildArchive()
+    // add a newer capture of site1/p/1 (id 10) and tombstone site3/x
+    val extra = rec(10L, "http://site1.example.com/p/1", "s1 p1 NEW")
+    Files.write(java.nio.file.Paths.get(s"$dir/shards/d.warc"), extra)
+    WarcArchive.indexShards(spark, dir)
+    val tomb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("com,example,site3)/x"))),
+      new org.apache.spark.sql.types.StructType().add("urlkey", "string"))
+    val dst = Files.createTempDirectory("graft-repack-dst").toString
+    val shardOf = lit(0L) // single destination shard
+    WarcArchive.repack(spark, dir, dst, shardOf, Some(tomb))
+    val got = WarcArchive.cdx(spark, dst)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("urlkey"),
+        r.getAs[String]("digest"))).toSeq
+    // 6 members - site3/x (tombstoned) - old site1/p/1 (superseded) = 5
+    assert(got.map(_._1) == Seq(2L, 3L, 4L, 5L, 10L), got)
+    assert(got.last._3 == Cdx.md5hex("s1 p1 NEW".getBytes("UTF-8")))
+    assert(!got.exists(_._2 == "com,example,site3)/x"))
+    // idempotence: repacking the repacked archive is byte-identical
+    val dst2 = Files.createTempDirectory("graft-repack-dst2").toString
+    WarcArchive.repack(spark, dst, dst2, shardOf, None)
+    val b1 = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dst/shards/shard-0000.warc"))
+    val b2 = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dst2/shards/shard-0000.warc"))
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
   test("indexShards sidecar equals Cdx.index over each shard") {
     val dir = buildArchive()
     val got = WarcArchive.cdx(spark, dir)
