@@ -318,4 +318,81 @@ class CrawlPropertySpec extends SparkSpec {
       out.foreach(h => assert(h.nonEmpty))
     }
   }
+
+  test("Outlinks: anchors(h).map(_._1) == hrefs(h) on arbitrary text " +
+    "(text extraction never changes link discovery)") {
+    import graft.extract.Outlinks
+    val junkGen = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('<', '>', 'a', 'A', ' ', '"', '\'', '=',
+        'h', 'r', 'e', 'f', '/', '&', ';', 'b', '.')).map(_.mkString))
+    cases(junkGen).foreach { s =>
+      assert(Outlinks.anchors(s).map(_._1) == Outlinks.hrefs(s), s)
+    }
+  }
+
+  test("Cdx.surt: spelling-invariance laws on every generated URL") {
+    import graft.ingest.Cdx
+    cases(urlGen).foreach { u =>
+      val k = Cdx.surt(u)
+      // case-insensitive (ASCII URLs)
+      assert(Cdx.surt(u.toUpperCase(java.util.Locale.ROOT)) == k, u)
+      assert(Cdx.surt(u.toLowerCase(java.util.Locale.ROOT)) == k, u)
+      // fragment-invariant
+      assert(Cdx.surt(u.takeWhile(_ != '#')) == k, u)
+      // never empty for a generated URL (all have real hosts)
+      assert(k.nonEmpty, u)
+      // key never carries a fragment or an unsorted query
+      assert(!k.contains("#"), k)
+      val qi = k.indexOf('?')
+      if (qi >= 0) {
+        val parts = k.substring(qi + 1).split('&').toSeq
+        assert(parts == parts.sorted, k)
+      }
+    }
+  }
+
+  test("Cdx.surt: query-order invariance (sorted params collate equal)") {
+    import graft.ingest.Cdx
+    val pgen = for {
+      n <- Gen.choose(2, 5)
+      keys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e1"))
+    } yield keys.zipWithIndex.map { case (k, i) => s"$k=$i" }
+    cases(pgen).foreach { params =>
+      val base = "https://example.com/p"
+      val k1 = Cdx.surt(base + "?" + params.mkString("&"))
+      val k2 = Cdx.surt(base + "?" + params.reverse.mkString("&"))
+      assert(k1 == k2, params.toString)
+    }
+  }
+
+  test("Cdx.index ∘ concat == per-record entries with tiling extents " +
+    "on arbitrary binary payloads") {
+    import graft.ingest.{Cdx, Warc}
+    val recGen = for {
+      n <- Gen.choose(1, 5)
+      bodies <- Gen.listOfN(n,
+        Gen.choose(0, 60).flatMap(m =>
+          Gen.listOfN(m, Gen.choose(Byte.MinValue, Byte.MaxValue))))
+    } yield bodies.map(_.toArray)
+    cases(recGen).foreach { bodies =>
+      val blob = bodies.zipWithIndex.map { case (b, i) =>
+        Warc.writeRecord(i.toLong, s"http://h/$i", b)
+      }.reduce(_ ++ _)
+      val idx = Cdx.index(blob)
+      assert(idx.size == bodies.size)
+      // extents tile the blob exactly
+      assert(idx.head.offset == 0L)
+      assert(idx.map(_.length).sum == blob.length)
+      idx.sliding(2).foreach {
+        case Seq(a, b) => assert(a.offset + a.length == b.offset)
+        case _ => ()
+      }
+      // every extent fetches back to its own record
+      idx.zip(bodies).foreach { case (e, body) =>
+        val got = Cdx.fetch(blob, e.offset, e.length)
+        assert(got.isDefined)
+        assert(java.util.Arrays.equals(got.get.payload, body))
+      }
+    }
+  }
 }
