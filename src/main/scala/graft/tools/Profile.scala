@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Per-query stage profiler: runs selected SparkEntry queries under a
+  * SparkListener and prints, per query, total wall time plus every stage
+  * ≥ 1% of it (duration, task count, shuffle read/write, input bytes,
+  * and the stage's callsite) — the measure-first instrument of
+  * spark_optimization_guide §1 for a UI-less environment.
+  *
+  * Usage: runMain graft.tools.Profile <sfDir> <query>[,<query>...]
+  * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PROFILE_REPS (default 1,
+  * timed run AFTER one untimed warmup at the same sf).
+  */
+object Profile {
+
+  final case class StageRow(id: Int, name: String, tasks: Int,
+                            durMs: Long, shufReadMb: Double,
+                            shufWriteMb: Double, inputMb: Double)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q01_pricing_summary")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stages = mutable.ArrayBuffer[StageRow]()
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        val dur = (for {
+          c <- si.completionTime; s <- si.submissionTime
+        } yield c - s).getOrElse(0L)
+        stages.synchronized {
+          stages += StageRow(si.stageId, si.name, si.numTasks, dur,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            m.shuffleWriteMetrics.bytesWritten / 1e6,
+            m.inputMetrics.bytesRead / 1e6)
+        }
+      }
+    }
+
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query: $n"))
+      // warmup (codegen + JIT) at the same sf, not listened
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[profile] $n warmup failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      stages.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+      val snap = stages.synchronized(stages.toVector)
+      val stageSum = snap.map(_.durMs).sum / 1e3
+      println(f"%n===== $n  wall=${wall}%.2fs  rows=$rows  " +
+        f"stages=${snap.size} stage-sum=${stageSum}%.2fs =====")
+      val top = snap.sortBy(-_.durMs).takeWhile(_.durMs >= (wall * 10))
+      (if (top.isEmpty) snap.sortBy(-_.durMs).take(8) else top.take(40))
+        .foreach { r =>
+        println(f"  ${r.durMs}%6dms  tasks=${r.tasks}%4d  " +
+          f"in=${r.inputMb}%8.1fMB sr=${r.shufReadMb}%8.1fMB " +
+          f"sw=${r.shufWriteMb}%8.1fMB  [${r.id}] ${r.name.take(110)}")
+      }
+    }
+    spark.stop()
+  }
+}
