@@ -4195,17 +4195,22 @@ object SparkEntry {
     // beyond the threshold. Only the 1-row vocab-size frame keeps an
     // explicit broadcast ----
     "q88_lm_perplexity" -> ((s, d) => {
-      val tok = tSpread(s, d, "documents")
-        .select(col("doc_id"), posexplode(
-          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
-      val biCounts = big.groupBy(col("w"), col("w2"))
-        .agg(count(lit(1)).as("cb"))
-      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      // r12: bigrams via the map-side adjacentPairs array (w2 NULL on a
+      // doc's last token) — no posexplode + window-lead shuffle; ONE
+      // checkpointed pair-grain aggregate (vocabulary-grain) derives
+      // cb, cu AND V, so the corpus is scanned twice (model + probe),
+      // not four times. Counts are bit-identical by construction.
+      val pairs = tSpread(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.adjacentPairs(lower(col("text")))).as("bg"))
+        .select(col("doc_id"), col("bg.w").as("w"), col("bg.w2").as("w2"))
+      val pc = pairs.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val big = pairs.filter(col("w2").isNotNull)
+      val biCounts = pc.filter(col("w2").isNotNull)
+        .select(col("w"), col("w2"), col("c").as("cb"))
+      val uniCounts = pc.groupBy(col("w")).agg(sum(col("c")).as("cu"))
+      val vocab = uniCounts.agg(count(lit(1)).as("v"))
       big.join(biCounts, Seq("w", "w2"))
         .join(uniCounts, Seq("w"))
         .crossJoin(broadcast(vocab))
@@ -4936,17 +4941,20 @@ object SparkEntry {
     // aggregation, so the sheet is exact integer arithmetic end to end
     // — no double accumulation order anywhere ----
     "q225_domain_reweight" -> ((s, d) => {
-      val tok = tSpread(s, d, "documents")
-        .select(col("doc_id"), col("source"), posexplode(
-          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
-      val biCounts = big.groupBy(col("w"), col("w2"))
-        .agg(count(lit(1)).as("cb"))
-      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      // r12: q88's map-side bigram rework (see q88) — same counts, no
+      // window-lead shuffle, one checkpointed pair-grain model aggregate
+      val pairs = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.adjacentPairs(lower(col("text")))).as("bg"))
+        .select(col("doc_id"), col("source"),
+          col("bg.w").as("w"), col("bg.w2").as("w2"))
+      val pc = pairs.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val big = pairs.filter(col("w2").isNotNull)
+      val biCounts = pc.filter(col("w2").isNotNull)
+        .select(col("w"), col("w2"), col("c").as("cb"))
+      val uniCounts = pc.groupBy(col("w")).agg(sum(col("c")).as("cu"))
+      val vocab = uniCounts.agg(count(lit(1)).as("v"))
       val perDoc = big.join(biCounts, Seq("w", "w2"))
         .join(uniCounts, Seq("w"))
         .crossJoin(broadcast(vocab))
@@ -5611,17 +5619,20 @@ object SparkEntry {
     // Cutoffs broadcast back (langs-bounded); docs excluded only when
     // unscoreable (< 2 tokens, as q88) ----
     "q243_ccnet_buckets" -> ((s, d) => {
-      val tok = tSpread(s, d, "documents")
-        .select(col("doc_id"), col("lang"), posexplode(
-          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
-      val biCounts = big.groupBy(col("w"), col("w2"))
-        .agg(count(lit(1)).as("cb"))
-      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      // r12: q88's map-side bigram rework (see q88) — same counts, no
+      // window-lead shuffle, one checkpointed pair-grain model aggregate
+      val pairs = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.adjacentPairs(lower(col("text")))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w").as("w"), col("bg.w2").as("w2"))
+      val pc = pairs.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val big = pairs.filter(col("w2").isNotNull)
+      val biCounts = pc.filter(col("w2").isNotNull)
+        .select(col("w"), col("w2"), col("c").as("cb"))
+      val uniCounts = pc.groupBy(col("w")).agg(sum(col("c")).as("cu"))
+      val vocab = uniCounts.agg(count(lit(1)).as("v"))
       val scored = big.join(biCounts, Seq("w", "w2"))
         .join(uniCounts, Seq("w"))
         .crossJoin(broadcast(vocab))
@@ -5738,16 +5749,18 @@ object SparkEntry {
     // rows); the base rate is a 1-row broadcast ----
     "q246_proxy_calibration" -> ((s, d) => {
       val docs = tSpread(s, d, "documents")
-      val tok = docs.select(col("doc_id"), posexplode(
-          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
-      val biCounts = big.groupBy(col("w"), col("w2"))
-        .agg(count(lit(1)).as("cb"))
-      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      // r12: q88's map-side bigram rework (see q88) — same counts, no
+      // window-lead shuffle, one checkpointed pair-grain model aggregate
+      val pairs = docs.select(col("doc_id"),
+          explode(TextFunctions.adjacentPairs(lower(col("text")))).as("bg"))
+        .select(col("doc_id"), col("bg.w").as("w"), col("bg.w2").as("w2"))
+      val pc = pairs.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val big = pairs.filter(col("w2").isNotNull)
+      val biCounts = pc.filter(col("w2").isNotNull)
+        .select(col("w"), col("w2"), col("c").as("cb"))
+      val uniCounts = pc.groupBy(col("w")).agg(sum(col("c")).as("cu"))
+      val vocab = uniCounts.agg(count(lit(1)).as("v"))
       val scored = big.join(biCounts, Seq("w", "w2"))
         .join(uniCounts, Seq("w"))
         .crossJoin(broadcast(vocab))
@@ -5827,20 +5840,23 @@ object SparkEntry {
     "q248_heldout_source_ppl" -> ((s, d) => {
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
         16, 10).cast("bigint") % 100
-      val tok = tSpread(s, d, "documents")
-        .select(col("doc_id"), col("source"), bucket.as("bkt"), posexplode(
-          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val train = tok.filter(col("bkt") >= 20)
-      val ev = tok.filter(col("bkt") < 20)
-      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val bi = train.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
-        .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("cb"))
-      val uni = train.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val v = train.agg(countDistinct(col("w")).as("v"))
-      val perDoc = ev.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
+      // r12: q88's map-side bigram rework (see q88). The md5 split is
+      // doc-grain, so filtering whole docs before/after pair
+      // construction is equivalent — adjacency never crosses docs.
+      val pairs = tSpread(s, d, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("bkt"),
+          explode(TextFunctions.adjacentPairs(lower(col("text")))).as("bg"))
+        .select(col("doc_id"), col("source"), col("bkt"),
+          col("bg.w").as("w"), col("bg.w2").as("w2"))
+      val ev = pairs.filter(col("bkt") < 20)
+      val pc = pairs.filter(col("bkt") >= 20)
+        .groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val bi = pc.filter(col("w2").isNotNull)
+        .select(col("w"), col("w2"), col("c").as("cb"))
+      val uni = pc.groupBy(col("w")).agg(sum(col("c")).as("cu"))
+      val v = uni.agg(count(lit(1)).as("v"))
+      val perDoc = ev.filter(col("w2").isNotNull)
         .join(bi, Seq("w", "w2"), "left")
         .join(uni, Seq("w"), "left")
         .crossJoin(broadcast(v))
@@ -6448,17 +6464,21 @@ object SparkEntry {
     // aggregates is vocabulary-grain (Heaps-sublinear). Top-20 by PMI
     // among bigrams seen ≥ 5 times, fully tie-broken ----
     "q267_pmi_collocations" -> ((s, d) => {
-      val tok = tSpread(s, d, "documents")
-        .select(col("doc_id"), posexplode(
-          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
-        .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("cb"))
+      // r12: q88's map-side bigram rework (see q88) — the ONE corpus
+      // pass here, since every output frame is vocabulary-grain: cb,
+      // cu AND the token total all derive from the checkpointed
+      // pair-grain aggregate (nt = Σc — each token is one pair row)
+      val pairs = tSpread(s, d, "documents")
+        .select(explode(
+          TextFunctions.adjacentPairs(lower(col("text")))).as("bg"))
+        .select(col("bg.w").as("w"), col("bg.w2").as("w2"))
+      val pc = pairs.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val big = pc.filter(col("w2").isNotNull)
+        .select(col("w"), col("w2"), col("c").as("cb"))
         .filter(col("cb") >= 5)
-      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val nb = tok.agg(count(lit(1)).as("nt"))
+      val uni = pc.groupBy(col("w")).agg(sum(col("c")).as("cu"))
+      val nb = pc.agg(sum(col("c")).as("nt"))
       big
         .join(uni, Seq("w"))
         .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
@@ -6507,16 +6527,18 @@ object SparkEntry {
     // 31-point threshold spine never touches doc-grain rows ----
     "q269_proxy_roc" -> ((s, d) => {
       val docs = tSpread(s, d, "documents")
-      val tok = docs.select(col("doc_id"), posexplode(
-          split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
-        .filter(col("w2").isNotNull)
-      val biCounts = big.groupBy(col("w"), col("w2"))
-        .agg(count(lit(1)).as("cb"))
-      val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val vocab = tok.agg(countDistinct(col("w")).as("v"))
+      // r12: q88's map-side bigram rework (see q88) — same counts, no
+      // window-lead shuffle, one checkpointed pair-grain model aggregate
+      val pairs = docs.select(col("doc_id"),
+          explode(TextFunctions.adjacentPairs(lower(col("text")))).as("bg"))
+        .select(col("doc_id"), col("bg.w").as("w"), col("bg.w2").as("w2"))
+      val pc = pairs.groupBy(col("w"), col("w2"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val big = pairs.filter(col("w2").isNotNull)
+      val biCounts = pc.filter(col("w2").isNotNull)
+        .select(col("w"), col("w2"), col("c").as("cb"))
+      val uniCounts = pc.groupBy(col("w")).agg(sum(col("c")).as("cu"))
+      val vocab = uniCounts.agg(count(lit(1)).as("v"))
       val scored = big.join(biCounts, Seq("w", "w2"))
         .join(uniCounts, Seq("w"))
         .crossJoin(broadcast(vocab))

@@ -91,6 +91,25 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(split(trim(text), "\\s+"), n)
 
+  /** Adjacent word pairs as ONE map-side array — the bigram-LM lineage
+    * (q88 family) without its posexplode + per-doc window-lead, which
+    * costs a full token-stream Exchange + Sort per use (guide §2.4:
+    * remove shuffles outright — adjacency within a document never
+    * needed a shuffle). `w2` is NULL on each doc's final token, so one
+    * explode serves BOTH grains: bigram rows (`w2 IS NOT NULL`) and
+    * unigram rows (every token appears exactly once as `w`); the
+    * model-side counts then derive from a single pair-grain aggregate
+    * (cb = count per (w,w2); cu = sum over w; V = distinct-w row
+    * count) instead of three separate corpus scans. */
+  def adjacentPairs(text: Column): Column =
+    bound(filter(split(trim(text), "\\s+"), x => x =!= "")) { ts =>
+      when(size(ts) === 0,
+        array().cast("array<struct<w:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(ts)), i =>
+          struct(element_at(ts, i).as("w"),
+            when(i < size(ts), element_at(ts, i + 1)).as("w2"))))
+    }
+
   /** 64-bit rolling polynomial document fingerprint over whitespace
     * tokens — see [[RollingHash]] (custom codegen expression; wrapping
     * arithmetic is intentional and ANSI-safe there). */

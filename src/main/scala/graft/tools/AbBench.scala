@@ -59,6 +59,98 @@ object AbBench {
         (() => variant(hinted = true), () => variant(hinted = false))
       }),
 
+    // round-12 OPTIMIZATION change: the bigram-LM family (q88/q225/
+    // q243/q246/q248/q267/q269) moved from posexplode + window-lead
+    // bigrams (a full token-stream Exchange+Sort per use, and separate
+    // corpus scans for cb/cu/V) to the map-side adjacentPairs array
+    // with ONE checkpointed pair-grain model aggregate. A = the old
+    // window-lead q243 lineage, B = the shipped q243. Counts identical.
+    Pair("bigram_mapside_q243", "window_lead", "adjacent_pairs",
+      (s, d) => {
+        def oldQ243(): DataFrame = {
+          val tok = s.read.parquet(s"$d/documents.parquet")
+            .repartition(s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), col("lang"), posexplode(
+              split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+            .filter(col("w") =!= "")
+          val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+            .filter(col("w2").isNotNull)
+          val biCounts = big.groupBy(col("w"), col("w2"))
+            .agg(count(lit(1)).as("cb"))
+          val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+          val vocab = tok.agg(countDistinct(col("w")).as("v"))
+          val scored = big.join(biCounts, Seq("w", "w2"))
+            .join(uniCounts, Seq("w"))
+            .crossJoin(broadcast(vocab))
+            .withColumn("logp",
+              log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+            .groupBy(col("doc_id"), col("lang"))
+            .agg(round(-avg(col("logp")), 4).as("ppl_bits"))
+            .withColumn("ppl10k",
+              expr("cast(round(ppl_bits * 10000) as bigint)"))
+            .select(col("doc_id"), col("lang"), col("ppl10k"))
+            .localCheckpoint()
+          val hist = scored.groupBy(col("lang"), col("ppl10k"))
+            .agg(count(lit(1)).as("c"))
+          val wl = Window.partitionBy(col("lang")).orderBy(col("ppl10k"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val cuts = hist.withColumn("cum", sum(col("c")).over(wl))
+            .join(broadcast(hist.groupBy(col("lang"))
+              .agg(sum(col("c")).as("n"))), Seq("lang"))
+            .groupBy(col("lang"))
+            .agg(min(when(col("cum") >= expr("(n + 2) div 3"),
+              col("ppl10k"))).as("c33"),
+              min(when(col("cum") >= expr("(2 * n + 2) div 3"),
+                col("ppl10k"))).as("c66"))
+          scored.join(broadcast(cuts), Seq("lang"))
+            .withColumn("bucket",
+              when(col("ppl10k") <= col("c33"), lit("head"))
+                .when(col("ppl10k") <= col("c66"), lit("middle"))
+                .otherwise(lit("tail")))
+            .groupBy(col("lang"), col("bucket"))
+            .agg(count(lit(1)).as("n_docs"), min(col("ppl10k")).as("ppl_lo"),
+              max(col("ppl10k")).as("ppl_hi"))
+            .orderBy(col("lang"), col("bucket"))
+        }
+        (() => oldQ243(),
+         () => graft.SparkEntry.queries("q243_ccnet_buckets")(s, d))
+      }),
+
+    // same round-12 rework measured on q88 itself (integer-bp tail, no
+    // checkpoint in the OLD form — the purest old-vs-new comparison).
+    Pair("bigram_mapside_q88", "window_lead", "adjacent_pairs",
+      (s, d) => {
+        def oldQ88(): DataFrame = {
+          val tok = s.read.parquet(s"$d/documents.parquet")
+            .repartition(s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), posexplode(
+              split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "w")))
+            .filter(col("w") =!= "")
+          val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          val big = tok.withColumn("w2", lead(col("w"), 1).over(seqW))
+            .filter(col("w2").isNotNull)
+          val biCounts = big.groupBy(col("w"), col("w2"))
+            .agg(count(lit(1)).as("cb"))
+          val uniCounts = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+          val vocab = tok.agg(countDistinct(col("w")).as("v"))
+          big.join(biCounts, Seq("w", "w2"))
+            .join(uniCounts, Seq("w"))
+            .crossJoin(broadcast(vocab))
+            .withColumn("lp_bp", floor(
+              log2((col("cb") + 1).cast("double") / (col("cu") + col("v")))
+                * 10000).cast("bigint"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              (-expr("cast(sum(lp_bp) as bigint) div count(1)"))
+                .as("ppl_bits_bp"))
+            .withColumn("keep", col("ppl_bits_bp") < 70000L)
+            .orderBy(col("doc_id"))
+        }
+        (() => oldQ88(),
+         () => graft.SparkEntry.queries("q88_lm_perplexity")(s, d))
+      }),
+
     // round-12 change: q317/q319's Gopher gates moved from join-back
     // gate frames (two corpus-grain shuffles of (doc_id, text)) to
     // inline struct evaluation in the scan pass (zero gate shuffles).
