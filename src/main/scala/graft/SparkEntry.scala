@@ -7057,10 +7057,16 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
       def funnel(batch: DataFrame): DataFrame = {
-        val rep = TextFunctions.gopherRepetition(batch, "text", "doc_id")
-          .select(col("doc_id"), col("keep").as("_k1"))
-        val qual = TextFunctions.gopherQuality(batch, "text", "doc_id")
-          .select(col("doc_id"), col("keep").as("_k2"))
+        // r12: BOTH gate flags from one nondeterministic JVM pass
+        // (TextFunctions.gopherGatesUdf — same booleans as the two HOF
+        // frames, one tokenization instead of two interpreted HOF runs)
+        val gates = batch.filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            TextFunctions.gopherGatesUdf(col("text")).as("_g"))
+          .select(col("doc_id"), col("_g._1").as("_k1"),
+            col("_g._2").as("_k2"))
+        val rep = gates.select(col("doc_id"), col("_k1"))
+        val qual = gates.select(col("doc_id"), col("_k2"))
         val nd = Dedup.crossDocSpansIncremental(s, idx, batch,
             "text", "doc_id", window = 40)
           .select(col("doc_id")).distinct()
@@ -8539,7 +8545,7 @@ object SparkEntry {
       val inj = corpus.select(col("doc_id"), contact.as("text"))
       val gated = inj
         .filter(length(trim(col("text"))) > 0)
-        .filter(TextFunctions.gopherGateKeep(col("text")))
+        .filter(TextFunctions.gopherGateKeepFastUdf(col("text")))
       val scrub = gated.select(col("doc_id"),
         Pii.redact(col("text")).as("clean"),
         (Pii.emailCount(col("text")) + Pii.phoneCount(col("text")) +
@@ -8609,7 +8615,7 @@ object SparkEntry {
             .as("text"))
       val gated = content
         .filter(length(trim(col("text"))) > 0)
-        .filter(TextFunctions.gopherGateKeep(col("text")))
+        .filter(TextFunctions.gopherGateKeepFastUdf(col("text")))
       val scrub = gated.select(col("doc_id"),
         Pii.redact(col("text")).as("clean"),
         (Pii.emailCount(col("text")) + Pii.phoneCount(col("text")) +

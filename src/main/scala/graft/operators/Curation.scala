@@ -142,10 +142,18 @@ object Curation {
     * generalized from thresholding to packing. */
   def shardByTokens(df: DataFrame, idCol: String, tokensCol: String,
                     shardBudget: Long): DataFrame = {
+    // localCheckpoint BEFORE the band-totals action: without it the
+    // whole upstream plan (in q317/q319 the full decode+gate+PII chain)
+    // evaluates twice — once for the collect below, once again when the
+    // returned frame executes (guide §1/§5: cut lineage when an action
+    // and the main plan share an expensive subtree). The checkpointed
+    // frame is the DECISION-grain projection (id, tokens, rank — tens of
+    // bytes per row, the guide-§8 lightweight proxy), never the payload.
     val ranked = df
       .withColumn("_rk",
         md5(concat_ws(":", lit("shard"), col(idCol).cast("string"))))
       .withColumn("_band", substring(col("_rk"), 1, 2))
+      .localCheckpoint()
     val totals = ranked.groupBy(col("_band"))
       .agg(sum(col(tokensCol)).as("_bt"))
       .collect()                       // ≤256 rows — bounded

@@ -273,6 +273,114 @@ object TextFunctions {
         gopherQualityStructFromTokens(t)("keep")
     }
 
+  // ---- JVM twin of the gate booleans (round-12 optimization) ----
+  //
+  // The HOF struct forms above are the oracle-replayable definitions the
+  // per-field cards (q187/q188) keep. For the CURATION GATE — where only
+  // the keep booleans matter — they have two measured costs:
+  //  1. higher-order functions are interpreted (CodegenFallback), and the
+  //     array_sort + fold chain allocates per element (the minhash
+  //     primitive-loop lesson: ~5-10× slower than one JVM call per doc);
+  //  2. a deterministic gate filter is pushed below the tSpread
+  //     round-robin repartition into the single-task scan stage
+  //     (guide §4.4's filter-duplication cousin) — q317/q319 measured the
+  //     whole gate running on ONE core (3.2 s single-task stages).
+  // The UDFs below replicate the keep semantics EXACTLY (same trim/split,
+  // same floor((x*10000)+0.5)/10000 double grid, multiplicity instead of
+  // sort order — the mode count is order-independent) and are marked
+  // nondeterministic so the optimizer neither duplicates them nor pushes
+  // the filter below the spread (guide §4.4). Equality with the HOF
+  // forms is pinned in TextSpec and by the 3-sf oracle gate.
+
+  private lazy val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private lazy val AlphaPattern = java.util.regex.Pattern.compile("[A-Za-z]")
+
+  /** `split(trim(text), "\\s+")` exactly: Spark's trim strips 0x20 only;
+    * split keeps a leading empty token when the trimmed text starts with
+    * non-space whitespace. */
+  private def trimSplit(text: String): Array[String] = {
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    WsPattern.split(text.substring(b, e), -1)
+  }
+
+  /** Mode multiplicity — order-independent, so a hash count replays
+    * [[maxMultiplicity]]'s sorted-run fold exactly. */
+  private def modeCount(arr: Iterator[String]): Long = {
+    val m = new java.util.HashMap[String, Long]()
+    var best = 0L
+    arr.foreach { x =>
+      val c = m.merge(x, 1L, (a, b) => a + b)
+      if (c > best) best = c
+    }
+    best
+  }
+
+  /** [[rq4]]'s double grid in JVM arithmetic (identical IEEE ops). */
+  private def rq4d(num: Long, den: Long): Double =
+    math.floor(num * 10000L / den.toDouble + 0.5d) / 10000.0d
+
+  private def gopherGatesEval(text: String): (Boolean, Boolean) = {
+    val t = trimSplit(text)
+    val n = t.length.toLong
+    // repetition keep
+    val topW = rq4d(modeCount(t.iterator), n)
+    var repKeep = topW <= 0.15
+    if (repKeep && t.length >= 2) {
+      val g2 = (0 until t.length - 1).iterator.map(i => t(i) + " " + t(i + 1))
+      repKeep = rq4d(modeCount(g2), t.length - 1L) <= 0.08
+    }
+    if (repKeep && t.length >= 3) {
+      val g3n = t.length - 2L
+      val seen = new java.util.HashSet[String]()
+      var dups = 0L
+      var i = 0
+      while (i < t.length - 2) {
+        if (!seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))) dups += 1
+        i += 1
+      }
+      repKeep = rq4d(dups, g3n) <= 0.01
+    }
+    // quality keep
+    var qualKeep = n >= 30L && n <= 100000L
+    if (qualKeep) {
+      var chars = 0L
+      t.foreach(tok => chars += tok.codePointCount(0, tok.length))
+      val meanLen = rq4d(chars, n)
+      qualKeep = meanLen >= 3.0 && meanLen <= 10.0
+    }
+    if (qualKeep) {
+      var alpha = 0L
+      t.foreach(tok => if (AlphaPattern.matcher(tok).find()) alpha += 1)
+      qualKeep = rq4d(alpha, n) >= 0.8
+    }
+    if (qualKeep) {
+      val lowered = new java.util.HashSet[String]()
+      t.foreach(tok => lowered.add(tok.toLowerCase(java.util.Locale.ROOT)))
+      var hits = 0
+      GopherStopwords.foreach(w => if (lowered.contains(w)) hits += 1)
+      qualKeep = hits >= 2
+    }
+    (repKeep, qualKeep)
+  }
+
+  /** [[gopherGateKeep]] as one nondeterministic JVM call per document —
+    * the curation-scan form (q317/q319). NULL text gates NULL (filter
+    * drops it), like the HOF form. */
+  lazy val gopherGateKeepFastUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) None
+      else { val (r, q) = gopherGatesEval(text); Some(r && q) }
+    }.asNondeterministic()
+
+  /** BOTH gate booleans in one pass — struct(rep_keep, qual_keep) — for
+    * funnels that report the flags separately (q284). */
+  lazy val gopherGatesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) None else Some(gopherGatesEval(text))
+    }.asNondeterministic()
+
   /** DataFrame form of [[gopherRepetitionStruct]] over non-blank rows:
     * (idCol, n_words, top_word_frac, top_2gram_frac, dup_3gram_frac,
     * keep). */
