@@ -103,14 +103,90 @@ object BpeTrainer {
                        merges: Seq[(String, String)]): Array[String] =
     runMerges(initBytes(word), merges)
 
+  /** Size guard for the driver-resident training fast path: vocabularies
+    * under this many TYPES train in one collect + in-memory loop (the
+    * r12 measurement: 20 distributed merge iterations were pure
+    * driver-side job-launch/planning overhead — q195 wall 4.5 s vs
+    * 1.6 s of stage time). Above it, the distributed vocabulary-grain
+    * loop runs unchanged — the same size-guard-with-distributed-fallback
+    * contract as Dedup's union-find. ~2M types ≈ tens of MB of driver
+    * state (words + segmentations), far under the codebook-scale
+    * driver budget; a 100 TB corpus' 10M-type vocabulary takes the
+    * distributed loop. */
+  private val DriverVocabMaxTypes = 2000000L
+
+  /** Spark string ordering is UTF8String BINARY order (UTF-8 bytes),
+    * which differs from Java's UTF-16 order for non-BMP codepoints —
+    * the tie-break of the argmax must replay it exactly. */
+  private def binaryLt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** Driver-side twin of the distributed iteration: identical counting
+    * (every adjacent occurrence, weighted by word frequency) and
+    * identical argmax (freq desc, then (left, right) in binary string
+    * order); segmentations update incrementally — applying merge k to
+    * the result of merges 1..k-1 is exactly [[runMerges]]' in-order
+    * replay. */
+  private def trainDriver(rows: Array[(String, Long)], nMerges: Int,
+                          init: String => Array[String]): Seq[Merge] = {
+    val segs = rows.map { case (w, _) => init(w) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    while (rank <= nMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < segs.length) {
+        val s = segs(wi)
+        if (s.length >= 2) {
+          val wf = rows(wi)._2
+          var i = 0
+          while (i < s.length - 1) {
+            counts.merge((s(i), s(i + 1)), wf, (a, b) => a + b)
+            i += 1
+          }
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) return merges.toSeq
+      var best: ((String, String), Long) = null
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (best == null || e.getValue > best._2 ||
+            (e.getValue == best._2 &&
+              (binaryLt(e.getKey._1, best._1._1) ||
+                (e.getKey._1 == best._1._1 &&
+                  binaryLt(e.getKey._2, best._1._2)))))
+          best = (e.getKey, e.getValue)
+      }
+      val (l, r) = best._1
+      merges += Merge(rank, l, r, best._2)
+      wi = 0
+      while (wi < segs.length) {
+        val s = segs(wi)
+        if (s.length >= 2) segs(wi) = runMerges(s, Seq((l, r)))
+        wi += 1
+      }
+      rank += 1
+    }
+    merges.toSeq
+  }
+
   /** The per-iteration loop shared by both grains: segment every vocab
     * word under the merges learned so far, explode adjacent pairs
     * weighted by word frequency, ONE pair-grain aggregate, argmax. */
   private def trainLoop(vocab: DataFrame, nMerges: Int,
-                        apply: (String, Seq[(String, String)]) => Array[String])
+                        apply: (String, Seq[(String, String)]) => Array[String],
+                        init: String => Array[String])
       : Seq[Merge] = {
     try {
-      vocab.count()
+      val nTypes = vocab.count()
+      if (nTypes <= DriverVocabMaxTypes) {
+        val rows = vocab.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        return trainDriver(rows, nMerges, init)
+      }
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var rank = 1
       while (rank <= nMerges) {
@@ -148,7 +224,7 @@ object BpeTrainer {
       // the remaining floor is one pair-grain aggregate job per merge)
       .coalesce(4)
       .persist()
-    trainLoop(vocab, nMerges, applyMerges)
+    trainLoop(vocab, nMerges, applyMerges, initCodepoints)
   }
 
   /** Learn `nMerges` merges at BYTE grain — no lowercasing, no
@@ -163,7 +239,31 @@ object BpeTrainer {
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
       .coalesce(4)
       .persist()
-    trainLoop(vocab, nMerges, applyMergesBytes)
+    trainLoop(vocab, nMerges, applyMergesBytes, initBytes)
+  }
+
+  /** Per-TASK segmentation memo (r12): the merge replay is a pure
+    * function of (word, merges), and a Zipf corpus re-tokenizes the
+    * same types millions of times — memoizing turns O(tokens) replays
+    * into O(types) replays + hash lookups. The map rides the task
+    * closure, so every task (and every run) starts EMPTY — this is
+    * per-task computation reuse, never a cross-run result cache. Size
+    * cap bounds task memory on adversarial (all-distinct) vocabularies. */
+  private val MemoMaxTypes = 1 << 20
+
+  private def memoized(apply: (String, Seq[(String, String)]) => Array[String],
+                       pairs: Seq[(String, String)]): String => Array[String] = {
+    // serialized EMPTY into the task closure; concurrent for the case of
+    // a shared deserialized closure — the memo is pure either way
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    (w: String) => {
+      var r = cache.get(w)
+      if (r == null) {
+        r = apply(w, pairs)
+        if (cache.size < MemoMaxTypes) cache.put(w, r)
+      }
+      r
+    }
   }
 
   /** Tokenize text under a learned merge list: (original columns...,
@@ -174,10 +274,10 @@ object BpeTrainer {
     // the word split is the SAME Spark expression unigrams uses —
     // only the merge replay lives in the UDF, so a tokenization tweak
     // in TextFunctions cannot diverge training counts from tokenize
+    val m = memoized(applyMerges, pairs)
     val applyU = udf { (ws: Seq[String]) =>
       if (ws == null) Array.empty[String]
-      else ws.iterator.filter(_.nonEmpty)
-        .flatMap(w => applyMerges(w, pairs)).toArray
+      else ws.iterator.filter(_.nonEmpty).flatMap(w => m(w)).toArray
     }
     df.withColumn("tokens",
       applyU(split(trim(lower(col(textCol))), "\\s+")))
@@ -196,10 +296,13 @@ object BpeTrainer {
   def tokenizeEow(df: DataFrame, textCol: String,
                   merges: Seq[Merge]): DataFrame = {
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val m = memoized(applyMerges, pairs)
     val applyU = udf { (ws: Seq[String]) =>
       if (ws == null) Array.empty[String]
       else ws.iterator.filter(_.nonEmpty).flatMap { w =>
-        val ps = applyMerges(w, pairs)
+        // copy before marking: the memoized segmentation is shared
+        val base = m(w)
+        val ps = java.util.Arrays.copyOf(base, base.length)
         ps(ps.length - 1) += Eow
         ps
       }.toArray
@@ -227,10 +330,13 @@ object BpeTrainer {
   def tokenizeBytesEow(df: DataFrame, textCol: String,
                        merges: Seq[Merge]): DataFrame = {
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val m = memoized(applyMergesBytes, pairs)
     val applyU = udf { (ws: Seq[String]) =>
       if (ws == null) Array.empty[String]
       else ws.iterator.filter(_.nonEmpty).flatMap { w =>
-        val ps = applyMergesBytes(w, pairs)
+        // copy before marking: the memoized segmentation is shared
+        val base = m(w)
+        val ps = java.util.Arrays.copyOf(base, base.length)
         ps(ps.length - 1) += Eow
         ps
       }.toArray
