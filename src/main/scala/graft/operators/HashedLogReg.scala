@@ -32,7 +32,18 @@ object HashedLogReg {
                          losses: Array[Double])
 
   /** (idCol, label, idxs, vals) — hashed tf features. `labelCol` must
-    * be 0/1. */
+    * be 0/1.
+    *
+    * r12: packing is ROW-LOCAL — one JVM call hashes and counts a
+    * document's tokens (xxhash64 = the same seed-42 XXH64 over UTF-8
+    * bytes the expression computes) instead of the earlier
+    * explode → groupBy(id, bucket) → groupBy(id) lineage, which paid a
+    * token-grain explode and TWO corpus shuffles for a per-document
+    * quantity (guide §2.4: adjacency/locality within a row never needed
+    * a shuffle — the adjacentPairs lesson applied to bag-of-words).
+    * Feature order within a doc was shuffle-dependent before and is
+    * hash-map-dependent now; every consumer reduces over the pairs, so
+    * the multiset contract is unchanged (HashedLogRegSpec pins it). */
   def featurize(df: DataFrame, textCol: String, labelExpr:
       org.apache.spark.sql.Column, idCol: String, dim: Int): DataFrame = {
     // fail fast on a null label (the API contract is 0/1): a silent
@@ -40,21 +51,40 @@ object HashedLogReg {
     val label = when(labelExpr.cast("double").isNull,
       raise_error(lit(s"null label for a non-blank document " +
         s"(labelExpr must be 0/1)"))).otherwise(labelExpr.cast("double"))
-    val tok = graft.text.TextFunctions
-      .unigrams(df, textCol, col(idCol), label.as("_y"))
+    val d = dim.toLong
+    val pack = udf { (ws: Seq[String]) =>
+      val counts = new java.util.HashMap[Int, Long]()
+      var n = 0L
+      ws.foreach { w =>
+        if (w.nonEmpty) {
+          val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 42L)
+          counts.merge((((h % d) + d) % d).toInt, 1L, (a, c) => a + c)
+          n += 1
+        }
+      }
+      val idxs = new Array[Int](counts.size)
+      val vals = new Array[Double](counts.size)
+      var i = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        idxs(i) = e.getKey
+        vals(i) = e.getValue.toDouble / n
+        i += 1
+      }
+      (idxs, vals)
+    }
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), label.as("_y"),
+        // the SAME trim/lower/split expression unigrams uses, so the
+        // tokenization cannot diverge from the rest of the corpus stack
+        pack(split(trim(lower(col(textCol))), "\\s+")).as("_p"))
       .select(col(idCol), col("_y"),
-        pmod(xxhash64(col("_w")), lit(dim.toLong)).cast("int").as("_i"))
-    tok.groupBy(col(idCol), col("_y"), col("_i"))
-      .agg(count(lit(1)).cast("double").as("_c"))
-      .groupBy(col(idCol), col("_y"))
-      .agg(collect_list(col("_i")).as("_idxs"),
-        collect_list(col("_c")).as("_cs"),
-        sum(col("_c")).as("_n"))
-      .select(col(idCol), col("_y"), col("_idxs"),
-        // normalized term frequency x_i = count_i / doc_len; the total
-        // comes from the aggregate above — folding it inside transform
-        // would re-sum per element, O(u²) per doc
-        transform(col("_cs"), c => c / col("_n")).as("_vals"))
+        col("_p._1").as("_idxs"), col("_p._2").as("_vals"))
   }
 
   /** Train on a featurized frame (from [[featurize]]). Returns the

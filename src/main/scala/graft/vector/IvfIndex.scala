@@ -31,24 +31,32 @@ object IvfIndex {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
-  private def nearestCentroidUdf(cs: Array[(Int, Array[Float])]) = udf {
-    (v: Seq[Float]) =>
-      var best = -1; var bestScore = Double.MinValue
-      cs.foreach { case (cid, c) =>
-        var dot = 0.0; var nv = 0.0; var nc = 0.0
-        var i = 0
-        val n = math.min(v.length, c.length)
-        // widen each operand to double BEFORE multiplying: float-rounded
-        // products can flip the argmax on a near-tie vector relative to
-        // the cosine_sim codegen and the oracle's ::DOUBLE arithmetic
-        while (i < n) {
-          dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i)
-          nc += c(i).toDouble * c(i); i += 1
-        }
-        val s = if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
-        if (s > bestScore || (s == bestScore && cid < best)) { best = cid; bestScore = s }
+  /** The ONE nearest-centroid definition (cosine, double-widened
+    * operands, lowest-cid ties) shared by the index-build UDF and the
+    * k-means aggregate — extracting it guarantees the two cannot
+    * drift. */
+  private[vector] def nearestCentroid(cs: Array[(Int, Array[Float])],
+                                      v: Seq[Float]): Int = {
+    var best = -1; var bestScore = Double.MinValue
+    cs.foreach { case (cid, c) =>
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      // widen each operand to double BEFORE multiplying: float-rounded
+      // products can flip the argmax on a near-tie vector relative to
+      // the cosine_sim codegen and the oracle's ::DOUBLE arithmetic
+      while (i < n) {
+        dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i)
+        nc += c(i).toDouble * c(i); i += 1
       }
-      best
+      val s = if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+      if (s > bestScore || (s == bestScore && cid < best)) { best = cid; bestScore = s }
+    }
+    best
+  }
+
+  private def nearestCentroidUdf(cs: Array[(Int, Array[Float])]) = udf {
+    (v: Seq[Float]) => nearestCentroid(cs, v)
   }
 
   /** Index table: (centroid_id, id, embedding). Write with
@@ -71,28 +79,49 @@ object IvfIndex {
   def kmeansCentroids(df: DataFrame, embCol: String, idCol: String,
                       k: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
     var cs = centroids(df, embCol, idCol, k)
-    var it = 0
-    while (it < iters) {
-      val assigned = build(df, embCol, idCol, cs)
-      // per-(cluster, dim) means: k·dim rows to the driver, data stays put
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col(embCol)))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getInt(0))
-      cs = cs.map { case (cid, old) =>
-        byCluster.get(cid) match {
-          case Some(rows) =>
+    if (iters == 0 || cs.isEmpty) return cs
+    val dim = cs(0)._2.length
+    // r12 (guide §2.4/§5): each Lloyd round was a dim× posexplode + a
+    // (cluster, dim)-grain shuffle + collect, re-reading the vectors
+    // per iteration. One persisted vector RDD + one shuffle-free
+    // `aggregate` per round (k·(dim+1) doubles of driver state — the
+    // classic Spark k-means shape) replaces all of it; assignment goes
+    // through the SAME nearestCentroid the index build uses. Means are
+    // the same sums/counts, so centroids match the shuffle form up to
+    // float-sum order — inside the recall gates' tolerance.
+    val vecs = df.select(col(embCol)).rdd
+      .map(_.getSeq[Float](0).toArray).persist()
+    try {
+      var it = 0
+      while (it < iters) {
+        val csNow = cs
+        val acc = vecs.aggregate(new Array[Double](k * (dim + 1)))(
+          (st, v) => {
+            val cid = nearestCentroid(csNow, v)
+            if (cid >= 0) {
+              val base = cid * (dim + 1)
+              val n = math.min(dim, v.length)
+              var i = 0
+              while (i < n) { st(base + i) += v(i); i += 1 }
+              st(base + dim) += 1.0
+            }
+            st
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        cs = cs.map { case (cid, old) =>
+          val base = cid * (dim + 1)
+          val n = acc(base + dim)
+          if (n > 0) {
             val c = new Array[Float](old.length)
-            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+            var i = 0
+            while (i < old.length) { c(i) = (acc(base + i) / n).toFloat; i += 1 }
             (cid, c)
-          case None => (cid, old) // empty cluster keeps its seed
+          } else (cid, old) // empty cluster keeps its seed
         }
+        it += 1
       }
-      it += 1
-    }
-    cs
+      cs
+    } finally { vecs.unpersist(); () }
   }
 
   /** Persist the index AT REST partitioned by cell: one directory per

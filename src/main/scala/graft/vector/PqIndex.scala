@@ -47,31 +47,61 @@ object PqIndex {
     val seeds = IvfIndex.centroids(df, embCol, idCol, ksub)
     var cb = Codebook(m, subDim,
       Array.tabulate(m)(s => seeds.map(_._2.slice(s * subDim, (s + 1) * subDim))))
-    var it = 0
-    while (it < iters) {
-      // int-array codes for training: BinaryType (the at-rest form)
-      // is not element_at-indexable
-      val cbNow = cb
-      // & 0xff, not toInt: codes >= 128 would sign-extend negative and
-      // index out of bounds in the update loop for ksub in 129..256
-      val codes = udf((v: Seq[Float]) => assignCodes(cbNow, v).map(_ & 0xff))
-      val means = df
-        .select(col(embCol).as("_e"), codes(col(embCol)).as("_c"))
-        .select(posexplode(col("_e")).as(Seq("_p", "_v")), col("_c"))
-        .select((col("_p") / subDim).cast("int").as("_s"),
-          pmod(col("_p"), lit(subDim)).as("_d"), col("_v"), col("_c"))
-        .withColumn("_k", element_at(col("_c"), col("_s") + 1).cast("int"))
-        .groupBy(col("_s"), col("_k"), col("_d"))
-        .agg(avg(col("_v")).as("_m"))
-        .collect()
-      val next = cb.cents.map(_.map(_.clone()))
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2).toInt) = r.getDouble(3).toFloat
+    if (iters == 0) return cb
+    // r12 (guide §2.4/§5): each Lloyd round was a 64× posexplode + a
+    // (sub, code, dim)-grain SHUFFLE + collect, re-reading (and for the
+    // residual form re-deriving) the vectors every iteration. One
+    // persisted vector RDD + one shuffle-free `aggregate` per round
+    // replaces all of it — every partition folds its vectors into a
+    // m·ksub·(subDim+1) sums+counts array (KBs) and the partials merge
+    // on the driver, the HashedLogReg/MLlib-kmeans shape. Means are the
+    // same sums/counts (double), so the codebook matches the shuffle
+    // form up to float-sum order — the recall/MSE gates' tolerance.
+    val vecs = df.select(col(embCol)).rdd
+      .map(_.getSeq[Float](0).toArray).persist()
+    try {
+      val cells = m * ksub
+      var it = 0
+      while (it < iters) {
+        val cbNow = cb
+        val mN = m; val kN = ksub; val sdN = subDim
+        val acc = vecs.aggregate(new Array[Double](cells * (sdN + 1)))(
+          (st, v) => {
+            val code = assignCodes(cbNow, v)
+            var s = 0
+            while (s < mN) {
+              val k = code(s) & 0xff
+              val base = (s * kN + k) * (sdN + 1)
+              var i = 0
+              while (i < sdN) { st(base + i) += v(s * sdN + i); i += 1 }
+              st(base + sdN) += 1.0
+              s += 1
+            }
+            st
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        val next = cb.cents.map(_.map(_.clone()))
+        var s = 0
+        while (s < mN) {
+          var k = 0
+          while (k < kN) {
+            val base = (s * kN + k) * (sdN + 1)
+            val n = acc(base + sdN)
+            if (n > 0) { // empty clusters keep their centroid
+              var i = 0
+              while (i < sdN) {
+                next(s)(k)(i) = (acc(base + i) / n).toFloat; i += 1
+              }
+            }
+            k += 1
+          }
+          s += 1
+        }
+        cb = Codebook(m, subDim, next)
+        it += 1
       }
-      cb = Codebook(m, subDim, next) // empty clusters keep their centroid
-      it += 1
-    }
-    cb
+      cb
+    } finally { vecs.unpersist(); () }
   }
 
   /** m-byte PQ code per vector: per subspace, the L2-nearest centroid
