@@ -26,8 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop per-query caches (pipeline merge frames) between queries
+      // drop per-query caches (pipeline merge frames) between queries —
+      // including localCheckpoint blocks, which are RDD-level persists
+      // clearCache misses (they otherwise accumulate across 300+ queries)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
