@@ -7040,14 +7040,23 @@ object SparkEntry {
         .select(col("doc_id"), col("text")).cache()
       val ratio = ImportanceSelect.dsirRatio(hist,
         hist.filter(col("lang") === "en"), "text").cache()
+      s.sparkContext.setJobDescription("q284: ratio+eval prep")
       ratio.count(); evalSet.count()
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q284").toString
       val idx = s"$tmp/fp_idx"
+      s.sparkContext.setJobDescription("q284: fingerprint index build")
+      // r12: 8 buckets, not the 64 default — this funnel probes the
+      // WHOLE index every day (never a point lookup), so bucket count
+      // buys nothing here and 64 directories × 3 append generations
+      // was pure file-commit overhead ("index append" measured 8 s of
+      // stage time). Bucketing stays the at-rest contract for
+      // point-lookup consumers (q180-q183 keep 64).
       Dedup.writeWindowFingerprints(hist, "text", "doc_id", idx,
-        window = 40)
+        window = 40, nBuckets = 8)
       val streamed = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id"), col("text"))
+      s.sparkContext.setJobDescription("q284: maxId")
       val maxId = streamed.agg(max(col("doc_id"))).head().getLong(0)
       val srcDir = s"$tmp/arrivals"; val outDir = s"$tmp/flags"
       val ckpt = s"$tmp/ckpt"
@@ -7098,7 +7107,10 @@ object SparkEntry {
         streamed.filter(col("doc_id") <= b1),
         streamed.filter(col("doc_id") > b1 && col("doc_id") <= b2),
         streamed.filter(col("doc_id") > b2))
+      var dayNo = 0
       days.foreach { day =>
+        dayNo += 1
+        s.sparkContext.setJobDescription(s"q284: day $dayNo arrival write")
         day.coalesce(1).write.mode("append").parquet(srcDir)
         val q = StreamingIngest.readStream(s, srcDir, schema)
           .writeStream
@@ -7106,13 +7118,17 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             // the funnel reads the batch once per stage — pin it so the
-            // file source isn't re-scanned 7× per day
+            // file source isn't re-scanned 7× per day (r12: measured
+            // A/B — spreading the tiny day batch costs more in task
+            // launches than the single-task stages cost in compute)
             val day = batch.persist()
             // flags FIRST (materializes the probe against the index as
             // of yesterday), THEN the day's windows append to the index
+            s.sparkContext.setJobDescription("q284: funnel flags")
             funnel(day).write.mode("append").parquet(outDir)
+            s.sparkContext.setJobDescription("q284: index append")
             Dedup.appendWindowFingerprints(day, "text", "doc_id", idx,
-              window = 40)
+              window = 40, nBuckets = 8)
             day.unpersist()
             ()
           }
@@ -7120,6 +7136,7 @@ object SparkEntry {
         q.awaitTermination()
       }
       hist.unpersist(); evalSet.unpersist(); ratio.unpersist()
+      s.sparkContext.setJobDescription(null)
       s.read.parquet(outDir).orderBy(col("doc_id"))
     }),
 

@@ -37,7 +37,18 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     val stages = mutable.ArrayBuffer[StageRow]()
+    // stage -> owning job's description (guide §1.5 labels), so per-phase
+    // rollups are possible for composite queries (q284's streaming days)
+    val stageDesc = mutable.Map[Int, String]()
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        stages.synchronized {
+          e.stageIds.foreach(id => stageDesc(id) = d)
+        }
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val m = si.taskMetrics
@@ -70,9 +81,19 @@ object Profile {
       spark.sparkContext.removeSparkListener(listener)
       spark.catalog.clearCache()
       val snap = stages.synchronized(stages.toVector)
+      val descSnap = stages.synchronized(stageDesc.toMap)
+      stages.synchronized(stageDesc.clear())
       val stageSum = snap.map(_.durMs).sum / 1e3
       println(f"%n===== $n  wall=${wall}%.2fs  rows=$rows  " +
         f"stages=${snap.size} stage-sum=${stageSum}%.2fs =====")
+      // per-job-description rollup (labels set via setJobDescription)
+      val byDesc = snap.groupBy(r => descSnap.getOrElse(r.id, ""))
+        .map { case (d, rs) => (d, rs.map(_.durMs).sum, rs.size) }
+        .toSeq.sortBy(-_._2)
+      if (byDesc.exists(_._1.nonEmpty))
+        byDesc.take(15).foreach { case (d, ms, ns) =>
+          println(f"  phase ${ms}%6dms  stages=$ns%3d  ${d.take(90)}")
+        }
       val top = snap.sortBy(-_.durMs).takeWhile(_.durMs >= (wall * 10))
       (if (top.isEmpty) snap.sortBy(-_.durMs).take(8) else top.take(40))
         .foreach { r =>
