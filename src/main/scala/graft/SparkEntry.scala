@@ -3692,6 +3692,9 @@ object SparkEntry {
       }
       val tmpRrf = java.nio.file.Files
         .createTempDirectory("graft-rrf").toString
+      // r12 note: measured A/B — writing the base spread (32 files)
+      // reads as three parallel probe scans but loses more to the
+      // 32-file write/commit than it saves (6.4 s → 7.6 s); kept single
       t(s, d, "embeddings").write.mode("overwrite")
         .parquet(s"$tmpRrf/base")
       graft.vector.HnswIndex.writeGraphIndex(tSpread(s, d, "embeddings"),
