@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * runs on the word VOCABULARY weighted by word frequency, never on the
   * corpus: the per-iteration cost is independent of corpus size (the
   * standard trick — a 100 TB corpus and its 10 M-type vocabulary train
-  * identical tokenizers), so `train` is one corpus-grain aggregate up
-  * front plus `nMerges` vocabulary-grain jobs.
+  * identical tokenizers). `train` is one corpus-grain aggregate up
+  * front, then — r12 — EITHER a driver-resident merge loop (vocab ≤
+  * [[DriverVocabMaxTypes]] types: 20 distributed iterations were pure
+  * job-launch overhead) OR `nMerges` vocabulary-grain jobs, identical
+  * counting and argmax either way.
   *
-  * Each iteration: segment every vocab word under the merges learned so
-  * far (map-side, deterministic), explode adjacent symbol pairs
-  * weighted by word frequency, ONE pair-grain aggregate, and the argmax
-  * pair (freq desc, then lexicographic — deterministic ties) becomes
-  * the next merge. Driver state is the merge list only.
+  * Each distributed iteration: segment every vocab word under the
+  * merges learned so far (map-side, deterministic), explode adjacent
+  * symbol pairs weighted by word frequency, ONE pair-grain aggregate,
+  * and the argmax pair (freq desc, then binary-string order —
+  * deterministic ties) becomes the next merge. Driver state is the
+  * merge list (plus, on the fast path, the bounded vocabulary).
   */
 object BpeTrainer {
 
