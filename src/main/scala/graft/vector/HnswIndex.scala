@@ -823,13 +823,43 @@ object HnswIndex {
                        path: String, base: DataFrame, embCol: String,
                        idCol: String, nQueries: Int = 5, k: Int = 20,
                        params: Params = Params()): Double = {
-    val qs = IvfIndex.centroids(base, embCol, idCol, nQueries).map(_._2)
-    val per = qs.map { q =>
-      val exact = VectorFunctions.topK(base, embCol, idCol, q, k)
-        .collect().map(_.get(0)).toSet
-      val got = searchGraphIndex(spark, path, idCol, Seq(0L -> q), k, params)
-        .collect().map(_.get(1)).toSet
-      (exact intersect got).size.toDouble / k
+    val (qs, exact) = recallGroundTruth(base, embCol, idCol, nQueries, k)
+    measuredRecall(spark, path, idCol, qs, exact, k, params)
+  }
+
+  /** The probe vectors and their EXACT top-k sets — a pure function of
+    * the base (deterministic centroids pick, deterministic topK), so
+    * [[maintainGraphIndex]] computes it ONCE and reuses it across its
+    * repair rounds instead of re-running nQueries exact scans per
+    * measurement (r12; results identical by determinism). */
+  private def recallGroundTruth(base: DataFrame, embCol: String,
+                                idCol: String, nQueries: Int, k: Int)
+      : (Seq[Array[Float]], Seq[Set[Any]]) = {
+    val qs = IvfIndex.centroids(base, embCol, idCol, nQueries)
+      .map(_._2).toSeq
+    val exact = qs.map { q =>
+      VectorFunctions.topK(base, embCol, idCol, q, k)
+        .collect().map(_.get(0)).toSet[Any]
+    }
+    (qs, exact)
+  }
+
+  /** Measured recall of the stored index against precomputed ground
+    * truth — ONE batched index probe for all queries (one Spark job,
+    * not one per query; per-query results identical to separate
+    * calls, the searches are independent). */
+  private def measuredRecall(spark: org.apache.spark.sql.SparkSession,
+                             path: String, idCol: String,
+                             qs: Seq[Array[Float]], exact: Seq[Set[Any]],
+                             k: Int, params: Params): Double = {
+    val got = searchGraphIndex(spark, path, idCol,
+        qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }, k, params)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.get(1)).toSet[Any] }
+    val per = exact.indices.map { i =>
+      (exact(i) intersect got.getOrElse(i.toLong, Set.empty[Any]))
+        .size.toDouble / k
     }
     per.sum / per.length
   }
@@ -859,8 +889,10 @@ object HnswIndex {
                          nQueries: Int = 5, k: Int = 20,
                          params: Params = Params(), maxRounds: Int = 3)
       : (Double, Boolean) = {
-    var recall = graphIndexRecall(spark, path, base, embCol, idCol,
-      nQueries, k, params)
+    // ground truth once for the whole maintenance run (r12): the probe
+    // vectors and exact sets depend only on `base`, not on the index
+    val (qs, exact) = recallGroundTruth(base, embCol, idCol, nQueries, k)
+    var recall = measuredRecall(spark, path, idCol, qs, exact, k, params)
     if (recall >= recallFloor) return (recall, false)
     val (m, efC, _) = readMeta(spark, path)
       .getOrElse((params.m, params.efConstruction, 500000))
@@ -892,8 +924,7 @@ object HnswIndex {
         case _ => ()
       }
       rebuilt = true
-      recall = graphIndexRecall(spark, path, base, embCol, idCol,
-        nQueries, k, params)
+      recall = measuredRecall(spark, path, idCol, qs, exact, k, params)
       target = math.max(1, target / 2)
       round += 1
     }
