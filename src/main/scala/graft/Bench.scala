@@ -16,6 +16,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // r13 (§5): the ContextCleaner only reclaims dead broadcasts /
+      // shuffle state / RDD blocks when a driver GC runs; on a large
+      // heap the JVM can go many queries without one, so hundreds of
+      // queries' worth of dead broadcast blocks pile up and the
+      // big-hash queries then run under avoidable memory pressure
+      // (round-12 driver run: q236 24 s vs 1.4 s isolated). Spark's own
+      // knob for exactly this long-lived-driver situation — default
+      // 30min, far longer than a whole bench run.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -39,10 +48,16 @@ object Bench {
     // same binary). Between queries nothing references a prior query's
     // checkpoints, so dropping them is exactly the cache hygiene the
     // clearCache call already intends.
+    // r13: blocking — with blocking=false the block removal races the
+    // NEXT query's timed region (the next query starts while the prior
+    // query's checkpoint blocks still occupy the heap), which is one
+    // plausible trigger for the round-12 driver-run blowups on the
+    // q234..q243 alphabetical block. Removal is an in-memory map drop;
+    // blocking costs microseconds between queries.
     def dropLeftoverState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {

@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r13: same periodic ContextCleaner GC as Bench (symmetric — the
+      // oracle dump runs the same queries the bench times)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -28,10 +31,12 @@ object Verify {
       }
       // drop per-query caches (pipeline merge frames) between queries —
       // including localCheckpoint blocks, which are RDD-level persists
-      // clearCache misses (they otherwise accumulate across 300+ queries)
+      // clearCache misses (they otherwise accumulate across 300+ queries).
+      // blocking=true (r13): symmetric with Bench — state actually gone
+      // before the next query starts, not racing it.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,7 +19,8 @@ object Profile {
 
   final case class StageRow(id: Int, name: String, tasks: Int,
                             durMs: Long, shufReadMb: Double,
-                            shufWriteMb: Double, inputMb: Double)
+                            shufWriteMb: Double, inputMb: Double,
+                            peakMemMb: Double, spillMb: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -40,6 +41,13 @@ object Profile {
     // stage -> owning job's description (guide §1.5 labels), so per-phase
     // rollups are possible for composite queries (q284's streaming days)
     val stageDesc = mutable.Map[Int, String]()
+    // r13 (§5, round-12 verdict ask): per-stage PEAK task memory — the
+    // max over the stage's tasks of peakExecutionMemory (execution-
+    // memory high-water mark of hash maps / sort buffers) — plus total
+    // spill. StageInfo.taskMetrics only carries SUMS, so the peak is
+    // collected at task grain.
+    val stagePeakMem = mutable.Map[Int, Long]()
+    val stageSpill = mutable.Map[Int, Long]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -47,6 +55,16 @@ object Profile {
           .getOrElse("")
         stages.synchronized {
           e.stageIds.foreach(id => stageDesc(id) = d)
+        }
+      }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val tm = e.taskMetrics
+        if (tm != null) stages.synchronized {
+          val sid = e.stageId
+          stagePeakMem(sid) = math.max(
+            stagePeakMem.getOrElse(sid, 0L), tm.peakExecutionMemory)
+          stageSpill(sid) = stageSpill.getOrElse(sid, 0L) +
+            tm.memoryBytesSpilled
         }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -59,7 +77,9 @@ object Profile {
           stages += StageRow(si.stageId, si.name, si.numTasks, dur,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
-            m.inputMetrics.bytesRead / 1e6)
+            m.inputMetrics.bytesRead / 1e6,
+            stagePeakMem.getOrElse(si.stageId, 0L) / 1e6,
+            stageSpill.getOrElse(si.stageId, 0L) / 1e6)
         }
       }
     }
@@ -82,7 +102,7 @@ object Profile {
       spark.catalog.clearCache()
       val snap = stages.synchronized(stages.toVector)
       val descSnap = stages.synchronized(stageDesc.toMap)
-      stages.synchronized(stageDesc.clear())
+      stages.synchronized { stageDesc.clear(); stagePeakMem.clear(); stageSpill.clear() }
       val stageSum = snap.map(_.durMs).sum / 1e3
       println(f"%n===== $n  wall=${wall}%.2fs  rows=$rows  " +
         f"stages=${snap.size} stage-sum=${stageSum}%.2fs =====")
@@ -99,7 +119,8 @@ object Profile {
         .foreach { r =>
         println(f"  ${r.durMs}%6dms  tasks=${r.tasks}%4d  " +
           f"in=${r.inputMb}%8.1fMB sr=${r.shufReadMb}%8.1fMB " +
-          f"sw=${r.shufWriteMb}%8.1fMB  [${r.id}] ${r.name.take(110)}")
+          f"sw=${r.shufWriteMb}%8.1fMB pk=${r.peakMemMb}%7.1fMB " +
+          f"sp=${r.spillMb}%6.1fMB  [${r.id}] ${r.name.take(100)}")
       }
     }
     spark.stop()
