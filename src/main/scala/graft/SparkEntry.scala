@@ -7068,19 +7068,22 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
-      def funnel(batch: DataFrame): DataFrame = {
+      def funnel(batch: DataFrame, stats: DataFrame): DataFrame = {
         // r12: BOTH gate flags from one nondeterministic JVM pass
         // (TextFunctions.gopherGatesUdf — same booleans as the two HOF
-        // frames, one tokenization instead of two interpreted HOF runs)
+        // frames, one tokenization instead of two interpreted HOF runs).
+        // r13: and joined ONCE — the previous separate rep/qual join
+        // legs each built their own broadcast from the gates subtree,
+        // evaluating the UDF twice per day. (A union+groupBy assembly
+        // of all five flags was A/B-tested and LOST: it trades the
+        // tiny AQE broadcast joins for a full doc-grain exchange.)
         val gates = batch.filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"),
             TextFunctions.gopherGatesUdf(col("text")).as("_g"))
           .select(col("doc_id"), col("_g._1").as("_k1"),
             col("_g._2").as("_k2"))
-        val rep = gates.select(col("doc_id"), col("_k1"))
-        val qual = gates.select(col("doc_id"), col("_k2"))
         val nd = Dedup.crossDocSpansIncremental(s, idx, batch,
-            "text", "doc_id", window = 40)
+            "text", "doc_id", window = 40, stats = Some(stats))
           .select(col("doc_id")).distinct()
           .withColumn("_nd", lit(true))
         val contam = Dedup.decontaminate(batch, evalSet, "text", "doc_id",
@@ -7090,8 +7093,7 @@ object SparkEntry {
             "doc_id")
           .select(col("doc_id"), col("selected").as("_k5"))
         batch.select(col("doc_id"))
-          .join(rep, Seq("doc_id"), "left")
-          .join(qual, Seq("doc_id"), "left")
+          .join(gates, Seq("doc_id"), "left")
           .join(nd, Seq("doc_id"), "left")
           .join(contam, Seq("doc_id"), "left")
           .join(dsir, Seq("doc_id"), "left")
@@ -7121,18 +7123,27 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
             // the funnel reads the batch once per stage — pin it so the
-            // file source isn't re-scanned 7× per day (r12: measured
-            // A/B — spreading the tiny day batch costs more in task
-            // launches than the single-task stages cost in compute)
-            val day = batch.persist()
+            // file source isn't re-scanned 7× per day (r12 + r13 A/B:
+            // spreading the tiny day batch costs more in task launches
+            // than the single-task stages cost in compute — the knob
+            // stays conf-overridable for clusters with bigger days)
+            val day = s.conf.getOption("spark.graft.funnel.batchSpread")
+              .map(n => batch.repartition(n.toInt)).getOrElse(batch)
+              .persist()
+            // r13: ONE window-hash aggregate per day, shared by the
+            // probe (batch-min side) and the index append (its at-rest
+            // rows ARE this frame) — the append was a second full
+            // window-hash pass over the day's text
+            val stats = Dedup.batchWindowStats(day, "text", "doc_id",
+              window = 40).persist()
             // flags FIRST (materializes the probe against the index as
             // of yesterday), THEN the day's windows append to the index
             s.sparkContext.setJobDescription("q284: funnel flags")
-            funnel(day).write.mode("append").parquet(outDir)
+            funnel(day, stats).write.mode("append").parquet(outDir)
             s.sparkContext.setJobDescription("q284: index append")
-            Dedup.appendWindowFingerprints(day, "text", "doc_id", idx,
+            Dedup.appendWindowFingerprintStats(stats, idx,
               window = 40, nBuckets = 8)
-            day.unpersist()
+            day.unpersist(); stats.unpersist()
             ()
           }
           .start()

@@ -912,15 +912,32 @@ object Dedup {
     if (mode == "append")
       requireFpMeta(df.sparkSession, path, window, stride,
         "appendWindowFingerprints", nBuckets = Some(nBuckets))
-    windowOccurrences(df, textCol, idCol, window, stride, hashKey = true)
-      .groupBy(col("_win").as("win_hash"))
-      .agg(min(col("_did")).as("min_did"))
-      .withColumn("bucket", pmod(col("win_hash"), lit(nBuckets.toLong)))
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(path)
+    writeWindowStats(batchWindowStats(df, textCol, idCol, window, stride),
+      path, nBuckets, mode)
     // stamp AFTER the parquet write: overwrite mode clears the dir
     writeFpMeta(df.sparkSession, path, window, stride, nBuckets)
   }
+
+  /** The fingerprint aggregate of one batch at the index's at-rest
+    * grain: one row per distinct window, (win_hash, min_did). This is
+    * the frame [[writeWindowFingerprints]] persists AND the one
+    * [[crossDocSpansIncremental]] probes with — a streaming funnel
+    * that both probes and appends computes it ONCE per micro-batch
+    * (persist it, pass it to both) instead of re-hashing the batch
+    * text per consumer (r13: the q284 funnel's "index append" phase
+    * was a second full window-hash pass over every day). */
+  def batchWindowStats(df: DataFrame, textCol: String, idCol: String,
+                       window: Int = 40, stride: Int = 1): DataFrame =
+    windowOccurrences(df, textCol, idCol, window, stride, hashKey = true)
+      .groupBy(col("_win").as("win_hash"))
+      .agg(min(col("_did")).as("min_did"))
+
+  private def writeWindowStats(stats: DataFrame, path: String,
+                               nBuckets: Int, mode: String): Unit =
+    stats.select(col("win_hash"), col("min_did"))
+      .withColumn("bucket", pmod(col("win_hash"), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Append a new batch's fingerprints into a stored index — the
     * streaming/incremental maintenance call. O(batch) IO. */
@@ -930,6 +947,19 @@ object Dedup {
                                nBuckets: Int = 64): Unit =
     writeWindowFingerprints(batch, textCol, idCol, path, window, stride,
       nBuckets, mode = "append")
+
+  /** [[appendWindowFingerprints]] from a PRECOMPUTED
+    * [[batchWindowStats]] frame (same rows by construction) — the
+    * probe-then-append streaming shape pays one window-hash pass per
+    * batch instead of two. */
+  def appendWindowFingerprintStats(stats: DataFrame, path: String,
+                                   window: Int = 40, stride: Int = 1,
+                                   nBuckets: Int = 64): Unit = {
+    requireFpMeta(stats.sparkSession, path, window, stride,
+      "appendWindowFingerprints", nBuckets = Some(nBuckets))
+    writeWindowStats(stats, path, nBuckets, mode = "append")
+    writeFpMeta(stats.sparkSession, path, window, stride, nBuckets)
+  }
 
   /** The stored fingerprints, min-merged across appended generations:
     * (win_hash, min_did). */
@@ -1017,13 +1047,20 @@ object Dedup {
   def crossDocSpansIncremental(spark: SparkSession, indexPath: String,
                                batch: DataFrame, textCol: String,
                                idCol: String, window: Int = 40,
-                               stride: Int = 1): DataFrame = {
+                               stride: Int = 1,
+                               stats: Option[DataFrame] = None): DataFrame = {
     requireFpMeta(spark, indexPath, window, stride,
       "crossDocSpansIncremental")
     val occ = windowOccurrences(batch, textCol, idCol, window, stride,
       hashKey = true)
-    val batchStats = occ.select("_win", "_did").distinct()
-      .groupBy("_win").agg(min(col("_did")).as("_batch_min"))
+    // r13: min over duplicate (_win, _did) rows equals min over the
+    // distinct set — the old distinct-before-min was a second full
+    // exchange of the batch's windows for nothing. `stats` lets a
+    // probe-then-append caller reuse one persisted [[batchWindowStats]]
+    // for both sides (identical rows by construction).
+    val batchStats = stats.getOrElse(
+        batchWindowStats(batch, textCol, idCol, window, stride))
+      .select(col("win_hash").as("_win"), col("min_did").as("_batch_min"))
     // existence is enough here — skip readWindowFingerprints' min-merge
     // and carry only the 8-byte hash through the join
     val corpus = spark.read.parquet(indexPath)

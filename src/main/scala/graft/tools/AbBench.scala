@@ -599,6 +599,21 @@ object AbBench {
           date = day, today = day)
         (() => flat, () => pruned)
       }),
+
+    // round-13 measurement: does spreading q284's pinned day batch
+    // (8-way repartition before the flag computations) beat the
+    // single-partition file-source batch? Answer at sf0.1: NO —
+    // spread_8 measured ratio 1.117 (task launches cost more than the
+    // single-task stages' compute), confirming r12's 32-way result, so
+    // the shipped default stays unspread with the conf knob available
+    // for clusters whose day batches are big. Each thunk runs the
+    // WHOLE declared query (its own temp dirs per run).
+    Pair("q284_batch_spread", "no_spread", "spread_8",
+      (s, d) => {
+        val fn = graft.SparkEntry.queries("q284_streaming_funnel")
+        (() => { s.conf.unset("spark.graft.funnel.batchSpread"); fn(s, d) },
+         () => { s.conf.set("spark.graft.funnel.batchSpread", "8"); fn(s, d) })
+      }),
   )
 
   /** Interleaved self-pair of a shipped query: both sides run the same
