@@ -42,6 +42,19 @@ object SparkEntry {
   private def tSpread(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** Build + persist the demo HNSW graph index over the spread
+    * embeddings table — the shared shape of every at-rest ANN query.
+    * r13: the RAW table's count (parquet row-group metadata — no data
+    * read) feeds writeGraphIndex's autoSplit via knownCount, so index
+    * sizing no longer pays a full count pass that executes the tSpread
+    * repartition first; same n → identical split and graphs. */
+  private def writeEmbGraphIndex(s: SparkSession, dir: String,
+                                 path: String): Unit =
+    graft.vector.HnswIndex.writeGraphIndex(
+      tSpread(s, dir, "embeddings"), "embedding", "vec_id", path,
+      graft.vector.HnswIndex.Params(m = 8, efConstruction = 128),
+      knownCount = t(s, dir, "embeddings").count())
+
   /** Driver-side fetch of the demo query vector (vec_id=0). Reads the RAW
     * table so the `vec_id = 0` predicate is pushed to the parquet scan —
     * fetching one row must not pay the `tSpread` repartition shuffle the
@@ -2962,9 +2975,7 @@ object SparkEntry {
     "q167_hnsw_at_rest" -> ((s, d) => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-hnsw-q167").toString + "/graphs"
-      graft.vector.HnswIndex.writeGraphIndex(
-        tSpread(s, d, "embeddings"), "embedding", "vec_id", dir,
-        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, dir)
       graft.vector.HnswIndex.searchGraphIndex(s, dir, "vec_id",
           Seq(0L -> queryVec(s, d)), 20,
           graft.vector.HnswIndex.Params(efSearch = 1 << 20))
@@ -3018,9 +3029,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-hnsw").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
-      graft.vector.HnswIndex.writeGraphIndex(
-        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
-        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmp/graphs")
       AnnCatalog.register(s"$tmp/base",
         AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
           graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
@@ -3048,9 +3057,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-filt").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
-      graft.vector.HnswIndex.writeGraphIndex(
-        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
-        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmp/graphs")
       AnnCatalog.register(s"$tmp/base",
         AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
           graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
@@ -3076,9 +3083,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-payload").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
-      graft.vector.HnswIndex.writeGraphIndex(
-        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
-        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmp/graphs")
       AnnCatalog.register(s"$tmp/base",
         AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
           graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
@@ -3104,9 +3109,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-fb").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
-      graft.vector.HnswIndex.writeGraphIndex(
-        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
-        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmp/graphs")
       AnnCatalog.register(s"$tmp/base",
         AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
           graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
@@ -3134,9 +3137,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-multi").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
-      graft.vector.HnswIndex.writeGraphIndex(
-        tSpread(s, d, "embeddings"), "embedding", "vec_id", s"$tmp/graphs",
-        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmp/graphs")
       AnnCatalog.register(s"$tmp/base",
         AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
           graft.vector.HnswIndex.Params(efSearch = 1 << 20)))
@@ -3476,9 +3477,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-hn").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
-      HnswIndex.writeGraphIndex(tSpread(s, d, "embeddings"), "embedding",
-        "vec_id", s"$tmp/graphs",
-        HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmp/graphs")
       AnnCatalog.register(s"$tmp/base",
         AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
           HnswIndex.Params(efSearch = 1 << 20)))
@@ -3525,9 +3524,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-ann-noise").toString
       t(s, d, "embeddings").write.mode("overwrite").parquet(s"$tmp/base")
-      HnswIndex.writeGraphIndex(tSpread(s, d, "embeddings"), "embedding",
-        "vec_id", s"$tmp/graphs",
-        HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmp/graphs")
       AnnCatalog.register(s"$tmp/base",
         AnnCatalog.HnswEntry(s"$tmp/graphs", "embedding", "vec_id",
           HnswIndex.Params(efSearch = 1 << 20)))
@@ -3697,9 +3694,7 @@ object SparkEntry {
       // 32-file write/commit than it saves (6.4 s → 7.6 s); kept single
       t(s, d, "embeddings").write.mode("overwrite")
         .parquet(s"$tmpRrf/base")
-      graft.vector.HnswIndex.writeGraphIndex(tSpread(s, d, "embeddings"),
-        "embedding", "vec_id", s"$tmpRrf/graphs",
-        graft.vector.HnswIndex.Params(m = 8, efConstruction = 128))
+      writeEmbGraphIndex(s, d, s"$tmpRrf/graphs")
       graft.plans.AnnCatalog.register(s"$tmpRrf/base",
         graft.plans.AnnCatalog.HnswEntry(s"$tmpRrf/graphs", "embedding",
           "vec_id", graft.vector.HnswIndex.Params(efSearch = 1 << 20)))

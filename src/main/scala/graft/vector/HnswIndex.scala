@@ -97,6 +97,21 @@ object HnswIndex {
 
     private def distNodes(a: Int, b: Int): Double = dist(a, vecs(b), norms(b))
 
+    /** (dist asc, id asc) — the graph's one total order, compared
+      * directly. r13: the previous `Ordering.by { (d, ids(n)) }` built a
+      * boxed (Double, Long) tuple on EVERY comparison, and heap sifts +
+      * neighbor sorts compare O(log ef) times per visited node — this
+      * was the hottest allocation site of the whole insert path.
+      * Distances are finite (zero-norm maps to 2.0), so
+      * Double.compare equals the tuple ordering exactly: same graphs. */
+    private val byDistThenId: Ordering[(Int, Double)] =
+      new Ordering[(Int, Double)] {
+        def compare(a: (Int, Double), b: (Int, Double)): Int = {
+          val c = java.lang.Double.compare(a._2, b._2)
+          if (c != 0) c else java.lang.Long.compare(ids(a._1), ids(b._1))
+        }
+      }
+
     /** SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin alg. 4): keep a
       * candidate only if it is closer to the base point than to every
       * neighbor already kept — on clustered data this preserves the
@@ -105,7 +120,7 @@ object HnswIndex {
       * fill with the closest discarded candidates (keepPruned) so low-
       * degree nodes stay connected. Deterministic: (dist, id) order. */
     private def selectNeighbors(cands: Seq[(Int, Double)], cap: Int): Seq[(Int, Double)] = {
-      val sorted = cands.sortBy { case (n, d) => (d, ids(n)) }
+      val sorted = cands.sorted(byDistThenId)
       val kept = mutable.ArrayBuffer.empty[(Int, Double)]
       val discarded = mutable.ArrayBuffer.empty[(Int, Double)]
       sorted.foreach { case (c, dc) =>
@@ -137,8 +152,7 @@ object HnswIndex {
       * (node, dist), tie-broken by id for determinism. */
     private def searchLayer(q: Array[Float], qNorm: Double, ep: Seq[(Int, Double)],
                             ef: Int, layer: Int): mutable.ArrayBuffer[(Int, Double)] = {
-      implicit val ord: Ordering[(Int, Double)] =
-        Ordering.by { case (n, d) => (d, ids(n)) }
+      implicit val ord: Ordering[(Int, Double)] = byDistThenId
       // primitive bitset: the visited check is the single hottest
       // operation in the walk; a boxed HashSet dominates build time
       val visited = new java.util.BitSet(vecs.length)
@@ -551,7 +565,8 @@ object HnswIndex {
                       path: String, params: Params = Params(),
                       maxPartitionRows: Int = 500000,
                       autoSplit: Boolean = true,
-                      quantized: Boolean = false): Unit = {
+                      quantized: Boolean = false,
+                      knownCount: Long = -1L): Unit = {
     require(maxPartitionRows > 0, "maxPartitionRows must be positive")
     val p = params
     val q = quantized
@@ -560,7 +575,13 @@ object HnswIndex {
     val slim1 =
       if (!autoSplit) slim0
       else {
-        val n = slim0.count()
+        // r13: autoSplit's row count is one extra full pass over the
+        // input per index write (and tSpread inputs execute their
+        // repartition just to be counted). Callers that already know
+        // the row count — a metadata-only count of the raw table, or a
+        // maintenance loop rebuilding the same base repeatedly — pass
+        // it through; sizing is unchanged (same n → same target).
+        val n = if (knownCount >= 0L) knownCount else slim0.count()
         // target ~90% of the cap: round-robin distribution is even only
         // to ±1 per partition (random start offset), and the input may
         // not divide exactly — headroom keeps every partition under the
@@ -723,7 +744,11 @@ object HnswIndex {
         col(embCol).cast("array<float>").as("emb"))
       .as[(Int, Long, Array[Float])]
 
-    val touched = batchDs.select(col("gid")).distinct().as[Int].collect().toSet
+    // r13: with one stored sub-graph every batch row can only touch it —
+    // the distinct+collect job over the batch buys nothing
+    val touched =
+      if (g == 1) gids.toSet
+      else batchDs.select(col("gid")).distinct().as[Int].collect().toSet
     val storedTouched = stored
       .filter(col("graph_id").isin(touched.toSeq.map(Integer.valueOf): _*))
       .select(col("graph_id").cast("int"), col("graph"))
@@ -837,10 +862,19 @@ object HnswIndex {
       : (Seq[Array[Float]], Seq[Set[Any]]) = {
     val qs = IvfIndex.centroids(base, embCol, idCol, nQueries)
       .map(_._2).toSeq
-    val exact = qs.map { q =>
+    // r13: ONE action for all probe queries — the per-query exact
+    // top-k subtrees union under a query-id tag and collect together
+    // (per-query results identical to separate collects; the searches
+    // are independent), instead of nQueries sequential driver
+    // roundtrips over the same base.
+    val tagged = qs.zipWithIndex.map { case (q, i) =>
       VectorFunctions.topK(base, embCol, idCol, q, k)
-        .collect().map(_.get(0)).toSet[Any]
+        .select(lit(i).as("_qi"), col(idCol))
     }
+    val exactByQ = tagged.reduce(_.unionAll(_)).collect()
+      .groupBy(_.getInt(0))
+      .map { case (qi, rows) => qi -> rows.map(_.get(1)).toSet[Any] }
+    val exact = qs.indices.map(i => exactByQ.getOrElse(i, Set.empty[Any]))
     (qs, exact)
   }
 
@@ -908,10 +942,13 @@ object HnswIndex {
     var round = 0
     var rebuilt = false
     val conf = spark.sessionState.newHadoopConf()
+    // r13: the base is the same frame every round — count it once for
+    // every rebuild's autoSplit instead of once per round
+    lazy val baseN = base.select(col(idCol)).count()
     while (recall < recallFloor && round < maxRounds) {
       val staging = path.stripSuffix("/") + "._rebuild"
       writeGraphIndex(base, embCol, idCol, staging, buildParams,
-        maxPartitionRows = target, quantized = quant)
+        maxPartitionRows = target, quantized = quant, knownCount = baseN)
       val pth = new org.apache.hadoop.fs.Path(path)
       val fs = pth.getFileSystem(conf)
       fs.delete(pth, true)
