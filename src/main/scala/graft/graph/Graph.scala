@@ -203,13 +203,19 @@ object Graph {
                          dampNum: Long = 85, dampDen: Long = 100,
                          scale: Long = 1000000000000L,
                          checkpointInterval: Int = 5): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // r13: the edge frame feeds the node set (BOTH union legs), the
+    // out-degree aggregate, and every iteration's contribution join —
+    // with pure lineage each consumer re-evaluated the caller's edge
+    // subtree from scratch, because the legs project different columns
+    // and ReuseExchange never matches (measured on q313: the
+    // outlink-extraction UDF chain ran as ~5 separate ~1 s stages; on
+    // q125 the orders⋈lineitem join repeated per consumer). One eager
+    // localCheckpoint pays a single evaluation of a (long, long) frame
+    // — the same lineage-cut shape every iterative loop here uses.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    // N enters as a broadcast 1-row aggregate, not a driver-side count:
-    // the whole operator stays LAZY (zero actions), so a short run plans
-    // as ONE job in which Spark's ReuseExchange dedupes the shared
-    // edge/node/outdeg subplans instead of recomputing them per action
+    // N enters as a broadcast 1-row aggregate, not a driver-side count
     val nN = nodes.agg(count(lit(1)).as("_n"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val teleportExpr =
