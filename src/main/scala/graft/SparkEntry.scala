@@ -8154,12 +8154,17 @@ object SparkEntry {
         lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
         format_string("%.1f", (col("host_id") % 4 + 1) * lit(0.5)),
         lit("\n"))
+      // r13: materialized once — `gated` feeds BOTH the politeness
+      // schedule and the per-host candidate counts, and with pure
+      // lineage each leg re-ran the whole resolve→canon→robots chain
+      // (the two ~700 ms single-task stage groups in the profile)
       val gated = hosted.select(col("curl"), col("host_id"),
         col("first_doc"),
         Robots.allowedUdf(robots, lit("graftbot"), col("path"))
           .as("allowed"),
         (Robots.crawlDelayUdf(robots, lit("graftbot")) * 1000)
           .cast("bigint").as("delay_ms"))
+        .localCheckpoint()
       // stage 4: politeness schedule over the allowed frontier
       val sched = HostSlots.assign(gated.filter(col("allowed")),
           "host_id", Seq(col("first_doc")), "slot")
