@@ -608,6 +608,38 @@ object AbBench {
     // the shipped default stays unspread with the conf knob available
     // for clusters whose day batches are big. Each thunk runs the
     // WHOLE declared query (its own temp dirs per run).
+    // round-13: the q317/q319 scrub stage — 4 regex expressions
+    // (3 regexp_replace + 3 regexp_extract_all inside the counts) vs
+    // the fused Pii.scrubUdf (4 matcher passes, no match arrays).
+    // Value-identical struct; the agg forces both columns.
+    Pair("pii_fused_scrub", "four_exprs", "fused_udf",
+      (s, d) => {
+        import graft.text.{Pii, TextFunctions}
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"))
+        val contact = concat(col("text"),
+          lit(" Contact: user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 504-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 192.168."), (col("doc_id") % 256).cast("string"),
+          lit(".7"))
+        def gated = docs.select(col("doc_id"), contact.as("text"))
+          .filter(length(trim(col("text"))) > 0)
+          .filter(TextFunctions.gopherGateKeepFastUdf(col("text")))
+        def oldForm = gated.select(col("doc_id"),
+          Pii.redact(col("text")).as("clean"),
+          (Pii.emailCount(col("text")) + Pii.phoneCount(col("text")) +
+            Pii.ipCount(col("text"))).cast("bigint").as("n_pii"))
+        def newForm = gated
+          .select(col("doc_id"), Pii.scrubUdf(col("text")).as("_s"))
+          .select(col("doc_id"), col("_s._1").as("clean"),
+            col("_s._2").as("n_pii"))
+        def force(f: org.apache.spark.sql.DataFrame) =
+          f.agg(sum(length(col("clean"))), sum(col("n_pii")))
+        (() => force(oldForm), () => force(newForm))
+      }),
+
     Pair("q284_batch_spread", "no_spread", "spread_8",
       (s, d) => {
         val fn = graft.SparkEntry.queries("q284_streaming_funnel")
