@@ -6772,9 +6772,12 @@ object SparkEntry {
           TextFunctions.qualityScore(col("text")).as("q"))
         .filter(col("n_tokens") > 0)
         .localCheckpoint()
-      Seq(6000L, 12000L, 25000L, 50000L).map { bgt =>
-        Curation.selectByBudget(docs, "q", "doc_id", "n_tokens",
-            budget = bgt)
+      // r13: one shared band-totals pass for all four points
+      // (Curation.selectByBudgets) instead of four identical ones
+      val budgets = Seq(6000L, 12000L, 25000L, 50000L)
+      budgets.zip(Curation.selectByBudgets(docs, "q", "doc_id",
+          "n_tokens", budgets)).map { case (bgt, sel) =>
+        sel
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("sel_tokens"),
             expr("case when count(1) > 0 then " +

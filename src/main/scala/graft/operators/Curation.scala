@@ -90,7 +90,19 @@ object Curation {
     * filter or impute first. */
   def selectByBudget(df: DataFrame, scoreCol: String, idCol: String,
                      tokensCol: String, budget: Long,
-                     nBands: Int = 1000): DataFrame = {
+                     nBands: Int = 1000): DataFrame =
+    selectByBudgets(df, scoreCol, idCol, tokensCol, Seq(budget), nBands).head
+
+  /** [[selectByBudget]] at SEVERAL budgets over one input — the
+    * ablation-curve shape (q276). The banded per-band token totals
+    * depend only on the input, so they are computed and collected ONCE
+    * and every budget's boundary is located on the driver from the same
+    * array (r13: the per-budget form re-ran the nBands aggregate per
+    * point — 4 identical corpus passes for a 4-point curve). Each
+    * returned frame is exactly [[selectByBudget]]'s for that budget. */
+  def selectByBudgets(df: DataFrame, scoreCol: String, idCol: String,
+                      tokensCol: String, budgets: Seq[Long],
+                      nBands: Int = 1000): Seq[DataFrame] = {
     // keep NULL scores as a NULL band (a bare `least` would silently
     // swallow the null and file the row under the best band)
     val banded = df.withColumn("_band",
@@ -106,23 +118,25 @@ object Curation {
     val bandTotals = rawTotals
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(-_._1)                   // best band first
-    var acc = 0L; var boundary = Option.empty[Int]
-    val it = bandTotals.iterator
-    while (boundary.isEmpty && it.hasNext) {
-      val (band, bt) = it.next()
-      if (acc + bt > budget) boundary = Some(band) else acc += bt
-    }
-    boundary match {
-      case None => banded.drop("_band") // the whole corpus fits
-      case Some(b) =>
-        val offset = acc
-        val keepWhole = banded.filter(col("_band") > b).drop("_band")
-        val boundaryKept = GlobalOrder.withRunningSumLong(
-            banded.filter(col("_band") === b),
-            Seq(col(scoreCol).desc, col(idCol)), col(tokensCol), "_cum")
-          .filter(col("_cum") + offset <= budget)
-          .drop("_band", "_cum")
-        keepWhole.unionByName(boundaryKept)
+    budgets.map { budget =>
+      var acc = 0L; var boundary = Option.empty[Int]
+      val it = bandTotals.iterator
+      while (boundary.isEmpty && it.hasNext) {
+        val (band, bt) = it.next()
+        if (acc + bt > budget) boundary = Some(band) else acc += bt
+      }
+      boundary match {
+        case None => banded.drop("_band") // the whole corpus fits
+        case Some(b) =>
+          val offset = acc
+          val keepWhole = banded.filter(col("_band") > b).drop("_band")
+          val boundaryKept = GlobalOrder.withRunningSumLong(
+              banded.filter(col("_band") === b),
+              Seq(col(scoreCol).desc, col(idCol)), col(tokensCol), "_cum")
+            .filter(col("_cum") + offset <= budget)
+            .drop("_band", "_cum")
+          keepWhole.unionByName(boundaryKept)
+      }
     }
   }
 
