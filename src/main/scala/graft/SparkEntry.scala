@@ -3895,8 +3895,9 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 =!= 0),
           docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 3)
         .select(col("doc_id"), lit(true).as("_c"))
-      val dsir = ImportanceSelect.dsirWeights(docs,
-          docs.filter(col("lang") === "en"), "text", "doc_id")
+      val dsir = ImportanceSelect.scoreWith(
+          ImportanceSelect.dsirRatioSplit(docs, col("lang") === "en",
+            "text"), docs, "text", "doc_id")
         .select(col("doc_id"), col("selected").as("_k4"))
       val flags = docs.select(col("doc_id"))
         .join(rep, Seq("doc_id"), "left")
@@ -3965,8 +3966,11 @@ object SparkEntry {
     "q191_dsir_select" -> ((s, d) => {
       import graft.operators.ImportanceSelect
       val docs = tSpread(s, d, "documents")
-      ImportanceSelect.dsirWeights(docs, docs.filter(col("lang") === "en"),
-          "text", "doc_id")
+      // r13: lang-subset target → fused one-pass ratio (see
+      // dsirRatioSplit), same _lr bits
+      ImportanceSelect.scoreWith(
+          ImportanceSelect.dsirRatioSplit(docs, col("lang") === "en",
+            "text"), docs, "text", "doc_id")
         .select(col("doc_id"), col("n_tokens"),
           floorBp(col("weight"), 4).as("weight_bp"), col("selected"))
         .orderBy(col("doc_id"))
@@ -7039,10 +7043,17 @@ object SparkEntry {
       val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).cache()
       val evalSet = hist.filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(col("doc_id"), col("text")).cache()
-      val ratio = ImportanceSelect.dsirRatio(hist,
-        hist.filter(col("lang") === "en"), "text").cache()
+      // r13: target = a lang-flag subset of hist → the fused one-pass
+      // ratio (dsirRatioSplit), half the tokenization of the two-frame
+      // form, bit-identical _lr
+      val ratio = ImportanceSelect.dsirRatioSplit(hist,
+        col("lang") === "en", "text").cache()
+      // r13: the eval set's distinct n-gram frame is day-INVARIANT —
+      // computed once here instead of re-shingled inside every
+      // micro-batch by decontaminate
+      val evalGrams = Dedup.gramSet(evalSet, "text", n = 3).cache()
       s.sparkContext.setJobDescription("q284: ratio+eval prep")
-      ratio.count(); evalSet.count()
+      ratio.count(); evalSet.count(); evalGrams.count()
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q284").toString
       val idx = s"$tmp/fp_idx"
@@ -7066,7 +7077,8 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
-      def funnel(batch: DataFrame, stats: DataFrame): DataFrame = {
+      def funnel(batch: DataFrame, pairs: DataFrame,
+                 stats: DataFrame): DataFrame = {
         // r12: BOTH gate flags from one nondeterministic JVM pass
         // (TextFunctions.gopherGatesUdf — same booleans as the two HOF
         // frames, one tokenization instead of two interpreted HOF runs).
@@ -7080,12 +7092,18 @@ object SparkEntry {
             TextFunctions.gopherGatesUdf(col("text")).as("_g"))
           .select(col("doc_id"), col("_g._1").as("_k1"),
             col("_g._2").as("_k2"))
-        val nd = Dedup.crossDocSpansIncremental(s, idx, batch,
-            "text", "doc_id", window = 40, stats = Some(stats))
-          .select(col("doc_id")).distinct()
+        // r13: the funnel gates on "is this doc a near-dup", never on
+        // the spans — dupDocIdsIncremental probes at doc grain (no
+        // posexplode positions, no island-merge windows, no index-side
+        // distinct) from the SAME persisted pairs frame the stats came
+        // from. Profile: the nd leg was ~3.8 s/day of the funnel's
+        // ~6.9 s/day stage time.
+        val nd = Dedup.dupDocIdsIncremental(s, idx, batch,
+            "text", "doc_id", window = 40,
+            pairs = Some(pairs), stats = Some(stats))
           .withColumn("_nd", lit(true))
-        val contam = Dedup.decontaminate(batch, evalSet, "text", "doc_id",
-            n = 3)
+        val contam = Dedup.contaminatedDocIds(batch, evalGrams,
+            "text", "doc_id", n = 3)
           .select(col("doc_id"), lit(true).as("_c"))
         val dsir = ImportanceSelect.scoreWith(ratio, batch, "text",
             "doc_id")
@@ -7128,26 +7146,29 @@ object SparkEntry {
             val day = s.conf.getOption("spark.graft.funnel.batchSpread")
               .map(n => batch.repartition(n.toInt)).getOrElse(batch)
               .persist()
-            // r13: ONE window-hash aggregate per day, shared by the
-            // probe (batch-min side) and the index append (its at-rest
-            // rows ARE this frame) — the append was a second full
-            // window-hash pass over the day's text
-            val stats = Dedup.batchWindowStats(day, "text", "doc_id",
+            // r13: ONE window-hash pass per day. The distinct
+            // (doc, win) pairs frame feeds BOTH the probe and (via
+            // batchWindowStatsFromPairs — identical rows, min over
+            // distinct pairs = min over occurrences) the at-rest stats
+            // the index append writes.
+            val pairs = Dedup.windowDocPairs(day, "text", "doc_id",
               window = 40).persist()
+            val stats = Dedup.batchWindowStatsFromPairs(pairs).persist()
             // flags FIRST (materializes the probe against the index as
             // of yesterday), THEN the day's windows append to the index
             s.sparkContext.setJobDescription("q284: funnel flags")
-            funnel(day, stats).write.mode("append").parquet(outDir)
+            funnel(day, pairs, stats).write.mode("append").parquet(outDir)
             s.sparkContext.setJobDescription("q284: index append")
             Dedup.appendWindowFingerprintStats(stats, idx,
               window = 40, nBuckets = 8)
-            day.unpersist(); stats.unpersist()
+            day.unpersist(); pairs.unpersist(); stats.unpersist()
             ()
           }
           .start()
         q.awaitTermination()
       }
       hist.unpersist(); evalSet.unpersist(); ratio.unpersist()
+      evalGrams.unpersist()
       s.sparkContext.setJobDescription(null)
       s.read.parquet(outDir).orderBy(col("doc_id"))
     }),

@@ -928,9 +928,69 @@ object Dedup {
     * was a second full window-hash pass over every day). */
   def batchWindowStats(df: DataFrame, textCol: String, idCol: String,
                        window: Int = 40, stride: Int = 1): DataFrame =
-    windowOccurrences(df, textCol, idCol, window, stride, hashKey = true)
-      .groupBy(col("_win").as("win_hash"))
+    // r13: via the map-side-distinct pairs — `array_distinct` before
+    // the explode dedups a document's repeated windows BEFORE the
+    // shuffle (min over distinct pairs = min over occurrences, so the
+    // rows are unchanged; repetitious text shuffles far fewer rows)
+    batchWindowStatsFromPairs(
+      windowDocPairs(df, textCol, idCol, window, stride))
+
+  /** The distinct (doc, window-hash) PAIRS of a batch — map-side only
+    * (`array_distinct` dedups within the document BEFORE the explode,
+    * so the exploded row count is the per-doc distinct window count,
+    * not the position count). This is the shared upstream of the
+    * probe-then-append streaming shape: [[batchWindowStatsFromPairs]]
+    * derives the at-rest stats frame from it and
+    * [[dupDocIdsIncremental]] probes with it, so one persisted pairs
+    * frame pays ONE window-hash pass per micro-batch for both.
+    * Positions are dropped — use [[crossDocSpansIncremental]] when the
+    * spans themselves are needed. */
+  def windowDocPairs(df: DataFrame, textCol: String, idCol: String,
+                     window: Int = 40, stride: Int = 1): DataFrame = {
+    val wh = udf { (t: String) => windowHashArray(t, window, stride) }
+    df.filter(length(col(textCol)) >= window)
+      .select(col(idCol).cast("long").as("_did"),
+        explode(array_distinct(wh(col(textCol)))).as("_win"))
+  }
+
+  /** [[batchWindowStats]] derived from a precomputed
+    * [[windowDocPairs]] frame: `min(_did)` over the distinct (doc,
+    * window) pairs equals `min` over the raw occurrences (duplicates
+    * of a pair never change its min), so the rows are identical to
+    * the text-scanning form — without the second window-hash pass. */
+  def batchWindowStatsFromPairs(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("_win").as("win_hash"))
       .agg(min(col("_did")).as("min_did"))
+
+  /** The DISTINCT batch doc ids [[crossDocSpansIncremental]] would
+    * flag — `crossDocSpansIncremental(...).select(idCol).distinct()`
+    * without the position bookkeeping: no posexplode arithmetic, no
+    * per-doc island-merge windows, and the stored index side skips its
+    * dedup entirely (duplicate hashes across append generations only
+    * duplicate flagged rows, which the final doc-grain distinct
+    * absorbs — exact for THIS consumer, wrong for span consumers).
+    * The funnel-gate shape: "is any span of this doc a dup" needs the
+    * doc set, not the spans. */
+  def dupDocIdsIncremental(spark: SparkSession, indexPath: String,
+                           batch: DataFrame, textCol: String,
+                           idCol: String, window: Int = 40,
+                           stride: Int = 1,
+                           pairs: Option[DataFrame] = None,
+                           stats: Option[DataFrame] = None): DataFrame = {
+    requireFpMeta(spark, indexPath, window, stride,
+      "dupDocIdsIncremental")
+    val dw = pairs.getOrElse(
+      windowDocPairs(batch, textCol, idCol, window, stride))
+    val batchStats = stats.getOrElse(batchWindowStatsFromPairs(dw))
+      .select(col("win_hash").as("_win"), col("min_did").as("_batch_min"))
+    val corpus = spark.read.parquet(indexPath)
+      .select(col("win_hash").as("_win"))
+      .withColumn("_in_corpus", lit(true))
+    dw.join(batchStats, "_win")
+      .join(corpus, Seq("_win"), "left")
+      .filter(col("_in_corpus").isNotNull || col("_did") > col("_batch_min"))
+      .select(col("_did").as(idCol)).distinct()
+  }
 
   private def writeWindowStats(stats: DataFrame, path: String,
                                nBuckets: Int, mode: String): Unit =
@@ -1143,14 +1203,9 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String,
                     n: Int = 3): DataFrame = {
-    import graft.text.TextFunctions.shinglesFromTokens
-    def grams(df: DataFrame, cols: Column*): DataFrame = df
-      .filter(length(trim(col(textCol))) > 0)
-      .select((cols :+ split(trim(col(textCol)), "\\s+").as("_t")): _*)
-      .filter(size(col("_t")) >= n)
-      .select((cols :+
-        explode(array_distinct(shinglesFromTokens(col("_t"), n))).as("_g")): _*)
-    val evalGrams = grams(benchmark).select(col("_g")).distinct()
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      docGrams(df, textCol, n, cols: _*)
+    val evalGrams = gramSet(benchmark, textCol, n)
     // ONE corpus pass: left-join the gram set, count all grams and the
     // hits in the same doc-grain aggregate (a separate per-doc total
     // would shingle and scan the corpus twice)
@@ -1165,6 +1220,40 @@ object Dedup {
         (floor(col("n_hits") * lit(10000L) / col("n_grams") + lit(0.5d)) /
           lit(10000.0d)).as("contam_frac"))
   }
+
+  /** The per-doc distinct word-n-gram projection shared by
+    * [[decontaminate]] and its streaming split (map-side:
+    * `array_distinct` before the explode bounds rows by distinct
+    * grams). */
+  private def docGrams(df: DataFrame, textCol: String, n: Int,
+                       cols: Column*): DataFrame = {
+    import graft.text.TextFunctions.shinglesFromTokens
+    df.filter(length(trim(col(textCol))) > 0)
+      .select((cols :+ split(trim(col(textCol)), "\\s+").as("_t")): _*)
+      .filter(size(col("_t")) >= n)
+      .select((cols :+
+        explode(array_distinct(shinglesFromTokens(col("_t"), n))).as("_g")): _*)
+  }
+
+  /** The benchmark's distinct n-gram set — [[decontaminate]]'s
+    * day-invariant right side, split out so a streaming funnel
+    * computes it ONCE (persist it) instead of re-shingling and
+    * re-distincting the eval set every micro-batch. */
+  def gramSet(benchmark: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    docGrams(benchmark, textCol, n).select(col("_g")).distinct()
+
+  /** The DISTINCT corpus doc ids [[decontaminate]] would flag (docs
+    * sharing ≥1 distinct n-gram with the benchmark), from a
+    * precomputed [[gramSet]]: a semi-join instead of the left-join +
+    * per-doc hit count — identical doc set (`n_hits > 0` ⇔ at least
+    * one gram joins), no count columns. For consumers that gate on
+    * contamination rather than report its extent. */
+  def contaminatedDocIds(corpus: DataFrame, benchGrams: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3): DataFrame =
+    docGrams(corpus, textCol, n, col(idCol))
+      .join(benchGrams, Seq("_g"), "leftsemi")
+      .select(col(idCol)).distinct()
 
   // ------------------------------------------------ line-grain dedup
 

@@ -646,6 +646,108 @@ object AbBench {
         (() => { s.conf.unset("spark.graft.funnel.batchSpread"); fn(s, d) },
          () => { s.conf.set("spark.graft.funnel.batchSpread", "8"); fn(s, d) })
       }),
+
+    // round-13 change: the funnel's nd leg moved from
+    // crossDocSpansIncremental (position explode + island-merge
+    // windows + index-side distinct, then .select(doc_id).distinct)
+    // to dupDocIdsIncremental over ONE persisted windowDocPairs frame
+    // shared with the stats/append side; the contam leg to a
+    // pre-computed gramSet + semi-join; the DSIR ratio to the fused
+    // one-pass dsirRatioSplit. A replays the r12 lineage end-to-end
+    // (same streaming machinery, own temp dirs per run); B is the
+    // shipped query. A's stats side already benefits from the
+    // pairs-based batchWindowStats, so the ratio UNDERSTATES the win.
+    Pair("q284_funnel_docgrain", "span_probe_r12", "doc_grain_pairs",
+      (s, d) => {
+        import graft.dedup.Dedup
+        import graft.operators.ImportanceSelect
+        import graft.text.TextFunctions
+        def oldQ284(): DataFrame = {
+          val docs = graft.Tables.table(s, d, "documents")
+            .select(col("doc_id"), col("text"), col("lang"))
+          val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).cache()
+          val evalSet = hist.filter(pmod(col("doc_id"), lit(97)) === 0)
+            .select(col("doc_id"), col("text")).cache()
+          val ratio = ImportanceSelect.dsirRatio(hist,
+            hist.filter(col("lang") === "en"), "text").cache()
+          ratio.count(); evalSet.count()
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-ab-q284").toString
+          val idx = s"$tmp/fp_idx"
+          Dedup.writeWindowFingerprints(hist, "text", "doc_id", idx,
+            window = 40, nBuckets = 8)
+          val streamed = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .select(col("doc_id"), col("text"))
+          val maxId = streamed.agg(max(col("doc_id"))).head().getLong(0)
+          val srcDir = s"$tmp/arrivals"; val outDir = s"$tmp/flags"
+          val ckpt = s"$tmp/ckpt"
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+          def funnel(batch: DataFrame, stats: DataFrame): DataFrame = {
+            val gates = batch.filter(length(trim(col("text"))) > 0)
+              .select(col("doc_id"),
+                TextFunctions.gopherGatesUdf(col("text")).as("_g"))
+              .select(col("doc_id"), col("_g._1").as("_k1"),
+                col("_g._2").as("_k2"))
+            val nd = Dedup.crossDocSpansIncremental(s, idx, batch,
+                "text", "doc_id", window = 40, stats = Some(stats))
+              .select(col("doc_id")).distinct()
+              .withColumn("_nd", lit(true))
+            val contam = Dedup.decontaminate(batch, evalSet, "text",
+                "doc_id", n = 3)
+              .select(col("doc_id"), lit(true).as("_c"))
+            val dsir = ImportanceSelect.scoreWith(ratio, batch, "text",
+                "doc_id")
+              .select(col("doc_id"), col("selected").as("_k5"))
+            batch.select(col("doc_id"))
+              .join(gates, Seq("doc_id"), "left")
+              .join(nd, Seq("doc_id"), "left")
+              .join(contam, Seq("doc_id"), "left")
+              .join(dsir, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("_k1"), lit(false)).as("k_rep"),
+                coalesce(col("_k2"), lit(false)).as("k_qual"),
+                col("_nd").isNull.as("k_nodup"),
+                col("_c").isNull.as("k_clean"),
+                coalesce(col("_k5"), lit(false)).as("k_dsir"))
+              .withColumn("selected",
+                col("k_rep") && col("k_qual") && col("k_nodup") &&
+                  col("k_clean") && col("k_dsir"))
+          }
+          val (b1, b2) = (maxId / 3, 2L * maxId / 3)
+          val days = Seq(
+            streamed.filter(col("doc_id") <= b1),
+            streamed.filter(col("doc_id") > b1 && col("doc_id") <= b2),
+            streamed.filter(col("doc_id") > b2))
+          days.foreach { day =>
+            day.coalesce(1).write.mode("append").parquet(srcDir)
+            val q = graft.streaming.StreamingIngest
+              .readStream(s, srcDir, schema)
+              .writeStream
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                val dayB = batch.persist()
+                val stats = Dedup.batchWindowStats(dayB, "text", "doc_id",
+                  window = 40).persist()
+                funnel(dayB, stats).write.mode("append").parquet(outDir)
+                Dedup.appendWindowFingerprintStats(stats, idx,
+                  window = 40, nBuckets = 8)
+                dayB.unpersist(); stats.unpersist()
+                ()
+              }
+              .start()
+            q.awaitTermination()
+          }
+          hist.unpersist(); evalSet.unpersist(); ratio.unpersist()
+          s.read.parquet(outDir).orderBy(col("doc_id"))
+        }
+        val fn = graft.SparkEntry.queries("q284_streaming_funnel")
+        (() => oldQ284(), () => fn(s, d))
+      }),
   )
 
   /** Interleaved self-pair of a shipped query: both sides run the same

@@ -416,6 +416,67 @@ class DedupSpec extends SparkSpec {
       .count() > 0L)
   }
 
+  test("doc-grain incremental probe == span probe's distinct doc set; " +
+      "pairs-derived stats == text-scanning stats") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-fp-docgrain").toString + "/idx"
+    // two generations so the index holds DUPLICATE hashes across
+    // appends — the doc-grain probe skips the index-side distinct and
+    // must still match
+    Dedup.writeWindowFingerprints(docs.filter(col("doc_id") < 150),
+      "text", "doc_id", idx)
+    Dedup.appendWindowFingerprints(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+      "text", "doc_id", idx)
+    val batch = docs.filter(col("doc_id") >= 250)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSpans = ids(Dedup.crossDocSpansIncremental(spark, idx, batch,
+      "text", "doc_id").select("doc_id").distinct())
+    assert(ids(Dedup.dupDocIdsIncremental(spark, idx, batch,
+      "text", "doc_id")) == viaSpans)
+    // the funnel shape: one persisted pairs frame feeds probe AND stats
+    val pairs = Dedup.windowDocPairs(batch, "text", "doc_id")
+    assert(ids(Dedup.dupDocIdsIncremental(spark, idx, batch,
+      "text", "doc_id", pairs = Some(pairs),
+      stats = Some(Dedup.batchWindowStatsFromPairs(pairs)))) == viaSpans)
+    assert(viaSpans.nonEmpty)
+    def statRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference built from the EXPRESSION path (sequence + substr +
+    // xxhash64, occurrence grain — the oracle's plan), so the pairs
+    // form is pinned against an independent implementation
+    val ref = batch.filter(length(col("text")) >= 40)
+      .select(col("doc_id").cast("long").as("_did"),
+        explode(sequence(lit(1), length(col("text")) - 39)).as("_p"),
+        col("text"))
+      .select(col("_did"),
+        xxhash64(col("text").substr(col("_p"), lit(40))).as("win_hash"))
+      .groupBy("win_hash").agg(min(col("_did")).as("min_did"))
+    assert(statRows(Dedup.batchWindowStatsFromPairs(pairs)) ==
+      statRows(ref))
+    assert(statRows(Dedup.batchWindowStats(batch, "text", "doc_id")) ==
+      statRows(ref))
+  }
+
+  test("contaminatedDocIds == decontaminate's flagged doc set") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val viaCounts = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSemi = Dedup.contaminatedDocIds(corpus,
+        Dedup.gramSet(bench, "text"), "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSemi == viaCounts && viaSemi.nonEmpty)
+  }
+
   test("fingerprint point-lookup prunes to one bucket partition") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-fp-lookup").toString + "/idx"

@@ -27,6 +27,25 @@ class ImportanceSelectSpec extends SparkSpec {
     assert(out(1L)._1 == 5L)
   }
 
+  test("dsirRatioSplit == dsirRatio on a column-selected subset target," +
+      " bit-for-bit") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+    def rows(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val twoScan = rows(ImportanceSelect.dsirRatio(docs,
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      "text"))
+    val fused = rows(ImportanceSelect.dsirRatioSplit(docs,
+      org.apache.spark.sql.functions.col("lang") === "en", "text"))
+    // same longs into the same double expression — exact equality, no
+    // tolerance (this is what lets the declared queries swap the form)
+    assert(fused == twoScan && fused.nonEmpty)
+  }
+
   test("weight is the average, so doc length alone does not change it") {
     val raw = Seq(
       (1L, "cat cat"),
