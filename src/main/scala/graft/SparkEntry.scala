@@ -6381,11 +6381,17 @@ object SparkEntry {
     // stage that would have removed the doc ----
     "q264_dedup_attribution" -> ((s, d) => {
       val docs = tSpread(s, d, "documents")
+      // exact-hash flag and token count share ONE corpus scan (r13): the
+      // window over chash rides the same projection, which also drops a
+      // doc-grain join from the assembly below (4 corpus scans → 3).
       val ex = docs
-        .withColumn("chash", md5(lower(trim(col("text")))))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"),
+          md5(lower(trim(col("text")))).as("chash"))
         .withColumn("ex_min",
           min(col("doc_id")).over(Window.partitionBy(col("chash"))))
-        .select(col("doc_id"), (col("doc_id") > col("ex_min")).as("f_exact"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("doc_id") > col("ex_min")).as("f_exact"))
       val cc = Dedup.minhashClustersTransitive(docs, "text", "doc_id")
         .select(col("id").as("doc_id"),
           (col("id") > col("cluster_id")).as("f_near"))
@@ -6393,10 +6399,7 @@ object SparkEntry {
           window = 40, keepFirst = true)
         .groupBy(col("doc_id"))
         .agg(sum(col("span_end") - col("span_start") + 1).as("chars_cut"))
-      docs
-        .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
-        .join(ex, Seq("doc_id"))
+      ex
         .join(cc, Seq("doc_id"))
         .join(cut, Seq("doc_id"), "left")
         .withColumn("removed_by",

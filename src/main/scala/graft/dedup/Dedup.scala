@@ -675,9 +675,16 @@ object Dedup {
                     hashKey: Boolean = true): DataFrame = {
     require(window >= 2 && stride >= 1, "window >= 2, stride >= 1")
     val occ = windowOccurrences(df, textCol, idCol, window, stride, hashKey)
-    val stats = occ.select("_win", "_did").distinct()
-      .groupBy("_win")
-      .agg(count(lit(1)).as("_n_docs"), min(col("_did")).as("_min_did"))
+    // keep-first only compares against the window's minimum doc id, and
+    // min over raw occurrences equals min over the distinct (win, doc)
+    // pairs — so that mode skips the distinct (a full extra exchange of
+    // the occurrence set) and aggregates map-side partially instead.
+    // Detection mode still needs the distinct doc count per window.
+    val stats =
+      if (keepFirst) occ.groupBy("_win").agg(min(col("_did")).as("_min_did"))
+      else occ.select("_win", "_did").distinct()
+        .groupBy("_win")
+        .agg(count(lit(1)).as("_n_docs"), min(col("_did")).as("_min_did"))
     val flagged = occ.join(stats, "_win")
       .filter(if (keepFirst) col("_did") > col("_min_did")
               else col("_n_docs") > 1)
