@@ -7055,24 +7055,48 @@ object SparkEntry {
       // computed once here instead of re-shingled inside every
       // micro-batch by decontaminate
       val evalGrams = Dedup.gramSet(evalSet, "text", n = 3).cache()
-      s.sparkContext.setJobDescription("q284: ratio+eval prep")
-      ratio.count(); evalSet.count(); evalGrams.count()
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q284").toString
       val idx = s"$tmp/fp_idx"
-      s.sparkContext.setJobDescription("q284: fingerprint index build")
-      // r12: 8 buckets, not the 64 default — this funnel probes the
-      // WHOLE index every day (never a point lookup), so bucket count
-      // buys nothing here and 64 directories × 3 append generations
-      // was pure file-commit overhead ("index append" measured 8 s of
-      // stage time). Bucketing stays the at-rest contract for
-      // point-lookup consumers (q180-q183 keep 64).
-      Dedup.writeWindowFingerprints(hist, "text", "doc_id", idx,
-        window = 40, nBuckets = 8)
       val streamed = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id"), col("text"))
-      s.sparkContext.setJobDescription("q284: maxId")
-      val maxId = streamed.agg(max(col("doc_id"))).head().getLong(0)
+      // r13: the four prep legs (DSIR ratio, eval-gram set, fingerprint
+      // index seed, streamed max id) are mutually independent and each
+      // leaves cores idle (single-task tails, file commits), so they
+      // materialize CONCURRENTLY — the day loop only needs all of them
+      // done. hist is counted first so the shared cache fills exactly
+      // once instead of racing in every leg. Profile: prep+build+maxId
+      // was ~4.6 s of serial driver time.
+      s.sparkContext.setJobDescription("q284: ratio+eval prep")
+      hist.count()
+      val prepPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val prepEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(prepPool)
+      def inJob[T](desc: String)(body: => T): scala.concurrent.Future[T] =
+        scala.concurrent.Future {
+          s.sparkContext.setJobDescription(desc); body
+        }
+      val prep = Seq(
+        inJob("q284: ratio+eval prep") { ratio.count() },
+        inJob("q284: ratio+eval prep") { evalSet.count(); evalGrams.count() },
+        // r12: 8 buckets, not the 64 default — this funnel probes the
+        // WHOLE index every day (never a point lookup), so bucket count
+        // buys nothing here and 64 directories × 3 append generations
+        // was pure file-commit overhead ("index append" measured 8 s of
+        // stage time). Bucketing stays the at-rest contract for
+        // point-lookup consumers (q180-q183 keep 64).
+        inJob("q284: fingerprint index build") {
+          Dedup.writeWindowFingerprints(hist, "text", "doc_id", idx,
+            window = 40, nBuckets = 8); 0L
+        },
+        inJob("q284: maxId") {
+          streamed.agg(max(col("doc_id"))).head().getLong(0)
+        })
+      val maxId =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(prep),
+          scala.concurrent.duration.Duration.Inf).last
+        finally prepPool.shutdown()
       val srcDir = s"$tmp/arrivals"; val outDir = s"$tmp/flags"
       val ckpt = s"$tmp/ckpt"
       val schema = org.apache.spark.sql.types.StructType(Seq(

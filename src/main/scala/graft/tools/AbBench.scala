@@ -640,11 +640,14 @@ object AbBench {
         (() => force(oldForm), () => force(newForm))
       }),
 
-    Pair("q284_batch_spread", "no_spread", "spread_8",
+    // SPARK_GRAFT_AB_SPREAD picks the B-side spread width (default 8) so
+    // the sensitivity of the knob can be measured without code edits.
+    Pair("q284_batch_spread", "no_spread", "spread_n",
       (s, d) => {
+        val n = sys.env.getOrElse("SPARK_GRAFT_AB_SPREAD", "8")
         val fn = graft.SparkEntry.queries("q284_streaming_funnel")
         (() => { s.conf.unset("spark.graft.funnel.batchSpread"); fn(s, d) },
-         () => { s.conf.set("spark.graft.funnel.batchSpread", "8"); fn(s, d) })
+         () => { s.conf.set("spark.graft.funnel.batchSpread", n); fn(s, d) })
       }),
 
     // round-13 change: the funnel's nd leg moved from
