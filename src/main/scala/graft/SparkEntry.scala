@@ -3310,10 +3310,12 @@ object SparkEntry {
       val p = HnswIndex.Params(m = 8, efConstruction = 64, efSearch = 96)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-gsq8").toString
-      RoutedHnsw.writeRoutedIndex(emb, "embedding", "vec_id",
-        s"$tmp/f", cs, p)
-      RoutedHnsw.writeRoutedIndex(emb, "embedding", "vec_id",
-        s"$tmp/q", cs, p, quantized = true)
+      // r13: both variants from ONE routing pass (the cell assignment
+      // and salt counts are identical; only the blob encoding differs),
+      // written concurrently — bit-identical graphs to two separate
+      // writeRoutedIndex calls.
+      RoutedHnsw.writeRoutedIndexPair(emb, "embedding", "vec_id",
+        s"$tmp/f", s"$tmp/q", cs, p)
       def ids(dir: String) = RoutedHnsw
         .search(s, dir, "vec_id", cs, q, k, nProbe = 4, p)
         .collect().map(_.getLong(0)).toSet

@@ -74,19 +74,69 @@ object RoutedHnsw {
                        maxPartitionRows: Int = 500000,
                        quantized: Boolean = false,
                        maxSegmentRows: Int = 30000): Unit = {
-    require(maxPartitionRows > 0, "maxPartitionRows must be positive")
-    require(maxSegmentRows > 0, "maxSegmentRows must be positive")
+    val assigned = assignCells(df, embCol, idCol, cs)
+    buildAndWrite(assigned, path, params, maxPartitionRows, quantized,
+      maxSegmentRows)
+  }
+
+  /** Float AND int8 variants of the same index from ONE routing pass
+    * (r13, for the float-vs-quantized gate queries): the cell
+    * assignment and the per-cell counts are identical for both — only
+    * the serialized blob differs — so the assignment is persisted and
+    * each variant's group-build runs from those blocks, concurrently
+    * (each write's stages leave cores idle at the commit tail). Each
+    * variant's graphs are bit-identical to two separate
+    * [[writeRoutedIndex]] calls. */
+  def writeRoutedIndexPair(df: DataFrame, embCol: String, idCol: String,
+                           pathFloat: String, pathQuant: String,
+                           cs: Array[(Int, Array[Float])],
+                           params: HnswIndex.Params = HnswIndex.Params(),
+                           maxPartitionRows: Int = 500000,
+                           maxSegmentRows: Int = 30000): Unit = {
+    val assigned = assignCells(df, embCol, idCol, cs).persist()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      assigned.count() // fill the cache once; no race between variants
+      val writes = Seq(false, true).map { q =>
+        scala.concurrent.Future {
+          buildAndWrite(assigned,
+            if (q) pathQuant else pathFloat,
+            params, maxPartitionRows, q, maxSegmentRows)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+      ()
+    } finally { pool.shutdown(); assigned.unpersist() }
+  }
+
+  private def assignCells(df: DataFrame, embCol: String, idCol: String,
+                          cs: Array[(Int, Array[Float])])
+      : org.apache.spark.sql.Dataset[(Int, Long, Array[Float])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val p = params
-    val q = quantized
-    val cap = maxPartitionRows
-    val assigned = IvfIndex.build(
+    IvfIndex.build(
         df.select(col(idCol).cast("long").as("_id"), col(embCol).as("_emb"))
           .filter(col("_id").isNotNull && col("_emb").isNotNull),
         "_emb", "_id", cs)
       .select(col("centroid_id"), col("_id"), col("_emb"))
       .as[(Int, Long, Array[Float])]
+  }
+
+  private def buildAndWrite(
+      assigned: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
+      path: String, params: HnswIndex.Params, maxPartitionRows: Int,
+      quantized: Boolean, maxSegmentRows: Int): Unit = {
+    require(maxPartitionRows > 0, "maxPartitionRows must be positive")
+    require(maxSegmentRows > 0, "maxSegmentRows must be positive")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val p = params
+    val q = quantized
+    val cap = maxPartitionRows
     // per-cell counts → salts per cell (driver state O(nCells)); 90% of
     // the target as headroom: the id-hash split is even only in
     // expectation. Segment grain is the SMALLER of the OOM cap and the

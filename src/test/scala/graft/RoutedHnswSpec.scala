@@ -391,4 +391,29 @@ class RoutedHnswSpec extends SparkSpec {
     assert(starved < healthy,
       s"drifted-route recall $starved not below full-route $healthy")
   }
+
+  test("writeRoutedIndexPair == two writeRoutedIndex calls, blob for blob") {
+    // r13 (q186): both variants from one persisted routing pass must be
+    // indistinguishable at rest from two independent builds — same
+    // (cell, n_vectors, seg_hash) manifest rows per variant, and the
+    // quantized flag round-trips through each variant's meta.
+    val (data, _) = clustered(3000, 8, 16, seed = 47)
+    val cs = IvfIndex.centroids(data, "emb", "id", 8)
+    val base = java.nio.file.Files.createTempDirectory("rhnsw-pair").toString
+    val p = HnswIndex.Params(m = 8, efConstruction = 64)
+    RoutedHnsw.writeRoutedIndexPair(data, "emb", "id",
+      s"$base/pf", s"$base/pq", cs, p)
+    RoutedHnsw.writeRoutedIndex(data, "emb", "id", s"$base/sf", cs, p)
+    RoutedHnsw.writeRoutedIndex(data, "emb", "id", s"$base/sq", cs, p,
+      quantized = true)
+    def manifest(dir: String) = spark.read.parquet(dir)
+      .select("centroid_id", "n_vectors", "seg_hash")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(manifest(s"$base/pf") == manifest(s"$base/sf"))
+    assert(manifest(s"$base/pq") == manifest(s"$base/sq"))
+    // float and int8 blobs must actually differ (the pair didn't write
+    // the same variant twice)
+    assert(manifest(s"$base/pf") != manifest(s"$base/pq"))
+  }
 }
