@@ -3276,6 +3276,9 @@ object SparkEntry {
       val k = 20
       val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding",
         "vec_id", 16)
+      // r13 note: persisting `index` across the two writes was
+      // A/B-measured a WASH here (2 consumers only; the persist write
+      // costs what the saved assignment pass buys) — left on lineage.
       val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-sq8").toString
@@ -3338,6 +3341,8 @@ object SparkEntry {
       val k = 20
       val cs = IvfIndex.centroids(t(s, d, "embeddings"), "embedding",
         "vec_id", 16)
+      // r13 note: persisting `index` across the two writes was
+      // A/B-measured a WASH here (see q185) — left on lineage.
       val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
       val cb = PqIndex.train(emb, "embedding", "vec_id", 64, m = 8,
         ksub = 64, iters = 3)
@@ -3374,7 +3379,10 @@ object SparkEntry {
       val k = 20
       val cs = IvfIndex.kmeansCentroids(t(s, d, "embeddings"), "embedding",
         "vec_id", 16, iters = 2)
-      val index = IvfIndex.build(emb, "embedding", "vec_id", cs)
+      // r13: residual training, both encodes, and both MSE aggregates
+      // consume the same assignment frame (~6 re-executions of the
+      // nearest-centroid pass with pure lineage) — persist it once
+      val index = IvfIndex.build(emb, "embedding", "vec_id", cs).persist()
       // 2 Lloyd rounds each: the gate margins (recall 0.9+ vs 0.8
       // floor, MSE ratio ~3x) are far wider than the 3rd round buys
       val rawCb = PqIndex.train(emb, "embedding", "vec_id", 64, m = 8,
@@ -3402,6 +3410,7 @@ object SparkEntry {
         "vec_id", rawCodes, rawCb)
       val resErr = PqIndex.reconstructionMse(index, "embedding",
         "vec_id", resCodes, rcb, cs)
+      index.unpersist()
       import s.implicits._
       Seq(("pq_residual_m8_k64", k.toLong, recall >= 0.8, resErr < rawErr))
         .toDF("method", "k", "recall_ge_floor", "mse_lt_raw")
