@@ -6181,8 +6181,11 @@ object SparkEntry {
       val docs = tSpread(s, d, "documents")
       val pairs = Dedup.simhashHammingPairs(docs, "text", "doc_id")
         .select(col("id_a"), col("id_b"))
+      // r13: cc feeds both the doc join and the cluster-size aggregate;
+      // its labels are checkpointed internally but the final id⋈label
+      // join re-ran per consumer — persist the 2-long frame once
       val cc = Graph.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs)
+        docs.select(col("doc_id").as("id")), pairs).persist()
       val csz = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
       docs
         .select(col("doc_id"),
@@ -6851,7 +6854,11 @@ object SparkEntry {
     // (bounded by the max cluster size); doc share in exact ppm ----
     "q278_cluster_size_spectrum" -> ((s, d) => {
       val docs = tSpread(s, d, "documents")
+      // r13: the size spectrum and the doc total both consume cc; its
+      // cluster labels are driver-resident but the id frame re-ran a
+      // corpus scan + distinct per consumer — persist the 2-long frame
       val cc = Dedup.minhashClustersTransitive(docs, "text", "doc_id")
+        .persist()
       val sizes = cc.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("csz"))
       val tot = cc.agg(count(lit(1)).as("nd"))
